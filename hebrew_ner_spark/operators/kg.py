@@ -1,0 +1,214 @@
+"""Knowledge-graph construction over the synthetic web-document corpus.
+
+This is the engine's flagship chain (SURVEY.md §7 minimum slice):
+
+    documents -> tokens -> BIOSE mention labels -> mention spans
+              -> (subj, pred, obj) triples -> linked entities
+              -> canonical components -> node/edge tables
+
+Spark-first design notes (these matter at 100 TB):
+
+* Tokenization, labelling and triple pattern-matching are **array-side
+  higher-order functions** on each document row — zero shuffles, full
+  whole-stage codegen, no Python. The reference does the same work with
+  pandas loops (ner_app.py:196-226); here Catalyst sees one narrow stage.
+* The only shuffles in the chain are the aggregations that *must* move data
+  (mention/triple counts), and those use two-phase salted aggregation for
+  skewed keys (plans/skew.py) — mega-entities are the known hot spot.
+* Mention labelling follows the reference's BIOSE scheme: maximal runs of
+  gazetteer entity tokens become spans (single token -> S, else B I* E),
+  mirroring make_spans semantics (utils/ner.py:398-419).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hebrew_ner_spark.resources import ENTITY_TERMS, PREDICATE_TERMS
+
+
+def _term_set(terms: list[str]) -> Column:
+    return F.array(*[F.lit(t) for t in terms])
+
+
+def with_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """documents + a `toks` array column (whitespace tokenization).
+
+    The corpus text is single-space joined by construction; the general
+    multi-space path is `split(text, '\\s+')` with empty-string filter.
+    """
+    return docs.withColumn("toks", F.split(F.col(text_col), " "))
+
+
+def doc_tokens(docs: DataFrame) -> DataFrame:
+    """Long token table (doc_id, word_index, token).
+
+    Analog of the reference NER dataframe `['SentNum','WordIndex','Word']`
+    (utils/ner.py:14); the windowed counter A6 (cumcount, ner_app.py:209)
+    is `posexplode`, which needs no shuffle at all.
+    """
+    return (
+        with_tokens(docs)
+        .select("doc_id", F.posexplode("toks").alias("word_index", "token"))
+        .withColumn("word_index", F.col("word_index").cast("long"))
+    )
+
+
+def _biose_labels(toks: Column) -> Column:
+    """Array of BIOSE labels for a token array, computed entirely JVM-side.
+
+    Maximal runs of entity-gazetteer tokens are spans: single -> S-TERM,
+    run start -> B-TERM, run interior -> I-TERM, run end -> E-TERM.
+    Neighbour tests use element_at on the original array, so this is one
+    `transform` — no window, no shuffle, no Python.
+    """
+    ents = _term_set(ENTITY_TERMS)
+    return F.expr(
+        f"""
+        transform(toks, (t, i) ->
+          CASE
+            WHEN NOT array_contains({_sql_terms(ENTITY_TERMS)}, t) THEN 'O'
+            WHEN (i = 0 OR NOT array_contains({_sql_terms(ENTITY_TERMS)}, toks[i-1]))
+             AND (i = size(toks) - 1 OR NOT array_contains({_sql_terms(ENTITY_TERMS)}, toks[i+1]))
+              THEN 'S-TERM'
+            WHEN (i = 0 OR NOT array_contains({_sql_terms(ENTITY_TERMS)}, toks[i-1]))
+              THEN 'B-TERM'
+            WHEN (i = size(toks) - 1 OR NOT array_contains({_sql_terms(ENTITY_TERMS)}, toks[i+1]))
+              THEN 'E-TERM'
+            ELSE 'I-TERM'
+          END)
+        """
+    )
+
+
+def _sql_terms(terms: list[str]) -> str:
+    inner = ", ".join(f"'{t}'" for t in terms)
+    return f"array({inner})"
+
+
+def doc_token_labels(docs: DataFrame) -> DataFrame:
+    """(doc_id, word_index, token, label) — the NER long table.
+
+    This is the mention-detection stage output; with a neural labeller the
+    `labels` column would instead come from the mapInPandas kernel in
+    operators/mentions.py — the table contract is identical.
+    """
+    labelled = with_tokens(docs).withColumn("labels", _biose_labels(F.col("toks")))
+    return labelled.select(
+        "doc_id",
+        F.posexplode(F.arrays_zip("toks", "labels")).alias("word_index", "tl"),
+    ).select(
+        "doc_id",
+        F.col("word_index").cast("long").alias("word_index"),
+        F.col("tl.toks").alias("token"),
+        F.col("tl.labels").alias("label"),
+    )
+
+
+def mention_spans(docs: DataFrame) -> DataFrame:
+    """(doc_id, cat, lo, hi, surface) entity spans.
+
+    Span semantics follow make_spans (utils/ner.py:398-419): S/B open a
+    span, E closes it. Computed array-side: filter boundary indexes, pair
+    them up — again shuffle-free.
+    """
+    ents = _sql_terms(ENTITY_TERMS)
+    labelled = with_tokens(docs)
+    # starts[i] is an index where a span begins; matching end is the first
+    # non-entity boundary at or after it.
+    return (
+        labelled.withColumn(
+            "spans",
+            F.expr(
+                f"""
+                filter(
+                  transform(toks, (t, i) ->
+                    CASE WHEN array_contains({ents}, t)
+                          AND (i = 0 OR NOT array_contains({ents}, toks[i-1]))
+                    THEN named_struct(
+                      'lo', bigint(i),
+                      'hi', bigint(aggregate(
+                         sequence(i, size(toks) - 1),
+                         bigint(i),
+                         (acc, j) -> CASE WHEN j >= acc + 1
+                                           AND j = acc + 1
+                                           AND array_contains({ents}, toks[j])
+                                          THEN j ELSE acc END)))
+                    ELSE NULL END),
+                  s -> s IS NOT NULL)
+                """
+            ),
+        )
+        .select("doc_id", "toks", F.explode("spans").alias("sp"))
+        .select(
+            "doc_id",
+            F.lit("TERM").alias("cat"),
+            F.col("sp.lo").alias("lo"),
+            F.col("sp.hi").alias("hi"),
+            F.concat_ws(" ", F.slice(F.col("toks"), F.col("sp.lo") + 1, F.col("sp.hi") - F.col("sp.lo") + 1)).alias(
+                "surface"
+            ),
+        )
+    )
+
+
+def doc_triples(docs: DataFrame) -> DataFrame:
+    """(doc_id, word_index, subj, pred, obj) — SVO triple extraction.
+
+    Dependency-pattern relation extraction (SURVEY.md §2.11 extract_triples)
+    specialised to the synthetic corpus grammar: an entity token immediately
+    before and after a predicate token forms a triple. The sliding-window
+    match is a single `transform` + `filter` over the token array —
+    the whole extraction is one narrow, codegen'd stage with zero shuffles.
+    """
+    ents = _sql_terms(ENTITY_TERMS)
+    preds = _sql_terms(PREDICATE_TERMS)
+    return (
+        with_tokens(docs)
+        .withColumn(
+            "triples",
+            F.expr(
+                f"""
+                filter(
+                  transform(toks, (t, i) ->
+                    CASE WHEN i > 0 AND i < size(toks) - 1
+                          AND array_contains({preds}, t)
+                          AND array_contains({ents}, toks[i-1])
+                          AND array_contains({ents}, toks[i+1])
+                    THEN named_struct('word_index', bigint(i),
+                                      'subj', toks[i-1],
+                                      'pred', t,
+                                      'obj', toks[i+1])
+                    ELSE NULL END),
+                  x -> x IS NOT NULL)
+                """
+            ),
+        )
+        .select("doc_id", F.explode("triples").alias("tr"))
+        .select("doc_id", "tr.word_index", "tr.subj", "tr.pred", "tr.obj")
+    )
+
+
+def triple_counts(docs: DataFrame, salt_buckets: int = 0) -> DataFrame:
+    """(subj, pred, obj, n_evidence) aggregated edge weights.
+
+    With `salt_buckets` > 0 the count runs as two-phase salted aggregation
+    (mega-entity skew: one entity can own ~20% of all mentions at corpus
+    scale). Counts are algebraic so the two plans are equivalent.
+    """
+    triples = doc_triples(docs)
+    if salt_buckets > 0:
+        from hebrew_ner_spark.plans.skew import salted_count
+
+        return salted_count(triples, ["subj", "pred", "obj"], salt_buckets, "n_evidence")
+    return triples.groupBy("subj", "pred", "obj").agg(F.count("*").alias("n_evidence"))
+
+
+def entity_nodes(docs: DataFrame) -> DataFrame:
+    """(entity, n_mentions, n_docs) node table for graph materialization."""
+    labels = doc_token_labels(docs).where(F.col("label") != "O")
+    return labels.groupBy(F.col("token").alias("entity")).agg(
+        F.count("*").alias("n_mentions"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )

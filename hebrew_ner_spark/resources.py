@@ -1,0 +1,44 @@
+"""Deterministic gazetteer / predicate inventory for the synthetic corpus.
+
+The reference detects mentions with a neural labeller (model/seqlabel.py) —
+a learned function token -> BIOSE label. This sandbox has no torch, so the
+engine ships a deterministic gazetteer "model" with the exact same UDF
+interface (SURVEY.md §7 stage 4): a drop-in neural labeller would replace
+only the kernel inside the Arrow batch, not the plan.
+
+The synthetic `documents` table draws from a closed 31-word vocabulary; we
+partition it into entities (noun-like), predicates (verb-like) and other.
+These sets are frozen — tests and DuckDB oracles embed the same literals.
+"""
+
+# Noun-like vocabulary -> KG entities.
+ENTITY_TERMS = [
+    "batch",
+    "column",
+    "customer",
+    "data",
+    "group",
+    "hash",
+    "key",
+    "line",
+    "order",
+    "part",
+    "query",
+    "row",
+    "spark",
+    "stream",
+    "table",
+    "value",
+    "vector",
+    "window",
+]
+
+# Verb-like vocabulary -> relation predicates.
+PREDICATE_TERMS = ["agg", "filter", "join", "merge", "scan", "sort"]
+
+# Everything else ("the", "a", adjectives, "dup") is non-mention filler.
+
+# Hebrew prefix particles the morphological analyzer peels off
+# (the reference's linguistic regrouping rules enumerate the same set:
+# utils/ner.py:260-330 handles ב/ל/כ/ה/ש/ו/מ and the combos וש/כש).
+HEB_PREFIXES = ["ו", "ש", "ה", "ב", "כ", "ל", "מ", "וש", "כש", "וה", "בה", "לה", "כה", "מה", "ושה"]

@@ -1,0 +1,87 @@
+"""Self-check harness mirroring the driver's correctness gate.
+
+Runs every queries() entry at sf0.01 on Spark AND its oracle_sql() on DuckDB,
+compares row counts and order-insensitive value hashes (columns sorted by
+name, floats rounded). Run: python scripts/check_correctness.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            df[c] = df[c].round(6)
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    import __spark_entry__ as ent
+    from hebrew_ner_spark.session import get_spark
+
+    spark = get_spark("check-correctness")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+    qs, oras = ent.queries(), ent.oracle_sql()
+    failures = []
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, SF).toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
+            continue
+        if name not in oras:
+            print(f"ok    {name}: rows-only check, {len(sdf)} rows")
+            continue
+        try:
+            odf = con.execute(oras[name]).df()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: oracle error {e}")
+            continue
+        a, b = canon(sdf), canon(odf)
+        if len(a) != len(b):
+            failures.append(name)
+            print(f"FAIL  {name}: rowcount spark={len(a)} oracle={len(b)}")
+            continue
+        if list(a.columns) != list(b.columns):
+            failures.append(name)
+            print(f"FAIL  {name}: columns spark={list(a.columns)} oracle={list(b.columns)}")
+            continue
+        if not a.equals(b):
+            neq = (a != b).any(axis=1)
+            failures.append(name)
+            print(f"FAIL  {name}: {int(neq.sum())}/{len(a)} rows differ; first:")
+            print(pd.concat([a[neq].head(3), b[neq].head(3)]))
+            continue
+        print(f"ok    {name}: {len(a)} rows match")
+    spark.stop()
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries pass")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

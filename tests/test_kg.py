@@ -1,0 +1,68 @@
+"""KG-chain unit tests on hand-built fixtures + sf0.001 sanity."""
+
+import pytest
+
+from hebrew_ner_spark.operators import kg
+from hebrew_ner_spark.sources.catalog import load_table
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    rows = [
+        # ents: key, order, table, customer; preds: join, sort
+        (0, "the key join order fast"),
+        (1, "customer table key"),  # one 3-token span
+        (2, "sort sort sort"),  # no mentions, no triples
+        (3, "key join order sort table"),  # two triples sharing tokens
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_doc_tokens(tiny):
+    got = rows(kg.doc_tokens(tiny).where("doc_id = 0"), "word_index", "token")
+    assert got == [(0, "the"), (1, "key"), (2, "join"), (3, "order"), (4, "fast")]
+
+
+def test_biose_labels(tiny):
+    got = rows(kg.doc_token_labels(tiny).where("doc_id = 1"), "word_index", "label")
+    assert got == [(0, "B-TERM"), (1, "I-TERM"), (2, "E-TERM")]
+    got0 = rows(kg.doc_token_labels(tiny).where("doc_id = 0"), "word_index", "label")
+    assert got0 == [(0, "O"), (1, "S-TERM"), (2, "O"), (3, "S-TERM"), (4, "O")]
+
+
+def test_mention_spans(tiny):
+    got = rows(kg.mention_spans(tiny), "doc_id", "lo", "hi", "surface")
+    assert (1, 0, 2, "customer table key") in got
+    assert (0, 1, 1, "key") in got
+    assert (0, 3, 3, "order") in got
+    assert not any(r[0] == 2 for r in got)
+
+
+def test_triples(tiny):
+    got = rows(kg.doc_triples(tiny), "doc_id", "subj", "pred", "obj")
+    assert got == [
+        (0, "key", "join", "order"),
+        (3, "key", "join", "order"),
+        (3, "order", "sort", "table"),
+    ]
+
+
+def test_triple_counts_salted_equals_plain(tiny):
+    plain = rows(kg.triple_counts(tiny), "subj", "pred", "obj", "n_evidence")
+    salted = rows(kg.triple_counts(tiny, salt_buckets=4), "subj", "pred", "obj", "n_evidence")
+    assert plain == salted == [
+        ("key", "join", "order", 2),
+        ("order", "sort", "table", 1),
+    ]
+
+
+def test_sf0001_counts(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    assert kg.doc_triples(docs).count() == 1920  # pinned vs DuckDB oracle
+    nodes = kg.entity_nodes(docs).collect()
+    assert len(nodes) == 18
+    assert all(r.n_mentions >= r.n_docs > 0 for r in nodes)
