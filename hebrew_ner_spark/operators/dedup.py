@@ -1,0 +1,222 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The training-data curation core. Design points that matter at 100 TB:
+
+* **Exact dedup** groups by a content hash — the shuffle key is the 32-char
+  md5, uniformly distributed, so no skew regardless of how many copies of
+  one page exist; the heavy `text` column never shuffles (column pruning:
+  only the hash + doc_id move).
+* **MinHash/LSH** materializes a (doc, seed, minhash) signature table whose
+  size is H rows/doc independent of document length; candidate generation
+  is a self-equi-join on (band, band_key) — banding bounds the join
+  fan-out, and identical-band mega-clusters are exactly the AQE skew-join
+  case (enabled in session.py).
+* **Verification** computes exact k-gram Jaccard only for LSH candidates —
+  the quadratic step never touches non-candidate pairs.
+* **SimHash** is computed array-side per document with higher-order
+  functions (zero Python, zero shuffle); near-pair blocking splits the
+  60-bit key into 4 x 15-bit bands (Hamming distance <= 3 guarantees a
+  shared band; we verify with bit_count(xor)).
+
+All hashes are the portable 60-bit md5 prefix (functions/hashing.py), so
+the DuckDB oracles reproduce every signature bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hebrew_ner_spark.functions.hashing import phash_sql_expr, shingles_col
+from hebrew_ner_spark.operators.kg import with_tokens
+
+SHINGLE_K = 3          # word k-grams for MinHash / Jaccard
+NUM_HASHES = 16        # MinHash signature length
+LSH_BANDS = 4          # 4 bands x 4 rows
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4      # 4 x 15-bit blocks
+HAMMING_MAX = 3        # verified Hamming radius
+
+
+def doc_shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """Long distinct (doc_id, shingle) table."""
+    return (
+        with_tokens(docs)
+        .withColumn("sh", shingles_col("toks", k))
+        .select("doc_id", F.explode("sh").alias("shingle"))
+    )
+
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """(text_md5, n_docs, canonical_doc_id) for texts appearing > once.
+
+    The canonical representative is the minimum doc_id — deterministic, so
+    a rerun (resume) picks identical survivors.
+    """
+    return (
+        docs.select("doc_id", F.md5("text").alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, seed, minhash): H-row signature per document.
+
+    One shuffle (groupBy doc_id) with H min-aggregates computed in a single
+    pass; map-side partial aggregation keeps reducer input at H values per
+    doc per partition. Documents with < k tokens have no shingles and are
+    excluded (nothing to sign).
+    """
+    sh = doc_shingles(docs, k)
+    aggs = [
+        F.min(F.expr(phash_sql_expr("shingle", s))).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    stack_args = ", ".join(f"{s}, h{s}" for s in range(num_hashes))
+    return wide.select(
+        "doc_id",
+        F.expr(f"stack({num_hashes}, {stack_args}) AS (seed, minhash)"),
+    ).select("doc_id", F.col("seed").cast("long").alias("seed"), "minhash")
+
+
+def _band_keys(docs: DataFrame, bands: int = LSH_BANDS, num_hashes: int = NUM_HASHES, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, band, band_key) — md5 of the band's minhash sub-signature."""
+    rows = num_hashes // bands
+    sh = doc_shingles(docs, k)
+    aggs = [
+        F.min(F.expr(phash_sql_expr("shingle", s))).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    band_cols = [
+        F.md5(F.concat_ws("_", *[F.col(f"h{b * rows + r}") for r in range(rows)])).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    wide = wide.select("doc_id", *band_cols)
+    stack_args = ", ".join(f"{b}, b{b}" for b in range(bands))
+    return wide.select(
+        "doc_id",
+        F.expr(f"stack({LSH_BANDS}, {stack_args}) AS (band, band_key)"),
+    ).select("doc_id", F.col("band").cast("long").alias("band"), "band_key")
+
+
+def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing at least one LSH band bucket.
+
+    The self-join key is (band, band_key); bucket sizes follow the corpus
+    duplicate-cluster distribution, so this is where AQE skew-join splits
+    oversized buckets at runtime.
+    """
+    bk = _band_keys(docs)
+    left = bk.alias("l")
+    right = bk.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def near_dup_jaccard(docs: DataFrame, threshold: float = 0.5, k: int = SHINGLE_K) -> DataFrame:
+    """LSH candidates verified with exact shingle Jaccard >= threshold.
+
+    (doc_a, doc_b, jaccard_1e6). The exact intersection join touches only
+    candidate pairs; |intersection| comes from one join + count, |union|
+    from per-doc shingle counts (|A| + |B| - |A∩B|).
+    """
+    pairs = lsh_candidate_pairs(docs)
+    sh = doc_shingles(docs, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+
+    # |A ∩ B| per candidate pair: attach A's shingles, semi-match B's.
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shingle"))
+    inter = (
+        pairs.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "jaccard_1e6",
+            F.expr("CAST(round(n_inter * 1000000.0 / (n_a + n_b - n_inter)) AS BIGINT)"),
+        )
+        .where(F.col("jaccard_1e6") >= int(threshold * 1_000_000))
+        .select("doc_a", "doc_b", "jaccard_1e6")
+    )
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash): 60-bit SimHash over token occurrences.
+
+    Computed entirely array-side: hash each token, accumulate a 60-wide
+    +/-1 counter vector with aggregate+zip_with, re-pack sign bits. One
+    narrow codegen stage, no shuffle, no Python.
+    """
+    tok_hash = phash_sql_expr("t", 0)
+    expr = f"""
+      aggregate(
+        zip_with(
+          aggregate(
+            transform(toks, t -> {tok_hash}),
+            array_repeat(0L, {bits}),
+            (acc, h) -> zip_with(acc, sequence(0, {bits - 1}),
+                                 (c, j) -> c + CASE WHEN (shiftright(h, CAST(j AS INT)) & 1) = 1
+                                                    THEN 1 ELSE -1 END)),
+          sequence(0, {bits - 1}),
+          (c, j) -> CASE WHEN c > 0 THEN shiftleft(1L, CAST(j AS INT)) ELSE 0L END),
+        0L, (a, x) -> a + x)
+    """
+    return with_tokens(docs).select("doc_id", F.expr(expr).alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = HAMMING_MAX) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs within Hamming radius via band blocking.
+
+    60 bits split into 4 x 15-bit blocks: any pair with distance <= 3 shares
+    at least one identical block (pigeonhole), so blocking loses nothing.
+    """
+    sim = simhash(docs)
+    blocks = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {SIMHASH_BANDS - 1}), "
+                f"b -> named_struct('band', CAST(b AS BIGINT), "
+                f"'bval', shiftright(simhash, CAST(b * 15 AS INT)) & 32767))"
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval"))
+    l, r = blocks.alias("l"), blocks.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bval") == F.col("r.bval"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.expr("bit_count(l.simhash ^ r.simhash)").cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

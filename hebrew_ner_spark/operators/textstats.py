@@ -1,0 +1,139 @@
+"""Text-analysis operators for a large-scale training-data pipeline.
+
+Language ID, quality scoring, token counting and document fingerprinting
+over the `documents` table. All kernels are JVM-side built-ins (regex /
+array higher-order functions) so every per-document stage is one narrow
+whole-stage-codegen span — the only shuffle in this module is the global
+token-frequency aggregate, which benefits from map-side partial aggregation.
+
+Reference parity: digit normalization P5 (utils/functions.py:14-21), the
+char-class normalizers P6-P9 (utils/ner.py:226-258, utils/hebrew.py:3-19)
+and the length filter P4 (utils/functions.py:142) are the reference's
+text-hygiene surface; the quality/langid/fingerprint operators are the
+scale-pipeline generalization (training-data curation over 10^12 docs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hebrew_ner_spark.functions.hashing import phash_col, shingles_col
+from hebrew_ner_spark.operators.kg import with_tokens
+
+# Closed-class filler words of the synthetic corpus; doubles as the
+# stopword list for the quality score. Frozen — oracles embed the same set.
+STOPWORDS = ["the", "a", "of", "and", "in", "to", "is"]
+
+FINGERPRINT_K = 5  # winnowing-style k-gram size
+
+
+def normalize_digits(col: Column) -> Column:
+    """P5: every digit -> '0' before dictionary lookup (functions.py:14-21)."""
+    return F.regexp_replace(col, "[0-9]", "0")
+
+
+def normalize_hebrew_finals(col: Column) -> Column:
+    """P6: final-form Hebrew letters -> base forms (utils/ner.py:226-239)."""
+    return F.translate(col, "ךםןףץ", "כמנפצ")
+
+
+def strip_trailing_yud(col: Column) -> Column:
+    """P8: drop a trailing yud (utils/ner.py:255-258)."""
+    return F.regexp_replace(col, "י$", "")
+
+
+def normalize_gershayim(col: Column) -> Column:
+    """P9: ASCII double-quote -> gershayim inside Hebrew words
+    (utils/hebrew.py:3-19)."""
+    return F.regexp_replace(col, '(?<=[א-ת])"(?=[א-ת])', "״")
+
+
+def doc_stats(docs: DataFrame) -> DataFrame:
+    """Per-document quality statistics — one narrow stage, zero shuffles.
+
+    Columns mirror what a web-corpus curation filter needs: token count,
+    type count, mean token length, stopword ratio, punctuation density.
+    Ratios are emitted at micro precision (x1e6, bigint) so the correctness
+    hash is exact across engines.
+    """
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+    toks = with_tokens(docs)
+    return toks.select(
+        "doc_id",
+        F.col("n_chars"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_types"),
+        F.expr(
+            "CAST(round(aggregate(toks, 0L, (a, t) -> a + length(t)) * 1000000.0 / size(toks)) AS BIGINT)"
+        ).alias("mean_tok_len_1e6"),
+        F.expr(
+            f"CAST(round(size(filter(toks, t -> array_contains({stop_arr}, t))) * 1000000.0 / size(toks)) AS BIGINT)"
+        ).alias("stopword_ratio_1e6"),
+        F.expr(
+            "CAST(round(length(regexp_replace(text, '[a-zA-Z0-9א-ת ]', '')) * 1000000.0 / length(text)) AS BIGINT)"
+        ).alias("punct_ratio_1e6"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Character-class language heuristic: hebrew vs latin vs other.
+
+    The script whose letters dominate wins; ties/no-letters -> 'und'.
+    (n-gram models plug into the same contract; the classifier is a pure
+    column expression so it runs in codegen.)
+    """
+    heb = "length(regexp_replace(text, '[^א-ת]', ''))"
+    lat = "length(regexp_replace(text, '[^a-zA-Z]', ''))"
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        F.expr(
+            f"""
+            CASE WHEN {heb} > {lat} THEN 'he'
+                 WHEN {lat} > 0 THEN 'en'
+                 ELSE 'und' END
+            """
+        ).alias("detected_lang"),
+    )
+
+
+def token_freq(docs: DataFrame, min_count: int = 1) -> DataFrame:
+    """Corpus-level token frequency (the Zipf table).
+
+    The classic skewed aggregate: partial map-side combine keeps the
+    shuffle proportional to |vocab| per partition, not corpus size.
+    """
+    return (
+        with_tokens(docs)
+        .select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= min_count)
+    )
+
+
+def doc_fingerprints(docs: DataFrame, k: int = FINGERPRINT_K) -> DataFrame:
+    """Winnowing-style document fingerprint: min 60-bit hash over k-gram
+    shingles (docs shorter than k tokens get the hash of the whole text).
+
+    Equal fingerprints => near-identical prefixes/content with high
+    probability; used as a cheap pre-cluster key before MinHash.
+    """
+    toks = with_tokens(docs).withColumn("sh", shingles_col("toks", k))
+    hashed = toks.withColumn(
+        "fingerprint",
+        F.expr(
+            "CASE WHEN size(sh) = 0 THEN "
+            "  CAST(conv(substr(md5(concat(text, ':', '0')), 1, 15), 16, 10) AS BIGINT) "
+            "ELSE array_min(transform(sh, s -> "
+            "  CAST(conv(substr(md5(concat(s, ':', '0')), 1, 15), 16, 10) AS BIGINT))) END"
+        ),
+    )
+    return hashed.select("doc_id", "fingerprint")
+
+
+def length_filter(docs: DataFrame, max_tokens: int = 250) -> DataFrame:
+    """P4: drop documents with >= max_tokens tokens
+    (MAX_SENTENCE_LENGTH analog, utils/data.py:19)."""
+    return with_tokens(docs).where(F.size("toks") < max_tokens).drop("toks")

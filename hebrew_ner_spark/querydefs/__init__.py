@@ -1,0 +1,7 @@
+"""Domain query modules; importing this package registers every query."""
+
+from hebrew_ner_spark.querydefs import (  # noqa: F401
+    dedup_q,
+    kg_chain,
+    textstats_q,
+)

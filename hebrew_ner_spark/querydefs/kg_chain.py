@@ -1,0 +1,151 @@
+"""Query registry: every implemented operator exposed as (spark, sf_dir) -> DF,
+plus a DuckDB-oracle SQL string for driver-side correctness checking.
+
+Column names are aligned 1:1 between the Spark plan and the oracle SQL —
+the correctness gate hashes values after sorting columns by name.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hebrew_ner_spark.operators import kg
+from hebrew_ner_spark.registry import query
+from hebrew_ner_spark.resources import ENTITY_TERMS, PREDICATE_TERMS
+from hebrew_ner_spark.sources.catalog import load_table
+
+_ENTS_SQL = "(" + ", ".join(f"'{t}'" for t in ENTITY_TERMS) + ")"
+_PREDS_SQL = "(" + ", ".join(f"'{t}'" for t in PREDICATE_TERMS) + ")"
+
+# DuckDB fragment producing the long token table from `documents`.
+_TOKS_CTE = """
+toks AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS word_index,
+         unnest(string_split(text, ' ')) AS token
+  FROM documents
+)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# KG construction chain (SURVEY.md §7 / §2.11)
+# ---------------------------------------------------------------------------
+
+@query(
+    "kg_tokens",
+    oracle=f"WITH {_TOKS_CTE} SELECT doc_id, word_index, token FROM toks",
+)
+def kg_tokens(spark, sf_dir):
+    """Tokenize -> long table; A6 cumcount analog via posexplode (no shuffle)."""
+    return kg.doc_tokens(_docs(spark, sf_dir))
+
+
+@query(
+    "kg_token_labels",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    lbl AS (
+      SELECT doc_id, word_index, token,
+             token IN {_ENTS_SQL} AS is_ent,
+             coalesce(lag(token)  OVER w IN {_ENTS_SQL}, FALSE) AS prev_ent,
+             coalesce(lead(token) OVER w IN {_ENTS_SQL}, FALSE) AS next_ent
+      FROM toks
+      WINDOW w AS (PARTITION BY doc_id ORDER BY word_index)
+    )
+    SELECT doc_id, word_index, token,
+           CASE WHEN NOT is_ent THEN 'O'
+                WHEN NOT prev_ent AND NOT next_ent THEN 'S-TERM'
+                WHEN NOT prev_ent THEN 'B-TERM'
+                WHEN NOT next_ent THEN 'E-TERM'
+                ELSE 'I-TERM' END AS label
+    FROM lbl
+    """,
+)
+def kg_token_labels(spark, sf_dir):
+    """BIOSE mention labelling (gazetteer model), array-side, shuffle-free."""
+    return kg.doc_token_labels(_docs(spark, sf_dir))
+
+
+@query(
+    "kg_mention_spans",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    lbl AS (
+      SELECT doc_id, word_index, token,
+             token IN {_ENTS_SQL} AS is_ent,
+             coalesce(lag(token) OVER (PARTITION BY doc_id ORDER BY word_index)
+                      IN {_ENTS_SQL}, FALSE) AS prev_ent
+      FROM toks
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN is_ent AND NOT prev_ent THEN 1 ELSE 0 END AS span_start,
+             sum(CASE WHEN is_ent AND NOT prev_ent THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY word_index) AS span_id
+      FROM lbl
+    )
+    SELECT doc_id, 'TERM' AS cat,
+           min(word_index) AS lo, max(word_index) AS hi,
+           string_agg(token, ' ' ORDER BY word_index) AS surface
+    FROM flagged WHERE is_ent
+    GROUP BY doc_id, span_id
+    """,
+)
+def kg_mention_spans(spark, sf_dir):
+    """Entity spans (make_spans semantics, utils/ner.py:398-419)."""
+    return kg.mention_spans(_docs(spark, sf_dir))
+
+
+_TRIPLES_ORACLE = f"""
+    WITH {_TOKS_CTE},
+    w AS (
+      SELECT doc_id, word_index, token,
+             lag(token)  OVER (PARTITION BY doc_id ORDER BY word_index) AS subj,
+             lead(token) OVER (PARTITION BY doc_id ORDER BY word_index) AS obj
+      FROM toks
+    )
+    SELECT doc_id, word_index, subj, token AS pred, obj
+    FROM w
+    WHERE token IN {_PREDS_SQL} AND subj IN {_ENTS_SQL} AND obj IN {_ENTS_SQL}
+"""
+
+
+@query("kg_triples", oracle=_TRIPLES_ORACLE)
+def kg_triples(spark, sf_dir):
+    """SVO relation extraction — one narrow codegen stage, zero shuffles."""
+    return kg.doc_triples(_docs(spark, sf_dir))
+
+
+_TRIPLE_COUNTS_ORACLE = f"""
+    WITH t AS ({_TRIPLES_ORACLE})
+    SELECT subj, pred, obj, count(*) AS n_evidence FROM t GROUP BY 1, 2, 3
+"""
+
+
+@query("kg_triple_counts", oracle=_TRIPLE_COUNTS_ORACLE)
+def kg_triple_counts(spark, sf_dir):
+    return kg.triple_counts(_docs(spark, sf_dir))
+
+
+@query("kg_triple_counts_salted", oracle=_TRIPLE_COUNTS_ORACLE)
+def kg_triple_counts_salted(spark, sf_dir):
+    """Same aggregate through the two-phase salted plan — proves equivalence."""
+    return kg.triple_counts(_docs(spark, sf_dir), salt_buckets=8)
+
+
+@query(
+    "kg_entity_nodes",
+    oracle=f"""
+    WITH {_TOKS_CTE}
+    SELECT token AS entity, count(*) AS n_mentions,
+           count(DISTINCT doc_id) AS n_docs
+    FROM toks WHERE token IN {_ENTS_SQL}
+    GROUP BY token
+    """,
+)
+def kg_entity_nodes(spark, sf_dir):
+    return kg.entity_nodes(_docs(spark, sf_dir))

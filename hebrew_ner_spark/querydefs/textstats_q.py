@@ -1,0 +1,102 @@
+"""Text-analysis queries + DuckDB oracles (lang-id, quality, zipf,
+fingerprints, reference normalizers P5-P9)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hebrew_ner_spark.functions.hashing import phash_duck, shingles_duck
+from hebrew_ner_spark.operators import textstats
+from hebrew_ner_spark.registry import query
+from hebrew_ner_spark.sources.catalog import load_table
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in textstats.STOPWORDS) + "]"
+
+_TOKS = "SELECT doc_id, n_chars, text, string_split(text, ' ') AS toks FROM documents"
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@query(
+    "txt_doc_stats",
+    oracle=f"""
+    WITH t AS ({_TOKS})
+    SELECT doc_id, n_chars,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+           CAST(round(list_sum(list_transform(toks, t -> length(t))) * 1000000.0 / len(toks)) AS BIGINT)
+             AS mean_tok_len_1e6,
+           CAST(round(len(list_filter(toks, t -> list_contains({_STOP_SQL}, t))) * 1000000.0 / len(toks)) AS BIGINT)
+             AS stopword_ratio_1e6,
+           CAST(round(length(regexp_replace(text, '[a-zA-Z0-9א-ת ]', '', 'g')) * 1000000.0 / length(text)) AS BIGINT)
+             AS punct_ratio_1e6
+    FROM t
+    """,
+)
+def txt_doc_stats(spark, sf_dir):
+    return textstats.doc_stats(_docs(spark, sf_dir))
+
+
+@query(
+    "txt_lang_id",
+    oracle="""
+    SELECT doc_id, lang AS declared_lang,
+           CASE WHEN length(regexp_replace(text, '[^א-ת]', '', 'g'))
+                   > length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) THEN 'he'
+                WHEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) > 0 THEN 'en'
+                ELSE 'und' END AS detected_lang
+    FROM documents
+    """,
+)
+def txt_lang_id(spark, sf_dir):
+    return textstats.lang_id(_docs(spark, sf_dir))
+
+
+@query(
+    "txt_token_freq",
+    oracle=f"""
+    WITH t AS ({_TOKS}),
+    u AS (SELECT unnest(toks) AS token FROM t)
+    SELECT token, count(*) AS n FROM u GROUP BY token
+    """,
+)
+def txt_token_freq(spark, sf_dir):
+    return textstats.token_freq(_docs(spark, sf_dir))
+
+
+@query(
+    "txt_fingerprint",
+    oracle=f"""
+    WITH t AS ({_TOKS}),
+    s AS (SELECT doc_id, text, {shingles_duck('toks', textstats.FINGERPRINT_K)} AS sh FROM t)
+    SELECT doc_id,
+           CASE WHEN len(sh) = 0 THEN {phash_duck('text', 0)}
+                ELSE list_min(list_transform(sh, s -> {phash_duck('s', 0)})) END AS fingerprint
+    FROM s
+    """,
+)
+def txt_fingerprint(spark, sf_dir):
+    return textstats.doc_fingerprints(_docs(spark, sf_dir))
+
+
+@query(
+    "txt_normalize",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(text, '[0-9]', '0', 'g') AS digits_norm,
+           translate(text, 'ךםןףץ', 'כמנפצ') AS finals_norm,
+           regexp_replace(text, 'י$', '') AS yud_stripped
+    FROM documents
+    """,
+)
+def txt_normalize(spark, sf_dir):
+    """Reference normalizers P5/P6/P8 as one projection stage."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        textstats.normalize_digits(F.col("text")).alias("digits_norm"),
+        textstats.normalize_hebrew_finals(F.col("text")).alias("finals_norm"),
+        textstats.strip_trailing_yud(F.col("text")).alias("yud_stripped"),
+    )

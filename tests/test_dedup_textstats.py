@@ -1,0 +1,96 @@
+"""Unit tests for dedup + textstats operators (sf0.001 + hand-built frames)."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from hebrew_ner_spark.operators import dedup, textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def _mini(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t)) for i, t in enumerate(texts)]
+    )
+
+
+def test_exact_dup_groups_finds_planted_dups(spark):
+    d = _mini(spark, ["a b c", "a b c", "x y z", "a b c"])
+    rows = dedup.exact_dup_groups(d).collect()
+    assert len(rows) == 1
+    assert rows[0].n_docs == 3
+    assert rows[0].canonical_doc_id == 0  # deterministic min survivor
+
+
+def test_minhash_identical_texts_share_signature(spark):
+    d = _mini(spark, ["the quick brown fox jumps", "the quick brown fox jumps", "zz yy xx ww vv"])
+    sig = dedup.minhash_signatures(d).toPandas()
+    s0 = sig[sig.doc_id == 0].sort_values("seed").minhash.tolist()
+    s1 = sig[sig.doc_id == 1].sort_values("seed").minhash.tolist()
+    s2 = sig[sig.doc_id == 2].sort_values("seed").minhash.tolist()
+    assert len(s0) == dedup.NUM_HASHES
+    assert s0 == s1
+    assert s0 != s2
+
+
+def test_lsh_pairs_and_jaccard_on_planted_near_dup(spark):
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    near = "w0 w1 w2 w3 w4 w5 w6 w7 w8 zz"  # 1-token tail edit
+    far = "q0 q1 q2 q3 q4 q5 q6 q7 q8 q9"
+    d = _mini(spark, [base, near, far])
+    pairs = {(r.doc_a, r.doc_b) for r in dedup.lsh_candidate_pairs(d).collect()}
+    assert (0, 1) in pairs
+    verified = dedup.near_dup_jaccard(d, threshold=0.5).collect()
+    assert {(r.doc_a, r.doc_b) for r in verified} == {(0, 1)}
+    # 10 tokens -> 8 3-gram shingles; only the last differs: 7 shared / 9 union
+    assert verified[0].jaccard_1e6 == round(7 / 9 * 1e6)
+
+
+def test_simhash_blocking_is_lossless_within_radius(spark, docs):
+    """Pigeonhole: every pair within Hamming<=3 must share a 15-bit block,
+    so banding output == brute-force output."""
+    sim = dedup.simhash(docs.limit(60)).toPandas()
+    brute = set()
+    vals = list(zip(sim.doc_id, sim.simhash))
+    for i, (ida, ha) in enumerate(vals):
+        for idb, hb in vals[i + 1 :]:
+            if bin(ha ^ hb).count("1") <= dedup.HAMMING_MAX:
+                brute.add((min(ida, idb), max(ida, idb)))
+    blocked = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.simhash_near_pairs(docs.limit(60)).collect()
+    }
+    assert blocked == brute
+
+
+def test_doc_stats_short_doc_guard(spark):
+    d = _mini(spark, ["one two", "the a the a"])
+    out = {r.doc_id: r for r in textstats.doc_stats(d).collect()}
+    assert out[0].n_tokens == 2 and out[0].n_types == 2
+    assert out[1].stopword_ratio_1e6 == 1_000_000
+
+
+def test_fingerprint_short_doc_fallback(spark):
+    d = _mini(spark, ["only three words"])  # < FINGERPRINT_K tokens
+    assert textstats.doc_fingerprints(d).count() == 1
+
+
+def test_lang_id_hebrew(spark):
+    d = _mini(spark, ["שלום עולם טוב", "hello world", "1234 !!"])
+    out = {r.doc_id: r.detected_lang for r in textstats.lang_id(d).collect()}
+    assert out == {0: "he", 1: "en", 2: "und"}
+
+
+def test_normalizers_match_reference_semantics(spark):
+    d = _mini(spark, ["אבג ךםןףץ שנים 123"])
+    r = d.select(
+        textstats.normalize_digits(F.col("text")).alias("d"),
+        textstats.normalize_hebrew_finals(F.col("text")).alias("f"),
+    ).collect()[0]
+    assert r.d.endswith("000")
+    assert "ך" not in r.f and "כ" in r.f
