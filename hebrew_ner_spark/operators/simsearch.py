@@ -1,0 +1,189 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Three tiers, all JVM-side (zip_with/aggregate higher-order functions — no
+Python, no UDFs):
+
+* ``brute_topk`` — exact cosine top-k of every query against the corpus.
+  The query side is a small deterministic subset, **broadcast** so the scan
+  of the big side stays shuffle-free; ranking is one window per query key.
+  This is the correctness baseline: at 10^12 rows you never run it on the
+  full corpus, but it is exactly what runs *inside* each ANN bucket.
+* ``rp_lsh_buckets`` — random-hyperplane LSH signatures. The hyperplane
+  sign matrix is derived from the portable md5 hash (functions/hashing.py),
+  so it is identical on executors, on the driver, and inside the DuckDB
+  oracle — no floating-point RNG to ship.
+* ``rp_lsh_topk`` — top-k restricted to bucket collisions: the scale path.
+  Probing multiplies recall; each extra probe bit-flip doubles candidates.
+
+Cosines are emitted as ``cos_1e6`` (bigint micro-units) so the correctness
+hash is exact; ordering ties break on neighbor id, deterministically.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DIM = 64
+LSH_BITS = 8
+DEFAULT_QUERIES = 32
+DEFAULT_K = 10
+
+
+def _sign(j: int, d: int) -> int:
+    """Deterministic ±1 from the shared 60-bit md5 hash of 'j_d:0'.
+
+    Mirrors functions/hashing.py: phash('{j}_{d}', 0) & 1 — reproduced in
+    the DuckDB oracle bit-for-bit.
+    """
+    h = int(hashlib.md5(f"{j}_{d}:0".encode()).hexdigest()[:15], 16)
+    return 1 if (h & 1) == 1 else -1
+
+
+def sign_matrix(bits: int = LSH_BITS, dim: int = DIM) -> list[list[int]]:
+    return [[_sign(j, d) for d in range(dim)] for j in range(bits)]
+
+
+def _with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
+    """Attach the L2 norm once (computed in DOUBLE, sequential sum)."""
+    return df.withColumn(
+        "_norm",
+        F.expr(
+            f"sqrt(aggregate({vec}, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+        ),
+    )
+
+
+_DOT = (
+    "aggregate(zip_with(q_emb, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " 0D, (a, v) -> a + v)"
+)
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_1e6"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "cos_1e6")
+    )
+
+
+def brute_topk(
+    emb: DataFrame,
+    n_queries: int = DEFAULT_QUERIES,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Exact cosine top-k. Query side = vec_id < n_queries, broadcast.
+
+    Plan shape: one scan of the corpus, a broadcast nested-loop-free hash
+    join is impossible (no equi-key), so this is an explicit crossJoin with
+    the *small* side broadcast — Q×N score rows, then a per-query window.
+    """
+    base = _with_norm(emb).select("vec_id", "embedding", "_norm")
+    queries = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("_norm").alias("q_norm"),
+    )
+    scored = (
+        base.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.expr(f"CAST(round({_DOT} / (_norm * q_norm) * 1000000.0) AS BIGINT)").alias(
+                "cos_1e6"
+            ),
+        )
+    )
+    return _rank_topk(scored, k)
+
+
+def rp_lsh_buckets(emb: DataFrame, bits: int = LSH_BITS) -> DataFrame:
+    """(vec_id, bucket): pack sign(dot(v, h_j)) over `bits` hyperplanes.
+
+    The sign matrix is inlined as an array<array<int>> literal — Catalyst
+    constant-folds it; the whole signature is one codegen'd expression.
+    """
+    mat = sign_matrix(bits)
+    mat_sql = "array(" + ", ".join(
+        "array(" + ", ".join(str(v) for v in row) + ")" for row in mat
+    ) + ")"
+    bucket = F.expr(
+        f"""
+        aggregate(
+          transform(sequence(0, {bits - 1}), j ->
+            CASE WHEN aggregate(
+                   zip_with(embedding, {mat_sql}[j], (x, s) -> CAST(x AS DOUBLE) * s),
+                   0D, (a, v) -> a + v) > 0D
+                 THEN shiftleft(1L, CAST(j AS INT)) ELSE 0L END),
+          0L, (a, x) -> a + x)
+        """
+    )
+    return emb.select("vec_id", bucket.alias("bucket"))
+
+
+def rp_lsh_topk(
+    emb: DataFrame,
+    n_queries: int = DEFAULT_QUERIES,
+    k: int = DEFAULT_K,
+    bits: int = LSH_BITS,
+) -> DataFrame:
+    """Top-k among same-bucket candidates — the 10^12-scale plan.
+
+    Join key is the bucket id (equi-join, shuffle bounded by bucket sizes;
+    oversized buckets are AQE skew-join territory). Recall < 1 by design;
+    the bench compares its wall-time against brute_topk at equal output
+    schema.
+    """
+    base = _with_norm(emb)
+    buckets = rp_lsh_buckets(emb, bits)
+    side = base.join(buckets, "vec_id").select("vec_id", "embedding", "_norm", "bucket")
+    queries = side.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("_norm").alias("q_norm"),
+        "bucket",
+    )
+    scored = (
+        side.join(F.broadcast(queries), "bucket")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.expr(f"CAST(round({_DOT} / (_norm * q_norm) * 1000000.0) AS BIGINT)").alias(
+                "cos_1e6"
+            ),
+        )
+    )
+    return _rank_topk(scored, k)
+
+
+def embedding_near_dups(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
+    """(vec_a, vec_b, cos_1e6) pairs with cosine >= threshold.
+
+    Exact all-pairs at test scale; the production plan routes through
+    rp_lsh_buckets first (bucket-local pairs only) — same verification
+    expression either way.
+    """
+    base = _with_norm(emb).select("vec_id", "embedding", "_norm")
+    a = base.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("_norm").alias("q_norm"),
+    )
+    pairs = (
+        base.crossJoin(F.broadcast(a))
+        .where(F.col("qid") < F.col("vec_id"))
+        .select(
+            F.col("qid").alias("vec_a"),
+            F.col("vec_id").alias("vec_b"),
+            F.expr(f"CAST(round({_DOT} / (_norm * q_norm) * 1000000.0) AS BIGINT)").alias(
+                "cos_1e6"
+            ),
+        )
+    )
+    return pairs.where(F.col("cos_1e6") >= int(threshold * 1_000_000))

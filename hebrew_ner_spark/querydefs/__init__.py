@@ -3,5 +3,6 @@
 from hebrew_ner_spark.querydefs import (  # noqa: F401
     dedup_q,
     kg_chain,
+    simsearch_q,
     textstats_q,
 )

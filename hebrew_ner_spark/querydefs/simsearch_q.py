@@ -1,0 +1,122 @@
+"""ANN similarity-search queries + DuckDB oracles.
+
+Cosines are computed with the same sequential fold order in both engines
+(Spark aggregate over zip_with; DuckDB list_sum over list_transform) so the
+micro-unit scores hash identically.
+"""
+
+from __future__ import annotations
+
+from hebrew_ner_spark.operators import simsearch
+from hebrew_ner_spark.registry import query
+from hebrew_ner_spark.sources.catalog import load_table
+
+D = simsearch.DIM
+Q = simsearch.DEFAULT_QUERIES
+K = simsearch.DEFAULT_K
+BITS = simsearch.LSH_BITS
+
+_DOT_QE = (
+    f"list_sum(list_transform(range(1, {D + 1}), "
+    "i -> CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))"
+)
+
+_E_CTE = f"""
+e AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(range(1, {D + 1}),
+              i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+  FROM embeddings
+)
+"""
+
+_BUCKETS_CTE = f"""
+sm AS (
+  SELECT j, list_transform(range(0, {D}), d ->
+           CASE WHEN CAST(concat('0x', substr(md5(CAST(j AS VARCHAR) || '_' ||
+                     CAST(d AS VARCHAR) || ':0'), 1, 15)) AS BIGINT) & 1 = 1
+                THEN 1 ELSE -1 END) AS signs
+  FROM (SELECT unnest(range(0, {BITS})) AS j)
+),
+dots AS (
+  SELECT eb.vec_id, sm.j,
+         list_sum(list_transform(range(1, {D + 1}),
+              i -> CAST(eb.embedding[i] AS DOUBLE) * sm.signs[i])) AS dot
+  FROM embeddings eb CROSS JOIN sm
+),
+b AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id
+)
+"""
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@query(
+    "ann_brute_topk",
+    oracle=f"""
+    WITH {_E_CTE},
+    qset AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e WHERE vec_id < {Q}),
+    s AS (
+      SELECT qset.qid, e.vec_id AS nid,
+             CAST(round({_DOT_QE} / (e.nrm * qset.qn) * 1000000.0) AS BIGINT) AS cos_1e6
+      FROM e CROSS JOIN qset WHERE e.vec_id <> qset.qid
+    )
+    SELECT qid, nid,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_1e6 DESC, nid) AS BIGINT) AS rank,
+           cos_1e6
+    FROM s QUALIFY rank <= {K}
+    """,
+)
+def ann_brute_topk(spark, sf_dir):
+    return simsearch.brute_topk(_emb(spark, sf_dir))
+
+
+@query(
+    "ann_lsh_buckets",
+    oracle=f"WITH {_BUCKETS_CTE} SELECT vec_id, bucket FROM b",
+)
+def ann_lsh_buckets(spark, sf_dir):
+    return simsearch.rp_lsh_buckets(_emb(spark, sf_dir))
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH {_E_CTE},
+    {_BUCKETS_CTE},
+    side AS (SELECT e.vec_id, e.embedding, e.nrm, b.bucket FROM e JOIN b USING (vec_id)),
+    qset AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn, bucket FROM side WHERE vec_id < {Q}),
+    s AS (
+      SELECT qset.qid, e.vec_id AS nid,
+             CAST(round({_DOT_QE} / (e.nrm * qset.qn) * 1000000.0) AS BIGINT) AS cos_1e6
+      FROM side e JOIN qset USING (bucket) WHERE e.vec_id <> qset.qid
+    )
+    SELECT qid, nid,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_1e6 DESC, nid) AS BIGINT) AS rank,
+           cos_1e6
+    FROM s QUALIFY rank <= {K}
+    """,
+)
+def ann_lsh_topk(spark, sf_dir):
+    return simsearch.rp_lsh_topk(_emb(spark, sf_dir))
+
+
+@query(
+    "emb_near_dups",
+    oracle=f"""
+    WITH {_E_CTE},
+    qset AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e)
+    SELECT qset.qid AS vec_a, e.vec_id AS vec_b,
+           CAST(round({_DOT_QE} / (e.nrm * qset.qn) * 1000000.0) AS BIGINT) AS cos_1e6
+    FROM e CROSS JOIN qset
+    WHERE qset.qid < e.vec_id
+      AND CAST(round({_DOT_QE} / (e.nrm * qset.qn) * 1000000.0) AS BIGINT) >= 350000
+    """,
+)
+def emb_near_dups(spark, sf_dir):
+    return simsearch.embedding_near_dups(_emb(spark, sf_dir))
