@@ -55,7 +55,7 @@ def doc_tokens(docs: DataFrame) -> DataFrame:
     )
 
 
-def _biose_labels(toks: Column) -> Column:
+def _biose_labels(toks: Column, terms: list[str] | None = None) -> Column:
     """Array of BIOSE labels for a token array, computed entirely JVM-side.
 
     Maximal runs of entity-gazetteer tokens are spans: single -> S-TERM,
@@ -63,18 +63,18 @@ def _biose_labels(toks: Column) -> Column:
     Neighbour tests use element_at on the original array, so this is one
     `transform` — no window, no shuffle, no Python.
     """
-    ents = _term_set(ENTITY_TERMS)
+    ents = _sql_terms(terms if terms is not None else ENTITY_TERMS)
     return F.expr(
         f"""
         transform(toks, (t, i) ->
           CASE
-            WHEN NOT array_contains({_sql_terms(ENTITY_TERMS)}, t) THEN 'O'
-            WHEN (i = 0 OR NOT array_contains({_sql_terms(ENTITY_TERMS)}, toks[i-1]))
-             AND (i = size(toks) - 1 OR NOT array_contains({_sql_terms(ENTITY_TERMS)}, toks[i+1]))
+            WHEN NOT array_contains({ents}, t) THEN 'O'
+            WHEN (i = 0 OR NOT array_contains({ents}, toks[i-1]))
+             AND (i = size(toks) - 1 OR NOT array_contains({ents}, toks[i+1]))
               THEN 'S-TERM'
-            WHEN (i = 0 OR NOT array_contains({_sql_terms(ENTITY_TERMS)}, toks[i-1]))
+            WHEN (i = 0 OR NOT array_contains({ents}, toks[i-1]))
               THEN 'B-TERM'
-            WHEN (i = size(toks) - 1 OR NOT array_contains({_sql_terms(ENTITY_TERMS)}, toks[i+1]))
+            WHEN (i = size(toks) - 1 OR NOT array_contains({ents}, toks[i+1]))
               THEN 'E-TERM'
             ELSE 'I-TERM'
           END)
@@ -87,14 +87,14 @@ def _sql_terms(terms: list[str]) -> str:
     return f"array({inner})"
 
 
-def doc_token_labels(docs: DataFrame) -> DataFrame:
+def doc_token_labels(docs: DataFrame, terms: list[str] | None = None) -> DataFrame:
     """(doc_id, word_index, token, label) — the NER long table.
 
     This is the mention-detection stage output; with a neural labeller the
     `labels` column would instead come from the mapInPandas kernel in
     operators/mentions.py — the table contract is identical.
     """
-    labelled = with_tokens(docs).withColumn("labels", _biose_labels(F.col("toks")))
+    labelled = with_tokens(docs).withColumn("labels", _biose_labels(F.col("toks"), terms))
     return labelled.select(
         "doc_id",
         F.posexplode(F.arrays_zip("toks", "labels")).alias("word_index", "tl"),

@@ -1,0 +1,287 @@
+"""Label-space operators: morphological refinement, multi-tag merge and
+validation, tag-scheme conversion, dictionary encoding, span extraction.
+
+Reference parity map (SURVEY.md §2):
+
+* P11 splitting           -> ``size(split(label, '\\^'))``
+* J2+A4 origins merge     -> groupBy (doc, token) + order-explicit
+                             ``concat_ws('^', ...)`` (ner.py:145-160)
+* P10 multi->single       -> vectorized pandas UDF over
+                             functions/labels.validate_multi_to_single
+                             (ner.py:177-222, quirks preserved)
+* E9 scheme converters    -> BIOES->BIO is a pure projection; BIO->BIOES
+                             needs lead() over (doc, word_index)
+                             (tagSchemeConverter.py:14-110)
+* J6 alphabet encode      -> broadcast vocab join + coalesce-to-unk
+                             (alphabet.py:46-55)
+* P12 span extraction     -> running-sum window variant (ner.py:398-419)
+
+Everything except the P10 kernel is JVM-side. The morph dictionary is a
+constant-folded CASE expression (the YAP-analyzer stand-in): at 10^12 docs
+a real analyzer drops into the same column contract as a pandas UDF.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from hebrew_ner_spark.functions.labels import validate_multi_to_single
+from hebrew_ner_spark.operators import kg
+from hebrew_ner_spark.resources import MORPH_SPLITS
+
+
+def _morph_case_expr(token_col: str = "token") -> str:
+    """CASE expression mapping a token to its morpheme array (deterministic
+    analyzer). Constant-folded by Catalyst — no join, no Python."""
+    whens = " ".join(
+        f"WHEN '{tok}' THEN array({', '.join(repr(m) for m in morphs)})"
+        for tok, morphs in MORPH_SPLITS.items()
+    )
+    return f"CASE {token_col} {whens} ELSE array({token_col}) END"
+
+
+def morphemes(docs: DataFrame) -> DataFrame:
+    """(doc_id, word_index, morph_index, morpheme) — MD lattice analog
+    (single path per token, utils/yap.py:74-103)."""
+    toks = kg.doc_tokens(docs)
+    return toks.select(
+        "doc_id",
+        "word_index",
+        F.posexplode(F.expr(_morph_case_expr())).alias("morph_index", "morpheme"),
+    ).withColumn("morph_index", F.col("morph_index").cast("long"))
+
+
+def morph_labels(docs: DataFrame) -> DataFrame:
+    """Morpheme-level BIOSE labels: (doc_id, word_index, morph_index,
+    morpheme, mlabel).
+
+    The token-level label is refined positionally over the token's
+    morphemes (S -> B I* E etc.; functions/labels.refine_token_label) —
+    the deterministic stand-in for the reference's morph NER model output.
+    """
+    lbl = kg.doc_token_labels(docs)
+    k = f"size({_morph_case_expr()})"
+    refined = f"""
+      CASE WHEN {k} = 1 OR label NOT LIKE '%-%' THEN array_repeat(label, {k})
+           WHEN label LIKE 'S-%' THEN concat(
+                array(concat('B-', substring(label, 3))),
+                array_repeat(concat('I-', substring(label, 3)), {k} - 2),
+                array(concat('E-', substring(label, 3))))
+           WHEN label LIKE 'B-%' THEN concat(
+                array(label),
+                array_repeat(concat('I-', substring(label, 3)), {k} - 1))
+           WHEN label LIKE 'E-%' THEN concat(
+                array_repeat(concat('I-', substring(label, 3)), {k} - 1),
+                array(label))
+           ELSE array_repeat(label, {k})
+      END
+    """
+    return (
+        lbl.withColumn("m_arr", F.expr(_morph_case_expr()))
+        .withColumn("l_arr", F.expr(refined))
+        .select(
+            "doc_id",
+            "word_index",
+            F.posexplode(F.arrays_zip("m_arr", "l_arr")).alias("morph_index", "z"),
+        )
+        .select(
+            "doc_id",
+            "word_index",
+            F.col("morph_index").cast("long").alias("morph_index"),
+            F.col("z.m_arr").alias("morpheme"),
+            F.col("z.l_arr").alias("mlabel"),
+        )
+    )
+
+
+def merge_morph_to_token(mlabels: DataFrame, reverse: bool = False) -> DataFrame:
+    """J2+A4: re-aggregate morpheme rows to tokens with '^'-joined labels.
+
+    (doc_id, word_index, merged_word, multi_label). Ordering is explicit
+    (array_sort on morph_index) — the Spark-required fix for pandas'
+    implicit groupby order (SURVEY.md §2.5 A1 note). ``reverse=True``
+    scrambles the sequence to exercise the relaxed P10 fallback.
+    """
+    order = F.expr(
+        "array_sort(collect_list(struct(morph_index, morpheme, mlabel)))"
+    )
+    merged = (
+        mlabels.groupBy("doc_id", "word_index")
+        .agg(order.alias("ms"))
+        .withColumn("ms", F.reverse("ms") if reverse else F.col("ms"))
+        .select(
+            "doc_id",
+            "word_index",
+            F.expr("concat_ws('^', transform(ms, x -> x.morpheme))").alias("merged_word"),
+            F.expr("concat_ws('^', transform(ms, x -> x.mlabel))").alias("multi_label"),
+        )
+    )
+    return merged
+
+
+def validate_multi_udf(col):
+    """P10 as an Arrow-vectorized kernel (ner.py:177-222).
+
+    The pandas_udf is built lazily at call time: creating it at module
+    import would require an active SparkSession, which breaks the
+    import-before-session order under spark-submit --py-files.
+    """
+
+    @pandas_udf("string")
+    def _validate(multi: pd.Series) -> pd.Series:
+        return multi.map(lambda t: validate_multi_to_single(t)[0])
+
+    return _validate(col)
+
+
+def splitting(merged: DataFrame) -> DataFrame:
+    """P11: per-token morpheme count from the multi label (ner.py:162-174)."""
+    return merged.select(
+        "doc_id",
+        "word_index",
+        F.size(F.split("multi_label", r"\^")).cast("long").alias("splitting"),
+    )
+
+
+def bioes_to_bio_df(labels: DataFrame, col: str = "label") -> DataFrame:
+    """E9: S->B, E->I. Pure projection, no shuffle."""
+    return labels.withColumn(
+        col,
+        F.expr(
+            f"CASE WHEN {col} LIKE 'S-%' THEN concat('B-', substring({col}, 3)) "
+            f"WHEN {col} LIKE 'E-%' THEN concat('I-', substring({col}, 3)) "
+            f"ELSE {col} END"
+        ),
+    )
+
+
+def bio_to_bioes_df(labels: DataFrame, col: str = "label") -> DataFrame:
+    """E9 inverse: promote B->S / I->E when the run does not continue.
+
+    Needs lead() over (doc_id, word_index) — one shuffle by doc_id unless
+    the table is already hash-distributed by doc_id (our checkpoint
+    contract guarantees it at stage boundaries).
+    """
+    w = Window.partitionBy("doc_id").orderBy("word_index")
+    nxt = F.lead(col).over(w)
+    return labels.withColumn(
+        col,
+        F.when(
+            F.col(col).startswith("B-"),
+            F.when(
+                nxt == F.concat(F.lit("I-"), F.expr(f"substring({col}, 3)")),
+                F.col(col),
+            ).otherwise(F.concat(F.lit("S-"), F.expr(f"substring({col}, 3)"))),
+        )
+        .when(
+            F.col(col).startswith("I-"),
+            F.when(
+                nxt == F.col(col),
+                F.col(col),
+            ).otherwise(F.concat(F.lit("E-"), F.expr(f"substring({col}, 3)"))),
+        )
+        .otherwise(F.col(col)),
+    )
+
+
+def build_vocab(docs: DataFrame) -> DataFrame:
+    """Alphabet build over the 'training half' (even doc_ids): distinct
+    tokens -> dense ids from 1 (0 is reserved, alphabet.py:16-44).
+
+    The global sort is over the *vocabulary* (tiny vs corpus); at scale
+    this table is computed once and broadcast everywhere.
+    """
+    vocab = (
+        kg.doc_tokens(docs.where(F.col("doc_id") % 2 == 0))
+        .select("token")
+        .distinct()
+    )
+    w = Window.orderBy("token")
+    return vocab.withColumn("token_id", F.row_number().over(w).cast("long"))
+
+
+def alphabet_encode(docs: DataFrame, unk_id: int = 0) -> DataFrame:
+    """J6: token -> id via broadcast vocab join; misses -> unk
+    (alphabet.py:46-55 `</unk>` fallback)."""
+    toks = kg.doc_tokens(docs)
+    vocab = build_vocab(docs)
+    return toks.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id",
+        "word_index",
+        "token",
+        F.coalesce("token_id", F.lit(unk_id)).cast("long").alias("token_id"),
+    )
+
+
+def spans_from_labels(labels: DataFrame) -> DataFrame:
+    """P12 window variant: BIOSE long table -> (doc_id, cat, lo, hi) spans.
+
+    span_id = running count of B-/S- starts per doc; group on it.
+    The array-side variant (kg.mention_spans) is shuffle-free; this one is
+    the general form that works on any labelled long table.
+    """
+    w = Window.partitionBy("doc_id").orderBy("word_index")
+    flagged = labels.withColumn(
+        "span_id",
+        F.sum(
+            F.when(F.col("label").rlike("^[BS]-"), 1).otherwise(0)
+        ).over(w),
+    ).where(F.col("label") != "O")
+    return flagged.groupBy("doc_id", "span_id").agg(
+        F.expr("substring(min(label), 3)").alias("cat"),
+        F.min("word_index").alias("lo"),
+        F.max("word_index").alias("hi"),
+    ).drop("span_id")
+
+
+def token_accuracy(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """A7/E1: token-level accuracy between two labelled long tables.
+
+    One row: (n_tokens, n_match, accuracy_1e6)."""
+    j = pred.select("doc_id", "word_index", F.col("label").alias("p")).join(
+        gold.select("doc_id", "word_index", F.col("label").alias("g")),
+        ["doc_id", "word_index"],
+    )
+    return j.agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("p") == F.col("g"), 1).otherwise(0)).cast("long").alias("n_match"),
+        F.expr(
+            "CAST(round(sum(CASE WHEN p = g THEN 1 ELSE 0 END) * 1000000.0 / count(*)) AS BIGINT)"
+        ).alias("accuracy_1e6"),
+    )
+
+
+def span_prf(pred_spans: DataFrame, gold_spans: DataFrame) -> DataFrame:
+    """A8/J5/E1: micro P/R/F over exact span matches (CoNLL-2003 style).
+
+    |correct| = inner join on (doc_id, cat, lo, hi); one output row with
+    integer micro-unit metrics so the hash is exact.
+    """
+    keys = ["doc_id", "cat", "lo", "hi"]
+    n_pred = pred_spans.count()
+    n_gold = gold_spans.count()
+    n_correct = pred_spans.join(gold_spans, keys, "inner").count()
+    import math
+
+    p = n_correct / n_pred if n_pred else 0.0
+    r = n_correct / n_gold if n_gold else 0.0
+    f = 2 * p * r / (p + r) if (p + r) else 0.0
+    # floor(x + 0.5), not round(): Python rounds half-to-even, SQL half-up —
+    # this form is identical in both engines.
+    spark = pred_spans.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                n_pred,
+                n_gold,
+                n_correct,
+                int(math.floor(p * 1_000_000 + 0.5)),
+                int(math.floor(r * 1_000_000 + 0.5)),
+                int(math.floor(f * 1_000_000 + 0.5)),
+            )
+        ],
+        "n_pred long, n_gold long, n_correct long, p_1e6 long, r_1e6 long, f1_1e6 long",
+    )

@@ -28,19 +28,33 @@ from hebrew_ner_spark.functions.tokenizer import (
 )
 
 
-@pandas_udf("array<string>")
-def split_sentences_udf(text: pd.Series) -> pd.Series:
-    return text.map(lambda t: split_sentences(t) if isinstance(t, str) else [])
+# UDFs are built lazily at call time: pandas_udf needs an active
+# SparkSession, and under spark-submit --py-files modules import before the
+# session exists.
 
 
-@pandas_udf("array<string>")
-def tokenize_words_udf(sentence: pd.Series) -> pd.Series:
-    return sentence.map(lambda s: tokenize_words(s) if isinstance(s, str) else [])
+def split_sentences_udf(col):
+    @pandas_udf("array<string>")
+    def _f(text: pd.Series) -> pd.Series:
+        return text.map(lambda t: split_sentences(t) if isinstance(t, str) else [])
+
+    return _f(col)
 
 
-@pandas_udf("string")
-def normalize_input_udf(text: pd.Series) -> pd.Series:
-    return text.map(lambda t: normalize_input(t) if isinstance(t, str) else t)
+def tokenize_words_udf(col):
+    @pandas_udf("array<string>")
+    def _f(sentence: pd.Series) -> pd.Series:
+        return sentence.map(lambda s: tokenize_words(s) if isinstance(s, str) else [])
+
+    return _f(col)
+
+
+def normalize_input_udf(col):
+    @pandas_udf("string")
+    def _f(text: pd.Series) -> pd.Series:
+        return text.map(lambda t: normalize_input(t) if isinstance(t, str) else t)
+
+    return _f(col)
 
 
 def pages_to_sentences(pages: DataFrame, text_col: str = "text", key_cols: tuple = ("url",)) -> DataFrame:

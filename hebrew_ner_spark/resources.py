@@ -38,6 +38,27 @@ PREDICATE_TERMS = ["agg", "filter", "join", "merge", "scan", "sort"]
 
 # Everything else ("the", "a", adjectives, "dup") is non-mention filler.
 
+# Deterministic morphological dictionary for the synthetic corpus: tokens
+# that "segment" into two morphemes (the YAP-analyzer stand-in; every other
+# token is a single morpheme). Frozen — oracles embed the same literals.
+MORPH_SPLITS = {
+    "customer": ["custom", "er"],
+    "window": ["wind", "ow"],
+    "stream": ["str", "eam"],
+    "vector": ["vect", "or"],
+    "table": ["tab", "le"],
+    "column": ["col", "umn"],
+    "order": ["ord", "er"],
+    "value": ["val", "ue"],
+    "batch": ["bat", "ch"],
+    "filter": ["filt", "er"],
+    "merge": ["mer", "ge"],
+}
+
+# Reduced gazetteer used as the deterministic "gold" labeller for the
+# evaluation operators (so pred vs gold P/R/F is non-trivial).
+EVAL_GOLD_ENTITY_TERMS = [t for t in ENTITY_TERMS if t not in ("batch", "window", "hash")]
+
 # Hebrew prefix particles the morphological analyzer peels off
 # (the reference's linguistic regrouping rules enumerate the same set:
 # utils/ner.py:260-330 handles ב/ל/כ/ה/ש/ו/מ and the combos וש/כש).

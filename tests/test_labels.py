@@ -1,0 +1,68 @@
+"""Pinned-case tests for the label-algebra kernels (P10/E9 semantics,
+reference utils/ner.py:177-222 and utils/tagSchemeConverter.py)."""
+
+import pytest
+
+from hebrew_ner_spark.functions.labels import (
+    bio_to_bioes,
+    bioes_to_bio,
+    refine_token_label,
+    validate_multi_to_single,
+)
+
+
+@pytest.mark.parametrize(
+    "tag,expected,valid",
+    [
+        # valid, anchored classifications
+        ("O^O", "O", True),
+        ("B-PER^I-PER", "B-PER", True),
+        ("I-PER^I-PER", "I-PER", True),
+        ("B-PER^E-PER", "S-PER", True),            # complete entity inside token
+        ("O^S-LOC^O", "S-LOC", True),
+        ("I-ORG^E-ORG", "E-ORG", True),
+        ("O^B-GPE", "B-GPE", True),
+        # Out-of-order sequences: the validity regex is matched UNANCHORED
+        # (re.match without $), and every BIOSE char partially matches some
+        # alternative at position 0 — so `valid` is ALWAYS True and the
+        # reference's relaxed Fig. 11 branch is dead code. When no anchored
+        # class pattern matches either, the emitted label is the bare
+        # '-CAT'. Bug-for-bug preserved.
+        ("E-PER^B-PER", "-PER", True),
+        ("B-PER^O^I-PER", "-PER", True),
+        ("I-PER^O^I-PER", "-PER", True),
+    ],
+)
+def test_validate_multi_to_single_pinned(tag, expected, valid):
+    single, was_valid = validate_multi_to_single(tag)
+    assert single == expected
+    assert was_valid is valid
+
+
+def test_unanchored_quirk_ei():
+    single, valid = validate_multi_to_single("E-PER^I-PER")
+    assert valid is True          # 'EI' partially matches 'I*EO*'
+    assert single == "-PER"       # no anchored pattern -> '' + '-PER'
+
+
+def test_refine_roundtrip_all_bases():
+    for label in ["O", "S-TERM", "B-TERM", "I-TERM", "E-TERM"]:
+        for k in (1, 2, 3, 4):
+            refined = refine_token_label(label, k)
+            assert len(refined) == k
+            single, valid = validate_multi_to_single("^".join(refined))
+            assert valid, (label, k)
+            assert single == label, (label, k, refined)
+
+
+def test_scheme_converters():
+    assert bioes_to_bio("S-PER") == "B-PER"
+    assert bioes_to_bio("E-PER") == "I-PER"
+    assert bioes_to_bio("B-PER") == "B-PER"
+    assert bioes_to_bio("O") == "O"
+    assert bio_to_bioes("B-PER", "I-PER") == "B-PER"
+    assert bio_to_bioes("B-PER", "O") == "S-PER"
+    assert bio_to_bioes("B-PER", None) == "S-PER"
+    assert bio_to_bioes("I-PER", "I-PER") == "I-PER"
+    assert bio_to_bioes("I-PER", "B-PER") == "E-PER"
+    assert bio_to_bioes("O", "B-PER") == "O"
