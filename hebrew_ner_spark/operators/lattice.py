@@ -1,0 +1,184 @@
+"""Morphological-lattice operators: build, DFS path enumeration, pruning.
+
+The reference models each token's morphological analyses as a small DAG
+(lattice) and prunes it with NER splitting evidence (G1-G3,
+utils/yap_graph.py:23-105). Spark disposition (SURVEY.md §2.7): the
+sub-lattices are tiny (<= ~30 vertices), so the correct idiom is
+``applyInPandas`` over groupBy(doc, token) running a single-node DFS per
+group — a distributed graph framework would be pure overhead here.
+
+Design notes for 100 TB:
+* the lattice edge table is generated array-side (constant-folded CASE per
+  token — the in-process stand-in for the reference's HTTP YAP analyzer
+  S14-S16, which cannot be a per-row HTTP call at scale);
+* the positional zip of lattice groups with splitting rows
+  (yap_graph.py:89) is made an explicit equi-join on (doc_id, word_index)
+  — the survey's deliberate semantics-preserving fix (J4);
+* pruning emits surviving edges directly from each group — the global
+  tuple-membership filter (P2, `isin`) collapses into the same pass; a
+  standalone left-semi-join variant is provided for the P2 parity check.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Iterator, List
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hebrew_ner_spark.operators import kg
+from hebrew_ner_spark.resources import MORPH_SPLITS
+
+EDGE_SCHEMA = (
+    "doc_id long, word_index long, edge_order long, from_v long, to_v long, form string"
+)
+
+
+class Lattice:
+    """Adjacency-list DAG with the reference's exact DFS semantics.
+
+    Behaviour-equivalent to YapGraph (utils/yap_graph.py:16-83): parallel
+    edges dedup on insert, insertion order preserved; ``all_paths`` is the
+    iterative DFS with a depth ``limit`` where, at the limit, the
+    remaining adjacency iterator is consumed to test target reachability
+    (the `end in peek` branch) — quirk preserved.
+    """
+
+    def __init__(self) -> None:
+        self._adj: Dict[int, List[int]] = {}
+
+    @classmethod
+    def from_edges(cls, pairs) -> "Lattice":
+        g = cls()
+        for f, t in pairs:
+            g._adj.setdefault(f, [])
+            g._adj.setdefault(t, [])
+            if t not in g._adj[f]:
+                g._adj[f].append(t)
+        return g
+
+    def adj(self, node: int) -> Iterator[int]:
+        return iter(self._adj.get(node, []))
+
+    def all_paths(self, start: int, end: int, limit: float = math.inf):
+        path = [start]
+        stack = [self.adj(start)]
+        while stack:
+            peek = stack[-1]
+            w = next(peek, None)
+            if w is None:
+                stack.pop()
+                path.pop()
+            elif len(path) < limit:
+                if w == end:
+                    yield path + [end]
+                elif w not in path:
+                    path.append(w)
+                    stack.append(self.adj(w))
+            else:
+                if w == end or end in peek:
+                    yield path + [end]
+                stack.pop()
+                path.pop()
+
+
+def prune_edge_group(edges: List[tuple], split: int, fallback: bool) -> set:
+    """Prune one token's lattice: keep edges on paths of length split+1.
+
+    ``edges`` is [(from_v, to_v)] in lattice order. Mirrors prune_lattices
+    (yap_graph.py:86-105): source = first row's FROM, target = last row's
+    TO, exact-length paths preferred, ±1 fallback optional, keep-all when
+    nothing survives.
+    """
+    g = Lattice.from_edges(edges)
+    source, target = edges[0][0], edges[-1][1]
+    path_len = split + 1
+    paths = list(g.all_paths(source, target, limit=path_len))
+    pruned = [p for p in paths if len(p) == path_len]
+    if fallback and not pruned:
+        pruned = [p for p in paths if abs(len(p) - path_len) <= 1]
+    if pruned:
+        paths = pruned
+    valid = set()
+    for p in paths:
+        valid.update(zip(p[:-1], p[1:]))
+    return valid
+
+
+def _lattice_case_expr() -> str:
+    """CASE expr: token -> array<struct<edge_order,from_v,to_v,form>>.
+
+    Split tokens get an ambiguous 2-path lattice (morpheme chain 0->1->2
+    plus the whole-token shortcut 0->2); others a single edge 0->1.
+    """
+    whens = []
+    for tok, morphs in MORPH_SPLITS.items():
+        k = len(morphs)
+        structs = [
+            f"named_struct('edge_order', {i}L, 'from_v', {i}L, 'to_v', {i + 1}L, 'form', '{m}')"
+            for i, m in enumerate(morphs)
+        ]
+        structs.append(
+            f"named_struct('edge_order', {k}L, 'from_v', 0L, 'to_v', {k}L, 'form', '{tok}')"
+        )
+        whens.append(f"WHEN '{tok}' THEN array({', '.join(structs)})")
+    return (
+        "CASE token "
+        + " ".join(whens)
+        + " ELSE array(named_struct('edge_order', 0L, 'from_v', 0L, 'to_v', 1L, 'form', token)) END"
+    )
+
+
+def build_lattice(docs: DataFrame) -> DataFrame:
+    """(doc_id, word_index, edge_order, from_v, to_v, form) — MA lattice
+    edge table (LATTICE_COLUMNS analog, utils/yap.py:11-22)."""
+    toks = kg.doc_tokens(docs)
+    return toks.select(
+        "doc_id",
+        "word_index",
+        F.explode(F.expr(_lattice_case_expr())).alias("e"),
+    ).select("doc_id", "word_index", "e.edge_order", "e.from_v", "e.to_v", "e.form")
+
+
+def prune_lattice(
+    lattice: DataFrame, splitting: DataFrame, fallback: bool = True
+) -> DataFrame:
+    """G3 distributed: join splitting evidence, DFS-prune per token group.
+
+    ``splitting`` is (doc_id, word_index, splitting) — the explicit join
+    replacing the reference's positional zip. Output keeps the lattice
+    schema; the P2 semi-join is implicit (surviving rows emitted in-place).
+    """
+    joined = lattice.join(splitting, ["doc_id", "word_index"], "inner")
+
+    def _prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("edge_order")
+        edges = list(zip(pdf["from_v"].tolist(), pdf["to_v"].tolist()))
+        valid = prune_edge_group(edges, int(pdf["splitting"].iat[0]), fallback)
+        mask = [(f, t) in valid for f, t in edges]
+        return pdf.loc[mask, ["doc_id", "word_index", "edge_order", "from_v", "to_v", "form"]]
+
+    return joined.groupBy("doc_id", "word_index").applyInPandas(_prune, EDGE_SCHEMA)
+
+
+def filter_lattice_by_edges(lattice: DataFrame, valid_edges: DataFrame) -> DataFrame:
+    """P2: tuple-membership filter as an explicit left-semi join
+    (yap_graph.py:104-105's `.apply(tuple).isin(set)` made distributable)."""
+    return lattice.join(
+        valid_edges, ["doc_id", "word_index", "from_v", "to_v"], "left_semi"
+    )
+
+
+def md_from_pruned(pruned: DataFrame) -> DataFrame:
+    """Disambiguated lattice (MD): the unique surviving path per token,
+    re-indexed by morpheme position (md_to_origins_df analog,
+    utils/yap.py:172-202 — the 1-based -> 0-based origin shift is where
+    our edge_order already lives)."""
+    return pruned.select(
+        "doc_id",
+        "word_index",
+        F.col("edge_order").alias("morph_index"),
+        F.col("form").alias("morpheme"),
+    )

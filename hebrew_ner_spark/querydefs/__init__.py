@@ -4,6 +4,7 @@ from hebrew_ner_spark.querydefs import (  # noqa: F401
     dedup_q,
     kg_chain,
     labels_q,
+    lattice_q,
     simsearch_q,
     textstats_q,
 )
