@@ -1,0 +1,90 @@
+"""Canonicalization: connected components by iterative min-label
+propagation (the union-find analog that distributes).
+
+G6 (SURVEY.md §2.7): the reference has no canonicalization — it is
+required by our KG pipeline (duplicate-document clusters, alias groups).
+A sequential union-find does not distribute; the Spark-native equivalent
+is label propagation to fixpoint:
+
+    label(v) <- min(label(v), min over neighbours u of label(u))
+
+Each round is one join + one aggregation; convergence needs O(diameter)
+rounds (duplicate clusters and alias groups have tiny diameters; a chain
+of D near-dup docs needs D rounds — cap and surface non-convergence).
+
+Scale notes:
+* edges are symmetrized once; each round shuffles by vertex id — a
+  uniform key unless one component dominates, in which case the min-agg
+  is algebraic and AQE splits the skewed reducer;
+* every round persists and breaks lineage (checkpoint-light via
+  localCheckpoint) so the plan does not grow exponentially;
+* convergence test is a count of changed labels — one action per round,
+  the driver-side loop is O(rounds), not O(rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """(vertex, component) — component = min vertex id reachable.
+
+    ``edges`` is an undirected edge list; isolated vertices that never
+    appear in it are the caller's to add (their component is themselves).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("a").alias("vertex"))
+        .distinct()
+        .withColumn("component", F.col("vertex"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        neigh_min = (
+            sym.join(labels, sym["b"] == labels["vertex"])
+            .groupBy("a")
+            .agg(F.min("component").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels["vertex"] == neigh_min["a"], "left")
+            .select(
+                "vertex",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vertex")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def dedup_components(near_dup_pairs: DataFrame) -> DataFrame:
+    """Duplicate-document clusters from verified near-dup pairs:
+    (doc_id, component_id); component id = min doc_id in the cluster, so
+    the canonical survivor choice is deterministic and resume-stable."""
+    cc = connected_components(near_dup_pairs, src="doc_a", dst="doc_b")
+    return cc.select(
+        F.col("vertex").alias("doc_id"), F.col("component").alias("component_id")
+    )
