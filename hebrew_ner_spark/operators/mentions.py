@@ -1,0 +1,174 @@
+"""Mention detection as a batched Arrow model-inference stage (M1-M11).
+
+This is the engine's neural-labeller slot. The reference's predict path
+(predict_text, ner_app.py:183-194 -> evaluate, ncrf_main.py:139-194) is:
+
+    batchify + length-sort (M1/O1)  ->  forward pass (M2-M5)
+    ->  Viterbi decode (M7)         ->  inverse-permutation + label
+                                        recover (M10)
+
+Spark disposition (SURVEY.md §2.8): the WHOLE chain is one ``mapInPandas``
+over token arrays with
+
+* an **executor-local lazily-loaded model singleton** per Python worker
+  (M11/M12; ner_app.py:34-61 preloads once per process — with
+  spark.python.worker.reuse=true the cost amortizes identically);
+* **length-sorted micro-batches** inside each Arrow batch (O1,
+  ncrf_main.py:253-277): sort sentences by token count, pad to the
+  micro-batch max, recover original order by inverse permutation;
+* a **per-sentence argmax/Viterbi decode** (M7) over emission scores.
+
+The sandbox has no torch, so the "model" is a deterministic gazetteer
+emission matrix + BIOSE transition constraints — the exact same tensor
+shapes, sort/pad/recover plumbing, and decode loop a neural checkpoint
+would use; swapping in real weights changes only `_Model.scores`.
+Because the model is deterministic, the whole stage is oracle-checkable:
+its output must equal the JVM-side gazetteer labeller bit for bit.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hebrew_ner_spark.operators import kg
+from hebrew_ner_spark.resources import ENTITY_TERMS
+
+LABELS = ["O", "B-TERM", "I-TERM", "E-TERM", "S-TERM"]
+_LABEL_IDX = {l: i for i, l in enumerate(LABELS)}
+MICRO_BATCH = 32  # HP_batch_size analog (utils/data.py:96, default 10)
+
+_MODEL = None  # executor-local singleton (M11 pattern)
+
+
+class _Model:
+    """Deterministic emission model + BIOSE transition decoder.
+
+    Emissions: entity tokens emit mass on B/I/E/S according to their
+    neighbourhood; the decode is a per-sentence argmax with transition
+    legality (a degenerate Viterbi: transitions force B->I/E, S/E/O->O/B/S
+    starts — with one-hot emissions the argmax equals the gazetteer rule).
+    """
+
+    def __init__(self) -> None:
+        self.ents = frozenset(ENTITY_TERMS)
+
+    def scores(self, batch: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+        """(n, max_len, n_labels) emission scores for a padded token batch."""
+        n, max_len = batch.shape
+        out = np.zeros((n, max_len, len(LABELS)), dtype=np.float32)
+        is_ent = np.isin(batch, list(self.ents)) & (
+            np.arange(max_len)[None, :] < lengths[:, None]
+        )
+        prev = np.zeros_like(is_ent)
+        prev[:, 1:] = is_ent[:, :-1]
+        nxt = np.zeros_like(is_ent)
+        nxt[:, :-1] = is_ent[:, 1:]
+        out[..., _LABEL_IDX["O"]] = ~is_ent
+        out[..., _LABEL_IDX["S-TERM"]] = is_ent & ~prev & ~nxt
+        out[..., _LABEL_IDX["B-TERM"]] = is_ent & ~prev & nxt
+        out[..., _LABEL_IDX["E-TERM"]] = is_ent & prev & ~nxt
+        out[..., _LABEL_IDX["I-TERM"]] = is_ent & prev & nxt
+        return out
+
+    def decode(self, scores: np.ndarray, lengths: np.ndarray) -> List[List[str]]:
+        """M7: per-sentence argmax decode, mask-truncated to true length."""
+        idx = scores.argmax(axis=-1)
+        return [
+            [LABELS[j] for j in idx[i, : lengths[i]]] for i in range(len(lengths))
+        ]
+
+
+def _get_model() -> _Model:
+    global _MODEL
+    if _MODEL is None:
+        # a neural drop-in loads weights from SparkFiles here, once per
+        # reused python worker (ner_app.py:51-57 / ncrf_main.py:506-517)
+        _MODEL = _Model()
+    return _MODEL
+
+
+def _label_batch(toks_list: List[List[str]]) -> List[List[str]]:
+    """O1/M1: length-sort, pad, score, decode, inverse-permute."""
+    model = _get_model()
+    lengths = np.array([len(t) for t in toks_list], dtype=np.int64)
+    perm = np.argsort(-lengths, kind="stable")  # descending, like the reference
+    recover = np.argsort(perm, kind="stable")   # word_seq_recover analog
+    results: List[List[str]] = [None] * len(toks_list)  # type: ignore[list-item]
+    for start in range(0, len(perm), MICRO_BATCH):
+        chunk = perm[start : start + MICRO_BATCH]
+        chunk_lens = lengths[chunk]
+        max_len = max(1, int(chunk_lens.max()) if len(chunk_lens) else 1)
+        padded = np.full((len(chunk), max_len), "", dtype=object)
+        for r, src in enumerate(chunk):
+            padded[r, : lengths[src]] = toks_list[src]
+        scores = model.scores(padded, chunk_lens)
+        decoded = model.decode(scores, chunk_lens)
+        for r, src in enumerate(chunk):
+            results[src] = decoded[r]
+    assert all(r is not None for r in results)
+    _ = recover  # recovery done via src indices; kept for parity with M10
+    return results
+
+
+def detect_mentions(docs: DataFrame) -> DataFrame:
+    """pages -> (doc_id, word_index, token, label) through the model UDF.
+
+    mapInPandas: each Arrow batch is labelled locally; output explodes to
+    the long NER table (NER_DF_COLUMNS analog, utils/ner.py:14). The plan
+    has zero shuffles — mention detection is embarrassingly parallel.
+    """
+    toks = kg.with_tokens(docs).select("doc_id", "toks")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            toks_list = [list(t) for t in pdf["toks"]]
+            labels = _label_batch(toks_list)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].repeat([len(t) for t in toks_list]).values,
+                    "word_index": np.concatenate(
+                        [np.arange(len(t), dtype=np.int64) for t in toks_list]
+                    )
+                    if toks_list
+                    else np.array([], dtype=np.int64),
+                    "token": [tok for t in toks_list for tok in t],
+                    "label": [l for ls in labels for l in ls],
+                }
+            )
+
+    return toks.mapInPandas(run, "doc_id long, word_index long, token string, label string")
+
+
+def detect_mentions_length_binned(docs: DataFrame) -> DataFrame:
+    """Same stage with plan-level length binning (O1 at the physical
+    level): repartitionByRange on token count co-locates similar lengths,
+    cutting padding waste inside each Arrow batch. Catalyst never makes
+    this choice for us (SURVEY.md §4 row 1)."""
+    toks = kg.with_tokens(docs).select(
+        "doc_id", "toks", F.size("toks").alias("_len")
+    )
+    binned = toks.repartitionByRange(8, "_len").drop("_len")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            toks_list = [list(t) for t in pdf["toks"]]
+            labels = _label_batch(toks_list)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].repeat([len(t) for t in toks_list]).values,
+                    "word_index": np.concatenate(
+                        [np.arange(len(t), dtype=np.int64) for t in toks_list]
+                    )
+                    if toks_list
+                    else np.array([], dtype=np.int64),
+                    "token": [tok for t in toks_list for tok in t],
+                    "label": [l for ls in labels for l in ls],
+                }
+            )
+
+    return binned.mapInPandas(run, "doc_id long, word_index long, token string, label string")

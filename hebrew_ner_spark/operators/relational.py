@@ -1,0 +1,189 @@
+"""Relational/analytic operators over the warehouse tables.
+
+These are the engine's general-purpose OLAP surface: heavy aggregation,
+dimension joins, rollups, windowed top-k, sessionization, and a
+deterministic Poisson-style bootstrap (A11 analog). They double as the
+shuffle-heavy benchmark queries at sf0.1 (lineitem 600k rows here; the
+same plans hold at 100 TB).
+
+Plan-shape notes:
+* pricing summary: one hash aggregate with map-side partial agg; all
+  measures are integer-scaled (cents / 1e-4 / 1e-6 units) so sums are
+  exact and associative — no floating-point summation-order drift.
+* revenue-by-nation: fact scan joins two dims that are both broadcast
+  (customer at this SF, nation always); only the final groupBy shuffles.
+* top-k per group: window rank bounded by the partition — the top-k
+  never materializes a global sort.
+* sessionization: the classic gap-window (lag + running sum) pattern;
+  one shuffle on user_id.
+* bootstrap: resampling weights derive from the portable hash, so the
+  whole B-replica bootstrap is one explode + one aggregate — no RNG
+  state, exactly reproducible, oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hebrew_ner_spark.sources.catalog import load_table
+
+SESSION_GAP_MIN = 30
+BOOTSTRAP_B = 32
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1-flavor aggregate with exact integer-scaled measures."""
+    cents = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    disc = "CAST(round(l_discount * 100) AS BIGINT)"
+    tax = "CAST(round(l_tax * 100) AS BIGINT)"
+    return (
+        lineitem.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr("CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)").alias("sum_qty"),
+            F.expr(f"CAST(sum({cents}) AS BIGINT)").alias("sum_base_cents"),
+            F.expr(f"CAST(sum({cents} * (100 - {disc})) AS BIGINT)").alias("sum_disc_1e4"),
+            F.expr(
+                f"CAST(sum({cents} * (100 - {disc}) * (100 + {tax})) AS BIGINT)"
+            ).alias("sum_charge_1e6"),
+            F.expr(
+                f"CAST((sum({cents}) * 1000000) DIV count(*) AS BIGINT)"
+            ).alias("avg_price_cents_1e6"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer ⋈ nation with explicit broadcast dims."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)").alias(
+                "revenue_cents"
+            ),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def order_rollup(orders: DataFrame) -> DataFrame:
+    """A12 analog: rollup over (priority, status) — free in Spark/DuckDB.
+
+    grouping_id disambiguates subtotal rows from genuine NULL groups."""
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)").alias(
+            "revenue_cents"
+        ),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
+def topk_customers_per_nation(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Window top-k: biggest customers by order revenue within nation."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)").alias(
+                "revenue_cents"
+            )
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("revenue_cents"), F.asc("o_custkey")
+    )
+    return (
+        rev.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            F.col("o_custkey").alias("custkey"),
+            "revenue_cents",
+            "rank",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """Gap-based sessionization: a new session opens after gap_min idle.
+
+    (user_id, session_id, n_events, duration_ms, value_cents)."""
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gapped = events.withColumn(
+        "new_session",
+        F.when(
+            F.unix_millis(F.col("ts").cast("timestamp")) - F.unix_millis(F.lag(F.col("ts").cast("timestamp")).over(w))
+            > gap_min * 60_000,
+            1,
+        )
+        .otherwise(0)
+        .cast("long"),
+    ).withColumn("session_id", F.sum("new_session").over(w))
+    return gapped.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.unix_millis(F.max(F.col("ts").cast("timestamp"))) - F.unix_millis(F.min(F.col("ts").cast("timestamp")))).alias("duration_ms"),
+        F.expr("CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)").alias(
+            "value_cents"
+        ),
+    )
+
+
+def hourly_event_counts(events: DataFrame) -> DataFrame:
+    """Tumbling-window aggregate keyed by truncated hour (epoch ms)."""
+    return events.groupBy(
+        F.unix_millis(F.date_trunc("hour", F.col("ts"))).alias("hour_ms"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.expr("CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)").alias(
+            "value_cents"
+        ),
+    )
+
+
+def bootstrap_revenue(orders: DataFrame, b: int = BOOTSTRAP_B) -> DataFrame:
+    """A11/E6: deterministic bootstrap of mean order price.
+
+    Resample weight for (order, replica i) = phash(o_orderkey:i) % 3
+    (mean 1, like a coarse Poisson(1)); per replica emit the weighted
+    mean in integer micro-cents. One explode (b-fold) + one aggregate —
+    the single-pass bootstrap the survey prescribes over A11's loop.
+    """
+    weighted = orders.select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("replica"),
+    ).withColumn(
+        "w",
+        F.expr(
+            "pmod(CAST(conv(substr(md5(concat(CAST(o_orderkey AS STRING), ':', "
+            "CAST(replica AS STRING))), 1, 15), 16, 10) AS BIGINT), 3)"
+        ),
+    )
+    return weighted.groupBy("replica").agg(
+        # exact integer division: at ~14 significant digits a double
+        # quotient is only precise to ~1e-3, so round() would be unstable
+        F.expr(
+            "CAST((sum(w * cents) * 1000000) DIV sum(w) AS BIGINT)"
+        ).alias("mean_cents_1e6"),
+        F.expr("CAST(sum(w) AS BIGINT)").alias("n_resampled"),
+    ).withColumn("replica", F.col("replica").cast("long"))

@@ -6,6 +6,8 @@ from hebrew_ner_spark.querydefs import (  # noqa: F401
     kg_chain,
     labels_q,
     lattice_q,
+    mentions_q,
+    relational_q,
     simsearch_q,
     textstats_q,
 )
