@@ -7,6 +7,7 @@ from hebrew_ner_spark.querydefs import (  # noqa: F401
     labels_q,
     lattice_q,
     mentions_q,
+    multimodal_q,
     relational_q,
     simsearch_q,
     textstats_q,

@@ -1,0 +1,52 @@
+"""Multimodal plumbing queries + oracles.
+
+Payloads are UTF-8 bytes of ASCII text, so the DuckDB oracle can mirror
+binary operations with string ones (identical bytes -> identical md5)."""
+
+from __future__ import annotations
+
+from hebrew_ner_spark.operators import multimodal
+from hebrew_ner_spark.registry import query
+from hebrew_ner_spark.sources.catalog import load_table
+
+_TYPE_CASE = (
+    "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"
+)
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@query(
+    "mm_media_stats",
+    oracle=f"""
+    SELECT doc_id, {_TYPE_CASE} AS media_type,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def mm_media_stats(spark, sf_dir):
+    return multimodal.media_stats(multimodal.synth_media(_docs(spark, sf_dir)))
+
+
+@query(
+    "mm_frame_sample",
+    oracle=f"""
+    WITH v AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+    f AS (
+      SELECT doc_id, text,
+             unnest(range(0, CASE WHEN length(text) >= {multimodal.FRAME_LEN}
+                                  THEN (length(text) - {multimodal.FRAME_LEN}) // {multimodal.STRIDE} + 1
+                                  ELSE 0 END)) AS frame_idx
+      FROM v
+    )
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           md5(substr(text, frame_idx * {multimodal.STRIDE} + 1, {multimodal.FRAME_LEN})) AS frame_md5
+    FROM f
+    """,
+)
+def mm_frame_sample(spark, sf_dir):
+    """Video-style frame sampling through the mapInPandas UDTF shape."""
+    return multimodal.frame_sample(multimodal.synth_media(_docs(spark, sf_dir)))
