@@ -137,6 +137,30 @@ def validate_multi_udf(col):
     return _validate(col)
 
 
+def linguistic_groups_udf(col):
+    """G4 as an Arrow-vectorized kernel: morpheme array ->
+    struct(groups array<array<long>>, surface array<string>)
+    (make_groupings_linguistically, ner.py:260-396). Sequences the
+    reference would crash on (its unguarded quirks) yield null."""
+
+    @pandas_udf("struct<groups: array<array<bigint>>, surface: array<string>>")
+    def _group(morphs: pd.Series) -> pd.DataFrame:
+        from hebrew_ner_spark.functions.grouping import make_groupings
+
+        groups, surfaces = [], []
+        for m in morphs:
+            try:
+                g, s = make_groupings(list(m))
+                groups.append([[int(i) for i in grp] for grp in g])
+                surfaces.append(list(s))
+            except (AssertionError, IndexError):
+                groups.append(None)
+                surfaces.append(None)
+        return pd.DataFrame({"groups": groups, "surface": surfaces})
+
+    return _group(col)
+
+
 def splitting(merged: DataFrame) -> DataFrame:
     """P11: per-token morpheme count from the multi label (ner.py:162-174)."""
     return merged.select(
