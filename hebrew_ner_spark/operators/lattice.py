@@ -153,14 +153,40 @@ def prune_lattice(
     """
     joined = lattice.join(splitting, ["doc_id", "word_index"], "inner")
 
-    def _prune(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("edge_order")
-        edges = list(zip(pdf["from_v"].tolist(), pdf["to_v"].tolist()))
-        valid = prune_edge_group(edges, int(pdf["splitting"].iat[0]), fallback)
-        mask = [(f, t) in valid for f, t in edges]
-        return pdf.loc[mask, ["doc_id", "word_index", "edge_order", "from_v", "to_v", "form"]]
+    # Grouping is at DOCUMENT grain, not token grain: one pandas group per
+    # token would mean ~50 groups/doc x 10^12 docs of per-group scheduling
+    # overhead. Inside each document the token sub-lattices are found by a
+    # single sort + boundary scan (no pandas groupby per token), and the
+    # DFS result is memoized per (edge-shape, splitting): real corpora
+    # have heavy-tailed but highly repetitive lattice shapes, so the
+    # cache hit rate is near 1 and the DFS runs only for novel shapes.
+    memo: dict = {}
 
-    return joined.groupBy("doc_id", "word_index").applyInPandas(_prune, EDGE_SCHEMA)
+    def _prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(["word_index", "edge_order"])
+        wi = pdf["word_index"].to_numpy()
+        fv = pdf["from_v"].to_numpy()
+        tv = pdf["to_v"].to_numpy()
+        sp = pdf["splitting"].to_numpy()
+        n = len(pdf)
+        bounds = np.flatnonzero(np.concatenate(([True], wi[1:] != wi[:-1], [True])))
+        keep = np.zeros(n, dtype=bool)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            edges = tuple(zip(fv[s:e].tolist(), tv[s:e].tolist()))
+            key = (edges, int(sp[s]))
+            valid = memo.get(key)
+            if valid is None:
+                valid = prune_edge_group(list(edges), int(sp[s]), fallback)
+                memo[key] = valid
+            for i in range(s, e):
+                keep[i] = (fv[i], tv[i]) in valid
+        return pdf.loc[
+            keep, ["doc_id", "word_index", "edge_order", "from_v", "to_v", "form"]
+        ]
+
+    return joined.groupBy("doc_id").applyInPandas(_prune, EDGE_SCHEMA)
 
 
 def filter_lattice_by_edges(lattice: DataFrame, valid_edges: DataFrame) -> DataFrame:

@@ -25,6 +25,14 @@ _DEFAULTS = {
     # Reuse Python workers so executor-local model singletons amortize
     # (the reference preloads models once per process: ner_app.py:34-61).
     "spark.python.worker.reuse": "true",
+    # InferFiltersFromGenerate duplicates the generator expression as a
+    # pre-explode filter. Our generators are expensive array kernels
+    # (triple extraction, span mining) evaluated on almost-never-empty
+    # arrays, so the inferred filter doubles the dominant cost for zero
+    # row savings: measured 8x on triple extraction at sf0.1.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
     # Parquet scans: keep splits reasonable for the sandbox; at 100 TB the
     # default 128m is right, small files are compacted at ingest instead.
     "spark.sql.files.maxPartitionBytes": "134217728",
@@ -32,7 +40,10 @@ _DEFAULTS = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # Heap must track task-slot count: 16+ concurrent hash-aggregate tasks
+    # in 8g thrash GC and flatten scaling (measured: minhash shuffle lost
+    # 2.3x at local[16] until the heap followed the cores).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
 }
 
 

@@ -1,0 +1,143 @@
+"""Scaling-efficiency evidence: the same workload at two parallelism
+levels (local[4] vs local[16], inside the box's physical cores — local[32] crosses into SMT siblings where even perfect scaling caps at ~0.73) on identical input — the sandbox stand-in
+for N vs 4N executors required by the north rule. Writes BENCH.md.
+
+Usage: python scripts/bench_scaling.py [sf_dir]
+
+Efficiency = (T_8 / T_32) / 4  (1.0 = perfect linear scaling).
+Each level runs in its OWN subprocess: a JVM pins its master at startup,
+so reusing one process would silently keep the first core count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Shuffle- and UDF-heavy subset: KG chain, dedup signatures, model UDF,
+# token frequency, relational aggregate.
+WORKLOAD = [
+    "kg_triple_counts",
+    "dedup_minhash_sig",
+    "mention_model_labels",
+    "txt_token_freq",
+]
+
+# sf0.1 alone is too small for 32 cores — fixed per-query costs dominate
+# and scaling flattens. The scaling input is the sf corpus deterministically
+# replicated REPLICATION-fold (distinct doc_ids), identical at both levels.
+REPLICATION = 64
+
+_CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from bench import force
+from pyspark.sql import functions as F
+from hebrew_ner_spark.queries import QUERIES
+from hebrew_ner_spark.session import get_spark
+from hebrew_ner_spark.sources.catalog import TABLES, load_table
+
+cores = int(sys.argv[1]); sf = sys.argv[2]; work = sys.argv[3]; rep = int(sys.argv[4])
+spark = get_spark("scale-%d" % cores, master="local[%d]" % cores,
+                  shuffle_partitions=cores * 4,
+                  extra_conf={{"spark.driver.memory": "48g"}})
+spark.sparkContext.setLogLevel("ERROR")
+
+# derived input: documents replicated rep-fold, everything else linked
+docs_dir = os.path.join(work, "documents.parquet")
+if not os.path.exists(docs_dir):
+    docs = load_table(spark, sf, "documents")
+    big = (docs.crossJoin(spark.range(rep).withColumnRenamed("id", "_r"))
+               .withColumn("doc_id", F.col("doc_id") * rep + F.col("_r"))
+               .drop("_r"))
+    big.repartition(128).write.mode("overwrite").parquet(docs_dir)
+    for t in TABLES:
+        if t != "documents":
+            src = os.path.join(sf, t + ".parquet")
+            dst = os.path.join(work, t + ".parquet")
+            if os.path.exists(src) and not os.path.exists(dst):
+                os.symlink(src, dst)
+
+n_docs = spark.read.parquet(docs_dir).count()
+for q in {workload!r}:            # warm: JVM, parquet footers, py workers
+    force(QUERIES[q](spark, work))
+t0 = time.perf_counter()
+for q in {workload!r}:
+    force(QUERIES[q](spark, work))
+wall = time.perf_counter() - t0
+print("CHILD_RESULT " + json.dumps({{"cores": cores, "wall_sec": round(wall, 3),
+      "docs_per_sec": round(n_docs / wall, 1), "n_docs": n_docs}}))
+"""
+
+
+def run_level(cores: int, work_dir: str) -> dict:
+    code = _CHILD.format(repo=REPO, workload=WORKLOAD)
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(cores), SF, work_dir, str(REPLICATION)],
+        capture_output=True, text=True, timeout=560,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("CHILD_RESULT "):
+            return json.loads(line[len("CHILD_RESULT "):])
+    raise RuntimeError(f"no result from cores={cores}:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    import tempfile
+
+    work_dir = tempfile.mkdtemp(prefix="spark_scaling_")
+    lo = run_level(4, work_dir)
+    hi = run_level(16, work_dir)
+    eff = (lo["wall_sec"] / hi["wall_sec"]) / (hi["cores"] / lo["cores"])
+    result = {
+        "sf_dir": SF,
+        "workload": WORKLOAD,
+        "local8": lo,
+        "local32": hi,
+        "speedup_n_to_4n": round(lo["wall_sec"] / hi["wall_sec"], 3),
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "meets_target": eff >= 0.8,
+    }
+    print(json.dumps(result, indent=2))
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write(_render(result))
+
+
+def _render(r: dict) -> str:
+    lo, hi = r["local8"], r["local32"]
+    return f"""# BENCH — throughput & scaling evidence
+
+Workload: {", ".join(r["workload"])} over `{r["sf_dir"]}`
+(identical input at both levels; times are the second, warm iteration).
+
+The north rule's two-cluster-size criterion cannot use a real cluster in
+this sandbox; per the round instructions it is evidenced by the same job
+at two parallelism levels.
+
+| level | wall (s) | docs/sec |
+|---|---|---|
+| local[{lo["cores"]}]  (N)  | {lo["wall_sec"]} | {lo["docs_per_sec"]} |
+| local[{hi["cores"]}] (4N) | {hi["wall_sec"]} | {hi["docs_per_sec"]} |
+
+Config notes that made scaling honest: heap sized to task slots (48g —
+16 concurrent hash aggregates in the default 8g thrash GC and lose ~2.3x),
+shuffle partitions at 4x cores with AQE coalescing the excess, and enough
+input splits (128) that both levels stay fully fed. On a real cluster these
+are executor-memory / executor-cores / shuffle-partition settings.
+
+- speedup N→4N: **{r["speedup_n_to_4n"]}x**
+- scaling efficiency (speedup / 4): **{r["scaling_efficiency"]}** (target ≥ {r["target"]}: {"MET" if r["meets_target"] else "NOT MET"})
+
+Regenerate: `python scripts/bench_scaling.py`.
+Full per-query timings: `python bench.py` (BENCH_r*.json).
+"""
+
+
+if __name__ == "__main__":
+    main()
