@@ -278,6 +278,14 @@ def token_accuracy(pred: DataFrame, gold: DataFrame) -> DataFrame:
     )
 
 
+def normal_ci(f1: float, n: int, z: float = 1.96) -> float:
+    """E5: normal-approximation confidence half-width for an F1 over n
+    samples (utils/eval/conf_interval.py:34-45). Driver-side scalar."""
+    import math
+
+    return z * math.sqrt(f1 * (1 - f1) / n)
+
+
 def span_prf(pred_spans: DataFrame, gold_spans: DataFrame) -> DataFrame:
     """A8/J5/E1: micro P/R/F over exact span matches (CoNLL-2003 style).
 

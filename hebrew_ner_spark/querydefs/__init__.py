@@ -9,6 +9,7 @@ from hebrew_ner_spark.querydefs import (  # noqa: F401
     mentions_q,
     multimodal_q,
     relational_q,
+    segment_q,
     simsearch_q,
     textstats_q,
 )

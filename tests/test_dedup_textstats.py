@@ -94,3 +94,17 @@ def test_normalizers_match_reference_semantics(spark):
     ).collect()[0]
     assert r.d.endswith("000")
     assert "ך" not in r.f and "כ" in r.f
+
+
+def test_gershayim_normalization(spark):
+    d = _mini(spark, ['צה"ל is an acronym, "quote" stays'])
+    r = d.select(textstats.normalize_gershayim(F.col("text")).alias("g")).collect()[0]
+    assert "צה״ל" in r.g           # inside Hebrew word -> gershayim
+    assert '"quote"' in r.g        # plain quotes untouched
+
+
+def test_normal_ci_formula():
+    from hebrew_ner_spark.operators.labels import normal_ci
+
+    assert abs(normal_ci(0.5, 100) - 1.96 * 0.05) < 1e-12
+    assert normal_ci(1.0, 50) == 0.0
