@@ -3,6 +3,7 @@
 from hebrew_ner_spark.querydefs import (  # noqa: F401
     dedup_q,
     graph_q,
+    hybrid_q,
     kg_chain,
     labels_q,
     lattice_q,
