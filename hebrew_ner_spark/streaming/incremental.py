@@ -1,0 +1,92 @@
+"""Structured-Streaming ingestion: the same stage kernels, incrementally.
+
+The reference has no streaming semantics (SURVEY.md §2.10) and the
+north-rule's "incremental" is satisfied by the checkpoint/lineage
+contract (plans/checkpoint.py). This module is the forward path the
+survey reserves: the batch stage operators drop unchanged into
+``foreachBatch``, with the file source's exactly-once offset tracking
+(checkpointLocation) replacing the bucket ledger for arrival-driven
+processing.
+
+* ``run_incremental_triples`` — drain whatever landed in a documents
+  directory with Trigger.availableNow, extract triples per micro-batch
+  through the *identical* batch operator, append to parquet. Re-running
+  after new files arrive processes only the new files.
+* ``run_windowed_event_counts`` — event-time tumbling-window counts with
+  a watermark for late data, drained with availableNow; the aggregate
+  matches the batch groupBy exactly once the stream is drained.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hebrew_ner_spark.operators import kg
+
+DOCS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def run_incremental_triples(
+    spark: SparkSession, src_dir: str, out_dir: str, checkpoint_dir: str
+) -> int:
+    """Drain new document files -> append extracted triples. Returns the
+    number of micro-batches processed in this drain."""
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    n_batches = {"n": 0}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        n_batches["n"] += 1
+        (
+            kg.doc_triples(batch_df)
+            .write.mode("append")
+            .parquet(os.path.join(out_dir, "triples"))
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]
+
+
+def run_windowed_event_counts(
+    spark: SparkSession, src_dir: str, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Event-time tumbling 1h windows with a 2h watermark, availableNow."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
+    agg = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("hour_ms"),
+            "event_type",
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
