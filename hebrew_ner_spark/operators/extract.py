@@ -1,0 +1,58 @@
+"""HTML -> text extraction stage (SURVEY.md §7 stage 2).
+
+``synth_html`` wraps document text in a deterministic page skeleton
+(title, script, comments, headers) — the sandbox stand-in for the
+``html`` column of the input_hint table. ``extracted`` recovers the text
+through the pandas-UDF extractor; the byte-identical invariant is gated
+by the `ext_text` oracle (recovered text must hash-equal the original
+column over the whole corpus) and pinned goldens.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from hebrew_ner_spark.functions.extract import extract_text
+
+
+def synth_html(docs: DataFrame) -> DataFrame:
+    """(doc_id, html binary) — deterministic CC-style page per document."""
+    page = F.concat(
+        F.lit("<html><head><title>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit('</title><script type="text/javascript">var n = 1; if (n < 2) { n = 2; }</script>'),
+        F.lit("<style>p { margin: 0; }</style></head><body><!-- header -->"),
+        F.lit("<h1>Document "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><div><p>"),
+        F.col("text"),
+        F.lit("</p></div><!-- footer --></body></html>"),
+    )
+    return docs.select("doc_id", F.encode(page, "UTF-8").alias("html"))
+
+
+def extract_udf(col):
+    @pandas_udf("string")
+    def _extract(html: pd.Series) -> pd.Series:
+        return html.map(
+            lambda b: extract_text(bytes(b).decode("utf-8")) if b is not None else None
+        )
+
+    return _extract(col)
+
+
+def extracted(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, text) through synth html + the extractor.
+
+    The page skeleton contributes 'doc <id> Document <id>' ahead of the
+    body text (title + h1 survive extraction, as they should for a real
+    page); the body is recovered byte-identically after that prefix.
+    """
+    html = synth_html(docs)
+    return html.select(
+        "doc_id",
+        extract_udf(F.col("html")).alias("extracted"),
+    )
