@@ -156,3 +156,54 @@ def lat_md_morphemes(spark, sf_dir):
     d = _docs(spark, sf_dir)
     pruned = lattice.prune_lattice(lattice.build_lattice(d), _true_splitting(d))
     return lattice.md_from_pruned(pruned)
+
+
+@query(
+    "eval_seg_accuracy",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    m AS (SELECT doc_id, word_index, token,
+                 CASE WHEN token IN {_SPLIT_TOKS} THEN 2 ELSE 1 END AS n_true,
+                 1 AS n_flat,
+                 CASE WHEN token IN {_SPLIT_TOKS} THEN 0 ELSE 1 END AS n_match
+          FROM toks)
+    SELECT CAST(sum(n_true) AS BIGINT) AS n_true_morphs,
+           CAST(sum(n_flat) AS BIGINT) AS n_pred_morphs,
+           CAST(sum(n_match) AS BIGINT) AS n_match,
+           CAST(round(sum(n_match) * 1000000.0 / sum(n_true)) AS BIGINT) AS seg_recall_1e6
+    FROM m
+    """,
+)
+def eval_seg_accuracy(spark, sf_dir):
+    """E7 analog (eval_yap_parsing.py:12-77): positional morpheme-match
+    rate between the flat-evidence disambiguation (whole-token shortcuts)
+    and the true segmentation — the zip made an explicit join on
+    (doc, word, morph_index). Split tokens disagree (shortcut form vs
+    first morpheme), everything else matches."""
+    d = _docs(spark, sf_dir)
+    true_morphs = kg.doc_tokens(d).select(
+        "doc_id", "word_index",
+        F.posexplode(F.expr(_morph_case_expr())).alias("morph_index", "morpheme"),
+    ).withColumn("morph_index", F.col("morph_index").cast("long"))
+
+    flat = kg.doc_tokens(d).select(
+        "doc_id", "word_index", F.lit(1).cast("long").alias("splitting")
+    )
+    pred_md = lattice.md_from_pruned(
+        lattice.prune_lattice(lattice.build_lattice(d), flat)
+    ).withColumn("morph_index", F.lit(0).cast("long"))
+
+    j = true_morphs.alias("t").join(
+        pred_md.alias("p"), ["doc_id", "word_index", "morph_index"], "full_outer"
+    )
+    return j.agg(
+        F.count(F.col("t.morpheme")).alias("n_true_morphs"),
+        F.count(F.col("p.morpheme")).alias("n_pred_morphs"),
+        F.sum(
+            F.when(F.col("t.morpheme") == F.col("p.morpheme"), 1).otherwise(0)
+        ).cast("long").alias("n_match"),
+        F.expr(
+            "CAST(round(sum(CASE WHEN t.morpheme = p.morpheme THEN 1 ELSE 0 END)"
+            " * 1000000.0 / count(t.morpheme)) AS BIGINT)"
+        ).alias("seg_recall_1e6"),
+    )

@@ -120,3 +120,64 @@ def ann_lsh_topk(spark, sf_dir):
 )
 def emb_near_dups(spark, sf_dir):
     return simsearch.embedding_near_dups(_emb(spark, sf_dir))
+
+
+_CELLS = simsearch.IVF_CELLS
+_PROBES = simsearch.IVF_PROBES
+
+_IVF_CTE = f"""
+cents AS (
+  SELECT vec_id AS cell, embedding AS qe,
+         sqrt(list_sum(list_transform(range(1, {D + 1}),
+              i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS qn
+  FROM embeddings WHERE vec_id < {_CELLS}
+),
+assign_scored AS (
+  SELECT e.vec_id, c.cell,
+         CAST(round({_DOT_QE.replace('qset.', 'c.')} / (e.nrm * c.qn) * 1000000.0) AS BIGINT) AS cos_1e6
+  FROM e CROSS JOIN cents c
+),
+cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos_1e6 DESC, cell) AS r
+    FROM assign_scored
+  ) WHERE r = 1
+),
+probes AS (
+  SELECT qid, cell FROM (
+    SELECT e.vec_id AS qid, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY CAST(round({_DOT_QE.replace('qset.', 'c.')} / (e.nrm * c.qn) * 1000000.0) AS BIGINT) DESC,
+                      c.cell) AS r
+    FROM e CROSS JOIN cents c WHERE e.vec_id < {Q}
+  ) WHERE r <= {_PROBES}
+)
+"""
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH {_E_CTE},
+    {_IVF_CTE},
+    s AS (
+      SELECT p.qid, e.vec_id AS nid,
+             CAST(round(list_sum(list_transform(range(1, {D + 1}),
+                    i -> CAST(qv.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                  / (e.nrm * qv.nrm) * 1000000.0) AS BIGINT) AS cos_1e6
+      FROM probes p
+      JOIN cells cl ON cl.cell = p.cell
+      JOIN e ON e.vec_id = cl.vec_id
+      JOIN e qv ON qv.vec_id = p.qid
+      WHERE e.vec_id <> p.qid
+    )
+    SELECT qid, nid,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_1e6 DESC, nid) AS BIGINT) AS rank,
+           cos_1e6
+    FROM s QUALIFY rank <= {K}
+    """,
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-bucketed top-k: probe the 2 nearest of 16 cells."""
+    return simsearch.ivf_topk(_emb(spark, sf_dir))
