@@ -106,26 +106,45 @@ def _band_keys(docs: DataFrame, bands: int = LSH_BANDS, num_hashes: int = NUM_HA
     ).select("doc_id", F.col("band").cast("long").alias("band"), "band_key")
 
 
+def _bucket_pairs(keyed: DataFrame, bucket_cols: list[str]) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs of doc_ids sharing a bucket.
+
+    One aggregation per bucket + an array-side pair explosion, instead of
+    a self-join that evaluates the (expensive) signature plan twice.
+    Bucket member lists are sorted so pairs come out ordered; oversized
+    buckets (mega duplicate clusters) are the quadratic hot spot either
+    way — at corpus scale cap |bucket| and route the giants through the
+    exact-Jaccard verifier directly.
+    """
+    grouped = (
+        keyed.groupBy(*bucket_cols)
+        .agg(F.expr("array_sort(collect_set(doc_id))").alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    return (
+        grouped.select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(sequence(0, size(ids) - 2), i ->
+                      transform(sequence(i + 1, size(ids) - 1), j ->
+                        named_struct('doc_a', ids[i], 'doc_b', ids[j]))))
+                    """
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing at least one LSH band bucket.
 
-    The self-join key is (band, band_key); bucket sizes follow the corpus
-    duplicate-cluster distribution, so this is where AQE skew-join splits
-    oversized buckets at runtime.
+    Bucket sizes follow the corpus duplicate-cluster distribution — AQE
+    splits oversized shuffle partitions at runtime.
     """
-    bk = _band_keys(docs)
-    left = bk.alias("l")
-    right = bk.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    return _bucket_pairs(_band_keys(docs), ["band", "band_key"])
 
 
 def near_dup_jaccard(docs: DataFrame, threshold: float = 0.5, k: int = SHINGLE_K) -> DataFrame:
@@ -204,19 +223,29 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = HAMMING_MAX) -> DataF
             )
         ).alias("bk"),
     ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval"))
-    l, r = blocks.alias("l"), blocks.alias("r")
+    # pair generation inside each block (single pass over the simhash
+    # plan); the simhash rides along so Hamming verifies without a re-join
+    grouped = (
+        blocks.groupBy("band", "bval")
+        .agg(F.expr("array_sort(collect_set(struct(doc_id, simhash)))").alias("ms"))
+        .where(F.size("ms") > 1)
+    )
     return (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bval") == F.col("r.bval"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        grouped.select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(sequence(0, size(ms) - 2), i ->
+                      transform(sequence(i + 1, size(ms) - 1), j ->
+                        named_struct(
+                          'doc_a', ms[i].doc_id,
+                          'doc_b', ms[j].doc_id,
+                          'hamming', CAST(bit_count(ms[i].simhash ^ ms[j].simhash) AS BIGINT)))))
+                    """
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
-            F.expr("bit_count(l.simhash ^ r.simhash)").cast("long").alias("hamming"),
-        )
+        .select("p.doc_a", "p.doc_b", "p.hamming")
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
