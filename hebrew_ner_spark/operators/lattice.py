@@ -153,6 +153,12 @@ def prune_lattice(
     """
     joined = lattice.join(splitting, ["doc_id", "word_index"], "inner")
 
+    # (A JVM bypass for single-edge lattices was tried and reverted: the
+    # union of a trivial branch and a pruned branch makes Catalyst build
+    # the lattice twice — measured net 1.7x SLOWER than paying the Arrow
+    # transfer for the whole table. The memo below keeps the Python cost
+    # of unambiguous tokens near zero instead.)
+
     # Grouping is at DOCUMENT grain, not token grain: one pandas group per
     # token would mean ~50 groups/doc x 10^12 docs of per-group scheduling
     # overhead. Inside each document the token sub-lattices are found by a
