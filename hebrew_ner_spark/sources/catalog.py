@@ -44,6 +44,58 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+def write_decoded_text(labels, path: str, n_partitions: int | None = None) -> None:
+    """S10 decode sink (Data.write_decoded_results, utils/data.py:340-366):
+    'word label' lines, one blank line between documents.
+
+    Documents are whole within a partition (groupBy doc); a deterministic
+    single-file layout (n_partitions=1) is for fixtures/goldens — at scale
+    leave it partitioned and treat each part file as a shard.
+    """
+    from pyspark.sql import functions as F
+
+    per_doc = (
+        labels.groupBy("doc_id")
+        .agg(
+            F.expr(
+                "concat_ws('\n', transform(array_sort(collect_list(struct(word_index, token, label))),"
+                " x -> concat(x.token, ' ', x.label)))"
+            ).alias("block")
+        )
+        .orderBy("doc_id")
+        .select(F.concat(F.col("block"), F.lit("\n")).alias("value"))
+    )
+    if n_partitions:
+        per_doc = per_doc.coalesce(n_partitions)
+    per_doc.write.mode("overwrite").text(path)
+
+
+def read_decoded_text(spark: SparkSession, path: str):
+    """S1-pattern scan of the decode sink: blank line = document boundary,
+    running sum over an input-ordered window reconstructs doc grouping."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    lines = spark.read.text(path).withColumn(
+        "_id", F.monotonically_increasing_id()
+    )
+    w = Window.orderBy("_id")
+    return (
+        lines.withColumn(
+            "doc_seq",
+            F.sum(F.when(F.col("value") == "", 1).otherwise(0)).over(w),
+        )
+        .where(F.col("value") != "")
+        .withColumn("token", F.split("value", " ")[0])
+        .withColumn("label", F.split("value", " ")[1])
+        .withColumn(
+            "word_index",
+            F.row_number().over(Window.partitionBy("doc_seq").orderBy("_id")) - 1,
+        )
+        .select("doc_seq", F.col("word_index").cast("long").alias("word_index"), "token", "label")
+    )
+
+
 def write_table(
     df: DataFrame,
     path: str,
