@@ -181,3 +181,54 @@ probes AS (
 def ann_ivf_topk(spark, sf_dir):
     """IVF-bucketed top-k: probe the 2 nearest of 16 cells."""
     return simsearch.ivf_topk(_emb(spark, sf_dir))
+
+
+@query(
+    "ann_recall",
+    oracle=f"""
+    WITH {_E_CTE},
+    qset AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e WHERE vec_id < {Q}),
+    s AS (
+      SELECT qset.qid, e.vec_id AS nid,
+             CAST(round({_DOT_QE} / (e.nrm * qset.qn) * 1000000.0) AS BIGINT) AS cos_1e6
+      FROM e CROSS JOIN qset WHERE e.vec_id <> qset.qid
+    ),
+    brute AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos_1e6 DESC, nid) AS r
+        FROM s) WHERE r <= {K}
+    ),
+    {_BUCKETS_CTE},
+    side AS (SELECT e.vec_id, e.embedding, e.nrm, b.bucket FROM e JOIN b USING (vec_id)),
+    qb AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn, bucket FROM side WHERE vec_id < {Q}),
+    ls AS (
+      SELECT qb.qid, e.vec_id AS nid,
+             CAST(round({_DOT_QE.replace('qset.', 'qb.')} / (e.nrm * qb.qn) * 1000000.0) AS BIGINT) AS cos_1e6
+      FROM side e JOIN qb USING (bucket) WHERE e.vec_id <> qb.qid
+    ),
+    lsh AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos_1e6 DESC, nid) AS r
+        FROM ls) WHERE r <= {K}
+    )
+    SELECT 'rp_lsh' AS method,
+           CAST((SELECT count(*) FROM brute) AS BIGINT) AS n_brute,
+           CAST((SELECT count(*) FROM lsh JOIN brute USING (qid, nid)) AS BIGINT) AS n_hit,
+           CAST(round((SELECT count(*) FROM lsh JOIN brute USING (qid, nid)) * 1000000.0
+                 / (SELECT count(*) FROM brute)) AS BIGINT) AS recall_1e6
+    """,
+)
+def ann_recall(spark, sf_dir):
+    """Recall@k of the RP-LSH path against exact brute force — the
+    quality/cost tradeoff metric an ANN deployment is tuned by."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark, sf_dir)
+    brute = simsearch.brute_topk(emb).select("qid", "nid")
+    lsh = simsearch.rp_lsh_topk(emb).select("qid", "nid")
+    n_brute = brute.count()
+    n_hit = lsh.join(brute, ["qid", "nid"]).count()
+    return spark.createDataFrame(
+        [("rp_lsh", n_brute, n_hit, round(n_hit * 1_000_000.0 / n_brute))],
+        "method string, n_brute long, n_hit long, recall_1e6 long",
+    )

@@ -39,6 +39,9 @@ _DEFAULTS = {
     # Broadcast joins for dimension/alias tables up to 64 MiB.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.session.timeZone": "UTC",
+    # Better tracebacks if an Arrow worker ever dies (observed once under
+    # memory pressure before heap sizing was fixed).
+    "spark.python.worker.faulthandler.enabled": "true",
     "spark.ui.enabled": "false",
     # Heap must track task-slot count: 16+ concurrent hash-aggregate tasks
     # in 8g thrash GC and flatten scaling (measured: minhash shuffle lost
