@@ -316,3 +316,60 @@ def eval_span_prf(spark, sf_dir):
     pred = labels.spans_from_labels(kg.doc_token_labels(d))
     gold = labels.spans_from_labels(kg.doc_token_labels(d, EVAL_GOLD_ENTITY_TERMS))
     return labels.span_prf(pred, gold)
+
+
+@query(
+    "eval_span_prf_by_doc",
+    oracle=f"""
+    WITH {_TOKS_CTE}, {_lbl_cte(ENTITY_TERMS, 'p')}, {_lbl_cte(EVAL_GOLD_ENTITY_TERMS, 'g')},
+    ps AS (
+      SELECT doc_id, substr(min(label), 3) AS cat, min(word_index) AS lo, max(word_index) AS hi
+      FROM (SELECT *, sum(CASE WHEN label LIKE 'B-%' OR label LIKE 'S-%' THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY doc_id ORDER BY word_index) AS span_id FROM p)
+      WHERE label <> 'O' GROUP BY doc_id, span_id
+    ),
+    gs AS (
+      SELECT doc_id, substr(min(label), 3) AS cat, min(word_index) AS lo, max(word_index) AS hi
+      FROM (SELECT *, sum(CASE WHEN label LIKE 'B-%' OR label LIKE 'S-%' THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY doc_id ORDER BY word_index) AS span_id FROM g)
+      WHERE label <> 'O' GROUP BY doc_id, span_id
+    ),
+    np AS (SELECT doc_id, count(*) AS n_pred FROM ps GROUP BY doc_id),
+    ng AS (SELECT doc_id, count(*) AS n_gold FROM gs GROUP BY doc_id),
+    nc AS (SELECT ps.doc_id, count(*) AS n_correct
+           FROM ps JOIN gs ON ps.doc_id = gs.doc_id AND ps.cat = gs.cat
+                          AND ps.lo = gs.lo AND ps.hi = gs.hi
+           GROUP BY ps.doc_id)
+    SELECT np.doc_id, np.n_pred,
+           coalesce(ng.n_gold, 0) AS n_gold,
+           coalesce(nc.n_correct, 0) AS n_correct
+    FROM np
+    LEFT JOIN ng ON np.doc_id = ng.doc_id
+    LEFT JOIN nc ON np.doc_id = nc.doc_id
+    """,
+)
+def eval_span_prf_by_doc(spark, sf_dir):
+    """E2 nested evaluation: per-document span-match counts (the
+    reference's per-sentence variant, ner.py:497-536, at document grain).
+    Global micro P/R/F is one further aggregate over this table."""
+    d = _docs(spark, sf_dir)
+    pred = labels.spans_from_labels(kg.doc_token_labels(d))
+    gold = labels.spans_from_labels(kg.doc_token_labels(d, EVAL_GOLD_ENTITY_TERMS))
+    keys = ["doc_id", "cat", "lo", "hi"]
+    np_ = pred.groupBy("doc_id").agg(F.count("*").alias("n_pred"))
+    ng = gold.groupBy("doc_id").agg(F.count("*").alias("n_gold"))
+    nc = (
+        pred.join(gold, keys, "inner")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_correct"))
+    )
+    return (
+        np_.join(ng, "doc_id", "left")
+        .join(nc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_pred",
+            F.coalesce("n_gold", F.lit(0)).cast("long").alias("n_gold"),
+            F.coalesce("n_correct", F.lit(0)).cast("long").alias("n_correct"),
+        )
+    )

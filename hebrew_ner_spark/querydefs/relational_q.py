@@ -142,3 +142,35 @@ def evt_hourly_counts(spark, sf_dir):
 def rel_bootstrap_ci(spark, sf_dir):
     """A11/E6: single-pass deterministic bootstrap of mean order value."""
     return relational.bootstrap_revenue(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "rel_big_join_smj",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS n_items,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def rel_big_join_smj(spark, sf_dir):
+    """Fact-to-fact join with an explicit sort-merge hint: at warehouse
+    scale neither side of lineitem ⋈ orders broadcasts, so the plan must
+    shuffle both sides by the join key — here the hint forces the
+    strategy the optimizer would pick at 100 TB, exercising the SMJ path
+    that every other (dimension) join in this engine deliberately avoids."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").hint("merge")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.expr(
+                "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)"
+            ).alias("revenue_cents"),
+        )
+    )
