@@ -171,3 +171,58 @@ def cc_dedup_components(spark, sf_dir):
     oracle computes exact transitive closure recursively."""
     pairs = dedup.near_dup_jaccard(_docs(spark, sf_dir))
     return canonicalize.dedup_components(pairs)
+
+
+@query(
+    "kg_edges_salted",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS word_index,
+             unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, word_index, token,
+             lag(token)  OVER (PARTITION BY doc_id ORDER BY word_index) AS subj,
+             lead(token) OVER (PARTITION BY doc_id ORDER BY word_index) AS obj
+      FROM toks
+    ),
+    t AS (
+      SELECT doc_id, subj, token AS pred, obj FROM w
+      WHERE token IN ('agg', 'filter', 'join', 'merge', 'scan', 'sort')
+        AND subj IN {_ENTS_SQL} AND obj IN {_ENTS_SQL}
+    ),
+    {_dim_values()}
+    SELECT CAST(ds.entity_id AS BIGINT) AS subj_id, t.pred,
+           CAST(do_.entity_id AS BIGINT) AS obj_id, count(*) AS n_evidence
+    FROM t
+    JOIN dim ds ON t.subj = lower(ds.canonical_name)
+    JOIN dim do_ ON t.obj = lower(do_.canonical_name)
+    GROUP BY ds.entity_id, t.pred, do_.entity_id
+    """,
+)
+def kg_edges_salted(spark, sf_dir):
+    """Graph-edge materialization through the two-phase salted plan —
+    the mega-entity-safe variant of kg_edges, output-identical."""
+    from pyspark.sql import functions as F
+
+    from hebrew_ner_spark.operators import kg
+    from hebrew_ner_spark.plans.skew import salted_agg
+
+    d = _docs(spark, sf_dir)
+    dim = linking.entity_dim(spark)
+    lower_dim = F.broadcast(
+        dim.select(F.lower("canonical_name").alias("_name"), "entity_id")
+    )
+    triples = kg.doc_triples(d)
+    s = lower_dim.select(F.col("_name").alias("subj"), F.col("entity_id").alias("subj_id"))
+    o = lower_dim.select(F.col("_name").alias("obj"), F.col("entity_id").alias("obj_id"))
+    resolved = triples.join(F.broadcast(s), "subj").join(F.broadcast(o), "obj")
+    return salted_agg(
+        resolved,
+        ["subj_id", "pred", "obj_id"],
+        buckets=8,
+        partial_aggs=[F.count("*").alias("_pc")],
+        final_aggs=[F.sum("_pc").cast("long").alias("n_evidence")],
+    )

@@ -100,3 +100,43 @@ def txt_normalize(spark, sf_dir):
         textstats.normalize_hebrew_finals(F.col("text")).alias("finals_norm"),
         textstats.strip_trailing_yud(F.col("text")).alias("yud_stripped"),
     )
+
+
+@query(
+    "txt_quality_filter",
+    oracle=f"""
+    WITH t AS ({_TOKS}),
+    s AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             len(list_filter(toks, t -> list_contains({_STOP_SQL}, t))) * 1.0 / len(toks) AS stop_ratio,
+             len(list_distinct(toks)) * 1.0 / len(toks) AS type_ratio
+      FROM t
+    )
+    SELECT doc_id FROM s
+    WHERE n_tokens BETWEEN 20 AND 200
+      AND stop_ratio < 0.4
+      AND type_ratio > 0.25
+    """,
+)
+def txt_quality_filter(spark, sf_dir):
+    """The curation gate itself: documents that survive the quality
+    thresholds (length window, stopword ceiling, type/token floor) —
+    the filter a 10^12-doc training-data pipeline applies before
+    anything expensive runs. Pure column predicates: Catalyst pushes
+    the whole thing into one codegen'd scan-filter."""
+    from pyspark.sql import functions as F
+
+    from hebrew_ner_spark.operators.kg import with_tokens
+
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in textstats.STOPWORDS) + ")"
+    d = with_tokens(_docs(spark, sf_dir))
+    return d.where(
+        F.expr(
+            f"""
+            size(toks) BETWEEN 20 AND 200
+            AND size(filter(toks, t -> array_contains({stop_arr}, t))) * 1.0 / size(toks) < 0.4
+            AND size(array_distinct(toks)) * 1.0 / size(toks) > 0.25
+            """
+        )
+    ).select("doc_id")
