@@ -24,7 +24,10 @@ from __future__ import annotations
 import string as _string
 from typing import List, Tuple
 
-PUNCT = set(_string.punctuation)
+# Substring test, NOT set membership: the reference checks
+# `m_w in string.punctuation` (utils/ner.py:296), which is True for the
+# empty string and for multi-char runs like '()' — quirk preserved.
+PUNCT = _string.punctuation
 
 SINGLE_ENDINGS = {
     "אני": "י", "אתה": "ך", "את": "ך", "הוא": "ו", "היא": "ה",
@@ -65,7 +68,10 @@ def correct_finals(word: str) -> str:
 
 
 def strip_trailing_yud(word: str) -> str:
-    return word[:-1] if word and word[-1] == "י" else word
+    # Unguarded word[-1] like the reference (utils/ner.py:255-258):
+    # IndexError on '' is a preserved quirk (an empty prev surface
+    # reaching the pronoun fallback must fail identically).
+    return word[:-1] if word[-1] == "י" else word
 
 
 def _hashem_ending(ending: str) -> str:

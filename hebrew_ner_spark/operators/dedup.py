@@ -102,7 +102,7 @@ def _band_keys(docs: DataFrame, bands: int = LSH_BANDS, num_hashes: int = NUM_HA
     stack_args = ", ".join(f"{b}, b{b}" for b in range(bands))
     return wide.select(
         "doc_id",
-        F.expr(f"stack({LSH_BANDS}, {stack_args}) AS (band, band_key)"),
+        F.expr(f"stack({bands}, {stack_args}) AS (band, band_key)"),
     ).select("doc_id", F.col("band").cast("long").alias("band"), "band_key")
 
 

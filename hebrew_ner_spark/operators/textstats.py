@@ -44,9 +44,20 @@ def strip_trailing_yud(col: Column) -> Column:
 
 
 def normalize_gershayim(col: Column) -> Column:
-    """P9: ASCII double-quote -> gershayim inside Hebrew words
-    (utils/hebrew.py:3-19)."""
+    """P9 (restricted form): ASCII double-quote -> gershayim inside
+    Hebrew words. The faithful reference pair is below."""
     return F.regexp_replace(col, '(?<=[א-ת])"(?=[א-ת])', "״")
+
+
+def quotes_to_gershayim(col: Column) -> Column:
+    """P9 forward, faithful: EVERY '"' -> '״' (utils/hebrew.py:3-10 does a
+    plain global re.sub with no context restriction)."""
+    return F.regexp_replace(col, '"', "״")
+
+
+def gershayim_to_quotes(col: Column) -> Column:
+    """P9 inverse: every '״' -> '"' (utils/hebrew.py:12-19)."""
+    return F.regexp_replace(col, "״", '"')
 
 
 def doc_stats(docs: DataFrame) -> DataFrame:

@@ -87,18 +87,33 @@ def txt_fingerprint(spark, sf_dir):
     SELECT doc_id,
            regexp_replace(text, '[0-9]', '0', 'g') AS digits_norm,
            translate(text, 'ךםןףץ', 'כמנפצ') AS finals_norm,
-           regexp_replace(text, 'י$', '') AS yud_stripped
+           regexp_replace(text, 'י$', '') AS yud_stripped,
+           regexp_replace('גנ"צ אמר "' || text || '"', '"', '״', 'g') AS gershayim_norm,
+           regexp_replace(regexp_replace('גנ"צ אמר "' || text || '"', '"', '״', 'g'),
+                          '״', '"', 'g') AS quotes_roundtrip
     FROM documents
     """,
 )
 def txt_normalize(spark, sf_dir):
-    """Reference normalizers P5/P6/P8 as one projection stage."""
+    """Reference normalizers P5/P6/P8/P9 as one projection stage.
+
+    The corpus text carries no quote characters, so the P9 columns are
+    made non-vacuous by wrapping the text in a quoted frame (an acronym
+    with an inner gershayim-position quote plus outer quotes) before the
+    forward pass; the round-trip column gates the inverse
+    (utils/hebrew.py:12-19) against the forward output.
+    """
     d = _docs(spark, sf_dir)
+    quoted = F.concat(F.lit('גנ"צ אמר "'), F.col("text"), F.lit('"'))
     return d.select(
         "doc_id",
         textstats.normalize_digits(F.col("text")).alias("digits_norm"),
         textstats.normalize_hebrew_finals(F.col("text")).alias("finals_norm"),
         textstats.strip_trailing_yud(F.col("text")).alias("yud_stripped"),
+        textstats.quotes_to_gershayim(quoted).alias("gershayim_norm"),
+        textstats.gershayim_to_quotes(
+            textstats.quotes_to_gershayim(quoted)
+        ).alias("quotes_roundtrip"),
     )
 
 

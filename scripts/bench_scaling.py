@@ -4,7 +4,7 @@ for N vs 4N executors required by the north rule. Writes BENCH.md.
 
 Usage: python scripts/bench_scaling.py [sf_dir]
 
-Efficiency = (T_8 / T_32) / 4  (1.0 = perfect linear scaling).
+Efficiency = (T_4 / T_16) / (16/4)  (1.0 = perfect linear scaling).
 Each level runs in its OWN subprocess: a JVM pins its master at startup,
 so reusing one process would silently keep the first core count.
 """
@@ -97,8 +97,8 @@ def main() -> None:
     result = {
         "sf_dir": SF,
         "workload": WORKLOAD,
-        "local8": lo,
-        "local32": hi,
+        "level_n": lo,      # local[4]  — N cores
+        "level_4n": hi,     # local[16] — 4N cores
         "speedup_n_to_4n": round(lo["wall_sec"] / hi["wall_sec"], 3),
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
@@ -110,7 +110,7 @@ def main() -> None:
 
 
 def _render(r: dict) -> str:
-    lo, hi = r["local8"], r["local32"]
+    lo, hi = r["level_n"], r["level_4n"]
     return f"""# BENCH — throughput & scaling evidence
 
 Workload: {", ".join(r["workload"])} over `{r["sf_dir"]}`

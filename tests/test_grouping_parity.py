@@ -49,6 +49,10 @@ PIECES = [
     "כמו", "לפי", "ממן", "אצל", "בגלל", "כלפי", "עד",
     "אני", "אתה", "הוא", "היא", "אנחנו", "אתם", "הם", "הן",
     ",", ".", "!",
+    # multi-char / empty punctuation: the reference's `m_w in
+    # string.punctuation` is a SUBSTRING test, true for '' and '()' —
+    # these drive that quirk branch (set-membership would diverge here)
+    "", "()", "!?", ",.",
 ]
 
 
@@ -65,6 +69,10 @@ def _cases():
         ["לפי", "הם"],
         ["כמו", "אני"],
         ["ספר", "הוא"],
+        ["בית", "()", "ילד"],
+        ["בית", "", "ילד"],
+        ["ב", "", "בית"],
+        ["בית", "!?"],
     ]
     randoms = [
         [rng.choice(PIECES) for _ in range(rng.randint(1, 8))] for _ in range(400)
