@@ -36,6 +36,7 @@ LSH_BANDS = 4          # 4 bands x 4 rows
 SIMHASH_BITS = 60
 SIMHASH_BANDS = 4      # 4 x 15-bit blocks
 HAMMING_MAX = 3        # verified Hamming radius
+MAX_BUCKET = 4096      # pairwise-explosion ceiling per band bucket
 
 
 def doc_shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
@@ -106,20 +107,29 @@ def _band_keys(docs: DataFrame, bands: int = LSH_BANDS, num_hashes: int = NUM_HA
     ).select("doc_id", F.col("band").cast("long").alias("band"), "band_key")
 
 
-def _bucket_pairs(keyed: DataFrame, bucket_cols: list[str]) -> DataFrame:
+def _bucket_pairs(
+    keyed: DataFrame, bucket_cols: list[str], cap: int = MAX_BUCKET
+) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs of doc_ids sharing a bucket.
 
     One aggregation per bucket + an array-side pair explosion, instead of
     a self-join that evaluates the (expensive) signature plan twice.
-    Bucket member lists are sorted so pairs come out ordered; oversized
-    buckets (mega duplicate clusters) are the quadratic hot spot either
-    way — at corpus scale cap |bucket| and route the giants through the
-    exact-Jaccard verifier directly.
+    Bucket member lists are sorted so pairs come out ordered.
+
+    Buckets larger than ``cap`` are EXCLUDED from pair generation: a
+    duplicate cluster of 10^6 boilerplate pages would otherwise build a
+    10^12-entry pair array inside one row. The member array itself is
+    linear (8 bytes/doc — 8 MB at 10^6, fine in an agg buffer); it is the
+    quadratic explosion that must not happen. Dropped buckets are not
+    silent: ``_bucket_overflow`` (same grouping, count-only) reports
+    them, and identical-band giants route through exact-hash grouping
+    (``giant_bucket_groups``) — docs agreeing on a whole signature band
+    are near-identical, so exact grouping is the *better* plan for them.
     """
     grouped = (
         keyed.groupBy(*bucket_cols)
         .agg(F.expr("array_sort(collect_set(doc_id))").alias("ids"))
-        .where(F.size("ids") > 1)
+        .where((F.size("ids") > 1) & (F.size("ids") <= cap))
     )
     return (
         grouped.select(
@@ -138,13 +148,58 @@ def _bucket_pairs(keyed: DataFrame, bucket_cols: list[str]) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+def _bucket_overflow(
+    keyed: DataFrame, bucket_cols: list[str], cap: int = MAX_BUCKET
+) -> DataFrame:
+    """(bucket cols..., n_docs) for buckets the pair generator skipped.
+
+    Count-only aggregation — no member array at all — so the report is
+    cheap even for a 10^8-doc mega cluster.
+    """
+    return (
+        keyed.groupBy(*bucket_cols)
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") > cap)
+    )
+
+
+def lsh_candidate_pairs(docs: DataFrame, cap: int = MAX_BUCKET) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing at least one LSH band bucket.
 
     Bucket sizes follow the corpus duplicate-cluster distribution — AQE
-    splits oversized shuffle partitions at runtime.
+    splits oversized shuffle partitions at runtime; buckets beyond ``cap``
+    are excluded here and surfaced by ``lsh_overflow`` / routed through
+    ``giant_bucket_groups``.
     """
-    return _bucket_pairs(_band_keys(docs), ["band", "band_key"])
+    return _bucket_pairs(_band_keys(docs), ["band", "band_key"], cap)
+
+
+def lsh_overflow(docs: DataFrame, cap: int = MAX_BUCKET) -> DataFrame:
+    """(band, band_key, n_docs) for LSH buckets above the pairwise cap."""
+    return _bucket_overflow(_band_keys(docs), ["band", "band_key"], cap)
+
+
+def giant_bucket_groups(docs: DataFrame, cap: int = MAX_BUCKET) -> DataFrame:
+    """Exact-hash routing for mega buckets: documents whose LSH band
+    bucket exceeds ``cap`` are grouped by full text hash instead of being
+    paired quadratically — (band, band_key, text_md5, n_docs,
+    canonical_doc_id). A bucket that large is a boilerplate cluster;
+    identical-text grouping recovers its duplicate structure in O(n).
+    The band-key join is an equi-join; the giant-bucket side is tiny (one
+    row per overflowing bucket) and broadcast."""
+    keyed = _band_keys(docs)
+    giants = _bucket_overflow(keyed, ["band", "band_key"], cap).select(
+        "band", "band_key"
+    )
+    members = keyed.join(F.broadcast(giants), ["band", "band_key"])
+    return (
+        members.join(docs.select("doc_id", F.md5("text").alias("text_md5")), "doc_id")
+        .groupBy("band", "band_key", "text_md5")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
 
 
 def near_dup_jaccard(docs: DataFrame, threshold: float = 0.5, k: int = SHINGLE_K) -> DataFrame:
@@ -205,11 +260,16 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     return with_tokens(docs).select("doc_id", F.expr(expr).alias("simhash"))
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = HAMMING_MAX) -> DataFrame:
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = HAMMING_MAX, cap: int = MAX_BUCKET
+) -> DataFrame:
     """(doc_a, doc_b, hamming) pairs within Hamming radius via band blocking.
 
     60 bits split into 4 x 15-bit blocks: any pair with distance <= 3 shares
     at least one identical block (pigeonhole), so blocking loses nothing.
+    Blocks beyond ``cap`` members are excluded from the pair explosion
+    (same mega-cluster guard as the LSH path) and reported by
+    ``simhash_overflow``.
     """
     sim = simhash(docs)
     blocks = sim.select(
@@ -228,7 +288,7 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = HAMMING_MAX) -> DataF
     grouped = (
         blocks.groupBy("band", "bval")
         .agg(F.expr("array_sort(collect_set(struct(doc_id, simhash)))").alias("ms"))
-        .where(F.size("ms") > 1)
+        .where((F.size("ms") > 1) & (F.size("ms") <= cap))
     )
     return (
         grouped.select(
@@ -249,3 +309,19 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = HAMMING_MAX) -> DataF
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def simhash_overflow(docs: DataFrame, cap: int = MAX_BUCKET) -> DataFrame:
+    """(band, bval, n_docs) for SimHash blocks above the pairwise cap."""
+    sim = simhash(docs)
+    blocks = sim.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {SIMHASH_BANDS - 1}), "
+                f"b -> named_struct('band', CAST(b AS BIGINT), "
+                f"'bval', shiftright(simhash, CAST(b * 15 AS INT)) & 32767))"
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval"))
+    return _bucket_overflow(blocks, ["band", "bval"], cap)

@@ -255,49 +255,99 @@ def ivf_topk(
     return _rank_topk(scored, k)
 
 
-def embedding_near_dups(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
-    """(vec_a, vec_b, cos_1e6) pairs with cosine >= threshold.
+NEAR_DUP_BITS = 4  # fewer planes than topk -> coarser buckets, higher recall
 
-    All-pairs scoring via Arrow-batched BLAS: one side of the pair space
-    is collected into a broadcast-sized numpy matrix (the same size class
-    as a broadcast-join build side; at 10^12 rows this is the *bucket-
-    local* matrix after rp_lsh_buckets, never the corpus), and each Arrow
-    batch of the scan side does a single float64 matmul against it —
-    ~30x faster than evaluating the dot as an interpreted higher-order
-    function per pair.
+
+NEAR_DUP_MAX_BUCKET = 4096  # pairwise scoring ceiling per bucket
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    bits: int = NEAR_DUP_BITS,
+    max_bucket: int = NEAR_DUP_MAX_BUCKET,
+) -> DataFrame:
+    """(vec_a, vec_b, cos_1e6): same-LSH-bucket pairs with cosine >= threshold.
+
+    The 10^12-row shape, with NOTHING on the driver: candidate generation
+    is the rp_lsh bucket equi-key, and each bucket's exact cosine scoring
+    runs as one vectorized float64 matmul inside
+    ``groupBy("bucket").applyInPandas`` — the bucket-local BLAS win of a
+    broadcast matrix without ever materializing the corpus outside
+    executors. The plan is scan -> shuffle on bucket -> grouped-map; no
+    Collect, no closure-captured data (asserted in
+    tests/test_simsearch.py::test_near_dups_plan_is_distributed).
+
+    Arithmetic is accumulated dimension-by-dimension (left-to-right fold)
+    so every double matches the JVM ``aggregate`` fold and the DuckDB
+    ``list_sum`` bit-for-bit — a blocked BLAS gemm would reorder the adds
+    and perturb round() at the micro-unit boundary.
+
+    Mega-buckets (a boilerplate page duplicated 10^6 times) are the same
+    hazard as dedup's LSH bands; bound them with ``max_bucket`` — larger
+    buckets are dropped from pairwise scoring here and surfaced by
+    ``near_dup_overflow`` so the drop is never silent (the giants route
+    through exact-hash grouping, dedup.giant_bucket_groups).
     """
     import numpy as np
     import pandas as pd
-    from typing import Iterator
 
-    rows = emb.select("vec_id", "embedding").collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
     thresh_micro = int(threshold * 1_000_000)
+    side = emb.join(rp_lsh_buckets(emb, bits), "vec_id").select(
+        "vec_id", "embedding", "bucket"
+    )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            b_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            b_mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-            if len(b_ids) == 0:
-                continue
-            cos = (b_mat @ mat.T) / np.outer(
-                np.sqrt((b_mat * b_mat).sum(axis=1)), norms
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        if len(ids) < 2 or len(ids) > max_bucket:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_1e6": []}).astype(
+                {"vec_a": np.int64, "vec_b": np.int64, "cos_1e6": np.int64}
             )
-            micro = np.round(cos * 1_000_000.0).astype(np.int64)
-            # upper triangle in id space: vec_a < vec_b
-            bi, aj = np.nonzero(
-                (micro >= thresh_micro) & (ids[None, :] < b_ids[:, None])
-            )
-            yield pd.DataFrame(
-                {
-                    "vec_a": ids[aj],
-                    "vec_b": b_ids[bi],
-                    "cos_1e6": micro[bi, aj],
-                }
-            )
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"].iloc[order]]
+        )
+        n, d = mat.shape
+        # sequential-in-dimension accumulation == the oracle's fold order
+        dots = np.zeros((n, n), dtype=np.float64)
+        nrm2 = np.zeros(n, dtype=np.float64)
+        for k_dim in range(d):
+            col = mat[:, k_dim]
+            dots += col[:, None] * col[None, :]
+            nrm2 += col * col
+        norms = np.sqrt(nrm2)
+        cos = dots / (norms[:, None] * norms[None, :])
+        # floor(x + 0.5): round-half-up, matching Spark/DuckDB round()
+        micro = np.floor(cos * 1_000_000.0 + 0.5).astype(np.int64)
+        ai, bj = np.triu_indices(n, k=1)
+        keep = micro[ai, bj] >= thresh_micro
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ai[keep]],
+                "vec_b": ids[bj[keep]],
+                "cos_1e6": micro[ai[keep], bj[keep]],
+            }
+        )
 
-    return emb.select("vec_id", "embedding").mapInPandas(
-        run, "vec_a long, vec_b long, cos_1e6 long"
+    return side.groupBy("bucket").applyInPandas(
+        per_bucket, "vec_a long, vec_b long, cos_1e6 long"
+    )
+
+
+def near_dup_overflow(
+    emb: DataFrame,
+    bits: int = NEAR_DUP_BITS,
+    max_bucket: int = NEAR_DUP_MAX_BUCKET,
+) -> DataFrame:
+    """(bucket, n_vecs) for buckets embedding_near_dups declines to score
+    pairwise — the non-silent counterpart of its ``max_bucket`` guard.
+    Operationally these route through exact-hash grouping
+    (dedup.giant_bucket_groups): a bucket that large is a mega duplicate
+    cluster, not a similarity neighbourhood."""
+    return (
+        rp_lsh_buckets(emb, bits)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vecs"))
+        .where(F.col("n_vecs") > max_bucket)
     )

@@ -20,15 +20,18 @@ _PHASH_SEEDED = (
     "CAST(concat('0x', substr(md5(shingle || ':' || CAST(seed AS VARCHAR)), 1, 15)) AS BIGINT)"
 )
 
-_SH_CTE = f"""
+def _sh_cte(src: str = "documents") -> str:
+    return f"""
 sh AS (
   SELECT doc_id, unnest({shingles_duck('toks', K)}) AS shingle
-  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM {src})
 )
 """
 
-_SIG_CTE = f"""
-{_SH_CTE},
+
+def _sig_cte(src: str = "documents") -> str:
+    return f"""
+{_sh_cte(src)},
 seeds AS (SELECT unnest(range(0, {H})) AS seed),
 sig AS (
   SELECT doc_id, seed, min({_PHASH_SEEDED}) AS mh
@@ -36,8 +39,10 @@ sig AS (
 )
 """
 
-_BANDS_CTE = f"""
-{_SIG_CTE},
+
+def _bands_cte(src: str = "documents") -> str:
+    return f"""
+{_sig_cte(src)},
 bands AS (
   SELECT doc_id, CAST(seed // {ROWS} AS BIGINT) AS band,
          md5(string_agg(CAST(mh AS VARCHAR), '_' ORDER BY seed)) AS band_key
@@ -45,17 +50,23 @@ bands AS (
 )
 """
 
+
+_SH_CTE = _sh_cte()
+_SIG_CTE = _sig_cte()
+_BANDS_CTE = _bands_cte()
+
 _PAIRS_SQL = """
 SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
 FROM bands l JOIN bands r
   ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
 """
 
-_SIMHASH_CTE = f"""
+def _simhash_cte(src: str = "documents") -> str:
+    return f"""
 tokh AS (
   SELECT doc_id,
          CAST(concat('0x', substr(md5(t.token || ':0'), 1, 15)) AS BIGINT) AS h
-  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM {src}) t
 ),
 bits AS (
   SELECT doc_id, j,
@@ -71,19 +82,89 @@ sim AS (
 """
 
 
+_SIMHASH_CTE = _simhash_cte()
+
+
 def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents")
 
 
+# The sf corpus plants near-duplicates but no byte-identical documents, so
+# an exact-dedup gate over raw `documents` passes vacuously (0 = 0 rows).
+# Every exact/giant-cluster gate therefore runs over `documents` UNION a
+# deterministic planting — three docs copied several times each — declared
+# identically on both engines.
+_PLANT_COPIES = 4  # copies per planted doc (doc_ids 0,1,2)
+_PLANT_CTE = f"""
+docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT 2000000 + doc_id * 100 + r AS doc_id, text
+  FROM documents CROSS JOIN (SELECT unnest(range(0, {_PLANT_COPIES})) AS r)
+  WHERE doc_id < 3
+)
+"""
+
+# A mega duplicate cluster for the bucket-cap gates: many copies of one doc.
+_MEGA_COPIES = 30
+_MEGA_CTE = f"""
+docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT 3000000 + r AS doc_id, text
+  FROM documents CROSS JOIN (SELECT unnest(range(0, {_MEGA_COPIES})) AS r)
+  WHERE doc_id = 0
+)
+"""
+
+
+def _planted_docs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = (
+        docs.where(F.col("doc_id") < 3)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(_PLANT_COPIES - 1))).alias("r"),
+            "text",
+        )
+        .select(
+            (F.lit(2000000) + F.col("doc_id") * 100 + F.col("r")).alias("doc_id"),
+            "text",
+        )
+    )
+    return docs.unionByName(copies)
+
+
+def _mega_docs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = (
+        docs.where(F.col("doc_id") == 0)
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(_MEGA_COPIES - 1))).alias("r"),
+            "text",
+        )
+        .select((F.lit(3000000) + F.col("r")).alias("doc_id"), "text")
+    )
+    return docs.unionByName(copies)
+
+
 @query(
     "dedup_exact",
-    oracle="""
+    oracle=f"""
+    WITH {_PLANT_CTE}
     SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS canonical_doc_id
-    FROM documents GROUP BY 1 HAVING count(*) > 1
+    FROM docs2 GROUP BY 1 HAVING count(*) > 1
     """,
 )
 def dedup_exact(spark, sf_dir):
-    return dedup.exact_dup_groups(_docs(spark, sf_dir))
+    """Exact dedup over the corpus + planted byte-identical copies —
+    non-vacuous: the three planted groups MUST surface with their
+    original doc_id as the canonical survivor."""
+    return dedup.exact_dup_groups(_planted_docs(spark, sf_dir))
 
 
 @query(
@@ -129,6 +210,70 @@ def dedup_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir))
 
 
+_CAP = 8  # forced under the planted cluster size for the cap gates
+
+
+@query(
+    "dedup_lsh_overflow",
+    oracle=f"""
+    WITH {_MEGA_CTE.strip()},
+    {_bands_cte('docs2').strip()}
+    SELECT band, band_key, count(DISTINCT doc_id) AS n_docs
+    FROM bands GROUP BY band, band_key HAVING count(DISTINCT doc_id) > {_CAP}
+    """,
+)
+def dedup_lsh_overflow(spark, sf_dir):
+    """Non-silent mega-bucket counter: with the cap forced below the
+    planted 31-copy cluster, all four of its band buckets must surface."""
+    return dedup.lsh_overflow(_mega_docs(spark, sf_dir), cap=_CAP)
+
+
+@query(
+    "dedup_lsh_pairs_capped",
+    oracle=f"""
+    WITH {_MEGA_CTE.strip()},
+    {_bands_cte('docs2').strip()},
+    ok AS (
+      SELECT band, band_key FROM bands
+      GROUP BY band, band_key HAVING count(DISTINCT doc_id) <= {_CAP}
+    )
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+    FROM bands l
+    JOIN ok USING (band, band_key)
+    JOIN bands r ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+    """,
+)
+def dedup_lsh_pairs_capped(spark, sf_dir):
+    """Candidate pairs under the forced cap: the planted mega cluster's
+    quadratic pair set is excluded; the corpus's organic near-dup pairs
+    survive untouched."""
+    return dedup.lsh_candidate_pairs(_mega_docs(spark, sf_dir), cap=_CAP)
+
+
+@query(
+    "dedup_giant_exact",
+    oracle=f"""
+    WITH {_MEGA_CTE.strip()},
+    {_bands_cte('docs2').strip()},
+    giant AS (
+      SELECT band, band_key FROM bands
+      GROUP BY band, band_key HAVING count(DISTINCT doc_id) > {_CAP}
+    )
+    SELECT b.band, b.band_key, md5(d.text) AS text_md5,
+           count(*) AS n_docs, min(b.doc_id) AS canonical_doc_id
+    FROM bands b
+    JOIN giant USING (band, band_key)
+    JOIN docs2 d ON d.doc_id = b.doc_id
+    GROUP BY b.band, b.band_key, md5(d.text)
+    """,
+)
+def dedup_giant_exact(spark, sf_dir):
+    """The overflow routing itself: members of over-cap buckets grouped
+    by exact text hash — the planted cluster collapses to one O(n) group
+    per band instead of an O(n^2) pair array."""
+    return dedup.giant_bucket_groups(_mega_docs(spark, sf_dir), cap=_CAP)
+
+
 @query(
     "dedup_simhash_pairs",
     oracle=f"""
@@ -146,3 +291,23 @@ def dedup_simhash(spark, sf_dir):
 )
 def dedup_simhash_pairs(spark, sf_dir):
     return dedup.simhash_near_pairs(_docs(spark, sf_dir))
+
+
+@query(
+    "dedup_simhash_overflow",
+    oracle=f"""
+    WITH {_MEGA_CTE.strip()},
+    {_simhash_cte('docs2').strip()},
+    blocks AS (
+      SELECT doc_id, b AS band, (simhash >> (b * 15)) & 32767 AS bval
+      FROM sim CROSS JOIN (SELECT unnest(range(0, {dedup.SIMHASH_BANDS})) AS b)
+    )
+    SELECT band, bval, count(DISTINCT doc_id) AS n_docs
+    FROM blocks GROUP BY band, bval HAVING count(DISTINCT doc_id) > {_CAP}
+    """,
+)
+def dedup_simhash_overflow(spark, sf_dir):
+    """SimHash-side mega-block counter under the forced cap: the planted
+    identical-text cluster shares all four 15-bit blocks, so each must
+    surface (and is excluded from the pair explosion at the same cap)."""
+    return dedup.simhash_overflow(_mega_docs(spark, sf_dir), cap=_CAP)

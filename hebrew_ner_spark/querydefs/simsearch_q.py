@@ -21,28 +21,33 @@ _DOT_QE = (
     "i -> CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))"
 )
 
-_E_CTE = f"""
+def _e_cte(src: str = "embeddings") -> str:
+    return f"""
 e AS (
   SELECT vec_id, embedding,
          sqrt(list_sum(list_transform(range(1, {D + 1}),
               i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
-  FROM embeddings
+  FROM {src}
 )
 """
 
-_BUCKETS_CTE = f"""
+
+_E_CTE = _e_cte()
+
+def _buckets_cte(bits: int = BITS, src: str = "embeddings") -> str:
+    return f"""
 sm AS (
   SELECT j, list_transform(range(0, {D}), d ->
            CASE WHEN CAST(concat('0x', substr(md5(CAST(j AS VARCHAR) || '_' ||
                      CAST(d AS VARCHAR) || ':0'), 1, 15)) AS BIGINT) & 1 = 1
                 THEN 1 ELSE -1 END) AS signs
-  FROM (SELECT unnest(range(0, {BITS})) AS j)
+  FROM (SELECT unnest(range(0, {bits})) AS j)
 ),
 dots AS (
   SELECT eb.vec_id, sm.j,
          list_sum(list_transform(range(1, {D + 1}),
               i -> CAST(eb.embedding[i] AS DOUBLE) * sm.signs[i])) AS dot
-  FROM embeddings eb CROSS JOIN sm
+  FROM {src} eb CROSS JOIN sm
 ),
 b AS (
   SELECT vec_id,
@@ -50,6 +55,9 @@ b AS (
   FROM dots GROUP BY vec_id
 )
 """
+
+
+_BUCKETS_CTE = _buckets_cte()
 
 
 def _emb(spark, sf_dir):
@@ -106,20 +114,86 @@ def ann_lsh_topk(spark, sf_dir):
     return simsearch.rp_lsh_topk(_emb(spark, sf_dir))
 
 
+_ND_BITS = simsearch.NEAR_DUP_BITS
+
+_PAIR_COS = (
+    f"list_sum(list_transform(range(1, {D + 1}), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"
+    " / (a.nrm * c.nrm) * 1000000.0"
+)
+
+
+def _near_dup_oracle(src: str = "embeddings", extra_cte: str = "") -> str:
+    return f"""
+    WITH {extra_cte}{_e_cte(src)},
+    {_buckets_cte(_ND_BITS, src)},
+    side AS (SELECT e.vec_id, e.embedding, e.nrm, b.bucket FROM e JOIN b USING (vec_id))
+    SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+           CAST(round({_PAIR_COS}) AS BIGINT) AS cos_1e6
+    FROM side a JOIN side c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE CAST(round({_PAIR_COS}) AS BIGINT) >= 350000
+    """
+
+
+@query("emb_near_dups", oracle=_near_dup_oracle())
+def emb_near_dups(spark, sf_dir):
+    """LSH-bucketed near-duplicate pairs: candidates by rp-LSH bucket
+    equi-key, exact cosine verified per bucket via grouped-map matmul —
+    zero driver materialization (the 10^12-row plan shape)."""
+    return simsearch.embedding_near_dups(_emb(spark, sf_dir))
+
+
+_SKEW_COPIES = 48
+_SKEW_CTE = f"""
+emb2 AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT 1000000 + r AS vec_id, embedding
+  FROM embeddings CROSS JOIN (SELECT unnest(range(0, {_SKEW_COPIES})) AS r)
+  WHERE vec_id = 0
+),
+"""
+
+
+def _planted_emb(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    copies = (
+        emb.where(F.col("vec_id") == 0)
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(_SKEW_COPIES - 1))).alias("r"),
+            "embedding",
+        )
+        .select((F.lit(1000000) + F.col("r")).alias("vec_id"), "embedding")
+    )
+    return emb.unionByName(copies)
+
+
 @query(
-    "emb_near_dups",
+    "emb_near_dups_skew",
+    oracle=_near_dup_oracle("emb2", _SKEW_CTE),
+)
+def emb_near_dups_skew(spark, sf_dir):
+    """Mega-bucket fixture: 48 exact copies of one vector land in a single
+    LSH bucket (the boilerplate-page shape). The grouped-map scorer must
+    emit every copy pair at cos 1e6 without driver involvement."""
+    return simsearch.embedding_near_dups(_planted_emb(spark, sf_dir))
+
+
+@query(
+    "emb_near_dup_overflow",
     oracle=f"""
-    WITH {_E_CTE},
-    qset AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e)
-    SELECT qset.qid AS vec_a, e.vec_id AS vec_b,
-           CAST(round({_DOT_QE} / (e.nrm * qset.qn) * 1000000.0) AS BIGINT) AS cos_1e6
-    FROM e CROSS JOIN qset
-    WHERE qset.qid < e.vec_id
-      AND CAST(round({_DOT_QE} / (e.nrm * qset.qn) * 1000000.0) AS BIGINT) >= 350000
+    WITH {_SKEW_CTE.rstrip().rstrip(',')},
+    {_buckets_cte(_ND_BITS, 'emb2')}
+    SELECT bucket, count(*) AS n_vecs FROM b GROUP BY bucket HAVING count(*) > 40
     """,
 )
-def emb_near_dups(spark, sf_dir):
-    return simsearch.embedding_near_dups(_emb(spark, sf_dir))
+def emb_near_dup_overflow(spark, sf_dir):
+    """The non-silent drop counter: with the cap forced under the planted
+    cluster size, its bucket must surface here (and would be excluded from
+    pairwise scoring at the same cap)."""
+    return simsearch.near_dup_overflow(_planted_emb(spark, sf_dir), max_bucket=40)
 
 
 _CELLS = simsearch.IVF_CELLS

@@ -45,3 +45,52 @@ def test_buckets_cover_all_vectors(emb):
     b = simsearch.rp_lsh_buckets(emb)
     assert b.count() == n
     assert b.where(F.col("bucket").isNull()).count() == 0
+
+
+def test_near_dups_plan_is_distributed(emb, spark):
+    """The near-dup scorer must be a grouped-map over bucket — building
+    the plan runs NO Spark job (the old version collect()ed the corpus to
+    the driver at plan-build time) and the physical plan is
+    scan -> exchange on bucket -> FlatMapGroupsInPandas, no Collect."""
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup() or [])
+    df = simsearch.embedding_near_dups(emb)
+    jobs_after = len(tracker.getJobIdsForGroup() or [])
+    assert jobs_after == jobs_before, "plan construction triggered a Spark job"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CollectLimit" not in plan
+
+
+def test_near_dups_symmetric_with_brute_scores(emb):
+    """Every emitted pair must be ordered, unique, and >= threshold."""
+    out = simsearch.embedding_near_dups(emb).toPandas()
+    assert (out.vec_a < out.vec_b).all()
+    assert out.duplicated(["vec_a", "vec_b"]).sum() == 0
+    assert (out.cos_1e6 >= 350000).all()
+
+
+def test_near_dups_bucket_cap_drops_and_surfaces(emb):
+    """With the cap forced below a planted cluster size, the cluster's
+    pairs vanish from the pairwise output and its bucket appears in the
+    overflow report instead — the drop is never silent."""
+    copies = (
+        emb.where(F.col("vec_id") == 0)
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(59))).alias("r"), "embedding"
+        )
+        .select((F.lit(1000000) + F.col("r")).alias("vec_id"), "embedding")
+    )
+    planted = emb.select("vec_id", "embedding").unionByName(copies)
+
+    capped = simsearch.embedding_near_dups(planted, max_bucket=50).toPandas()
+    assert not (capped.vec_a >= 1000000).any()  # cluster pairs dropped
+
+    overflow = simsearch.near_dup_overflow(planted, max_bucket=50).toPandas()
+    assert len(overflow) >= 1
+    assert (overflow.n_vecs > 50).all()
+
+    uncapped = simsearch.embedding_near_dups(planted).toPandas()
+    planted_pairs = uncapped[(uncapped.vec_a >= 1000000) & (uncapped.vec_b >= 1000000)]
+    assert len(planted_pairs) == 60 * 59 // 2  # all copy pairs, cos = 1e6
+    assert (planted_pairs.cos_1e6 == 1000000).all()

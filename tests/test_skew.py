@@ -47,6 +47,46 @@ def test_salted_count_general(spark):
     assert plain == salted
 
 
+def test_mega_duplicate_cluster_is_capped_not_exploded(spark):
+    """North-rule skew case for dedup: a 1,000-copy boilerplate cluster.
+
+    With the bucket cap in force the LSH pair generator must not build
+    the ~500k-entry quadratic pair array for the cluster; the cluster
+    surfaces through the overflow counter and the exact-hash routing,
+    and organic pairs elsewhere are unaffected.
+    """
+    from hebrew_ner_spark.operators import dedup
+
+    boiler = "the same boilerplate page body repeated across mirror hosts"
+    rows = [Row(doc_id=i, text=boiler) for i in range(1000)]
+    rows += [
+        Row(doc_id=10000 + i, text=f"organic page {i % 5} with shared tail words here")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows).cache()
+
+    cap = 64
+    pairs = dedup.lsh_candidate_pairs(docs, cap=cap).toPandas()
+    # no pair touches the mega cluster...
+    assert not ((pairs.doc_a < 1000) | (pairs.doc_b < 1000)).any()
+    # ...but the organic near-dup pairs are all still found
+    assert len(pairs) > 0
+
+    over = dedup.lsh_overflow(docs, cap=cap).toPandas()
+    assert len(over) == dedup.LSH_BANDS  # one overflowing bucket per band
+    assert (over.n_docs == 1000).all()
+
+    routed = dedup.giant_bucket_groups(docs, cap=cap).toPandas()
+    assert len(routed) == dedup.LSH_BANDS  # one identical-text group per band
+    assert (routed.n_docs == 1000).all()
+    assert (routed.canonical_doc_id == 0).all()
+
+    sh_pairs = dedup.simhash_near_pairs(docs, cap=cap).toPandas()
+    assert not ((sh_pairs.doc_a < 1000) | (sh_pairs.doc_b < 1000)).any()
+    sh_over = dedup.simhash_overflow(docs, cap=cap).toPandas()
+    assert (sh_over.n_docs >= 1000).all() and len(sh_over) >= 1
+
+
 def test_salted_agg_algebraic_measures(spark):
     df = spark.createDataFrame(
         [Row(k="hot", v=float(i)) for i in range(1000)]
