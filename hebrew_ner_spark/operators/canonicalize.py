@@ -8,9 +8,13 @@ is label propagation to fixpoint:
 
     label(v) <- min(label(v), min over neighbours u of label(u))
 
-Each round is one join + one aggregation; convergence needs O(diameter)
-rounds (duplicate clusters and alias groups have tiny diameters; a chain
-of D near-dup docs needs D rounds — cap and surface non-convergence).
+Each round is a neighbour-min join + aggregation **plus a pointer-
+doubling shortcut** (label(v) <- label(label(v)), the large-star move of
+the Kiveris et al. "Connected Components in MapReduce" family): reach
+doubles every round, so convergence needs O(log diameter) rounds — a
+1,000-doc near-dup chain closes in ~10 rounds instead of 1,000. If the
+cap is still hit, the operator RAISES rather than returning silently
+split components.
 
 Scale notes:
 * edges are symmetrized once; each round shuffles by vertex id — a
@@ -51,18 +55,34 @@ def connected_components(
         .withColumn("component", F.col("vertex"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_rounds):
         neigh_min = (
             sym.join(labels, sym["b"] == labels["vertex"])
             .groupBy("a")
             .agg(F.min("component").alias("n_comp"))
         )
+        stepped = labels.join(
+            neigh_min, labels["vertex"] == neigh_min["a"], "left"
+        ).select(
+            "vertex",
+            F.least(
+                F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+            ).alias("component"),
+        )
+        # pointer doubling: label(v) <- min(label(v), label(label(v))).
+        # component values are always vertex ids present in `stepped`
+        # (initial labels are self-ids; every update copies another
+        # label), so the shortcut join always resolves.
+        comp_of = stepped.select(
+            F.col("vertex").alias("cv"), F.col("component").alias("cc")
+        )
         new_labels = (
-            labels.join(neigh_min, labels["vertex"] == neigh_min["a"], "left")
+            stepped.join(comp_of, stepped["component"] == comp_of["cv"], "left")
             .select(
                 "vertex",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+                    F.col("component"), F.coalesce(F.col("cc"), F.col("component"))
                 ).alias("component"),
             )
             .localCheckpoint()
@@ -77,6 +97,12 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} "
+            f"rounds ({changed} labels still changing) — raise max_rounds; "
+            "results would be silently split components otherwise"
+        )
     return labels
 
 

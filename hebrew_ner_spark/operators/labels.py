@@ -215,16 +215,38 @@ def build_vocab(docs: DataFrame) -> DataFrame:
     """Alphabet build over the 'training half' (even doc_ids): distinct
     tokens -> dense ids from 1 (0 is reserved, alphabet.py:16-44).
 
-    The global sort is over the *vocabulary* (tiny vs corpus); at scale
-    this table is computed once and broadcast everywhere.
+    Ids are the global alphabetical rank, assigned with a **two-level
+    rank** instead of one un-partitioned window: rank within a prefix
+    bucket (hash-partitioned window — every executor sorts only its
+    buckets) plus a cumulative bucket offset. The only single-partition
+    window runs over the bucket-count table (at most |alphabet|^2 rows —
+    thousands — regardless of vocabulary size), so a 10^8-type web-corpus
+    vocabulary never funnels through one task. The 2-char prefix is a
+    monotone key: ordering by (bucket, token) == ordering by token.
     """
     vocab = (
         kg.doc_tokens(docs.where(F.col("doc_id") % 2 == 0))
         .select("token")
         .distinct()
+        .withColumn("bkt", F.substring("token", 1, 2))
     )
-    w = Window.orderBy("token")
-    return vocab.withColumn("token_id", F.row_number().over(w).cast("long"))
+    local = vocab.withColumn(
+        "local_rank",
+        F.row_number().over(Window.partitionBy("bkt").orderBy("token")),
+    )
+    counts = vocab.groupBy("bkt").agg(F.count("*").alias("n"))
+    offsets = counts.withColumn(
+        "off",
+        F.coalesce(
+            F.sum("n").over(
+                Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("bkt", "off")
+    return local.join(F.broadcast(offsets), "bkt").select(
+        "token", (F.col("off") + F.col("local_rank")).cast("long").alias("token_id")
+    )
 
 
 def alphabet_encode(docs: DataFrame, unk_id: int = 0) -> DataFrame:

@@ -10,8 +10,13 @@ processing.
 
 * ``run_incremental_triples`` — drain whatever landed in a documents
   directory with Trigger.availableNow, extract triples per micro-batch
-  through the *identical* batch operator, append to parquet. Re-running
-  after new files arrive processes only the new files.
+  through the *identical* batch operator, write parquet. Re-running
+  after new files arrive processes only the new files. The sink is
+  **idempotent per micro-batch**: each batch overwrites its own
+  deterministic ``batch_id=<N>`` subdirectory, so a crash between the
+  sink write and the streaming checkpoint commit replays the batch into
+  the same path instead of duplicating rows (a plain append would be
+  at-least-once).
 * ``run_windowed_event_counts`` — event-time tumbling-window counts with
   a watermark for late data, drained with availableNow; the aggregate
   matches the batch groupBy exactly once the stream is drained.
@@ -49,10 +54,13 @@ def run_incremental_triples(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         n_batches["n"] += 1
+        # overwrite of a batch-keyed path = exactly-once under replay:
+        # the same batch_id always lands in (and fully replaces) the
+        # same directory, whatever partial state a crash left there
         (
             kg.doc_triples(batch_df)
-            .write.mode("append")
-            .parquet(os.path.join(out_dir, "triples"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "triples", f"batch_id={batch_id}"))
         )
 
     q = (

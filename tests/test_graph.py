@@ -35,6 +35,29 @@ def test_connected_components_chain_needs_multiple_rounds(spark):
     assert all(cc[v] == 100 for v in (100, 101, 102))
 
 
+def test_connected_components_long_chain_converges_in_log_rounds(spark):
+    """Pointer doubling: a 200-node path (diameter 199) must close well
+    inside the default 25-round cap — plain min propagation would need
+    199 rounds and previously returned silently split components."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "src long, dst long"
+    )
+    cc = {r.vertex: r.component for r in canonicalize.connected_components(edges).collect()}
+    assert all(cc[v] == 0 for v in range(200))
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """With the round cap forced below what the graph needs, the operator
+    must raise instead of returning split components."""
+    import pytest as _pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "src long, dst long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        canonicalize.connected_components(edges, max_rounds=2)
+
+
 def test_dedup_components_deterministic_survivor(spark):
     pairs = spark.createDataFrame([(5, 9), (9, 3), (20, 21)], "doc_a long, doc_b long")
     out = {r.doc_id: r.component_id for r in canonicalize.dedup_components(pairs).collect()}

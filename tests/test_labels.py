@@ -66,3 +66,24 @@ def test_scheme_converters():
     assert bio_to_bioes("I-PER", "I-PER") == "I-PER"
     assert bio_to_bioes("I-PER", "B-PER") == "E-PER"
     assert bio_to_bioes("O", "B-PER") == "O"
+
+
+def test_build_vocab_two_level_rank_matches_global_order(spark):
+    """Distributed vocab ids must equal the dense global alphabetical
+    rank, without an un-partitioned sort of the full vocabulary: the
+    token-ranking window is hash-partitioned on the prefix bucket."""
+    from pyspark.sql import Row
+
+    from hebrew_ner_spark.operators.labels import build_vocab
+
+    words = ["zebra", "apple", "ant", "a", "ab", "spark", "sp", "table", "שלום", "של"]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i * 2, text=" ".join(words[i::3])) for i in range(3)]
+    )
+    out = build_vocab(docs).toPandas().sort_values("token_id")
+    expected = sorted(set(w for i in range(3) for w in words[i::3]))
+    assert out.token.tolist() == expected
+    assert out.token_id.tolist() == list(range(1, len(expected) + 1))
+
+    plan = build_vocab(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(bkt" in plan  # per-bucket sort, not global

@@ -46,6 +46,31 @@ def test_incremental_triples_processes_only_new_files(spark, tmp_path):
     assert spark.read.parquet(f"{out}/triples").count() == got2
 
 
+def test_incremental_sink_is_idempotent_under_replay(spark, tmp_path):
+    """Exactly-once: replaying the same micro-batches (checkpoint lost,
+    files re-read in the same order) must overwrite the per-batch
+    directories, not duplicate rows — a plain append sink would double
+    the output here."""
+    src = str(tmp_path / "incoming")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").where("doc_id < 40")
+    docs.coalesce(1).write.parquet(str(tmp_path / "h"))
+    part = [f for f in os.listdir(str(tmp_path / "h")) if f.endswith(".parquet")][0]
+    shutil.copy(os.path.join(str(tmp_path / "h"), part), os.path.join(src, "f.parquet"))
+
+    incremental.run_incremental_triples(spark, src, out, ckpt)
+    first = spark.read.parquet(f"{out}/triples").count()
+    assert first == kg.doc_triples(docs).count()
+
+    # simulate a crash that lost the streaming checkpoint: full replay
+    shutil.rmtree(ckpt)
+    incremental.run_incremental_triples(spark, src, out, ckpt)
+    assert spark.read.parquet(f"{out}/triples").count() == first
+
+
 def test_windowed_event_counts_match_batch_up_to_watermark(spark, tmp_path):
     src = str(tmp_path / "events_in")
     out = str(tmp_path / "agg_out")
