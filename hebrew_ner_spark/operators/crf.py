@@ -1,0 +1,235 @@
+"""Linear-chain CRF decoding: exact Viterbi max-DP (M7) and k-best (M8).
+
+Reference parity: ``model/crf.py:104-265`` (``_viterbi_decode``: per-step
+max over previous states with backpointers, length-masked, START/STOP
+boundary transitions) and ``model/crf.py:267-437``
+(``_viterbi_decode_nbest``: per-state top-k partitions), invoked from the
+predict path at ``ncrf_main.py:172-178``. The sandbox has no torch, so the
+weight tensor is a **deterministic seeded integer model** derived from the
+portable 60-bit md5 hash (functions/hashing.py):
+
+    emission(token, label) = phash('E|token|label') mod 1,000,003
+    transition(l1, l2)     = phash('T|l1|l2')      mod 1,000,003
+    start(l) / end(l)      = phash('S|l') / phash('F|l') mod 1,000,003
+
+Every transition differs, so the best path genuinely depends on the DP —
+a per-position argmax decodes differently — and integer scores make the
+whole decode exact in every engine: the DuckDB oracle verifies it against
+brute-force enumeration of all 5^T paths over short sentences
+(querydefs/mentions_q.py), the same closed-form strategy as the lattice
+oracles.
+
+Ordering contract (ties CAN happen — sums of ~11 bounded hashes collide):
+paths rank by (score DESC, label sequence ASC front-lexicographically).
+This order is extension-invariant (appending the same suffix preserves
+both keys), so per-state top-k beam pruning is exact, not approximate.
+
+Scale shape: decoding is embarrassingly parallel — one ``mapInPandas``
+over token arrays, executor-local model singleton (M11), zero shuffles.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator, List, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+LABELS = ["O", "B-TERM", "I-TERM", "E-TERM", "S-TERM"]
+SCORE_MOD = 1_000_003
+NBEST_K = 3
+
+_CRF = None  # executor-local singleton (M11 pattern)
+
+
+def _phash(s: str) -> int:
+    """Portable 60-bit md5 hash, seed 0 — identical in Spark SQL, DuckDB
+    and Python (functions/hashing.py convention)."""
+    return int(hashlib.md5(f"{s}:0".encode()).hexdigest()[:15], 16)
+
+
+class SeededCRF:
+    """Deterministic integer CRF: hash-seeded weights, exact decoding.
+
+    A neural drop-in replaces ``emission_row`` with model logits and the
+    weight tables with learned tensors; the DP below is unchanged.
+    """
+
+    def __init__(self, labels: List[str] | None = None) -> None:
+        self.labels = list(labels or LABELS)
+        L = len(self.labels)
+        self.trans = [
+            [_phash(f"T|{a}|{b}") % SCORE_MOD for b in self.labels]
+            for a in self.labels
+        ]
+        self.start = [_phash(f"S|{l}") % SCORE_MOD for l in self.labels]
+        self.end = [_phash(f"F|{l}") % SCORE_MOD for l in self.labels]
+        self.n_labels = L
+        self._em_cache: dict[str, List[int]] = {}
+
+    def emission_row(self, token: str) -> List[int]:
+        row = self._em_cache.get(token)
+        if row is None:
+            row = [_phash(f"E|{token}|{l}") % SCORE_MOD for l in self.labels]
+            self._em_cache[token] = row
+        return row
+
+    def decode_nbest(
+        self, tokens: List[str], k: int = NBEST_K
+    ) -> List[Tuple[int, Tuple[int, ...]]]:
+        """Top-k label paths for one sentence: [(score, label_idx_path)].
+
+        Beam-exact k-best Viterbi: each state (t, label) keeps its top-k
+        (score, path) candidates under the global ordering; ordering is
+        extension-invariant so pruning loses nothing
+        (model/crf.py:267-437 semantics with explicit paths instead of
+        normalized backpointer indexes).
+        """
+        if not tokens:
+            return []
+        L = self.n_labels
+        em0 = self.emission_row(tokens[0])
+        beams: List[List[Tuple[int, Tuple[int, ...]]]] = [
+            [(self.start[l] + em0[l], (l,))] for l in range(L)
+        ]
+        for t in range(1, len(tokens)):
+            em = self.emission_row(tokens[t])
+            new_beams = []
+            for l in range(L):
+                cands = [
+                    (s + self.trans[pl][l] + em[l], p + (l,))
+                    for pl in range(L)
+                    for (s, p) in beams[pl]
+                ]
+                cands.sort(key=lambda sp: (-sp[0], sp[1]))
+                new_beams.append(cands[:k])
+            beams = new_beams
+        final = [
+            (s + self.end[p[-1]], p) for l in range(L) for (s, p) in beams[l]
+        ]
+        final.sort(key=lambda sp: (-sp[0], sp[1]))
+        return final[:k]
+
+    def decode(self, tokens: List[str]) -> Tuple[int, Tuple[int, ...]]:
+        """M7: the exact 1-best Viterbi path (max-DP, START/STOP applied)."""
+        best = self.decode_nbest(tokens, k=1)
+        return best[0] if best else (0, ())
+
+
+def _get_crf() -> SeededCRF:
+    global _CRF
+    if _CRF is None:
+        _CRF = SeededCRF()
+    return _CRF
+
+
+def viterbi_decode_batch(
+    scores: np.ndarray,
+    lengths: np.ndarray,
+    trans: np.ndarray,
+    start: np.ndarray,
+    end: np.ndarray,
+) -> np.ndarray:
+    """Batched float Viterbi over padded emission tensors — the tensor
+    form of M7 used by the mention-model slot (mentions._Model.decode):
+    ``scores`` (n, max_len, L), returns (n, max_len) best-path indexes
+    (padded tail undefined). Max-DP with backpointers, ties to the
+    smallest label index (np.argmax first-occurrence), mirroring
+    model/crf.py:104-265 without the START/STOP padding columns.
+    """
+    n, max_len, L = scores.shape
+    dp = start[None, :] + scores[:, 0, :]
+    bps = np.zeros((n, max_len, L), dtype=np.int64)
+    dp_hist = [dp]
+    for t in range(1, max_len):
+        # cand[b, i, j] = dp[b, i] + trans[i, j]
+        cand = dp[:, :, None] + trans[None, :, :]
+        bps[:, t, :] = cand.argmax(axis=1)
+        dp = cand.max(axis=1) + scores[:, t, :]
+        dp_hist.append(dp)
+    out = np.zeros((n, max_len), dtype=np.int64)
+    for b in range(n):
+        T = int(lengths[b])
+        if T == 0:
+            continue
+        last = dp_hist[T - 1][b] + end
+        ptr = int(last.argmax())
+        out[b, T - 1] = ptr
+        for t in range(T - 1, 0, -1):
+            ptr = int(bps[b, t, ptr])
+            out[b, t - 1] = ptr
+    return out
+
+
+def viterbi_labels(toks_df: DataFrame) -> DataFrame:
+    """(doc_id, toks) -> (doc_id, word_index, token, label): exact 1-best
+    CRF decode per document. One mapInPandas, no shuffles."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        crf = _get_crf()
+        for pdf in batches:
+            doc_ids, widx, toks, labs = [], [], [], []
+            for doc_id, tlist in zip(pdf["doc_id"], pdf["toks"]):
+                tokens = list(tlist)
+                _, path = crf.decode(tokens)
+                for i, (tok, l) in enumerate(zip(tokens, path)):
+                    doc_ids.append(doc_id)
+                    widx.append(i)
+                    toks.append(tok)
+                    labs.append(crf.labels[l])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "word_index": pd.Series(widx, dtype="int64"),
+                    "token": pd.Series(toks, dtype="object"),
+                    "label": pd.Series(labs, dtype="object"),
+                }
+            )
+
+    return toks_df.mapInPandas(
+        run, "doc_id long, word_index long, token string, label string"
+    )
+
+
+def nbest_labels(toks_df: DataFrame, k: int = NBEST_K) -> DataFrame:
+    """(doc_id, toks) -> (doc_id, rank, word_index, token, label,
+    path_score): the k best label paths per document, rank 1 = Viterbi.
+    ``path_score`` is the exact integer path score (constant per
+    (doc_id, rank)) — the S11 sink derives its score header from it."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        crf = _get_crf()
+        for pdf in batches:
+            cols: dict[str, list] = {
+                "doc_id": [], "rank": [], "word_index": [],
+                "token": [], "label": [], "path_score": [],
+            }
+            for doc_id, tlist in zip(pdf["doc_id"], pdf["toks"]):
+                tokens = list(tlist)
+                for r, (score, path) in enumerate(crf.decode_nbest(tokens, k), 1):
+                    for i, (tok, l) in enumerate(zip(tokens, path)):
+                        cols["doc_id"].append(doc_id)
+                        cols["rank"].append(r)
+                        cols["word_index"].append(i)
+                        cols["token"].append(tok)
+                        cols["label"].append(crf.labels[l])
+                        cols["path_score"].append(score)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(cols["doc_id"], dtype="int64"),
+                    "rank": pd.Series(cols["rank"], dtype="int64"),
+                    "word_index": pd.Series(cols["word_index"], dtype="int64"),
+                    "token": pd.Series(cols["token"], dtype="object"),
+                    "label": pd.Series(cols["label"], dtype="object"),
+                    "path_score": pd.Series(cols["path_score"], dtype="int64"),
+                }
+            )
+
+    return toks_df.mapInPandas(
+        run,
+        "doc_id long, rank long, word_index long, token string, "
+        "label string, path_score long",
+    )

@@ -300,6 +300,96 @@ def token_accuracy(pred: DataFrame, gold: DataFrame) -> DataFrame:
     )
 
 
+def span_counts_by_doc(pred_spans: DataFrame, gold_spans: DataFrame) -> DataFrame:
+    """(doc_id, n_pred, n_gold, n_correct) — full outer over docs, so
+    gold-only documents (pure recall misses) are counted, unlike the
+    prediction-anchored nested view."""
+    keys = ["doc_id", "cat", "lo", "hi"]
+    np_ = pred_spans.groupBy("doc_id").agg(F.count("*").alias("n_pred"))
+    ng = gold_spans.groupBy("doc_id").agg(F.count("*").alias("n_gold"))
+    nc = (
+        pred_spans.join(gold_spans, keys, "inner")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_correct"))
+    )
+    return (
+        np_.join(ng, "doc_id", "full")
+        .join(nc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce("n_gold", F.lit(0)).cast("long").alias("n_gold"),
+            F.coalesce("n_correct", F.lit(0)).cast("long").alias("n_correct"),
+        )
+    )
+
+
+BOOTSTRAP_F1_B = 32
+
+
+def bootstrap_span_f1(doc_counts: DataFrame, b: int = BOOTSTRAP_F1_B) -> DataFrame:
+    """E6 at evaluation grain (utils/eval/conf_interval.py:17-31):
+    resample DOCUMENTS, recompute micro span F1 per replica.
+
+    Deterministic single-pass bootstrap — weight of (doc, replica) =
+    phash(doc_id:replica) % 3 (coarse Poisson(1), mean 1), one b-fold
+    explode + one aggregate, no RNG state to ship. Output one row per
+    replica: weighted counts + micro F1 = 2c/(p+g) in exact micro units.
+    """
+    weighted = doc_counts.select(
+        "doc_id",
+        "n_pred",
+        "n_gold",
+        "n_correct",
+        F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("replica"),
+    ).withColumn(
+        "w",
+        F.expr(
+            "pmod(CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':', "
+            "CAST(replica AS STRING))), 1, 15), 16, 10) AS BIGINT), 3)"
+        ),
+    )
+    return (
+        weighted.groupBy("replica")
+        .agg(
+            F.expr("CAST(sum(w * n_pred) AS BIGINT)").alias("n_pred_w"),
+            F.expr("CAST(sum(w * n_gold) AS BIGINT)").alias("n_gold_w"),
+            F.expr("CAST(sum(w * n_correct) AS BIGINT)").alias("n_correct_w"),
+            F.expr(
+                "CASE WHEN sum(w * n_pred) + sum(w * n_gold) = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE CAST(floor(2.0 * sum(w * n_correct) "
+                "/ (sum(w * n_pred) + sum(w * n_gold)) * 1000000.0 + 0.5) AS BIGINT) END"
+            ).alias("f1_1e6"),
+        )
+        .withColumn("replica", F.col("replica").cast("long"))
+    )
+
+
+def bootstrap_span_f1_ci(doc_counts: DataFrame, b: int = BOOTSTRAP_F1_B) -> DataFrame:
+    """Percentile CI from the replica distribution via exact order
+    statistics (engine-agnostic, unlike interpolated percentiles): lo =
+    2nd smallest, hi = 2nd largest of the b replica F1s (a ~93.75% CI at
+    b=32), plus the unresampled point estimate."""
+    boot = bootstrap_span_f1(doc_counts, b)
+    w = Window.orderBy(F.asc("f1_1e6"), F.asc("replica"))
+    ranked = boot.withColumn("rk", F.row_number().over(w))
+    point = doc_counts.agg(
+        F.expr(
+            "CASE WHEN sum(n_pred) + sum(n_gold) = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE CAST(floor(2.0 * sum(n_correct) "
+            "/ (sum(n_pred) + sum(n_gold)) * 1000000.0 + 0.5) AS BIGINT) END"
+        ).alias("f1_point_1e6")
+    )
+    ci = ranked.agg(
+        F.max(F.when(F.col("rk") == 2, F.col("f1_1e6"))).cast("long").alias("f1_lo_1e6"),
+        F.max(F.when(F.col("rk") == b - 1, F.col("f1_1e6"))).cast("long").alias(
+            "f1_hi_1e6"
+        ),
+        F.count("*").cast("long").alias("n_replicas"),
+    )
+    return ci.crossJoin(point)
+
+
 def normal_ci(f1: float, n: int, z: float = 1.96) -> float:
     """E5: normal-approximation confidence half-width for an F1 over n
     samples (utils/eval/conf_interval.py:34-45). Driver-side scalar."""

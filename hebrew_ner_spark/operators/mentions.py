@@ -16,7 +16,8 @@ over token arrays with
 * **length-sorted micro-batches** inside each Arrow batch (O1,
   ncrf_main.py:253-277): sort sentences by token count, pad to the
   micro-batch max, recover original order by inverse permutation;
-* a **per-sentence argmax/Viterbi decode** (M7) over emission scores.
+* a **batched Viterbi max-DP decode** (M7, crf.viterbi_decode_batch)
+  over emission scores under hard BIOSE transition legality.
 
 The sandbox has no torch, so the "model" is a deterministic gazetteer
 emission matrix + BIOSE transition constraints — the exact same tensor
@@ -45,17 +46,49 @@ MICRO_BATCH = 32  # HP_batch_size analog (utils/data.py:96, default 10)
 _MODEL = None  # executor-local singleton (M11 pattern)
 
 
+_NEG = -1.0e9
+
+
+def _biose_legality() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(trans, start, end) float matrices: 0 for legal BIOSE moves,
+    -1e9 for illegal — the hard-constraint transition tensor a trained
+    CRF softens with learned weights."""
+    allow = {
+        "O": ("O", "B-TERM", "S-TERM"),
+        "B-TERM": ("I-TERM", "E-TERM"),
+        "I-TERM": ("I-TERM", "E-TERM"),
+        "E-TERM": ("O", "B-TERM", "S-TERM"),
+        "S-TERM": ("O", "B-TERM", "S-TERM"),
+    }
+    L = len(LABELS)
+    trans = np.full((L, L), _NEG)
+    for a, bs in allow.items():
+        for b in bs:
+            trans[_LABEL_IDX[a], _LABEL_IDX[b]] = 0.0
+    start = np.full(L, _NEG)
+    end = np.full(L, _NEG)
+    for l in ("O", "B-TERM", "S-TERM"):
+        start[_LABEL_IDX[l]] = 0.0
+    for l in ("O", "E-TERM", "S-TERM"):
+        end[_LABEL_IDX[l]] = 0.0
+    return trans, start, end
+
+
 class _Model:
-    """Deterministic emission model + BIOSE transition decoder.
+    """Deterministic emission model + real Viterbi decode.
 
     Emissions: entity tokens emit mass on B/I/E/S according to their
-    neighbourhood; the decode is a per-sentence argmax with transition
-    legality (a degenerate Viterbi: transitions force B->I/E, S/E/O->O/B/S
-    starts — with one-hot emissions the argmax equals the gazetteer rule).
+    neighbourhood; decode is the exact batched max-DP with backpointers
+    (crf.viterbi_decode_batch, M7) under hard BIOSE legality transitions.
+    With one-hot emissions the optimal path equals the gazetteer rule —
+    which is what makes this stage oracle-checkable bit-for-bit — and
+    swapping in learned logits + soft transitions changes only the
+    tensors, not the decode.
     """
 
     def __init__(self) -> None:
         self.ents = frozenset(ENTITY_TERMS)
+        self.trans, self.start, self.end = _biose_legality()
 
     def scores(self, batch: np.ndarray, lengths: np.ndarray) -> np.ndarray:
         """(n, max_len, n_labels) emission scores for a padded token batch."""
@@ -76,8 +109,13 @@ class _Model:
         return out
 
     def decode(self, scores: np.ndarray, lengths: np.ndarray) -> List[List[str]]:
-        """M7: per-sentence argmax decode, mask-truncated to true length."""
-        idx = scores.argmax(axis=-1)
+        """M7: batched Viterbi max-DP (model/crf.py:104-265 semantics),
+        mask-truncated to true length."""
+        from hebrew_ner_spark.operators.crf import viterbi_decode_batch
+
+        idx = viterbi_decode_batch(
+            scores.astype(np.float64), lengths, self.trans, self.start, self.end
+        )
         return [
             [LABELS[j] for j in idx[i, : lengths[i]]] for i in range(len(lengths))
         ]

@@ -373,3 +373,110 @@ def eval_span_prf_by_doc(spark, sf_dir):
             F.coalesce("n_correct", F.lit(0)).cast("long").alias("n_correct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# E6 proper: bootstrap CI at span-F1 grain (utils/eval/conf_interval.py:17-31
+# resamples sentences and recomputes F1 per replica; here documents are the
+# resampling unit, the weight is the deterministic phash(doc:replica) % 3).
+# ---------------------------------------------------------------------------
+
+_B = labels.BOOTSTRAP_F1_B
+
+_SPANS_CTES = f"""
+ps AS (
+  SELECT doc_id, substr(min(label), 3) AS cat, min(word_index) AS lo, max(word_index) AS hi
+  FROM (SELECT *, sum(CASE WHEN label LIKE 'B-%' OR label LIKE 'S-%' THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY word_index) AS span_id FROM p)
+  WHERE label <> 'O' GROUP BY doc_id, span_id
+),
+gs AS (
+  SELECT doc_id, substr(min(label), 3) AS cat, min(word_index) AS lo, max(word_index) AS hi
+  FROM (SELECT *, sum(CASE WHEN label LIKE 'B-%' OR label LIKE 'S-%' THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY word_index) AS span_id FROM g)
+  WHERE label <> 'O' GROUP BY doc_id, span_id
+),
+np AS (SELECT doc_id, count(*) AS n_pred FROM ps GROUP BY doc_id),
+ng AS (SELECT doc_id, count(*) AS n_gold FROM gs GROUP BY doc_id),
+nc AS (SELECT ps.doc_id, count(*) AS n_correct
+       FROM ps JOIN gs ON ps.doc_id = gs.doc_id AND ps.cat = gs.cat
+                      AND ps.lo = gs.lo AND ps.hi = gs.hi
+       GROUP BY ps.doc_id),
+dc AS (
+  SELECT coalesce(np.doc_id, ng.doc_id) AS doc_id,
+         coalesce(n_pred, 0) AS n_pred,
+         coalesce(n_gold, 0) AS n_gold,
+         coalesce(n_correct, 0) AS n_correct
+  FROM np FULL JOIN ng ON np.doc_id = ng.doc_id
+  LEFT JOIN nc ON coalesce(np.doc_id, ng.doc_id) = nc.doc_id
+),
+wgt AS (
+  SELECT doc_id, n_pred, n_gold, n_correct, replica,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+              CAST(replica AS VARCHAR)), 1, 15)) AS BIGINT) % 3 AS w
+  FROM dc CROSS JOIN (SELECT unnest(range(0, {_B})) AS replica)
+),
+boot AS (
+  SELECT CAST(replica AS BIGINT) AS replica,
+         CAST(sum(w * n_pred) AS BIGINT) AS n_pred_w,
+         CAST(sum(w * n_gold) AS BIGINT) AS n_gold_w,
+         CAST(sum(w * n_correct) AS BIGINT) AS n_correct_w,
+         CASE WHEN sum(w * n_pred) + sum(w * n_gold) = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(floor(2.0 * sum(w * n_correct)
+                   / (sum(w * n_pred) + sum(w * n_gold)) * 1000000.0 + 0.5) AS BIGINT)
+         END AS f1_1e6
+  FROM wgt GROUP BY replica
+)
+"""
+
+
+def _doc_counts(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    pred = labels.spans_from_labels(kg.doc_token_labels(d))
+    gold = labels.spans_from_labels(kg.doc_token_labels(d, EVAL_GOLD_ENTITY_TERMS))
+    return labels.span_counts_by_doc(pred, gold)
+
+
+@query(
+    "eval_f1_bootstrap",
+    oracle=f"""
+    WITH {_TOKS_CTE}, {_lbl_cte(ENTITY_TERMS, 'p')}, {_lbl_cte(EVAL_GOLD_ENTITY_TERMS, 'g')},
+    {_SPANS_CTES.strip()}
+    SELECT replica, n_pred_w, n_gold_w, n_correct_w, f1_1e6 FROM boot
+    """,
+)
+def eval_f1_bootstrap(spark, sf_dir):
+    """E6 at span-F1 grain: 32 deterministic document-resampled replicas,
+    each with its weighted counts and exact micro F1."""
+    return labels.bootstrap_span_f1(_doc_counts(spark, sf_dir))
+
+
+@query(
+    "eval_f1_bootstrap_ci",
+    oracle=f"""
+    WITH {_TOKS_CTE}, {_lbl_cte(ENTITY_TERMS, 'p')}, {_lbl_cte(EVAL_GOLD_ENTITY_TERMS, 'g')},
+    {_SPANS_CTES.strip()},
+    ranked AS (
+      SELECT f1_1e6, replica,
+             row_number() OVER (ORDER BY f1_1e6 ASC, replica ASC) AS rk
+      FROM boot
+    ),
+    pt AS (
+      SELECT CASE WHEN sum(n_pred) + sum(n_gold) = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(floor(2.0 * sum(n_correct)
+                       / (sum(n_pred) + sum(n_gold)) * 1000000.0 + 0.5) AS BIGINT)
+             END AS f1_point_1e6
+      FROM dc
+    )
+    SELECT CAST(max(CASE WHEN rk = 2 THEN f1_1e6 END) AS BIGINT) AS f1_lo_1e6,
+           CAST(max(CASE WHEN rk = {_B} - 1 THEN f1_1e6 END) AS BIGINT) AS f1_hi_1e6,
+           CAST(count(*) AS BIGINT) AS n_replicas,
+           (SELECT f1_point_1e6 FROM pt) AS f1_point_1e6
+    FROM ranked
+    """,
+)
+def eval_f1_bootstrap_ci(spark, sf_dir):
+    """Percentile CI by exact order statistics over the replica F1s
+    (2nd smallest / 2nd largest of 32) plus the point estimate — the
+    artifact conf_interval.py reports for a model comparison."""
+    return labels.bootstrap_span_f1_ci(_doc_counts(spark, sf_dir))

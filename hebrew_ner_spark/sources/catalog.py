@@ -96,6 +96,118 @@ def read_decoded_text(spark: SparkSession, path: str):
     )
 
 
+def write_nbest_decoded_text(
+    nbest: DataFrame, path: str, n_partitions: int | None = None
+) -> None:
+    """S11 n-best decode sink (Data.write_nbest_decoded_results,
+    utils/data.py:399-442): per document a ``# s1 s2 ... sk`` score
+    header, then one ``token l1 l2 ... lk`` line per token (labels in
+    rank order), blank line between documents.
+
+    Input is the long n-best table from crf.nbest_labels
+    (doc_id, rank, word_index, token, label, path_score). The reference
+    header holds softmax path probabilities at 4 decimals; the integer
+    path scores are emitted as per-document shares at the same '%.4f'
+    format — the header is presentation, the exact scores live in the
+    table.
+    """
+    from pyspark.sql import functions as F
+
+    per_tok = nbest.groupBy("doc_id", "word_index").agg(
+        F.max("token").alias("token"),
+        F.expr(
+            "concat_ws(' ', transform(array_sort(collect_list(struct(rank, label))),"
+            " x -> x.label))"
+        ).alias("labs"),
+    )
+    body = per_tok.groupBy("doc_id").agg(
+        F.expr(
+            "concat_ws('\n', transform(array_sort(collect_list(struct(word_index, token, labs))),"
+            " x -> concat(x.token, ' ', x.labs)))"
+        ).alias("body")
+    )
+    hdr = (
+        nbest.select("doc_id", "rank", "path_score")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.expr("array_sort(collect_list(struct(rank, path_score)))").alias("rs"))
+        .withColumn(
+            "total", F.expr("aggregate(rs, 0L, (a, x) -> a + x.path_score)")
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "concat('# ', concat_ws(' ', transform(rs, "
+                "x -> format_string('%.4f', x.path_score / CAST(total AS DOUBLE)))))"
+            ).alias("header"),
+        )
+    )
+    out = (
+        hdr.join(body, "doc_id")
+        .orderBy("doc_id")
+        .select(
+            F.concat(
+                F.col("header"), F.lit("\n"), F.col("body"), F.lit("\n")
+            ).alias("value")
+        )
+    )
+    if n_partitions:
+        out = out.coalesce(n_partitions)
+    out.write.mode("overwrite").text(path)
+
+
+def read_nbest_decoded_text(spark: SparkSession, path: str):
+    """Round-trip scan of the S11 sink: '# ...' starts a document,
+    blank lines close it; token lines re-explode to the long
+    (doc_seq, rank, word_index, token, label) table plus the header's
+    score strings (doc_seq, rank, score_str)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    lines = spark.read.text(path).withColumn("_id", F.monotonically_increasing_id())
+    w = Window.orderBy("_id")
+    tagged = lines.withColumn(
+        "doc_seq",
+        F.sum(F.when(F.col("value").startswith("# "), 1).otherwise(0)).over(w),
+    ).where(F.col("value") != "")
+    headers = (
+        tagged.where(F.col("value").startswith("# "))
+        .select(
+            "doc_seq",
+            F.posexplode(F.split(F.expr("substring(value, 3)"), " ")).alias(
+                "r0", "score_str"
+            ),
+        )
+        .select("doc_seq", (F.col("r0") + 1).cast("long").alias("rank"), "score_str")
+    )
+    toks = (
+        tagged.where(~F.col("value").startswith("# "))
+        .withColumn(
+            "word_index",
+            (F.row_number().over(Window.partitionBy("doc_seq").orderBy("_id")) - 1).cast(
+                "long"
+            ),
+        )
+        .withColumn("parts", F.split("value", " "))
+        .select(
+            "doc_seq",
+            "word_index",
+            F.col("parts")[0].alias("token"),
+            F.posexplode(F.expr("slice(parts, 2, size(parts) - 1)")).alias(
+                "r0", "label"
+            ),
+        )
+        .select(
+            "doc_seq",
+            (F.col("r0") + 1).cast("long").alias("rank"),
+            "word_index",
+            "token",
+            "label",
+        )
+    )
+    return toks, headers
+
+
 def write_table(
     df: DataFrame,
     path: str,

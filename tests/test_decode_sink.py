@@ -25,3 +25,47 @@ def test_decode_sink_roundtrip(spark, tmp_path):
         ["doc_id", "word_index"]).reset_index(drop=True)
     b = orig[["doc_id", "word_index", "token", "label"]].reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_nbest_decode_sink_roundtrip(spark, tmp_path):
+    """S11 sink (utils/data.py:399-442 format): '# s1 s2 s3' header +
+    'token l1 l2 l3' lines round-trip to the exact n-best label table,
+    and headers carry one '%.4f' share per rank."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from hebrew_ner_spark.operators import crf
+    from hebrew_ner_spark.sources.catalog import (
+        read_nbest_decoded_text,
+        write_nbest_decoded_text,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").where("doc_id < 20")
+    toks = docs.select(
+        "doc_id", F.slice(F.split("text", " "), 1, 4).alias("toks")
+    )
+    nbest = crf.nbest_labels(toks, k=3).cache()
+    out = str(tmp_path / "nbest")
+    write_nbest_decoded_text(nbest, out, n_partitions=1)
+
+    back_toks, back_hdrs = read_nbest_decoded_text(spark, out)
+    bt = back_toks.toPandas()
+    bh = back_hdrs.toPandas()
+    orig = nbest.toPandas()
+
+    doc_ids = sorted(orig.doc_id.unique())
+    seq_to_doc = {i + 1: d for i, d in enumerate(doc_ids)}  # headers start seq at 1
+    bt["doc_id"] = bt.doc_seq.map(seq_to_doc)
+
+    key = ["doc_id", "rank", "word_index"]
+    a = bt[key + ["token", "label"]].sort_values(key).reset_index(drop=True)
+    b = orig[key + ["token", "label"]].sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+
+    # every doc header: 3 share strings at 4 decimals, summing to ~1
+    assert set(bh.doc_seq.unique()) == set(seq_to_doc)
+    for _, g in bh.groupby("doc_seq"):
+        assert g["rank"].tolist() == [1, 2, 3] or sorted(g["rank"]) == [1, 2, 3]
+        assert all(re.fullmatch(r"0\.\d{4}", s) for s in g.score_str)
+        assert abs(sum(float(s) for s in g.score_str) - 1.0) < 5e-4
