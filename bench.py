@@ -48,12 +48,24 @@ def run() -> dict:
         if os.path.exists(p):
             spark.read.parquet(p).count()
 
+    # SPARK_GRAFT_REPS>1 turns on per-query quantiles (E8 analog): p50 is
+    # what `queries`/total report, p95 lands in `queries_p95`, so a
+    # round-over-round regression is attributable per quantile. reps=1
+    # (the driver default) keeps suite wall-time unchanged: p50 == p95 ==
+    # the single measurement.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "1")))
     times: dict[str, float] = {}
+    p95s: dict[str, float] = {}
     for name, fn in QUERIES.items():
-        t0 = time.perf_counter()
-        n = force(fn(spark, SF_DIR))
-        times[name] = round(time.perf_counter() - t0, 4)
-        assert n >= 0
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            n = force(fn(spark, SF_DIR))
+            samples.append(time.perf_counter() - t0)
+            assert n >= 0
+        samples.sort()
+        times[name] = round(samples[(len(samples) - 1) // 2], 4)
+        p95s[name] = round(samples[max(0, -(-95 * len(samples) // 100) - 1)], 4)
 
     # headline: docs/sec through the KG extraction chain
     n_docs = load_table(spark, SF_DIR, "documents").count()
@@ -72,6 +84,8 @@ def run() -> dict:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)),
         "n_queries": len(times),
+        "reps": reps,
+        "queries_p95": p95s,
         "kg_docs_per_sec": docs_per_sec,
         "kg_chain_wall_sec": round(kg_wall, 4),
         "n_docs": n_docs,

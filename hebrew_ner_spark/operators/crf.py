@@ -143,24 +143,31 @@ def viterbi_decode_batch(
     n, max_len, L = scores.shape
     dp = start[None, :] + scores[:, 0, :]
     bps = np.zeros((n, max_len, L), dtype=np.int64)
-    dp_hist = [dp]
+    dp_hist = np.empty((n, max_len, L), dtype=np.float64)
+    dp_hist[:, 0, :] = dp
     for t in range(1, max_len):
         # cand[b, i, j] = dp[b, i] + trans[i, j]
         cand = dp[:, :, None] + trans[None, :, :]
         bps[:, t, :] = cand.argmax(axis=1)
         dp = cand.max(axis=1) + scores[:, t, :]
-        dp_hist.append(dp)
+        dp_hist[:, t, :] = dp
+    # backtrace, vectorized across the batch (a per-sentence Python loop
+    # here costs O(n * max_len) interpreter iterations — measurably the
+    # hot spot at corpus scale)
     out = np.zeros((n, max_len), dtype=np.int64)
-    for b in range(n):
-        T = int(lengths[b])
-        if T == 0:
+    rows = np.arange(n)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    nonzero = lengths > 0
+    last_t = np.maximum(lengths - 1, 0)
+    ptr = (dp_hist[rows, last_t, :] + end[None, :]).argmax(axis=1)
+    out[rows[nonzero], last_t[nonzero]] = ptr[nonzero]
+    for t in range(max_len - 1, 0, -1):
+        active = lengths > t  # rows whose path includes step t
+        if not active.any():
             continue
-        last = dp_hist[T - 1][b] + end
-        ptr = int(last.argmax())
-        out[b, T - 1] = ptr
-        for t in range(T - 1, 0, -1):
-            ptr = int(bps[b, t, ptr])
-            out[b, t - 1] = ptr
+        stepped = bps[rows, t, ptr]
+        ptr = np.where(active, stepped, ptr)
+        out[active, t - 1] = ptr[active]
     return out
 
 

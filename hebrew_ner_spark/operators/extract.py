@@ -56,3 +56,35 @@ def extracted(docs: DataFrame) -> DataFrame:
         "doc_id",
         extract_udf(F.col("html")).alias("extracted"),
     )
+
+
+def synth_webpages(docs: DataFrame) -> DataFrame:
+    """The north-rule input table, exactly the input_hint shape:
+    (url string, warc_ts timestamp, html binary, text string,
+    lang string) — a Common-Crawl-style page per document, synthesized
+    deterministically (url/timestamp are pure functions of doc_id, html
+    is the deterministic page skeleton). In production this is the
+    Iceberg scan; every downstream stage keys on ``url``."""
+    page = synth_html(docs)
+    return docs.join(page, "doc_id").select(
+        F.concat(
+            F.lit("https://example.org/"),
+            F.col("lang"),
+            F.lit("/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, doc_id)"
+        ).alias("warc_ts"),
+        "html",
+        "text",
+        "lang",
+    )
+
+
+def extract_webpages(pages: DataFrame) -> DataFrame:
+    """(url, warc_ts, html, ...) -> (url, extracted): the per-row
+    byte-identical extraction invariant at the input_hint grain. The
+    heavy ``html`` column feeds the Arrow UDF and is pruned immediately
+    after; nothing else shuffles."""
+    return pages.select("url", extract_udf(F.col("html")).alias("extracted"))

@@ -23,3 +23,30 @@ from hebrew_ner_spark.sources.catalog import load_table
 )
 def ext_text(spark, sf_dir):
     return extract.extracted(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "ext_webpages",
+    oracle="""
+    SELECT 'https://example.org/' || lang || '/doc/' || CAST(doc_id AS VARCHAR) AS url,
+           epoch_ms(TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND) AS warc_ms,
+           'doc ' || CAST(doc_id AS VARCHAR) || ' Document ' ||
+           CAST(doc_id AS VARCHAR) || ' ' || text AS extracted
+    FROM documents
+    """,
+)
+def ext_webpages(spark, sf_dir):
+    """The input_hint invariant end-to-end: synthesize the CC-style page
+    table (url, warc_ts, html, text, lang), run the Arrow extractor over
+    the html binary, and demand byte-identical text per url (plus the
+    deterministic warc_ts)."""
+    from pyspark.sql import functions as F
+
+    pages = extract.synth_webpages(load_table(spark, sf_dir, "documents"))
+    return (
+        extract.extract_webpages(pages)
+        .join(pages.select("url", "warc_ts"), "url")
+        .select(
+            "url", F.unix_millis("warc_ts").alias("warc_ms"), "extracted"
+        )
+    )

@@ -51,3 +51,41 @@ def test_per_row_byte_identical_invariant(spark):
     one = joined.limit(1).collect()[0]
     prefix = f"doc {one.doc_id} Document {one.doc_id} "
     assert one.extracted[len(prefix):] == one.text
+
+
+def test_webpages_shape_and_kg_chain_over_urls(spark):
+    """The input_hint table (url, warc_ts, html, text, lang) feeds the
+    whole chain: html -> extracted text -> triples, keyed by url, must
+    equal the triples of the equivalent doc-keyed corpus."""
+    from hebrew_ner_spark.operators import kg
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").where("doc_id < 60")
+    pages = extract.synth_webpages(docs).cache()
+
+    assert pages.columns == ["url", "warc_ts", "html", "text", "lang"]
+    assert dict(pages.dtypes)["html"] == "binary"
+    assert dict(pages.dtypes)["warc_ts"] == "timestamp"
+    assert pages.select("url").distinct().count() == pages.count()
+
+    ext = extract.extract_webpages(pages)
+    rekeyed = ext.select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        F.col("extracted").alias("text"),
+    )
+    got = {
+        (r.doc_id, r.word_index, r.subj, r.pred, r.obj)
+        for r in kg.doc_triples(rekeyed).collect()
+    }
+    expected_docs = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("doc "), F.col("doc_id").cast("string"),
+            F.lit(" Document "), F.col("doc_id").cast("string"),
+            F.lit(" "), F.col("text"),
+        ).alias("text"),
+    )
+    exp = {
+        (r.doc_id, r.word_index, r.subj, r.pred, r.obj)
+        for r in kg.doc_triples(expected_docs).collect()
+    }
+    assert got == exp and len(got) > 0
