@@ -402,30 +402,33 @@ def span_prf(pred_spans: DataFrame, gold_spans: DataFrame) -> DataFrame:
     """A8/J5/E1: micro P/R/F over exact span matches (CoNLL-2003 style).
 
     |correct| = inner join on (doc_id, cat, lo, hi); one output row with
-    integer micro-unit metrics so the hash is exact.
+    integer micro-unit metrics so the hash is exact. Entirely one Spark
+    plan — no driver-side counts, so it is a single job and works at any
+    scale. floor(x + 0.5), not round(): Python rounds half-to-even, SQL
+    half-up — this form is identical in every engine.
     """
     keys = ["doc_id", "cat", "lo", "hi"]
-    n_pred = pred_spans.count()
-    n_gold = gold_spans.count()
-    n_correct = pred_spans.join(gold_spans, keys, "inner").count()
-    import math
-
-    p = n_correct / n_pred if n_pred else 0.0
-    r = n_correct / n_gold if n_gold else 0.0
-    f = 2 * p * r / (p + r) if (p + r) else 0.0
-    # floor(x + 0.5), not round(): Python rounds half-to-even, SQL half-up —
-    # this form is identical in both engines.
-    spark = pred_spans.sparkSession
-    return spark.createDataFrame(
-        [
-            (
-                n_pred,
-                n_gold,
-                n_correct,
-                int(math.floor(p * 1_000_000 + 0.5)),
-                int(math.floor(r * 1_000_000 + 0.5)),
-                int(math.floor(f * 1_000_000 + 0.5)),
-            )
-        ],
-        "n_pred long, n_gold long, n_correct long, p_1e6 long, r_1e6 long, f1_1e6 long",
+    np_ = pred_spans.agg(F.count("*").cast("long").alias("n_pred"))
+    ng = gold_spans.agg(F.count("*").cast("long").alias("n_gold"))
+    nc = (
+        pred_spans.join(gold_spans, keys, "inner")
+        .agg(F.count("*").cast("long").alias("n_correct"))
+    )
+    return np_.crossJoin(ng).crossJoin(nc).select(
+        "n_pred",
+        "n_gold",
+        "n_correct",
+        F.expr(
+            "CASE WHEN n_pred = 0 THEN CAST(0 AS BIGINT) ELSE "
+            "CAST(floor((n_correct * 1.0 / n_pred) * 1000000.0 + 0.5) AS BIGINT) END"
+        ).alias("p_1e6"),
+        F.expr(
+            "CASE WHEN n_gold = 0 THEN CAST(0 AS BIGINT) ELSE "
+            "CAST(floor((n_correct * 1.0 / n_gold) * 1000000.0 + 0.5) AS BIGINT) END"
+        ).alias("r_1e6"),
+        F.expr(
+            "CASE WHEN n_pred = 0 OR n_gold = 0 OR n_correct = 0 THEN CAST(0 AS BIGINT) ELSE "
+            "CAST(floor(2.0 * (n_correct * 1.0 / n_pred) * (n_correct * 1.0 / n_gold) "
+            "/ (n_correct * 1.0 / n_pred + n_correct * 1.0 / n_gold) * 1000000.0 + 0.5) AS BIGINT) END"
+        ).alias("f1_1e6"),
     )

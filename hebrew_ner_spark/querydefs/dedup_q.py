@@ -105,11 +105,15 @@ docs2 AS (
 )
 """
 
-# A mega duplicate cluster for the bucket-cap gates: many copies of one doc.
+# A mega duplicate cluster for the bucket-cap gates: many copies of one
+# doc over a 250-doc base slice (the cap mechanics don't need the full
+# corpus; the slice keeps the three planted gates from tripling the
+# signature-chain cost in the bench).
 _MEGA_COPIES = 30
+_MEGA_BASE = 250
 _MEGA_CTE = f"""
 docs2 AS (
-  SELECT doc_id, text FROM documents
+  SELECT doc_id, text FROM documents WHERE doc_id < {_MEGA_BASE}
   UNION ALL
   SELECT 3000000 + r AS doc_id, text
   FROM documents CROSS JOIN (SELECT unnest(range(0, {_MEGA_COPIES})) AS r)
@@ -140,9 +144,10 @@ def _planted_docs(spark, sf_dir):
 def _mega_docs(spark, sf_dir):
     from pyspark.sql import functions as F
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    full = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = full.where(F.col("doc_id") < _MEGA_BASE)
     copies = (
-        docs.where(F.col("doc_id") == 0)
+        full.where(F.col("doc_id") == 0)
         .select(
             F.explode(F.sequence(F.lit(0), F.lit(_MEGA_COPIES - 1))).alias("r"),
             "text",

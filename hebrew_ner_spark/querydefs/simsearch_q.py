@@ -294,15 +294,22 @@ def ann_ivf_topk(spark, sf_dir):
 )
 def ann_recall(spark, sf_dir):
     """Recall@k of the RP-LSH path against exact brute force — the
-    quality/cost tradeoff metric an ANN deployment is tuned by."""
+    quality/cost tradeoff metric an ANN deployment is tuned by. One
+    Spark plan, no driver-side counts."""
     from pyspark.sql import functions as F
 
     emb = _emb(spark, sf_dir)
     brute = simsearch.brute_topk(emb).select("qid", "nid")
     lsh = simsearch.rp_lsh_topk(emb).select("qid", "nid")
-    n_brute = brute.count()
-    n_hit = lsh.join(brute, ["qid", "nid"]).count()
-    return spark.createDataFrame(
-        [("rp_lsh", n_brute, n_hit, round(n_hit * 1_000_000.0 / n_brute))],
-        "method string, n_brute long, n_hit long, recall_1e6 long",
+    nb = brute.agg(F.count("*").cast("long").alias("n_brute"))
+    nh = lsh.join(brute, ["qid", "nid"]).agg(
+        F.count("*").cast("long").alias("n_hit")
+    )
+    return nb.crossJoin(nh).select(
+        F.lit("rp_lsh").alias("method"),
+        "n_brute",
+        "n_hit",
+        F.expr(
+            "CAST(round(n_hit * 1000000.0 / n_brute) AS BIGINT)"
+        ).alias("recall_1e6"),
     )
