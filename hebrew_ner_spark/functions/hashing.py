@@ -74,3 +74,29 @@ def shingles_duck(toks_expr: str, k: int) -> str:
         f"list_distinct(list_transform(range(0, len({toks_expr}) - {k} + 1), "
         f"i -> array_to_string(({toks_expr})[i + 1:i + {k}], ' ')))"
     )
+
+
+# --- MinHash universal-hash family -----------------------------------------
+#
+# H seeded hashes per shingle as H md5 calls is the dominant dedup cost at
+# corpus scale. The standard fix: ONE strong base hash per shingle, then a
+# universal family h_s(x) = (a_s * x + b_s) mod p over it. p = 2^31 - 1
+# keeps a_s * x + b_s < 2^62 — exact in int64, so Spark and DuckDB agree
+# bit-for-bit with plain integer arithmetic (no 128-bit ops needed).
+
+MINHASH_P = 2_147_483_647  # 2^31 - 1, Mersenne prime
+
+
+def minhash_coeffs(num: int) -> list[tuple[int, int]]:
+    """Deterministic (a_s, b_s) per seed, derived from the portable md5
+    hash: a in [1, p-1], b in [0, p-1]."""
+    import hashlib
+
+    out = []
+    for s in range(num):
+        a = int(hashlib.md5(f"A|{s}:0".encode()).hexdigest()[:15], 16) % (
+            MINHASH_P - 1
+        ) + 1
+        b = int(hashlib.md5(f"B|{s}:0".encode()).hexdigest()[:15], 16) % MINHASH_P
+        out.append((a, b))
+    return out

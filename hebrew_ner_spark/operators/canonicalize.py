@@ -66,6 +66,7 @@ def connected_components(
             neigh_min, labels["vertex"] == neigh_min["a"], "left"
         ).select(
             "vertex",
+            F.col("component").alias("prev"),
             F.least(
                 F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
             ).alias("component"),
@@ -77,23 +78,21 @@ def connected_components(
         comp_of = stepped.select(
             F.col("vertex").alias("cv"), F.col("component").alias("cc")
         )
-        new_labels = (
+        # `prev` rides along so the convergence test is a plain aggregate
+        # over this round's result — no extra join + job per round
+        new_with_prev = (
             stepped.join(comp_of, stepped["component"] == comp_of["cv"], "left")
             .select(
                 "vertex",
+                "prev",
                 F.least(
                     F.col("component"), F.coalesce(F.col("cc"), F.col("component"))
                 ).alias("component"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "vertex")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_with_prev.where(F.col("component") != F.col("prev")).count()
+        labels = new_with_prev.select("vertex", "component")
         if changed == 0:
             break
     sym.unpersist()

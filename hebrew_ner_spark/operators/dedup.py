@@ -27,7 +27,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hebrew_ner_spark.functions.hashing import phash_sql_expr, shingles_col
+from hebrew_ner_spark.functions.hashing import (
+    MINHASH_P,
+    minhash_coeffs,
+    phash_sql_expr,
+    shingles_col,
+)
 from hebrew_ner_spark.operators.kg import with_tokens
 
 SHINGLE_K = 3          # word k-grams for MinHash / Jaccard
@@ -65,6 +70,23 @@ def exact_dup_groups(docs: DataFrame) -> DataFrame:
     )
 
 
+def _minhash_wide(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """(doc_id, h0..hH-1): one md5 per shingle + H universal-hash
+    derivations (a_s * base + b_s mod 2^31-1, exact in int64) — the
+    classic one-strong-hash MinHash family. All H mins still come out of
+    ONE aggregation pass with map-side partials; md5 runs once per
+    shingle instead of H times (the measured hot spot of the dedup
+    chain)."""
+    base = sh.withColumn(
+        "b31", F.expr(f"{phash_sql_expr('shingle', 0)} % {MINHASH_P}")
+    )
+    aggs = [
+        F.min(F.expr(f"({a}L * b31 + {b}L) % {MINHASH_P}")).alias(f"h{s}")
+        for s, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    ]
+    return base.groupBy("doc_id").agg(*aggs)
+
+
 def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES, k: int = SHINGLE_K) -> DataFrame:
     """(doc_id, seed, minhash): H-row signature per document.
 
@@ -73,12 +95,7 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES, k: int = S
     doc per partition. Documents with < k tokens have no shingles and are
     excluded (nothing to sign).
     """
-    sh = doc_shingles(docs, k)
-    aggs = [
-        F.min(F.expr(phash_sql_expr("shingle", s))).alias(f"h{s}")
-        for s in range(num_hashes)
-    ]
-    wide = sh.groupBy("doc_id").agg(*aggs)
+    wide = _minhash_wide(doc_shingles(docs, k), num_hashes)
     stack_args = ", ".join(f"{s}, h{s}" for s in range(num_hashes))
     return wide.select(
         "doc_id",
@@ -89,12 +106,7 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES, k: int = S
 def _band_keys(docs: DataFrame, bands: int = LSH_BANDS, num_hashes: int = NUM_HASHES, k: int = SHINGLE_K) -> DataFrame:
     """(doc_id, band, band_key) — md5 of the band's minhash sub-signature."""
     rows = num_hashes // bands
-    sh = doc_shingles(docs, k)
-    aggs = [
-        F.min(F.expr(phash_sql_expr("shingle", s))).alias(f"h{s}")
-        for s in range(num_hashes)
-    ]
-    wide = sh.groupBy("doc_id").agg(*aggs)
+    wide = _minhash_wide(doc_shingles(docs, k), num_hashes)
     band_cols = [
         F.md5(F.concat_ws("_", *[F.col(f"h{b * rows + r}") for r in range(rows)])).alias(f"b{b}")
         for b in range(bands)

@@ -16,8 +16,11 @@ K = dedup.SHINGLE_K
 H = dedup.NUM_HASHES
 ROWS = H // dedup.LSH_BANDS
 
-_PHASH_SEEDED = (
-    "CAST(concat('0x', substr(md5(shingle || ':' || CAST(seed AS VARCHAR)), 1, 15)) AS BIGINT)"
+from hebrew_ner_spark.functions.hashing import MINHASH_P, minhash_coeffs
+
+_COEFFS = minhash_coeffs(H)
+_SEEDS_VALUES = ", ".join(
+    f"({s}, {a}, {b})" for s, (a, b) in enumerate(_COEFFS)
 )
 
 def _sh_cte(src: str = "documents") -> str:
@@ -30,12 +33,21 @@ sh AS (
 
 
 def _sig_cte(src: str = "documents") -> str:
+    # one md5 per shingle + universal-hash family (a*x + b mod 2^31-1),
+    # mirroring dedup._minhash_wide exactly in int64 arithmetic
     return f"""
 {_sh_cte(src)},
-seeds AS (SELECT unnest(range(0, {H})) AS seed),
+hb AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(shingle || ':0'), 1, 15)) AS BIGINT)
+           % {MINHASH_P} AS b31
+  FROM sh
+),
+seeds AS (SELECT * FROM (VALUES {_SEEDS_VALUES}) AS t(seed, a, b)),
 sig AS (
-  SELECT doc_id, seed, min({_PHASH_SEEDED}) AS mh
-  FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+  SELECT doc_id, CAST(seed AS BIGINT) AS seed,
+         min((CAST(a AS BIGINT) * b31 + b) % {MINHASH_P}) AS mh
+  FROM hb CROSS JOIN seeds GROUP BY doc_id, seed
 )
 """
 
