@@ -163,21 +163,40 @@ def hourly_event_counts(events: DataFrame) -> DataFrame:
 def bootstrap_revenue(orders: DataFrame, b: int = BOOTSTRAP_B) -> DataFrame:
     """A11/E6: deterministic bootstrap of mean order price.
 
-    Resample weight for (order, replica i) = phash(o_orderkey:i) % 3
-    (mean 1, like a coarse Poisson(1)); per replica emit the weighted
-    mean in integer micro-cents. One explode (b-fold) + one aggregate —
-    the single-pass bootstrap the survey prescribes over A11's loop.
+    Resample weight for (order, replica i) = universal_hash_i(base) % 3
+    (mean 1, like a coarse Poisson(1)) where base is ONE portable md5 per
+    order and the per-replica hashes are (a_i * base + b_i) mod 2^31-1 —
+    exact int64 in both engines, and b-times fewer md5 evaluations than
+    hashing (order, replica) pairs. One explode (b-fold) + one aggregate
+    — the single-pass bootstrap the survey prescribes over A11's loop.
     """
-    weighted = orders.select(
-        "o_orderkey",
-        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
-        F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("replica"),
-    ).withColumn(
-        "w",
-        F.expr(
-            "pmod(CAST(conv(substr(md5(concat(CAST(o_orderkey AS STRING), ':', "
-            "CAST(replica AS STRING))), 1, 15), 16, 10) AS BIGINT), 3)"
-        ),
+    from hebrew_ner_spark.functions.hashing import MINHASH_P, minhash_coeffs
+
+    structs = ", ".join(
+        f"named_struct('replica', {r}, 'ca', {a}L, 'cb', {bb}L)"
+        for r, (a, bb) in enumerate(minhash_coeffs(b))
+    )
+    weighted = (
+        orders.select(
+            "o_orderkey",
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+            F.expr(
+                "CAST(conv(substr(md5(concat(CAST(o_orderkey AS STRING), ':0')), "
+                f"1, 15), 16, 10) AS BIGINT) % {MINHASH_P}"
+            ).alias("b31"),
+        )
+        .select(
+            "o_orderkey",
+            "cents",
+            "b31",
+            F.explode(F.expr(f"array({structs})")).alias("rc"),
+        )
+        .select(
+            "o_orderkey",
+            "cents",
+            F.col("rc.replica").alias("replica"),
+            F.expr(f"((rc.ca * b31 + rc.cb) % {MINHASH_P}) % 3").alias("w"),
+        )
     )
     return weighted.groupBy("replica").agg(
         # exact integer division: at ~14 significant digits a double

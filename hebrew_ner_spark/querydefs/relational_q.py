@@ -121,17 +121,29 @@ def evt_hourly_counts(spark, sf_dir):
     return relational.hourly_event_counts(load_table(spark, sf_dir, "events"))
 
 
+from hebrew_ner_spark.functions.hashing import MINHASH_P as _MINHASH_P
+from hebrew_ner_spark.functions.hashing import minhash_coeffs as _mc
+
+_BOOT_COEFFS = ", ".join(
+    f"({r}, {a}, {b})" for r, (a, b) in enumerate(_mc(relational.BOOTSTRAP_B))
+)
+
+
 @query(
     "rel_bootstrap_ci",
     oracle=f"""
-    WITH w AS (
+    WITH base AS (
       SELECT o_orderkey,
              CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
-             r.replica,
-             CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR) || ':' ||
-                         CAST(r.replica AS VARCHAR)), 1, 15)) AS BIGINT) % 3 AS w
+             CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR) || ':0'),
+                         1, 15)) AS BIGINT) % {_MINHASH_P} AS b31
       FROM orders
-      CROSS JOIN (SELECT unnest(range(0, {relational.BOOTSTRAP_B})) AS replica) r
+    ),
+    rc AS (SELECT * FROM (VALUES {_BOOT_COEFFS}) AS t(replica, ca, cb)),
+    w AS (
+      SELECT o_orderkey, cents, rc.replica,
+             ((CAST(ca AS BIGINT) * b31 + cb) % {_MINHASH_P}) % 3 AS w
+      FROM base CROSS JOIN rc
     )
     SELECT CAST(replica AS BIGINT) AS replica,
            CAST((sum(w * cents) * 1000000) // sum(w) AS BIGINT) AS mean_cents_1e6,

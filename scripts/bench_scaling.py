@@ -31,7 +31,10 @@ WORKLOAD = [
 # sf0.1 alone is too small for 32 cores — fixed per-query costs dominate
 # and scaling flattens. The scaling input is the sf corpus deterministically
 # replicated REPLICATION-fold (distinct doc_ids), identical at both levels.
-REPLICATION = 64
+# 256x (1.28M docs) keeps the 16-core wall around a minute now that the
+# dedup chain is ~3x faster — any smaller and constant per-job costs
+# (JVM scheduling, plan compile) pollute the ratio.
+REPLICATION = 256
 
 _CHILD = r"""
 import json, os, sys, time
@@ -45,7 +48,12 @@ from hebrew_ner_spark.sources.catalog import TABLES, load_table
 cores = int(sys.argv[1]); sf = sys.argv[2]; work = sys.argv[3]; rep = int(sys.argv[4])
 spark = get_spark("scale-%d" % cores, master="local[%d]" % cores,
                   shuffle_partitions=cores * 4,
-                  extra_conf={{"spark.driver.memory": "48g"}})
+                  extra_conf={{"spark.driver.memory": "48g",
+                              # the replicated corpus is ~300 MB: the 128 MB
+                              # default folds it into ~5 input splits, which
+                              # starves the 16-core level on every narrow
+                              # stage. 8 MB -> ~40 splits, both levels fed.
+                              "spark.sql.files.maxPartitionBytes": "8m"}})
 spark.sparkContext.setLogLevel("ERROR")
 
 # derived input: documents replicated rep-fold, everything else linked
