@@ -8,7 +8,7 @@ distributed, Spark-first engine:
     -> extract_text (vectorized pandas UDF, byte-identical per url)
     -> sentence split + tokenize (ports of the reference tokenizer semantics)
     -> mention detection (batched Arrow UDF, executor-local model singleton)
-    -> morphological lattice build + NER-evidence pruning (applyInPandas DFS)
+    -> morphological lattice build + NER-evidence pruning (batched mapInPandas DFS)
     -> morph->token label merge (join + concat_ws aggregation)
     -> dependency-pattern relation extraction -> (subj, pred, obj) triples
     -> entity linking (tiered broadcast join + MinHash-LSH)

@@ -3,9 +3,11 @@
 The reference models each token's morphological analyses as a small DAG
 (lattice) and prunes it with NER splitting evidence (G1-G3,
 utils/yap_graph.py:23-105). Spark disposition (SURVEY.md §2.7): the
-sub-lattices are tiny (<= ~30 vertices), so the correct idiom is
-``applyInPandas`` over groupBy(doc, token) running a single-node DFS per
-group — a distributed graph framework would be pure overhead here.
+sub-lattices are tiny (<= ~30 vertices), so the correct idiom is a
+sorted ``mapInPandas`` scanning (doc, token) group boundaries inside
+each Arrow batch and running the single-node DFS per group — a
+distributed graph framework would be pure overhead here, and per-group
+pandas frames (applyInPandas) cost ~1 ms of overhead per document.
 
 Design notes for 100 TB:
 * the lattice edge table is generated array-side (constant-folded CASE per
@@ -159,40 +161,66 @@ def prune_lattice(
     # transfer for the whole table. The memo below keeps the Python cost
     # of unambiguous tokens near zero instead.)
 
-    # Grouping is at DOCUMENT grain, not token grain: one pandas group per
-    # token would mean ~50 groups/doc x 10^12 docs of per-group scheduling
-    # overhead. Inside each document the token sub-lattices are found by a
-    # single sort + boundary scan (no pandas groupby per token), and the
-    # DFS result is memoized per (edge-shape, splitting): real corpora
-    # have heavy-tailed but highly repetitive lattice shapes, so the
-    # cache hit rate is near 1 and the DFS runs only for novel shapes.
+    # Processing is at ARROW-BATCH grain, not per-document pandas groups:
+    # groupBy(doc).applyInPandas builds one pandas frame per document —
+    # ~1 ms of per-group overhead x 10^12 docs is the real scale killer
+    # (measured: ~5 s of pure group overhead at 5k docs). Instead the
+    # edge table is hash-partitioned by doc and sorted, and mapInPandas
+    # scans (doc, word) boundaries inside each ~2k-row Arrow batch,
+    # carrying a possibly-split trailing group into the next batch.
+    # The DFS result is memoized per (edge-shape, splitting) as the
+    # group's whole keep-pattern: real corpora have heavy-tailed but
+    # highly repetitive lattice shapes, so the cache hit rate is near 1.
     memo: dict = {}
+    cols = ["doc_id", "word_index", "edge_order", "from_v", "to_v", "form"]
 
-    def _prune(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _process(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        pdf = pdf.sort_values(["word_index", "edge_order"])
+        doc = pdf["doc_id"].to_numpy()
         wi = pdf["word_index"].to_numpy()
         fv = pdf["from_v"].to_numpy()
         tv = pdf["to_v"].to_numpy()
         sp = pdf["splitting"].to_numpy()
         n = len(pdf)
-        bounds = np.flatnonzero(np.concatenate(([True], wi[1:] != wi[:-1], [True])))
+        bounds = np.flatnonzero(
+            np.concatenate(
+                ([True], (doc[1:] != doc[:-1]) | (wi[1:] != wi[:-1]), [True])
+            )
+        )
         keep = np.zeros(n, dtype=bool)
         for s, e in zip(bounds[:-1], bounds[1:]):
             edges = tuple(zip(fv[s:e].tolist(), tv[s:e].tolist()))
             key = (edges, int(sp[s]))
-            valid = memo.get(key)
-            if valid is None:
+            pattern = memo.get(key)
+            if pattern is None:
                 valid = prune_edge_group(list(edges), int(sp[s]), fallback)
-                memo[key] = valid
-            for i in range(s, e):
-                keep[i] = (fv[i], tv[i]) in valid
-        return pdf.loc[
-            keep, ["doc_id", "word_index", "edge_order", "from_v", "to_v", "form"]
-        ]
+                pattern = np.fromiter((pair in valid for pair in edges), dtype=bool)
+                memo[key] = pattern
+            keep[s:e] = pattern
+        return pdf.loc[keep, cols]
 
-    return joined.groupBy("doc_id").applyInPandas(_prune, EDGE_SCHEMA)
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last_doc = pdf["doc_id"].iloc[-1]
+            last_wi = pdf["word_index"].iloc[-1]
+            tail = (pdf["doc_id"] == last_doc) & (pdf["word_index"] == last_wi)
+            carry = pdf.loc[tail]
+            head = pdf.loc[~tail]
+            if len(head):
+                yield _process(head)
+        if carry is not None and len(carry):
+            yield _process(carry)
+
+    part = joined.repartition("doc_id").sortWithinPartitions(
+        "doc_id", "word_index", "edge_order"
+    )
+    return part.mapInPandas(_run, EDGE_SCHEMA)
 
 
 def filter_lattice_by_edges(lattice: DataFrame, valid_edges: DataFrame) -> DataFrame:

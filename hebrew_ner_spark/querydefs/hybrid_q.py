@@ -3,7 +3,7 @@
     tokens -> multi-tag mention labels        (M9 / J2+A4 merge)
            -> splitting evidence              (P11)
            -> ambiguous lattice               (S14 analog)
-           -> DFS prune by splitting          (G1-G3, applyInPandas)
+           -> DFS prune by splitting          (G1-G3, batched mapInPandas)
            -> disambiguated morphemes (MD)    (md_to_origins analog)
            -> morpheme-level labels           (join J2)
            -> '^'-merge + validate-to-single  (A4 + P10 UDF)

@@ -1,6 +1,6 @@
 """Lattice queries + DuckDB oracles.
 
-The Spark side runs the *real* DFS prune kernel inside applyInPandas; the
+The Spark side runs the *real* DFS prune kernel inside a batched mapInPandas; the
 oracles exploit the known shape of the synthetic lattices (morph chain +
 whole-token shortcut) to state the expected survivors in closed form — so
 the gate verifies the graph kernel's end-to-end behaviour exactly.
