@@ -153,8 +153,8 @@ def mention_spans(docs: DataFrame) -> DataFrame:
     )
 
 
-def doc_triples(docs: DataFrame) -> DataFrame:
-    """(doc_id, word_index, subj, pred, obj) — SVO triple extraction.
+def doc_triples(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """(key, word_index, subj, pred, obj) — SVO triple extraction.
 
     Dependency-pattern relation extraction (SURVEY.md §2.11 extract_triples)
     specialised to the synthetic corpus grammar: an entity token immediately
@@ -185,8 +185,8 @@ def doc_triples(docs: DataFrame) -> DataFrame:
                 """
             ),
         )
-        .select("doc_id", F.explode("triples").alias("tr"))
-        .select("doc_id", "tr.word_index", "tr.subj", "tr.pred", "tr.obj")
+        .select(key, F.explode("triples").alias("tr"))
+        .select(key, "tr.word_index", "tr.subj", "tr.pred", "tr.obj")
     )
 
 

@@ -194,7 +194,9 @@ def detect_mentions_length_binned(docs: DataFrame) -> DataFrame:
     toks = kg.with_tokens(docs).select(
         "doc_id", "toks", F.size("toks").alias("_len")
     )
-    binned = toks.repartitionByRange(8, "_len").drop("_len")
+    # partition count from spark.sql.shuffle.partitions (a literal count
+    # here would pin a 10^12-doc corpus to a handful of tasks)
+    binned = toks.repartitionByRange(F.col("_len")).drop("_len")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

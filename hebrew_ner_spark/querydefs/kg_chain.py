@@ -149,3 +149,46 @@ def kg_triple_counts_salted(spark, sf_dir):
 )
 def kg_entity_nodes(spark, sf_dir):
     return kg.entity_nodes(_docs(spark, sf_dir))
+
+
+@query(
+    "kg_web_triples",
+    oracle=f"""
+    WITH pages AS (
+      SELECT 'https://example.org/' || lang || '/doc/' || CAST(doc_id AS VARCHAR) AS url,
+             'doc ' || CAST(doc_id AS VARCHAR) || ' Document ' ||
+             CAST(doc_id AS VARCHAR) || ' ' || text AS text
+      FROM documents
+    ),
+    toks AS (
+      SELECT url,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS word_index,
+             unnest(string_split(text, ' ')) AS token
+      FROM pages
+    ),
+    w AS (
+      SELECT url, word_index, token,
+             lag(token)  OVER (PARTITION BY url ORDER BY word_index) AS subj,
+             lead(token) OVER (PARTITION BY url ORDER BY word_index) AS obj
+      FROM toks
+    )
+    SELECT url, word_index, subj, token AS pred, obj
+    FROM w
+    WHERE token IN {_PREDS_SQL} AND subj IN {_ENTS_SQL} AND obj IN {_ENTS_SQL}
+    """,
+)
+def kg_web_triples(spark, sf_dir):
+    """The north-rule chain at the input_hint grain, end to end as one
+    gate: CC-style pages (url, warc_ts, html, text, lang) -> Arrow html
+    extraction -> SVO triples keyed by url. The oracle recomputes the
+    extracted text closed-form per url, so the whole html -> triples path
+    is value-hash-verified, not just row-counted."""
+    from pyspark.sql import functions as F
+
+    from hebrew_ner_spark.operators import extract
+
+    pages = extract.synth_webpages(_docs(spark, sf_dir))
+    ext = extract.extract_webpages(pages).select(
+        "url", F.col("extracted").alias("text")
+    )
+    return kg.doc_triples(ext, key="url")
