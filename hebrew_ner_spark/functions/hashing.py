@@ -25,6 +25,15 @@ from pyspark.sql import functions as F
 HASH_BITS = 60
 
 
+def phash_py(s: str, seed: int = 0) -> int:
+    """The same 60-bit hash in pure Python — single source of truth for
+    driver-side constant derivation (CRF weights, minhash coefficients,
+    LSH sign matrices)."""
+    import hashlib
+
+    return int(hashlib.md5(f"{s}:{seed}".encode()).hexdigest()[:15], 16)
+
+
 def phash_col(col: Column, seed: int) -> Column:
     """60-bit portable hash of a string column, JVM-side."""
     return (
@@ -90,13 +99,9 @@ MINHASH_P = 2_147_483_647  # 2^31 - 1, Mersenne prime
 def minhash_coeffs(num: int) -> list[tuple[int, int]]:
     """Deterministic (a_s, b_s) per seed, derived from the portable md5
     hash: a in [1, p-1], b in [0, p-1]."""
-    import hashlib
-
     out = []
     for s in range(num):
-        a = int(hashlib.md5(f"A|{s}:0".encode()).hexdigest()[:15], 16) % (
-            MINHASH_P - 1
-        ) + 1
-        b = int(hashlib.md5(f"B|{s}:0".encode()).hexdigest()[:15], 16) % MINHASH_P
+        a = phash_py(f"A|{s}") % (MINHASH_P - 1) + 1
+        b = phash_py(f"B|{s}") % MINHASH_P
         out.append((a, b))
     return out

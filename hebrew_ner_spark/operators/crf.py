@@ -30,7 +30,6 @@ over token arrays, executor-local model singleton (M11), zero shuffles.
 
 from __future__ import annotations
 
-import hashlib
 from typing import Iterator, List, Tuple
 
 import numpy as np
@@ -47,8 +46,10 @@ _CRF = None  # executor-local singleton (M11 pattern)
 
 def _phash(s: str) -> int:
     """Portable 60-bit md5 hash, seed 0 — identical in Spark SQL, DuckDB
-    and Python (functions/hashing.py convention)."""
-    return int(hashlib.md5(f"{s}:0".encode()).hexdigest()[:15], 16)
+    and Python (single source: functions/hashing.py phash_py)."""
+    from hebrew_ner_spark.functions.hashing import phash_py
+
+    return phash_py(s)
 
 
 class SeededCRF:

@@ -175,23 +175,34 @@ def _bucket_overflow(
     )
 
 
-def lsh_candidate_pairs(docs: DataFrame, cap: int = MAX_BUCKET) -> DataFrame:
+def lsh_candidate_pairs(
+    docs: DataFrame, cap: int = MAX_BUCKET, keyed: DataFrame | None = None
+) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing at least one LSH band bucket.
 
     Bucket sizes follow the corpus duplicate-cluster distribution — AQE
     splits oversized shuffle partitions at runtime; buckets beyond ``cap``
     are excluded here and surfaced by ``lsh_overflow`` / routed through
-    ``giant_bucket_groups``.
+    ``giant_bucket_groups``. Pass a precomputed ``keyed`` band-key table
+    (``_band_keys``) to share one signature pass across the
+    pairs/overflow/routing trio — the signature chain is the dominant
+    dedup cost.
     """
-    return _bucket_pairs(_band_keys(docs), ["band", "band_key"], cap)
+    keyed = _band_keys(docs) if keyed is None else keyed
+    return _bucket_pairs(keyed, ["band", "band_key"], cap)
 
 
-def lsh_overflow(docs: DataFrame, cap: int = MAX_BUCKET) -> DataFrame:
+def lsh_overflow(
+    docs: DataFrame, cap: int = MAX_BUCKET, keyed: DataFrame | None = None
+) -> DataFrame:
     """(band, band_key, n_docs) for LSH buckets above the pairwise cap."""
-    return _bucket_overflow(_band_keys(docs), ["band", "band_key"], cap)
+    keyed = _band_keys(docs) if keyed is None else keyed
+    return _bucket_overflow(keyed, ["band", "band_key"], cap)
 
 
-def giant_bucket_groups(docs: DataFrame, cap: int = MAX_BUCKET) -> DataFrame:
+def giant_bucket_groups(
+    docs: DataFrame, cap: int = MAX_BUCKET, keyed: DataFrame | None = None
+) -> DataFrame:
     """Exact-hash routing for mega buckets: documents whose LSH band
     bucket exceeds ``cap`` are grouped by full text hash instead of being
     paired quadratically — (band, band_key, text_md5, n_docs,
@@ -199,7 +210,7 @@ def giant_bucket_groups(docs: DataFrame, cap: int = MAX_BUCKET) -> DataFrame:
     identical-text grouping recovers its duplicate structure in O(n).
     The band-key join is an equi-join; the giant-bucket side is tiny (one
     row per overflowing bucket) and broadcast."""
-    keyed = _band_keys(docs)
+    keyed = _band_keys(docs) if keyed is None else keyed
     giants = _bucket_overflow(keyed, ["band", "band_key"], cap).select(
         "band", "band_key"
     )
@@ -214,14 +225,24 @@ def giant_bucket_groups(docs: DataFrame, cap: int = MAX_BUCKET) -> DataFrame:
     )
 
 
-def near_dup_jaccard(docs: DataFrame, threshold: float = 0.5, k: int = SHINGLE_K) -> DataFrame:
+def near_dup_jaccard(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = SHINGLE_K,
+    cap: int = MAX_BUCKET,
+    keyed: DataFrame | None = None,
+) -> DataFrame:
     """LSH candidates verified with exact shingle Jaccard >= threshold.
 
     (doc_a, doc_b, jaccard_1e6). The exact intersection join touches only
     candidate pairs; |intersection| comes from one join + count, |union|
-    from per-doc shingle counts (|A| + |B| - |A∩B|).
+    from per-doc shingle counts (|A| + |B| - |A∩B|). Pairs inside over-cap
+    mega buckets are NOT generated here — consumers that must not lose
+    giant clusters (duplicate-component building) use
+    ``near_dup_pairs_all``, which unions the exact-hash hub pairs for
+    them.
     """
-    pairs = lsh_candidate_pairs(docs)
+    pairs = lsh_candidate_pairs(docs, cap, keyed)
     sh = doc_shingles(docs, k)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 
@@ -240,8 +261,10 @@ def near_dup_jaccard(docs: DataFrame, threshold: float = 0.5, k: int = SHINGLE_K
         inter.join(na, "doc_a")
         .join(nb, "doc_b")
         .withColumn(
+            # exact integer round-half-up: (2a*1e6 + b) DIV 2b — avoids
+            # DECIMAL-vs-DOUBLE quantization differences across engines
             "jaccard_1e6",
-            F.expr("CAST(round(n_inter * 1000000.0 / (n_a + n_b - n_inter)) AS BIGINT)"),
+            F.expr("CAST((2 * (n_inter) * 1000000 + (n_a + n_b - n_inter)) DIV (2 * (n_a + n_b - n_inter)) AS BIGINT)"),
         )
         .where(F.col("jaccard_1e6") >= int(threshold * 1_000_000))
         .select("doc_a", "doc_b", "jaccard_1e6")
@@ -337,3 +360,45 @@ def simhash_overflow(docs: DataFrame, cap: int = MAX_BUCKET) -> DataFrame:
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval"))
     return _bucket_overflow(blocks, ["band", "bval"], cap)
+
+
+def near_dup_pairs_all(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = SHINGLE_K,
+    cap: int = MAX_BUCKET,
+) -> DataFrame:
+    """(doc_a, doc_b) near-duplicate pairs with NO silent giant-cluster
+    loss: Jaccard-verified pairs from capped buckets UNION hub-and-spoke
+    pairs (canonical <-> member) for byte-identical members of over-cap
+    buckets. A 10^6-copy boilerplate cluster contributes 10^6 - 1 hub
+    edges instead of 10^12 pairwise edges, and connected components still
+    unify it into one cluster — this is the input the dedup-components
+    stage consumes.
+    """
+    keyed = _band_keys(docs, k=k)
+    verified = near_dup_jaccard(docs, threshold, k, cap, keyed).select(
+        "doc_a", "doc_b"
+    )
+    giants = giant_bucket_groups(docs, cap, keyed)
+    members = keyed.join(
+        F.broadcast(
+            _bucket_overflow(keyed, ["band", "band_key"], cap).select(
+                "band", "band_key"
+            )
+        ),
+        ["band", "band_key"],
+    )
+    hub = (
+        members.join(docs.select("doc_id", F.md5("text").alias("text_md5")), "doc_id")
+        .join(
+            giants.select("band", "band_key", "text_md5", "canonical_doc_id"),
+            ["band", "band_key", "text_md5"],
+        )
+        .where(F.col("doc_id") != F.col("canonical_doc_id"))
+        .select(
+            F.col("canonical_doc_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return verified.unionByName(hub).distinct()

@@ -295,7 +295,7 @@ def token_accuracy(pred: DataFrame, gold: DataFrame) -> DataFrame:
         F.count("*").alias("n_tokens"),
         F.sum(F.when(F.col("p") == F.col("g"), 1).otherwise(0)).cast("long").alias("n_match"),
         F.expr(
-            "CAST(round(sum(CASE WHEN p = g THEN 1 ELSE 0 END) * 1000000.0 / count(*)) AS BIGINT)"
+            "CAST((2 * (sum(CASE WHEN p = g THEN 1 ELSE 0 END)) * 1000000 + (count(*))) DIV (2 * (count(*))) AS BIGINT)"
         ).alias("accuracy_1e6"),
     )
 
@@ -356,8 +356,10 @@ def bootstrap_span_f1(doc_counts: DataFrame, b: int = BOOTSTRAP_F1_B) -> DataFra
             F.expr("CAST(sum(w * n_gold) AS BIGINT)").alias("n_gold_w"),
             F.expr("CAST(sum(w * n_correct) AS BIGINT)").alias("n_correct_w"),
             F.expr(
+                # explicit DOUBLE: decimal-typed literals would quantize
+                # differently from the DuckDB oracle (see span_prf)
                 "CASE WHEN sum(w * n_pred) + sum(w * n_gold) = 0 THEN CAST(0 AS BIGINT) "
-                "ELSE CAST(floor(2.0 * sum(w * n_correct) "
+                "ELSE CAST(floor(2.0 * CAST(sum(w * n_correct) AS DOUBLE) "
                 "/ (sum(w * n_pred) + sum(w * n_gold)) * 1000000.0 + 0.5) AS BIGINT) END"
             ).alias("f1_1e6"),
         )
@@ -376,7 +378,7 @@ def bootstrap_span_f1_ci(doc_counts: DataFrame, b: int = BOOTSTRAP_F1_B) -> Data
     point = doc_counts.agg(
         F.expr(
             "CASE WHEN sum(n_pred) + sum(n_gold) = 0 THEN CAST(0 AS BIGINT) "
-            "ELSE CAST(floor(2.0 * sum(n_correct) "
+            "ELSE CAST(floor(2.0 * CAST(sum(n_correct) AS DOUBLE) "
             "/ (sum(n_pred) + sum(n_gold)) * 1000000.0 + 0.5) AS BIGINT) END"
         ).alias("f1_point_1e6")
     )
@@ -414,21 +416,25 @@ def span_prf(pred_spans: DataFrame, gold_spans: DataFrame) -> DataFrame:
         pred_spans.join(gold_spans, keys, "inner")
         .agg(F.count("*").cast("long").alias("n_correct"))
     )
+    # every ratio is computed in explicit DOUBLE: a bare `x * 1.0` makes
+    # Spark evaluate the chain in DECIMAL(38,6) while DuckDB uses DOUBLE,
+    # and the two quantizations disagree at the floor(+0.5) boundary
+    # (observed: f1 661141 vs 661140 at sf0.001)
     return np_.crossJoin(ng).crossJoin(nc).select(
         "n_pred",
         "n_gold",
         "n_correct",
         F.expr(
             "CASE WHEN n_pred = 0 THEN CAST(0 AS BIGINT) ELSE "
-            "CAST(floor((n_correct * 1.0 / n_pred) * 1000000.0 + 0.5) AS BIGINT) END"
+            "CAST(floor((CAST(n_correct AS DOUBLE) / n_pred) * 1000000.0 + 0.5) AS BIGINT) END"
         ).alias("p_1e6"),
         F.expr(
             "CASE WHEN n_gold = 0 THEN CAST(0 AS BIGINT) ELSE "
-            "CAST(floor((n_correct * 1.0 / n_gold) * 1000000.0 + 0.5) AS BIGINT) END"
+            "CAST(floor((CAST(n_correct AS DOUBLE) / n_gold) * 1000000.0 + 0.5) AS BIGINT) END"
         ).alias("r_1e6"),
         F.expr(
             "CASE WHEN n_pred = 0 OR n_gold = 0 OR n_correct = 0 THEN CAST(0 AS BIGINT) ELSE "
-            "CAST(floor(2.0 * (n_correct * 1.0 / n_pred) * (n_correct * 1.0 / n_gold) "
-            "/ (n_correct * 1.0 / n_pred + n_correct * 1.0 / n_gold) * 1000000.0 + 0.5) AS BIGINT) END"
+            "CAST(floor(2.0 * (CAST(n_correct AS DOUBLE) / n_pred) * (CAST(n_correct AS DOUBLE) / n_gold) "
+            "/ (CAST(n_correct AS DOUBLE) / n_pred + CAST(n_correct AS DOUBLE) / n_gold) * 1000000.0 + 0.5) AS BIGINT) END"
         ).alias("f1_1e6"),
     )

@@ -21,8 +21,6 @@ hash is exact; ordering ties break on neighbor id, deterministically.
 
 from __future__ import annotations
 
-import hashlib
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -33,13 +31,12 @@ DEFAULT_K = 10
 
 
 def _sign(j: int, d: int) -> int:
-    """Deterministic ±1 from the shared 60-bit md5 hash of 'j_d:0'.
+    """Deterministic ±1 from the shared 60-bit md5 hash of 'j_d:0'
+    (functions/hashing.py phash_py) — reproduced in the DuckDB oracle
+    bit-for-bit."""
+    from hebrew_ner_spark.functions.hashing import phash_py
 
-    Mirrors functions/hashing.py: phash('{j}_{d}', 0) & 1 — reproduced in
-    the DuckDB oracle bit-for-bit.
-    """
-    h = int(hashlib.md5(f"{j}_{d}:0".encode()).hexdigest()[:15], 16)
-    return 1 if (h & 1) == 1 else -1
+    return 1 if (phash_py(f"{j}_{d}") & 1) == 1 else -1
 
 
 def sign_matrix(bits: int = LSH_BITS, dim: int = DIM) -> list[list[int]]:

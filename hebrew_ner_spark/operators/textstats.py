@@ -76,13 +76,13 @@ def doc_stats(docs: DataFrame) -> DataFrame:
         F.size("toks").cast("long").alias("n_tokens"),
         F.size(F.array_distinct("toks")).cast("long").alias("n_types"),
         F.expr(
-            "CAST(round(aggregate(toks, 0L, (a, t) -> a + length(t)) * 1000000.0 / size(toks)) AS BIGINT)"
+            "CAST((2 * (aggregate(toks, 0L, (a, t) -> a + length(t))) * 1000000 + (size(toks))) DIV (2 * (size(toks))) AS BIGINT)"
         ).alias("mean_tok_len_1e6"),
         F.expr(
-            f"CAST(round(size(filter(toks, t -> array_contains({stop_arr}, t))) * 1000000.0 / size(toks)) AS BIGINT)"
+            f"CAST((2 * (size(filter(toks, t -> array_contains({stop_arr}, t)))) * 1000000 + (size(toks))) DIV (2 * (size(toks))) AS BIGINT)"
         ).alias("stopword_ratio_1e6"),
         F.expr(
-            "CAST(round(length(regexp_replace(text, '[a-zA-Z0-9א-ת ]', '')) * 1000000.0 / length(text)) AS BIGINT)"
+            "CAST((2 * (length(regexp_replace(text, '[a-zA-Z0-9א-ת ]', ''))) * 1000000 + (length(text))) DIV (2 * (length(text))) AS BIGINT)"
         ).alias("punct_ratio_1e6"),
     )
 

@@ -67,9 +67,17 @@ _SH_CTE = _sh_cte()
 _SIG_CTE = _sig_cte()
 _BANDS_CTE = _bands_cte()
 
-_PAIRS_SQL = """
+# mirrors the operator exactly, including the MAX_BUCKET cap (vacuous at
+# sf0.01 — no bucket is near 4096 — but the oracle must not silently
+# diverge on the first corpus with an organic mega bucket)
+_PAIRS_SQL = f"""
 SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-FROM bands l JOIN bands r
+FROM bands l
+JOIN (SELECT band, band_key FROM bands
+      GROUP BY band, band_key
+      HAVING count(DISTINCT doc_id) <= {dedup.MAX_BUCKET}) ok
+  ON ok.band = l.band AND ok.band_key = l.band_key
+JOIN bands r
   ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
 """
 
@@ -211,11 +219,11 @@ def dedup_lsh_pairs(spark, sf_dir):
       GROUP BY p.doc_a, p.doc_b
     )
     SELECT i.doc_a, i.doc_b,
-           CAST(round(n_inter * 1000000.0 / (sa.n_sh + sb.n_sh - n_inter)) AS BIGINT) AS jaccard_1e6
+           CAST((2 * (n_inter) * 1000000 + (sa.n_sh + sb.n_sh - n_inter)) // (2 * (sa.n_sh + sb.n_sh - n_inter)) AS BIGINT) AS jaccard_1e6
     FROM inter i
     JOIN sizes sa ON sa.doc_id = i.doc_a
     JOIN sizes sb ON sb.doc_id = i.doc_b
-    WHERE CAST(round(n_inter * 1000000.0 / (sa.n_sh + sb.n_sh - n_inter)) AS BIGINT) >= 500000
+    WHERE CAST((2 * (n_inter) * 1000000 + (sa.n_sh + sb.n_sh - n_inter)) // (2 * (sa.n_sh + sb.n_sh - n_inter)) AS BIGINT) >= 500000
     """,
 )
 def dedup_near_jaccard(spark, sf_dir):
@@ -301,7 +309,12 @@ def dedup_giant_exact(spark, sf_dir):
     )
     SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
            CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
-    FROM blocks l JOIN blocks r
+    FROM blocks l
+    JOIN (SELECT band, bval FROM blocks
+          GROUP BY band, bval
+          HAVING count(DISTINCT doc_id) <= {dedup.MAX_BUCKET}) ok
+      ON ok.band = l.band AND ok.bval = l.bval
+    JOIN blocks r
       ON l.band = r.band AND l.bval = r.bval AND l.doc_id < r.doc_id
     WHERE bit_count(xor(l.simhash, r.simhash)) <= {dedup.HAMMING_MAX}
     """,

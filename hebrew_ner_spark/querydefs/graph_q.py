@@ -154,7 +154,7 @@ def kg_edges_q(spark, sf_dir):
       FROM inter i
       JOIN sizes sa ON sa.doc_id = i.doc_a
       JOIN sizes sb ON sb.doc_id = i.doc_b
-      WHERE CAST(round(n_inter * 1000000.0 / (sa.n_sh + sb.n_sh - n_inter)) AS BIGINT) >= 500000
+      WHERE CAST((2 * (n_inter) * 1000000 + (sa.n_sh + sb.n_sh - n_inter)) // (2 * (sa.n_sh + sb.n_sh - n_inter)) AS BIGINT) >= 500000
     ),
     sym AS (SELECT doc_a AS a, doc_b AS b FROM nd UNION SELECT doc_b, doc_a FROM nd),
     base AS (SELECT DISTINCT a, a AS b FROM sym UNION SELECT a, b FROM sym),
@@ -168,8 +168,11 @@ def kg_edges_q(spark, sf_dir):
 )
 def cc_dedup_components(spark, sf_dir):
     """G6: duplicate-document clusters via distributed label propagation;
-    oracle computes exact transitive closure recursively."""
-    pairs = dedup.near_dup_jaccard(_docs(spark, sf_dir))
+    oracle computes exact transitive closure recursively. Consumes
+    near_dup_pairs_all, so over-cap mega clusters still unify through
+    their exact-hash hub edges (no giants exist at this sf and cap — the
+    capped path is pinned by tests/test_skew.py)."""
+    pairs = dedup.near_dup_pairs_all(_docs(spark, sf_dir))
     return canonicalize.dedup_components(pairs)
 
 

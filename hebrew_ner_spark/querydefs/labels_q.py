@@ -267,7 +267,7 @@ def lbl_spans_window(spark, sf_dir):
     WITH {_TOKS_CTE}, {_lbl_cte(ENTITY_TERMS, 'p')}, {_lbl_cte(EVAL_GOLD_ENTITY_TERMS, 'g')}
     SELECT count(*) AS n_tokens,
            CAST(sum(CASE WHEN p.label = g.label THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
-           CAST(round(sum(CASE WHEN p.label = g.label THEN 1 ELSE 0 END) * 1000000.0 / count(*)) AS BIGINT)
+           CAST((2 * (sum(CASE WHEN p.label = g.label THEN 1 ELSE 0 END)) * 1000000 + (count(*))) // (2 * (count(*))) AS BIGINT)
              AS accuracy_1e6
     FROM p JOIN g USING (doc_id, word_index)
     """,
@@ -302,10 +302,10 @@ def eval_token_accuracy(spark, sf_dir):
                      (SELECT n_correct FROM c) AS n_correct)
     SELECT CAST(n_pred AS BIGINT) AS n_pred, CAST(n_gold AS BIGINT) AS n_gold,
            CAST(n_correct AS BIGINT) AS n_correct,
-           CAST(floor((n_correct * 1.0 / n_pred) * 1000000.0 + 0.5) AS BIGINT) AS p_1e6,
-           CAST(floor((n_correct * 1.0 / n_gold) * 1000000.0 + 0.5) AS BIGINT) AS r_1e6,
-           CAST(floor(2.0 * (n_correct * 1.0 / n_pred) * (n_correct * 1.0 / n_gold)
-                      / (n_correct * 1.0 / n_pred + n_correct * 1.0 / n_gold) * 1000000.0 + 0.5) AS BIGINT)
+           CAST(floor((CAST(n_correct AS DOUBLE) / n_pred) * 1000000.0 + 0.5) AS BIGINT) AS p_1e6,
+           CAST(floor((CAST(n_correct AS DOUBLE) / n_gold) * 1000000.0 + 0.5) AS BIGINT) AS r_1e6,
+           CAST(floor(2.0 * (CAST(n_correct AS DOUBLE) / n_pred) * (CAST(n_correct AS DOUBLE) / n_gold)
+                      / (CAST(n_correct AS DOUBLE) / n_pred + CAST(n_correct AS DOUBLE) / n_gold) * 1000000.0 + 0.5) AS BIGINT)
              AS f1_1e6
     FROM sizes
     """,
@@ -422,7 +422,7 @@ boot AS (
          CAST(sum(w * n_gold) AS BIGINT) AS n_gold_w,
          CAST(sum(w * n_correct) AS BIGINT) AS n_correct_w,
          CASE WHEN sum(w * n_pred) + sum(w * n_gold) = 0 THEN CAST(0 AS BIGINT)
-              ELSE CAST(floor(2.0 * sum(w * n_correct)
+              ELSE CAST(floor(2.0 * CAST(sum(w * n_correct) AS DOUBLE)
                    / (sum(w * n_pred) + sum(w * n_gold)) * 1000000.0 + 0.5) AS BIGINT)
          END AS f1_1e6
   FROM wgt GROUP BY replica
@@ -463,7 +463,7 @@ def eval_f1_bootstrap(spark, sf_dir):
     ),
     pt AS (
       SELECT CASE WHEN sum(n_pred) + sum(n_gold) = 0 THEN CAST(0 AS BIGINT)
-                  ELSE CAST(floor(2.0 * sum(n_correct)
+                  ELSE CAST(floor(2.0 * CAST(sum(n_correct) AS DOUBLE)
                        / (sum(n_pred) + sum(n_gold)) * 1000000.0 + 0.5) AS BIGINT)
              END AS f1_point_1e6
       FROM dc

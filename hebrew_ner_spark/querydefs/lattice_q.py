@@ -170,7 +170,7 @@ def lat_md_morphemes(spark, sf_dir):
     SELECT CAST(sum(n_true) AS BIGINT) AS n_true_morphs,
            CAST(sum(n_flat) AS BIGINT) AS n_pred_morphs,
            CAST(sum(n_match) AS BIGINT) AS n_match,
-           CAST(round(sum(n_match) * 1000000.0 / sum(n_true)) AS BIGINT) AS seg_recall_1e6
+           CAST((2 * sum(n_match) * 1000000 + sum(n_true)) // (2 * sum(n_true)) AS BIGINT) AS seg_recall_1e6
     FROM m
     """,
 )
@@ -203,7 +203,7 @@ def eval_seg_accuracy(spark, sf_dir):
             F.when(F.col("t.morpheme") == F.col("p.morpheme"), 1).otherwise(0)
         ).cast("long").alias("n_match"),
         F.expr(
-            "CAST(round(sum(CASE WHEN t.morpheme = p.morpheme THEN 1 ELSE 0 END)"
-            " * 1000000.0 / count(t.morpheme)) AS BIGINT)"
+            "CAST((2 * sum(CASE WHEN t.morpheme = p.morpheme THEN 1 ELSE 0 END)"
+            " * 1000000 + count(t.morpheme)) DIV (2 * count(t.morpheme)) AS BIGINT)"
         ).alias("seg_recall_1e6"),
     )

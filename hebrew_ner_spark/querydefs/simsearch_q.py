@@ -127,11 +127,15 @@ def _near_dup_oracle(src: str = "embeddings", extra_cte: str = "") -> str:
     return f"""
     WITH {extra_cte}{_e_cte(src)},
     {_buckets_cte(_ND_BITS, src)},
-    side AS (SELECT e.vec_id, e.embedding, e.nrm, b.bucket FROM e JOIN b USING (vec_id))
+    side AS (SELECT e.vec_id, e.embedding, e.nrm, b.bucket FROM e JOIN b USING (vec_id)),
+    okb AS (SELECT bucket FROM b GROUP BY bucket
+            HAVING count(*) <= {simsearch.NEAR_DUP_MAX_BUCKET})
     SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
-           CAST(round({_PAIR_COS}) AS BIGINT) AS cos_1e6
-    FROM side a JOIN side c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-    WHERE CAST(round({_PAIR_COS}) AS BIGINT) >= 350000
+           CAST(floor({_PAIR_COS} + 0.5) AS BIGINT) AS cos_1e6
+    FROM side a
+    JOIN okb ON okb.bucket = a.bucket
+    JOIN side c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE CAST(floor({_PAIR_COS} + 0.5) AS BIGINT) >= 350000
     """
 
 
@@ -288,8 +292,7 @@ def ann_ivf_topk(spark, sf_dir):
     SELECT 'rp_lsh' AS method,
            CAST((SELECT count(*) FROM brute) AS BIGINT) AS n_brute,
            CAST((SELECT count(*) FROM lsh JOIN brute USING (qid, nid)) AS BIGINT) AS n_hit,
-           CAST(round((SELECT count(*) FROM lsh JOIN brute USING (qid, nid)) * 1000000.0
-                 / (SELECT count(*) FROM brute)) AS BIGINT) AS recall_1e6
+           CAST((2 * ((SELECT count(*) FROM lsh JOIN brute USING (qid, nid))) * 1000000 + ((SELECT count(*) FROM brute))) // (2 * ((SELECT count(*) FROM brute))) AS BIGINT) AS recall_1e6
     """,
 )
 def ann_recall(spark, sf_dir):
@@ -310,6 +313,6 @@ def ann_recall(spark, sf_dir):
         "n_brute",
         "n_hit",
         F.expr(
-            "CAST(round(n_hit * 1000000.0 / n_brute) AS BIGINT)"
+"CAST((2 * (n_hit) * 1000000 + (n_brute)) DIV (2 * (n_brute)) AS BIGINT)"
         ).alias("recall_1e6"),
     )

@@ -26,11 +26,11 @@ def _docs(spark, sf_dir):
     SELECT doc_id, n_chars,
            CAST(len(toks) AS BIGINT) AS n_tokens,
            CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
-           CAST(round(list_sum(list_transform(toks, t -> length(t))) * 1000000.0 / len(toks)) AS BIGINT)
+           CAST((2 * (list_sum(list_transform(toks, t -> length(t)))) * 1000000 + (len(toks))) // (2 * (len(toks))) AS BIGINT)
              AS mean_tok_len_1e6,
-           CAST(round(len(list_filter(toks, t -> list_contains({_STOP_SQL}, t))) * 1000000.0 / len(toks)) AS BIGINT)
+           CAST((2 * (len(list_filter(toks, t -> list_contains({_STOP_SQL}, t)))) * 1000000 + (len(toks))) // (2 * (len(toks))) AS BIGINT)
              AS stopword_ratio_1e6,
-           CAST(round(length(regexp_replace(text, '[a-zA-Z0-9א-ת ]', '', 'g')) * 1000000.0 / length(text)) AS BIGINT)
+           CAST((2 * (length(regexp_replace(text, '[a-zA-Z0-9א-ת ]', '', 'g'))) * 1000000 + (length(text))) // (2 * (length(text))) AS BIGINT)
              AS punct_ratio_1e6
     FROM t
     """,

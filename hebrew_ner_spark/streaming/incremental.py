@@ -45,6 +45,17 @@ def run_incremental_triples(
 ) -> int:
     """Drain new document files -> append extracted triples. Returns the
     number of micro-batches processed in this drain."""
+    # batch_id numbering restarts at 0 when the checkpoint is gone, so a
+    # fresh checkpoint + surviving output would pair a replayed batch 0
+    # with stale higher-numbered directories from the previous life and
+    # double-count. A missing checkpoint therefore resets the output:
+    # exactly-once holds per checkpoint lifetime.
+    triples_dir = os.path.join(out_dir, "triples")
+    if not os.path.exists(checkpoint_dir) and os.path.exists(triples_dir):
+        import shutil
+
+        shutil.rmtree(triples_dir)
+
     stream = (
         spark.readStream.schema(DOCS_SCHEMA)
         .option("maxFilesPerTrigger", 1)

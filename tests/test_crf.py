@@ -73,3 +73,30 @@ def test_batch_viterbi_matches_bruteforce_floats():
             + sum(trans[p[t - 1], p[t]] for t in range(1, T)),
         )
         assert tuple(got[b, :T]) == best
+
+
+def test_full_corpus_rank1_equals_viterbi(spark):
+    """On the real corpus (no length cap), the n-best rank-1 path must
+    equal the 1-best Viterbi output — the two code paths share weights
+    but not plumbing, so this guards the table operators at a grain the
+    enumeration oracle can't reach."""
+    from pyspark.sql import functions as F
+
+    from hebrew_ner_spark.operators import crf
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").where(
+        "doc_id < 40"
+    )
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    vit = crf.viterbi_labels(toks).toPandas()
+    nb1 = (
+        crf.nbest_labels(toks, k=3)
+        .where("rank = 1")
+        .drop("rank", "path_score")
+        .toPandas()
+    )
+    key = ["doc_id", "word_index"]
+    a = vit.sort_values(key).reset_index(drop=True)
+    b = nb1[["doc_id", "word_index", "token", "label"]].sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+    assert len(a) > 1000

@@ -108,3 +108,26 @@ def test_salted_agg_algebraic_measures(spark):
     )
     salted = {r.k: (r.s, r.mn, r.mx, r.c) for r in two_phase.collect()}
     assert plain == salted
+
+
+def test_capped_mega_cluster_still_unifies_in_components(spark):
+    """The routing must be consumed, not just reported: with the cap in
+    force, near_dup_pairs_all contributes hub edges for the giant
+    cluster, and connected components still produce ONE cluster with the
+    min doc_id as canonical."""
+    from hebrew_ner_spark.operators import canonicalize, dedup
+
+    boiler = "the same boilerplate page body repeated across mirror hosts"
+    rows = [Row(doc_id=i, text=boiler) for i in range(300)]
+    docs = spark.createDataFrame(rows).cache()
+
+    pairs = dedup.near_dup_pairs_all(docs, cap=64).toPandas()
+    # hub shape: every pair anchors at the canonical doc, O(n) not O(n^2)
+    assert len(pairs) == 299
+    assert (pairs.doc_a == 0).all()
+
+    cc = canonicalize.dedup_components(
+        dedup.near_dup_pairs_all(docs, cap=64)
+    ).toPandas()
+    assert len(cc) == 300
+    assert (cc.component_id == 0).all()

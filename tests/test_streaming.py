@@ -70,6 +70,24 @@ def test_incremental_sink_is_idempotent_under_replay(spark, tmp_path):
     incremental.run_incremental_triples(spark, src, out, ckpt)
     assert spark.read.parquet(f"{out}/triples").count() == first
 
+    # harder replay: a second file had landed (two batches written), then
+    # the checkpoint is lost — the restarted numbering must not leave the
+    # old batch_id=1 directory double-counting rows
+    docs2 = spark.read.parquet(f"{SF}/documents.parquet").where(
+        "doc_id >= 40 AND doc_id < 60"
+    )
+    docs2.coalesce(1).write.parquet(str(tmp_path / "h2"))
+    part2 = [f for f in os.listdir(str(tmp_path / "h2")) if f.endswith(".parquet")][0]
+    shutil.copy(
+        os.path.join(str(tmp_path / "h2"), part2), os.path.join(src, "g.parquet")
+    )
+    incremental.run_incremental_triples(spark, src, out, ckpt)
+    both = kg.doc_triples(docs.unionByName(docs2)).count()
+    assert spark.read.parquet(f"{out}/triples").count() == both
+    shutil.rmtree(ckpt)
+    incremental.run_incremental_triples(spark, src, out, ckpt)
+    assert spark.read.parquet(f"{out}/triples").count() == both
+
 
 def test_windowed_event_counts_match_batch_up_to_watermark(spark, tmp_path):
     src = str(tmp_path / "events_in")
