@@ -124,14 +124,14 @@ def txt_normalize(spark, sf_dir):
     s AS (
       SELECT doc_id,
              len(toks) AS n_tokens,
-             len(list_filter(toks, t -> list_contains({_STOP_SQL}, t))) * 1.0 / len(toks) AS stop_ratio,
-             len(list_distinct(toks)) * 1.0 / len(toks) AS type_ratio
+             len(list_filter(toks, t -> list_contains({_STOP_SQL}, t))) AS n_stop,
+             len(list_distinct(toks)) AS n_types
       FROM t
     )
     SELECT doc_id FROM s
     WHERE n_tokens BETWEEN 20 AND 200
-      AND stop_ratio < 0.4
-      AND type_ratio > 0.25
+      AND n_stop * 5 < n_tokens * 2   -- stop_ratio < 0.4, exact integers
+      AND n_types * 4 > n_tokens      -- type_ratio > 0.25
     """,
 )
 def txt_quality_filter(spark, sf_dir):
@@ -150,8 +150,8 @@ def txt_quality_filter(spark, sf_dir):
         F.expr(
             f"""
             size(toks) BETWEEN 20 AND 200
-            AND size(filter(toks, t -> array_contains({stop_arr}, t))) * 1.0 / size(toks) < 0.4
-            AND size(array_distinct(toks)) * 1.0 / size(toks) > 0.25
+            AND size(filter(toks, t -> array_contains({stop_arr}, t))) * 5 < size(toks) * 2
+            AND size(array_distinct(toks)) * 4 > size(toks)
             """
         )
     ).select("doc_id")
