@@ -74,6 +74,14 @@ def run() -> dict:
     kg_wall = time.perf_counter() - t0
     docs_per_sec = round(n_docs / kg_wall, 1)
 
+    # second headline: the full hybrid lifecycle (multi labels -> lattice
+    # prune -> morph merge), per-document — BASELINE.md compares this
+    # against the reference's 661 ms per 3-sentence request
+    t0 = time.perf_counter()
+    force(QUERIES["hybrid_pipeline"](spark, SF_DIR))
+    hybrid_wall = time.perf_counter() - t0
+    hybrid_ms_per_doc = round(hybrid_wall * 1000.0 / n_docs, 4)
+
     total = round(sum(times.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -88,6 +96,7 @@ def run() -> dict:
         "queries_p95": p95s,
         "kg_docs_per_sec": docs_per_sec,
         "kg_chain_wall_sec": round(kg_wall, 4),
+        "hybrid_ms_per_doc": hybrid_ms_per_doc,
         "n_docs": n_docs,
     }
     spark.stop()
