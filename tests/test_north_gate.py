@@ -60,3 +60,43 @@ def test_pipeline_job_runs_and_resumes(tmp_path):
     assert s2["stages"]["triples"]["processed"] == [3]       # only the lost bucket
     assert s2["stages"]["tokens"]["skipped"] is True         # everything else skips
     assert s2["stages"]["triples"]["rows"] == s1["stages"]["triples"]["rows"]
+
+
+def test_spark_submit_py_files_ship_path(tmp_path):
+    """The literal north-rule ship path: zip the package, run a job via
+    the real spark-submit binary with --py-files, import the registry
+    from the zip and execute queries that cross every runtime surface
+    (codegen chain + Arrow UDF + grouped decode)."""
+    import os
+    import zipfile
+
+    import pyspark
+
+    zip_path = str(tmp_path / "engine.zip")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _, files in os.walk("/root/repo/hebrew_ner_spark"):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, "/root/repo"))
+
+    job = tmp_path / "job.py"
+    job.write_text(
+        "from pyspark.sql import SparkSession\n"
+        "spark = SparkSession.builder.getOrCreate()\n"
+        "from hebrew_ner_spark.queries import QUERIES\n"
+        f"n1 = QUERIES['kg_web_triples'](spark, '{SF}').count()\n"
+        f"n2 = QUERIES['mention_model_nbest'](spark, '{SF}').count()\n"
+        "print('SHIP', n1, n2)\n"
+    )
+    spark_submit = os.path.join(
+        os.path.dirname(pyspark.__file__), "bin", "spark-submit"
+    )
+    r = subprocess.run(
+        [spark_submit, "--master", "local[4]", "--py-files", zip_path, str(job)],
+        capture_output=True, text=True, timeout=420,
+    )
+    ship = [l for l in r.stdout.splitlines() if l.startswith("SHIP ")]
+    assert ship, r.stdout[-1500:] + r.stderr[-1500:]
+    _, n1, n2 = ship[0].split()
+    assert int(n1) > 0 and int(n2) > 0
