@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 LABELS = ["O", "B-TERM", "I-TERM", "E-TERM", "S-TERM"]
+LABEL_IDX = {l: i for i, l in enumerate(LABELS)}
 SCORE_MOD = 1_000_003
 NBEST_K = 3
 
@@ -115,9 +116,41 @@ class SeededCRF:
         return final[:k]
 
     def decode(self, tokens: List[str]) -> Tuple[int, Tuple[int, ...]]:
-        """M7: the exact 1-best Viterbi path (max-DP, START/STOP applied)."""
-        best = self.decode_nbest(tokens, k=1)
-        return best[0] if best else (0, ())
+        """M7: the exact 1-best Viterbi path under the same global
+        (score DESC, front-lex ASC) order as decode_nbest, computed
+        without per-candidate tuple churn: one backward suffix-max DP,
+        then a greedy forward pass picking the smallest label that still
+        completes to the optimum — integer-only, O(T*L^2), several-fold
+        cheaper than the k-best beam in the full-corpus hot path."""
+        if not tokens:
+            return (0, ())
+        T, L = len(tokens), self.n_labels
+        ems = [self.emission_row(t) for t in tokens]
+        # best[t][l] = max score of a suffix starting at t in state l
+        # (emission at t included; end transition at T-1)
+        suf = [ems[T - 1][l] + self.end[l] for l in range(L)]
+        hist = [suf]
+        for t in range(T - 2, -1, -1):
+            trans = self.trans
+            em = ems[t]
+            suf = [
+                em[l] + max(trans[l][j] + suf[j] for j in range(L))
+                for l in range(L)
+            ]
+            hist.append(suf)
+        hist.reverse()  # hist[t][l]
+        total = max(self.start[l] + hist[0][l] for l in range(L))
+        path: List[int] = []
+        acc, prev = 0, -1
+        for t in range(T):
+            for l in range(L):
+                step = self.start[l] if t == 0 else self.trans[prev][l]
+                if acc + step + hist[t][l] == total:
+                    path.append(l)
+                    acc += step + ems[t][l]
+                    prev = l
+                    break
+        return (total, tuple(path))
 
 
 def _get_crf() -> SeededCRF:
@@ -137,9 +170,13 @@ def viterbi_decode_batch(
     """Batched float Viterbi over padded emission tensors — the tensor
     form of M7 used by the mention-model slot (mentions._Model.decode):
     ``scores`` (n, max_len, L), returns (n, max_len) best-path indexes
-    (padded tail undefined). Max-DP with backpointers, ties to the
-    smallest label index (np.argmax first-occurrence), mirroring
-    model/crf.py:104-265 without the START/STOP padding columns.
+    (padded tail undefined). Max-DP with backpointers, mirroring
+    model/crf.py:104-265 without the START/STOP padding columns. Ties
+    break BACKWARD-greedily (per-step argmax-first-occurrence from the
+    final state), which is the reference's behaviour but NOT the global
+    front-lex order of SeededCRF — with continuous logits ties are
+    measure-zero, and the one-hot mention-model emissions admit a unique
+    optimum, so the two conventions never disagree on real inputs here.
     """
     n, max_len, L = scores.shape
     dp = start[None, :] + scores[:, 0, :]

@@ -243,6 +243,14 @@ def near_dup_jaccard(
     them.
     """
     pairs = lsh_candidate_pairs(docs, cap, keyed)
+    return _verify_jaccard_pairs(pairs, docs, threshold, k)
+
+
+def _verify_jaccard_pairs(
+    pairs: DataFrame, docs: DataFrame, threshold: float, k: int
+) -> DataFrame:
+    """Exact shingle-Jaccard verification of an arbitrary (doc_a, doc_b)
+    candidate table — the quadratic step always bounded to its input."""
     sh = doc_shingles(docs, k)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 
@@ -306,18 +314,7 @@ def simhash_near_pairs(
     (same mega-cluster guard as the LSH path) and reported by
     ``simhash_overflow``.
     """
-    sim = simhash(docs)
-    blocks = sim.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {SIMHASH_BANDS - 1}), "
-                f"b -> named_struct('band', CAST(b AS BIGINT), "
-                f"'bval', shiftright(simhash, CAST(b * 15 AS INT)) & 32767))"
-            )
-        ).alias("bk"),
-    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval"))
+    blocks = _simhash_blocks(docs)
     # pair generation inside each block (single pass over the simhash
     # plan); the simhash rides along so Hamming verifies without a re-join
     grouped = (
@@ -346,20 +343,35 @@ def simhash_near_pairs(
     )
 
 
+def _simhash_blocks(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash, band, bval): the 4 x 15-bit block keys — ONE
+    definition shared by the pair generator and the overflow counter, so
+    the two can never count different buckets."""
+    return (
+        simhash(docs)
+        .select(
+            "doc_id",
+            "simhash",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {SIMHASH_BANDS - 1}), "
+                    f"b -> named_struct('band', CAST(b AS BIGINT), "
+                    f"'bval', shiftright(simhash, CAST(b * 15 AS INT)) & 32767))"
+                )
+            ).alias("bk"),
+        )
+        .select(
+            "doc_id",
+            "simhash",
+            F.col("bk.band").alias("band"),
+            F.col("bk.bval").alias("bval"),
+        )
+    )
+
+
 def simhash_overflow(docs: DataFrame, cap: int = MAX_BUCKET) -> DataFrame:
     """(band, bval, n_docs) for SimHash blocks above the pairwise cap."""
-    sim = simhash(docs)
-    blocks = sim.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {SIMHASH_BANDS - 1}), "
-                f"b -> named_struct('band', CAST(b AS BIGINT), "
-                f"'bval', shiftright(simhash, CAST(b * 15 AS INT)) & 32767))"
-            )
-        ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval"))
-    return _bucket_overflow(blocks, ["band", "bval"], cap)
+    return _bucket_overflow(_simhash_blocks(docs), ["band", "bval"], cap)
 
 
 def near_dup_pairs_all(
@@ -368,19 +380,25 @@ def near_dup_pairs_all(
     k: int = SHINGLE_K,
     cap: int = MAX_BUCKET,
 ) -> DataFrame:
-    """(doc_a, doc_b) near-duplicate pairs with NO silent giant-cluster
-    loss: Jaccard-verified pairs from capped buckets UNION hub-and-spoke
-    pairs (canonical <-> member) for byte-identical members of over-cap
-    buckets. A 10^6-copy boilerplate cluster contributes 10^6 - 1 hub
-    edges instead of 10^12 pairwise edges, and connected components still
-    unify it into one cluster — this is the input the dedup-components
-    stage consumes.
+    """(doc_a, doc_b) near-duplicate pairs with giant clusters connected
+    in O(n), not lost: Jaccard-verified pairs from capped buckets UNION
+    hub-and-spoke edges for over-cap buckets — each member is paired with
+    its bucket's minimum doc_id and the pair is Jaccard-verified exactly
+    like any other candidate. A 10^6-copy boilerplate cluster contributes
+    10^6 - 1 verified hub edges instead of 10^12 pairwise edges, and
+    near-identical (not byte-identical) giants connect too, because hub
+    verification uses the same shingle Jaccard, not a text-hash equality.
+    Known bound: members similar to each other but dissimilar to the hub
+    doc fail hub verification and stay separate (the full pairwise answer
+    inside a giant bucket is exactly the quadratic blow-up this path
+    exists to avoid). This is the input the dedup-components stage
+    consumes; the overflow counter still reports every capped bucket.
     """
     keyed = _band_keys(docs, k=k)
     verified = near_dup_jaccard(docs, threshold, k, cap, keyed).select(
         "doc_a", "doc_b"
     )
-    giants = giant_bucket_groups(docs, cap, keyed)
+    # one members pass: rows of over-cap buckets only
     members = keyed.join(
         F.broadcast(
             _bucket_overflow(keyed, ["band", "band_key"], cap).select(
@@ -388,17 +406,17 @@ def near_dup_pairs_all(
             )
         ),
         ["band", "band_key"],
+    ).select("band", "band_key", "doc_id")
+    hubs = members.groupBy("band", "band_key").agg(
+        F.min("doc_id").alias("doc_a")
     )
-    hub = (
-        members.join(docs.select("doc_id", F.md5("text").alias("text_md5")), "doc_id")
-        .join(
-            giants.select("band", "band_key", "text_md5", "canonical_doc_id"),
-            ["band", "band_key", "text_md5"],
-        )
-        .where(F.col("doc_id") != F.col("canonical_doc_id"))
-        .select(
-            F.col("canonical_doc_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
-        )
+    hub_cands = (
+        members.join(hubs, ["band", "band_key"])
+        .where(F.col("doc_id") != F.col("doc_a"))
+        .select("doc_a", F.col("doc_id").alias("doc_b"))
         .distinct()
     )
-    return verified.unionByName(hub).distinct()
+    hub_verified = _verify_jaccard_pairs(hub_cands, docs, threshold, k).select(
+        "doc_a", "doc_b"
+    )
+    return verified.unionByName(hub_verified).distinct()

@@ -39,8 +39,10 @@ from pyspark.sql import functions as F
 from hebrew_ner_spark.operators import kg
 from hebrew_ner_spark.resources import ENTITY_TERMS
 
-LABELS = ["O", "B-TERM", "I-TERM", "E-TERM", "S-TERM"]
-_LABEL_IDX = {l: i for i, l in enumerate(LABELS)}
+# single source of truth for the label space — the legality tensors below
+# index into the same order the decoder's emission columns use
+from hebrew_ner_spark.operators.crf import LABEL_IDX as _LABEL_IDX
+from hebrew_ner_spark.operators.crf import LABELS
 # HP_batch_size analog (utils/data.py:96, default 10). Larger than the
 # reference default: sentences are length-sorted first, so padding waste
 # stays low while each micro-batch amortizes the per-step numpy dispatch

@@ -252,10 +252,25 @@ def ivf_topk(
     return _rank_topk(scored, k)
 
 
-NEAR_DUP_BITS = 4  # fewer planes than topk -> coarser buckets, higher recall
+# Plane count at the TEST corpus scale (500-5k vectors -> 16 buckets of
+# tens-to-hundreds each). Bucket count must grow with the corpus:
+# 2^bits ≈ N / target_bucket, else every bucket exceeds the cap and the
+# operator (correctly, but uselessly) scores nothing. Size it with
+# near_dup_bits_for().
+NEAR_DUP_BITS = 4
 
 
 NEAR_DUP_MAX_BUCKET = 4096  # pairwise scoring ceiling per bucket
+
+
+def near_dup_bits_for(n_vectors: int, target_bucket: int = 512) -> int:
+    """Hyperplane count so the MEAN bucket is ~target_bucket vectors
+    (well under the pairwise cap): bits = ceil(log2(n / target)).
+    At 10^12 vectors and target 512 that is 31 bits — still one 64-bit
+    bucket key, still a plain equi-join."""
+    import math
+
+    return max(1, math.ceil(math.log2(max(2, n_vectors) / target_bucket)))
 
 
 def embedding_near_dups(
@@ -281,17 +296,30 @@ def embedding_near_dups(
     and perturb round() at the micro-unit boundary.
 
     Mega-buckets (a boilerplate page duplicated 10^6 times) are the same
-    hazard as dedup's LSH bands; bound them with ``max_bucket`` — larger
-    buckets are dropped from pairwise scoring here and surfaced by
-    ``near_dup_overflow`` so the drop is never silent (the giants route
-    through exact-hash grouping, dedup.giant_bucket_groups).
+    hazard as dedup's LSH bands; bound them with ``max_bucket``. The cap
+    is enforced BEFORE the grouped-map — a count-only aggregate drops
+    over-cap buckets at the shuffle, so a 10^7-member bucket never
+    materializes as one Arrow group in a Python worker (the in-UDF guard
+    remains as a second line of defence). Dropped buckets are surfaced by
+    ``near_dup_overflow``, and the giants route through exact-hash
+    grouping (dedup.giant_bucket_groups). ``bits`` must scale with the
+    corpus (near_dup_bits_for) or every bucket overflows.
     """
     import numpy as np
     import pandas as pd
 
     thresh_micro = int(threshold * 1_000_000)
-    side = emb.join(rp_lsh_buckets(emb, bits), "vec_id").select(
-        "vec_id", "embedding", "bucket"
+    buckets = rp_lsh_buckets(emb, bits)
+    ok = (
+        buckets.groupBy("bucket")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") <= max_bucket)
+        .select("bucket")
+    )
+    side = (
+        emb.join(buckets, "vec_id")
+        .join(ok, "bucket")
+        .select("vec_id", "embedding", "bucket")
     )
 
     def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:

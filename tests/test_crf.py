@@ -34,6 +34,8 @@ def test_nbest_beam_equals_enumeration():
     for _ in range(60):
         tokens = [rng.choice(vocab) for _ in range(rng.randint(1, 5))]
         assert crf.decode_nbest(tokens, 3) == _brute(crf, tokens, 3)
+        # the dedicated 1-best DP must agree with the enumeration too
+        assert crf.decode(tokens) == _brute(crf, tokens, 1)[0]
 
 
 def test_viterbi_is_not_positionwise_argmax():

@@ -131,3 +131,30 @@ def test_capped_mega_cluster_still_unifies_in_components(spark):
     ).toPandas()
     assert len(cc) == 300
     assert (cc.component_id == 0).all()
+
+
+def test_near_identical_giant_cluster_unifies_via_verified_hubs(spark):
+    """Giants that are near- but not byte-identical (boilerplate with a
+    per-page counter token) must still unify: hub edges are Jaccard-
+    verified, not text-hash-matched."""
+    from hebrew_ner_spark.operators import canonicalize, dedup
+
+    base = "the same boilerplate page body repeated across mirror hosts with long tail"
+    rows = [Row(doc_id=i, text=f"{base} v{i}") for i in range(300)]
+    docs = spark.createDataFrame(rows).cache()
+
+    # sanity: texts are unique, so exact-hash hub matching would find nothing
+    assert docs.select("text").distinct().count() == 300
+
+    pairs = dedup.near_dup_pairs_all(docs, cap=64).toPandas()
+    # the hub star covers every member of the over-cap buckets...
+    hub_edges = pairs[pairs.doc_a == 0]
+    assert len(hub_edges) >= 290
+    # ...and the total stays far below the quadratic 300*299/2 = 44,850
+    # (under-cap band buckets may add organic verified pairs)
+    assert len(pairs) < 2000
+
+    cc = canonicalize.dedup_components(
+        dedup.near_dup_pairs_all(docs, cap=64)
+    ).toPandas()
+    assert len(cc) == 300 and (cc.component_id == 0).all()
