@@ -209,6 +209,57 @@ def viterbi_decode_batch(
     return out
 
 
+def viterbi_labels_tensor(toks_df: DataFrame) -> DataFrame:
+    """(doc_id, toks) -> (doc_id, word_index, token, label) through the
+    BATCHED FLOAT TENSOR decoder (viterbi_decode_batch — the exact code
+    path the mention-model slot runs), with the seeded integer weights
+    as float64 tensors. Integer-valued floats < 2^53 make every compare
+    exact, so the gate verifies the tensor DP itself against exhaustive
+    enumeration. Ties resolve backward-greedily (smallest last label,
+    then smallest backpointer), i.e. minimum REVERSE-lexicographic path
+    among optima — the oracle ranks by (score DESC, little-endian path
+    integer ASC), which is that exact order."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        crf = _get_crf()
+        L = crf.n_labels
+        trans = np.array(crf.trans, dtype=np.float64)
+        start = np.array(crf.start, dtype=np.float64)
+        end = np.array(crf.end, dtype=np.float64)
+        for pdf in batches:
+            toks_list = [list(t) for t in pdf["toks"]]
+            if not toks_list:
+                continue
+            lengths = np.array([len(t) for t in toks_list], dtype=np.int64)
+            max_len = max(1, int(lengths.max()))
+            scores = np.zeros((len(toks_list), max_len, L), dtype=np.float64)
+            for i, toks in enumerate(toks_list):
+                for t, tok in enumerate(toks):
+                    scores[i, t, :] = crf.emission_row(tok)
+            idx = viterbi_decode_batch(scores, lengths, trans, start, end)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"]
+                    .repeat([len(t) for t in toks_list])
+                    .astype("int64")
+                    .values,
+                    "word_index": np.concatenate(
+                        [np.arange(len(t), dtype=np.int64) for t in toks_list]
+                    ),
+                    "token": [tok for t in toks_list for tok in t],
+                    "label": [
+                        crf.labels[idx[i, t]]
+                        for i, t_list in enumerate(toks_list)
+                        for t in range(len(t_list))
+                    ],
+                }
+            )
+
+    return toks_df.mapInPandas(
+        run, "doc_id long, word_index long, token string, label string"
+    )
+
+
 def viterbi_labels(toks_df: DataFrame) -> DataFrame:
     """(doc_id, toks) -> (doc_id, word_index, token, label): exact 1-best
     CRF decode per document. One mapInPandas, no shuffles."""

@@ -96,7 +96,7 @@ lab AS (
   FROM paths
 ),
 scored AS (
-  SELECT doc_id, toks, tlen, li,
+  SELECT doc_id, toks, tlen, li, p,
          {_ph(f"'S|' || {_NAMES_SQL}[li[1] + 1]")}
          + {_ph(f"'F|' || {_NAMES_SQL}[li[tlen] + 1]")}
          + list_sum(list_transform(range(0, tlen),
@@ -160,3 +160,27 @@ def mention_model_nbest(spark, sf_dir):
     """M8: k-best Viterbi (k=3) — ranks, paths and exact integer path
     scores must all match the exhaustive enumeration."""
     return crf_op.nbest_labels(_short_toks(spark, sf_dir))
+
+
+@query(
+    "mention_model_viterbi_tensor",
+    oracle=f"""
+    WITH {_CRF_SCORED_CTE},
+    ranked_rev AS (
+      SELECT doc_id, toks, tlen, li,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, p ASC) AS r
+      FROM scored
+    )
+    SELECT doc_id, CAST(pos AS BIGINT) AS word_index, toks[pos + 1] AS token,
+           {_NAMES_SQL}[li[pos + 1] + 1] AS label
+    FROM ranked_rev, LATERAL (SELECT unnest(range(0, tlen)) AS pos)
+    WHERE r = 1
+    """,
+)
+def mention_model_viterbi_tensor(spark, sf_dir):
+    """M7 through the batched float TENSOR decoder — the exact code path
+    the mention-model slot runs — on non-trivial seeded weights, vs
+    exhaustive enumeration. Tie order differs from the integer path
+    (backward-greedy == minimum reverse-lex path): the oracle ranks by
+    the little-endian path integer, pinning that convention exactly."""
+    return crf_op.viterbi_labels_tensor(_short_toks(spark, sf_dir))
