@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from hebrew_ner_spark.functions.hashing import phash_col, shingles_col
+from hebrew_ner_spark.functions.hashing import shingles_col
 from hebrew_ner_spark.operators.kg import with_tokens
 
 # Closed-class filler words of the synthetic corpus; doubles as the

@@ -20,6 +20,12 @@ processing.
 * ``run_windowed_event_counts`` — event-time tumbling-window counts with
   a watermark for late data, drained with availableNow; the aggregate
   matches the batch groupBy exactly once the stream is drained.
+* ``run_incremental_unique_docs`` — streaming exact dedup at ingestion:
+  dropDuplicates keyed state persists in the checkpoint, so re-landed
+  mirror pages are dropped across drains AND restarts.
+* ``run_stateful_entity_totals`` — custom stateful operator via
+  ``applyInPandasWithState``: cumulative per-entity mention totals whose
+  state restores from the checkpointed state store.
 """
 
 from __future__ import annotations
@@ -104,6 +110,116 @@ def run_windowed_event_counts(
         agg.writeStream.outputMode("append")
         .format("parquet")
         .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_incremental_unique_docs(
+    spark: SparkSession, src_dir: str, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Streaming exact dedup at ingestion: documents whose text hash was
+    seen in ANY earlier micro-batch (or an earlier run of the same
+    checkpoint) are dropped by Structured Streaming's keyed state store —
+    ``dropDuplicates`` state survives restarts via the checkpoint, so a
+    re-landed mirror page never re-enters the corpus.
+
+    availableNow-drained here; a 24/7 ingest would bound the state with
+    ``dropDuplicatesWithinWatermark`` instead of keeping every hash
+    forever. Sink uses the same per-batch-overwrite idempotence as the
+    triples path.
+    """
+    uniq_dir = os.path.join(out_dir, "unique")
+    if not os.path.exists(checkpoint_dir) and os.path.exists(uniq_dir):
+        import shutil
+
+        shutil.rmtree(uniq_dir)
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    uniq = stream.withColumn("text_md5", F.md5("text")).dropDuplicates(["text_md5"])
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .parquet(os.path.join(uniq_dir, f"batch_id={batch_id}"))
+        )
+
+    q = (
+        uniq.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_stateful_entity_totals(
+    spark: SparkSession, src_dir: str, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    cumulative mention totals per entity across ALL micro-batches and
+    runs — the state (one long per entity) lives in the streaming state
+    store and restores from the checkpoint on restart.
+
+    Emits (entity, total) rows with the updated running total whenever an
+    entity appears in a batch; the parquet sink keeps the latest row per
+    entity per drain under the idempotent per-batch layout.
+    """
+    from typing import Iterator, Tuple
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from hebrew_ner_spark.operators import kg
+
+    totals_dir = os.path.join(out_dir, "entity_totals")
+    if not os.path.exists(checkpoint_dir) and os.path.exists(totals_dir):
+        import shutil
+
+        shutil.rmtree(totals_dir)
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    mentions = (
+        kg.doc_token_labels(stream)
+        .where(F.col("label") != "O")
+        .select(F.col("token").alias("entity"))
+    )
+
+    def update(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n_new = sum(len(pdf) for pdf in pdfs)
+        (prev,) = state.get if state.exists else (0,)
+        total = prev + n_new
+        state.update((total,))
+        yield pd.DataFrame({"entity": [key[0]], "total": [total]})
+
+    totals = mentions.groupBy("entity").applyInPandasWithState(
+        update,
+        outputStructType="entity string, total long",
+        stateStructType="total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .parquet(os.path.join(totals_dir, f"batch_id={batch_id}"))
+        )
+
+    q = (
+        totals.writeStream.outputMode("update")
+        .foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

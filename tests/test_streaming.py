@@ -114,3 +114,89 @@ def test_windowed_event_counts_match_batch_up_to_watermark(spark, tmp_path):
     for k, v in got.items():
         assert batch[k] == v
     assert len(got) >= 0.5 * len(batch)
+
+
+def test_streaming_dedup_state_survives_across_runs(spark, tmp_path):
+    """dropDuplicates keyed state lives in the checkpoint: a text that
+    arrived in run 1 is dropped when a mirror re-lands it in run 2."""
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(src)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").where("doc_id < 30")
+
+    def land(df, name):
+        d = str(tmp_path / ("stage_" + name))
+        df.coalesce(1).write.parquet(d)
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(d, part), os.path.join(src, name))
+
+    land(docs, "f1.parquet")
+    incremental.run_incremental_unique_docs(spark, src, out, ckpt)
+    first = spark.read.parquet(f"{out}/unique").count()
+    assert first == 30  # corpus texts are unique
+
+    # run 2: the same 30 texts under new doc_ids, plus 10 genuinely new
+    from pyspark.sql import functions as F
+
+    mirrors = docs.select((F.col("doc_id") + 50000).alias("doc_id"), "text",
+                          "lang", "source", "n_chars")
+    fresh = spark.read.parquet(f"{SF}/documents.parquet").where(
+        "doc_id >= 30 AND doc_id < 40"
+    )
+    land(mirrors.unionByName(fresh), "f2.parquet")
+    incremental.run_incremental_unique_docs(spark, src, out, ckpt)
+    got = spark.read.parquet(f"{out}/unique")
+    assert got.count() == 40  # 30 originals + 10 fresh; 30 mirrors dropped
+    assert got.where("doc_id >= 50000").count() == 0
+
+
+def test_stateful_entity_totals_accumulate_across_runs(spark, tmp_path):
+    """applyInPandasWithState: per-entity running totals restore from the
+    checkpointed state store and keep accumulating in later drains."""
+    src = str(tmp_path / "in2")
+    out = str(tmp_path / "out2")
+    ckpt = str(tmp_path / "ck2")
+    os.makedirs(src)
+
+    half1 = spark.read.parquet(f"{SF}/documents.parquet").where("doc_id < 25")
+    half2 = spark.read.parquet(f"{SF}/documents.parquet").where(
+        "doc_id >= 25 AND doc_id < 50"
+    )
+
+    def land(df, name):
+        d = str(tmp_path / ("st_" + name))
+        df.coalesce(1).write.parquet(d)
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(d, part), os.path.join(src, name))
+
+    def latest_totals():
+        df = spark.read.parquet(f"{out}/entity_totals").toPandas()
+        return df.sort_values("total").groupby("entity")["total"].max().to_dict()
+
+    def batch_counts(df):
+        from pyspark.sql import functions as F
+
+        return {
+            r.entity: r.n
+            for r in kg.doc_token_labels(df)
+            .where("label <> 'O'")
+            .groupBy(F.col("token").alias("entity"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+
+    land(half1, "g1.parquet")
+    incremental.run_stateful_entity_totals(spark, src, out, ckpt)
+    c1 = batch_counts(half1)
+    t1 = latest_totals()
+    assert t1 == c1
+
+    land(half2, "g2.parquet")
+    incremental.run_stateful_entity_totals(spark, src, out, ckpt)
+    c2 = batch_counts(half2)
+    expected = {e: c1.get(e, 0) + c2.get(e, 0) for e in set(c1) | set(c2)}
+    t2 = latest_totals()
+    for e, n in expected.items():
+        assert t2[e] == n, (e, t2.get(e), n)
