@@ -6,9 +6,16 @@ Execution is forced with a full-column hash aggregate (count + sum of
 xxhash64 over every output column): a bare count() would let Catalyst
 prune the expensive expressions out of narrow plans and fake the numbers.
 
-Also reports `kg_docs_per_sec`: documents/second through the flagship
-extraction chain (tokens -> labels -> triples -> counted edges), the
-BASELINE.md throughput headline.
+Headlines (kg_docs_per_sec, hybrid_ms_per_doc) are measured on the sf
+corpus deterministically replicated to >= 100k documents: at 5k docs a
+~1 s wall is mostly Spark job fixed cost (scheduling, plan compile), so
+the per-doc rate measured overhead, not the pipeline — round 2's 2x
+"regression" was exactly that artifact. The replicated corpus amortizes
+fixed cost below ~5% of the wall.
+
+JSON key order is tail-safe: the big per-query dicts come FIRST and the
+scalar headline metrics LAST, so a driver that keeps only the final 2 KB
+of output always retains the headlines.
 """
 
 from __future__ import annotations
@@ -16,11 +23,22 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline corpus target: replicate the sf documents table so the KG/hybrid
+# chains run over >= this many docs (fixed job cost < ~5% of wall).
+HEADLINE_MIN_DOCS = 100_000
+
+# Adaptive repetition: reps come from SPARK_GRAFT_REPS (default 3 so p50/p95
+# always land in BENCH_r{N}.json), but a query whose first sample exceeds
+# this many seconds is not re-run — bounding the suite wall at roughly
+# (cheap queries x reps) + (expensive queries x 1).
+REP_SKIP_SEC = 4.0
 
 
 def force(df) -> int:
@@ -34,10 +52,43 @@ def force(df) -> int:
     return row["n"]
 
 
+def _replicated_dir(spark, sf_dir: str, min_docs: int) -> tuple[str, int]:
+    """Materialize a derived warehouse whose documents table is the sf
+    corpus replicated (distinct doc_ids) to >= min_docs rows; every other
+    table is symlinked. Cached across invocations in the same tmpdir."""
+    from pyspark.sql import functions as F
+
+    from hebrew_ner_spark.sources.catalog import TABLES, load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    rep = max(1, -(-min_docs // n))
+    if rep == 1:
+        return sf_dir, n
+    work = os.path.join(
+        tempfile.gettempdir(), f"spark_bench_headline_{os.path.basename(sf_dir.rstrip('/'))}_x{rep}"
+    )
+    docs_dir = os.path.join(work, "documents.parquet")
+    if not os.path.exists(docs_dir):
+        os.makedirs(work, exist_ok=True)
+        big = (
+            docs.crossJoin(spark.range(rep).withColumnRenamed("id", "_r"))
+            .withColumn("doc_id", F.col("doc_id") * rep + F.col("_r"))
+            .drop("_r")
+        )
+        big.repartition(64).write.mode("overwrite").parquet(docs_dir)
+        for t in TABLES:
+            if t != "documents":
+                src = os.path.join(sf_dir, t + ".parquet")
+                dst = os.path.join(work, t + ".parquet")
+                if os.path.exists(src) and not os.path.exists(dst):
+                    os.symlink(src, dst)
+    return work, n * rep
+
+
 def run() -> dict:
     from hebrew_ner_spark.queries import QUERIES
     from hebrew_ner_spark.session import get_spark
-    from hebrew_ner_spark.sources.catalog import load_table
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -48,56 +99,58 @@ def run() -> dict:
         if os.path.exists(p):
             spark.read.parquet(p).count()
 
-    # SPARK_GRAFT_REPS>1 turns on per-query quantiles (E8 analog): p50 is
-    # what `queries`/total report, p95 lands in `queries_p95`, so a
-    # round-over-round regression is attributable per quantile. reps=1
-    # (the driver default) keeps suite wall-time unchanged: p50 == p95 ==
-    # the single measurement.
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "1")))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
     times: dict[str, float] = {}
     p95s: dict[str, float] = {}
     for name, fn in QUERIES.items():
         samples = []
-        for _ in range(reps):
+        for i in range(reps):
             t0 = time.perf_counter()
             n = force(fn(spark, SF_DIR))
             samples.append(time.perf_counter() - t0)
             assert n >= 0
+            if samples[0] > REP_SKIP_SEC:
+                break
         samples.sort()
         times[name] = round(samples[(len(samples) - 1) // 2], 4)
         p95s[name] = round(samples[max(0, -(-95 * len(samples) // 100) - 1)], 4)
 
-    # headline: docs/sec through the KG extraction chain
-    n_docs = load_table(spark, SF_DIR, "documents").count()
+    # Headlines on the replicated (>=100k-doc) corpus so fixed job cost
+    # amortizes; one warm pass each, then the measured pass.
+    hdir, n_docs = _replicated_dir(spark, SF_DIR, HEADLINE_MIN_DOCS)
+    force(QUERIES["kg_triple_counts"](spark, hdir))
     t0 = time.perf_counter()
-    force(QUERIES["kg_triple_counts"](spark, SF_DIR))
+    force(QUERIES["kg_triple_counts"](spark, hdir))
     kg_wall = time.perf_counter() - t0
     docs_per_sec = round(n_docs / kg_wall, 1)
 
     # second headline: the full hybrid lifecycle (multi labels -> lattice
     # prune -> morph merge), per-document — BASELINE.md compares this
     # against the reference's 661 ms per 3-sentence request
+    force(QUERIES["hybrid_pipeline"](spark, hdir))
     t0 = time.perf_counter()
-    force(QUERIES["hybrid_pipeline"](spark, SF_DIR))
+    force(QUERIES["hybrid_pipeline"](spark, hdir))
     hybrid_wall = time.perf_counter() - t0
     hybrid_ms_per_doc = round(hybrid_wall * 1000.0 / n_docs, 4)
 
     total = round(sum(times.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
-        "metric": "total_query_wall_time",
-        "value": total,
-        "unit": "sec",
+        # big dicts first, scalar headlines last (tail-truncation-safe)
         "queries": times,
+        "queries_p95": p95s,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)),
         "n_queries": len(times),
         "reps": reps,
-        "queries_p95": p95s,
-        "kg_docs_per_sec": docs_per_sec,
+        "headline_docs": n_docs,
         "kg_chain_wall_sec": round(kg_wall, 4),
+        "hybrid_wall_sec": round(hybrid_wall, 4),
+        "kg_docs_per_sec": docs_per_sec,
         "hybrid_ms_per_doc": hybrid_ms_per_doc,
-        "n_docs": n_docs,
+        "metric": "total_query_wall_time",
+        "value": total,
+        "unit": "sec",
     }
     spark.stop()
     return result

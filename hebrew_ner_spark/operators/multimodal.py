@@ -15,22 +15,37 @@ libraries in this container):
                         emit a FRAME_LEN-byte window as one "frame" row —
                         a 1->N mapInPandas UDTF over binary payloads,
                         exactly the shape a real frame extractor has;
-* ``decode_image``    — the stub: raises NotImplementedError with the
-                        integration contract documented, so a real codec
-                        drops in without touching any plan.
+* ``synth_bmp``       — deterministic, VALID 24-bit BMP images derived
+                        from doc_id (closed-form pixel values, so a SQL
+                        oracle reproduces every byte without a decoder);
+* ``decode_image``    — a real pure-numpy decoder for uncompressed
+                        24-bit BMP (BITMAPINFOHEADER): parses headers,
+                        strips row padding, flips the bottom-up row
+                        order, reorders BGR->RGB, and emits the pixel
+                        array plus exact integer checksums. Compressed
+                        formats (PNG/JPEG) still need a codec library;
+                        they would slot into the same mapInPandas kernel.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 FRAME_LEN = 16
 STRIDE = 64
+
+# synth_bmp dimensions: W = 1 + doc_id % BMP_W_MOD, H = 1 + doc_id % BMP_H_MOD.
+# Kept small and coprime so padding (rows padded to 4 bytes) and non-square
+# shapes are both exercised.
+BMP_W_MOD = 7
+BMP_H_MOD = 5
 
 
 def synth_media(docs: DataFrame) -> DataFrame:
@@ -82,18 +97,102 @@ def frame_sample(media: DataFrame, stride: int = STRIDE, frame_len: int = FRAME_
     return out.mapInPandas(run, "doc_id long, frame_idx long, frame_md5 string")
 
 
-def decode_image(media: DataFrame) -> DataFrame:
-    """STUB — image decoding needs a codec library absent from this
-    container.
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Pack an (H, W, 3) uint8 RGB array as an uncompressed 24-bit BMP
+    (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up rows, BGR byte order,
+    rows padded to 4 bytes) — pure numpy/struct, no codec library."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    # bottom-up row order, BGR channel order, per-row zero padding
+    body = np.zeros((h, row_bytes + pad), dtype=np.uint8)
+    body[:, :row_bytes] = pixels[::-1, :, ::-1].reshape(h, row_bytes)
+    data = body.tobytes()
+    file_header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 54)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return file_header + info_header + data
 
-    Integration contract for the real implementation:
-      input  : (doc_id, payload binary) Arrow batches via mapInPandas
-      output : "doc_id long, height long, width long, channels long,
-                pixels_sha256 string"
-      kernel : executor-local lazy import of the codec (PIL/libvips),
-               decode per payload, never per-row Python UDFs.
+
+def decode_bmp(raw: bytes) -> np.ndarray:
+    """Parse an uncompressed 24-bit BMP into an (H, W, 3) uint8 RGB array
+    (top-down row order). Pure numpy; rejects anything but the plain
+    BI_RGB 24bpp layout this pipeline writes."""
+    if raw[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pixel_off,) = struct.unpack_from("<I", raw, 10)
+    hdr_size, w, h, _planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", raw, 14
+    )
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    body = np.frombuffer(raw, dtype=np.uint8, count=stride * h, offset=pixel_off)
+    rows = body.reshape(h, stride)[:, :row_bytes]
+    img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return img[::-1] if bottom_up else img
+
+
+def synth_bmp(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload binary): a deterministic valid BMP per 'image'
+    document (doc_id % 3 = 0, matching synth_media's typing). Pixel value
+    at (row r, col c, channel ch) is (doc_id*31 + r*7 + c*3 + ch) % 256 —
+    closed-form, so the DuckDB oracle reproduces the checksums without a
+    decoder. Arrow-batched mapInPandas; numpy-vectorized per image."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 1 + d % BMP_W_MOD, 1 + d % BMP_H_MOD
+                r = np.arange(h, dtype=np.int64)[:, None, None]
+                c = np.arange(w, dtype=np.int64)[None, :, None]
+                ch = np.arange(3, dtype=np.int64)[None, None, :]
+                px = ((d * 31 + r * 7 + c * 3 + ch) % 256).astype(np.uint8)
+                ids.append(d)
+                payloads.append(encode_bmp(px))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    imgs = docs.where(F.col("doc_id") % 3 == 0).select("doc_id")
+    return imgs.mapInPandas(run, "doc_id long, payload binary")
+
+
+def decode_image(media: DataFrame) -> DataFrame:
+    """Real decode for uncompressed 24-bit BMP payloads, Arrow-batched.
+
+    (doc_id, height, width, channels, pixel_sum, pixel_wsum): the shape
+    plus two exact integer checksums over the decoded RGB row-major
+    top-down byte stream — pixel_sum = Σ v_i, pixel_wsum = Σ (i+1)·v_i.
+    The position-weighted sum catches row-flip / channel-order / padding
+    bugs that a plain sum cannot. Compressed formats would lazy-import a
+    codec in this same kernel; the plan does not change.
     """
-    raise NotImplementedError(
-        "image decode requires a codec library (PIL/libvips) not present "
-        "in this environment; see docstring for the drop-in contract"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "height", "width", "channels", "pixel_sum", "pixel_wsum")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_bmp(bytes(payload))
+                flat = img.reshape(-1).astype(np.int64)
+                out["doc_id"].append(int(doc_id))
+                out["height"].append(img.shape[0])
+                out["width"].append(img.shape[1])
+                out["channels"].append(img.shape[2])
+                out["pixel_sum"].append(int(flat.sum()))
+                out["pixel_wsum"].append(
+                    int((flat * (np.arange(flat.size, dtype=np.int64) + 1)).sum())
+                )
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run,
+        "doc_id long, height long, width long, channels long, "
+        "pixel_sum long, pixel_wsum long",
     )

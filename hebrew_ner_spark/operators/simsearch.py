@@ -161,36 +161,108 @@ def rp_lsh_topk(
 
 IVF_CELLS = 16
 IVF_PROBES = 2
+KMEANS_ITERS = 2
+
+# Embedding components in exact integer micro-units: every centroid/dot
+# computation downstream is integer (order-independent, engine-exact);
+# floor(x*1e6 + 0.5) is round-half-up in Spark, DuckDB and numpy alike.
+_MICRO = (
+    "transform(embedding, x -> "
+    "CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
+)
 
 
-def ivf_assign(emb: DataFrame, n_cells: int = IVF_CELLS) -> DataFrame:
-    """(vec_id, cell): nearest-centroid assignment.
+def _micro_vecs(emb: DataFrame) -> DataFrame:
+    return emb.select("vec_id", F.expr(_MICRO).alias("mv"))
 
-    Centroids are the first ``n_cells`` vectors (deterministic, resume-
-    stable — a k-means refinement would slot in without changing any
-    consumer). Assignment is a broadcast crossJoin + per-vector rank:
-    exactly the plan used at 10^12 rows, where centroids are always a
-    broadcast-sized table.
-    """
-    cents = emb.where(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell"),
-        F.col("embedding").alias("q_emb"),
+
+def _with_cnorm(cents: DataFrame) -> DataFrame:
+    """Attach sqrt of the exact integer self-dot (one double at the end)."""
+    return cents.withColumn(
+        "cnorm",
+        F.expr("sqrt(aggregate(transform(cent, x -> x * x), 0L, (a, v) -> a + v))"),
     )
-    cents = _with_norm(cents, "q_emb").withColumnRenamed("_norm", "q_norm")
-    base = _with_norm(emb)
-    scored = base.crossJoin(F.broadcast(cents)).select(
+
+
+def seed_centroids(emb: DataFrame, n_cells: int = IVF_CELLS) -> DataFrame:
+    """(cell, cent array<bigint>, cnorm): the first ``n_cells`` vectors in
+    micro-units — the deterministic, resume-stable k-means initialization."""
+    return _with_cnorm(
+        _micro_vecs(emb.where(F.col("vec_id") < n_cells)).select(
+            F.col("vec_id").alias("cell"), F.col("mv").alias("cent")
+        )
+    )
+
+
+def _assign_cells(mv: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cell): nearest centroid by cosine. The integer dot is exact
+    and order-independent; dividing by the centroid norm (the vector's own
+    norm is constant per vec_id) gives the cosine ranking with ONE double
+    op, identical in every engine. Centroids broadcast — the only join a
+    10^12-row assignment needs."""
+    scored = mv.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "cell",
-        F.expr(f"CAST(round({_DOT} / (_norm * q_norm) * 1000000.0) AS BIGINT)").alias(
-            "cos_1e6"
-        ),
+        F.expr(
+            "CAST(aggregate(zip_with(mv, cent, (x, y) -> x * y), 0L, (a, v) -> a + v) AS DOUBLE)"
+            " / cnorm"
+        ).alias("score"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_1e6"), F.asc("cell"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("cell"))
     return (
         scored.withColumn("r", F.row_number().over(w))
         .where(F.col("r") == 1)
         .select("vec_id", "cell")
     )
+
+
+def _update_centroids(mv: DataFrame, assigned: DataFrame) -> DataFrame:
+    """Lloyd update as joins/aggs: per-(cell, dim) integer sums (posexplode
+    -> groupBy — map-side combinable, no float order dependence), then the
+    mean via truncating integer division (identical in Spark and DuckDB)
+    re-packed into an array ordered by dim. Dividing by the member count
+    keeps components at micro scale, so the integer dot in the next assign
+    cannot overflow int64 at any corpus size. Empty cells simply vanish."""
+    return _with_cnorm(
+        mv.join(assigned, "vec_id")
+        .select("cell", F.posexplode("mv").alias("dim", "val"))
+        .groupBy("cell", "dim")
+        .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+        .groupBy("cell")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, CAST(s DIV n AS BIGINT) AS cv))),"
+                " p -> p.cv)"
+            ).alias("cent")
+        )
+    )
+
+
+def kmeans_centroids(
+    emb: DataFrame, n_cells: int = IVF_CELLS, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """(cell, cent, cnorm): ``iters`` seeded Lloyd iterations, entirely
+    joins/aggs in exact integer arithmetic — deterministic, resumable and
+    oracle-checkable. Each iteration is one broadcast-assign plus one
+    shuffle on (cell, dim); the centroid table never exceeds
+    n_cells x dim rows, so it stays broadcast-sized at any corpus scale."""
+    mv = _micro_vecs(emb)
+    cents = seed_centroids(emb, n_cells)
+    for _ in range(iters):
+        cents = _update_centroids(mv, _assign_cells(mv, cents))
+    return cents
+
+
+def ivf_assign(
+    emb: DataFrame, n_cells: int = IVF_CELLS, cents: DataFrame | None = None
+) -> DataFrame:
+    """(vec_id, cell): nearest-centroid assignment against ``cents``
+    (default: k-means-trained). Broadcast crossJoin + per-vector rank —
+    exactly the plan used at 10^12 rows, where centroids are always a
+    broadcast-sized table."""
+    if cents is None:
+        cents = kmeans_centroids(emb, n_cells)
+    return _assign_cells(_micro_vecs(emb), cents)
 
 
 def ivf_topk(
@@ -199,46 +271,44 @@ def ivf_topk(
     k: int = DEFAULT_K,
     n_cells: int = IVF_CELLS,
     n_probes: int = IVF_PROBES,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF top-k: each query probes its ``n_probes`` nearest cells and
     ranks only candidates assigned there — the inverted-file scale path
-    (search cost ~ probes/cells of brute force)."""
-    cells = ivf_assign(emb, n_cells)
+    (search cost ~ probes/cells of brute force). Cells come from the
+    seeded-k-means index by default; pass ``cents`` (e.g. seed_centroids)
+    to search an untrained index."""
+    if cents is None:
+        cents = kmeans_centroids(emb, n_cells)
+    cells = ivf_assign(emb, n_cells, cents)
     base = _with_norm(emb).join(cells, "vec_id")
 
-    cents = emb.where(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell"), F.col("embedding").alias("q_emb")
-    )
-    cents = _with_norm(cents, "q_emb").withColumnRenamed("_norm", "q_norm")
-    queries = _with_norm(emb).where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("embedding"),
-        F.col("_norm").alias("_norm"),
-    )
-    q_probe = queries.crossJoin(
-        F.broadcast(cents)
-    ).select(
-        "qid",
-        "cell",
-        F.expr(f"CAST(round({_DOT} / (_norm * q_norm) * 1000000.0) AS BIGINT)").alias(
-            "cos_1e6"
-        ),
-        F.col("embedding").alias("q_emb_keep"),
-        F.col("_norm").alias("q_norm_keep"),
-    )
-    wq = Window.partitionBy("qid").orderBy(F.desc("cos_1e6"), F.asc("cell"))
+    # probe selection: the same integer-dot/cnorm score as assignment
     probes = (
-        q_probe.withColumn("r", F.row_number().over(wq))
-        .where(F.col("r") <= n_probes)
+        _micro_vecs(emb.where(F.col("vec_id") < n_queries))
+        .crossJoin(F.broadcast(cents))
         .select(
-            "qid",
+            F.col("vec_id").alias("qid"),
             "cell",
-            F.col("q_emb_keep").alias("q_emb"),
-            F.col("q_norm_keep").alias("q_norm"),
+            F.expr(
+                "CAST(aggregate(zip_with(mv, cent, (x, y) -> x * y), 0L, (a, v) -> a + v) AS DOUBLE)"
+                " / cnorm"
+            ).alias("score"),
         )
     )
+    wq = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cell"))
+    probes = (
+        probes.withColumn("r", F.row_number().over(wq))
+        .where(F.col("r") <= n_probes)
+        .select("qid", "cell")
+    )
+    queries = _with_norm(emb).where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("_norm").alias("q_norm"),
+    )
     scored = (
-        base.join(F.broadcast(probes), "cell")
+        base.join(F.broadcast(probes.join(queries, "qid")), "cell")
         .where(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",

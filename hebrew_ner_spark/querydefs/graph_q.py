@@ -170,9 +170,20 @@ def cc_dedup_components(spark, sf_dir):
     """G6: duplicate-document clusters via distributed label propagation;
     oracle computes exact transitive closure recursively. Consumes
     near_dup_pairs_all, so over-cap mega clusters still unify through
-    their exact-hash hub edges (no giants exist at this sf and cap — the
-    capped path is pinned by tests/test_skew.py)."""
-    pairs = dedup.near_dup_pairs_all(_docs(spark, sf_dir))
+    their hub edges — but hub routing is an approximation the exact
+    oracle cannot express, so the GATE fails loudly if any over-cap
+    bucket exists at the gated scale (otherwise a divergence would
+    surface as an opaque hash mismatch). The capped production path
+    itself is pinned by tests/test_skew.py."""
+    d = _docs(spark, sf_dir)
+    over = dedup.lsh_overflow(d).limit(1).count()
+    if over:
+        raise AssertionError(
+            "cc_dedup_components gate: over-cap LSH bucket present at the "
+            "gated scale — the exact-transitive-closure oracle cannot model "
+            "hub-edge routing; regenerate test data or raise MAX_BUCKET"
+        )
+    pairs = dedup.near_dup_pairs_all(d)
     return canonicalize.dedup_components(pairs)
 
 

@@ -302,10 +302,13 @@ def eval_token_accuracy(spark, sf_dir):
                      (SELECT n_correct FROM c) AS n_correct)
     SELECT CAST(n_pred AS BIGINT) AS n_pred, CAST(n_gold AS BIGINT) AS n_gold,
            CAST(n_correct AS BIGINT) AS n_correct,
-           CAST(floor((CAST(n_correct AS DOUBLE) / n_pred) * 1000000.0 + 0.5) AS BIGINT) AS p_1e6,
-           CAST(floor((CAST(n_correct AS DOUBLE) / n_gold) * 1000000.0 + 0.5) AS BIGINT) AS r_1e6,
-           CAST(floor(2.0 * (CAST(n_correct AS DOUBLE) / n_pred) * (CAST(n_correct AS DOUBLE) / n_gold)
-                      / (CAST(n_correct AS DOUBLE) / n_pred + CAST(n_correct AS DOUBLE) / n_gold) * 1000000.0 + 0.5) AS BIGINT)
+           CASE WHEN n_pred = 0 THEN CAST(0 AS BIGINT) ELSE
+             CAST(floor((CAST(n_correct AS DOUBLE) / n_pred) * 1000000.0 + 0.5) AS BIGINT) END AS p_1e6,
+           CASE WHEN n_gold = 0 THEN CAST(0 AS BIGINT) ELSE
+             CAST(floor((CAST(n_correct AS DOUBLE) / n_gold) * 1000000.0 + 0.5) AS BIGINT) END AS r_1e6,
+           CASE WHEN n_pred = 0 OR n_gold = 0 OR n_correct = 0 THEN CAST(0 AS BIGINT) ELSE
+             CAST(floor(2.0 * (CAST(n_correct AS DOUBLE) / n_pred) * (CAST(n_correct AS DOUBLE) / n_gold)
+                        / (CAST(n_correct AS DOUBLE) / n_pred + CAST(n_correct AS DOUBLE) / n_gold) * 1000000.0 + 0.5) AS BIGINT) END
              AS f1_1e6
     FROM sizes
     """,

@@ -50,3 +50,32 @@ def mm_media_stats(spark, sf_dir):
 def mm_frame_sample(spark, sf_dir):
     """Video-style frame sampling through the mapInPandas UDTF shape."""
     return multimodal.frame_sample(multimodal.synth_media(_docs(spark, sf_dir)))
+
+
+@query(
+    "mm_decode",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, 1 + doc_id % {multimodal.BMP_W_MOD} AS w,
+             1 + doc_id % {multimodal.BMP_H_MOD} AS h
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    px AS (
+      SELECT doc_id, w, h, i,
+             (doc_id*31 + (i // (w*3))*7 + ((i % (w*3)) // 3)*3 + (i % 3)) % 256 AS v
+      FROM dims, unnest(range(0, w*h*3)) AS u(i)
+    )
+    SELECT doc_id, CAST(h AS BIGINT) AS height, CAST(w AS BIGINT) AS width,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(sum(v) AS BIGINT) AS pixel_sum,
+           CAST(sum((i+1)*v) AS BIGINT) AS pixel_wsum
+    FROM px GROUP BY doc_id, h, w
+    """,
+)
+def mm_decode(spark, sf_dir):
+    """End-to-end image column: closed-form pixels -> real BMP encode ->
+    real pure-numpy BMP decode -> exact integer checksums. The oracle
+    computes the same checksums straight from the pixel formula, so any
+    header/padding/row-order/channel-order bug in either codec half
+    diverges (the position-weighted sum pins byte order)."""
+    return multimodal.decode_image(multimodal.synth_bmp(_docs(spark, sf_dir)))

@@ -202,42 +202,108 @@ def emb_near_dup_overflow(spark, sf_dir):
 
 _CELLS = simsearch.IVF_CELLS
 _PROBES = simsearch.IVF_PROBES
+_ITERS = simsearch.KMEANS_ITERS
 
+# --- seeded-k-means IVF oracle -------------------------------------------
+# Mirrors operators/simsearch.py kmeans_centroids exactly: micro-unit
+# integer vectors, integer dots, truncating integer mean, and the
+# idot/cnorm double only at the final compare — every iteration unrolled
+# as CTEs. HUGEINT list_sum/sum are cast back down (memory rule) and
+# `//` / `DIV` both truncate toward zero (verified for negatives).
+
+_MV_CTE = """
+mv AS (
+  SELECT vec_id, list_transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS mv
+  FROM embeddings
+)
+"""
+
+_IDOT = f"CAST(list_sum(list_transform(range(1, {D + 1}), i -> mv.mv[i] * c.cent[i])) AS DOUBLE)"
+_CNORM = f"sqrt(CAST(list_sum(list_transform(range(1, {D + 1}), i -> c.cent[i] * c.cent[i])) AS DOUBLE))"
+
+
+def _lloyd_ctes(iters: int = _ITERS, n_cells: int = _CELLS) -> tuple[str, str]:
+    """(cte_sql, final_centroid_cte_name): c0 = seed, then per iteration
+    sI (score) -> aI (argmax cell) -> cI (integer-mean update)."""
+    parts = [
+        f"c0 AS (SELECT vec_id AS cell, mv AS cent FROM mv WHERE vec_id < {n_cells})"
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        parts.append(f"""
+s{it} AS (
+  SELECT mv.vec_id, c.cell, {_IDOT} / {_CNORM} AS score
+  FROM mv CROSS JOIN {prev} c
+)""")
+        parts.append(f"""
+a{it} AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS r
+    FROM s{it}) WHERE r = 1
+)""")
+        parts.append(f"""
+c{it} AS (
+  SELECT cell, list(cv ORDER BY dim) AS cent FROM (
+    SELECT a{it}.cell, x.dim, CAST(sum(x.val) // count(*) AS BIGINT) AS cv
+    FROM (SELECT vec_id, generate_subscripts(mv, 1) AS dim, unnest(mv) AS val FROM mv) x
+    JOIN a{it} USING (vec_id)
+    GROUP BY a{it}.cell, x.dim) GROUP BY cell
+)""")
+        prev = f"c{it}"
+    return ",\n".join(parts), prev
+
+
+_LLOYD_SQL, _CFINAL = _lloyd_ctes()
+
+# search-time assignment + query probes against the trained centroids
 _IVF_CTE = f"""
-cents AS (
-  SELECT vec_id AS cell, embedding AS qe,
-         sqrt(list_sum(list_transform(range(1, {D + 1}),
-              i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS qn
-  FROM embeddings WHERE vec_id < {_CELLS}
-),
-assign_scored AS (
-  SELECT e.vec_id, c.cell,
-         CAST(round({_DOT_QE.replace('qset.', 'c.')} / (e.nrm * c.qn) * 1000000.0) AS BIGINT) AS cos_1e6
-  FROM e CROSS JOIN cents c
+{_LLOYD_SQL},
+fin AS (
+  SELECT mv.vec_id, c.cell, {_IDOT} / {_CNORM} AS score
+  FROM mv CROSS JOIN {_CFINAL} c
 ),
 cells AS (
   SELECT vec_id, cell FROM (
     SELECT vec_id, cell,
-           row_number() OVER (PARTITION BY vec_id ORDER BY cos_1e6 DESC, cell) AS r
-    FROM assign_scored
-  ) WHERE r = 1
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS r
+    FROM fin) WHERE r = 1
 ),
 probes AS (
   SELECT qid, cell FROM (
-    SELECT e.vec_id AS qid, c.cell,
-           row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY CAST(round({_DOT_QE.replace('qset.', 'c.')} / (e.nrm * c.qn) * 1000000.0) AS BIGINT) DESC,
-                      c.cell) AS r
-    FROM e CROSS JOIN cents c WHERE e.vec_id < {Q}
-  ) WHERE r <= {_PROBES}
+    SELECT vec_id AS qid, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS r
+    FROM fin WHERE vec_id < {Q}) WHERE r <= {_PROBES}
 )
 """
+
+
+@query(
+    "ann_kmeans_cells",
+    oracle=f"""
+    WITH {_MV_CTE},
+    {_IVF_CTE}
+    SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM cells
+    """,
+)
+def ann_kmeans_cells(spark, sf_dir):
+    """The trained index itself: every vector's cell after the seeded
+    Lloyd iterations — the most directly debuggable k-means surface
+    (any drift in a sum, mean, or tie-break shows here first)."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark, sf_dir)
+    return simsearch.ivf_assign(emb).select(
+        "vec_id", F.col("cell").cast("long").alias("cell")
+    )
 
 
 @query(
     "ann_ivf_topk",
     oracle=f"""
     WITH {_E_CTE},
+    {_MV_CTE},
     {_IVF_CTE},
     s AS (
       SELECT p.qid, e.vec_id AS nid,
@@ -257,7 +323,9 @@ probes AS (
     """,
 )
 def ann_ivf_topk(spark, sf_dir):
-    """IVF-bucketed top-k: probe the 2 nearest of 16 cells."""
+    """IVF-bucketed top-k over the seeded-k-means index: probe the 2
+    nearest of 16 trained cells (2 Lloyd iterations, exact integer
+    arithmetic end-to-end — see kmeans_centroids)."""
     return simsearch.ivf_topk(_emb(spark, sf_dir))
 
 
@@ -310,6 +378,69 @@ def ann_recall(spark, sf_dir):
     )
     return nb.crossJoin(nh).select(
         F.lit("rp_lsh").alias("method"),
+        "n_brute",
+        "n_hit",
+        F.expr(
+"CAST((2 * (n_hit) * 1000000 + (n_brute)) DIV (2 * (n_brute)) AS BIGINT)"
+        ).alias("recall_1e6"),
+    )
+
+
+@query(
+    "ann_ivf_recall",
+    oracle=f"""
+    WITH {_E_CTE},
+    qset AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e WHERE vec_id < {Q}),
+    bs AS (
+      SELECT qset.qid, e.vec_id AS nid,
+             CAST(round({_DOT_QE} / (e.nrm * qset.qn) * 1000000.0) AS BIGINT) AS cos_1e6
+      FROM e CROSS JOIN qset WHERE e.vec_id <> qset.qid
+    ),
+    brute AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos_1e6 DESC, nid) AS r
+        FROM bs) WHERE r <= {K}
+    ),
+    {_MV_CTE.strip().rstrip()},
+    {_IVF_CTE.strip()},
+    ivs AS (
+      SELECT p.qid, e.vec_id AS nid,
+             CAST(round(list_sum(list_transform(range(1, {D + 1}),
+                    i -> CAST(qv.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                  / (e.nrm * qv.nrm) * 1000000.0) AS BIGINT) AS cos_1e6
+      FROM probes p
+      JOIN cells cl ON cl.cell = p.cell
+      JOIN e ON e.vec_id = cl.vec_id
+      JOIN e qv ON qv.vec_id = p.qid
+      WHERE e.vec_id <> p.qid
+    ),
+    ivf AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos_1e6 DESC, nid) AS r
+        FROM ivs) WHERE r <= {K}
+    )
+    SELECT 'ivf_kmeans' AS method,
+           CAST((SELECT count(*) FROM brute) AS BIGINT) AS n_brute,
+           CAST((SELECT count(*) FROM ivf JOIN brute USING (qid, nid)) AS BIGINT) AS n_hit,
+           CAST((2 * ((SELECT count(*) FROM ivf JOIN brute USING (qid, nid))) * 1000000 + ((SELECT count(*) FROM brute))) // (2 * ((SELECT count(*) FROM brute))) AS BIGINT) AS recall_1e6
+    """,
+)
+def ann_ivf_recall(spark, sf_dir):
+    """Recall@k of the trained-IVF path against exact brute force — the
+    number the index is tuned by; compare with ann_recall's rp_lsh row.
+    (tests/test_simsearch.py additionally pins trained > seed recall at
+    equal probe count.)"""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark, sf_dir)
+    brute = simsearch.brute_topk(emb).select("qid", "nid")
+    ivf = simsearch.ivf_topk(emb).select("qid", "nid")
+    nb = brute.agg(F.count("*").cast("long").alias("n_brute"))
+    nh = ivf.join(brute, ["qid", "nid"]).agg(
+        F.count("*").cast("long").alias("n_hit")
+    )
+    return nb.crossJoin(nh).select(
+        F.lit("ivf_kmeans").alias("method"),
         "n_brute",
         "n_hit",
         F.expr(

@@ -139,8 +139,10 @@ def _per_query_rows(lo: dict, hi: dict) -> str:
     rows = []
     for q, tl in lo.get("per_query", {}).items():
         th = hi.get("per_query", {}).get(q)
-        if th:
-            rows.append(f"| {q} | {tl} | {th} | {round(tl / th / 4, 2)} |")
+        # `th is not None`, not truthiness: a sub-5ms 4N wall rounds to 0.0
+        # and must not silently vanish from the table; clamp the divisor.
+        if th is not None:
+            rows.append(f"| {q} | {tl} | {th} | {round(tl / max(th, 0.01) / 4, 2)} |")
     return "\n".join(rows)
 
 

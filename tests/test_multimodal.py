@@ -37,6 +37,47 @@ def test_frame_sample_count_and_content(spark, media):
     assert f0.frame_md5 == hashlib.md5(bytes(r0.payload)[: multimodal.FRAME_LEN]).hexdigest()
 
 
-def test_decode_image_is_a_documented_stub(media):
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(media)
+def test_bmp_roundtrip_literal():
+    """Decode a hand-verifiable 2x2 BMP: padding (6-byte rows -> 2 pad),
+    bottom-up row order, and BGR->RGB all exercised against a literal."""
+    import numpy as np
+
+    px = np.array(
+        [[[255, 0, 0], [0, 255, 0]],
+         [[0, 0, 255], [10, 20, 30]]], dtype=np.uint8
+    )
+    raw = multimodal.encode_bmp(px)
+    assert raw[:2] == b"BM" and len(raw) == 54 + 2 * 8  # 2 rows of 6+2 pad
+    # pixel data starts at 54 with the BOTTOM row, BGR: (0,0,255)->FF 00 00
+    assert raw[54:57] == bytes([255, 0, 0])
+    back = multimodal.decode_bmp(raw)
+    assert back.shape == (2, 2, 3) and (back == px).all()
+
+
+def test_bmp_decode_rejects_non_bmp():
+    with pytest.raises(ValueError):
+        multimodal.decode_bmp(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+
+
+def test_decode_image_checksums(spark):
+    """decode_image over synth_bmp reproduces the closed-form pixel
+    checksums for every image doc (the mm_decode gate in miniature)."""
+    import numpy as np
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = {
+        r.doc_id: r
+        for r in multimodal.decode_image(multimodal.synth_bmp(docs)).collect()
+    }
+    ids = [r.doc_id for r in docs.select("doc_id").collect() if r.doc_id % 3 == 0]
+    assert set(out) == set(ids)
+    for d in ids[:10]:
+        w, h = 1 + d % multimodal.BMP_W_MOD, 1 + d % multimodal.BMP_H_MOD
+        r = np.arange(h)[:, None, None]
+        c = np.arange(w)[None, :, None]
+        ch = np.arange(3)[None, None, :]
+        flat = (((d * 31 + r * 7 + c * 3 + ch) % 256).reshape(-1)).astype(np.int64)
+        row = out[d]
+        assert (row.height, row.width, row.channels) == (h, w, 3)
+        assert row.pixel_sum == int(flat.sum())
+        assert row.pixel_wsum == int((flat * (np.arange(flat.size) + 1)).sum())

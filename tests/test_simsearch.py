@@ -94,3 +94,68 @@ def test_near_dups_bucket_cap_drops_and_surfaces(emb):
     planted_pairs = uncapped[(uncapped.vec_a >= 1000000) & (uncapped.vec_b >= 1000000)]
     assert len(planted_pairs) == 60 * 59 // 2  # all copy pairs, cos = 1e6
     assert (planted_pairs.cos_1e6 == 1000000).all()
+
+
+# --- seeded k-means IVF ----------------------------------------------------
+
+
+def _quant_and_sizes(emb, cents):
+    """(mean cosine to assigned centroid, stddev of cell sizes)."""
+    assigned = simsearch.ivf_assign(emb, cents=cents)
+    mv = simsearch._micro_vecs(emb)
+    j = mv.join(assigned, "vec_id").join(cents, "cell")
+    mean_cos = (
+        j.select(
+            (
+                F.expr(
+                    "CAST(aggregate(zip_with(mv, cent, (x,y)->x*y), 0L, (a,v)->a+v) AS DOUBLE)"
+                )
+                / (
+                    F.expr("sqrt(aggregate(transform(mv, x->x*x), 0L, (a,v)->a+v))")
+                    * F.col("cnorm")
+                )
+            ).alias("c")
+        )
+        .agg(F.avg("c"))
+        .collect()[0][0]
+    )
+    sd = assigned.groupBy("cell").count().agg(F.stddev("count")).collect()[0][0]
+    return mean_cos, sd
+
+
+def test_kmeans_monotone_quantization_and_balance(emb):
+    """Lloyd's guarantee, observed: each iteration tightens the mean
+    vector-to-centroid cosine (the spherical k-means objective) and the
+    trained cells are more size-balanced than the random-subset seeds
+    (cell skew == probe-cost skew at scale). Measured at sf0.001:
+    0.245 (seed) -> 0.311 (1 iter) -> 0.324 (2 iters); size sd 6.3 -> 4.6.
+    NOTE a measured negative result: recall@2-probes does NOT reliably
+    improve on this corpus — the synthetic embeddings are near-uniform, so
+    there is no cluster structure to learn and tighter cells just shrink
+    the candidate set. Training buys quantization and balance, not recall,
+    on structureless data; the gates pin its exactness either way."""
+    q_seed, sd_seed = _quant_and_sizes(emb, simsearch.seed_centroids(emb).cache())
+    q_km1, _ = _quant_and_sizes(emb, simsearch.kmeans_centroids(emb, iters=1).cache())
+    q_km2, sd_km2 = _quant_and_sizes(emb, simsearch.kmeans_centroids(emb).cache())
+    assert q_km1 > q_seed + 0.03
+    assert q_km2 > q_km1
+    assert sd_km2 < sd_seed
+
+
+def test_kmeans_centroids_deterministic(emb):
+    a = simsearch.kmeans_centroids(emb).orderBy("cell").collect()
+    b = simsearch.kmeans_centroids(emb).orderBy("cell").collect()
+    assert [(r.cell, r.cent) for r in a] == [(r.cell, r.cent) for r in b]
+    # components stay at micro scale (mean of micro values) -> no int64
+    # overflow risk in the assignment dot at any corpus size
+    assert all(abs(v) < 2_000_000 for r in a for v in r.cent)
+
+
+def test_ivf_topk_hits_carry_brute_scores(emb):
+    """Trained-IVF hits must score identically to brute force (the IVF
+    path changes candidate generation, never the metric)."""
+    brute = simsearch.brute_topk(emb, n_queries=8, k=1000).toPandas()
+    ivf = simsearch.ivf_topk(emb, n_queries=8, k=1000).toPandas()
+    bscore = {(r.qid, r.nid): r.cos_1e6 for r in brute.itertuples()}
+    for r in ivf.itertuples():
+        assert bscore[(r.qid, r.nid)] == r.cos_1e6
