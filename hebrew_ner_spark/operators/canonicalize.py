@@ -20,8 +20,14 @@ Scale notes:
 * edges are symmetrized once; each round shuffles by vertex id — a
   uniform key unless one component dominates, in which case the min-agg
   is algebraic and AQE splits the skewed reducer;
-* every round persists and breaks lineage (checkpoint-light via
-  localCheckpoint) so the plan does not grow exponentially;
+* every round persists and breaks lineage so the plan does not grow
+  exponentially. Two modes: ``localCheckpoint`` (default — executor
+  block storage, no HDFS round-trip, right for local mode and
+  short-lived jobs) and RELIABLE ``checkpoint`` (set conf
+  ``spark.graft.cc.reliable=true`` + a ``sparkContext.setCheckpointDir``
+  — on a real cluster, localCheckpoint blocks die with their executor,
+  and an executor loss after round k would make the lineage
+  unrecoverable and fail the whole job; reliable checkpoints survive);
 * convergence test is a count of changed labels — one action per round,
   the driver-side loop is O(rounds), not O(rows).
 """
@@ -31,29 +37,57 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+RELIABLE_CONF = "spark.graft.cc.reliable"
+CHECKPOINT_DIR_CONF = "spark.graft.cc.checkpointDir"
+
+
+def _lineage_breaker(df_like: DataFrame, reliable: bool | None):
+    """Returns the per-round lineage-break function. ``reliable=None``
+    reads the session conf (so spark-submit --conf flips the mode with
+    zero code change); reliable mode requires a checkpoint dir — either
+    already set on the context or given via spark.graft.cc.checkpointDir."""
+    spark = df_like.sparkSession
+    if reliable is None:
+        reliable = spark.conf.get(RELIABLE_CONF, "false").lower() == "true"
+    if not reliable:
+        return lambda df: df.localCheckpoint()
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        conf_dir = spark.conf.get(CHECKPOINT_DIR_CONF, None)
+        if conf_dir is None:
+            raise ValueError(
+                f"{RELIABLE_CONF}=true needs sparkContext.setCheckpointDir "
+                f"or {CHECKPOINT_DIR_CONF}"
+            )
+        sc.setCheckpointDir(conf_dir)
+    return lambda df: df.checkpoint(eager=True)
+
 
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 25,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """(vertex, component) — component = min vertex id reachable.
 
     ``edges`` is an undirected edge list; isolated vertices that never
     appear in it are the caller's to add (their component is themselves).
+    ``reliable`` selects the per-round lineage-break mode (see module
+    docstring); default None follows the session conf.
     """
+    _break = _lineage_breaker(edges, reliable)
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
         .persist()
     )
-    labels = (
+    labels = _break(
         sym.select(F.col("a").alias("vertex"))
         .distinct()
         .withColumn("component", F.col("vertex"))
-        .localCheckpoint()
     )
     changed = 0
     for _ in range(max_rounds):
@@ -80,7 +114,7 @@ def connected_components(
         )
         # `prev` rides along so the convergence test is a plain aggregate
         # over this round's result — no extra join + job per round
-        new_with_prev = (
+        new_with_prev = _break(
             stepped.join(comp_of, stepped["component"] == comp_of["cv"], "left")
             .select(
                 "vertex",
@@ -89,7 +123,6 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("cc"), F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint()
         )
         changed = new_with_prev.where(F.col("component") != F.col("prev")).count()
         labels = new_with_prev.select("vertex", "component")

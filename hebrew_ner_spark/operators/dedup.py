@@ -103,10 +103,15 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES, k: int = S
     ).select("doc_id", F.col("seed").cast("long").alias("seed"), "minhash")
 
 
-def _band_keys(docs: DataFrame, bands: int = LSH_BANDS, num_hashes: int = NUM_HASHES, k: int = SHINGLE_K) -> DataFrame:
-    """(doc_id, band, band_key) — md5 of the band's minhash sub-signature."""
+def band_keys_from_shingles(
+    sh: DataFrame, bands: int = LSH_BANDS, num_hashes: int = NUM_HASHES
+) -> DataFrame:
+    """(doc_id, band, band_key) from ANY (doc_id, shingle) table — md5 of
+    each band's minhash sub-signature. ``doc_id`` may be any groupable
+    type (the fuzzy entity-linking tier keys by surface string). One
+    aggregation pass; the signature never exceeds num_hashes values/key."""
     rows = num_hashes // bands
-    wide = _minhash_wide(doc_shingles(docs, k), num_hashes)
+    wide = _minhash_wide(sh, num_hashes)
     band_cols = [
         F.md5(F.concat_ws("_", *[F.col(f"h{b * rows + r}") for r in range(rows)])).alias(f"b{b}")
         for b in range(bands)
@@ -117,6 +122,11 @@ def _band_keys(docs: DataFrame, bands: int = LSH_BANDS, num_hashes: int = NUM_HA
         "doc_id",
         F.expr(f"stack({bands}, {stack_args}) AS (band, band_key)"),
     ).select("doc_id", F.col("band").cast("long").alias("band"), "band_key")
+
+
+def _band_keys(docs: DataFrame, bands: int = LSH_BANDS, num_hashes: int = NUM_HASHES, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, band, band_key) over word-shingled documents."""
+    return band_keys_from_shingles(doc_shingles(docs, k), bands, num_hashes)
 
 
 def _bucket_pairs(

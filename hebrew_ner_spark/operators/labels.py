@@ -249,12 +249,43 @@ def build_vocab(docs: DataFrame) -> DataFrame:
     )
 
 
-def alphabet_encode(docs: DataFrame, unk_id: int = 0) -> DataFrame:
-    """J6: token -> id via broadcast vocab join; misses -> unk
-    (alphabet.py:46-55 `</unk>` fallback)."""
+# Hot-tier size for the tiered vocab join. 2^16 token strings broadcast
+# in a few MB; a web-corpus vocabulary (10^8+ types) must NEVER broadcast
+# whole, but its frequency distribution is zipfian — the top 64k types
+# cover the overwhelming majority of token OCCURRENCES, so almost every
+# row resolves in the map-side tier and only the rare-type tail shuffles.
+ALPHABET_HOT_K = 1 << 16
+
+
+def alphabet_encode(
+    docs: DataFrame, unk_id: int = 0, hot_k: int = ALPHABET_HOT_K
+) -> DataFrame:
+    """J6 tiered: token -> id; misses -> unk (alphabet.py:46-55 `</unk>`
+    fallback). Two tiers, same output as a single full-vocab join:
+
+    1. the ``hot_k`` most frequent vocab tokens (count DESC, token ASC —
+       a TakeOrdered, never a single-partition sort) broadcast and join
+       map-side — at web scale this resolves ~all occurrences;
+    2. rows missing from the hot tier sort-merge-join the full vocab
+       (hinted, so the plan never depends on a size estimate that would
+       try to broadcast 10^8 rows).
+    """
     toks = kg.doc_tokens(docs)
     vocab = build_vocab(docs)
-    return toks.join(F.broadcast(vocab), "token", "left").select(
+    freq = toks.groupBy("token").agg(F.count("*").alias("_n"))
+    hot = (
+        vocab.join(freq, "token", "left")
+        .orderBy(F.desc_nulls_last("_n"), F.asc("token"))
+        .limit(hot_k)
+        .select("token", "token_id")
+    )
+    enc = toks.join(F.broadcast(hot), "token", "left")
+    tail = (
+        enc.where(F.col("token_id").isNull())
+        .drop("token_id")
+        .join(vocab.hint("merge"), "token", "left")
+    )
+    return enc.where(F.col("token_id").isNotNull()).unionByName(tail).select(
         "doc_id",
         "word_index",
         "token",

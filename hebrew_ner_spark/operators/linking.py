@@ -8,23 +8,36 @@ follows exactly that shape against a canonical-entity dimension:
   tier 1: surface == canonical_name           (exact)
   tier 2: surface == lower(canonical_name)    (case-normalized)
   tier 3: head-token linking — the mention's first token resolved through
-          tiers 1-2 (the deterministic stand-in for the MinHash-LSH
-          similarity tier; the LSH machinery itself is exercised by the
-          dedup_* operators over the same hash infrastructure)
+          tiers 1-2
+  tier 4: MinHash-LSH fuzzy match (``fuzzy_link_minhash``) — character
+          2-gram MinHash band keys of the remaining unresolved surfaces
+          equi-joined against the alias dictionary's band keys, then
+          exact char-shingle Jaccard verification of candidates only.
+          This is the typo/variant-robust tier a web corpus needs
+          ("data_base", "tabel"); it reuses the dedup module's portable
+          signature machinery, so the DuckDB oracle reproduces every
+          band key bit-for-bit.
 
-All three tiers are **broadcast** joins (the dimension is tiny vs the
-mention table — at 10^12 docs the alias dictionary still fits in tens of
-MB); resolution precedence is a coalesce over the tier outputs, so the
-whole resolver is one narrow stage after the mention-span shuffle.
+Tiers 1-3 are **broadcast** joins (the dimension is tiny vs the mention
+table — at 10^12 docs the alias dictionary still fits in tens of MB).
+Tier 4 hashes each DISTINCT unresolved surface once (the shuffle is
+bounded by surface cardinality, not mention count), keeps the dictionary
+side broadcast, and the quadratic Jaccard step touches only LSH
+candidates — the same scale discipline as near_dup_jaccard.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hebrew_ner_spark.operators import kg
+from hebrew_ner_spark.operators import dedup, kg
 from hebrew_ner_spark.resources import ENTITY_TERMS
+
+FUZZY_K = 2           # character shingle width
+FUZZY_HASHES = 8      # MinHash signature length for short strings
+FUZZY_BANDS = 4       # 4 bands x 2 rows
+FUZZY_THRESHOLD_1E6 = 250_000  # exact char-Jaccard acceptance floor
 
 
 def entity_dim(spark: SparkSession) -> DataFrame:
@@ -83,6 +96,95 @@ def linked_mentions(docs: DataFrame) -> DataFrame:
     """Full chain: mention spans -> tiered linking."""
     spans = kg.mention_spans(docs).select("doc_id", "lo", "hi", "surface")
     return link_mentions(spans, entity_dim(docs.sparkSession))
+
+
+def _char_shingles(col: str, k: int = FUZZY_K) -> Column:
+    """Distinct character k-grams of a string column; strings shorter
+    than k contribute themselves as the single shingle."""
+    return F.expr(
+        f"""
+        CASE WHEN length({col}) < {k} THEN array({col})
+             ELSE array_distinct(transform(sequence(1, length({col}) - {k} + 1),
+                  i -> substring({col}, i, {k}))) END
+        """
+    )
+
+
+def fuzzy_link_minhash(
+    mentions: DataFrame,
+    dim: DataFrame,
+    threshold_1e6: int = FUZZY_THRESHOLD_1E6,
+) -> DataFrame:
+    """Tier 4: (doc_id, lo, hi, surface, entity_id, jaccard_1e6).
+
+    MinHash-LSH candidate generation between mention surfaces and alias
+    dictionary names over lowercased character 2-grams, then EXACT
+    char-shingle Jaccard on candidates only; best match per surface
+    (jaccard DESC, entity_id ASC), NULL when nothing clears the floor.
+
+    Plan shape for 10^12 mentions: surfaces are hashed DISTINCT (one
+    signature per unique string, however often it repeats), the
+    dictionary band-key table is broadcast, candidate verification joins
+    shingles only for LSH collisions, and the final window partitions by
+    surface (bounded fan-in: one row per candidate entity).
+    """
+    surf = (
+        mentions.select("surface")
+        .distinct()
+        .select("surface", F.lower("surface").alias("lc"))
+    )
+    ssh = surf.select("surface", F.explode(_char_shingles("lc")).alias("shingle"))
+    dsh = dim.select(
+        "entity_id", F.lower("canonical_name").alias("lc")
+    ).select("entity_id", F.explode(_char_shingles("lc")).alias("shingle"))
+
+    sbands = dedup.band_keys_from_shingles(
+        ssh.select(F.col("surface").alias("doc_id"), "shingle"),
+        FUZZY_BANDS,
+        FUZZY_HASHES,
+    ).select(F.col("doc_id").alias("surface"), "band", "band_key")
+    dbands = dedup.band_keys_from_shingles(
+        dsh.select(F.col("entity_id").alias("doc_id"), "shingle"),
+        FUZZY_BANDS,
+        FUZZY_HASHES,
+    ).select(F.col("doc_id").alias("entity_id"), "band", "band_key")
+
+    cand = (
+        sbands.join(F.broadcast(dbands), ["band", "band_key"])
+        .select("surface", "entity_id")
+        .distinct()
+    )
+    sn = ssh.groupBy("surface").agg(F.count("*").alias("s_n"))
+    dn = dsh.groupBy("entity_id").agg(F.count("*").alias("d_n"))
+    inter = (
+        cand.join(ssh, "surface")
+        .join(dsh, ["entity_id", "shingle"])
+        .groupBy("surface", "entity_id")
+        .agg(F.count("*").alias("n_i"))
+    )
+    scored = (
+        inter.join(sn, "surface")
+        .join(F.broadcast(dn), "entity_id")
+        .withColumn(
+            # exact integer round-half-up, same form as near_dup_jaccard
+            "jaccard_1e6",
+            F.expr(
+                "CAST((2 * n_i * 1000000 + (s_n + d_n - n_i)) DIV (2 * (s_n + d_n - n_i)) AS BIGINT)"
+            ),
+        )
+        .where(F.col("jaccard_1e6") >= threshold_1e6)
+    )
+    w = Window.partitionBy("surface").orderBy(
+        F.desc("jaccard_1e6"), F.asc("entity_id")
+    )
+    best = (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("surface", F.col("entity_id").cast("long").alias("entity_id"), "jaccard_1e6")
+    )
+    return mentions.join(best, "surface", "left").select(
+        "doc_id", "lo", "hi", "surface", "entity_id", "jaccard_1e6"
+    )
 
 
 def kg_nodes(docs: DataFrame) -> DataFrame:

@@ -19,12 +19,19 @@ over token arrays with
 * a **batched Viterbi max-DP decode** (M7, crf.viterbi_decode_batch)
   over emission scores under hard BIOSE transition legality.
 
-The sandbox has no torch, so the "model" is a deterministic gazetteer
-emission matrix + BIOSE transition constraints — the exact same tensor
-shapes, sort/pad/recover plumbing, and decode loop a neural checkpoint
-would use; swapping in real weights changes only `_Model.scores`.
-Because the model is deterministic, the whole stage is oracle-checkable:
-its output must equal the JVM-side gazetteer labeller bit for bit.
+The sandbox has no torch, so the "model" is deterministic — but NOT
+degenerate: entity tokens emit UNIFORM mass over B/I/E/S (a per-position
+argmax cannot segment a run; it would pick an illegal all-B sequence),
+and the transition tensor is BIOSE legality PLUS the hash-seeded integer
+CRF weights (operators/crf.py SeededCRF), so the batched Viterbi max-DP
+genuinely decides how each maximal entity run splits into mentions
+(S vs B-E vs B-I-E ... segmentations score differently). All weights are
+integer-valued float64 (exact in IEEE), which keeps the stage
+oracle-checkable: feasible paths decompose per entity run, so the DuckDB
+oracle enumerates every legal segmentation of every run (2^(n-1) cut
+masks) and must reproduce the decode exactly, ties included
+(querydefs/mentions_q.py). Swapping in a neural checkpoint changes only
+`_Model.scores` and the weight tables.
 """
 
 from __future__ import annotations
@@ -52,13 +59,17 @@ MICRO_BATCH = 256
 _MODEL = None  # executor-local singleton (M11 pattern)
 
 
-_NEG = -1.0e9
+# Illegal-move mass. Large enough that ONE illegal step can never be
+# bought back by seeded weights (< 2^20 per step -> a 10^8-token document
+# would still sit 9 orders below), small enough that every partial path
+# sum stays an exact integer in float64 (|sum| << 2^53).
+_NEG = -1.0e15
 
 
 def _biose_legality() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(trans, start, end) float matrices: 0 for legal BIOSE moves,
-    -1e9 for illegal — the hard-constraint transition tensor a trained
-    CRF softens with learned weights."""
+    _NEG for illegal — the hard-constraint transition tensor the seeded
+    (or a trained) CRF adds its weights onto."""
     allow = {
         "O": ("O", "B-TERM", "S-TERM"),
         "B-TERM": ("I-TERM", "E-TERM"),
@@ -81,37 +92,40 @@ def _biose_legality() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 
 class _Model:
-    """Deterministic emission model + real Viterbi decode.
+    """Deterministic-but-non-degenerate model + real Viterbi decode.
 
-    Emissions: entity tokens emit mass on B/I/E/S according to their
-    neighbourhood; decode is the exact batched max-DP with backpointers
-    (crf.viterbi_decode_batch, M7) under hard BIOSE legality transitions.
-    With one-hot emissions the optimal path equals the gazetteer rule —
-    which is what makes this stage oracle-checkable bit-for-bit — and
-    swapping in learned logits + soft transitions changes only the
-    tensors, not the decode.
+    Emissions look only at the token itself: an entity token puts 0 on
+    each of B/I/E/S and _NEG on O; any other token the reverse. The
+    emission argmax is therefore AMBIGUOUS on every entity token — the
+    structure (which run positions are B/I/E/S, where mentions split)
+    exists only in the transition tensor: BIOSE legality plus the
+    hash-seeded integer CRF weights (SeededCRF). The batched max-DP
+    (crf.viterbi_decode_batch, M7) is load-bearing: a per-position argmax
+    decodes an illegal constant sequence. Swapping in learned logits +
+    trained transitions changes only these tensors, not the decode.
     """
 
     def __init__(self) -> None:
+        from hebrew_ner_spark.operators.crf import SeededCRF
+
         self.ents = frozenset(ENTITY_TERMS)
-        self.trans, self.start, self.end = _biose_legality()
+        trans, start, end = _biose_legality()
+        seeded = SeededCRF()
+        # integer weights as float64: every partial sum stays exact
+        self.trans = trans + np.array(seeded.trans, dtype=np.float64)
+        self.start = start + np.array(seeded.start, dtype=np.float64)
+        self.end = end + np.array(seeded.end, dtype=np.float64)
 
     def scores(self, batch: np.ndarray, lengths: np.ndarray) -> np.ndarray:
         """(n, max_len, n_labels) emission scores for a padded token batch."""
         n, max_len = batch.shape
-        out = np.zeros((n, max_len, len(LABELS)), dtype=np.float32)
+        out = np.full((n, max_len, len(LABELS)), _NEG, dtype=np.float64)
         is_ent = np.isin(batch, list(self.ents)) & (
             np.arange(max_len)[None, :] < lengths[:, None]
         )
-        prev = np.zeros_like(is_ent)
-        prev[:, 1:] = is_ent[:, :-1]
-        nxt = np.zeros_like(is_ent)
-        nxt[:, :-1] = is_ent[:, 1:]
-        out[..., _LABEL_IDX["O"]] = ~is_ent
-        out[..., _LABEL_IDX["S-TERM"]] = is_ent & ~prev & ~nxt
-        out[..., _LABEL_IDX["B-TERM"]] = is_ent & ~prev & nxt
-        out[..., _LABEL_IDX["E-TERM"]] = is_ent & prev & ~nxt
-        out[..., _LABEL_IDX["I-TERM"]] = is_ent & prev & nxt
+        out[..., _LABEL_IDX["O"]] = np.where(is_ent, _NEG, 0.0)
+        for lbl in ("B-TERM", "I-TERM", "E-TERM", "S-TERM"):
+            out[..., _LABEL_IDX[lbl]] = np.where(is_ent, 0.0, _NEG)
         return out
 
     def decode(self, scores: np.ndarray, lengths: np.ndarray) -> List[List[str]]:

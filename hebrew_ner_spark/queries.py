@@ -2,9 +2,82 @@
 
 All queries live in ``hebrew_ner_spark/querydefs/*``; importing them
 populates the registry. This module re-exports QUERIES/ORACLES for
-``__spark_entry__.py``.
+``__spark_entry__.py`` — in a ROTATED order: the driver's correctness
+artifact covers only the first 50 entries, so the window is budgeted
+deliberately each round (VERDICT r2 "do this" #1):
+
+1. every query that has never had a driver-green CORRECTNESS row
+   (rounds 1-2 checked the first 50 of the then-79 in module order,
+   leaving the mention_model/mm/rel/evt/seg/ann/emb/txt families
+   judge-verified only);
+2. every query added or semantically changed this round;
+3. flagship/lifecycle queries, to keep a continuous signal on them.
+
+Long-stable queries with two rounds of driver-green history rotate out
+of the window; scripts/check_correctness.py still verifies all of them.
 """
 
-from hebrew_ner_spark.registry import ORACLES, QUERIES, query  # noqa: F401
+from hebrew_ner_spark.registry import ORACLES, query  # noqa: F401
+from hebrew_ner_spark.registry import QUERIES as _REGISTERED
 
 import hebrew_ner_spark.querydefs  # noqa: F401,E402  (registration side-effect)
+
+_WINDOW = [
+    # -- never driver-verified (registry positions 50-78 in rounds 1-2) --
+    "mention_model_viterbi",
+    "mention_model_nbest",
+    "mention_model_viterbi_tensor",
+    "mm_media_stats",
+    "mm_frame_sample",
+    "rel_pricing_summary",
+    "rel_revenue_by_nation",
+    "rel_order_rollup",
+    "rel_topk_customers",
+    "rel_bootstrap_ci",
+    "rel_big_join_smj",
+    "evt_sessionize",
+    "evt_hourly_counts",
+    "seg_sentences",
+    "seg_tokens",
+    "ann_brute_topk",
+    "ann_lsh_buckets",
+    "ann_lsh_topk",
+    "emb_near_dups",
+    "emb_near_dups_skew",
+    "emb_near_dup_overflow",
+    "ann_ivf_topk",
+    "ann_recall",
+    "txt_doc_stats",
+    "txt_lang_id",
+    "txt_token_freq",
+    "txt_fingerprint",
+    "txt_normalize",
+    "txt_quality_filter",
+    # -- new or semantically changed in round 3 --
+    "mm_decode",
+    "ann_kmeans_cells",
+    "ann_ivf_recall",
+    "link_fuzzy_minhash",
+    "mention_model_labels",
+    "mention_model_binned",
+    "lbl_alphabet_encode",
+    "eval_span_prf",
+    "cc_dedup_components",
+    # -- flagship / lifecycle continuity --
+    "hybrid_pipeline",
+    "kg_triples",
+    "kg_triple_counts",
+    "kg_web_triples",
+    "eval_span_prf_by_doc",
+    "eval_f1_bootstrap",
+    "eval_f1_bootstrap_ci",
+    "eval_seg_accuracy",
+    "eval_token_accuracy",
+    "lat_pruned",
+    "lat_pruned_flat",
+    "dedup_near_jaccard",
+]
+
+QUERIES = {n: _REGISTERED[n] for n in _WINDOW if n in _REGISTERED}
+QUERIES.update({n: f for n, f in _REGISTERED.items() if n not in QUERIES})
+assert len(QUERIES) == len(_REGISTERED), "window names must exist in registry"

@@ -86,6 +86,119 @@ def link_mentions(spark, sf_dir):
     return linking.linked_mentions(_docs(spark, sf_dir))
 
 
+# --- tier-4 fuzzy MinHash linking oracle -----------------------------------
+# Mirrors linking.fuzzy_link_minhash exactly: lowercased char-2-gram
+# shingles, the shared universal MinHash family over the portable 60-bit
+# md5 base hash, 4x2 banding, exact-Jaccard verification of candidates,
+# best = (jaccard DESC, entity_id ASC). The fixture corrupts multi-token
+# surfaces (' ' -> '_') so tiers 1-3 all miss and ONLY the fuzzy tier can
+# link them.
+
+from hebrew_ner_spark.functions.hashing import (  # noqa: E402
+    MINHASH_P as _P,
+    minhash_coeffs as _mc,
+    phash_duck as _phd,
+)
+from hebrew_ner_spark.operators.linking import (  # noqa: E402
+    FUZZY_BANDS as _FB,
+    FUZZY_HASHES as _FH,
+    FUZZY_K as _FK,
+    FUZZY_THRESHOLD_1E6 as _FT,
+)
+
+_FROWS = _FH // _FB
+_FSEEDS = ", ".join(f"({s}, {a}, {b})" for s, (a, b) in enumerate(_mc(_FH)))
+
+
+def _char_sh_duck(lc: str) -> str:
+    return (
+        f"CASE WHEN len({lc}) < {_FK} THEN [{lc}] "
+        f"ELSE list_distinct(list_transform(range(0, len({lc}) - {_FK} + 1), "
+        f"i -> substr({lc}, CAST(i + 1 AS INT), {_FK}))) END"
+    )
+
+
+_FUZZY_ORACLE = f"""
+    WITH {_SPANS_CTE}, {_dim_values()},
+    noisy AS (
+      SELECT doc_id, lo, hi, replace(surface, ' ', '_') AS surface
+      FROM spans WHERE hi > lo
+    ),
+    surf AS (SELECT DISTINCT surface, lower(surface) AS lc FROM noisy),
+    ssh AS (SELECT surface, unnest({_char_sh_duck('lc')}) AS shingle FROM surf),
+    dsh AS (SELECT entity_id, unnest({_char_sh_duck('lower(canonical_name)')}) AS shingle FROM dim),
+    fseeds AS (SELECT * FROM (VALUES {_FSEEDS}) AS t(seed, a, b)),
+    ssig AS (
+      SELECT surface, CAST(seed AS BIGINT) AS seed,
+             min((CAST(a AS BIGINT) * ({_phd('shingle', 0)} % {_P}) + b) % {_P}) AS mh
+      FROM ssh CROSS JOIN fseeds GROUP BY surface, seed
+    ),
+    dsig AS (
+      SELECT entity_id, CAST(seed AS BIGINT) AS seed,
+             min((CAST(a AS BIGINT) * ({_phd('shingle', 0)} % {_P}) + b) % {_P}) AS mh
+      FROM dsh CROSS JOIN fseeds GROUP BY entity_id, seed
+    ),
+    sbands AS (
+      SELECT surface, CAST(seed // {_FROWS} AS BIGINT) AS band,
+             md5(string_agg(CAST(mh AS VARCHAR), '_' ORDER BY seed)) AS band_key
+      FROM ssig GROUP BY surface, seed // {_FROWS}
+    ),
+    dbands AS (
+      SELECT entity_id, CAST(seed // {_FROWS} AS BIGINT) AS band,
+             md5(string_agg(CAST(mh AS VARCHAR), '_' ORDER BY seed)) AS band_key
+      FROM dsig GROUP BY entity_id, seed // {_FROWS}
+    ),
+    cand AS (
+      SELECT DISTINCT s.surface, d.entity_id
+      FROM sbands s JOIN dbands d USING (band, band_key)
+    ),
+    sn AS (SELECT surface, count(*) AS s_n FROM ssh GROUP BY surface),
+    dn AS (SELECT entity_id, count(*) AS d_n FROM dsh GROUP BY entity_id),
+    inter AS (
+      SELECT c.surface, c.entity_id, count(*) AS n_i
+      FROM cand c
+      JOIN ssh ON ssh.surface = c.surface
+      JOIN dsh ON dsh.entity_id = c.entity_id AND dsh.shingle = ssh.shingle
+      GROUP BY c.surface, c.entity_id
+    ),
+    scored AS (
+      SELECT i.surface, i.entity_id,
+             CAST((2 * n_i * 1000000 + (s_n + d_n - n_i)) // (2 * (s_n + d_n - n_i)) AS BIGINT) AS jaccard_1e6
+      FROM inter i JOIN sn USING (surface) JOIN dn USING (entity_id)
+    ),
+    best AS (
+      SELECT surface, CAST(entity_id AS BIGINT) AS entity_id, jaccard_1e6 FROM (
+        SELECT surface, entity_id, jaccard_1e6,
+               row_number() OVER (PARTITION BY surface ORDER BY jaccard_1e6 DESC, entity_id ASC) AS r
+        FROM scored WHERE jaccard_1e6 >= {_FT}) WHERE r = 1
+    )
+    SELECT n.doc_id, n.lo, n.hi, n.surface, b.entity_id, b.jaccard_1e6
+    FROM noisy n LEFT JOIN best b USING (surface)
+"""
+
+
+@query("link_fuzzy_minhash", oracle=_FUZZY_ORACLE)
+def link_fuzzy_minhash(spark, sf_dir):
+    """Tier-4 MinHash-LSH fuzzy linking on a planted-corruption fixture:
+    multi-token surfaces with spaces replaced by '_' miss every exact/
+    lower/head tier, and the char-2-gram LSH + exact-Jaccard pass must
+    resolve (or explicitly NULL) each one identically to the oracle."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    from hebrew_ner_spark.operators import kg
+
+    noisy = (
+        kg.mention_spans(docs)
+        .where(F.col("hi") > F.col("lo"))
+        .select(
+            "doc_id", "lo", "hi",
+            F.translate("surface", " ", "_").alias("surface"),
+        )
+    )
+    return linking.fuzzy_link_minhash(noisy, linking.entity_dim(spark))
+
+
 @query(
     "kg_nodes",
     oracle=f"""

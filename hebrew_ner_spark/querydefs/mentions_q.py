@@ -1,7 +1,15 @@
-"""Model-inference-stage queries: the mapInPandas labeller must reproduce
-the JVM-side gazetteer labels bit for bit (same oracle as
-kg_token_labels), proving the batchify/sort/pad/decode/recover plumbing
-is permutation-safe."""
+"""Model-inference-stage queries.
+
+The production mention model (mentions._Model) emits UNIFORM mass over
+B/I/E/S on entity tokens and rides the hash-seeded CRF transition
+weights on top of BIOSE legality, so the Viterbi decode — not any
+per-position shortcut — chooses how each maximal entity run segments
+into mentions. The oracle exploits that feasible paths decompose per
+run: every legal segmentation of a run of n entity tokens is one of the
+2^(n-1) cut masks (segment of 1 -> S, else B I* E), scored with the
+same seeded weights; ties resolve to the minimum little-endian path
+integer, the tensor decoder's pinned backward-greedy order (see
+mention_model_viterbi_tensor)."""
 
 from __future__ import annotations
 
@@ -12,45 +20,9 @@ from hebrew_ner_spark.sources.catalog import load_table
 
 _ENTS_SQL = "(" + ", ".join(f"'{t}'" for t in ENTITY_TERMS) + ")"
 
-_LABELS_ORACLE = f"""
-    WITH toks AS (
-      SELECT doc_id,
-             generate_subscripts(string_split(text, ' '), 1) - 1 AS word_index,
-             unnest(string_split(text, ' ')) AS token
-      FROM documents
-    ),
-    lbl AS (
-      SELECT doc_id, word_index, token,
-             token IN {_ENTS_SQL} AS is_ent,
-             coalesce(lag(token)  OVER w IN {_ENTS_SQL}, FALSE) AS prev_ent,
-             coalesce(lead(token) OVER w IN {_ENTS_SQL}, FALSE) AS next_ent
-      FROM toks
-      WINDOW w AS (PARTITION BY doc_id ORDER BY word_index)
-    )
-    SELECT doc_id, word_index, token,
-           CASE WHEN NOT is_ent THEN 'O'
-                WHEN NOT prev_ent AND NOT next_ent THEN 'S-TERM'
-                WHEN NOT prev_ent THEN 'B-TERM'
-                WHEN NOT next_ent THEN 'E-TERM'
-                ELSE 'I-TERM' END AS label
-    FROM lbl
-"""
-
 
 def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents")
-
-
-@query("mention_model_labels", oracle=_LABELS_ORACLE)
-def mention_model_labels(spark, sf_dir):
-    """M9 chain as mapInPandas (singleton model, micro-batched decode)."""
-    return mentions.detect_mentions(_docs(spark, sf_dir))
-
-
-@query("mention_model_binned", oracle=_LABELS_ORACLE)
-def mention_model_binned(spark, sf_dir):
-    """Same with repartitionByRange length binning (O1 physical choice)."""
-    return mentions.detect_mentions_length_binned(_docs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -114,6 +86,91 @@ ranked AS (
   FROM scored
 )
 """
+
+
+# Per-run segmentation-enumeration oracle for the PRODUCTION mention
+# model. Feasibility (emission _NEG walls) forces O exactly off entity
+# runs; within a run the 2^(n-1) cut masks are the legal labelings;
+# between runs every feasible path pays the same O-O transitions, so the
+# per-run argmax is the global argmax, and revkey (sum li[t]*5^t) ASC is
+# the within-run restriction of the global little-endian tie order.
+_LABELS_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS word_index,
+             unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, word_index, token, token IN {_ENTS_SQL} AS is_ent,
+             max(word_index) OVER (PARTITION BY doc_id) AS last_wi
+      FROM toks
+    ),
+    ent AS (
+      SELECT doc_id, word_index, last_wi,
+             word_index - row_number() OVER (PARTITION BY doc_id ORDER BY word_index) AS grp
+      FROM base WHERE is_ent
+    ),
+    runs AS (
+      SELECT doc_id, grp, min(word_index) AS lo, CAST(count(*) AS BIGINT) AS n,
+             any_value(last_wi) AS last_wi
+      FROM ent GROUP BY doc_id, grp
+    ),
+    masks AS (
+      SELECT doc_id, lo, n, last_wi, CAST(m AS BIGINT) AS m
+      FROM runs, LATERAL (SELECT unnest(range(0, CAST(1 AS BIGINT) << (n - 1))) AS m)
+    ),
+    lab AS (
+      SELECT doc_id, lo, n, last_wi, m,
+             list_transform(range(0, n), t ->
+               CASE WHEN (t = 0 OR ((m >> (t - 1)) & 1) = 1)
+                         AND (t = n - 1 OR ((m >> t) & 1) = 1) THEN 4
+                    WHEN (t = 0 OR ((m >> (t - 1)) & 1) = 1) THEN 1
+                    WHEN (t = n - 1 OR ((m >> t) & 1) = 1) THEN 3
+                    ELSE 2 END) AS li
+      FROM masks
+    ),
+    scored AS (
+      SELECT doc_id, lo, n, li,
+             (CASE WHEN lo = 0 THEN {_ph(f"'S|' || {_NAMES_SQL}[li[1] + 1]")}
+                   ELSE {_ph(f"'T|O|' || {_NAMES_SQL}[li[1] + 1]")} END)
+           + (CASE WHEN n > 1 THEN list_sum(list_transform(range(1, n),
+                 t -> {_ph(f"'T|' || {_NAMES_SQL}[li[t] + 1] || '|' || {_NAMES_SQL}[li[t + 1] + 1]")}))
+              ELSE 0 END)
+           + (CASE WHEN lo + n - 1 = last_wi THEN {_ph(f"'F|' || {_NAMES_SQL}[li[n] + 1]")}
+                   ELSE {_ph(f"'T|' || {_NAMES_SQL}[li[n] + 1] || '|O'")} END) AS score,
+             list_sum(list_transform(range(0, n),
+               t -> li[t + 1] * CAST(pow(5, t) AS BIGINT))) AS revkey
+      FROM lab
+    ),
+    best AS (
+      SELECT doc_id, lo, li FROM (
+        SELECT doc_id, lo, li,
+               row_number() OVER (PARTITION BY doc_id, lo ORDER BY score DESC, revkey ASC) AS r
+        FROM scored) WHERE r = 1
+    ),
+    run_labels AS (
+      SELECT doc_id, lo + t AS word_index, {_NAMES_SQL}[li[t + 1] + 1] AS label
+      FROM best, LATERAL (SELECT unnest(range(0, len(li))) AS t)
+    )
+    SELECT b.doc_id, b.word_index, b.token, coalesce(r.label, 'O') AS label
+    FROM base b LEFT JOIN run_labels r USING (doc_id, word_index)
+"""
+
+
+@query("mention_model_labels", oracle=_LABELS_ORACLE)
+def mention_model_labels(spark, sf_dir):
+    """M9 chain as mapInPandas (singleton model, micro-batched decode):
+    the shipped pipeline now runs a non-degenerate Viterbi — uniform
+    B/I/E/S emissions on entity tokens, seeded CRF transitions deciding
+    the mention segmentation of every run."""
+    return mentions.detect_mentions(_docs(spark, sf_dir))
+
+
+@query("mention_model_binned", oracle=_LABELS_ORACLE)
+def mention_model_binned(spark, sf_dir):
+    """Same with repartitionByRange length binning (O1 physical choice)."""
+    return mentions.detect_mentions_length_binned(_docs(spark, sf_dir))
 
 
 def _short_toks(spark, sf_dir):

@@ -1,5 +1,6 @@
 """Entity-linking and connected-components tests."""
 
+import pytest
 from pyspark.sql import Row
 
 from hebrew_ner_spark.operators import canonicalize, linking
@@ -62,3 +63,55 @@ def test_dedup_components_deterministic_survivor(spark):
     pairs = spark.createDataFrame([(5, 9), (9, 3), (20, 21)], "doc_a long, doc_b long")
     out = {r.doc_id: r.component_id for r in canonicalize.dedup_components(pairs).collect()}
     assert out == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20}
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """Reliable mode: rounds break lineage via sparkContext checkpoints
+    (cluster-fault-safe), produce identical components, and actually
+    write checkpoint data under the configured directory."""
+    import os
+
+    ckpt = str(tmp_path / "cc_ckpt")
+    spark.conf.set(canonicalize.CHECKPOINT_DIR_CONF, ckpt)
+    try:
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(40)] + [(100, 101)], ["src", "dst"]
+        )
+        cc = {
+            r.vertex: r.component
+            for r in canonicalize.connected_components(edges, reliable=True).collect()
+        }
+        assert all(cc[v] == 0 for v in range(41))
+        assert cc[100] == cc[101] == 100
+        found = [f for _, _, fs in os.walk(ckpt) for f in fs]
+        assert found, "reliable mode must persist checkpoint files"
+    finally:
+        spark.conf.unset(canonicalize.CHECKPOINT_DIR_CONF)
+
+
+def test_connected_components_reliable_requires_dir(spark):
+    edges = spark.createDataFrame([(0, 1)], ["src", "dst"])
+    if spark.sparkContext.getCheckpointDir() is None:
+        with pytest.raises(ValueError, match="checkpointDir"):
+            canonicalize.connected_components(edges, reliable=True)
+
+
+def test_fuzzy_minhash_linking_tier(spark):
+    """Tier 4: char-2-gram MinHash-LSH + exact Jaccard. A near-typo links
+    to its entity, a corrupted multi-token surface links fuzzily, garbage
+    stays NULL, and an exact name scores Jaccard 1.0."""
+    m = spark.createDataFrame(
+        [(1, 0, 1, "tablee"), (2, 0, 1, "data_table"),
+         (3, 0, 1, "qqqq"), (4, 0, 1, "window")],
+        "doc_id long, lo long, hi long, surface string",
+    )
+    out = {r.surface: r for r in
+           linking.fuzzy_link_minhash(m, linking.entity_dim(spark)).collect()}
+    dim = {r.entity_id: r.canonical_name.lower()
+           for r in linking.entity_dim(spark).collect()}
+    assert dim[out["tablee"].entity_id] == "table"
+    assert out["tablee"].jaccard_1e6 == 800000
+    assert dim[out["data_table"].entity_id] == "table"
+    assert out["qqqq"].entity_id is None and out["qqqq"].jaccard_1e6 is None
+    assert dim[out["window"].entity_id] == "window"
+    assert out["window"].jaccard_1e6 == 1000000

@@ -87,3 +87,19 @@ def test_build_vocab_two_level_rank_matches_global_order(spark):
 
     plan = build_vocab(docs)._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(bkt" in plan  # per-bucket sort, not global
+
+
+def test_alphabet_encode_tiered_plan_and_identity(spark):
+    """With a tiny hot tier the tail must shuffle-join (SortMergeJoin in
+    the plan — the full vocab is never broadcast), and the tiered output
+    must equal the all-hot output row for row."""
+    from hebrew_ner_spark.operators import labels as lbl
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tiered = lbl.alphabet_encode(docs, hot_k=4)
+    plan = tiered._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan          # the tail tier
+    assert "BroadcastHashJoin" in plan      # the hot tier
+    full = lbl.alphabet_encode(docs)
+    key = ["doc_id", "word_index"]
+    assert tiered.orderBy(*key).collect() == full.orderBy(*key).collect()
