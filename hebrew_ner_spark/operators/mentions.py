@@ -109,6 +109,10 @@ class _Model:
         from hebrew_ner_spark.operators.crf import SeededCRF
 
         self.ents = frozenset(ENTITY_TERMS)
+        # prepared once: np.isin against a ready array beats rebuilding a
+        # python list per Arrow batch in the corpus-scale hot path
+        self._ents_arr = np.array(sorted(self.ents), dtype=object)
+        self._labels_arr = np.array(LABELS, dtype=object)
         trans, start, end = _biose_legality()
         seeded = SeededCRF()
         # integer weights as float64: every partial sum stays exact
@@ -120,7 +124,7 @@ class _Model:
         """(n, max_len, n_labels) emission scores for a padded token batch."""
         n, max_len = batch.shape
         out = np.full((n, max_len, len(LABELS)), _NEG, dtype=np.float64)
-        is_ent = np.isin(batch, list(self.ents)) & (
+        is_ent = np.isin(batch, self._ents_arr) & (
             np.arange(max_len)[None, :] < lengths[:, None]
         )
         out[..., _LABEL_IDX["O"]] = np.where(is_ent, _NEG, 0.0)
@@ -128,17 +132,21 @@ class _Model:
             out[..., _LABEL_IDX[lbl]] = np.where(is_ent, 0.0, _NEG)
         return out
 
-    def decode(self, scores: np.ndarray, lengths: np.ndarray) -> List[List[str]]:
-        """M7: batched Viterbi max-DP (model/crf.py:104-265 semantics),
-        mask-truncated to true length."""
+    def decode_idx(self, scores: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+        """M7: batched Viterbi max-DP (model/crf.py:104-265 semantics);
+        (n, max_len) label indexes, padded tail undefined."""
         from hebrew_ner_spark.operators.crf import viterbi_decode_batch
 
-        idx = viterbi_decode_batch(
+        return viterbi_decode_batch(
             scores.astype(np.float64), lengths, self.trans, self.start, self.end
         )
-        return [
-            [LABELS[j] for j in idx[i, : lengths[i]]] for i in range(len(lengths))
-        ]
+
+    def decode(self, scores: np.ndarray, lengths: np.ndarray) -> List[List[str]]:
+        """decode_idx mapped to label strings, truncated to true length.
+        The index->label mapping is one fancy index over the whole batch,
+        never a per-token Python loop."""
+        lab = self._labels_arr[self.decode_idx(scores, lengths)]
+        return [lab[i, : lengths[i]].tolist() for i in range(len(lengths))]
 
 
 def _get_model() -> _Model:
@@ -150,13 +158,21 @@ def _get_model() -> _Model:
     return _MODEL
 
 
-def _label_batch(toks_list: List[List[str]]) -> List[List[str]]:
-    """O1/M1: length-sort, pad, score, decode, inverse-permute."""
+def _label_batch(toks_list: List[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    """O1/M1: length-sort, pad, score, decode, inverse-permute.
+
+    Returns (flat_labels, lengths): one object array of label strings
+    aligned with the concatenation of ``toks_list`` in ORIGINAL order.
+    Per-sentence Python touches rows, never tokens — all per-token work
+    (emissions, DP, index->label mapping, flattening) is vectorized,
+    which is what keeps this stage scaling linearly with cores (a
+    per-token loop here measurably drags 4->16-core efficiency)."""
     model = _get_model()
     lengths = np.array([len(t) for t in toks_list], dtype=np.int64)
+    offs = np.zeros(len(toks_list) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offs[1:])
+    flat = np.empty(int(offs[-1]), dtype=object)
     perm = np.argsort(-lengths, kind="stable")  # descending, like the reference
-    recover = np.argsort(perm, kind="stable")   # word_seq_recover analog
-    results: List[List[str]] = [None] * len(toks_list)  # type: ignore[list-item]
     for start in range(0, len(perm), MICRO_BATCH):
         chunk = perm[start : start + MICRO_BATCH]
         chunk_lens = lengths[chunk]
@@ -164,42 +180,50 @@ def _label_batch(toks_list: List[List[str]]) -> List[List[str]]:
         padded = np.full((len(chunk), max_len), "", dtype=object)
         for r, src in enumerate(chunk):
             padded[r, : lengths[src]] = toks_list[src]
-        scores = model.scores(padded, chunk_lens)
-        decoded = model.decode(scores, chunk_lens)
+        lab = model._labels_arr[
+            model.decode_idx(model.scores(padded, chunk_lens), chunk_lens)
+        ]
+        # inverse permutation (M10 word_seq_recover): write each decoded
+        # row back to its source sentence's slice of the flat output
         for r, src in enumerate(chunk):
-            results[src] = decoded[r]
-    assert all(r is not None for r in results)
-    _ = recover  # recovery done via src indices; kept for parity with M10
-    return results
+            flat[offs[src] : offs[src + 1]] = lab[r, : lengths[src]]
+    return flat, lengths
+
+
+def _labelled_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Shared mapInPandas kernel: token arrays -> long NER table
+    (NER_DF_COLUMNS analog, utils/ner.py:14), fully vectorized."""
+    empty_obj = np.array([], dtype=object)
+    for pdf in batches:
+        toks_list = list(pdf["toks"])
+        flat_labels, lengths = _label_batch(toks_list)
+        n = int(lengths.sum())
+        starts = np.repeat(np.cumsum(lengths) - lengths, lengths)
+        yield pd.DataFrame(
+            {
+                "doc_id": np.repeat(pdf["doc_id"].to_numpy(np.int64), lengths),
+                "word_index": np.arange(n, dtype=np.int64) - starts,
+                "token": np.concatenate(
+                    [np.asarray(t, dtype=object) for t in toks_list]
+                )
+                if n
+                else empty_obj,
+                "label": flat_labels,
+            }
+        )
 
 
 def detect_mentions(docs: DataFrame) -> DataFrame:
     """pages -> (doc_id, word_index, token, label) through the model UDF.
 
     mapInPandas: each Arrow batch is labelled locally; output explodes to
-    the long NER table (NER_DF_COLUMNS analog, utils/ner.py:14). The plan
-    has zero shuffles — mention detection is embarrassingly parallel.
+    the long NER table. The plan has zero shuffles — mention detection is
+    embarrassingly parallel.
     """
     toks = kg.with_tokens(docs).select("doc_id", "toks")
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            toks_list = [list(t) for t in pdf["toks"]]
-            labels = _label_batch(toks_list)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].repeat([len(t) for t in toks_list]).values,
-                    "word_index": np.concatenate(
-                        [np.arange(len(t), dtype=np.int64) for t in toks_list]
-                    )
-                    if toks_list
-                    else np.array([], dtype=np.int64),
-                    "token": [tok for t in toks_list for tok in t],
-                    "label": [l for ls in labels for l in ls],
-                }
-            )
-
-    return toks.mapInPandas(run, "doc_id long, word_index long, token string, label string")
+    return toks.mapInPandas(
+        _labelled_batches, "doc_id long, word_index long, token string, label string"
+    )
 
 
 def detect_mentions_length_binned(docs: DataFrame) -> DataFrame:
@@ -213,22 +237,6 @@ def detect_mentions_length_binned(docs: DataFrame) -> DataFrame:
     # partition count from spark.sql.shuffle.partitions (a literal count
     # here would pin a 10^12-doc corpus to a handful of tasks)
     binned = toks.repartitionByRange(F.col("_len")).drop("_len")
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            toks_list = [list(t) for t in pdf["toks"]]
-            labels = _label_batch(toks_list)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].repeat([len(t) for t in toks_list]).values,
-                    "word_index": np.concatenate(
-                        [np.arange(len(t), dtype=np.int64) for t in toks_list]
-                    )
-                    if toks_list
-                    else np.array([], dtype=np.int64),
-                    "token": [tok for t in toks_list for tok in t],
-                    "label": [l for ls in labels for l in ls],
-                }
-            )
-
-    return binned.mapInPandas(run, "doc_id long, word_index long, token string, label string")
+    return binned.mapInPandas(
+        _labelled_batches, "doc_id long, word_index long, token string, label string"
+    )

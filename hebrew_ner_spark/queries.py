@@ -78,6 +78,11 @@ _WINDOW = [
     "dedup_near_jaccard",
 ]
 
-QUERIES = {n: _REGISTERED[n] for n in _WINDOW if n in _REGISTERED}
+# validate BEFORE filtering: a silently-skipped typo would rotate a query
+# out of the driver-verified window with no signal at all
+_unknown = set(_WINDOW) - set(_REGISTERED)
+assert not _unknown, f"window names not in registry: {sorted(_unknown)}"
+assert len(_WINDOW) == len(set(_WINDOW)), "duplicate names in window"
+
+QUERIES = {n: _REGISTERED[n] for n in _WINDOW}
 QUERIES.update({n: f for n, f in _REGISTERED.items() if n not in QUERIES})
-assert len(QUERIES) == len(_REGISTERED), "window names must exist in registry"

@@ -117,8 +117,13 @@ _LABELS_ORACLE = f"""
       FROM ent GROUP BY doc_id, grp
     ),
     masks AS (
+      -- loud bound: a run beyond 24 entity tokens would need 2^23+ masks;
+      -- error() beats a hung or silently-wrong gate (current corpora max
+      -- out at 16 consecutive entity tokens at the gated scales)
       SELECT doc_id, lo, n, last_wi, CAST(m AS BIGINT) AS m
-      FROM runs, LATERAL (SELECT unnest(range(0, CAST(1 AS BIGINT) << (n - 1))) AS m)
+      FROM runs, LATERAL (SELECT unnest(range(0,
+        CASE WHEN n > 24 THEN CAST(error('entity run too long for the segmentation-enumeration oracle') AS BIGINT)
+             ELSE CAST(1 AS BIGINT) << (n - 1) END)) AS m)
     ),
     lab AS (
       SELECT doc_id, lo, n, last_wi, m,
