@@ -69,7 +69,21 @@ def _replicated_dir(spark, sf_dir: str, min_docs: int) -> tuple[str, int]:
         tempfile.gettempdir(), f"spark_bench_headline_{os.path.basename(sf_dir.rstrip('/'))}_x{rep}"
     )
     docs_dir = os.path.join(work, "documents.parquet")
-    if not os.path.exists(docs_dir):
+    # The cache is valid only if a prior invocation finished the WHOLE
+    # build (parquet + symlinks) and the source corpus still has the same
+    # row count — a crashed mid-write or a regenerated sf corpus would
+    # otherwise silently inflate/deflate the headline rates. The marker
+    # is written last and records the expected replicated count.
+    marker = os.path.join(work, "_BUILD_OK")
+    expected = n * rep
+    valid = False
+    if os.path.exists(marker):
+        with open(marker) as f:
+            valid = f.read().strip() == str(expected)
+    if not valid:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
         os.makedirs(work, exist_ok=True)
         big = (
             docs.crossJoin(spark.range(rep).withColumnRenamed("id", "_r"))
@@ -83,7 +97,9 @@ def _replicated_dir(spark, sf_dir: str, min_docs: int) -> tuple[str, int]:
                 dst = os.path.join(work, t + ".parquet")
                 if os.path.exists(src) and not os.path.exists(dst):
                     os.symlink(src, dst)
-    return work, n * rep
+        with open(marker, "w") as f:
+            f.write(str(expected))
+    return work, expected
 
 
 def run() -> dict:

@@ -23,11 +23,13 @@ Scale notes:
 * every round persists and breaks lineage so the plan does not grow
   exponentially. Two modes: ``localCheckpoint`` (default — executor
   block storage, no HDFS round-trip, right for local mode and
-  short-lived jobs) and RELIABLE ``checkpoint`` (set conf
-  ``spark.graft.cc.reliable=true`` + a ``sparkContext.setCheckpointDir``
-  — on a real cluster, localCheckpoint blocks die with their executor,
-  and an executor loss after round k would make the lineage
-  unrecoverable and fail the whole job; reliable checkpoints survive);
+  short-lived jobs) and RELIABLE round tables (set conf
+  ``spark.graft.cc.reliable=true`` + a checkpoint dir — on a real
+  cluster, localCheckpoint blocks die with their executor, and an
+  executor loss after round k would make the lineage unrecoverable and
+  fail the whole job). Reliable mode writes each round to parquet under
+  the dir and deletes round k-1 once round k lands, so the on-disk
+  footprint stays at most two label tables, not O(rounds);
 * convergence test is a count of changed labels — one action per round,
   the driver-side loop is O(rounds), not O(rows).
 """
@@ -41,26 +43,63 @@ RELIABLE_CONF = "spark.graft.cc.reliable"
 CHECKPOINT_DIR_CONF = "spark.graft.cc.checkpointDir"
 
 
+class _ReliableRoundTables:
+    """Reliable per-round lineage break as managed parquet round-tables.
+
+    ``df.checkpoint(eager=True)`` would also survive executor loss, but
+    Spark never deletes DataFrame checkpoint files while they stay
+    referenced (and cleanCheckpoints is off by default), so a long CC run
+    would leak O(rounds x |V|) storage under the checkpoint dir. Writing
+    each round to ``<dir>/round_<k>`` and deleting round k-1 once round k
+    is fully materialized bounds the footprint to at most two round
+    tables — the table backing the RETURNED labels DataFrame necessarily
+    stays on disk until the caller is done with it. Deletion goes through
+    the Hadoop FileSystem API, so the dir may be HDFS/S3/local alike.
+    """
+
+    def __init__(self, spark, base_dir: str):
+        import uuid
+
+        self.spark = spark
+        self.base = base_dir.rstrip("/") + "/cc-" + uuid.uuid4().hex[:12]
+        self.k = 0
+
+    def _delete(self, path: str) -> None:
+        jvm = self.spark._jvm
+        hconf = self.spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(hconf).delete(p, True)
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        path = f"{self.base}/round_{self.k}"
+        df.write.mode("overwrite").parquet(path)
+        out = self.spark.read.parquet(path)
+        if self.k >= 1:
+            # round k-1 fed only the (now fully written) round k
+            self._delete(f"{self.base}/round_{self.k - 1}")
+        self.k += 1
+        return out
+
+
 def _lineage_breaker(df_like: DataFrame, reliable: bool | None):
     """Returns the per-round lineage-break function. ``reliable=None``
     reads the session conf (so spark-submit --conf flips the mode with
-    zero code change); reliable mode requires a checkpoint dir — either
-    already set on the context or given via spark.graft.cc.checkpointDir."""
+    zero code change); reliable mode requires a directory — either an
+    already-set sparkContext checkpoint dir or spark.graft.cc.checkpointDir."""
     spark = df_like.sparkSession
     if reliable is None:
         reliable = spark.conf.get(RELIABLE_CONF, "false").lower() == "true"
     if not reliable:
         return lambda df: df.localCheckpoint()
-    sc = spark.sparkContext
-    if sc.getCheckpointDir() is None:
-        conf_dir = spark.conf.get(CHECKPOINT_DIR_CONF, None)
-        if conf_dir is None:
-            raise ValueError(
-                f"{RELIABLE_CONF}=true needs sparkContext.setCheckpointDir "
-                f"or {CHECKPOINT_DIR_CONF}"
-            )
-        sc.setCheckpointDir(conf_dir)
-    return lambda df: df.checkpoint(eager=True)
+    base = spark.sparkContext.getCheckpointDir() or spark.conf.get(
+        CHECKPOINT_DIR_CONF, None
+    )
+    if base is None:
+        raise ValueError(
+            f"{RELIABLE_CONF}=true needs sparkContext.setCheckpointDir "
+            f"or {CHECKPOINT_DIR_CONF}"
+        )
+    return _ReliableRoundTables(spark, base)
 
 
 def connected_components(

@@ -174,9 +174,11 @@ def viterbi_decode_batch(
     model/crf.py:104-265 without the START/STOP padding columns. Ties
     break BACKWARD-greedily (per-step argmax-first-occurrence from the
     final state), which is the reference's behaviour but NOT the global
-    front-lex order of SeededCRF — with continuous logits ties are
-    measure-zero, and the one-hot mention-model emissions admit a unique
-    optimum, so the two conventions never disagree on real inputs here.
+    front-lex order of SeededCRF. The production mention model's uniform
+    B/I/E/S emissions DO produce ties, and the mention_model_labels /
+    _binned oracles pin exactly this backward-greedy order (min
+    little-endian path integer over label indexes) — changing the tie
+    convention here is an observable, gate-breaking change.
     """
     n, max_len, L = scores.shape
     dp = start[None, :] + scores[:, 0, :]

@@ -270,7 +270,12 @@ def alphabet_encode(
        (hinted, so the plan never depends on a size estimate that would
        try to broadcast 10^8 rows).
     """
-    toks = kg.doc_tokens(docs)
+    from pyspark import StorageLevel
+
+    # One corpus scan, not three: `toks` feeds the frequency agg AND both
+    # union branches below. Serialized + disk-spillable so a 10^12-token
+    # corpus degrades to disk reads instead of re-tokenizing per branch.
+    toks = kg.doc_tokens(docs).persist(StorageLevel.MEMORY_AND_DISK_DESER)
     vocab = build_vocab(docs)
     freq = toks.groupBy("token").agg(F.count("*").alias("_n"))
     hot = (

@@ -248,8 +248,19 @@ def kmeans_centroids(
     n_cells x dim rows, so it stays broadcast-sized at any corpus scale."""
     mv = _micro_vecs(emb)
     cents = seed_centroids(emb, n_cells)
-    for _ in range(iters):
-        cents = _update_centroids(mv, _assign_cells(mv, cents))
+    for i in range(iters):
+        prev = cents
+        # persist + materialize each round: cents is referenced by the next
+        # assign AND (for the final round) by every downstream consumer —
+        # ivf_assign + the probe join each broadcast it — so without this
+        # the full-corpus Lloyd subplan re-executes once per reference,
+        # and iteration k would replay iterations 0..k-1. The table is at
+        # most n_cells rows; the count() is the eager materializer (the
+        # same per-round pattern connected_components uses).
+        cents = _update_centroids(mv, _assign_cells(mv, cents)).persist()
+        cents.count()
+        if i > 0:
+            prev.unpersist()
     return cents
 
 

@@ -79,10 +79,13 @@ _WINDOW = [
 ]
 
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
-# out of the driver-verified window with no signal at all
+# out of the driver-verified window with no signal at all (explicit raise,
+# not assert — asserts vanish under python -O)
 _unknown = set(_WINDOW) - set(_REGISTERED)
-assert not _unknown, f"window names not in registry: {sorted(_unknown)}"
-assert len(_WINDOW) == len(set(_WINDOW)), "duplicate names in window"
+if _unknown:
+    raise ValueError(f"window names not in registry: {sorted(_unknown)}")
+if len(_WINDOW) != len(set(_WINDOW)):
+    raise ValueError("duplicate names in window")
 
 QUERIES = {n: _REGISTERED[n] for n in _WINDOW}
 QUERIES.update({n: f for n, f in _REGISTERED.items() if n not in QUERIES})

@@ -289,15 +289,22 @@ def cc_dedup_components(spark, sf_dir):
     surface as an opaque hash mismatch). The capped production path
     itself is pinned by tests/test_skew.py."""
     d = _docs(spark, sf_dir)
-    over = dedup.lsh_overflow(d).limit(1).count()
-    if over:
-        raise AssertionError(
-            "cc_dedup_components gate: over-cap LSH bucket present at the "
-            "gated scale — the exact-transitive-closure oracle cannot model "
-            "hub-edge routing; regenerate test data or raise MAX_BUCKET"
-        )
+    # The guard is a full banding pass; memoize per corpus dir (testdata
+    # is read-only) so repeated calls — bench reps, gate re-runs in one
+    # session — don't re-execute an eager Spark job per call.
+    if sf_dir not in _CC_OVERFLOW_CHECKED:
+        if dedup.lsh_overflow(d).limit(1).count():
+            raise AssertionError(
+                "cc_dedup_components gate: over-cap LSH bucket present at the "
+                "gated scale — the exact-transitive-closure oracle cannot model "
+                "hub-edge routing; regenerate test data or raise MAX_BUCKET"
+            )
+        _CC_OVERFLOW_CHECKED.add(sf_dir)
     pairs = dedup.near_dup_pairs_all(d)
     return canonicalize.dedup_components(pairs)
+
+
+_CC_OVERFLOW_CHECKED: set[str] = set()
 
 
 @query(

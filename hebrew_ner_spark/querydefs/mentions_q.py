@@ -44,6 +44,12 @@ N_CRF_TOKENS = 5
 
 _NAMES_SQL = "[" + ",".join(f"'{l}'" for l in crf_op.LABELS) + "]"
 
+# Exact BIGINT powers of 5 as a DuckDB list literal: pow() returns a
+# double, which is inexact past 5^22 (> 2^53) — with the n<=24 guard the
+# revkey weights reach 5^23, where a rounded pow() could collapse two
+# distinct tie keys. List indexing is 1-based: _POW5_SQL[t + 1] == 5^t.
+_POW5_SQL = "[" + ",".join(str(5**t) for t in range(24)) + "]"
+
 
 def _ph(s: str) -> str:
     return (
@@ -145,7 +151,7 @@ _LABELS_ORACLE = f"""
            + (CASE WHEN lo + n - 1 = last_wi THEN {_ph(f"'F|' || {_NAMES_SQL}[li[n] + 1]")}
                    ELSE {_ph(f"'T|' || {_NAMES_SQL}[li[n] + 1] || '|O'")} END) AS score,
              list_sum(list_transform(range(0, n),
-               t -> li[t + 1] * CAST(pow(5, t) AS BIGINT))) AS revkey
+               t -> li[t + 1] * {_POW5_SQL}[t + 1])) AS revkey
       FROM lab
     ),
     best AS (

@@ -62,9 +62,15 @@ spark = get_spark("scale-%d" % cores, master="local[%d]" % cores,
                               "spark.sql.files.maxPartitionBytes": "8m"}})
 spark.sparkContext.setLogLevel("ERROR")
 
-# derived input: documents replicated rep-fold, everything else linked
+# derived input: documents replicated rep-fold, everything else linked.
+# The _BUILD_OK marker is written only after the full build, so a killed
+# first child can never leave a partial corpus that later levels silently
+# benchmark against.
 docs_dir = os.path.join(work, "documents.parquet")
-if not os.path.exists(docs_dir):
+marker = os.path.join(work, "_BUILD_OK")
+if not os.path.exists(marker):
+    import shutil
+    shutil.rmtree(docs_dir, ignore_errors=True)
     docs = load_table(spark, sf, "documents")
     big = (docs.crossJoin(spark.range(rep).withColumnRenamed("id", "_r"))
                .withColumn("doc_id", F.col("doc_id") * rep + F.col("_r"))
@@ -76,6 +82,7 @@ if not os.path.exists(docs_dir):
             dst = os.path.join(work, t + ".parquet")
             if os.path.exists(src) and not os.path.exists(dst):
                 os.symlink(src, dst)
+    open(marker, "w").close()
 
 n_docs = spark.read.parquet(docs_dir).count()
 for q in {workload!r}:            # warm: JVM, parquet footers, py workers
@@ -146,17 +153,19 @@ def main() -> None:
 
 def _per_query_rows(lo: dict, hi: dict) -> str:
     rows = []
+    ratio = hi["cores"] / lo["cores"]  # not hardcoded 4: levels are configurable
     for q, tl in lo.get("per_query", {}).items():
         th = hi.get("per_query", {}).get(q)
         # `th is not None`, not truthiness: a sub-5ms 4N wall rounds to 0.0
         # and must not silently vanish from the table; clamp the divisor.
         if th is not None:
-            rows.append(f"| {q} | {tl} | {th} | {round(tl / max(th, 0.01) / 4, 2)} |")
+            rows.append(f"| {q} | {tl} | {th} | {round(tl / max(th, 0.01) / ratio, 2)} |")
     return "\n".join(rows)
 
 
 def _render(r: dict) -> str:
     lo, hi = r["level_n"], r["level_4n"]
+    ratio = round(hi["cores"] / lo["cores"])
     return f"""# BENCH — throughput & scaling evidence
 
 Workload: {", ".join(r["workload"])} over `{r["sf_dir"]}`
@@ -172,11 +181,11 @@ standard noisy-neighbour protocol, applied symmetrically.
 | level | wall (s) | docs/sec |
 |---|---|---|
 | local[{lo["cores"]}]  (N)  | {lo["wall_sec"]} | {lo["docs_per_sec"]} |
-| local[{hi["cores"]}] (4N) | {hi["wall_sec"]} | {hi["docs_per_sec"]} |
+| local[{hi["cores"]}] ({ratio}N) | {hi["wall_sec"]} | {hi["docs_per_sec"]} |
 
-Per-query walls from the selected runs (efficiency = speedup / 4):
+Per-query walls from the selected runs (efficiency = speedup / {ratio}):
 
-| query | N wall (s) | 4N wall (s) | efficiency |
+| query | N wall (s) | {ratio}N wall (s) | efficiency |
 |---|---|---|---|
 {_per_query_rows(lo, hi)}
 
@@ -188,8 +197,8 @@ with AQE coalescing at low parallelism, and 8 MB input splits so both
 levels stay fully fed. On a real cluster these are executor-memory /
 executor-cores / shuffle-partition settings.
 
-- speedup N→4N: **{r["speedup_n_to_4n"]}x**
-- scaling efficiency (speedup / 4): **{r["scaling_efficiency"]}** (target ≥ {r["target"]}: {"MET" if r["meets_target"] else "NOT MET"})
+- speedup N→{ratio}N: **{r["speedup_n_to_4n"]}x**
+- scaling efficiency (speedup / {ratio}): **{r["scaling_efficiency"]}** (target ≥ {r["target"]}: {"MET" if r["meets_target"] else "NOT MET"})
 
 Regenerate: `python scripts/bench_scaling.py`.
 Full per-query timings: `python bench.py` (BENCH_r*.json).

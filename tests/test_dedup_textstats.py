@@ -51,6 +51,52 @@ def test_lsh_pairs_and_jaccard_on_planted_near_dup(spark):
     assert verified[0].jaccard_1e6 == round(7 / 9 * 1e6)
 
 
+def test_zip_shingle_fast_path_parity(spark):
+    """The codegen zip-shingle scan (_shingle_rows) must agree with the
+    distinct doc_shingles scan everywhere min-aggregation consumes it:
+    same DISTINCT shingle sets, bit-identical minhash signatures and band
+    keys. Edge cases pinned: doc shorter than k tokens (no shingles), doc
+    of exactly k tokens (one shingle), repeated shingles inside one doc
+    (duplicates must not change any minimum)."""
+    d = _mini(
+        spark,
+        [
+            "a b",                       # < k: no shingles at all
+            "a b c",                     # == k: exactly one shingle
+            "a b a b a b a b",           # every shingle duplicated
+            "w0 w1 w2 w3 w4 w5 w0 w1 w2" # wraps, mixed dupes
+        ],
+    )
+    fast = dedup._shingle_rows(d)
+    assert set(map(tuple, fast.distinct().collect())) == set(
+        map(tuple, dedup.doc_shingles(d).collect())
+    )
+    assert fast.filter("doc_id = 0").count() == 0
+    assert fast.filter("doc_id = 1").count() == 1
+    sig_fast = sorted(map(tuple, dedup.minhash_signatures(d).collect()))
+    sig_ref = sorted(
+        map(
+            tuple,
+            dedup._minhash_wide(dedup.doc_shingles(d), dedup.NUM_HASHES)
+            .selectExpr(
+                "doc_id",
+                "stack(%d, %s) as (seed, minhash)"
+                % (
+                    dedup.NUM_HASHES,
+                    ", ".join(f"{s}, h{s}" for s in range(dedup.NUM_HASHES)),
+                ),
+            )
+            .collect(),
+        )
+    )
+    assert sig_fast == sig_ref
+    bk_fast = set(map(tuple, dedup._band_keys(d).collect()))
+    bk_ref = set(
+        map(tuple, dedup.band_keys_from_shingles(dedup.doc_shingles(d)).collect())
+    )
+    assert bk_fast == bk_ref
+
+
 def test_simhash_blocking_is_lossless_within_radius(spark, docs):
     """Pigeonhole: every pair within Hamming<=3 must share a 15-bit block,
     so banding output == brute-force output."""

@@ -85,6 +85,16 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         assert cc[100] == cc[101] == 100
         found = [f for _, _, fs in os.walk(ckpt) for f in fs]
         assert found, "reliable mode must persist checkpoint files"
+        # storage must stay bounded: every round but the last two is
+        # deleted as soon as its successor lands (a 25-round CC job on a
+        # real cluster must not leave 50 label-table copies on HDFS)
+        rounds = [
+            d
+            for root, ds, _ in os.walk(ckpt)
+            for d in ds
+            if d.startswith("round_")
+        ]
+        assert 1 <= len(rounds) <= 2, f"round tables leaked: {sorted(rounds)}"
     finally:
         spark.conf.unset(canonicalize.CHECKPOINT_DIR_CONF)
 
