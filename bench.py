@@ -20,6 +20,7 @@ of output always retains the headlines.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -70,16 +71,26 @@ def _replicated_dir(spark, sf_dir: str, min_docs: int) -> tuple[str, int]:
     )
     docs_dir = os.path.join(work, "documents.parquet")
     # The cache is valid only if a prior invocation finished the WHOLE
-    # build (parquet + symlinks) and the source corpus still has the same
-    # row count — a crashed mid-write or a regenerated sf corpus would
-    # otherwise silently inflate/deflate the headline rates. The marker
-    # is written last and records the expected replicated count.
+    # build (parquet + symlinks) and the source corpus is byte-identical
+    # to the one the cache was built from — a crashed mid-write OR a
+    # regenerated/swapped sf corpus (even at the same row count) would
+    # otherwise silently mis-measure the headline rates. The marker is
+    # written last and fingerprints the source: resolved path, replicated
+    # count, and the (name, size, mtime_ns) of every source parquet part.
     marker = os.path.join(work, "_BUILD_OK")
     expected = n * rep
+    src_docs = os.path.join(sf_dir, "documents.parquet")
+    parts = sorted(os.listdir(src_docs)) if os.path.isdir(src_docs) else []
+    fp_items = [os.path.realpath(sf_dir), str(expected)] + [
+        f"{p}:{os.stat(os.path.join(src_docs, p)).st_size}:"
+        f"{os.stat(os.path.join(src_docs, p)).st_mtime_ns}"
+        for p in parts
+    ]
+    fingerprint = hashlib.md5("|".join(fp_items).encode()).hexdigest() + f":{expected}"
     valid = False
     if os.path.exists(marker):
         with open(marker) as f:
-            valid = f.read().strip() == str(expected)
+            valid = f.read().strip() == fingerprint
     if not valid:
         import shutil
 
@@ -98,7 +109,7 @@ def _replicated_dir(spark, sf_dir: str, min_docs: int) -> tuple[str, int]:
                 if os.path.exists(src) and not os.path.exists(dst):
                     os.symlink(src, dst)
         with open(marker, "w") as f:
-            f.write(str(expected))
+            f.write(fingerprint)
     return work, expected
 
 
@@ -118,6 +129,7 @@ def run() -> dict:
     reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
     times: dict[str, float] = {}
     p95s: dict[str, float] = {}
+    cold: list[str] = []
     for name, fn in QUERIES.items():
         samples = []
         for i in range(reps):
@@ -126,6 +138,11 @@ def run() -> dict:
             samples.append(time.perf_counter() - t0)
             assert n >= 0
             if samples[0] > REP_SKIP_SEC:
+                # single COLD sample: p50 == p95 == first run, which is
+                # not comparable with a warm median — record it so
+                # round-over-round deltas don't read warm-vs-cold drift
+                # across the threshold as a real regression
+                cold.append(name)
                 break
         samples.sort()
         times[name] = round(samples[(len(samples) - 1) // 2], 4)
@@ -155,6 +172,7 @@ def run() -> dict:
         # big dicts first, scalar headlines last (tail-truncation-safe)
         "queries": times,
         "queries_p95": p95s,
+        "queries_cold_single_sample": sorted(cold),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)),
         "n_queries": len(times),

@@ -55,14 +55,35 @@ class _ReliableRoundTables:
     tables — the table backing the RETURNED labels DataFrame necessarily
     stays on disk until the caller is done with it. Deletion goes through
     the Hadoop FileSystem API, so the dir may be HDFS/S3/local alike.
+
+    The final round table must outlive this object — it backs the
+    RETURNED labels DataFrame — so per-invocation cleanup cannot delete
+    it eagerly. Instead each instance registers a best-effort atexit
+    purge of its whole ``cc-<uuid>`` dir: repeated CC invocations in one
+    driver accumulate at most one small final table each until the
+    driver exits, instead of leaking them permanently onto HDFS/S3.
+    The non-convergence error path calls :meth:`cleanup` immediately
+    (nothing is returned, so nothing on disk is still referenced).
     """
 
     def __init__(self, spark, base_dir: str):
+        import atexit
         import uuid
 
         self.spark = spark
         self.base = base_dir.rstrip("/") + "/cc-" + uuid.uuid4().hex[:12]
         self.k = 0
+        atexit.register(self.cleanup)
+
+    def cleanup(self) -> None:
+        """Best-effort removal of every round table this instance wrote.
+        Safe to call twice; swallows errors (at interpreter shutdown the
+        JVM gateway may already be gone — the OS/temp-cleaner then owns
+        the local case, and a cluster job's next run re-registers)."""
+        try:
+            self._delete(self.base)
+        except Exception:
+            pass
 
     def _delete(self, path: str) -> None:
         jvm = self.spark._jvm
@@ -169,6 +190,10 @@ def connected_components(
             break
     sym.unpersist()
     if changed != 0:
+        # nothing is returned on this path, so reliable-mode round
+        # tables are referenced by no one — reclaim them immediately
+        if hasattr(_break, "cleanup"):
+            _break.cleanup()
         raise RuntimeError(
             f"connected_components did not converge within {max_rounds} "
             f"rounds ({changed} labels still changing) — raise max_rounds; "

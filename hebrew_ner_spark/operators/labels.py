@@ -256,6 +256,9 @@ def build_vocab(docs: DataFrame) -> DataFrame:
 # row resolves in the map-side tier and only the rare-type tail shuffles.
 ALPHABET_HOT_K = 1 << 16
 
+# previous invocation's persisted token table (see alphabet_encode)
+_LAST_TOKS: DataFrame | None = None
+
 
 def alphabet_encode(
     docs: DataFrame, unk_id: int = 0, hot_k: int = ALPHABET_HOT_K
@@ -275,7 +278,16 @@ def alphabet_encode(
     # One corpus scan, not three: `toks` feeds the frequency agg AND both
     # union branches below. Serialized + disk-spillable so a 10^12-token
     # corpus degrades to disk reads instead of re-tokenizing per branch.
+    # The handle is function-local, so it can never be unpersisted by the
+    # caller — bound the footprint to ONE cached table per session by
+    # evicting the previous invocation's table on re-entry (repeated
+    # bench reps / gate re-runs would otherwise pin a fresh copy of the
+    # whole tokenized corpus each call until the session dies).
+    global _LAST_TOKS
+    if _LAST_TOKS is not None:
+        _LAST_TOKS.unpersist()
     toks = kg.doc_tokens(docs).persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    _LAST_TOKS = toks
     vocab = build_vocab(docs)
     freq = toks.groupBy("token").agg(F.count("*").alias("_n"))
     hot = (

@@ -18,6 +18,13 @@ follows exactly that shape against a canonical-entity dimension:
           signature machinery, so the DuckDB oracle reproduces every
           band key bit-for-bit.
 
+Two production entry points: ``link_mentions`` runs the exact tiers 1-3
+only (deterministic broadcast joins, no signature pass — the default for
+the KG chain, where surfaces come out of the tokenizer and exact tiers
+resolve them); ``link_mentions_full`` chains tier 4 onto the tier-0
+remainder (gated end-to-end as ``link_full_tiered``) — the resolver to
+run over raw web text where typos and variant spellings are expected.
+
 Tiers 1-3 are **broadcast** joins (the dimension is tiny vs the mention
 table — at 10^12 docs the alias dictionary still fits in tens of MB).
 Tier 4 hashes each DISTINCT unresolved surface once (the shuffle is
@@ -184,6 +191,44 @@ def fuzzy_link_minhash(
     )
     return mentions.join(best, "surface", "left").select(
         "doc_id", "lo", "hi", "surface", "entity_id", "jaccard_1e6"
+    )
+
+
+def link_mentions_full(
+    mentions: DataFrame,
+    dim: DataFrame,
+    threshold_1e6: int = FUZZY_THRESHOLD_1E6,
+) -> DataFrame:
+    """All four tiers: (doc_id, lo, hi, surface, entity_id, tier).
+
+    Tiers 1-3 resolve via broadcast exact/lower/head joins; ONLY the
+    tier-0 remainder pays the tier-4 signature pass (hashing is per
+    DISTINCT unresolved surface, so a corpus where exact tiers resolve
+    ~everything pays ~nothing for fuzzy). Rows fuzzy rejects keep
+    tier 0 / NULL entity_id — still countable, never silently dropped.
+    The two branches re-read the tier 1-3 join output; that subplan is
+    three broadcast joins over one mention scan, cheap to evaluate twice
+    relative to a persist of the full mention table.
+    """
+    base = link_mentions(mentions, dim)
+    misses = base.where(F.col("tier") == 0).select("doc_id", "lo", "hi", "surface")
+    fz = fuzzy_link_minhash(misses, dim, threshold_1e6)
+    return (
+        base.where(F.col("tier") > 0)
+        .select("doc_id", "lo", "hi", "surface", "entity_id", "tier")
+        .unionByName(
+            fz.select(
+                "doc_id",
+                "lo",
+                "hi",
+                "surface",
+                F.col("entity_id").cast("long").alias("entity_id"),
+                F.when(F.col("entity_id").isNotNull(), 4)
+                .otherwise(0)
+                .cast("long")
+                .alias("tier"),
+            )
+        )
     )
 
 

@@ -59,11 +59,18 @@ MICRO_BATCH = 256
 _MODEL = None  # executor-local singleton (M11 pattern)
 
 
-# Illegal-move mass. Large enough that ONE illegal step can never be
-# bought back by seeded weights (< 2^20 per step -> a 10^8-token document
-# would still sit 9 orders below), small enough that every partial path
-# sum stays an exact integer in float64 (|sum| << 2^53).
+# Illegal-move mass. One illegal step must never be bought back by the
+# seeded weights (< 2^20 ~ 1e6 per step), so a sentence of T tokens —
+# whose maximum legal transition gain is ~T*1e6 — is safe only while
+# T*1e6 << 1e15. _MAX_SENT guards that bound explicitly at T <= 1e7:
+# max legal gain ~1e13, two orders below the wall, and every partial sum
+# (wall + gains < 1.1e15) stays an exactly-representable float64 integer
+# (< 2^53 ~ 9e15). The guard is per SENTENCE (the decode unit), so a
+# 100 TB corpus never trips it on document size — only on a single
+# pathological unsegmented sentence, which must fail loudly rather than
+# silently decode a BIOSE-illegal path.
 _NEG = -1.0e15
+_MAX_SENT = 10_000_000
 
 
 def _biose_legality() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -169,6 +176,13 @@ def _label_batch(toks_list: List[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
     per-token loop here measurably drags 4->16-core efficiency)."""
     model = _get_model()
     lengths = np.array([len(t) for t in toks_list], dtype=np.int64)
+    if len(lengths) and int(lengths.max()) > _MAX_SENT:
+        raise ValueError(
+            f"sentence of {int(lengths.max())} tokens exceeds _MAX_SENT="
+            f"{_MAX_SENT}: beyond it the -1e15 illegality wall no longer "
+            "dominates the seeded transition gains and Viterbi could emit "
+            "a BIOSE-illegal path; segment the input first"
+        )
     offs = np.zeros(len(toks_list) + 1, dtype=np.int64)
     np.cumsum(lengths, out=offs[1:])
     flat = np.empty(int(offs[-1]), dtype=object)

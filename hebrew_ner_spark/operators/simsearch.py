@@ -245,7 +245,13 @@ def kmeans_centroids(
     joins/aggs in exact integer arithmetic — deterministic, resumable and
     oracle-checkable. Each iteration is one broadcast-assign plus one
     shuffle on (cell, dim); the centroid table never exceeds
-    n_cells x dim rows, so it stays broadcast-sized at any corpus scale."""
+    n_cells x dim rows, so it stays broadcast-sized at any corpus scale.
+
+    The returned DataFrame is PERSISTED (the last Lloyd round) — the
+    caller owns ``unpersist()``. Callers issuing several queries over one
+    index should train once and pass ``cents=`` to ivf_assign/ivf_topk
+    (the gate layer memoizes per corpus in querydefs/simsearch_q.py)
+    rather than letting each call retrain."""
     mv = _micro_vecs(emb)
     cents = seed_centroids(emb, n_cells)
     for i in range(iters):

@@ -58,6 +58,7 @@ _WINDOW = [
     "ann_kmeans_cells",
     "ann_ivf_recall",
     "link_fuzzy_minhash",
+    "link_full_tiered",
     "mention_model_labels",
     "mention_model_binned",
     "lbl_alphabet_encode",
@@ -75,7 +76,6 @@ _WINDOW = [
     "eval_token_accuracy",
     "lat_pruned",
     "lat_pruned_flat",
-    "dedup_near_jaccard",
 ]
 
 # validate BEFORE filtering: a silently-skipped typo would rotate a query

@@ -51,18 +51,23 @@ spans AS (
 )
 """
 
-_LINKED_SQL = """
+def _linked_sql(src: str = "spans") -> str:
+    """Tier 1-3 resolution SELECT over a (doc_id, lo, hi, surface) CTE."""
+    return f"""
 SELECT s.doc_id, s.lo, s.hi, s.surface,
        CAST(coalesce(d1.entity_id, d2.entity_id, d3.entity_id) AS BIGINT) AS entity_id,
        CAST(CASE WHEN d1.entity_id IS NOT NULL THEN 1
                  WHEN d2.entity_id IS NOT NULL THEN 2
                  WHEN d3.entity_id IS NOT NULL THEN 3
                  ELSE 0 END AS BIGINT) AS tier
-FROM spans s
+FROM {src} s
 LEFT JOIN dim d1 ON s.surface = d1.canonical_name
 LEFT JOIN dim d2 ON s.surface = lower(d2.canonical_name)
 LEFT JOIN dim d3 ON string_split(s.surface, ' ')[1] = lower(d3.canonical_name)
 """
+
+
+_LINKED_SQL = _linked_sql()
 
 
 def _docs(spark, sf_dir):
@@ -118,13 +123,9 @@ def _char_sh_duck(lc: str) -> str:
     )
 
 
-_FUZZY_ORACLE = f"""
-    WITH {_SPANS_CTE}, {_dim_values()},
-    noisy AS (
-      SELECT doc_id, lo, hi, replace(surface, ' ', '_') AS surface
-      FROM spans WHERE hi > lo
-    ),
-    surf AS (SELECT DISTINCT surface, lower(surface) AS lc FROM noisy),
+# Fuzzy-match CTE chain (ssh..best): requires prior CTEs `surf(surface,
+# lc)` — the DISTINCT lowercased surfaces to resolve — and `dim`.
+_FUZZY_CTE_BLOCK = f"""
     ssh AS (SELECT surface, unnest({_char_sh_duck('lc')}) AS shingle FROM surf),
     dsh AS (SELECT entity_id, unnest({_char_sh_duck('lower(canonical_name)')}) AS shingle FROM dim),
     fseeds AS (SELECT * FROM (VALUES {_FSEEDS}) AS t(seed, a, b)),
@@ -172,6 +173,16 @@ _FUZZY_ORACLE = f"""
                row_number() OVER (PARTITION BY surface ORDER BY jaccard_1e6 DESC, entity_id ASC) AS r
         FROM scored WHERE jaccard_1e6 >= {_FT}) WHERE r = 1
     )
+"""
+
+_FUZZY_ORACLE = f"""
+    WITH {_SPANS_CTE}, {_dim_values()},
+    noisy AS (
+      SELECT doc_id, lo, hi, replace(surface, ' ', '_') AS surface
+      FROM spans WHERE hi > lo
+    ),
+    surf AS (SELECT DISTINCT surface, lower(surface) AS lc FROM noisy),
+    {_FUZZY_CTE_BLOCK.strip()}
     SELECT n.doc_id, n.lo, n.hi, n.surface, b.entity_id, b.jaccard_1e6
     FROM noisy n LEFT JOIN best b USING (surface)
 """
@@ -197,6 +208,52 @@ def link_fuzzy_minhash(spark, sf_dir):
         )
     )
     return linking.fuzzy_link_minhash(noisy, linking.entity_dim(spark))
+
+
+@query(
+    "link_full_tiered",
+    oracle=f"""
+    WITH {_SPANS_CTE}, {_dim_values()},
+    noisy AS (
+      SELECT doc_id, lo, hi,
+             CASE WHEN hi > lo AND lo % 2 = 0 THEN replace(surface, ' ', '_')
+                  ELSE surface END AS surface
+      FROM spans
+    ),
+    linked AS ({_linked_sql('noisy')}),
+    m0 AS (SELECT doc_id, lo, hi, surface FROM linked WHERE tier = 0),
+    surf AS (SELECT DISTINCT surface, lower(surface) AS lc FROM m0),
+    {_FUZZY_CTE_BLOCK.strip()}
+    SELECT doc_id, lo, hi, surface, entity_id, tier FROM linked WHERE tier > 0
+    UNION ALL
+    SELECT m.doc_id, m.lo, m.hi, m.surface, b.entity_id,
+           CAST(CASE WHEN b.entity_id IS NOT NULL THEN 4 ELSE 0 END AS BIGINT) AS tier
+    FROM m0 m LEFT JOIN best b USING (surface)
+    """,
+)
+def link_full_tiered(spark, sf_dir):
+    """The PRODUCTION four-tier resolver end-to-end, on a fixture where
+    every tier has real work: multi-token surfaces at even offsets get
+    their spaces corrupted to '_' (tiers 1-3 all miss -> only fuzzy can
+    link them), odd-offset multi-token surfaces stay clean (tier 3 head
+    linking), single-token surfaces resolve via tiers 1-2. Pins the
+    tier-0 -> tier-4 handoff: fuzzy hashes only the unresolved
+    remainder, resolved rows never reach the signature pass, and fuzzy
+    rejections surface as countable tier-0 rows."""
+    from pyspark.sql import functions as F
+
+    from hebrew_ner_spark.operators import kg
+
+    docs = _docs(spark, sf_dir)
+    spans = kg.mention_spans(docs).select("doc_id", "lo", "hi", "surface")
+    noisy = spans.withColumn(
+        "surface",
+        F.when(
+            (F.col("hi") > F.col("lo")) & (F.col("lo") % 2 == 0),
+            F.translate("surface", " ", "_"),
+        ).otherwise(F.col("surface")),
+    )
+    return linking.link_mentions_full(noisy, linking.entity_dim(spark))
 
 
 @query(
