@@ -20,7 +20,6 @@ of output always retains the headlines.
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 import sys
@@ -56,61 +55,19 @@ def force(df) -> int:
 def _replicated_dir(spark, sf_dir: str, min_docs: int) -> tuple[str, int]:
     """Materialize a derived warehouse whose documents table is the sf
     corpus replicated (distinct doc_ids) to >= min_docs rows; every other
-    table is symlinked. Cached across invocations in the same tmpdir."""
-    from pyspark.sql import functions as F
+    table is symlinked. Cached (fingerprint-validated — see
+    hebrew_ner_spark/bench_corpus.py) across invocations in one tmpdir."""
+    from hebrew_ner_spark.bench_corpus import build_replicated
+    from hebrew_ner_spark.sources.catalog import load_table
 
-    from hebrew_ner_spark.sources.catalog import TABLES, load_table
-
-    docs = load_table(spark, sf_dir, "documents")
-    n = docs.count()
+    n = load_table(spark, sf_dir, "documents").count()
     rep = max(1, -(-min_docs // n))
     if rep == 1:
         return sf_dir, n
     work = os.path.join(
         tempfile.gettempdir(), f"spark_bench_headline_{os.path.basename(sf_dir.rstrip('/'))}_x{rep}"
     )
-    docs_dir = os.path.join(work, "documents.parquet")
-    # The cache is valid only if a prior invocation finished the WHOLE
-    # build (parquet + symlinks) and the source corpus is byte-identical
-    # to the one the cache was built from — a crashed mid-write OR a
-    # regenerated/swapped sf corpus (even at the same row count) would
-    # otherwise silently mis-measure the headline rates. The marker is
-    # written last and fingerprints the source: resolved path, replicated
-    # count, and the (name, size, mtime_ns) of every source parquet part.
-    marker = os.path.join(work, "_BUILD_OK")
-    expected = n * rep
-    src_docs = os.path.join(sf_dir, "documents.parquet")
-    parts = sorted(os.listdir(src_docs)) if os.path.isdir(src_docs) else []
-    fp_items = [os.path.realpath(sf_dir), str(expected)] + [
-        f"{p}:{os.stat(os.path.join(src_docs, p)).st_size}:"
-        f"{os.stat(os.path.join(src_docs, p)).st_mtime_ns}"
-        for p in parts
-    ]
-    fingerprint = hashlib.md5("|".join(fp_items).encode()).hexdigest() + f":{expected}"
-    valid = False
-    if os.path.exists(marker):
-        with open(marker) as f:
-            valid = f.read().strip() == fingerprint
-    if not valid:
-        import shutil
-
-        shutil.rmtree(work, ignore_errors=True)
-        os.makedirs(work, exist_ok=True)
-        big = (
-            docs.crossJoin(spark.range(rep).withColumnRenamed("id", "_r"))
-            .withColumn("doc_id", F.col("doc_id") * rep + F.col("_r"))
-            .drop("_r")
-        )
-        big.repartition(64).write.mode("overwrite").parquet(docs_dir)
-        for t in TABLES:
-            if t != "documents":
-                src = os.path.join(sf_dir, t + ".parquet")
-                dst = os.path.join(work, t + ".parquet")
-                if os.path.exists(src) and not os.path.exists(dst):
-                    os.symlink(src, dst)
-        with open(marker, "w") as f:
-            f.write(fingerprint)
-    return work, expected
+    return work, build_replicated(spark, sf_dir, work, rep)
 
 
 def run() -> dict:

@@ -285,7 +285,15 @@ def alphabet_encode(
     # whole tokenized corpus each call until the session dies).
     global _LAST_TOKS
     if _LAST_TOKS is not None:
-        _LAST_TOKS.unpersist()
+        try:
+            _LAST_TOKS.unpersist()
+        except Exception:
+            # the previous invocation's SparkSession was stopped (e.g. a
+            # bench cycle or test fixture restarted the session in this
+            # process) — its cached blocks died with the context, so there
+            # is nothing left to evict; unpersist on the dead handle
+            # raises from the JVM gateway and must not fail THIS call
+            pass
     toks = kg.doc_tokens(docs).persist(StorageLevel.MEMORY_AND_DISK_DESER)
     _LAST_TOKS = toks
     vocab = build_vocab(docs)

@@ -199,8 +199,16 @@ def _assign_cells(mv: DataFrame, cents: DataFrame) -> DataFrame:
     and order-independent; dividing by the centroid norm (the vector's own
     norm is constant per vec_id) gives the cosine ranking with ONE double
     op, identical in every engine. Centroids broadcast — the only join a
-    10^12-row assignment needs."""
-    scored = mv.crossJoin(F.broadcast(cents)).select(
+    10^12-row assignment needs.
+
+    Zero-norm centroids are excluded from the candidate set: a Lloyd cell
+    of near-antipodal members can integer-mean to the all-zero vector,
+    and 0/0 would score NaN — which Spark sorts FIRST under DESC (the
+    degenerate cell would silently capture every vector) while DuckDB
+    yields NULL and sorts it last. Filtering is the one behavior both
+    engines express identically, and "captures nothing" is the right
+    semantics for a centroid with no direction."""
+    scored = mv.crossJoin(F.broadcast(cents.where(F.col("cnorm") > 0))).select(
         "vec_id",
         "cell",
         F.expr(
@@ -247,11 +255,15 @@ def kmeans_centroids(
     shuffle on (cell, dim); the centroid table never exceeds
     n_cells x dim rows, so it stays broadcast-sized at any corpus scale.
 
-    The returned DataFrame is PERSISTED (the last Lloyd round) — the
-    caller owns ``unpersist()``. Callers issuing several queries over one
-    index should train once and pass ``cents=`` to ivf_assign/ivf_topk
-    (the gate layer memoizes per corpus in querydefs/simsearch_q.py)
-    rather than letting each call retrain."""
+    The result is returned as a LOCAL relation: the final round is
+    collected (n_cells rows — driver-sized by construction, the same
+    class of action as the CC convergence count, not a data path) and
+    re-created, so every downstream broadcast reads a tiny local table
+    instead of re-executing or pinning the full-corpus Lloyd lineage.
+    Nothing stays persisted after return. Callers issuing several
+    queries over one index should still train once and pass ``cents=``
+    to ivf_assign/ivf_topk (the gate layer memoizes per corpus in
+    querydefs/simsearch_q.py) rather than retraining per call."""
     mv = _micro_vecs(emb)
     cents = seed_centroids(emb, n_cells)
     for i in range(iters):
@@ -267,7 +279,9 @@ def kmeans_centroids(
         cents.count()
         if i > 0:
             prev.unpersist()
-    return cents
+    rows, schema = cents.collect(), cents.schema
+    cents.unpersist()
+    return cents.sparkSession.createDataFrame(rows, schema)
 
 
 def ivf_assign(
@@ -301,9 +315,10 @@ def ivf_topk(
     base = _with_norm(emb).join(cells, "vec_id")
 
     # probe selection: the same integer-dot/cnorm score as assignment
+    # (and the same zero-norm exclusion — see _assign_cells)
     probes = (
         _micro_vecs(emb.where(F.col("vec_id") < n_queries))
-        .crossJoin(F.broadcast(cents))
+        .crossJoin(F.broadcast(cents.where(F.col("cnorm") > 0)))
         .select(
             F.col("vec_id").alias("qid"),
             "cell",

@@ -40,10 +40,8 @@ _CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
 from bench import force
-from pyspark.sql import functions as F
 from hebrew_ner_spark.queries import QUERIES
 from hebrew_ner_spark.session import get_spark
-from hebrew_ner_spark.sources.catalog import TABLES, load_table
 
 cores = int(sys.argv[1]); sf = sys.argv[2]; work = sys.argv[3]; rep = int(sys.argv[4])
 spark = get_spark("scale-%d" % cores, master="local[%d]" % cores,
@@ -63,28 +61,12 @@ spark = get_spark("scale-%d" % cores, master="local[%d]" % cores,
 spark.sparkContext.setLogLevel("ERROR")
 
 # derived input: documents replicated rep-fold, everything else linked.
-# The _BUILD_OK marker is written only after the full build, so a killed
-# first child can never leave a partial corpus that later levels silently
-# benchmark against.
-docs_dir = os.path.join(work, "documents.parquet")
-marker = os.path.join(work, "_BUILD_OK")
-if not os.path.exists(marker):
-    import shutil
-    shutil.rmtree(docs_dir, ignore_errors=True)
-    docs = load_table(spark, sf, "documents")
-    big = (docs.crossJoin(spark.range(rep).withColumnRenamed("id", "_r"))
-               .withColumn("doc_id", F.col("doc_id") * rep + F.col("_r"))
-               .drop("_r"))
-    big.repartition(128).write.mode("overwrite").parquet(docs_dir)
-    for t in TABLES:
-        if t != "documents":
-            src = os.path.join(sf, t + ".parquet")
-            dst = os.path.join(work, t + ".parquet")
-            if os.path.exists(src) and not os.path.exists(dst):
-                os.symlink(src, dst)
-    open(marker, "w").close()
-
-n_docs = spark.read.parquet(docs_dir).count()
+# Shared fingerprint-validated builder (hebrew_ner_spark/bench_corpus.py):
+# the marker is written only after the full build, so a killed first
+# child can never leave a partial corpus that later levels silently
+# benchmark against, and a regenerated source invalidates the cache.
+from hebrew_ner_spark.bench_corpus import build_replicated
+n_docs = build_replicated(spark, sf, work, rep, partitions=128)
 for q in {workload!r}:            # warm: JVM, parquet footers, py workers
     force(QUERIES[q](spark, work))
 per_q = {{}}
@@ -165,7 +147,9 @@ def _per_query_rows(lo: dict, hi: dict) -> str:
 
 def _render(r: dict) -> str:
     lo, hi = r["level_n"], r["level_4n"]
-    ratio = round(hi["cores"] / lo["cores"])
+    # exact ratio, NOT rounded: with configurable levels (e.g. 4 -> 6) a
+    # rounded label would contradict the efficiency formula actually used
+    ratio = f"{hi['cores'] / lo['cores']:g}"
     return f"""# BENCH — throughput & scaling evidence
 
 Workload: {", ".join(r["workload"])} over `{r["sf_dir"]}`
