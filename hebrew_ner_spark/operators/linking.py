@@ -268,3 +268,28 @@ def kg_edges(docs: DataFrame) -> DataFrame:
         .groupBy("subj_id", "pred", "obj_id")
         .agg(F.count("*").alias("n_evidence"))
     )
+
+
+def merge_edge_counts(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Incremental KG maintenance: fold a delta corpus's edge counts into
+    an existing materialized edge table WITHOUT rescanning the base
+    corpus — the crawl-refresh shape at 10^12 docs, where the base graph
+    is petabytes and the daily delta is not.
+
+    (subj_id, pred, obj_id, n_evidence, is_new): evidence counts sum;
+    ``is_new`` = 1 marks edges absent from the base (the upsert's insert
+    half). One full-outer join on the edge key — with both sides bucketed
+    by (subj_id, pred, obj_id) (the Iceberg bucket-transform contract the
+    sinks already follow) this is a co-located merge with no wide
+    shuffle; it is the dataframe form of Iceberg ``MERGE INTO``.
+    """
+    keys = ["subj_id", "pred", "obj_id"]
+    b = base.withColumnRenamed("n_evidence", "_nb")
+    d = delta.withColumnRenamed("n_evidence", "_nd")
+    return b.join(d, keys, "full_outer").select(
+        *keys,
+        (F.coalesce("_nb", F.lit(0)) + F.coalesce("_nd", F.lit(0)))
+        .cast("long")
+        .alias("n_evidence"),
+        F.when(F.col("_nb").isNull(), 1).otherwise(0).cast("long").alias("is_new"),
+    )

@@ -59,6 +59,8 @@ _WINDOW = [
     "ann_ivf_recall",
     "link_fuzzy_minhash",
     "link_full_tiered",
+    "kg_pagerank",
+    "kg_merge_delta",
     "mention_model_labels",
     "mention_model_binned",
     "lbl_alphabet_encode",
@@ -73,9 +75,7 @@ _WINDOW = [
     "eval_f1_bootstrap",
     "eval_f1_bootstrap_ci",
     "eval_seg_accuracy",
-    "eval_token_accuracy",
     "lat_pruned",
-    "lat_pruned_flat",
 ]
 
 # validate BEFORE filtering: a silently-skipped typo would rotate a query

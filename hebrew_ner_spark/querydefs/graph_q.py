@@ -272,38 +272,131 @@ def kg_nodes_q(spark, sf_dir):
     return linking.kg_nodes(_docs(spark, sf_dir))
 
 
-@query(
-    "kg_edges",
-    oracle=f"""
-    WITH toks AS (
+def _edges_ctes(prefix: str = "", doc_where: str = "") -> str:
+    """CTE chain ``{p}toks..{p}e`` materializing the kg_edges result as
+    ``{p}e(subj_id, pred, obj_id, n_evidence)``; requires a prior ``dim``
+    CTE. The prefix lets one query build two edge tables (base + delta)
+    without CTE-name collisions; ``doc_where`` restricts the source docs."""
+    p = prefix
+    return f"""
+    {p}toks AS (
       SELECT doc_id,
              generate_subscripts(string_split(text, ' '), 1) - 1 AS word_index,
              unnest(string_split(text, ' ')) AS token
-      FROM documents
+      FROM documents {doc_where}
     ),
-    w AS (
+    {p}w AS (
       SELECT doc_id, word_index, token,
              lag(token)  OVER (PARTITION BY doc_id ORDER BY word_index) AS subj,
              lead(token) OVER (PARTITION BY doc_id ORDER BY word_index) AS obj
-      FROM toks
+      FROM {p}toks
     ),
-    t AS (
-      SELECT doc_id, subj, token AS pred, obj FROM w
+    {p}t AS (
+      SELECT doc_id, subj, token AS pred, obj FROM {p}w
       WHERE token IN ('agg', 'filter', 'join', 'merge', 'scan', 'sort')
         AND subj IN {_ENTS_SQL} AND obj IN {_ENTS_SQL}
     ),
-    {_dim_values()}
-    SELECT CAST(ds.entity_id AS BIGINT) AS subj_id, t.pred,
-           CAST(do_.entity_id AS BIGINT) AS obj_id, count(*) AS n_evidence
-    FROM t
-    JOIN dim ds ON t.subj = lower(ds.canonical_name)
-    JOIN dim do_ ON t.obj = lower(do_.canonical_name)
-    GROUP BY ds.entity_id, t.pred, do_.entity_id
+    {p}e AS (
+      SELECT CAST(ds.entity_id AS BIGINT) AS subj_id, {p}t.pred,
+             CAST(do_.entity_id AS BIGINT) AS obj_id, count(*) AS n_evidence
+      FROM {p}t
+      JOIN dim ds ON {p}t.subj = lower(ds.canonical_name)
+      JOIN dim do_ ON {p}t.obj = lower(do_.canonical_name)
+      GROUP BY ds.entity_id, {p}t.pred, do_.entity_id
+    )"""
+
+
+@query(
+    "kg_edges",
+    oracle=f"""
+    WITH {_dim_values()},
+    {_edges_ctes()}
+    SELECT subj_id, pred, obj_id, n_evidence FROM e
     """,
 )
 def kg_edges_q(spark, sf_dir):
     """Materialized KG edge table (entity-id resolved, evidence-counted)."""
     return linking.kg_edges(_docs(spark, sf_dir))
+
+
+def _pagerank_ctes(iters: int) -> str:
+    """Unrolled power iterations over ``e`` (same discipline as the Lloyd
+    oracle): wm collapses parallel predicate edges, ow is total outgoing
+    weight, p0 seeds every node at PR_SCALE micro-units, then per round
+    c{{k}} sums truncating-division edge contributions and p{{k}} applies
+    base + damped mass. All BIGINT; DuckDB sum() widens to HUGEINT so
+    every sum is cast back down (engine-parity rule)."""
+    from hebrew_ner_spark.operators.pagerank import PR_BASE, PR_DAMP_NUM, PR_SCALE
+
+    parts = [
+        "wm AS (SELECT subj_id, obj_id, CAST(sum(n_evidence) AS BIGINT) AS ew"
+        " FROM e GROUP BY 1, 2)",
+        "ow AS (SELECT subj_id, CAST(sum(ew) AS BIGINT) AS ow FROM wm GROUP BY 1)",
+        "nodes AS (SELECT subj_id AS id FROM wm UNION SELECT obj_id FROM wm)",
+        f"p0 AS (SELECT id, CAST({PR_SCALE} AS BIGINT) AS pr FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""c{k} AS (
+      SELECT wm.obj_id AS id, CAST(sum((p.pr * wm.ew) // ow.ow) AS BIGINT) AS s
+      FROM wm JOIN ow USING (subj_id) JOIN p{k - 1} p ON p.id = wm.subj_id
+      GROUP BY wm.obj_id
+    )"""
+        )
+        parts.append(
+            f"""p{k} AS (
+      SELECT n.id, CAST({PR_BASE} + ({PR_DAMP_NUM} * coalesce(c.s, 0)) // 100
+                        AS BIGINT) AS pr
+      FROM nodes n LEFT JOIN c{k} c ON c.id = n.id
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+@query(
+    "kg_pagerank",
+    oracle=f"""
+    WITH {_dim_values()},
+    {_edges_ctes()},
+    {_pagerank_ctes(3)}
+    SELECT id AS entity_id, pr AS pr_1e6 FROM p3
+    """,
+)
+def kg_pagerank(spark, sf_dir):
+    """Entity importance over the materialized KG: 3 exact-integer power
+    iterations (operators/pagerank.py) vs the same iterations unrolled as
+    DuckDB CTEs — every rank bit-identical across engines."""
+    from hebrew_ner_spark.operators import pagerank
+
+    return pagerank.entity_pagerank(linking.kg_edges(_docs(spark, sf_dir)))
+
+
+@query(
+    "kg_merge_delta",
+    oracle=f"""
+    WITH {_dim_values()},
+    {_edges_ctes('a_', 'WHERE doc_id % 2 = 0')},
+    {_edges_ctes('b_', 'WHERE doc_id % 2 = 1')}
+    SELECT coalesce(a.subj_id, b.subj_id) AS subj_id,
+           coalesce(a.pred, b.pred) AS pred,
+           coalesce(a.obj_id, b.obj_id) AS obj_id,
+           CAST(coalesce(a.n_evidence, 0) + coalesce(b.n_evidence, 0) AS BIGINT)
+             AS n_evidence,
+           CAST(CASE WHEN a.subj_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_new
+    FROM a_e a FULL OUTER JOIN b_e b
+      ON a.subj_id = b.subj_id AND a.pred = b.pred AND a.obj_id = b.obj_id
+    """,
+)
+def kg_merge_delta(spark, sf_dir):
+    """Incremental upsert: even-doc_id docs are the existing graph, odd
+    docs the crawl delta; merge_edge_counts folds the delta's edge counts
+    in without rescanning the base and flags never-seen edges."""
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    base = linking.kg_edges(docs.where(F.col("doc_id") % 2 == 0))
+    delta = linking.kg_edges(docs.where(F.col("doc_id") % 2 == 1))
+    return linking.merge_edge_counts(base, delta)
 
 
 @query(

@@ -125,3 +125,72 @@ def test_fuzzy_minhash_linking_tier(spark):
     assert out["qqqq"].entity_id is None and out["qqqq"].jaccard_1e6 is None
     assert dim[out["window"].entity_id] == "window"
     assert out["window"].jaccard_1e6 == 1000000
+
+
+def test_entity_pagerank_hand_computed(spark):
+    """3-node asymmetric graph traced by hand through all 3 integer
+    rounds: A->B w=3, A->C w=1, C->B w=1 (W_A=4, W_C=1, B dangling;
+    A has no inbound so it sits at the base mass)."""
+    from hebrew_ner_spark.operators import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, "p", 1, 3), (0, "p", 2, 1), (2, "p", 1, 1)],
+        "subj_id long, pred string, obj_id long, n_evidence long",
+    )
+    got = {r.entity_id: r.pr_1e6 for r in pagerank.entity_pagerank(edges).collect()}
+    assert got == {0: 150000, 1: 400218, 2: 181875}
+
+
+def test_entity_pagerank_symmetric_fixed_point(spark):
+    """A 2-cycle of equal weight is an exact fixed point of the integer
+    update (150000 + 85% of 1e6 == 1e6), every round, both nodes."""
+    from hebrew_ner_spark.operators import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, "p", 1, 7), (1, "q", 0, 7)],
+        "subj_id long, pred string, obj_id long, n_evidence long",
+    )
+    got = {r.entity_id: r.pr_1e6 for r in pagerank.entity_pagerank(edges).collect()}
+    assert got == {0: 1000000, 1: 1000000}
+
+
+def test_entity_pagerank_collapses_parallel_predicates(spark):
+    """Two predicates between the same pair carry the same mass as one
+    edge with the summed evidence."""
+    from hebrew_ner_spark.operators import pagerank
+
+    split = spark.createDataFrame(
+        [(0, "p", 1, 2), (0, "q", 1, 1), (2, "p", 1, 1), (0, "r", 2, 1)],
+        "subj_id long, pred string, obj_id long, n_evidence long",
+    )
+    merged = spark.createDataFrame(
+        [(0, "x", 1, 3), (2, "x", 1, 1), (0, "x", 2, 1)],
+        "subj_id long, pred string, obj_id long, n_evidence long",
+    )
+    from hebrew_ner_spark.operators.pagerank import entity_pagerank
+
+    a = {r.entity_id: r.pr_1e6 for r in entity_pagerank(split).collect()}
+    b = {r.entity_id: r.pr_1e6 for r in entity_pagerank(merged).collect()}
+    assert a == b
+
+
+def test_merge_edge_counts_upsert(spark):
+    """Counts sum on shared keys; delta-only edges flagged is_new; base-
+    only edges survive untouched."""
+    base = spark.createDataFrame(
+        [(1, "p", 2, 3), (5, "r", 6, 4)],
+        "subj_id long, pred string, obj_id long, n_evidence long",
+    )
+    delta = spark.createDataFrame(
+        [(1, "p", 2, 2), (3, "q", 4, 1)],
+        "subj_id long, pred string, obj_id long, n_evidence long",
+    )
+    rows = {
+        (r.subj_id, r.pred, r.obj_id): (r.n_evidence, r.is_new)
+        for r in linking.merge_edge_counts(base, delta).collect()
+    }
+    assert rows == {
+        (1, "p", 2): (5, 0),
+        (5, "r", 6): (4, 0),
+        (3, "q", 4): (1, 1),
+    }
