@@ -87,6 +87,32 @@ def doc_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+# GPT-2-style pretokenizer alternation: optional leading space + a
+# letter run | digit run | punctuation run. Engine-portable by
+# construction: the alternatives are disjoint on their first non-space
+# character, so Java's leftmost-first scan (Spark) and RE2's
+# leftmost-longest scan (DuckDB) match identically, and there is no
+# lookaround (RE2 has none). Pure-whitespace runs are deliberately
+# unmatched — they are separators, not tokens.
+BPE_REGEX = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def subword_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_ws_tokens, n_subword_tokens): the two token budgets an
+    LLM-corpus pipeline prices documents by — whitespace tokens and
+    BPE-style pretokenizer matches (a tight upper bound on real BPE
+    token count, since merges only ever fuse within one pretoken).
+    Both are codegen column expressions: zero shuffles, two-column scan.
+    """
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(BPE_REGEX))
+        .cast("long")
+        .alias("n_subword_tokens"),
+    )
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """Character-class language heuristic: hebrew vs latin vs other.
 

@@ -61,6 +61,7 @@ _WINDOW = [
     "link_full_tiered",
     "kg_pagerank",
     "kg_merge_delta",
+    "txt_subword_counts",
     "mention_model_labels",
     "mention_model_binned",
     "lbl_alphabet_encode",
@@ -71,7 +72,6 @@ _WINDOW = [
     "kg_triples",
     "kg_triple_counts",
     "kg_web_triples",
-    "eval_span_prf_by_doc",
     "eval_f1_bootstrap",
     "eval_f1_bootstrap_ci",
     "eval_seg_accuracy",

@@ -40,6 +40,24 @@ def txt_doc_stats(spark, sf_dir):
 
 
 @query(
+    "txt_subword_counts",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text,
+                ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS BIGINT)
+             AS n_subword_tokens
+    FROM documents
+    """,
+)
+def txt_subword_counts(spark, sf_dir):
+    """Whitespace + BPE-style-pretokenizer token budgets per document;
+    the regex alternation is chosen so Java (leftmost-first) and RE2
+    (leftmost-longest) scan identically — see textstats.BPE_REGEX."""
+    return textstats.subword_counts(_docs(spark, sf_dir))
+
+
+@query(
     "txt_lang_id",
     oracle="""
     SELECT doc_id, lang AS declared_lang,

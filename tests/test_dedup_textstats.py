@@ -154,3 +154,34 @@ def test_normal_ci_formula():
 
     assert abs(normal_ci(0.5, 100) - 1.96 * 0.05) < 1e-12
     assert normal_ci(1.0, 50) == 0.0
+
+
+def test_subword_regex_engine_parity_fuzz(spark):
+    """The BPE pretokenizer count must scan identically under Java regex
+    (leftmost-first) and RE2 (leftmost-longest). Fuzz with adversarial
+    mixes — Hebrew/Latin/digit runs, unicode punctuation, tabs/newlines,
+    repeated spaces, leading/trailing separators — far nastier than the
+    space-separated corpus the gate checks."""
+    import random
+
+    import duckdb
+
+    from hebrew_ner_spark.operators import textstats
+
+    rng = random.Random(20260817)
+    alphabet = list("abzאבת019 .!\"'-—₪\t\n") + ["  ", " .", ". ", "a1", "1א"]
+    cases = ["", " ", "   ", "\t\n", "a", " a", "a ", "א1.b"]
+    cases += ["".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 40)))
+              for _ in range(300)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.n_subword_tokens
+           for r in textstats.subword_counts(docs).collect()}
+    con = duckdb.connect()
+    for i, t in enumerate(cases):
+        (exp,) = con.execute(
+            r"SELECT len(regexp_extract_all(?,"
+            r" ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))", [t]
+        ).fetchone()
+        assert got[i] == exp, (i, repr(cases[i]), got[i], exp)
