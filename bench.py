@@ -67,7 +67,7 @@ def _replicated_dir(spark, sf_dir: str, min_docs: int) -> tuple[str, int]:
     work = os.path.join(
         tempfile.gettempdir(), f"spark_bench_headline_{os.path.basename(sf_dir.rstrip('/'))}_x{rep}"
     )
-    return work, build_replicated(spark, sf_dir, work, rep)
+    return work, build_replicated(spark, sf_dir, work, rep, n_src=n)
 
 
 def run() -> dict:

@@ -32,16 +32,19 @@ def source_fingerprint(sf_dir: str, expected: int) -> str:
 
 
 def build_replicated(
-    spark, sf_dir: str, work: str, rep: int, partitions: int = 64
+    spark, sf_dir: str, work: str, rep: int, partitions: int = 64,
+    n_src: int | None = None,
 ) -> int:
     """Build (or validate and reuse) the replicated warehouse at ``work``.
-    Returns the expected documents row count (source_rows * rep)."""
+    Returns the expected documents row count (source_rows * rep).
+    Pass ``n_src`` when the caller already counted the source documents
+    (bench.py does, to size ``rep``) to avoid a second count job."""
     from pyspark.sql import functions as F
 
     from hebrew_ner_spark.sources.catalog import TABLES, load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    expected = docs.count() * rep
+    expected = (docs.count() if n_src is None else n_src) * rep
     docs_dir = os.path.join(work, "documents.parquet")
     marker = os.path.join(work, "_BUILD_OK")
     fingerprint = source_fingerprint(sf_dir, expected)

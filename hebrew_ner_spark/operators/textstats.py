@@ -92,9 +92,14 @@ def doc_stats(docs: DataFrame) -> DataFrame:
 # construction: the alternatives are disjoint on their first non-space
 # character, so Java's leftmost-first scan (Spark) and RE2's
 # leftmost-longest scan (DuckDB) match identically, and there is no
-# lookaround (RE2 has none). Pure-whitespace runs are deliberately
-# unmatched — they are separators, not tokens.
-BPE_REGEX = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+# lookaround (RE2 has none). The whitespace class is EXPLICIT, not \s:
+# Java's default \s includes vertical tab (\x0b) while RE2's does not,
+# so \s would silently diverge on any document containing one — pinned
+# by the cross-engine fuzz in tests. Exotic blanks (\x85,  ) are
+# outside BOTH engines' default \s and intentionally count as
+# punctuation runs. Pure-whitespace runs are deliberately unmatched —
+# they are separators, not tokens.
+BPE_REGEX = r" ?\p{L}+| ?\p{N}+| ?[^\t\n\x0b\f\r \p{L}\p{N}]+"
 
 
 def subword_counts(docs: DataFrame) -> DataFrame:

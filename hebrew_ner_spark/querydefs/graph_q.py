@@ -319,6 +319,11 @@ def kg_edges_q(spark, sf_dir):
     return linking.kg_edges(_docs(spark, sf_dir))
 
 
+# the oracle unrolls EXACTLY the iteration count the operator runs —
+# imported, not hardcoded, so retuning PAGERANK_ITERS cannot desync them
+from hebrew_ner_spark.operators.pagerank import PAGERANK_ITERS as _PR_ITERS  # noqa: E402
+
+
 def _pagerank_ctes(iters: int) -> str:
     """Unrolled power iterations over ``e`` (same discipline as the Lloyd
     oracle): wm collapses parallel predicate edges, ow is total outgoing
@@ -358,8 +363,8 @@ def _pagerank_ctes(iters: int) -> str:
     oracle=f"""
     WITH {_dim_values()},
     {_edges_ctes()},
-    {_pagerank_ctes(3)}
-    SELECT id AS entity_id, pr AS pr_1e6 FROM p3
+    {_pagerank_ctes(_PR_ITERS)}
+    SELECT id AS entity_id, pr AS pr_1e6 FROM p{_PR_ITERS}
     """,
 )
 def kg_pagerank(spark, sf_dir):

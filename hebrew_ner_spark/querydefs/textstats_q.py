@@ -45,7 +45,7 @@ def txt_doc_stats(spark, sf_dir):
     SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
            CAST(len(regexp_extract_all(text,
-                ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS BIGINT)
+                ' ?\p{L}+| ?\p{N}+| ?[^\t\n\x0b\f\r \p{L}\p{N}]+')) AS BIGINT)
              AS n_subword_tokens
     FROM documents
     """,

@@ -169,8 +169,11 @@ def test_subword_regex_engine_parity_fuzz(spark):
     from hebrew_ner_spark.operators import textstats
 
     rng = random.Random(20260817)
-    alphabet = list("abzאבת019 .!\"'-—₪\t\n") + ["  ", " .", ". ", "a1", "1א"]
-    cases = ["", " ", "   ", "\t\n", "a", " a", "a ", "א1.b"]
+    alphabet = list("abzאבת019 .!\"'-—₪\t\n\x0b\f\r\x85 ") + [
+        "  ", " .", ". ", "a1", "1א", "a\x0bb", " a"
+    ]
+    cases = ["", " ", "   ", "\t\n", "a", " a", "a ", "א1.b",
+             "a\x0bb", "a\x85b", "a b", "\x0b", " \x0b "]
     cases += ["".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 40)))
               for _ in range(300)]
     docs = spark.createDataFrame(
@@ -180,8 +183,8 @@ def test_subword_regex_engine_parity_fuzz(spark):
            for r in textstats.subword_counts(docs).collect()}
     con = duckdb.connect()
     for i, t in enumerate(cases):
+        # the SAME pattern constant the operator uses — no third copy
         (exp,) = con.execute(
-            r"SELECT len(regexp_extract_all(?,"
-            r" ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))", [t]
+            "SELECT len(regexp_extract_all(?, ?))", [t, textstats.BPE_REGEX]
         ).fetchone()
         assert got[i] == exp, (i, repr(cases[i]), got[i], exp)
