@@ -196,3 +196,74 @@ def decode_image(media: DataFrame) -> DataFrame:
         "doc_id long, height long, width long, channels long, "
         "pixel_sum long, pixel_wsum long",
     )
+
+
+# resize target (exercises BOTH directions against the 1..7 x 1..5
+# synthetic sizes: upsampling for small sources, downsampling for large)
+RESIZE_H = 4
+RESIZE_W = 4
+
+
+def resize_image(media: DataFrame, th: int = RESIZE_H, tw: int = RESIZE_W) -> DataFrame:
+    """Nearest-neighbor resize of decoded BMP payloads, Arrow-batched.
+
+    (doc_id, height, width, pixel_sum, pixel_wsum): checksums over the
+    RESIZED (th, tw, 3) image. Source index is the floor map
+    ``r_src = (r_t * h) DIV th`` (exact integer, no float rounding), so
+    the DuckDB oracle reproduces every resized pixel from the synthetic
+    closed form without any decoder. Real interpolating resizes plug
+    into the same kernel slot; the plan — one mapInPandas over
+    (doc_id, payload), no shuffle — does not change.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "height", "width", "pixel_sum", "pixel_wsum")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_bmp(bytes(payload))
+                h, w = img.shape[:2]
+                ri = (np.arange(th, dtype=np.int64) * h) // th
+                ci = (np.arange(tw, dtype=np.int64) * w) // tw
+                flat = img[ri][:, ci].reshape(-1).astype(np.int64)
+                out["doc_id"].append(int(doc_id))
+                out["height"].append(th)
+                out["width"].append(tw)
+                out["pixel_sum"].append(int(flat.sum()))
+                out["pixel_wsum"].append(
+                    int((flat * (np.arange(flat.size, dtype=np.int64) + 1)).sum())
+                )
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run,
+        "doc_id long, height long, width long, pixel_sum long, pixel_wsum long",
+    )
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """Per-channel feature extraction over decoded payloads: 3 rows per
+    image, (doc_id, channel, ch_sum, ch_mean_1e6). The mean uses the
+    repo's exact round-half-up idiom ((2*s*1e6 + n) DIV (2*n)) so the
+    feature vector is bit-identical across engines — the contract a
+    downstream embedding join needs. Deeper extractors (conv stacks,
+    CLIP-style towers) replace the numpy body; the Arrow plumbing,
+    schema, and no-shuffle plan are what this operator pins."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "channel", "ch_sum", "ch_mean_1e6")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_bmp(bytes(payload)).astype(np.int64)
+                n = img.shape[0] * img.shape[1]
+                for ch in range(img.shape[2]):
+                    s = int(img[:, :, ch].sum())
+                    out["doc_id"].append(int(doc_id))
+                    out["channel"].append(ch)
+                    out["ch_sum"].append(s)
+                    out["ch_mean_1e6"].append((2 * s * 1_000_000 + n) // (2 * n))
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, "doc_id long, channel long, ch_sum long, ch_mean_1e6 long"
+    )

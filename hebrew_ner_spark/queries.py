@@ -62,6 +62,8 @@ _WINDOW = [
     "kg_pagerank",
     "kg_merge_delta",
     "txt_subword_counts",
+    "mm_resize",
+    "mm_features",
     "mention_model_labels",
     "mention_model_binned",
     "lbl_alphabet_encode",
@@ -72,9 +74,7 @@ _WINDOW = [
     "kg_triples",
     "kg_triple_counts",
     "kg_web_triples",
-    "eval_f1_bootstrap",
     "eval_f1_bootstrap_ci",
-    "eval_seg_accuracy",
     "lat_pruned",
 ]
 

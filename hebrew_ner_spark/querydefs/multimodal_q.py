@@ -79,3 +79,62 @@ def mm_decode(spark, sf_dir):
     header/padding/row-order/channel-order bug in either codec half
     diverges (the position-weighted sum pins byte order)."""
     return multimodal.decode_image(multimodal.synth_bmp(_docs(spark, sf_dir)))
+
+
+_RH, _RW = multimodal.RESIZE_H, multimodal.RESIZE_W
+
+
+@query(
+    "mm_resize",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, 1 + doc_id % {multimodal.BMP_W_MOD} AS w,
+             1 + doc_id % {multimodal.BMP_H_MOD} AS h
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    px AS (
+      SELECT doc_id, i,
+             (doc_id*31
+              + (((i // ({_RW}*3)) * h) // {_RH})*7
+              + ((((i % ({_RW}*3)) // 3) * w) // {_RW})*3
+              + (i % 3)) % 256 AS v
+      FROM dims, unnest(range(0, {_RH}*{_RW}*3)) AS u(i)
+    )
+    SELECT doc_id, CAST({_RH} AS BIGINT) AS height, CAST({_RW} AS BIGINT) AS width,
+           CAST(sum(v) AS BIGINT) AS pixel_sum,
+           CAST(sum((i+1)*v) AS BIGINT) AS pixel_wsum
+    FROM px GROUP BY doc_id
+    """,
+)
+def mm_resize(spark, sf_dir):
+    """Decode -> nearest-neighbor resize -> checksums, against an oracle
+    that reproduces every RESIZED pixel straight from the closed form via
+    the same floor index map — any off-by-one in the index arithmetic or
+    a row/channel transposition diverges."""
+    return multimodal.resize_image(multimodal.synth_bmp(_docs(spark, sf_dir)))
+
+
+@query(
+    "mm_features",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, 1 + doc_id % {multimodal.BMP_W_MOD} AS w,
+             1 + doc_id % {multimodal.BMP_H_MOD} AS h
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    px AS (
+      SELECT doc_id, w, h, (i % 3) AS channel,
+             (doc_id*31 + (i // (w*3))*7 + ((i % (w*3)) // 3)*3 + (i % 3)) % 256 AS v
+      FROM dims, unnest(range(0, w*h*3)) AS u(i)
+    )
+    SELECT doc_id, CAST(channel AS BIGINT) AS channel,
+           CAST(sum(v) AS BIGINT) AS ch_sum,
+           CAST((2 * CAST(sum(v) AS BIGINT) * 1000000 + (w*h)) // (2 * (w*h))
+                AS BIGINT) AS ch_mean_1e6
+    FROM px GROUP BY doc_id, channel, w, h
+    """,
+)
+def mm_features(spark, sf_dir):
+    """Per-channel feature vectors from decoded images — exact sums and
+    round-half-up micro-unit means, 3 rows per image."""
+    return multimodal.image_features(multimodal.synth_bmp(_docs(spark, sf_dir)))

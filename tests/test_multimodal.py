@@ -81,3 +81,42 @@ def test_decode_image_checksums(spark):
         assert (row.height, row.width, row.channels) == (h, w, 3)
         assert row.pixel_sum == int(flat.sum())
         assert row.pixel_wsum == int((flat * (np.arange(flat.size) + 1)).sum())
+
+
+def test_resize_nearest_hand_checked(spark):
+    """2x2 image to 4x4: the floor map (r_t*2)//4 = [0,0,1,1] must
+    replicate each source pixel into a 2x2 block; checksums computed by
+    hand from the replicated array."""
+    import numpy as np
+
+    from hebrew_ner_spark.operators import multimodal
+
+    src = np.array([[[10, 11, 12], [20, 21, 22]],
+                    [[30, 31, 32], [40, 41, 42]]], dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(7, bytearray(multimodal.encode_bmp(src)))], "doc_id long, payload binary"
+    )
+    row = multimodal.resize_image(media).collect()[0]
+    idx = np.array([0, 0, 1, 1])
+    expect = src[idx][:, idx].reshape(-1).astype(np.int64)
+    assert (row.height, row.width) == (4, 4)
+    assert row.pixel_sum == int(expect.sum())
+    assert row.pixel_wsum == int((expect * (np.arange(48) + 1)).sum())
+
+
+def test_image_features_channel_means(spark):
+    """Channel sums/means against direct numpy, including the exact
+    round-half-up micro-unit mean."""
+    import numpy as np
+
+    from hebrew_ner_spark.operators import multimodal
+
+    src = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    media = spark.createDataFrame(
+        [(1, bytearray(multimodal.encode_bmp(src)))], "doc_id long, payload binary"
+    )
+    rows = {r.channel: r for r in multimodal.image_features(media).collect()}
+    for ch in range(3):
+        s = int(src[:, :, ch].astype(np.int64).sum())
+        assert rows[ch].ch_sum == s
+        assert rows[ch].ch_mean_1e6 == (2 * s * 1_000_000 + 6) // 12
