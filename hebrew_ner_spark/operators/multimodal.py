@@ -163,6 +163,18 @@ def synth_bmp(docs: DataFrame) -> DataFrame:
     return imgs.mapInPandas(run, "doc_id long, payload binary")
 
 
+def _append_checksums(out: dict, doc_id: int, flat: np.ndarray) -> None:
+    """THE checksum definition, shared by decode_image and resize_image:
+    pixel_sum = Σ v_i and the position-weighted pixel_wsum = Σ (i+1)·v_i
+    over an int64-flattened RGB row-major top-down stream. One place to
+    change means the two mm_* oracle contracts cannot silently drift."""
+    out["doc_id"].append(int(doc_id))
+    out["pixel_sum"].append(int(flat.sum()))
+    out["pixel_wsum"].append(
+        int((flat * (np.arange(flat.size, dtype=np.int64) + 1)).sum())
+    )
+
+
 def decode_image(media: DataFrame) -> DataFrame:
     """Real decode for uncompressed 24-bit BMP payloads, Arrow-batched.
 
@@ -180,15 +192,10 @@ def decode_image(media: DataFrame) -> DataFrame:
                    ("doc_id", "height", "width", "channels", "pixel_sum", "pixel_wsum")}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 img = decode_bmp(bytes(payload))
-                flat = img.reshape(-1).astype(np.int64)
-                out["doc_id"].append(int(doc_id))
                 out["height"].append(img.shape[0])
                 out["width"].append(img.shape[1])
                 out["channels"].append(img.shape[2])
-                out["pixel_sum"].append(int(flat.sum()))
-                out["pixel_wsum"].append(
-                    int((flat * (np.arange(flat.size, dtype=np.int64) + 1)).sum())
-                )
+                _append_checksums(out, doc_id, img.reshape(-1).astype(np.int64))
             yield pd.DataFrame(out)
 
     return media.select("doc_id", "payload").mapInPandas(
@@ -225,13 +232,10 @@ def resize_image(media: DataFrame, th: int = RESIZE_H, tw: int = RESIZE_W) -> Da
                 h, w = img.shape[:2]
                 ri = (np.arange(th, dtype=np.int64) * h) // th
                 ci = (np.arange(tw, dtype=np.int64) * w) // tw
-                flat = img[ri][:, ci].reshape(-1).astype(np.int64)
-                out["doc_id"].append(int(doc_id))
                 out["height"].append(th)
                 out["width"].append(tw)
-                out["pixel_sum"].append(int(flat.sum()))
-                out["pixel_wsum"].append(
-                    int((flat * (np.arange(flat.size, dtype=np.int64) + 1)).sum())
+                _append_checksums(
+                    out, doc_id, img[ri][:, ci].reshape(-1).astype(np.int64)
                 )
             yield pd.DataFrame(out)
 

@@ -13,6 +13,14 @@ _TYPE_CASE = (
     "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"
 )
 
+# the synth_bmp dimension closed form + image-typing predicate, shared by
+# every image oracle so the formula can only ever change in one place
+_DIMS_CTE = f"""dims AS (
+      SELECT doc_id, 1 + doc_id % {multimodal.BMP_W_MOD} AS w,
+             1 + doc_id % {multimodal.BMP_H_MOD} AS h
+      FROM documents WHERE doc_id % 3 = 0
+    )"""
+
 
 def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents")
@@ -55,11 +63,7 @@ def mm_frame_sample(spark, sf_dir):
 @query(
     "mm_decode",
     oracle=f"""
-    WITH dims AS (
-      SELECT doc_id, 1 + doc_id % {multimodal.BMP_W_MOD} AS w,
-             1 + doc_id % {multimodal.BMP_H_MOD} AS h
-      FROM documents WHERE doc_id % 3 = 0
-    ),
+    WITH {_DIMS_CTE},
     px AS (
       SELECT doc_id, w, h, i,
              (doc_id*31 + (i // (w*3))*7 + ((i % (w*3)) // 3)*3 + (i % 3)) % 256 AS v
@@ -87,11 +91,7 @@ _RH, _RW = multimodal.RESIZE_H, multimodal.RESIZE_W
 @query(
     "mm_resize",
     oracle=f"""
-    WITH dims AS (
-      SELECT doc_id, 1 + doc_id % {multimodal.BMP_W_MOD} AS w,
-             1 + doc_id % {multimodal.BMP_H_MOD} AS h
-      FROM documents WHERE doc_id % 3 = 0
-    ),
+    WITH {_DIMS_CTE},
     px AS (
       SELECT doc_id, i,
              (doc_id*31
@@ -117,11 +117,7 @@ def mm_resize(spark, sf_dir):
 @query(
     "mm_features",
     oracle=f"""
-    WITH dims AS (
-      SELECT doc_id, 1 + doc_id % {multimodal.BMP_W_MOD} AS w,
-             1 + doc_id % {multimodal.BMP_H_MOD} AS h
-      FROM documents WHERE doc_id % 3 = 0
-    ),
+    WITH {_DIMS_CTE},
     px AS (
       SELECT doc_id, w, h, (i % 3) AS channel,
              (doc_id*31 + (i // (w*3))*7 + ((i % (w*3)) // 3)*3 + (i % 3)) % 256 AS v
