@@ -194,3 +194,22 @@ def test_merge_edge_counts_upsert(spark):
         (5, "r", 6): (4, 0),
         (3, "q", 4): (1, 1),
     }
+
+
+def test_merge_fold_equals_batch_build(spark):
+    """THE incremental-maintenance invariant: folding per-slice edge
+    tables through merge_edge_counts (as a crawl would, delta by delta)
+    must reproduce exactly the batch build over the full corpus."""
+    from pyspark.sql import functions as F
+
+    from hebrew_ner_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    slices = [docs.where(F.col("doc_id") % 3 == k) for k in range(3)]
+    acc = linking.kg_edges(slices[0])
+    for part in slices[1:]:
+        acc = linking.merge_edge_counts(acc, linking.kg_edges(part)).drop("is_new")
+    folded = {(r.subj_id, r.pred, r.obj_id): r.n_evidence for r in acc.collect()}
+    batch = {(r.subj_id, r.pred, r.obj_id): r.n_evidence
+             for r in linking.kg_edges(docs).collect()}
+    assert folded == batch and len(batch) > 100
