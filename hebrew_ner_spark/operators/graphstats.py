@@ -1,0 +1,192 @@
+"""Graph analytics over the constructed knowledge graph.
+
+Two KG-quality operators the reference pipeline stops short of (its graph
+work ends at mention adjacency, ner_app.py:196-226) but any KG consumer
+needs: association strength for edge weighting, and triangle structure for
+clustering/canonicalization QA.
+
+Scale notes (the part that matters at 10^12 docs):
+
+* ``cooc_lift`` generates within-document entity pairs **array-side**
+  (nested transform + flatten on the per-doc distinct-entity array) — the
+  quadratic pair blowup is bounded by per-doc entity count, never by corpus
+  size, and costs zero extra shuffles before the single pair-count
+  aggregation. Document frequency is a tiny per-entity aggregate joined
+  back by key (AQE broadcasts it when small; it stays a key-partitioned
+  shuffle join when the vocabulary is web-scale).
+* ``triangles`` is the node-iterator++ algorithm: orient every undirected
+  edge from the (degree, name)-smaller endpoint to the larger, build wedges
+  only from out-edges, then close them with a semi-equi-join. Orientation
+  bounds wedge fan-out by out-degree <= O(sqrt(m)) on skewed graphs — the
+  classic trick that keeps the wedge table near-linear where the naive
+  3-way self-join explodes on hub nodes.
+
+Lift is reported as an exact integer (``lift_1e6``): floor-half-up of
+``1e6 * N * c_ab / (c_a * c_b)`` computed wholly in BIGINT arithmetic —
+cross-engine float log/division never enters (the r1/r2 parity rule). At
+true web scale the numerator needs DECIMAL(38,0); documented here, BIGINT
+is exact through ~1e9 docs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyspark import StorageLevel
+
+from hebrew_ner_spark.operators.kg import _sql_terms, doc_triples, with_tokens
+from hebrew_ner_spark.resources import ENTITY_TERMS
+
+_LAST_ORIENTED = None
+
+
+def doc_entity_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, ents) — sorted distinct entity tokens per document."""
+    ents = _sql_terms(ENTITY_TERMS)
+    return with_tokens(docs).select(
+        "doc_id",
+        F.expr(f"array_sort(array_distinct(filter(toks, t -> array_contains({ents}, t))))").alias(
+            "ents"
+        ),
+    )
+
+
+def entity_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_id, ea, eb) with ea < eb — within-document co-occurring pairs.
+
+    Pair generation is array-side (no self-join): for each entity at
+    position i, pair it with every later entity in the sorted array.
+    """
+    return (
+        doc_entity_sets(docs)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(ents, (a, i) ->
+                      transform(slice(ents, i + 2, greatest(size(ents) - i - 1, 0)),
+                                b -> named_struct('ea', a, 'eb', b))))
+                    """
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.ea", "p.eb")
+    )
+
+
+def cooc_lift(docs: DataFrame) -> DataFrame:
+    """(ea, eb, c_ab, lift_1e6) — exact integer co-occurrence lift.
+
+    lift = N * c_ab / (c_a * c_b) where N is corpus size and c_x is
+    document frequency; reported as floor(lift * 1e6 + 0.5) via the exact
+    BIGINT round-half-up identity (2*num + den) DIV (2*den).
+    """
+    pairs = entity_pairs(docs)
+    c_ab = pairs.groupBy("ea", "eb").agg(F.count("*").alias("c_ab"))
+    df = (
+        doc_entity_sets(docs)
+        .select(F.explode("ents").alias("entity"))
+        .groupBy("entity")
+        .agg(F.count("*").alias("c"))
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    return (
+        c_ab.crossJoin(F.broadcast(n))
+        .join(F.broadcast(df).withColumnRenamed("entity", "ea").withColumnRenamed("c", "c_a"), "ea")
+        .join(F.broadcast(df).withColumnRenamed("entity", "eb").withColumnRenamed("c", "c_b"), "eb")
+        .select(
+            "ea",
+            "eb",
+            "c_ab",
+            F.expr(
+                "CAST((2000000 * n_docs * c_ab + c_a * c_b) DIV (2 * c_a * c_b) AS BIGINT)"
+            ).alias("lift_1e6"),
+        )
+    )
+
+
+def undirected_entity_edges(docs: DataFrame) -> DataFrame:
+    """(a, b, n) with a < b — undirected SVO subject-object edge weights."""
+    t = doc_triples(docs).where(F.col("subj") != F.col("obj"))
+    return (
+        t.select(F.least("subj", "obj").alias("a"), F.greatest("subj", "obj").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def triangles(docs: DataFrame) -> DataFrame:
+    """(ea, eb, ec) with ea < eb < ec — every triangle, exactly once.
+
+    The triangle graph keeps only edges with ABOVE-MEAN evidence weight
+    (exact integer cross-multiplication ``n * n_edges > total``, no float
+    division) — scale-free sparsification; on the closed synthetic
+    vocabulary the unfiltered entity graph is complete, which would make
+    the gate vacuous (any all-combinations emitter would pass).
+
+    Node-iterator++: orient each edge toward the (degree, name)-larger
+    endpoint, enumerate wedges from out-edges only, close with one join.
+    Each triangle is emitted exactly once (from its orientation-minimal
+    corner), so no post-dedup is needed.
+    """
+    weighted = undirected_entity_edges(docs)
+    # Two scalars — provably driver-sized, so collect them (the kmeans-
+    # centroid precedent) instead of a 1-row crossJoin, which would
+    # replicate a BroadcastNestedLoopJoin through every reuse of the
+    # oriented edge list below.
+    tot = weighted.agg(F.count("*").alias("n_edges"), F.sum("n").alias("total_n")).collect()[0]
+    n_edges, total_n = int(tot.n_edges), int(tot.total_n or 0)
+    und = weighted.where(F.col("n") * F.lit(n_edges) > F.lit(total_n)).select("a", "b")
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # Orientation key: (deg, name). struct comparison gives lexicographic
+    # order; carrying deg_v on each oriented edge lets wedges be ordered by
+    # the SAME key, so the closing edge is a plain two-column equi-join
+    # (an OR-of-directions condition would degrade to a nested-loop join).
+    with_deg = (
+        und.join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "deg_a"), "a")
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "deg_b"), "b")
+    )
+    oriented = with_deg.select(
+        F.when(
+            F.struct("deg_a", "a") < F.struct("deg_b", "b"),
+            F.struct(F.col("a").alias("u"), F.col("b").alias("v"), F.col("deg_b").alias("deg_v")),
+        )
+        .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v"), F.col("deg_a").alias("deg_v")))
+        .alias("e")
+    ).select("e.u", "e.v", "e.deg_v")
+    # The oriented edge list is referenced three times (both wedge sides +
+    # the closing join); without materialization each reference re-runs the
+    # full corpus -> triples -> agg chain. Edge-sized, so persist with the
+    # session-bounded one-table eviction discipline (see entity_pagerank).
+    global _LAST_ORIENTED
+    if _LAST_ORIENTED is not None:
+        try:
+            _LAST_ORIENTED.unpersist()
+        except Exception:
+            pass  # stopped session: Py4J handle already invalid
+    oriented = oriented.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    _LAST_ORIENTED = oriented
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    # Wedge (u; v1, v2) with v1 before v2 in ORIENTATION order: two
+    # out-edges of u; each wedge appears once, and the closing edge (if
+    # present) is necessarily oriented v1 -> v2.
+    wedges = e1.join(
+        e2,
+        on=(F.col("e1.u") == F.col("e2.u"))
+        & (F.struct(F.col("e1.deg_v"), F.col("e1.v")) < F.struct(F.col("e2.deg_v"), F.col("e2.v"))),
+    ).select(F.col("e1.u").alias("w_u"), F.col("e1.v").alias("w_v1"), F.col("e2.v").alias("w_v2"))
+    e3 = oriented.select(F.col("u").alias("w_v1"), F.col("v").alias("w_v2"))
+    tri = wedges.join(e3, on=["w_v1", "w_v2"]).select("w_u", "w_v1", "w_v2")
+    return tri.select(
+        F.expr("array_sort(array(w_u, w_v1, w_v2))").alias("t")
+    ).select(
+        F.col("t")[0].alias("ea"), F.col("t")[1].alias("eb"), F.col("t")[2].alias("ec")
+    )

@@ -69,13 +69,19 @@ _WINDOW = [
     "lbl_alphabet_encode",
     "eval_span_prf",
     "cc_dedup_components",
-    # -- flagship / lifecycle continuity --
+    "kg_triples_deppat",
+    "kg_edges_typed",
+    "kg_cooc_lift",
+    "kg_triangles",
+    "kg_snapshot_timetravel",
+    # (kg_edges_typed_salted stays out-of-window: same aggregate as the
+    # in-window kg_edges_typed through the salted plan; check_correctness
+    # still gates it)
+    # -- flagship / lifecycle continuity (kg_triples/kg_triple_counts/
+    # kg_web_triples/eval_f1_bootstrap_ci/lat_pruned rotated out: two
+    # rounds of driver-green history each; check_correctness still covers
+    # them locally) --
     "hybrid_pipeline",
-    "kg_triples",
-    "kg_triple_counts",
-    "kg_web_triples",
-    "eval_f1_bootstrap_ci",
-    "lat_pruned",
 ]
 
 # validate BEFORE filtering: a silently-skipped typo would rotate a query

@@ -4,6 +4,7 @@ from hebrew_ner_spark.querydefs import (  # noqa: F401
     dedup_q,
     extract_q,
     graph_q,
+    graphstats_q,
     hybrid_q,
     kg_chain,
     labels_q,

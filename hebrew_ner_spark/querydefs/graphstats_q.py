@@ -1,0 +1,162 @@
+"""Gates: dependency-pattern triples, typed edges, lift, triangles.
+
+Oracles mirror the Spark semantics in window-function SQL (lag/lead for the
+pattern context, self-joins for pairs/triangles). Integer-only arithmetic
+throughout — the lift oracle uses the same (2*num + den) // (2*den)
+round-half-up identity as the Spark plan (DuckDB ``//`` == Spark ``DIV``,
+the carried r1 parity rule), with HUGEINT intermediates cast back.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hebrew_ner_spark.operators import graphstats, kg
+from hebrew_ner_spark.registry import query
+from hebrew_ner_spark.resources import ADJECTIVE_TERMS, ENTITY_TERMS, PREDICATE_TERMS
+from hebrew_ner_spark.sources.catalog import load_table
+
+_ENTS_SQL = "(" + ", ".join(f"'{t}'" for t in ENTITY_TERMS) + ")"
+_PREDS_SQL = "(" + ", ".join(f"'{t}'" for t in PREDICATE_TERMS) + ")"
+_ADJS_SQL = "(" + ", ".join(f"'{t}'" for t in ADJECTIVE_TERMS) + ")"
+
+_TOKS_CTE = """
+toks AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS word_index,
+         unnest(string_split(text, ' ')) AS token
+  FROM documents
+)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# Context window: tokens at offsets -2..+2 around each index. NULL-safe:
+# every NOT-IN test is guarded by IS NOT NULL so a document boundary never
+# yields a NULL predicate (which DuckDB would treat as no-match, matching
+# the Spark i-bounds guards only by accident).
+_DEPPAT_ORACLE = f"""
+    WITH {_TOKS_CTE},
+    w AS (
+      SELECT doc_id, word_index, token,
+             lag(token, 1)  OVER win AS pm1,
+             lag(token, 2)  OVER win AS pm2,
+             lead(token, 1) OVER win AS pp1,
+             lead(token, 2) OVER win AS pp2
+      FROM toks
+      WINDOW win AS (PARTITION BY doc_id ORDER BY word_index)
+    ),
+    m AS (
+      SELECT doc_id, word_index, token, pm1, pm2, pp1, pp2,
+             CASE
+               WHEN token IN {_PREDS_SQL} AND pm1 IN {_ENTS_SQL} AND pp1 IN {_ENTS_SQL}
+                 THEN 'svo'
+               WHEN token IN {_PREDS_SQL}
+                    AND pm1 IS NOT NULL AND pm1 NOT IN {_ENTS_SQL} AND pm1 NOT IN {_PREDS_SQL}
+                    AND pm2 IN {_ENTS_SQL} AND pp1 IN {_ENTS_SQL}
+                 THEN 'svo_gap_subj'
+               WHEN token IN {_PREDS_SQL} AND pm1 IN {_ENTS_SQL}
+                    AND pp1 IS NOT NULL AND pp1 NOT IN {_ENTS_SQL} AND pp1 NOT IN {_PREDS_SQL}
+                    AND pp2 IN {_ENTS_SQL}
+                 THEN 'svo_gap_obj'
+               WHEN token IN {_ENTS_SQL} AND pp1 IN {_ENTS_SQL}
+                 THEN 'appos'
+               WHEN token IN {_ADJS_SQL} AND pp1 IN {_ENTS_SQL}
+                 THEN 'has_attr'
+             END AS pattern
+      FROM w
+    )
+    SELECT doc_id, word_index, pattern,
+           CASE pattern WHEN 'svo' THEN pm1 WHEN 'svo_gap_subj' THEN pm2
+                        WHEN 'svo_gap_obj' THEN pm1 WHEN 'appos' THEN token
+                        ELSE pp1 END AS subj,
+           CASE WHEN pattern LIKE 'svo%' THEN token
+                WHEN pattern = 'appos' THEN 'appos'
+                ELSE 'has_attr' END AS pred,
+           CASE pattern WHEN 'svo_gap_obj' THEN pp2
+                        WHEN 'has_attr' THEN token
+                        ELSE pp1 END AS obj
+    FROM m WHERE pattern IS NOT NULL
+"""
+
+
+@query("kg_triples_deppat", oracle=_DEPPAT_ORACLE)
+def kg_triples_deppat(spark, sf_dir):
+    """Five dependency patterns, one codegen'd transform, zero shuffles."""
+    return kg.doc_triples_patterns(_docs(spark, sf_dir))
+
+
+_TYPED_COUNTS_ORACLE = f"""
+    WITH t AS ({_DEPPAT_ORACLE})
+    SELECT pattern, subj, pred, obj, count(*) AS n_evidence
+    FROM t GROUP BY 1, 2, 3, 4
+"""
+
+
+@query("kg_edges_typed", oracle=_TYPED_COUNTS_ORACLE)
+def kg_edges_typed(spark, sf_dir):
+    return kg.typed_edge_counts(_docs(spark, sf_dir))
+
+
+@query("kg_edges_typed_salted", oracle=_TYPED_COUNTS_ORACLE)
+def kg_edges_typed_salted(spark, sf_dir):
+    """The same aggregate through the two-phase salted plan."""
+    return kg.typed_edge_counts(_docs(spark, sf_dir), salt_buckets=8)
+
+
+@query(
+    "kg_cooc_lift",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    de AS (SELECT DISTINCT doc_id, token FROM toks WHERE token IN {_ENTS_SQL}),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    df AS (SELECT token, count(*) AS c FROM de GROUP BY 1),
+    p AS (SELECT x.token AS ea, y.token AS eb, count(*) AS c_ab
+          FROM de x JOIN de y ON x.doc_id = y.doc_id AND x.token < y.token
+          GROUP BY 1, 2)
+    SELECT p.ea, p.eb, p.c_ab,
+           CAST((2000000 * CAST((SELECT n_docs FROM n) AS HUGEINT) * p.c_ab
+                 + CAST(da.c AS HUGEINT) * db.c)
+                // (2 * CAST(da.c AS HUGEINT) * db.c) AS BIGINT) AS lift_1e6
+    FROM p
+    JOIN df da ON p.ea = da.token
+    JOIN df db ON p.eb = db.token
+    """,
+)
+def kg_cooc_lift(spark, sf_dir):
+    """Exact-integer association strength for KG edge weighting."""
+    return graphstats.cooc_lift(_docs(spark, sf_dir))
+
+
+@query(
+    "kg_triangles",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    w AS (
+      SELECT doc_id, word_index, token,
+             lag(token)  OVER (PARTITION BY doc_id ORDER BY word_index) AS subj,
+             lead(token) OVER (PARTITION BY doc_id ORDER BY word_index) AS obj
+      FROM toks
+    ),
+    t AS (
+      SELECT subj, obj FROM w
+      WHERE token IN {_PREDS_SQL} AND subj IN {_ENTS_SQL} AND obj IN {_ENTS_SQL}
+            AND subj <> obj
+    ),
+    ew AS (SELECT least(subj, obj) AS a, greatest(subj, obj) AS b, count(*) AS n
+           FROM t GROUP BY 1, 2),
+    tot AS (SELECT count(*) AS n_edges, sum(n) AS total_n FROM ew),
+    e AS (SELECT a, b FROM ew, tot WHERE n * n_edges > total_n)
+    SELECT e1.a AS ea, e1.b AS eb, e2.b AS ec
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.b
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def kg_triangles(spark, sf_dir):
+    """Node-iterator++ triangles (above-mean-weight edges) vs the naive
+    3-way-join oracle."""
+    return graphstats.triangles(_docs(spark, sf_dir))

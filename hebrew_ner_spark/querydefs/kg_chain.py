@@ -192,3 +192,61 @@ def kg_web_triples(spark, sf_dir):
         "url", F.col("extracted").alias("text")
     )
     return kg.doc_triples(ext, key="url")
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-versioned graph materialization (plans/snapshots.py)
+# ---------------------------------------------------------------------------
+
+_LAST_SNAP_ROOT: list[str] = []
+
+
+@query(
+    "kg_snapshot_timetravel",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS word_index,
+             unnest(string_split(text, ' ')) AS token
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    w AS (
+      SELECT doc_id, word_index, token,
+             lag(token)  OVER (PARTITION BY doc_id ORDER BY word_index) AS subj,
+             lead(token) OVER (PARTITION BY doc_id ORDER BY word_index) AS obj
+      FROM toks
+    ),
+    t AS (
+      SELECT subj, token AS pred, obj FROM w
+      WHERE token IN {_PREDS_SQL} AND subj IN {_ENTS_SQL} AND obj IN {_ENTS_SQL}
+    )
+    SELECT subj, pred, obj, count(*) AS n_evidence FROM t GROUP BY 1, 2, 3
+    """,
+)
+def kg_snapshot_timetravel(spark, sf_dir):
+    """Commit edges(v1, even docs) -> commit edges(v2, all docs) -> read v1.
+
+    Proves snapshot isolation on the materialized graph: the v1 read after
+    the v2 commit still returns exactly the even-document edge counts (the
+    oracle recomputes them), i.e. commits never rewrite published versions
+    and time travel resolves through the manifest, not the hint.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hebrew_ner_spark.plans import snapshots as snap
+
+    while _LAST_SNAP_ROOT:
+        shutil.rmtree(_LAST_SNAP_ROOT.pop(), ignore_errors=True)
+    root = tempfile.mkdtemp(prefix="kg_snap_")
+    _LAST_SNAP_ROOT.append(root)
+
+    docs = _docs(spark, sf_dir)
+    even = docs.where(F.col("doc_id") % 2 == 0)
+    snap.commit_snapshot(
+        root, {"edges": kg.triple_counts(even), "nodes": kg.entity_nodes(even)}
+    )
+    snap.commit_snapshot(root, {"edges": kg.triple_counts(docs)})
+    return snap.read_snapshot(spark, root, "edges", version=1)

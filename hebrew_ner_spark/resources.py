@@ -36,7 +36,11 @@ ENTITY_TERMS = [
 # Verb-like vocabulary -> relation predicates.
 PREDICATE_TERMS = ["agg", "filter", "join", "merge", "scan", "sort"]
 
-# Everything else ("the", "a", adjectives, "dup") is non-mention filler.
+# Adjective-like vocabulary -> entity attributes (dependency-pattern
+# relation extraction: ADJ ENT modifies the following entity).
+ADJECTIVE_TERMS = ["big", "fast", "slow", "small"]
+
+# Everything else ("the", "a", "dup") is non-mention filler.
 
 # Deterministic morphological dictionary for the synthetic corpus: tokens
 # that "segment" into two morphemes (the YAP-analyzer stand-in; every other

@@ -1,0 +1,117 @@
+"""Planted-structure tests for dependency patterns, lift, triangles."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hebrew_ner_spark.operators import graphstats, kg
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+    )
+
+
+def _pat_rows(spark, text):
+    df = kg.doc_triples_patterns(_docs(spark, [text]))
+    return sorted(
+        (r.word_index, r.pattern, r.subj, r.pred, r.obj) for r in df.collect()
+    )
+
+
+class TestDocTriplesPatterns:
+    def test_direct_svo(self, spark):
+        assert _pat_rows(spark, "key join table") == [(1, "svo", "key", "join", "table")]
+
+    def test_gap_subject(self, spark):
+        # ENT FILLER PRED ENT: subject reaches over the filler.
+        assert _pat_rows(spark, "key the join table") == [
+            (2, "svo_gap_subj", "key", "join", "table")
+        ]
+
+    def test_gap_object(self, spark):
+        assert _pat_rows(spark, "key join the table") == [
+            (1, "svo_gap_obj", "key", "join", "table")
+        ]
+
+    def test_appos_and_attr(self, spark):
+        assert _pat_rows(spark, "fast key table") == [
+            (0, "has_attr", "key", "has_attr", "fast"),
+            (1, "appos", "key", "appos", "table"),
+        ]
+
+    def test_gap_blocked_by_predicate_filler(self, spark):
+        # The gap token must be pure filler: ENT PRED PRED ENT yields
+        # neither gap pattern (anchor context tests fail on both sides).
+        assert _pat_rows(spark, "key sort join table") == []
+
+    def test_at_most_one_pattern_per_anchor(self, spark):
+        # Property: anchor classes are disjoint, so word_index values are
+        # unique per doc even in dense entity runs.
+        docs = _docs(spark, ["key table join order part merge the fast value row"])
+        df = kg.doc_triples_patterns(docs)
+        n = df.count()
+        assert n == df.select("doc_id", "word_index").distinct().count()
+
+    def test_boundaries_no_out_of_range(self, spark):
+        # Predicate at position 0 / end cannot match; single-token docs fine.
+        assert _pat_rows(spark, "join key") == []
+        assert _pat_rows(spark, "key") == []
+
+
+class TestCoocLift:
+    def test_exact_lift_values(self, spark):
+        # 4 docs: {key,table} together twice, key alone once, table alone once.
+        docs = _docs(spark, ["key table", "table key", "key", "table"])
+        rows = {(r.ea, r.eb): (r.c_ab, r.lift_1e6) for r in graphstats.cooc_lift(docs).collect()}
+        # N=4, c_ab=2, c_key=3, c_table=3 -> lift = 4*2/9 = 0.888...
+        # floor(888888.88 + 0.5) = 888889
+        assert rows == {("key", "table"): (2, 888889)}
+
+    def test_independent_pair_lift_near_one(self, spark):
+        # Entities in every doc: lift exactly 1.0 -> 1_000_000.
+        docs = _docs(spark, ["key table", "key table", "key table"])
+        [r] = graphstats.cooc_lift(docs).collect()
+        assert (r.c_ab, r.lift_1e6) == (3, 1000000)
+
+
+class TestTriangles:
+    def test_planted_triangle(self, spark):
+        # Build a graph where exactly one heavy triangle survives the
+        # above-mean filter: edges (key,table),(key,row),(row,table) x3,
+        # plus light one-off edges that fall below the mean.
+        heavy = ["key join table", "key join row", "row join table"] * 3
+        light = ["part join value", "order join query", "batch join line"]
+        docs = _docs(spark, heavy + light)
+        rows = sorted(tuple(r) for r in graphstats.triangles(docs).collect())
+        assert rows == [("key", "row", "table")]
+
+    def test_no_triangle_in_path_graph(self, spark):
+        # Path a-b-c has no triangle even with all edges above mean.
+        docs = _docs(spark, ["key join table", "table join row"] * 2)
+        assert graphstats.triangles(docs).count() == 0
+
+    def test_each_triangle_emitted_once(self, spark):
+        # Complete graph on 4 heavy nodes -> C(4,3)=4 triangles, no dupes.
+        ents = ["key", "table", "row", "part"]
+        texts = [f"{a} join {b}" for a in ents for b in ents if a < b] * 3
+        light = ["order join query", "batch join line", "value join stream"]
+        docs = _docs(spark, texts + light)
+        rows = [tuple(r) for r in graphstats.triangles(docs).collect()]
+        assert len(rows) == len(set(rows)) == 4
+
+    def test_plan_has_no_nested_loop_join(self, spark):
+        docs = _docs(spark, ["key join table"])
+        plan = graphstats.triangles(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestTypedEdgeCounts:
+    def test_salted_equals_plain(self, spark):
+        docs = _docs(spark, ["key join table the fast value row", "fast key part merge row"])
+        plain = {tuple(r) for r in kg.typed_edge_counts(docs).collect()}
+        salted = {tuple(r) for r in kg.typed_edge_counts(docs, salt_buckets=4).collect()}
+        assert plain == salted and plain
