@@ -117,28 +117,32 @@ def undirected_entity_edges(docs: DataFrame) -> DataFrame:
     )
 
 
+def above_mean_edges(docs: DataFrame) -> DataFrame:
+    """(a, b, n) — undirected edges with ABOVE-MEAN evidence weight.
+
+    Exact integer cross-multiplication ``n * n_edges > total`` (no float
+    division) — scale-free sparsification. On the closed synthetic
+    vocabulary the unfiltered entity graph is complete, which would make
+    the structural gates (triangles, communities) vacuous. The two totals
+    are provably driver-sized scalars, so they are collected (the kmeans-
+    centroid precedent) instead of crossJoined, which would replicate a
+    BroadcastNestedLoopJoin through every reuse of the edge list.
+    """
+    weighted = undirected_entity_edges(docs)
+    tot = weighted.agg(F.count("*").alias("n_edges"), F.sum("n").alias("total_n")).collect()[0]
+    n_edges, total_n = int(tot.n_edges), int(tot.total_n or 0)
+    return weighted.where(F.col("n") * F.lit(n_edges) > F.lit(total_n))
+
+
 def triangles(docs: DataFrame) -> DataFrame:
     """(ea, eb, ec) with ea < eb < ec — every triangle, exactly once.
-
-    The triangle graph keeps only edges with ABOVE-MEAN evidence weight
-    (exact integer cross-multiplication ``n * n_edges > total``, no float
-    division) — scale-free sparsification; on the closed synthetic
-    vocabulary the unfiltered entity graph is complete, which would make
-    the gate vacuous (any all-combinations emitter would pass).
 
     Node-iterator++: orient each edge toward the (degree, name)-larger
     endpoint, enumerate wedges from out-edges only, close with one join.
     Each triangle is emitted exactly once (from its orientation-minimal
     corner), so no post-dedup is needed.
     """
-    weighted = undirected_entity_edges(docs)
-    # Two scalars — provably driver-sized, so collect them (the kmeans-
-    # centroid precedent) instead of a 1-row crossJoin, which would
-    # replicate a BroadcastNestedLoopJoin through every reuse of the
-    # oriented edge list below.
-    tot = weighted.agg(F.count("*").alias("n_edges"), F.sum("n").alias("total_n")).collect()[0]
-    n_edges, total_n = int(tot.n_edges), int(tot.total_n or 0)
-    und = weighted.where(F.col("n") * F.lit(n_edges) > F.lit(total_n)).select("a", "b")
+    und = above_mean_edges(docs).select("a", "b")
     deg = (
         und.select(F.col("a").alias("node"))
         .unionAll(und.select(F.col("b").alias("node")))
@@ -190,3 +194,94 @@ def triangles(docs: DataFrame) -> DataFrame:
     ).select(
         F.col("t")[0].alias("ea"), F.col("t")[1].alias("eb"), F.col("t")[2].alias("ec")
     )
+
+
+def directed_entity_edges(docs: DataFrame) -> DataFrame:
+    """(subj, obj) — distinct directed SVO edges (predicate collapsed)."""
+    return doc_triples(docs).where(F.col("subj") != F.col("obj")).select("subj", "obj").distinct()
+
+
+def paths_2hop(docs: DataFrame) -> DataFrame:
+    """(a, c, n_mids) — 2-hop reachability features for link prediction.
+
+    One self-equi-join on the distinct directed edge set; both sides hash
+    to the same join key (e1.obj = e2.subj), so at scale this is a single
+    co-partitioned shuffle, and the (a, c) aggregation reuses nothing
+    wider than the join output. a = c loops are excluded.
+    """
+    e = directed_entity_edges(docs)
+    e1 = e.select(F.col("subj").alias("a"), F.col("obj").alias("mid"))
+    e2 = e.select(F.col("subj").alias("mid"), F.col("obj").alias("c"))
+    return (
+        e1.join(e2, "mid")
+        .where(F.col("a") != F.col("c"))
+        .groupBy("a", "c")
+        .agg(F.countDistinct("mid").alias("n_mids"))
+    )
+
+
+LPA_ITERS = 3
+
+
+def label_propagation(docs: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
+    """(entity, community) — weighted synchronous label propagation.
+
+    Classic LPA (Raghavan et al. 2007), made deterministic: every node
+    starts as its own label; each round a node adopts the label with the
+    largest summed edge weight among its neighbours' current labels, ties
+    broken by smallest label (isolated nodes keep their own). Fixed
+    ``iters`` synchronous rounds — not run to convergence — so the oracle
+    can unroll the exact same rounds; distinct from connected components
+    (min-label propagation), which ignores weights entirely.
+
+    Runs on the above-mean sparsified edge set: on the near-complete raw
+    entity graph every node collapses into one community by round 2 and
+    the gate would be near-vacuous; the sparse graph yields non-trivial
+    structure at every tested scale.
+
+    Known caveat shared with GraphFrames' synchronous LPA: isolated
+    symmetric structures oscillate with period 2 (labels swap each round)
+    — still fully deterministic at a fixed ``iters``, and pinned in
+    pytest so a semantics change cannot land silently.
+
+    Per round: one join (edge ⋈ label), one weighted count, one max-by
+    window — all key-partitioned shuffles on node ids; the edge list is
+    persisted once and reused every round (same discipline as
+    entity_pagerank's weighted matrix).
+    """
+    weighted = above_mean_edges(docs)
+    # symmetrize: each undirected edge votes in both directions
+    sym = (
+        weighted.select(F.col("a").alias("src"), F.col("b").alias("dst"), "n")
+        .unionAll(weighted.select(F.col("b").alias("src"), F.col("a").alias("dst"), "n"))
+    )
+    global _LAST_ORIENTED
+    if _LAST_ORIENTED is not None:
+        try:
+            _LAST_ORIENTED.unpersist()
+        except Exception:
+            pass
+    sym = sym.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    _LAST_ORIENTED = sym
+
+    labels = sym.select(F.col("src").alias("entity")).distinct().withColumn(
+        "community", F.col("entity")
+    )
+    from pyspark.sql import Window
+
+    for _ in range(iters):
+        votes = (
+            sym.join(labels.withColumnRenamed("entity", "dst"), "dst")
+            .groupBy(F.col("src").alias("entity"), "community")
+            .agg(F.sum("n").alias("w"))
+        )
+        win = Window.partitionBy("entity").orderBy(F.desc("w"), F.asc("community"))
+        best = (
+            votes.withColumn("rk", F.row_number().over(win))
+            .where(F.col("rk") == 1)
+            .select("entity", "community")
+        )
+        # every node has >=1 neighbour (labels domain = edge endpoints),
+        # so best covers the full domain each round
+        labels = best
+    return labels

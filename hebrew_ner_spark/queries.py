@@ -65,7 +65,6 @@ _WINDOW = [
     "mm_resize",
     "mm_features",
     "mention_model_labels",
-    "mention_model_binned",
     "lbl_alphabet_encode",
     "eval_span_prf",
     "cc_dedup_components",
@@ -74,15 +73,17 @@ _WINDOW = [
     "kg_cooc_lift",
     "kg_triangles",
     "kg_snapshot_timetravel",
-    # (kg_edges_typed_salted stays out-of-window: same aggregate as the
-    # in-window kg_edges_typed through the salted plan; check_correctness
-    # still gates it)
-    # -- flagship / lifecycle continuity (kg_triples/kg_triple_counts/
-    # kg_web_triples/eval_f1_bootstrap_ci/lat_pruned rotated out: two
-    # rounds of driver-green history each; check_correctness still covers
-    # them locally) --
-    "hybrid_pipeline",
+    "kg_paths_2hop",
+    "kg_communities_lpa",
 ]
+
+# Out-of-window this round (check_correctness still gates all of them):
+# * kg_edges_typed_salted / mention_model_binned — plan-twins of in-window
+#   queries (same output through the salted / range-binned plan);
+# * hybrid_pipeline — the hybrid==direct invariant is also pytest-pinned,
+#   and it has two rounds of driver-green history plus a judge re-check;
+# * kg_triples / kg_triple_counts / kg_web_triples / eval_f1_bootstrap_ci
+#   / lat_pruned — two rounds of driver-green history each.
 
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
 # out of the driver-verified window with no signal at all (explicit raise,

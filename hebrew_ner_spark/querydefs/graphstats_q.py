@@ -131,10 +131,16 @@ def kg_cooc_lift(spark, sf_dir):
     return graphstats.cooc_lift(_docs(spark, sf_dir))
 
 
-@query(
-    "kg_triangles",
-    oracle=f"""
-    WITH {_TOKS_CTE},
+
+# Shared oracle fragment: documents -> tokens -> SVO pairs -> weighted
+# undirected edges (the same edge set every graph-analytics gate consumes).
+_EDGES_CTE = f"""
+    toks AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS word_index,
+             unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
     w AS (
       SELECT doc_id, word_index, token,
              lag(token)  OVER (PARTITION BY doc_id ORDER BY word_index) AS subj,
@@ -147,9 +153,22 @@ def kg_cooc_lift(spark, sf_dir):
             AND subj <> obj
     ),
     ew AS (SELECT least(subj, obj) AS a, greatest(subj, obj) AS b, count(*) AS n
-           FROM t GROUP BY 1, 2),
+           FROM t GROUP BY 1, 2)
+"""
+
+# Above-mean sparsified edges (operators/graphstats.above_mean_edges).
+_SPARSE_EW = """
     tot AS (SELECT count(*) AS n_edges, sum(n) AS total_n FROM ew),
-    e AS (SELECT a, b FROM ew, tot WHERE n * n_edges > total_n)
+    ews AS (SELECT a, b, n FROM ew, tot WHERE n * n_edges > total_n)
+"""
+
+
+@query(
+    "kg_triangles",
+    oracle=f"""
+    WITH {_EDGES_CTE},
+    {_SPARSE_EW},
+    e AS (SELECT a, b FROM ews)
     SELECT e1.a AS ea, e1.b AS eb, e2.b AS ec
     FROM e e1
     JOIN e e2 ON e2.a = e1.b
@@ -160,3 +179,60 @@ def kg_triangles(spark, sf_dir):
     """Node-iterator++ triangles (above-mean-weight edges) vs the naive
     3-way-join oracle."""
     return graphstats.triangles(_docs(spark, sf_dir))
+
+
+@query(
+    "kg_paths_2hop",
+    oracle=f"""
+    WITH {_EDGES_CTE},
+    e AS (SELECT DISTINCT subj, obj FROM t)
+    SELECT e1.subj AS a, e2.obj AS c, count(DISTINCT e1.obj) AS n_mids
+    FROM e e1 JOIN e e2 ON e1.obj = e2.subj
+    WHERE e1.subj <> e2.obj
+    GROUP BY 1, 2
+    """,
+)
+def kg_paths_2hop(spark, sf_dir):
+    """2-hop reachability counts — link-prediction features."""
+    return graphstats.paths_2hop(_docs(spark, sf_dir))
+
+
+# LPA oracle: unroll the exact synchronous rounds the Spark plan runs.
+# Iteration count IMPORTED from the operator (never hardcoded — retuning
+# LPA_ITERS cannot desync plan and oracle; same discipline as PageRank).
+from hebrew_ner_spark.operators.graphstats import LPA_ITERS as _LPA_ITERS  # noqa: E402
+
+
+def _lpa_oracle(iters: int) -> str:
+    rounds = []
+    prev = "l0"
+    for k in range(1, iters + 1):
+        rounds.append(
+            f"""
+    l{k} AS (
+      SELECT entity, community FROM (
+        SELECT s.src AS entity, l.community, sum(s.n) AS w,
+               row_number() OVER (PARTITION BY s.src
+                                  ORDER BY sum(s.n) DESC, l.community ASC) AS rk
+        FROM sym s JOIN {prev} l ON s.dst = l.entity
+        GROUP BY s.src, l.community)
+      WHERE rk = 1
+    )"""
+        )
+        prev = f"l{k}"
+    return f"""
+    WITH {_EDGES_CTE},
+    {_SPARSE_EW},
+    sym AS (SELECT a AS src, b AS dst, n FROM ews
+            UNION ALL SELECT b AS src, a AS dst, n FROM ews),
+    l0 AS (SELECT DISTINCT src AS entity, src AS community FROM sym),
+    {",".join(rounds)}
+    SELECT entity, community FROM {prev}
+    """
+
+
+@query("kg_communities_lpa", oracle=_lpa_oracle(_LPA_ITERS))
+def kg_communities_lpa(spark, sf_dir):
+    """Weighted label propagation, fixed synchronous rounds, vs the
+    unrolled-CTE oracle."""
+    return graphstats.label_propagation(_docs(spark, sf_dir))

@@ -77,6 +77,23 @@ def main() -> None:
     summary["lineage_rows"] = sum(
         len(checkpoint.read_lineage(args.out, s)) for s in summary["stages"]
     )
+
+    # Publish the materialized graph as an immutable snapshot version
+    # (plans/snapshots.py): resumable stages feed a versioned, time-
+    # travelable graph — rerunning a fully-skipped job publishes nothing.
+    from hebrew_ner_spark.plans import snapshots as snap
+
+    if any(not st["skipped"] for st in summary["stages"].values()):
+        version = snap.commit_snapshot(
+            os.path.join(args.out, "graph"),
+            {
+                "nodes": checkpoint.read_stage(spark, args.out, "nodes"),
+                "edges": checkpoint.read_stage(spark, args.out, "edges"),
+            },
+        )
+    else:
+        version = snap.current_version(os.path.join(args.out, "graph"))
+    summary["graph_snapshot_version"] = version
     print("PIPELINE_SUMMARY " + json.dumps(summary))
 
 

@@ -115,3 +115,57 @@ class TestTypedEdgeCounts:
         plain = {tuple(r) for r in kg.typed_edge_counts(docs).collect()}
         salted = {tuple(r) for r in kg.typed_edge_counts(docs, salt_buckets=4).collect()}
         assert plain == salted and plain
+
+
+class TestPaths2Hop:
+    def test_planted_paths(self, spark):
+        # key->table->row and key->part->row: two mids from key to row.
+        docs = _docs(
+            spark,
+            ["key join table", "table join row", "key join part", "part join row"],
+        )
+        rows = {(r.a, r.c): r.n_mids for r in graphstats.paths_2hop(docs).collect()}
+        assert rows[("key", "row")] == 2
+        assert ("key", "key") not in rows  # loops excluded
+
+    def test_mid_counted_once(self, spark):
+        # duplicate evidence for the same edge must not inflate n_mids
+        docs = _docs(spark, ["key join table", "key join table", "table join row"])
+        rows = {(r.a, r.c): r.n_mids for r in graphstats.paths_2hop(docs).collect()}
+        assert rows == {("key", "row"): 1}
+
+
+class TestLabelPropagation:
+    def test_two_planted_communities(self, spark):
+        # Two dense cliques {key,table,row} and {part,value,order} joined by
+        # a single weak bridge; light noise edges drag the mean down so all
+        # clique edges survive sparsification but the bridge does not.
+        c1 = ["key join table", "key join row", "table join row"] * 4
+        c2 = ["part join value", "part join order", "value join order"] * 4
+        bridge = ["row join part"]
+        noise = ["batch join line", "query join stream", "hash join spark"]
+        docs = _docs(spark, c1 + c2 + bridge + noise)
+        got = {r.entity: r.community for r in graphstats.label_propagation(docs).collect()}
+        comm1 = {got["key"], got["table"], got["row"]}
+        comm2 = {got["part"], got["value"], got["order"]}
+        assert len(comm1) == 1 and len(comm2) == 1 and comm1 != comm2
+
+    def test_tie_breaks_to_smallest_label(self, spark):
+        # Star: key has equal-weight neighbours table and value. Round 1 is
+        # a genuine tie at key ({table:3, value:3}) and must resolve to the
+        # lexicographically smaller label; the final (deterministic) state
+        # is distinguishable from a max-label tie-break, which would leave
+        # key in the 'value' community instead.
+        docs = _docs(
+            spark, ["key join table"] * 3 + ["key join value"] * 3 + ["part join order"]
+        )
+        got = {r.entity: r.community for r in graphstats.label_propagation(docs).collect()}
+        assert got["key"] == "table"
+
+    def test_symmetric_pair_oscillates_deterministically(self, spark):
+        # Known synchronous-LPA behaviour (shared with GraphFrames' LPA):
+        # an isolated symmetric pair swaps labels every round — period 2,
+        # fully deterministic. Pin it so a semantics change is loud.
+        docs = _docs(spark, ["key join table"] * 3 + ["part join value"])
+        got = {r.entity: r.community for r in graphstats.label_propagation(docs).collect()}
+        assert got["key"] == "table" and got["table"] == "key"  # LPA_ITERS is odd

@@ -44,6 +44,7 @@ def test_pipeline_job_runs_and_resumes(tmp_path):
     s1 = json.loads(line[0].split(" ", 1)[1])
     assert all(not st["skipped"] for st in s1["stages"].values())
     assert s1["stages"]["triples"]["rows"] > 0
+    assert s1["graph_snapshot_version"] == 1
 
     # crash simulation: lose one bucket of the triples stage
     shutil.rmtree(f"{out}/triples/part_id=3")
@@ -60,6 +61,8 @@ def test_pipeline_job_runs_and_resumes(tmp_path):
     assert s2["stages"]["triples"]["processed"] == [3]       # only the lost bucket
     assert s2["stages"]["tokens"]["skipped"] is True         # everything else skips
     assert s2["stages"]["triples"]["rows"] == s1["stages"]["triples"]["rows"]
+    # the repaired rerun publishes a NEW graph version; v1 stays readable
+    assert s2["graph_snapshot_version"] == 2
 
 
 def test_spark_submit_py_files_ship_path(tmp_path):
