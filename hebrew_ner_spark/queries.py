@@ -56,13 +56,9 @@ _WINDOW = [
     # -- new or semantically changed in round 3 --
     "mm_decode",
     "ann_kmeans_cells",
-    "ann_ivf_recall",
     "link_fuzzy_minhash",
     "link_full_tiered",
     "kg_pagerank",
-    "kg_merge_delta",
-    "txt_subword_counts",
-    "mm_resize",
     "mm_features",
     "mention_model_labels",
     "lbl_alphabet_encode",
@@ -75,11 +71,20 @@ _WINDOW = [
     "kg_snapshot_timetravel",
     "kg_paths_2hop",
     "kg_communities_lpa",
+    "web_crawl_history",
+    "web_latest_crawl",
+    "web_crawl_deltas",
+    "web_asof_probe",
 ]
 
 # Out-of-window this round (check_correctness still gates all of them):
 # * kg_edges_typed_salted / mention_model_binned — plan-twins of in-window
 #   queries (same output through the salted / range-binned plan);
+# * ann_ivf_recall — same recall-metric construction as in-window
+#   ann_recall over the in-window ann_ivf_topk results;
+# * kg_merge_delta / txt_subword_counts / mm_resize — their invariants are
+#   independently pytest-pinned (delta-fold == batch build; regex parity
+#   fuzz; closed-form resized pixels);
 # * hybrid_pipeline — the hybrid==direct invariant is also pytest-pinned,
 #   and it has two rounds of driver-green history plus a judge re-check;
 # * kg_triples / kg_triple_counts / kg_web_triples / eval_f1_bootstrap_ci

@@ -1,6 +1,7 @@
 """Domain query modules; importing this package registers every query."""
 
 from hebrew_ner_spark.querydefs import (  # noqa: F401
+    crawl_q,
     dedup_q,
     extract_q,
     graph_q,

@@ -1,0 +1,140 @@
+"""Gates: crawl history, latest-snapshot dedup, change deltas, as-of join.
+
+The as-of oracle uses DuckDB's NATIVE ``ASOF LEFT JOIN`` — the strongest
+possible cross-check for the Spark union-trick implementation (two
+entirely different algorithms, same semantics). The history CTE
+reconstructs every crawl version closed-form from ``documents``; the
+version count is imported from the operator so retuning cannot desync
+plan and oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hebrew_ner_spark.operators import crawl
+from hebrew_ner_spark.operators.crawl import CRAWL_VERSIONS
+from hebrew_ner_spark.registry import query
+from hebrew_ner_spark.sources.catalog import load_table
+
+_VERSIONS_SQL = "unnest([" + ", ".join(str(v) for v in range(CRAWL_VERSIONS)) + "])"
+
+_HIST_CTE = f"""
+hist AS (
+  SELECT 'https://example.org/' || lang || '/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND
+                                         + v * INTERVAL 1 DAY AS warc_ts,
+         CASE WHEN v = 0 THEN text
+              WHEN v = 1 THEN text || ' dup'
+              WHEN doc_id % 2 = 0 THEN text || ' dup dup'
+              ELSE text || ' dup' END AS text,
+         lang,
+         CAST(v AS BIGINT) AS v
+  FROM documents, (SELECT {_VERSIONS_SQL} AS v)
+)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return crawl.synth_crawl_history(_docs(spark, sf_dir))
+
+
+# Gate outputs carry epoch-millis BIGINTs, not raw timestamps — the
+# extract_q precedent: pandas dtype units differ between the two engines
+# (datetime64[ns] vs [us]) even when every value matches.
+
+
+@query(
+    "web_crawl_history",
+    oracle=f"WITH {_HIST_CTE} SELECT url, epoch_ms(warc_ts) AS warc_ms, text, lang, v FROM hist",
+)
+def web_crawl_history(spark, sf_dir):
+    """The multi-snapshot page table itself — pins the synthesis."""
+    h = _hist(spark, sf_dir)
+    return h.select("url", F.unix_millis("warc_ts").alias("warc_ms"), "text", "lang", "v")
+
+
+@query(
+    "web_latest_crawl",
+    oracle=f"""
+    WITH {_HIST_CTE}
+    SELECT url, epoch_ms(max(warc_ts)) AS warc_ms, arg_max(text, warc_ts) AS text
+    FROM hist GROUP BY url
+    """,
+)
+def web_latest_crawl(spark, sf_dir):
+    """Newest snapshot per url (max_by aggregate, one shuffle)."""
+    lc = crawl.latest_crawl(_hist(spark, sf_dir))
+    return lc.select("url", F.unix_millis("warc_ts").alias("warc_ms"), "text")
+
+
+@query(
+    "web_crawl_deltas",
+    oracle=f"""
+    WITH {_HIST_CTE}
+    SELECT url, epoch_ms(warc_ts) AS warc_ms, v,
+           CAST(lag(text) OVER w IS NULL OR text <> lag(text) OVER w AS BIGINT) AS changed
+    FROM hist
+    WINDOW w AS (PARTITION BY url ORDER BY warc_ts)
+    """,
+)
+def web_crawl_deltas(spark, sf_dir):
+    """Per-url change flags between consecutive crawls."""
+    d = crawl.crawl_deltas(_hist(spark, sf_dir))
+    # booleans are hash-fragile across engines (output contract): 0/1 BIGINT
+    return d.select(
+        "url",
+        F.unix_millis("warc_ts").alias("warc_ms"),
+        "v",
+        F.col("changed").cast("long").alias("changed"),
+    )
+
+
+@query(
+    "web_asof_probe",
+    oracle=f"""
+    WITH {_HIST_CTE},
+    v0 AS (SELECT url, warc_ts FROM hist WHERE v = 0),
+    probes AS (
+      SELECT url, warc_ts + INTERVAL 36 HOUR AS probe_ts FROM v0
+      UNION ALL
+      SELECT url, warc_ts - INTERVAL 1 HOUR AS probe_ts FROM v0
+    )
+    SELECT p.url, epoch_ms(p.probe_ts) AS probe_ms,
+           coalesce(epoch_ms(h.warc_ts), -1) AS warc_ms,
+           coalesce(h.text, '') AS text
+    FROM probes p
+    ASOF LEFT JOIN hist h ON p.url = h.url AND p.probe_ts >= h.warc_ts
+    """,
+)
+def web_asof_probe(spark, sf_dir):
+    """Spark union-trick as-of join vs DuckDB's native ASOF LEFT JOIN.
+
+    Two probes per url: +36 h after the first crawl (must resolve to the
+    v1 snapshot — after v1 at +24 h, before v2 at +48 h) and -1 h before
+    it (must resolve to NULL). Different algorithm on each engine, same
+    semantics — the strongest oracle in the crawl family.
+    """
+    hist = _hist(spark, sf_dir)
+    v0 = hist.where(F.col("v") == 0).select("url", "warc_ts")
+    probes = v0.select(
+        "url", F.expr("warc_ts + make_interval(0, 0, 0, 0, 36, 0, 0)").alias("probe_ts")
+    ).unionByName(
+        v0.select(
+            "url", F.expr("warc_ts - make_interval(0, 0, 0, 0, 1, 0, 0)").alias("probe_ts")
+        )
+    )
+    j = crawl.asof_join(probes, hist.select("url", "warc_ts", "text"), key="url")
+    # no-match probes surface as -1/'' (a NULL bigint would round-trip
+    # through pandas as float64 NaN on one engine and not the other)
+    return j.select(
+        "url",
+        F.unix_millis("probe_ts").alias("probe_ms"),
+        F.coalesce(F.unix_millis("warc_ts"), F.lit(-1)).alias("warc_ms"),
+        F.coalesce("text", F.lit("")).alias("text"),
+    )
