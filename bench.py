@@ -123,6 +123,15 @@ def run() -> dict:
     hybrid_wall = time.perf_counter() - t0
     hybrid_ms_per_doc = round(hybrid_wall * 1000.0 / n_docs, 4)
 
+    # third headline (added round 3): the five-pattern dependency
+    # extraction + typed edge aggregate — the widened relation surface —
+    # at the same amortized grain as kg_docs_per_sec
+    force(QUERIES["kg_edges_typed"](spark, hdir))
+    t0 = time.perf_counter()
+    force(QUERIES["kg_edges_typed"](spark, hdir))
+    deppat_wall = time.perf_counter() - t0
+    deppat_docs_per_sec = round(n_docs / deppat_wall, 1)
+
     total = round(sum(times.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -139,6 +148,7 @@ def run() -> dict:
         "hybrid_wall_sec": round(hybrid_wall, 4),
         "kg_docs_per_sec": docs_per_sec,
         "hybrid_ms_per_doc": hybrid_ms_per_doc,
+        "deppat_docs_per_sec": deppat_docs_per_sec,
         "metric": "total_query_wall_time",
         "value": total,
         "unit": "sec",
