@@ -97,21 +97,26 @@ def asof_join(
     event_ts: str = "warc_ts",
     payload: list[str] | None = None,
 ) -> DataFrame:
-    """Left as-of join: each probe row gains the payload of the latest
-    event with ``event_ts <= probe_ts`` on the same key (NULLs if none).
+    """Left as-of join: each probe row — with ALL its columns — gains the
+    payload of the latest event with ``event_ts <= probe_ts`` on the same
+    key (NULLs if none).
 
     Union trick: events sort before probes at equal timestamps (the
     ``<=`` semantic), and ``last(ignorenulls)`` carries the most recent
     event payload forward within each key partition. One shuffle on
     ``key``; no range-join explosion; probes with no prior event keep
-    NULL payloads.
+    NULL payloads. ``payload=[]`` means "timestamp only" (the sentinel is
+    None, not falsiness).
     """
-    payload = payload or [c for c in events.columns if c not in (key, event_ts)]
+    if payload is None:
+        payload = [c for c in events.columns if c not in (key, event_ts)]
+    extra = [c for c in probes.columns if c not in (key, probe_ts)]
     ev = events.select(
         F.col(key),
         F.col(event_ts).alias("_ts"),
         F.lit(0).alias("_is_probe"),
         F.lit(None).cast("timestamp").alias(probe_ts),
+        *[F.lit(None).cast(probes.schema[c].dataType).alias(c) for c in extra],
         F.col(event_ts).alias("_ev_ts"),
         *[F.col(c).alias(f"_ev_{c}") for c in payload],
     )
@@ -120,6 +125,7 @@ def asof_join(
         F.col(probe_ts).alias("_ts"),
         F.lit(1).alias("_is_probe"),
         F.col(probe_ts),
+        *[F.col(c) for c in extra],
         F.lit(None).cast("timestamp").alias("_ev_ts"),
         *[F.lit(None).cast(events.schema[c].dataType).alias(f"_ev_{c}") for c in payload],
     )
@@ -132,6 +138,7 @@ def asof_join(
         key,
         "_is_probe",
         probe_ts,
+        *extra,
         F.last("_ev_ts", ignorenulls=True).over(w).alias(event_ts),
         *[
             F.last(f"_ev_{c}", ignorenulls=True).over(w).alias(c)

@@ -38,7 +38,26 @@ from pyspark import StorageLevel
 from hebrew_ner_spark.operators.kg import _sql_terms, doc_triples, with_tokens
 from hebrew_ner_spark.resources import ENTITY_TERMS
 
-_LAST_ORIENTED = None
+# One eviction slot PER OPERATOR (a shared slot would let label_propagation
+# unpersist the edge list a still-lazy triangles() result references, and
+# vice versa). Each slot holds every DataFrame its operator persisted last
+# call; re-entry evicts the lot (the entity_pagerank discipline, keyed).
+_PERSISTED: dict[str, list] = {}
+
+
+def _evict(slot: str) -> None:
+    for old in _PERSISTED.get(slot, []):
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # stopped session: Py4J handle already invalid
+    _PERSISTED[slot] = []
+
+
+def _persist(slot: str, df: DataFrame) -> DataFrame:
+    df = df.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    _PERSISTED.setdefault(slot, []).append(df)
+    return df
 
 
 def doc_entity_sets(docs: DataFrame) -> DataFrame:
@@ -92,10 +111,13 @@ def cooc_lift(docs: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("c"))
     )
     n = docs.agg(F.count("*").alias("n_docs"))
+    # no broadcast hint on the frequency joins: AQE broadcasts the tiny
+    # closed-vocabulary table and correctly degrades to a key-partitioned
+    # shuffle join when a web-scale vocabulary outgrows the threshold
     return (
         c_ab.crossJoin(F.broadcast(n))
-        .join(F.broadcast(df).withColumnRenamed("entity", "ea").withColumnRenamed("c", "c_a"), "ea")
-        .join(F.broadcast(df).withColumnRenamed("entity", "eb").withColumnRenamed("c", "c_b"), "eb")
+        .join(df.withColumnRenamed("entity", "ea").withColumnRenamed("c", "c_a"), "ea")
+        .join(df.withColumnRenamed("entity", "eb").withColumnRenamed("c", "c_b"), "eb")
         .select(
             "ea",
             "eb",
@@ -142,7 +164,11 @@ def triangles(docs: DataFrame) -> DataFrame:
     Each triangle is emitted exactly once (from its orientation-minimal
     corner), so no post-dedup is needed.
     """
-    und = above_mean_edges(docs).select("a", "b")
+    _evict("triangles")
+    # und feeds deg (twice via the union) and the orientation join — persist
+    # it too, or materializing `oriented` still re-runs the corpus ->
+    # triples -> aggregate chain ~5x underneath the persist boundary.
+    und = _persist("triangles", above_mean_edges(docs).select("a", "b"))
     deg = (
         und.select(F.col("a").alias("node"))
         .unionAll(und.select(F.col("b").alias("node")))
@@ -166,17 +192,8 @@ def triangles(docs: DataFrame) -> DataFrame:
         .alias("e")
     ).select("e.u", "e.v", "e.deg_v")
     # The oriented edge list is referenced three times (both wedge sides +
-    # the closing join); without materialization each reference re-runs the
-    # full corpus -> triples -> agg chain. Edge-sized, so persist with the
-    # session-bounded one-table eviction discipline (see entity_pagerank).
-    global _LAST_ORIENTED
-    if _LAST_ORIENTED is not None:
-        try:
-            _LAST_ORIENTED.unpersist()
-        except Exception:
-            pass  # stopped session: Py4J handle already invalid
-    oriented = oriented.persist(StorageLevel.MEMORY_AND_DISK_DESER)
-    _LAST_ORIENTED = oriented
+    # the closing join); persist so the chain above runs once.
+    oriented = _persist("triangles", oriented)
     e1 = oriented.alias("e1")
     e2 = oriented.alias("e2")
     # Wedge (u; v1, v2) with v1 before v2 in ORIENTATION order: two
@@ -255,14 +272,8 @@ def label_propagation(docs: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
         weighted.select(F.col("a").alias("src"), F.col("b").alias("dst"), "n")
         .unionAll(weighted.select(F.col("b").alias("src"), F.col("a").alias("dst"), "n"))
     )
-    global _LAST_ORIENTED
-    if _LAST_ORIENTED is not None:
-        try:
-            _LAST_ORIENTED.unpersist()
-        except Exception:
-            pass
-    sym = sym.persist(StorageLevel.MEMORY_AND_DISK_DESER)
-    _LAST_ORIENTED = sym
+    _evict("lpa")
+    sym = _persist("lpa", sym)
 
     labels = sym.select(F.col("src").alias("entity")).distinct().withColumn(
         "community", F.col("entity")

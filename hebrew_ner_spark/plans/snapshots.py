@@ -67,7 +67,10 @@ def commit_snapshot(root: str, tables: dict[str, DataFrame]) -> int:
 
     Returns the new version number. Crash-safe: data and manifest are
     written before the hint flips (os.replace is atomic on POSIX), so an
-    interrupted commit is invisible and simply re-run.
+    interrupted commit is invisible to readers. The rerun recomputes the
+    SAME version number (the hint never moved) and overwrites the
+    orphaned half-written data directory — published versions are still
+    immutable because writes only ever target version > current.
     """
     parent = current_version(root)
     version = 1 if parent is None else parent + 1
@@ -77,7 +80,7 @@ def commit_snapshot(root: str, tables: dict[str, DataFrame]) -> int:
 
     for name, df in tables.items():
         path = os.path.join(root, "data", name, f"v{version}")
-        df.write.mode("error").parquet(path)
+        df.write.mode("overwrite").parquet(path)
         n_rows = df.sparkSession.read.parquet(path).count()
         entries[name] = {"path": path, "n_rows": n_rows, "written_at": version}
 

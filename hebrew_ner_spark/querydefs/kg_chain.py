@@ -198,9 +198,6 @@ def kg_web_triples(spark, sf_dir):
 # Snapshot-versioned graph materialization (plans/snapshots.py)
 # ---------------------------------------------------------------------------
 
-_LAST_SNAP_ROOT: list[str] = []
-
-
 @query(
     "kg_snapshot_timetravel",
     oracle=f"""
@@ -238,15 +235,17 @@ def kg_snapshot_timetravel(spark, sf_dir):
 
     from hebrew_ner_spark.plans import snapshots as snap
 
-    while _LAST_SNAP_ROOT:
-        shutil.rmtree(_LAST_SNAP_ROOT.pop(), ignore_errors=True)
     root = tempfile.mkdtemp(prefix="kg_snap_")
-    _LAST_SNAP_ROOT.append(root)
-
     docs = _docs(spark, sf_dir)
     even = docs.where(F.col("doc_id") % 2 == 0)
     snap.commit_snapshot(
         root, {"edges": kg.triple_counts(even), "nodes": kg.entity_nodes(even)}
     )
     snap.commit_snapshot(root, {"edges": kg.triple_counts(docs)})
-    return snap.read_snapshot(spark, root, "edges", version=1)
+    # localCheckpoint severs lineage from the temp root's parquet files, so
+    # the root can be removed immediately — the returned (tiny) DataFrame
+    # stays valid however late the caller forces it, and repeated bench
+    # reps leak nothing.
+    out = snap.read_snapshot(spark, root, "edges", version=1).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -79,20 +79,27 @@ def main() -> None:
     )
 
     # Publish the materialized graph as an immutable snapshot version
-    # (plans/snapshots.py): resumable stages feed a versioned, time-
-    # travelable graph — rerunning a fully-skipped job publishes nothing.
+    # (plans/snapshots.py). Only tables whose stage actually PROCESSED
+    # buckets are rewritten — unchanged tables carry the parent manifest's
+    # pointers forward (metadata-only commit). Two recovery paths:
+    # * no version exists yet (first run, or a crash during a previous
+    #   publish after all stages checkpointed): publish both tables;
+    # * repair rerun where the graph stages all skipped: publish nothing,
+    #   the current version already describes this data.
     from hebrew_ner_spark.plans import snapshots as snap
 
-    if any(not st["skipped"] for st in summary["stages"].values()):
-        version = snap.commit_snapshot(
-            os.path.join(args.out, "graph"),
-            {
-                "nodes": checkpoint.read_stage(spark, args.out, "nodes"),
-                "edges": checkpoint.read_stage(spark, args.out, "edges"),
-            },
-        )
-    else:
-        version = snap.current_version(os.path.join(args.out, "graph"))
+    graph_root = os.path.join(args.out, "graph")
+    publish = {
+        t: checkpoint.read_stage(spark, args.out, t)
+        for t in ("nodes", "edges")
+        if not summary["stages"][t]["skipped"]
+    }
+    cur = snap.current_version(graph_root)
+    if cur is None:
+        publish = {
+            t: checkpoint.read_stage(spark, args.out, t) for t in ("nodes", "edges")
+        }
+    version = snap.commit_snapshot(graph_root, publish) if publish else cur
     summary["graph_snapshot_version"] = version
     print("PIPELINE_SUMMARY " + json.dumps(summary))
 

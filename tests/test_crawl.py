@@ -91,3 +91,23 @@ class TestCrawlHistory:
         flags = {(r.url.rsplit("/", 1)[1], r.v): r.changed for r in d.collect()}
         assert flags[("0", 0)] and flags[("0", 1)] and flags[("0", 2)]
         assert flags[("1", 0)] and flags[("1", 1)] and not flags[("1", 2)]
+
+
+class TestAsofJoinContract:
+    def test_probe_columns_preserved(self, spark):
+        ev = _events(spark, [("u", _ts("2024-01-01T00:00:00"), "v0")])
+        pr = spark.createDataFrame(
+            [("u", _ts("2024-01-02T00:00:00"), 7), ("u", _ts("2024-01-02T00:00:00"), 8)],
+            "url string, probe_ts timestamp, probe_id long",
+        )
+        rows = sorted(
+            (r.probe_id, r.text) for r in crawl.asof_join(pr, ev, key="url").collect()
+        )
+        # two probes sharing (url, ts) stay attributable via probe_id
+        assert rows == [(7, "v0"), (8, "v0")]
+
+    def test_empty_payload_means_timestamp_only(self, spark):
+        ev = _events(spark, [("u", _ts("2024-01-01T00:00:00"), "v0")])
+        pr = _probes(spark, [("u", _ts("2024-01-02T00:00:00"))])
+        out = crawl.asof_join(pr, ev, key="url", payload=[])
+        assert "text" not in out.columns and "warc_ts" in out.columns

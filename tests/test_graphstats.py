@@ -169,3 +169,16 @@ class TestLabelPropagation:
         docs = _docs(spark, ["key join table"] * 3 + ["part join value"])
         got = {r.entity: r.community for r in graphstats.label_propagation(docs).collect()}
         assert got["key"] == "table" and got["table"] == "key"  # LPA_ITERS is odd
+
+
+class TestPersistIsolation:
+    def test_triangles_and_lpa_do_not_evict_each_other(self, spark):
+        heavy = ["key join table", "key join row", "row join table"] * 3
+        light = ["part join value", "order join query", "batch join line"]
+        docs = _docs(spark, heavy + light)
+        tri = graphstats.triangles(docs)        # lazy, persists its edges
+        lpa = graphstats.label_propagation(docs)  # must NOT evict tri's
+        assert [tuple(r) for r in tri.collect()] == [("key", "row", "table")]
+        assert lpa.count() > 0
+        # both operators' persisted inputs are still registered
+        assert graphstats._PERSISTED["triangles"] and graphstats._PERSISTED["lpa"]

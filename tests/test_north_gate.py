@@ -61,8 +61,19 @@ def test_pipeline_job_runs_and_resumes(tmp_path):
     assert s2["stages"]["triples"]["processed"] == [3]       # only the lost bucket
     assert s2["stages"]["tokens"]["skipped"] is True         # everything else skips
     assert s2["stages"]["triples"]["rows"] == s1["stages"]["triples"]["rows"]
-    # the repaired rerun publishes a NEW graph version; v1 stays readable
-    assert s2["graph_snapshot_version"] == 2
+    # the graph stages all skipped, so the repaired rerun publishes
+    # NOTHING new — v1 still describes the (identical) graph
+    assert s2["graph_snapshot_version"] == 1
+
+    # crash-during-publish recovery: stages are all checkpointed but no
+    # snapshot version exists — the rerun must publish even though every
+    # stage skips
+    shutil.rmtree(f"{out}/graph")
+    r3 = subprocess.run(cmd, capture_output=True, text=True, timeout=420, cwd="/root/repo")
+    line = [l for l in r3.stdout.splitlines() if l.startswith("PIPELINE_SUMMARY ")]
+    s3 = json.loads(line[0].split(" ", 1)[1])
+    assert all(st["skipped"] for st in s3["stages"].values())
+    assert s3["graph_snapshot_version"] == 1
 
 
 def test_spark_submit_py_files_ship_path(tmp_path):

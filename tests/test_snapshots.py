@@ -63,6 +63,13 @@ def test_crash_before_hint_flip_is_invisible(spark, tmp_path, monkeypatch):
     got = {(r.k, r.n) for r in snap.read_snapshot(spark, root, "edges").collect()}
     assert got == {("a", 1)}
 
+    # RECOVERY: the rerun recomputes the same version number and must
+    # overwrite the orphaned half-written v2 data, not crash on it.
+    v2 = snap.commit_snapshot(root, {"edges": _df(spark, [("good", 2)])})
+    assert v2 == 2 and snap.current_version(root) == 2
+    got = {(r.k, r.n) for r in snap.read_snapshot(spark, root, "edges").collect()}
+    assert got == {("good", 2)}
+
 
 def test_snapshot_log_lists_history(spark, tmp_path):
     root = str(tmp_path)
