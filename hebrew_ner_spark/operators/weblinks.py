@@ -1,0 +1,245 @@
+"""Web link-graph operators: href extraction, URL canonicalization,
+host-level graph construction, degrees, and intra-corpus link resolution.
+
+The reference pipeline consumes isolated documents (ner_app.py request
+bodies; single-file corpora); a Common-Crawl-style corpus at the north
+rule's 10^12-page scale is a *hyperlinked* corpus, and the link graph is
+a first-class KG input: host authority (PageRank over the host graph)
+ranks extraction sources, link resolution finds the crawl frontier, and
+anchor edges seed entity co-reference across pages. Everything here is
+pure JVM column expressions — ``regexp_extract_all`` + ``explode`` for
+extraction, ``when``-chains for canonicalization — no Python UDF touches
+the hot path (the html column is decoded and dropped inside one narrow
+projection, the Arrow boundary is never crossed).
+
+Scale shape: extraction is a narrow scan->project->explode (no shuffle);
+the host graph is ONE aggregation keyed by (src_host, dst_host) — and a
+handful of mega-hosts dominating a real web corpus is the canonical
+aggregation-skew case, so a salted two-phase twin
+(``link_edges_salted``) reuses ``plans.skew.salted_count``; degrees fold
+both directions through a single union->groupBy shuffle; resolution is
+one equi-join against the page table (AQE skew-split handles head URLs).
+
+Synthetic pages (``synth_linked_pages``) are deterministic and closed
+form so DuckDB oracles reconstruct every link from ``documents``: page
+``i`` lives on host shard ``ex{i%4}.example.net`` and carries
+``1 + i % 3`` anchors; anchor ``k`` targets doc
+``t = (i*7 + 13*(k+1)) % M`` where ``M = n_docs + 1 + n_docs/8`` —
+targets ``>= n_docs`` are DANGLING (the page does not exist), giving the
+resolution join a real miss rate (~11%). The anchor's surface form
+rotates by ``k % 3`` to exercise canonicalization: absolute url,
+root-relative with query+fragment, and protocol-relative with a
+trailing slash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hebrew_ner_spark.plans.skew import salted_count
+
+N_HOST_SHARDS = 4
+SKEW_BUCKETS = 16
+
+
+def _host_shard(doc_id: Column) -> Column:
+    return F.concat(
+        F.lit("https://ex"),
+        (doc_id % N_HOST_SHARDS).cast("string"),
+        F.lit(".example.net/p/"),
+        doc_id.cast("string"),
+    )
+
+
+def synth_linked_pages(docs: DataFrame) -> DataFrame:
+    """(url, warc_ts, html, text, lang) — hyperlinked CC-style pages.
+
+    Unlike ``extract.synth_webpages`` (single-host, anchor-free — it pins
+    the byte-identical extraction invariant), pages here are sharded over
+    ``N_HOST_SHARDS`` hosts and embed a deterministic nav block of
+    ``<a href>`` anchors, closed-form per doc_id so oracles reconstruct
+    the link set without running the extractor.
+    """
+    n = docs.agg(F.count("*").alias("_n_docs"))
+    d = docs.crossJoin(F.broadcast(n))
+    m = F.col("_n_docs") + 1 + F.expr("_n_docs DIV 8")
+    doc_id = F.col("doc_id")
+
+    def anchor(k: Column) -> Column:
+        t = (doc_id * 7 + 13 * (k + 1)) % m
+        h = (t % N_HOST_SHARDS).cast("string")
+        ts = t.cast("string")
+        href = (
+            F.when(
+                k % 3 == 0,
+                F.concat(F.lit("https://ex"), h, F.lit(".example.net/p/"), ts),
+            )
+            .when(
+                k % 3 == 1,
+                F.concat(
+                    F.lit("/p/"), ts, F.lit("?utm_source=synth#s"), k.cast("string")
+                ),
+            )
+            .otherwise(
+                F.concat(F.lit("//ex"), h, F.lit(".example.net/p/"), ts, F.lit("/"))
+            )
+        )
+        return F.concat(
+            F.lit('<a href="'), href, F.lit('">l'), k.cast("string"), F.lit("</a>")
+        )
+
+    nav = F.array_join(
+        F.transform(F.sequence(F.lit(0), doc_id % 3), anchor), ""
+    )
+    page = F.concat(
+        F.lit("<html><head><title>page "),
+        doc_id.cast("string"),
+        F.lit("</title></head><body><p>"),
+        F.col("text"),
+        F.lit('</p><div class="nav">'),
+        nav,
+        F.lit("</div></body></html>"),
+    )
+    return d.select(
+        _host_shard(doc_id).alias("url"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, doc_id)"
+        ).alias("warc_ts"),
+        F.encode(page, "UTF-8").alias("html"),
+        "text",
+        "lang",
+    )
+
+
+def host_of(url: Column) -> Column:
+    """Lower-cased host of an absolute http(s) url ('' if not absolute).
+
+    Port and userinfo are cut at the first ``:``/``@``-free boundary the
+    character class enforces; cross-engine safe (no ``\\s``, no
+    alternation-order dependence — engine-parity rules, BENCH.md).
+    """
+    return F.lower(F.regexp_extract(url, "^[hH][tT][tT][pP][sS]?://([^/:?#]+)", 1))
+
+
+def canonical_href(href: Column, page_url: Column) -> Column:
+    """Resolve + normalize one href against its page url.
+
+    Rules (the subset a CC-scale dedup actually needs, applied in order):
+    fragment then query stripped; protocol-relative ``//h/p`` gains
+    ``https:``; root-relative ``/p`` gains the page's scheme+host;
+    scheme+host lower-cased; one trailing slash stripped. Pure codegen —
+    every rule is a string primitive, no UDF.
+    """
+    s = F.substring_index(F.substring_index(href, "#", 1), "?", 1)
+    s = (
+        F.when(s.startswith("//"), F.concat(F.lit("https:"), s))
+        .when(
+            s.startswith("/"),
+            F.concat(F.lit("https://"), host_of(page_url), s),
+        )
+        .otherwise(s)
+    )
+    head = F.lower(F.regexp_extract(s, "^([hH][tT][tT][pP][sS]?://[^/]*)", 1))
+    tail = F.regexp_replace(s, "^[hH][tT][tT][pP][sS]?://[^/]*", "")
+    s = F.when(head == "", s).otherwise(F.concat(head, tail))
+    return F.regexp_replace(s, "/$", "")
+
+
+def out_links(pages: DataFrame) -> DataFrame:
+    """(url, k, href, canon, dst_host): one row per anchor per page.
+
+    Narrow plan: decode html -> regexp_extract_all -> posexplode ->
+    canonicalize, all whole-stage codegen; the heavy html column is
+    pruned inside the first projection and never shuffles.
+    """
+    hrefs = F.regexp_extract_all(
+        F.decode(F.col("html"), "UTF-8"), F.lit('href="([^"]*)"'), 1
+    )
+    exploded = pages.select(
+        "url", F.posexplode(hrefs).alias("k", "href")
+    )
+    canon = canonical_href(F.col("href"), F.col("url"))
+    return exploded.select(
+        "url",
+        F.col("k").cast("long").alias("k"),
+        "href",
+        canon.alias("canon"),
+        host_of(canon).alias("dst_host"),
+    )
+
+
+def link_edges(pages: DataFrame) -> DataFrame:
+    """(src_host, dst_host, n_links): the host-level link multigraph,
+    one shuffle keyed by the host pair."""
+    return (
+        out_links(pages)
+        .select(host_of(F.col("url")).alias("src_host"), "dst_host")
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").cast("long").alias("n_links"))
+    )
+
+
+def link_edges_salted(pages: DataFrame) -> DataFrame:
+    """Plan-twin of ``link_edges`` through the two-phase salted
+    aggregation — the shape that survives a mega-host (a real corpus's
+    wikipedia.org receives double-digit percent of all edges; one
+    reducer task must not)."""
+    src = out_links(pages).select(
+        host_of(F.col("url")).alias("src_host"), "dst_host"
+    )
+    return salted_count(
+        src, ["src_host", "dst_host"], SKEW_BUCKETS, out_col="n_links"
+    )
+
+
+def host_degrees(edges: DataFrame) -> DataFrame:
+    """(host, out_links, out_hosts, in_links, in_hosts) from the host
+    graph — both directions folded through ONE union->groupBy shuffle
+    (no self-join, no second pass over the edge table)."""
+    both = edges.select(
+        F.col("src_host").alias("host"),
+        F.col("n_links").alias("out_links"),
+        F.lit(1).alias("out_hosts"),
+        F.lit(0).cast("long").alias("in_links"),
+        F.lit(0).alias("in_hosts"),
+    ).unionByName(
+        edges.select(
+            F.col("dst_host").alias("host"),
+            F.lit(0).cast("long").alias("out_links"),
+            F.lit(0).alias("out_hosts"),
+            F.col("n_links").alias("in_links"),
+            F.lit(1).alias("in_hosts"),
+        )
+    )
+    return both.groupBy("host").agg(
+        F.sum("out_links").cast("long").alias("out_links"),
+        F.sum("out_hosts").cast("long").alias("out_hosts"),
+        F.sum("in_links").cast("long").alias("in_links"),
+        F.sum("in_hosts").cast("long").alias("in_hosts"),
+    )
+
+
+def link_resolution(pages: DataFrame) -> DataFrame:
+    """(src_host, n_total, n_resolved, n_dangling): how many of each
+    host's out-links point at pages that exist in this crawl.
+
+    One left join of canonical targets against the page-url set — the
+    crawl-frontier primitive (dangling links ARE the frontier). Page
+    urls are already canonical by construction; a real corpus would pass
+    them through ``canonical_href`` first.
+    """
+    targets = out_links(pages).select(
+        host_of(F.col("url")).alias("src_host"), F.col("canon").alias("dst")
+    )
+    known = pages.select(F.col("url").alias("dst")).distinct()
+    resolved = targets.join(
+        known.withColumn("_hit", F.lit(1)), "dst", "left"
+    )
+    return resolved.groupBy("src_host").agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_resolved"),
+        (F.count("*") - F.sum(F.coalesce(F.col("_hit"), F.lit(0))))
+        .cast("long")
+        .alias("n_dangling"),
+    )

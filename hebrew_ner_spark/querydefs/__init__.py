@@ -16,4 +16,5 @@ from hebrew_ner_spark.querydefs import (  # noqa: F401
     segment_q,
     simsearch_q,
     textstats_q,
+    weblinks_q,
 )

@@ -1,0 +1,176 @@
+"""Gates: href extraction, URL canonicalization, host graph, degrees,
+host PageRank, link resolution.
+
+Every oracle reconstructs the expected output CLOSED-FORM from
+``documents`` (the synthesis in ``operators/weblinks.py`` is a pure
+function of doc_id) — it never re-runs the regex extractor or the
+canonicalization chain, so the two engines reach each value by entirely
+different routes. The host-PageRank oracle reuses the unrolled
+exact-integer power-iteration CTEs from ``graph_q`` over the host edge
+list; the iteration count is imported from the operator so retuning
+cannot desync plan and oracle.
+
+Resolution semantics pinned by construction: root-relative anchors
+(``k % 3 == 1``) resolve against their OWN page's host, so they reach an
+existing page only when ``doc_id % 4 == t % 4``; targets ``t >= n_docs``
+are dangling everywhere. The oracle states both rules arithmetically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hebrew_ner_spark.operators import weblinks
+from hebrew_ner_spark.operators.pagerank import PAGERANK_ITERS
+from hebrew_ner_spark.operators.weblinks import N_HOST_SHARDS
+from hebrew_ner_spark.querydefs.graph_q import _pagerank_ctes
+from hebrew_ner_spark.registry import query
+from hebrew_ner_spark.sources.catalog import load_table
+
+# Closed-form link set: doc i carries anchors k = 0..(i % 3); anchor k
+# targets t = (i*7 + 13*(k+1)) % M with M = n + 1 + n//8 (t >= n dangles).
+_LINKS_CTE = f"""
+nd AS (SELECT count(*) AS n FROM documents),
+lk AS (
+  SELECT d.doc_id, CAST(ks.k AS BIGINT) AS k,
+         (d.doc_id * 7 + 13 * (ks.k + 1)) % (nd.n + 1 + nd.n // 8) AS t,
+         nd.n AS n
+  FROM documents d, nd, (SELECT unnest([0, 1, 2]) AS k) ks
+  WHERE ks.k <= d.doc_id % 3
+),
+cn AS (
+  SELECT doc_id, k, t, n,
+         'ex' || CAST(doc_id % {N_HOST_SHARDS} AS VARCHAR) || '.example.net'
+           AS src_host,
+         CASE WHEN k % 3 = 1
+              THEN 'ex' || CAST(doc_id % {N_HOST_SHARDS} AS VARCHAR)
+                        || '.example.net'
+              ELSE 'ex' || CAST(t % {N_HOST_SHARDS} AS VARCHAR)
+                        || '.example.net' END AS dst_host,
+         CASE WHEN k % 3 = 1 AND t < n
+                   AND doc_id % {N_HOST_SHARDS} = t % {N_HOST_SHARDS} THEN 1
+              WHEN k % 3 <> 1 AND t < n THEN 1
+              ELSE 0 END AS hit
+  FROM lk
+),
+lg AS (
+  SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+  FROM cn GROUP BY src_host, dst_host
+)
+"""
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return weblinks.synth_linked_pages(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "web_out_links",
+    oracle=f"""
+    WITH {_LINKS_CTE}
+    SELECT 'https://' || src_host || '/p/' || CAST(doc_id AS VARCHAR) AS url,
+           k,
+           CASE WHEN k % 3 = 0
+                THEN 'https://ex' || CAST(t % {N_HOST_SHARDS} AS VARCHAR)
+                     || '.example.net/p/' || CAST(t AS VARCHAR)
+                WHEN k % 3 = 1
+                THEN '/p/' || CAST(t AS VARCHAR) || '?utm_source=synth#s'
+                     || CAST(k AS VARCHAR)
+                ELSE '//ex' || CAST(t % {N_HOST_SHARDS} AS VARCHAR)
+                     || '.example.net/p/' || CAST(t AS VARCHAR) || '/'
+           END AS href,
+           'https://' || dst_host || '/p/' || CAST(t AS VARCHAR) AS canon,
+           dst_host
+    FROM cn
+    """,
+)
+def web_out_links(spark, sf_dir):
+    """Anchor extraction + canonicalization, pinned per (page, position):
+    the Spark side runs regexp_extract_all over real html bytes and the
+    full when-chain canonicalizer; the oracle states each expected url
+    arithmetically."""
+    return weblinks.out_links(_pages(spark, sf_dir))
+
+
+@query(
+    "web_link_graph",
+    oracle=f"WITH {_LINKS_CTE} SELECT src_host, dst_host, n_links FROM lg",
+)
+def web_link_graph(spark, sf_dir):
+    """Host-level link multigraph (one aggregation shuffle)."""
+    return weblinks.link_edges(_pages(spark, sf_dir))
+
+
+@query(
+    "web_link_graph_salted",
+    oracle=f"WITH {_LINKS_CTE} SELECT src_host, dst_host, n_links FROM lg",
+)
+def web_link_graph_salted(spark, sf_dir):
+    """Plan-twin of web_link_graph through two-phase salted aggregation
+    (mega-host skew shape); identical output by construction."""
+    return weblinks.link_edges_salted(_pages(spark, sf_dir))
+
+
+@query(
+    "web_host_degrees",
+    oracle=f"""
+    WITH {_LINKS_CTE},
+    two_way AS (
+      SELECT src_host AS host, n_links AS out_links, 1 AS out_hosts,
+             0 AS in_links, 0 AS in_hosts FROM lg
+      UNION ALL
+      SELECT dst_host, 0, 0, n_links, 1 FROM lg
+    )
+    SELECT host,
+           CAST(sum(out_links) AS BIGINT) AS out_links,
+           CAST(sum(out_hosts) AS BIGINT) AS out_hosts,
+           CAST(sum(in_links) AS BIGINT) AS in_links,
+           CAST(sum(in_hosts) AS BIGINT) AS in_hosts
+    FROM two_way GROUP BY host
+    """,
+)
+def web_host_degrees(spark, sf_dir):
+    """Per-host in/out degree, single union->groupBy shuffle."""
+    return weblinks.host_degrees(weblinks.link_edges(_pages(spark, sf_dir)))
+
+
+@query(
+    "web_host_pagerank",
+    oracle=f"""
+    WITH {_LINKS_CTE},
+    e AS (SELECT src_host AS subj_id, dst_host AS obj_id,
+                 n_links AS n_evidence FROM lg),
+    {_pagerank_ctes(PAGERANK_ITERS)}
+    SELECT id AS host, pr AS pr_1e6 FROM p{PAGERANK_ITERS}
+    """,
+)
+def web_host_pagerank(spark, sf_dir):
+    """Host authority: the exact-integer PageRank operator re-targeted at
+    the host graph (same unrolled-CTE oracle as kg_pagerank)."""
+    from hebrew_ner_spark.operators import pagerank
+
+    edges = weblinks.link_edges(_pages(spark, sf_dir)).select(
+        F.col("src_host").alias("subj_id"),
+        F.col("dst_host").alias("obj_id"),
+        F.col("n_links").alias("n_evidence"),
+    )
+    pr = pagerank.entity_pagerank(edges)
+    return pr.select(F.col("entity_id").alias("host"), "pr_1e6")
+
+
+@query(
+    "web_link_resolution",
+    oracle=f"""
+    WITH {_LINKS_CTE}
+    SELECT src_host,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(hit) AS BIGINT) AS n_resolved,
+           CAST(count(*) - sum(hit) AS BIGINT) AS n_dangling
+    FROM cn GROUP BY src_host
+    """,
+)
+def web_link_resolution(spark, sf_dir):
+    """Crawl-frontier primitive: canonical targets left-joined against
+    the page-url set; dangling = pages this crawl does not have."""
+    return weblinks.link_resolution(_pages(spark, sf_dir))

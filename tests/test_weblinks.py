@@ -1,0 +1,126 @@
+"""Link extraction, URL canonicalization, host graph invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hebrew_ner_spark.operators import weblinks
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "he") for i, t in enumerate(texts)], "doc_id long, text string, lang string"
+    )
+
+
+def _pages_for(spark, hrefs, page_url="https://ex0.example.net/p/0"):
+    html = "<body>" + "".join(f'<a href="{h}">x</a>' for h in hrefs) + "</body>"
+    return spark.createDataFrame(
+        [(page_url, bytearray(html.encode()))], "url string, html binary"
+    )
+
+
+class TestCanonicalHref:
+    def _canon(self, spark, href, page_url="https://ex0.example.net/p/0"):
+        rows = weblinks.out_links(_pages_for(spark, [href], page_url)).collect()
+        assert len(rows) == 1
+        return rows[0].canon, rows[0].dst_host
+
+    def test_fragment_and_query_stripped(self, spark):
+        canon, host = self._canon(spark, "https://a.example.net/p/7?q=1&r=2#frag")
+        assert canon == "https://a.example.net/p/7" and host == "a.example.net"
+
+    def test_protocol_relative_gains_https(self, spark):
+        canon, _ = self._canon(spark, "//b.example.net/p/9/")
+        assert canon == "https://b.example.net/p/9"  # + trailing slash stripped
+
+    def test_root_relative_resolves_to_page_host(self, spark):
+        canon, host = self._canon(
+            spark, "/p/3?utm_source=x#s1", page_url="https://ex2.example.net/p/5"
+        )
+        assert canon == "https://ex2.example.net/p/3" and host == "ex2.example.net"
+
+    def test_host_lowercased_path_preserved(self, spark):
+        canon, host = self._canon(spark, "HTTPS://EX1.Example.NET/p/CaseSensitive")
+        assert canon == "https://ex1.example.net/p/CaseSensitive"
+        assert host == "ex1.example.net"
+
+    def test_non_absolute_non_rooted_left_alone(self, spark):
+        # mailto:/javascript: etc. canonicalize to themselves, host ''
+        canon, host = self._canon(spark, "mailto:a@b.example")
+        assert canon == "mailto:a@b.example" and host == ""
+
+    def test_port_excluded_from_host(self, spark):
+        _, host = self._canon(spark, "https://c.example.net:8443/p/1")
+        assert host == "c.example.net"
+
+
+class TestLinkGraph:
+    def test_edges_and_positions(self, spark):
+        pages = _pages_for(
+            spark,
+            ["https://a.example.net/x", "https://b.example.net/y", "/z"],
+            page_url="https://self.example.net/p/1",
+        )
+        out = weblinks.out_links(pages).orderBy("k").collect()
+        assert [r.k for r in out] == [0, 1, 2]
+        assert [r.dst_host for r in out] == [
+            "a.example.net",
+            "b.example.net",
+            "self.example.net",
+        ]
+        edges = {
+            (r.src_host, r.dst_host): r.n_links
+            for r in weblinks.link_edges(pages).collect()
+        }
+        assert edges[("self.example.net", "a.example.net")] == 1
+        assert edges[("self.example.net", "self.example.net")] == 1
+
+    def test_salted_twin_matches(self, spark):
+        docs = _docs(spark, ["t"] * 40)
+        pages = weblinks.synth_linked_pages(docs)
+        a = {tuple(r) for r in weblinks.link_edges(pages).collect()}
+        b = {tuple(r) for r in weblinks.link_edges_salted(pages).collect()}
+        assert a == b and len(a) > 1
+
+    def test_degree_conservation(self, spark):
+        # sum(out_links) == sum(in_links) == total anchors
+        docs = _docs(spark, ["t"] * 30)
+        pages = weblinks.synth_linked_pages(docs)
+        n_anchors = weblinks.out_links(pages).count()
+        deg = weblinks.host_degrees(weblinks.link_edges(pages)).collect()
+        assert sum(r.out_links for r in deg) == n_anchors
+        assert sum(r.in_links for r in deg) == n_anchors
+
+    def test_no_python_udf_in_extraction_plan(self, spark):
+        docs = _docs(spark, ["t"] * 4)
+        plan = weblinks.out_links(
+            weblinks.synth_linked_pages(docs)
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestResolution:
+    def test_dangling_and_cross_host_relative(self, spark):
+        # 9 docs -> M = 9 + 1 + 9 DIV 8 = 11; targets 9,10 dangle
+        docs = _docs(spark, ["t"] * 9)
+        pages = weblinks.synth_linked_pages(docs)
+        links = weblinks.out_links(pages).collect()
+        m = 11
+        expect_total = sum(1 + i % 3 for i in range(9))
+        assert len(links) == expect_total
+        res = weblinks.link_resolution(pages).collect()
+        assert sum(r.n_total for r in res) == expect_total
+        # closed-form expected hits
+        hits = 0
+        for i in range(9):
+            for k in range(1 + i % 3):
+                t = (i * 7 + 13 * (k + 1)) % m
+                if t >= 9:
+                    continue  # dangling
+                if k % 3 == 1 and i % 4 != t % 4:
+                    continue  # relative link resolved on the wrong host
+                hits += 1
+        assert sum(r.n_resolved for r in res) == hits
+        assert sum(r.n_dangling for r in res) == expect_total - hits
+        assert any(r.n_dangling > 0 for r in res)
