@@ -1,0 +1,158 @@
+"""Training-data curation: leakage-free splits, contamination audit,
+KG negative sampling.
+
+The reference emits labeled spans; the 100 TB use-case for that output
+is *training data* — and the three operators every training pipeline
+needs on day one are (a) a deterministic, growth-stable train/val/test
+split, (b) an audit that near-duplicate documents do not straddle the
+split boundary (eval contamination — the well-documented failure mode of
+web-scale corpora), and (c) negative samples for embedding/link-predictor
+training over the materialized graph.
+
+All three are pure joins/aggs over the portable 60-bit md5 hash
+(functions/hashing.py), so DuckDB oracles reproduce every row exactly:
+
+* ``doc_splits`` — bucket = phash('split|' || doc_id) % 100; the split is
+  a pure function of the document identity, so it never moves when the
+  corpus grows (row_number would reshuffle everyone), survives
+  repartitioning, and needs no state. 80/10/10.
+* ``split_contamination`` — near-dup pairs (the existing LSH + exact
+  Jaccard chain) joined to both endpoints' splits; pairs with
+  ``split_a != split_b`` are leaks. Scale shape: the pair table is tiny
+  next to the corpus; two shuffle joins on doc id, AQE-broadcast when
+  small.
+* ``negative_samples`` — for each distinct edge and i < NEG_K, corrupt
+  the object to the entity at dense rank
+  ``phash(subj|pred|obj|i) % V`` (shifted by one when it collides with
+  the true object — guaranteed ``neg != obj`` for V > 1). Dense ranks
+  come from a two-level rank (bucketed window + cumulative offsets, the
+  ``build_vocab`` discipline) so a 10^8-node graph never funnels through
+  one window task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hebrew_ner_spark.functions.hashing import phash_col
+from hebrew_ner_spark.operators import dedup
+
+NEG_K = 3
+TRAIN_PCT = 80  # bucket < 80 -> train
+VAL_PCT = 10  # bucket < 90 -> val; else test
+RANK_BUCKET = 64  # ids per rank bucket (two-level dense rank)
+
+
+def doc_splits(docs: DataFrame) -> DataFrame:
+    """(doc_id, bucket, split): hash-stable 80/10/10 assignment."""
+    bucket = (
+        phash_col(F.concat(F.lit("split|"), F.col("doc_id").cast("string")), 0) % 100
+    )
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def split_contamination(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, split_a, split_b, jaccard_1e6): near-duplicate
+    pairs whose endpoints fall in different splits — each row is an
+    eval-set leak. Empty output is the healthy state."""
+    pairs = dedup.near_dup_jaccard(docs)
+    s = doc_splits(docs).select("doc_id", "split")
+    return (
+        pairs.join(
+            s.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")),
+            "doc_a",
+        )
+        .join(
+            s.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")),
+            "doc_b",
+        )
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b", "jaccard_1e6")
+    )
+
+
+def dense_entity_ranks(edges: DataFrame) -> DataFrame:
+    """(entity_id, r): dense 0-based rank of every node of the edge
+    table, ordered by entity_id. Two-level: row_number within a
+    DIV-bucket (monotone in id, so bucket-major order == id order) plus
+    broadcast cumulative offsets; the only unpartitioned window runs
+    over the bucket-count table (V / RANK_BUCKET rows)."""
+    nodes = (
+        edges.select(F.col("subj_id").alias("entity_id"))
+        .unionByName(edges.select(F.col("obj_id").alias("entity_id")))
+        .distinct()
+        .withColumn("bkt", F.expr(f"entity_id DIV {RANK_BUCKET}"))
+    )
+    local = nodes.withColumn(
+        "local_rank",
+        F.row_number().over(Window.partitionBy("bkt").orderBy("entity_id")),
+    )
+    offsets = (
+        nodes.groupBy("bkt")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("n").over(
+                    Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bkt", "off")
+    )
+    return local.join(F.broadcast(offsets), "bkt").select(
+        "entity_id", (F.col("off") + F.col("local_rank") - 1).cast("long").alias("r")
+    )
+
+
+def negative_samples(edges: DataFrame, k: int = NEG_K) -> DataFrame:
+    """(subj_id, pred, obj_id, neg_i, neg_obj_id): k deterministic
+    corrupted objects per distinct edge, never equal to the true object.
+
+    Plan: rank the node set once; join the true object's rank in, explode
+    the k sample indices, map each hashed rank back to an entity through
+    a second join keyed on rank. Both joins are node-table-sized on one
+    side — AQE broadcasts them while the graph is small and degrades to
+    shuffle joins at web scale.
+    """
+    ranks = dense_entity_ranks(edges)
+    v = ranks.agg(F.count("*").alias("_v"))
+    e = (
+        edges.select("subj_id", "pred", "obj_id")
+        .join(ranks.select(F.col("entity_id").alias("obj_id"), F.col("r").alias("_r_obj")), "obj_id")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "subj_id",
+            "pred",
+            "obj_id",
+            "_r_obj",
+            "_v",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("neg_i"),
+        )
+    )
+    raw = phash_col(
+        F.concat_ws(
+            "|",
+            F.col("subj_id").cast("string"),
+            F.col("pred"),
+            F.col("obj_id").cast("string"),
+            F.col("neg_i").cast("string"),
+        ),
+        0,
+    ) % F.col("_v")
+    neg_rank = F.when(raw == F.col("_r_obj"), (raw + 1) % F.col("_v")).otherwise(raw)
+    return (
+        e.withColumn("_nr", neg_rank)
+        .join(ranks.select(F.col("r").alias("_nr"), F.col("entity_id").alias("neg_obj_id")), "_nr")
+        .select("subj_id", "pred", "obj_id", F.col("neg_i").cast("long").alias("neg_i"), "neg_obj_id")
+    )

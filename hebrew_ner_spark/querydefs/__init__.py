@@ -16,5 +16,6 @@ from hebrew_ner_spark.querydefs import (  # noqa: F401
     segment_q,
     simsearch_q,
     textstats_q,
+    training_q,
     weblinks_q,
 )

@@ -205,11 +205,15 @@ def dedup_lsh_pairs(spark, sf_dir):
     return dedup.lsh_candidate_pairs(_docs(spark, sf_dir))
 
 
-@query(
-    "dedup_near_jaccard",
-    oracle=f"""
-    WITH {_BANDS_CTE},
-    pairs AS ({_PAIRS_SQL}),
+# Reusable verified-near-dup chain over `sh` + `pairs`: nd(doc_a, doc_b,
+# jaccard_1e6) — shared by the gate below and by consumers composing
+# near-dup pairs into larger oracles (training_q contamination audit).
+# Threshold mirrors near_dup_jaccard's default (0.5 -> 500000 micro-units).
+_J_EXPR = (
+    "CAST((2 * (n_inter) * 1000000 + (sa.n_sh + sb.n_sh - n_inter))"
+    " // (2 * (sa.n_sh + sb.n_sh - n_inter)) AS BIGINT)"
+)
+NEAR_JACCARD_CTES = f"""
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
       SELECT p.doc_a, p.doc_b, count(*) AS n_inter
@@ -217,13 +221,24 @@ def dedup_lsh_pairs(spark, sf_dir):
       JOIN sh a ON a.doc_id = p.doc_a
       JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
       GROUP BY p.doc_a, p.doc_b
+    ),
+    nd AS (
+      SELECT i.doc_a, i.doc_b, {_J_EXPR} AS jaccard_1e6
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE {_J_EXPR} >= 500000
     )
-    SELECT i.doc_a, i.doc_b,
-           CAST((2 * (n_inter) * 1000000 + (sa.n_sh + sb.n_sh - n_inter)) // (2 * (sa.n_sh + sb.n_sh - n_inter)) AS BIGINT) AS jaccard_1e6
-    FROM inter i
-    JOIN sizes sa ON sa.doc_id = i.doc_a
-    JOIN sizes sb ON sb.doc_id = i.doc_b
-    WHERE CAST((2 * (n_inter) * 1000000 + (sa.n_sh + sb.n_sh - n_inter)) // (2 * (sa.n_sh + sb.n_sh - n_inter)) AS BIGINT) >= 500000
+"""
+
+
+@query(
+    "dedup_near_jaccard",
+    oracle=f"""
+    WITH {_BANDS_CTE},
+    pairs AS ({_PAIRS_SQL}),
+    {NEAR_JACCARD_CTES}
+    SELECT doc_a, doc_b, jaccard_1e6 FROM nd
     """,
 )
 def dedup_near_jaccard(spark, sf_dir):

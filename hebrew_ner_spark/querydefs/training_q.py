@@ -1,0 +1,114 @@
+"""Gates: hash-stable splits, contamination audit, KG negative sampling.
+
+Every oracle recomputes the SAME portable 60-bit md5 hash the Spark plan
+uses (functions/hashing.py), so split assignment and sampled ranks match
+bit-for-bit; the contamination oracle composes the dedup family's
+verified-near-dup CTE chain (dedup_q.NEAR_JACCARD_CTES) with the split
+hash; the negative-sampling oracle re-derives dense node ranks with a
+plain row_number (the Spark side's two-level rank must agree exactly —
+that equivalence IS the thing being gated). NEG_K / TRAIN_PCT / VAL_PCT
+are imported from the operator so retuning cannot desync plan and
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hebrew_ner_spark.functions.hashing import phash_duck
+from hebrew_ner_spark.operators import linking, training
+from hebrew_ner_spark.operators.training import NEG_K, TRAIN_PCT, VAL_PCT
+from hebrew_ner_spark.querydefs.dedup_q import _BANDS_CTE, _PAIRS_SQL, NEAR_JACCARD_CTES
+from hebrew_ner_spark.querydefs.graph_q import _dim_values, _edges_ctes
+from hebrew_ner_spark.registry import query
+from hebrew_ner_spark.sources.catalog import load_table
+
+_SPLIT_HASH = phash_duck("'split|' || CAST(doc_id AS VARCHAR)", 0)
+_SPLIT_CTE = f"""
+sp AS (
+  SELECT doc_id, {_SPLIT_HASH} % 100 AS bucket,
+         CASE WHEN {_SPLIT_HASH} % 100 < {TRAIN_PCT} THEN 'train'
+              WHEN {_SPLIT_HASH} % 100 < {TRAIN_PCT + VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@query(
+    "trn_doc_splits",
+    oracle=f"WITH {_SPLIT_CTE} SELECT doc_id, bucket, split FROM sp",
+)
+def trn_doc_splits(spark, sf_dir):
+    """Hash-stable 80/10/10 split: a pure function of doc identity, so
+    membership never moves as the corpus grows."""
+    return training.doc_splits(_docs(spark, sf_dir))
+
+
+@query(
+    "trn_contamination",
+    oracle=f"""
+    WITH {_BANDS_CTE},
+    pairs AS ({_PAIRS_SQL}),
+    {NEAR_JACCARD_CTES},
+    {_SPLIT_CTE}
+    SELECT nd.doc_a, nd.doc_b, a.split AS split_a, b.split AS split_b,
+           nd.jaccard_1e6
+    FROM nd
+    JOIN sp a ON a.doc_id = nd.doc_a
+    JOIN sp b ON b.doc_id = nd.doc_b
+    WHERE a.split <> b.split
+    """,
+)
+def trn_contamination(spark, sf_dir):
+    """Eval-leak audit: verified near-dup pairs straddling the split
+    boundary (testdata's planted duplicate clusters guarantee the gate
+    is non-vacuous — hash assignment scatters each cluster)."""
+    return training.split_contamination(_docs(spark, sf_dir))
+
+
+@query(
+    "trn_negative_samples",
+    oracle=f"""
+    WITH {_dim_values()},
+    {_edges_ctes()},
+    ids AS (SELECT subj_id AS id FROM e UNION SELECT obj_id FROM e),
+    rk AS (SELECT id, CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS r
+           FROM ids),
+    v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM rk),
+    ex AS (
+      SELECT e.subj_id, e.pred, e.obj_id, ro.r AS r_obj,
+             CAST(ks.i AS BIGINT) AS neg_i
+      FROM e
+      JOIN rk ro ON ro.id = e.obj_id,
+           (SELECT unnest([{", ".join(str(i) for i in range(NEG_K))}]) AS i) ks
+    ),
+    neg AS (
+      SELECT subj_id, pred, obj_id, neg_i,
+             CASE WHEN {phash_duck(
+                 "CAST(subj_id AS VARCHAR) || '|' || pred || '|' ||"
+                 " CAST(obj_id AS VARCHAR) || '|' || CAST(neg_i AS VARCHAR)", 0
+             )} % v.v = r_obj
+                  THEN ({phash_duck(
+                      "CAST(subj_id AS VARCHAR) || '|' || pred || '|' ||"
+                      " CAST(obj_id AS VARCHAR) || '|' || CAST(neg_i AS VARCHAR)", 0
+                  )} % v.v + 1) % v.v
+                  ELSE {phash_duck(
+                      "CAST(subj_id AS VARCHAR) || '|' || pred || '|' ||"
+                      " CAST(obj_id AS VARCHAR) || '|' || CAST(neg_i AS VARCHAR)", 0
+                  )} % v.v END AS nr
+      FROM ex, v
+    )
+    SELECT n.subj_id, n.pred, n.obj_id, n.neg_i, rk.id AS neg_obj_id
+    FROM neg n JOIN rk ON rk.r = n.nr
+    """,
+)
+def trn_negative_samples(spark, sf_dir):
+    """NEG_K corrupted objects per distinct KG edge; the oracle's plain
+    row_number rank must coincide with the Spark side's two-level rank
+    (that equivalence is the gated claim)."""
+    return training.negative_samples(linking.kg_edges(_docs(spark, sf_dir)))

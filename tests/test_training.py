@@ -1,0 +1,99 @@
+"""Split stability, contamination audit, negative-sampling invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hebrew_ner_spark.functions.hashing import phash_py
+from hebrew_ner_spark.operators import training
+
+
+def _docs(spark, n, text="the same text repeated here"):
+    return spark.createDataFrame(
+        [(i, text, "he") for i in range(n)], "doc_id long, text string, lang string"
+    )
+
+
+def _expected_split(doc_id: int) -> str:
+    b = phash_py(f"split|{doc_id}") % 100
+    return "train" if b < 80 else ("val" if b < 90 else "test")
+
+
+class TestDocSplits:
+    def test_matches_closed_form(self, spark):
+        got = {r.doc_id: r.split for r in training.doc_splits(_docs(spark, 64)).collect()}
+        assert got == {i: _expected_split(i) for i in range(64)}
+
+    def test_growth_stable(self, spark):
+        # a document's split NEVER moves when the corpus grows
+        small = {r.doc_id: r.split for r in training.doc_splits(_docs(spark, 50)).collect()}
+        big = {r.doc_id: r.split for r in training.doc_splits(_docs(spark, 200)).collect()}
+        assert all(big[d] == s for d, s in small.items())
+
+    def test_proportions_roughly_80_10_10(self, spark):
+        rows = training.doc_splits(_docs(spark, 1000)).groupBy("split").count().collect()
+        frac = {r.split: r["count"] / 1000 for r in rows}
+        assert 0.7 < frac["train"] < 0.9 and frac["val"] < 0.2 and frac["test"] < 0.2
+
+
+class TestContamination:
+    def test_planted_cross_split_dup_detected(self, spark):
+        # find two doc_ids in different splits, plant identical long texts
+        # on them (near-dup via shingles), distinct filler elsewhere
+        a = next(i for i in range(100) if _expected_split(i) == "train")
+        b = next(i for i in range(100) if _expected_split(i) == "test")
+        dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = [
+            (i, dup if i in (a, b) else f"unique filler {i} " * 5 + str(i), "he")
+            for i in range(100)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        leaks = {(r.doc_a, r.doc_b) for r in training.split_contamination(docs).collect()}
+        assert (min(a, b), max(a, b)) in leaks
+
+    def test_same_split_dup_not_a_leak(self, spark):
+        a, b = [i for i in range(100) if _expected_split(i) == "train"][:2]
+        dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = [
+            (i, dup if i in (a, b) else f"unique filler {i} " * 5 + str(i), "he")
+            for i in range(100)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        leaks = {(r.doc_a, r.doc_b) for r in training.split_contamination(docs).collect()}
+        assert (min(a, b), max(a, b)) not in leaks
+
+
+class TestNegativeSamples:
+    def _edges(self, spark, triples):
+        return spark.createDataFrame(
+            [(s, p, o, 1) for s, p, o in triples],
+            "subj_id long, pred string, obj_id long, n_evidence long",
+        )
+
+    def test_dense_ranks_match_row_number_with_gaps(self, spark):
+        # ids straddling several DIV-64 buckets, with gaps
+        ids = [0, 1, 63, 64, 65, 200, 4096, 4097, 999999]
+        edges = self._edges(spark, [(a, "p", b) for a, b in zip(ids, ids[1:])])
+        got = {r.entity_id: r.r for r in training.dense_entity_ranks(edges).collect()}
+        assert got == {e: i for i, e in enumerate(sorted(ids))}
+
+    def test_k_per_edge_never_true_object(self, spark):
+        edges = self._edges(
+            spark, [(1, "join", 2), (2, "scan", 3), (3, "merge", 1), (1, "agg", 3)]
+        )
+        out = training.negative_samples(edges).collect()
+        assert len(out) == 4 * training.NEG_K
+        assert all(r.neg_obj_id != r.obj_id for r in out)
+        assert all(r.neg_obj_id in (1, 2, 3) for r in out)
+        # deterministic across invocations
+        again = training.negative_samples(edges).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    def test_collision_shift_matches_closed_form(self, spark):
+        edges = self._edges(spark, [(10, "p", 20), (20, "q", 30)])
+        ranks = {10: 0, 20: 1, 30: 2}
+        out = training.negative_samples(edges).collect()
+        for r in out:
+            raw = phash_py(f"{r.subj_id}|{r.pred}|{r.obj_id}|{r.neg_i}") % 3
+            want = (raw + 1) % 3 if raw == ranks[r.obj_id] else raw
+            assert ranks[r.neg_obj_id] == want
