@@ -132,6 +132,15 @@ def run() -> dict:
     deppat_wall = time.perf_counter() - t0
     deppat_docs_per_sec = round(n_docs / deppat_wall, 1)
 
+    # fourth headline (added round 3): html synthesis -> href extraction
+    # -> canonicalization -> host-graph aggregate — the webtext link-graph
+    # chain, pure codegen end to end
+    force(QUERIES["web_link_graph"](spark, hdir))
+    t0 = time.perf_counter()
+    force(QUERIES["web_link_graph"](spark, hdir))
+    links_wall = time.perf_counter() - t0
+    links_docs_per_sec = round(n_docs / links_wall, 1)
+
     total = round(sum(times.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -149,6 +158,7 @@ def run() -> dict:
         "kg_docs_per_sec": docs_per_sec,
         "hybrid_ms_per_doc": hybrid_ms_per_doc,
         "deppat_docs_per_sec": deppat_docs_per_sec,
+        "linkgraph_docs_per_sec": links_docs_per_sec,
         "metric": "total_query_wall_time",
         "value": total,
         "unit": "sec",

@@ -77,7 +77,15 @@ _WINDOW = [
     "web_asof_probe",
 ]
 
-# Out-of-window this round (check_correctness still gates all of them):
+# Out-of-window this round (check_correctness still gates all of them;
+# the committed CORRECTNESS_FULL.json records the full-registry run):
+# * web_out_links / web_link_graph / web_link_graph_salted /
+#   web_host_degrees / web_host_pagerank / web_link_resolution and
+#   trn_doc_splits / trn_contamination / trn_negative_samples — added
+#   after the 50-slot window filled; their invariants are pytest-pinned
+#   (canonicalization edge cases, degree conservation, growth-stable
+#   splits, planted cross-split dup, closed-form collision shift) and
+#   they ride the full-registry artifact;
 # * kg_edges_typed_salted / mention_model_binned — plan-twins of in-window
 #   queries (same output through the salted / range-binned plan);
 # * ann_ivf_recall — same recall-metric construction as in-window
