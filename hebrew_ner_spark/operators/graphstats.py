@@ -296,3 +296,84 @@ def label_propagation(docs: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
         # so best covers the full domain each round
         labels = best
     return labels
+
+
+# --- k-core decomposition ----------------------------------------------------
+
+KCORE_K = 6  # min degree of the sf corpus graph is 5: k=6 actually peels
+# Peel-round budget shared with the oracle: the gate's unrolled CTEs run
+# exactly this many rounds, and the operator RAISES if the fixpoint is not
+# reached inside it — so plan and oracle can never silently diverge on a
+# corpus that peels deeper (the cc_dedup_components loud-failure discipline).
+KCORE_ORACLE_ROUNDS = 8
+
+
+def kcore_peel(
+    docs: DataFrame,
+    k: int = KCORE_K,
+    max_rounds: int = KCORE_ORACLE_ROUNDS,
+    reliable: bool | None = None,
+) -> DataFrame:
+    """(entity, peel_round): the k-core peel trace (onion decomposition)
+    of the above-mean co-occurrence graph — the round at which each node
+    was peeled (degree < k at that round), or -1 for nodes surviving in
+    the k-core.
+
+    Iterative peeling is monotone — peeled nodes never return — so an
+    oracle that unrolls MORE rounds than needed is a no-op beyond
+    convergence, and each node's peel round is well-defined (it peels at
+    most once). Per round: one degree aggregate + two anti-joins (the
+    drop set is peeled-nodes-sized; AQE broadcasts it) and ONE count
+    action for the fixpoint test — O(rounds) driver round-trips, same as
+    connected_components. Each round's edge set goes through the shared
+    per-round lineage break (canonicalize._lineage_breaker:
+    localCheckpoint locally, managed round tables under
+    spark.graft.cc.reliable=true on a real cluster) — without it the
+    plan-compile cost grows superlinearly with rounds (measured: round
+    walls 1.4 s -> 18 s by round 4 on the persist-only variant).
+    """
+    from hebrew_ner_spark.operators.canonicalize import _lineage_breaker
+
+    _evict("kcore")
+    und = _persist("kcore", above_mean_edges(docs).select("a", "b"))
+    brk = _lineage_breaker(docs, reliable)
+    edges = brk(und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b"))))
+    nodes = edges.select(F.col("a").alias("entity")).distinct()
+    n_prev = edges.count()
+    peels: list[DataFrame] = []
+    for rnd in range(max_rounds):
+        drop = (
+            edges.groupBy("a")
+            .agg(F.count("*").alias("_d"))
+            .where(F.col("_d") < k)
+            .select("a")
+        )
+        pruned = brk(
+            edges.join(drop, "a", "left_anti")
+            .join(drop.withColumnRenamed("a", "b"), "b", "left_anti")
+            .select("a", "b")
+        )
+        n_now = pruned.count()
+        # nodes whose every edge vanished this round (drop members AND
+        # collateral isolates) peel now: present before, absent after.
+        peels.append(
+            edges.select(F.col("a").alias("entity"))
+            .distinct()
+            .join(pruned.select(F.col("a").alias("entity")).distinct(), "entity", "left_anti")
+            .select("entity", F.lit(rnd).cast("long").alias("peel_round"))
+        )
+        if n_now == n_prev:
+            edges = pruned
+            break
+        edges, n_prev = pruned, n_now
+    else:
+        raise RuntimeError(
+            f"kcore_peel: no fixpoint within {max_rounds} peel rounds — "
+            "raise KCORE_ORACLE_ROUNDS (and regenerate the oracle) for this corpus"
+        )
+    peeled = peels[0]
+    for p in peels[1:]:
+        peeled = peeled.unionByName(p)
+    return nodes.join(peeled, "entity", "left").select(
+        "entity", F.coalesce("peel_round", F.lit(-1)).cast("long").alias("peel_round")
+    )

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hebrew_ner_spark.operators import crawl
+from hebrew_ner_spark.operators import crawl, linking
 from hebrew_ner_spark.operators.crawl import CRAWL_VERSIONS
 from hebrew_ner_spark.registry import query
 from hebrew_ner_spark.sources.catalog import load_table
@@ -138,3 +138,53 @@ def web_asof_probe(spark, sf_dir):
         F.coalesce(F.unix_millis("warc_ts"), F.lit(-1)).alias("warc_ms"),
         F.coalesce("text", F.lit("")).alias("text"),
     )
+
+
+def _merge_oracle() -> str:
+    """Base graph over the v0 corpus merged with edges from pages the
+    latest crawl CHANGED (v2 text differs from v1 exactly for even
+    doc_ids, whose v2 snapshot is text || ' dup dup')."""
+    from hebrew_ner_spark.querydefs.graph_q import _dim_values, _edges_ctes
+
+    return f"""
+    WITH {_dim_values()},
+    delta_docs AS (
+      SELECT doc_id, text || ' dup dup' AS text
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    {_edges_ctes()},
+    {_edges_ctes('d_', src='delta_docs')}
+    SELECT coalesce(b.subj_id, d.subj_id) AS subj_id,
+           coalesce(b.pred, d.pred) AS pred,
+           coalesce(b.obj_id, d.obj_id) AS obj_id,
+           CAST(coalesce(b.n_evidence, 0) + coalesce(d.n_evidence, 0) AS BIGINT)
+             AS n_evidence,
+           CAST(CASE WHEN b.subj_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_new
+    FROM e b FULL OUTER JOIN d_e d
+      ON b.subj_id = d.subj_id AND b.pred = d.pred AND b.obj_id = d.obj_id
+    """
+
+
+@query("web_crawl_to_kg_delta", oracle=_merge_oracle())
+def web_crawl_to_kg_delta(spark, sf_dir):
+    """The incremental crawl->graph lifecycle closed end to end: the
+    change detector (crawl_deltas) finds pages the newest crawl edited,
+    ONLY those pages re-run triple extraction + linking, and the delta
+    edge counts fold into the base graph without rescanning it
+    (merge_edge_counts — the Iceberg MERGE INTO shape). Evidence
+    accumulates across crawl snapshots; is_new flags edges the base
+    graph had never seen."""
+    docs = _docs(spark, sf_dir)
+    hist = _hist(spark, sf_dir)
+    changed = (
+        crawl.crawl_deltas(hist)
+        .where((F.col("v") == CRAWL_VERSIONS - 1) & F.col("changed"))
+        .join(hist.select("url", "warc_ts", "text"), ["url", "warc_ts"])
+        .select(
+            F.element_at(F.split("url", "/"), -1).cast("long").alias("doc_id"),
+            "text",
+        )
+    )
+    base = linking.kg_edges(docs)
+    delta = linking.kg_edges(changed)
+    return linking.merge_edge_counts(base, delta)

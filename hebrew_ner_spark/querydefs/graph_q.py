@@ -272,18 +272,19 @@ def kg_nodes_q(spark, sf_dir):
     return linking.kg_nodes(_docs(spark, sf_dir))
 
 
-def _edges_ctes(prefix: str = "", doc_where: str = "") -> str:
+def _edges_ctes(prefix: str = "", doc_where: str = "", src: str = "documents") -> str:
     """CTE chain ``{p}toks..{p}e`` materializing the kg_edges result as
     ``{p}e(subj_id, pred, obj_id, n_evidence)``; requires a prior ``dim``
     CTE. The prefix lets one query build two edge tables (base + delta)
-    without CTE-name collisions; ``doc_where`` restricts the source docs."""
+    without CTE-name collisions; ``doc_where`` restricts the source docs;
+    ``src`` swaps the source relation (any (doc_id, text) CTE)."""
     p = prefix
     return f"""
     {p}toks AS (
       SELECT doc_id,
              generate_subscripts(string_split(text, ' '), 1) - 1 AS word_index,
              unnest(string_split(text, ' ')) AS token
-      FROM documents {doc_where}
+      FROM {src} {doc_where}
     ),
     {p}w AS (
       SELECT doc_id, word_index, token,

@@ -236,3 +236,58 @@ def kg_communities_lpa(spark, sf_dir):
     """Weighted label propagation, fixed synchronous rounds, vs the
     unrolled-CTE oracle."""
     return graphstats.label_propagation(_docs(spark, sf_dir))
+
+
+# k-core oracle: unroll exactly KCORE_ORACLE_ROUNDS peel rounds (imported,
+# never hardcoded). Peeling is monotone, so rounds past the fixpoint are
+# no-ops; the operator raises if convergence needs MORE rounds than the
+# oracle runs, so the two sides cannot silently diverge.
+from hebrew_ner_spark.operators.graphstats import (  # noqa: E402
+    KCORE_K as _KCORE_K,
+    KCORE_ORACLE_ROUNDS as _KCORE_ROUNDS,
+)
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    # MATERIALIZED: each round references the previous one three times;
+    # DuckDB inlines plain CTEs, which would expand 3^rounds copies of the
+    # whole corpus scan (observed: fd exhaustion at 8 rounds).
+    parts = ["s0 AS MATERIALIZED (SELECT a, b FROM sym)"]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""
+    d{i} AS MATERIALIZED (SELECT a FROM s{i - 1} GROUP BY a HAVING count(*) < {k}),
+    s{i} AS MATERIALIZED (
+      SELECT s.a, s.b FROM s{i - 1} s
+      WHERE NOT EXISTS (SELECT 1 FROM d{i} x WHERE x.a = s.a)
+        AND NOT EXISTS (SELECT 1 FROM d{i} x WHERE x.a = s.b)
+    ),
+    p{i} AS MATERIALIZED (
+      SELECT DISTINCT a AS entity, CAST({i - 1} AS BIGINT) AS peel_round
+      FROM s{i - 1}
+      WHERE a NOT IN (SELECT a FROM s{i})
+    )"""
+        )
+    peel_union = " UNION ALL ".join(
+        f"SELECT entity, peel_round FROM p{i}" for i in range(1, rounds + 1)
+    )
+    return f"""
+    WITH {_EDGES_CTE},
+    {_SPARSE_EW},
+    sym AS (SELECT a, b FROM ews UNION ALL SELECT b, a FROM ews),
+    {",".join(parts)},
+    peeled AS ({peel_union}),
+    nodes AS (SELECT DISTINCT a AS entity FROM s0)
+    SELECT n.entity, coalesce(p.peel_round, -1) AS peel_round
+    FROM nodes n LEFT JOIN peeled p ON p.entity = n.entity
+    """
+
+
+@query("kg_kcore", oracle=_kcore_oracle(_KCORE_K, _KCORE_ROUNDS))
+def kg_kcore(spark, sf_dir):
+    """k-core peel trace (onion decomposition) of the above-mean entity
+    graph: iterative peeling to fixpoint vs the same rounds unrolled as
+    materialized CTEs. peel_round = -1 marks k-core survivors; the node-
+    presence diff between consecutive edge sets defines the round (a
+    node stranded edgeless by its neighbors' removal peels with them)."""
+    return graphstats.kcore_peel(_docs(spark, sf_dir))

@@ -182,3 +182,36 @@ class TestPersistIsolation:
         assert lpa.count() > 0
         # both operators' persisted inputs are still registered
         assert graphstats._PERSISTED["triangles"] and graphstats._PERSISTED["lpa"]
+
+
+class TestKcorePeel:
+    def test_triangle_survives_chain_peels_progressively(self, spark):
+        # triangle key-row-table (heavy) + pendant chain table-part-value;
+        # light fillers lower the mean so planted edges survive
+        # sparsification. k=2: 'value' (deg 1) peels round 0, stranding
+        # 'part' at deg 1 -> peels round 1; the triangle is the 2-core.
+        heavy = (
+            ["key join row", "key join table", "row join table"] * 3
+            + ["table join part", "part join value"] * 3
+        )
+        light = ["batch join line", "order join query", "hash join group"]
+        docs = _docs(spark, heavy + light)
+        got = {r.entity: r.peel_round for r in graphstats.kcore_peel(docs, k=2).collect()}
+        assert got == {"value": 0, "part": 1, "key": -1, "row": -1, "table": -1}
+
+    def test_all_peel_when_k_exceeds_max_degree(self, spark):
+        heavy = ["key join row", "key join table", "row join table"] * 3
+        light = ["batch join line", "order join query", "hash join group"]
+        docs = _docs(spark, heavy + light)
+        got = {r.entity: r.peel_round for r in graphstats.kcore_peel(docs, k=5).collect()}
+        assert set(got.values()) == {0}  # whole triangle drops in one round
+
+    def test_nonconvergence_raises(self, spark):
+        heavy = ["key join row", "key join table", "row join table"] * 3 + [
+            "table join part",
+            "part join value",
+        ] * 3
+        light = ["batch join line"]
+        docs = _docs(spark, heavy + light)
+        with pytest.raises(RuntimeError, match="no fixpoint"):
+            graphstats.kcore_peel(docs, k=2, max_rounds=1)
