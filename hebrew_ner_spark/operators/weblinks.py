@@ -38,9 +38,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from hebrew_ner_spark.plans.skew import salted_count
+from hebrew_ner_spark.resources import ENTITY_TERMS
 
 N_HOST_SHARDS = 4
 SKEW_BUCKETS = 16
+
+# Anchor texts cycle through the entity vocabulary (sorted for a stable
+# order both engines can reproduce) — the anchor-text naming signal.
+ANCHOR_TERMS = sorted(ENTITY_TERMS)
 
 
 def _host_shard(doc_id: Column) -> Column:
@@ -85,9 +90,11 @@ def synth_linked_pages(docs: DataFrame) -> DataFrame:
                 F.concat(F.lit("//ex"), h, F.lit(".example.net/p/"), ts, F.lit("/"))
             )
         )
-        return F.concat(
-            F.lit('<a href="'), href, F.lit('">l'), k.cast("string"), F.lit("</a>")
+        term = F.element_at(
+            F.array(*[F.lit(t) for t in ANCHOR_TERMS]),
+            ((t + k) % len(ANCHOR_TERMS) + 1).cast("int"),
         )
+        return F.concat(F.lit('<a href="'), href, F.lit('">'), term, F.lit("</a>"))
 
     nav = F.array_join(
         F.transform(F.sequence(F.lit(0), doc_id % 3), anchor), ""
@@ -242,4 +249,42 @@ def link_resolution(pages: DataFrame) -> DataFrame:
         (F.count("*") - F.sum(F.coalesce(F.col("_hit"), F.lit(0))))
         .cast("long")
         .alias("n_dangling"),
+    )
+
+
+def anchor_texts(pages: DataFrame) -> DataFrame:
+    """(url, k, href, anchor_text): every anchor with its link text.
+
+    Single codegen pass: extract whole ``<a ...>text</a>`` fragments,
+    then pull href and text out of each — no UDF, html pruned in the
+    first projection. Positions (k) align with ``out_links`` because
+    both walk the document in order.
+    """
+    frags = F.regexp_extract_all(
+        F.decode(F.col("html"), "UTF-8"),
+        F.lit('<a href="[^"]*">[^<]*</a>'),
+        0,
+    )
+    exploded = pages.select("url", F.posexplode(frags).alias("k", "frag"))
+    return exploded.select(
+        "url",
+        F.col("k").cast("long").alias("k"),
+        F.regexp_extract("frag", 'href="([^"]*)"', 1).alias("href"),
+        F.regexp_extract("frag", ">([^<]*)<", 1).alias("anchor_text"),
+    )
+
+
+def anchor_evidence(pages: DataFrame) -> DataFrame:
+    """(canon, anchor_text, n): how often each canonical target url is
+    referred to by each anchor text — the classic cross-page naming
+    signal for entity canonicalization (what the web CALLS a page beats
+    what the page calls itself). One aggregation shuffle keyed by
+    (canon, anchor_text); head targets are the skew case and the salted
+    twin pattern from link_edges applies unchanged if needed."""
+    at = anchor_texts(pages)
+    canon = canonical_href(F.col("href"), F.col("url"))
+    return (
+        at.select(canon.alias("canon"), "anchor_text")
+        .groupBy("canon", "anchor_text")
+        .agg(F.count("*").cast("long").alias("n"))
     )

@@ -174,3 +174,25 @@ def web_link_resolution(spark, sf_dir):
     """Crawl-frontier primitive: canonical targets left-joined against
     the page-url set; dangling = pages this crawl does not have."""
     return weblinks.link_resolution(_pages(spark, sf_dir))
+
+
+_TERMS_SQL = "[" + ", ".join(f"'{t}'" for t in weblinks.ANCHOR_TERMS) + "]"
+
+
+@query(
+    "web_anchor_evidence",
+    oracle=f"""
+    WITH {_LINKS_CTE}
+    SELECT 'https://' || dst_host || '/p/' || CAST(t AS VARCHAR) AS canon,
+           ({_TERMS_SQL})[CAST((t + k) % {len(weblinks.ANCHOR_TERMS)} AS INT) + 1]
+             AS anchor_text,
+           CAST(count(*) AS BIGINT) AS n
+    FROM cn GROUP BY 1, 2
+    """,
+)
+def web_anchor_evidence(spark, sf_dir):
+    """Anchor-text naming signal: per canonical target, how often each
+    link text refers to it — extraction parses whole <a> fragments in
+    one codegen pass; the oracle rebuilds every (target, term) pair from
+    doc_id arithmetic (terms cycle the entity vocabulary)."""
+    return weblinks.anchor_evidence(_pages(spark, sf_dir))

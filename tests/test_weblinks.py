@@ -124,3 +124,21 @@ class TestResolution:
         assert sum(r.n_resolved for r in res) == hits
         assert sum(r.n_dangling for r in res) == expect_total - hits
         assert any(r.n_dangling > 0 for r in res)
+
+
+class TestAnchorTexts:
+    def test_fragments_align_with_out_links(self, spark):
+        docs = _docs(spark, ["t"] * 12)
+        pages = weblinks.synth_linked_pages(docs)
+        links = {(r.url, r.k): r.href for r in weblinks.out_links(pages).collect()}
+        texts = weblinks.anchor_texts(pages).collect()
+        assert len(texts) == len(links)
+        for r in texts:
+            assert links[(r.url, r.k)] == r.href
+            assert r.anchor_text in weblinks.ANCHOR_TERMS
+
+    def test_evidence_counts_sum_to_anchor_total(self, spark):
+        docs = _docs(spark, ["t"] * 20)
+        pages = weblinks.synth_linked_pages(docs)
+        ev = weblinks.anchor_evidence(pages).collect()
+        assert sum(r.n for r in ev) == weblinks.out_links(pages).count()
