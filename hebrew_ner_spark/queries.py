@@ -80,12 +80,13 @@ _WINDOW = [
 # Out-of-window this round (check_correctness still gates all of them;
 # the committed CORRECTNESS_FULL.json records the full-registry run):
 # * web_out_links / web_link_graph / web_link_graph_salted /
-#   web_host_degrees / web_host_pagerank / web_link_resolution and
+#   web_host_degrees / web_host_pagerank / web_link_resolution /
+#   web_anchor_evidence / web_crawl_to_kg_delta / kg_kcore and
 #   trn_doc_splits / trn_contamination / trn_negative_samples — added
 #   after the 50-slot window filled; their invariants are pytest-pinned
-#   (canonicalization edge cases, degree conservation, growth-stable
-#   splits, planted cross-split dup, closed-form collision shift) and
-#   they ride the full-registry artifact;
+#   (canonicalization edge cases, degree conservation, peel cascades,
+#   growth-stable splits, planted cross-split dup, closed-form collision
+#   shift) and they ride the full-registry artifact;
 # * kg_edges_typed_salted / mention_model_binned — plan-twins of in-window
 #   queries (same output through the salted / range-binned plan);
 # * ann_ivf_recall — same recall-metric construction as in-window
