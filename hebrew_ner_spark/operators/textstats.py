@@ -179,3 +179,85 @@ def length_filter(docs: DataFrame, max_tokens: int = 250) -> DataFrame:
     """P4: drop documents with >= max_tokens tokens
     (MAX_SENTENCE_LENGTH analog, utils/data.py:19)."""
     return with_tokens(docs).where(F.size("toks") < max_tokens).drop("toks")
+
+
+# --- shared quality predicate (single source for plan + compositions) -------
+
+QUALITY_MIN_TOKENS = 20
+QUALITY_MAX_TOKENS = 200
+
+
+def quality_pass_expr(toks: str = "toks") -> Column:
+    """Boolean Column: does a document (with array column ``toks``) pass
+    the curation thresholds (length window, stopword ceiling < 0.4,
+    type/token floor > 0.25)? Exact integer cross-multiplication — no
+    float ratio ever computed, so DuckDB mirrors it verbatim."""
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+    return F.expr(
+        f"""
+        size({toks}) BETWEEN {QUALITY_MIN_TOKENS} AND {QUALITY_MAX_TOKENS}
+        AND size(filter({toks}, t -> array_contains({stop_arr}, t))) * 5 < size({toks}) * 2
+        AND size(array_distinct({toks})) * 4 > size({toks})
+        """
+    )
+
+
+def quality_pass_sql(toks: str = "toks") -> str:
+    """The identical predicate as a DuckDB fragment over a list column."""
+    stop_sql = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+    return (
+        f"len({toks}) BETWEEN {QUALITY_MIN_TOKENS} AND {QUALITY_MAX_TOKENS}"
+        f" AND len(list_filter({toks}, t -> list_contains({stop_sql}, t))) * 5 < len({toks}) * 2"
+        f" AND len(list_distinct({toks})) * 4 > len({toks})"
+    )
+
+
+# --- char-trigram commonness score ------------------------------------------
+
+TRIGRAM_DF_DENOM = 10  # "common" = document frequency > corpus_size / 10
+
+
+def char_trigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, g): DISTINCT character trigrams per document (codegen
+    transform over substring — no UDF; empty for docs shorter than 3)."""
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN length(text) < 3 THEN array()"
+                " ELSE array_distinct(transform(sequence(0, length(text) - 3),"
+                " i -> substring(text, i + 1, 3))) END"
+            )
+        ).alias("g"),
+    )
+
+
+def trigram_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_trigrams, n_common, common_ratio_1e6): the share of a
+    document's distinct char trigrams that are corpus-common (document
+    frequency > |corpus| / TRIGRAM_DF_DENOM — a scale-free threshold, so
+    no global top-k sort funnels through one task). A crude char-LM
+    proxy: gibberish and boilerplate-free body text separate cleanly.
+    Two shuffles: the trigram DF aggregate and the per-doc rollup; the
+    common-set join is trigram-vocabulary-sized (AQE broadcasts it)."""
+    tg = char_trigrams(docs)
+    n_docs = docs.agg(F.count("*").alias("_n"))
+    common = (
+        tg.groupBy("g")
+        .agg(F.count("*").alias("_df"))
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("_df") * TRIGRAM_DF_DENOM > F.col("_n"))
+        .select("g", F.lit(1).alias("_c"))
+    )
+    scored = tg.join(common, "g", "left").groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_trigrams"),
+        F.sum(F.coalesce(F.col("_c"), F.lit(0))).cast("long").alias("n_common"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_trigrams",
+        "n_common",
+        F.expr(
+            "CAST((2 * n_common * 1000000 + n_trigrams) DIV (2 * n_trigrams) AS BIGINT)"
+        ).alias("common_ratio_1e6"),
+    )

@@ -288,3 +288,40 @@ def anchor_evidence(pages: DataFrame) -> DataFrame:
         .groupBy("canon", "anchor_text")
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+def host_quality(pages: DataFrame) -> DataFrame:
+    """(host, n_pages, n_pass, pass_ratio_1e6): per-host curation signal
+    — how much of each host's content survives the document quality
+    filter (textstats.quality_pass_expr, the SAME predicate the per-doc
+    gate applies). The C4/RefinedWeb move: judge the DOMAIN by its
+    pages, then keep or drop whole domains. One narrow pass + one
+    host-keyed aggregation shuffle."""
+    from hebrew_ner_spark.operators.textstats import quality_pass_expr
+
+    toks = pages.withColumn("toks", F.split(F.col("text"), " "))
+    flagged = toks.select(
+        host_of(F.col("url")).alias("host"),
+        quality_pass_expr().cast("long").alias("_p"),
+    )
+    return flagged.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.sum("_p").cast("long").alias("n_pass"),
+        F.expr(
+            "CAST((2 * sum(_p) * 1000000 + count(*)) DIV (2 * count(*)) AS BIGINT)"
+        ).alias("pass_ratio_1e6"),
+    )
+
+
+def quality_hosts(pages: DataFrame) -> DataFrame:
+    """(host): hosts whose quality pass-ratio is ABOVE the corpus mean —
+    scale-free (exact integer cross-multiplication, the above_mean_edges
+    discipline), so no tuned threshold constant can go stale. The two
+    corpus totals are provably driver-sized scalars and are collected
+    (kmeans-centroid precedent) instead of crossJoined."""
+    hq = host_quality(pages)
+    tot = hq.agg(F.sum("n_pages").alias("tp"), F.sum("n_pass").alias("ts")).collect()[0]
+    tp, ts = int(tot.tp), int(tot.ts or 0)
+    return hq.where(F.col("n_pass") * F.lit(tp) > F.lit(ts) * F.col("n_pages")).select(
+        "host"
+    )

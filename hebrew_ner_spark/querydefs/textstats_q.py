@@ -157,19 +157,42 @@ def txt_quality_filter(spark, sf_dir):
     thresholds (length window, stopword ceiling, type/token floor) —
     the filter a 10^12-doc training-data pipeline applies before
     anything expensive runs. Pure column predicates: Catalyst pushes
-    the whole thing into one codegen'd scan-filter."""
-    from pyspark.sql import functions as F
-
+    the whole thing into one codegen'd scan-filter. The predicate is
+    the shared textstats.quality_pass_expr (host-level curation in
+    weblinks.host_quality composes the same one)."""
     from hebrew_ner_spark.operators.kg import with_tokens
 
-    stop_arr = "array(" + ", ".join(f"'{w}'" for w in textstats.STOPWORDS) + ")"
     d = with_tokens(_docs(spark, sf_dir))
-    return d.where(
-        F.expr(
-            f"""
-            size(toks) BETWEEN 20 AND 200
-            AND size(filter(toks, t -> array_contains({stop_arr}, t))) * 5 < size(toks) * 2
-            AND size(array_distinct(toks)) * 4 > size(toks)
-            """
-        )
-    ).select("doc_id")
+    return d.where(textstats.quality_pass_expr()).select("doc_id")
+
+
+@query(
+    "txt_trigram_score",
+    oracle=f"""
+    WITH tg AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(0, length(text) - 2), i -> text[i + 1:i + 3]))) AS g
+      FROM documents WHERE length(text) >= 3
+    ),
+    nd AS (SELECT count(*) AS n FROM documents),
+    common AS (
+      SELECT g FROM tg, nd GROUP BY g, nd.n
+      HAVING count(*) * {textstats.TRIGRAM_DF_DENOM} > nd.n
+    ),
+    j AS (
+      SELECT t.doc_id, CASE WHEN c.g IS NULL THEN 0 ELSE 1 END AS hit
+      FROM tg t LEFT JOIN common c ON c.g = t.g
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(sum(hit) AS BIGINT) AS n_common,
+           CAST((2 * sum(hit) * 1000000 + count(*)) // (2 * count(*)) AS BIGINT)
+             AS common_ratio_1e6
+    FROM j GROUP BY doc_id
+    """,
+)
+def txt_trigram_score(spark, sf_dir):
+    """Char-trigram commonness score (crude char-LM proxy): the share of
+    each doc's distinct trigrams whose document frequency clears the
+    scale-free corpus threshold — no global top-k sort anywhere."""
+    return textstats.trigram_score(_docs(spark, sf_dir))

@@ -196,3 +196,47 @@ def web_anchor_evidence(spark, sf_dir):
     one codegen pass; the oracle rebuilds every (target, term) pair from
     doc_id arithmetic (terms cycle the entity vocabulary)."""
     return weblinks.anchor_evidence(_pages(spark, sf_dir))
+
+
+from hebrew_ner_spark.operators.textstats import quality_pass_sql  # noqa: E402
+
+_HOST_Q_CTE = f"""
+hq AS (
+  SELECT 'ex' || CAST(doc_id % {N_HOST_SHARDS} AS VARCHAR) || '.example.net'
+           AS host,
+         CAST(count(*) AS BIGINT) AS n_pages,
+         CAST(sum(p) AS BIGINT) AS n_pass,
+         CAST((2 * sum(p) * 1000000 + count(*)) // (2 * count(*)) AS BIGINT)
+           AS pass_ratio_1e6
+  FROM (SELECT doc_id,
+               CASE WHEN {quality_pass_sql("string_split(text, ' ')")}
+                    THEN 1 ELSE 0 END AS p
+        FROM documents)
+  GROUP BY 1
+)
+"""
+
+
+@query(
+    "web_host_quality",
+    oracle=f"WITH {_HOST_Q_CTE} SELECT host, n_pages, n_pass, pass_ratio_1e6 FROM hq",
+)
+def web_host_quality(spark, sf_dir):
+    """Domain-level curation signal: per host, how much content passes
+    the SAME document quality predicate the per-doc gate applies."""
+    return weblinks.host_quality(_pages(spark, sf_dir))
+
+
+@query(
+    "web_quality_hosts",
+    oracle=f"""
+    WITH {_HOST_Q_CTE},
+    tot AS (SELECT sum(n_pages) AS tp, sum(n_pass) AS ts FROM hq)
+    SELECT host FROM hq, tot WHERE n_pass * tp > ts * n_pages
+    """,
+)
+def web_quality_hosts(spark, sf_dir):
+    """Above-corpus-mean hosts (scale-free integer cross-multiplication
+    — the domain keep-list a C4-style pipeline feeds back into the
+    crawler)."""
+    return weblinks.quality_hosts(_pages(spark, sf_dir))

@@ -142,3 +142,19 @@ class TestAnchorTexts:
         pages = weblinks.synth_linked_pages(docs)
         ev = weblinks.anchor_evidence(pages).collect()
         assert sum(r.n for r in ev) == weblinks.out_links(pages).count()
+
+
+class TestHostQuality:
+    def test_counts_and_above_mean_selection(self, spark):
+        # quality pass needs 20..200 tokens with lexical diversity: give
+        # hosts 0/1 passing pages and hosts 2/3 failing (too short)
+        good = " ".join(f"w{i}" for i in range(30))
+        rows = []
+        for i in range(16):
+            rows.append((i, good if i % 4 in (0, 1) else "too short", "he"))
+        docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        pages = weblinks.synth_linked_pages(docs)
+        hq = {r.host: (r.n_pages, r.n_pass) for r in weblinks.host_quality(pages).collect()}
+        assert hq["ex0.example.net"] == (4, 4) and hq["ex2.example.net"] == (4, 0)
+        keep = {r.host for r in weblinks.quality_hosts(pages).collect()}
+        assert keep == {"ex0.example.net", "ex1.example.net"}
