@@ -81,7 +81,8 @@ _WINDOW = [
 # the committed CORRECTNESS_FULL.json records the full-registry run):
 # * web_out_links / web_link_graph / web_link_graph_salted /
 #   web_host_degrees / web_host_pagerank / web_link_resolution /
-#   web_anchor_evidence / web_crawl_to_kg_delta / kg_kcore and
+#   web_anchor_evidence / web_crawl_to_kg_delta / kg_kcore /
+#   web_host_quality / web_quality_hosts / txt_trigram_score and
 #   trn_doc_splits / trn_contamination / trn_negative_samples — added
 #   after the 50-slot window filled; their invariants are pytest-pinned
 #   (canonicalization edge cases, degree conservation, peel cascades,

@@ -225,3 +225,62 @@ def run_stateful_entity_totals(
         .start()
     )
     q.awaitTermination()
+
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+def run_incremental_link_graph(
+    spark: SparkSession, src_dir: str, out_dir: str, checkpoint_dir: str
+) -> int:
+    """Drain newly-landed page files -> per-batch PARTIAL host-graph
+    counts. Each micro-batch runs the identical batch extractor
+    (weblinks.link_edges) over just its files and overwrites its own
+    batch-keyed directory (exactly-once under replay, the
+    run_incremental_triples contract); ``read_link_graph`` folds the
+    partials with one aggregate — counts are algebraic, so
+    fold(partials) == batch build, which the pytest pins. Returns the
+    number of micro-batches processed in this drain."""
+    from hebrew_ner_spark.operators import weblinks
+
+    edges_dir = os.path.join(out_dir, "link_edges")
+    if not os.path.exists(checkpoint_dir) and os.path.exists(edges_dir):
+        import shutil
+
+        shutil.rmtree(edges_dir)
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    n_batches = {"n": 0}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        n_batches["n"] += 1
+        (
+            weblinks.link_edges(batch_df)
+            .write.mode("overwrite")
+            .parquet(os.path.join(edges_dir, f"batch_id={batch_id}"))
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]
+
+
+def read_link_graph(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Fold the per-batch partial counts into the host graph (one
+    aggregation — the partials are already host-pair-keyed and tiny)."""
+    return (
+        spark.read.parquet(os.path.join(out_dir, "link_edges"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.sum("n_links").cast("long").alias("n_links"))
+    )

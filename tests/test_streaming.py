@@ -200,3 +200,34 @@ def test_stateful_entity_totals_accumulate_across_runs(spark, tmp_path):
     t2 = latest_totals()
     for e, n in expected.items():
         assert t2[e] == n, (e, t2.get(e), n)
+
+
+def test_incremental_link_graph_fold_equals_batch(spark, tmp_path):
+    from hebrew_ner_spark.operators import weblinks
+    from hebrew_ner_spark.sources.catalog import load_table
+
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    docs = load_table(spark, SF, "documents").limit(60)
+    pages = weblinks.synth_linked_pages(docs)
+    wave1 = pages.where(F.element_at(F.split("url", "/"), -1).cast("long") < 30)
+    wave2 = pages.where(F.element_at(F.split("url", "/"), -1).cast("long") >= 30)
+
+    wave1.coalesce(1).write.mode("append").parquet(src)
+    n1 = incremental.run_incremental_link_graph(spark, src, out, ckpt)
+    assert n1 >= 1
+    g1 = {tuple(r) for r in incremental.read_link_graph(spark, out).collect()}
+    want1 = {tuple(r) for r in weblinks.link_edges(wave1).collect()}
+    assert g1 == want1
+
+    # second wave: only the new files process, and the fold now equals
+    # the batch build over EVERYTHING
+    wave2.coalesce(1).write.mode("append").parquet(src)
+    n2 = incremental.run_incremental_link_graph(spark, src, out, ckpt)
+    assert n2 >= 1
+    folded = {tuple(r) for r in incremental.read_link_graph(spark, out).collect()}
+    want = {tuple(r) for r in weblinks.link_edges(pages).collect()}
+    assert folded == want
