@@ -36,10 +36,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from pyspark.storagelevel import StorageLevel
+
 from hebrew_ner_spark.functions.hashing import phash_col
 from hebrew_ner_spark.operators import dedup
 
 NEG_K = 3
+
+# previous invocation's persisted rank table (see negative_samples) —
+# the one-table-per-session eviction discipline (alphabet_encode._LAST_TOKS)
+_LAST_RANKS = None
 TRAIN_PCT = 80  # bucket < 80 -> train
 VAL_PCT = 10  # bucket < 90 -> val; else test
 RANK_BUCKET = 64  # ids per rank bucket (two-level dense rank)
@@ -123,9 +129,19 @@ def negative_samples(edges: DataFrame, k: int = NEG_K) -> DataFrame:
     the k sample indices, map each hashed rank back to an entity through
     a second join keyed on rank. Both joins are node-table-sized on one
     side — AQE broadcasts them while the graph is small and degrades to
-    shuffle joins at web scale.
+    shuffle joins at web scale. The rank table is referenced three times
+    (obj-rank join, count, neg-rank join), so it is persisted with the
+    one-table-per-session eviction discipline — otherwise the two-window
+    rank subplan executes three times per invocation.
     """
-    ranks = dense_entity_ranks(edges)
+    global _LAST_RANKS
+    if _LAST_RANKS is not None:
+        try:
+            _LAST_RANKS.unpersist()
+        except Exception:
+            pass  # previous SparkSession already stopped; cache died with it
+    ranks = dense_entity_ranks(edges).persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    _LAST_RANKS = ranks
     v = ranks.agg(F.count("*").alias("_v"))
     e = (
         edges.select("subj_id", "pred", "obj_id")

@@ -122,28 +122,44 @@ def synth_linked_pages(docs: DataFrame) -> DataFrame:
 def host_of(url: Column) -> Column:
     """Lower-cased host of an absolute http(s) url ('' if not absolute).
 
-    Port and userinfo are cut at the first ``:``/``@``-free boundary the
-    character class enforces; cross-engine safe (no ``\\s``, no
-    alternation-order dependence — engine-parity rules, BENCH.md).
+    Userinfo is consumed by the optional ``[^/@]*@`` group; port/path/
+    query/fragment are cut by the ``[^/:?#]+`` capture. No lookaround,
+    no ``\\s``, no order-dependent alternation (engine-parity rules,
+    BENCH.md) — though only the Spark side runs this regex; oracles
+    reconstruct hosts closed-form.
     """
-    return F.lower(F.regexp_extract(url, "^[hH][tT][tT][pP][sS]?://([^/:?#]+)", 1))
+    return F.lower(
+        F.regexp_extract(
+            url, "^[hH][tT][tT][pP][sS]?://(?:[^/@]*@)?([^/:?#]+)", 1
+        )
+    )
+
+
+def _scheme_of(url: Column) -> Column:
+    """Lower-cased scheme of the page url, defaulting to https when the
+    page url itself is not absolute."""
+    s = F.lower(F.regexp_extract(url, "^([a-zA-Z]+)://", 1))
+    return F.when(s == "", F.lit("https")).otherwise(s)
 
 
 def canonical_href(href: Column, page_url: Column) -> Column:
     """Resolve + normalize one href against its page url.
 
     Rules (the subset a CC-scale dedup actually needs, applied in order):
-    fragment then query stripped; protocol-relative ``//h/p`` gains
-    ``https:``; root-relative ``/p`` gains the page's scheme+host;
-    scheme+host lower-cased; one trailing slash stripped. Pure codegen —
-    every rule is a string primitive, no UDF.
+    fragment then query stripped; protocol-relative ``//h/p`` and
+    root-relative ``/p`` inherit the PAGE's scheme (browser semantics —
+    an http page's relative links must resolve back into the http page
+    table, or link_resolution reports false danglings); scheme+host
+    lower-cased; one trailing slash stripped. Pure codegen — every rule
+    is a string primitive, no UDF.
     """
+    scheme = _scheme_of(page_url)
     s = F.substring_index(F.substring_index(href, "#", 1), "?", 1)
     s = (
-        F.when(s.startswith("//"), F.concat(F.lit("https:"), s))
+        F.when(s.startswith("//"), F.concat(scheme, F.lit(":"), s))
         .when(
             s.startswith("/"),
-            F.concat(F.lit("https://"), host_of(page_url), s),
+            F.concat(scheme, F.lit("://"), host_of(page_url), s),
         )
         .otherwise(s)
     )
@@ -321,7 +337,7 @@ def quality_hosts(pages: DataFrame) -> DataFrame:
     (kmeans-centroid precedent) instead of crossJoined."""
     hq = host_quality(pages)
     tot = hq.agg(F.sum("n_pages").alias("tp"), F.sum("n_pass").alias("ts")).collect()[0]
-    tp, ts = int(tot.tp), int(tot.ts or 0)
+    tp, ts = int(tot.tp or 0), int(tot.ts or 0)  # both NULL on an empty corpus
     return hq.where(F.col("n_pass") * F.lit(tp) > F.lit(ts) * F.col("n_pages")).select(
         "host"
     )

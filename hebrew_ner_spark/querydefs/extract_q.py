@@ -50,3 +50,31 @@ def ext_webpages(spark, sf_dir):
             "url", F.unix_millis("warc_ts").alias("warc_ms"), "extracted"
         )
     )
+
+
+from hebrew_ner_spark.sources.warc import (  # noqa: E402
+    PAGES_PER_SEGMENT as _PAGES_PER_SEGMENT,
+)
+
+
+@query(
+    "ext_warc_roundtrip",
+    oracle=f"""
+    SELECT doc_id // {_PAGES_PER_SEGMENT} AS segment_id,
+           'https://example.org/' || lang || '/doc/' || CAST(doc_id AS VARCHAR) AS url,
+           '2024-01-01T00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || 'Z'
+             AS warc_date,
+           text
+    FROM documents
+    """,
+)
+def ext_warc_roundtrip(spark, sf_dir):
+    """WARC segment ingestion end to end: synthesize length-framed
+    segment files (one binary blob per ~50 pages), walk them back out
+    with the mapInPandas record parser, and demand every (url, date,
+    payload) byte-identically — octet (not char) Content-Length framing
+    over multi-byte Hebrew text is exactly what this gate would catch."""
+    from hebrew_ner_spark.sources import warc
+
+    docs = load_table(spark, sf_dir, "documents")
+    return warc.parse_warc_segments(warc.synth_warc_segments(docs))

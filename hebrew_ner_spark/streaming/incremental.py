@@ -278,9 +278,16 @@ def run_incremental_link_graph(
 
 def read_link_graph(spark: SparkSession, out_dir: str) -> DataFrame:
     """Fold the per-batch partial counts into the host graph (one
-    aggregation — the partials are already host-pair-keyed and tiny)."""
+    aggregation — the partials are already host-pair-keyed and tiny).
+    A drain that processed zero batches wrote nothing; fold to an empty
+    graph instead of raising PATH_NOT_FOUND."""
+    edges_dir = os.path.join(out_dir, "link_edges")
+    if not os.path.exists(edges_dir):
+        return spark.createDataFrame(
+            [], "src_host string, dst_host string, n_links long"
+        )
     return (
-        spark.read.parquet(os.path.join(out_dir, "link_edges"))
+        spark.read.parquet(edges_dir)
         .groupBy("src_host", "dst_host")
         .agg(F.sum("n_links").cast("long").alias("n_links"))
     )

@@ -24,6 +24,8 @@ ARGS = list(sys.argv[1:])
 JSON_OUT = None
 if "--json" in ARGS:
     i = ARGS.index("--json")
+    if i + 1 >= len(ARGS):
+        raise SystemExit("usage: check_correctness.py [sf_dir] [q1,q2] --json PATH")
     JSON_OUT = ARGS[i + 1]
     del ARGS[i : i + 2]
 
@@ -114,7 +116,11 @@ def main() -> int:
         with open(JSON_OUT, "w") as f:
             json.dump(results, f, indent=2)
         print(f"wrote {JSON_OUT} ({len(results)} queries)")
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries pass")
+    # count what actually RAN — a filtered run must not print a
+    # full-registry pass line it never earned
+    n_run = len(results)
+    subset = f" (subset of {len(qs)} registered)" if n_run < len(qs) else ""
+    print(f"\n{n_run - len(failures)}/{n_run} queries pass{subset}")
     return 1 if failures else 0
 
 

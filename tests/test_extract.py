@@ -89,3 +89,34 @@ def test_webpages_shape_and_kg_chain_over_urls(spark):
         for r in kg.doc_triples(expected_docs).collect()
     }
     assert got == exp and len(got) > 0
+
+
+class TestWarcSource:
+    def test_payload_containing_warc_magic_parses(self, spark):
+        # length framing, not delimiter splitting: a payload that embeds
+        # the record header verbatim must round-trip intact
+        evil = "body with WARC/1.0\r\n\r\n embedded plus multi-byte שלום"
+        docs = spark.createDataFrame(
+            [(0, evil, "he"), (1, "plain", "he")],
+            "doc_id long, text string, lang string",
+        )
+        from hebrew_ner_spark.sources import warc
+
+        rows = {
+            r.url: r.text
+            for r in warc.parse_warc_segments(warc.synth_warc_segments(docs)).collect()
+        }
+        assert rows["https://example.org/he/doc/0"] == evil
+        assert rows["https://example.org/he/doc/1"] == "plain"
+
+    def test_malformed_segment_raises(self, spark):
+        from hebrew_ner_spark.sources import warc
+        import pytest
+        from py4j.protocol import Py4JJavaError
+
+        bad = spark.createDataFrame(
+            [(0, bytearray(b"WARC/1.0\r\nNo-Length: x\r\n\r\npayload"))],
+            "segment_id long, data binary",
+        )
+        with pytest.raises(Exception):
+            warc.parse_warc_segments(bad).collect()

@@ -231,3 +231,14 @@ def test_incremental_link_graph_fold_equals_batch(spark, tmp_path):
     folded = {tuple(r) for r in incremental.read_link_graph(spark, out).collect()}
     want = {tuple(r) for r in weblinks.link_edges(pages).collect()}
     assert folded == want
+
+
+def test_read_link_graph_empty_drain(spark, tmp_path):
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    # drain an empty source: zero batches, nothing written
+    n = incremental.run_incremental_link_graph(spark, src, out, ckpt)
+    assert n == 0
+    assert incremental.read_link_graph(spark, out).count() == 0

@@ -158,3 +158,31 @@ class TestHostQuality:
         assert hq["ex0.example.net"] == (4, 4) and hq["ex2.example.net"] == (4, 0)
         keep = {r.host for r in weblinks.quality_hosts(pages).collect()}
         assert keep == {"ex0.example.net", "ex1.example.net"}
+
+
+class TestReviewRegressions:
+    def test_http_page_relative_links_keep_scheme(self, spark):
+        # an http page's relative links must resolve back into the http
+        # url space, or link_resolution reports false danglings
+        canon_root = TestCanonicalHref()._canon(
+            spark, "/p/3", page_url="http://old.example.net/p/5"
+        )
+        assert canon_root[0] == "http://old.example.net/p/3"
+        canon_proto = TestCanonicalHref()._canon(
+            spark, "//cdn.example.net/p/9", page_url="http://old.example.net/p/5"
+        )
+        assert canon_proto[0] == "http://cdn.example.net/p/9"
+
+    def test_userinfo_stripped_from_host(self, spark):
+        _, host = TestCanonicalHref()._canon(spark, "https://alice@h.example.net/x")
+        assert host == "h.example.net"
+        _, host2 = TestCanonicalHref()._canon(
+            spark, "https://alice:pw@h.example.net:8443/x"
+        )
+        assert host2 == "h.example.net"
+
+    def test_quality_hosts_empty_corpus(self, spark):
+        empty = spark.createDataFrame(
+            [], "url string, warc_ts timestamp, html binary, text string, lang string"
+        )
+        assert weblinks.quality_hosts(empty).count() == 0
