@@ -78,3 +78,28 @@ def ext_warc_roundtrip(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return warc.parse_warc_segments(warc.synth_warc_segments(docs))
+
+
+from hebrew_ner_spark.querydefs.kg_chain import (  # noqa: E402
+    _TRIPLES_ORACLE as _WARC_TRIPLES_ORACLE,
+)
+
+
+@query("ext_warc_to_triples", oracle=_WARC_TRIPLES_ORACLE)
+def ext_warc_to_triples(spark, sf_dir):
+    """Ingestion-to-extraction lifecycle: WARC segment files -> record
+    parser -> doc_id recovered from the record URI -> the production
+    triple extractor — the first half of the 10^12-page job, end to end
+    from raw bytes. Oracle is kg_triples' own (the parse layer must be
+    invisible to extraction)."""
+    from pyspark.sql import functions as F
+
+    from hebrew_ner_spark.operators import kg
+    from hebrew_ner_spark.sources import warc
+
+    docs = load_table(spark, sf_dir, "documents")
+    parsed = warc.parse_warc_segments(warc.synth_warc_segments(docs))
+    recovered = parsed.select(
+        F.element_at(F.split("url", "/"), -1).cast("long").alias("doc_id"), "text"
+    )
+    return kg.doc_triples(recovered)
