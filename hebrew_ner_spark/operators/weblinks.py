@@ -122,7 +122,9 @@ def synth_linked_pages(docs: DataFrame) -> DataFrame:
 def host_of(url: Column) -> Column:
     """Lower-cased host of an absolute http(s) url ('' if not absolute).
 
-    Userinfo is consumed by the optional ``[^/@]*@`` group; port/path/
+    Userinfo is consumed by the optional ``[^/?#@]*@`` group — which
+    must stop at ``?``/``#`` too, or a pathless url with an ``@`` in its
+    query ('?email=a@b.org') would donate the wrong host; port/path/
     query/fragment are cut by the ``[^/:?#]+`` capture. No lookaround,
     no ``\\s``, no order-dependent alternation (engine-parity rules,
     BENCH.md) — though only the Spark side runs this regex; oracles
@@ -130,7 +132,7 @@ def host_of(url: Column) -> Column:
     """
     return F.lower(
         F.regexp_extract(
-            url, "^[hH][tT][tT][pP][sS]?://(?:[^/@]*@)?([^/:?#]+)", 1
+            url, "^[hH][tT][tT][pP][sS]?://(?:[^/?#@]*@)?([^/:?#]+)", 1
         )
     )
 

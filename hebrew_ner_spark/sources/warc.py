@@ -90,6 +90,12 @@ def parse_warc_segments(segments: DataFrame) -> DataFrame:
                     )
                     n = int(fields["Content-Length"])
                     body_start = hdr_end + 4
+                    if body_start + n > len(buf):
+                        raise ValueError(
+                            f"truncated WARC segment {seg_id}: record at byte "
+                            f"{pos} declares {n} payload bytes, "
+                            f"{len(buf) - body_start} remain"
+                        )
                     payload = buf[body_start : body_start + n].decode("utf-8")
                     out.append(
                         (

@@ -280,14 +280,20 @@ def read_link_graph(spark: SparkSession, out_dir: str) -> DataFrame:
     """Fold the per-batch partial counts into the host graph (one
     aggregation — the partials are already host-pair-keyed and tiny).
     A drain that processed zero batches wrote nothing; fold to an empty
-    graph instead of raising PATH_NOT_FOUND."""
+    graph instead of raising PATH_NOT_FOUND — caught from the reader
+    (not os.path.exists, which is local-FS-only and would silently
+    empty a populated s3a://hdfs:// graph)."""
+    from pyspark.errors import AnalysisException
+
     edges_dir = os.path.join(out_dir, "link_edges")
-    if not os.path.exists(edges_dir):
+    try:
+        partials = spark.read.parquet(edges_dir)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
         return spark.createDataFrame(
             [], "src_host string, dst_host string, n_links long"
         )
-    return (
-        spark.read.parquet(edges_dir)
-        .groupBy("src_host", "dst_host")
-        .agg(F.sum("n_links").cast("long").alias("n_links"))
+    return partials.groupBy("src_host", "dst_host").agg(
+        F.sum("n_links").cast("long").alias("n_links")
     )

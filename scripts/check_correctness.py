@@ -121,6 +121,11 @@ def main() -> int:
     n_run = len(results)
     subset = f" (subset of {len(qs)} registered)" if n_run < len(qs) else ""
     print(f"\n{n_run - len(failures)}/{n_run} queries pass{subset}")
+    if only and n_run == 0:
+        # a filter that matched nothing verified nothing — that is a
+        # failure (typo'd query names must not pass a CI gate)
+        print(f"ERROR: filter matched no registered query: {only}")
+        return 1
     return 1 if failures else 0
 
 

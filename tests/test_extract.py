@@ -112,11 +112,26 @@ class TestWarcSource:
     def test_malformed_segment_raises(self, spark):
         from hebrew_ner_spark.sources import warc
         import pytest
-        from py4j.protocol import Py4JJavaError
 
         bad = spark.createDataFrame(
             [(0, bytearray(b"WARC/1.0\r\nNo-Length: x\r\n\r\npayload"))],
             "segment_id long, data binary",
         )
         with pytest.raises(Exception):
+            warc.parse_warc_segments(bad).collect()
+
+    def test_truncated_payload_raises(self, spark):
+        # declared Content-Length past the buffer end must surface, not
+        # silently truncate the record
+        from hebrew_ner_spark.sources import warc
+        import pytest
+
+        blob = (
+            b"WARC/1.0\r\nWARC-Target-URI: u\r\nWARC-Date: d\r\n"
+            b"Content-Length: 999\r\n\r\nshort"
+        )
+        bad = spark.createDataFrame(
+            [(0, bytearray(blob))], "segment_id long, data binary"
+        )
+        with pytest.raises(Exception, match="truncated WARC segment"):
             warc.parse_warc_segments(bad).collect()

@@ -186,3 +186,10 @@ class TestReviewRegressions:
             [], "url string, warc_ts timestamp, html binary, text string, lang string"
         )
         assert weblinks.quality_hosts(empty).count() == 0
+
+    def test_at_sign_in_query_not_userinfo(self, spark):
+        # '@' in a pathless query/fragment must not be read as userinfo
+        _, host = TestCanonicalHref()._canon(spark, "https://h.example.net?e=a@b.org")
+        assert host == "h.example.net"
+        _, host2 = TestCanonicalHref()._canon(spark, "https://h.example.net#a@b")
+        assert host2 == "h.example.net"
