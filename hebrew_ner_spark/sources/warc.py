@@ -13,7 +13,11 @@ Layout mirrors the real ingestion shape: ONE ROW PER SEGMENT FILE
 ``mapInPandas`` kernel — record walking is inherently sequential per
 segment, the one place Python belongs (the multimodal frame-sample
 precedent); parallelism comes from segments, exactly as a 10^12-page
-crawl parallelizes over its ~10^8 segment files. Synthesis is the
+crawl parallelizes over its ~10^8 segment files. Memory bound: each
+segment blob crosses Arrow whole, so executor memory must hold
+(arrow batch rows) x (segment size) — for CC's ~1 GB segments set
+``spark.sql.execution.arrow.maxRecordsPerBatch=1`` (one segment per
+batch) or pre-chunk segments at record boundaries during landing. Synthesis is the
 inverse, built JVM-side: per-page record strings (codegen concat with
 ``octet_length`` framing) grouped into segments with an order-pinned
 ``array_join(array_sort(collect_list(struct)))``.
