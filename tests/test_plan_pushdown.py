@@ -10,9 +10,20 @@ quietly scanning the full corpus.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _uncached_scans(spark):
+    # Other modules cache DataFrames over the same parquet paths; Spark's
+    # cache manager then substitutes InMemoryRelation for any matching
+    # sub-plan, which hides the FileScan (and its PushedFilters /
+    # ReadSchema) these contracts assert on. Clear it — recomputation is
+    # the only effect on the rest of the suite.
+    spark.catalog.clearCache()
 
 
 def _plan(df) -> str:
