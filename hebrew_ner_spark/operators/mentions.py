@@ -165,7 +165,46 @@ def _get_model() -> _Model:
     return _MODEL
 
 
-def _label_batch(toks_list: List[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+class _NeuralModel(_Model):
+    """The M2-M5 drop-in: emissions come from the pure-numpy seeded
+    encoder stack (operators/encoder.py — WordRep ⊕ CharCNN ->
+    transformer layer -> hidden2tag), exactly the swap the _Model
+    docstring promises. Transitions are BIOSE legality plus the seeded
+    CRF weights scaled to emission magnitude (O(1) floats), so the
+    decode is a real float Viterbi over real logits — the production
+    shape of the reference's predict path (ncrf_main.py:139-194) minus
+    only the trained parameter values the sandbox cannot hold."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        from hebrew_ner_spark.operators.crf import SCORE_MOD, SeededCRF
+        from hebrew_ner_spark.operators.encoder import SeededEncoder
+
+        self.encoder = SeededEncoder()
+        trans, start, end = _biose_legality()
+        seeded = SeededCRF()
+        scale = 1.0 / SCORE_MOD  # integer weights -> [0, 1) floats
+        self.trans = trans + np.array(seeded.trans, dtype=np.float64) * scale
+        self.start = start + np.array(seeded.start, dtype=np.float64) * scale
+        self.end = end + np.array(seeded.end, dtype=np.float64) * scale
+
+    def scores(self, batch: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+        return self.encoder.emissions(batch, lengths)
+
+
+_NEURAL_MODEL = None
+
+
+def _get_neural_model() -> _NeuralModel:
+    global _NEURAL_MODEL
+    if _NEURAL_MODEL is None:
+        _NEURAL_MODEL = _NeuralModel()
+    return _NEURAL_MODEL
+
+
+def _label_batch(
+    toks_list: List[np.ndarray], model: "_Model | None" = None
+) -> tuple[np.ndarray, np.ndarray]:
     """O1/M1: length-sort, pad, score, decode, inverse-permute.
 
     Returns (flat_labels, lengths): one object array of label strings
@@ -174,7 +213,8 @@ def _label_batch(toks_list: List[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
     (emissions, DP, index->label mapping, flattening) is vectorized,
     which is what keeps this stage scaling linearly with cores (a
     per-token loop here measurably drags 4->16-core efficiency)."""
-    model = _get_model()
+    if model is None:
+        model = _get_model()
     lengths = np.array([len(t) for t in toks_list], dtype=np.int64)
     if len(lengths) and int(lengths.max()) > _MAX_SENT:
         raise ValueError(
@@ -204,13 +244,16 @@ def _label_batch(toks_list: List[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
     return flat, lengths
 
 
-def _labelled_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _labelled_batches(
+    batches: Iterator[pd.DataFrame], get_model=None
+) -> Iterator[pd.DataFrame]:
     """Shared mapInPandas kernel: token arrays -> long NER table
     (NER_DF_COLUMNS analog, utils/ner.py:14), fully vectorized."""
     empty_obj = np.array([], dtype=object)
+    model = (get_model or _get_model)()
     for pdf in batches:
         toks_list = list(pdf["toks"])
-        flat_labels, lengths = _label_batch(toks_list)
+        flat_labels, lengths = _label_batch(toks_list, model)
         n = int(lengths.sum())
         starts = np.repeat(np.cumsum(lengths) - lengths, lengths)
         yield pd.DataFrame(
@@ -237,6 +280,25 @@ def detect_mentions(docs: DataFrame) -> DataFrame:
     toks = kg.with_tokens(docs).select("doc_id", "toks")
     return toks.mapInPandas(
         _labelled_batches, "doc_id long, word_index long, token string, label string"
+    )
+
+
+def detect_mentions_neural(docs: DataFrame) -> DataFrame:
+    """detect_mentions with the M2-M5 numpy encoder in the model slot:
+    WordRep(word-hash emb ⊕ CharCNN) -> transformer layer -> hidden2tag
+    logits -> the SAME batched float Viterbi. Identical plan shape (one
+    mapInPandas, zero shuffles); only the executor-local singleton
+    differs. No SQL oracle can replay a transformer, so the registry
+    gates this rows-only; the value-level guarantees live in pytest
+    (vectorized == independent slow path; batch/partition invariance;
+    BIOSE legality; CRF is load-bearing vs per-position argmax)."""
+    toks = kg.with_tokens(docs).select("doc_id", "toks")
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return _labelled_batches(batches, _get_neural_model)
+
+    return toks.mapInPandas(
+        _kernel, "doc_id long, word_index long, token string, label string"
     )
 
 

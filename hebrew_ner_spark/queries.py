@@ -43,7 +43,9 @@ _WINDOW = [
     "ann_lsh_buckets",
     "ann_lsh_topk",
     "emb_near_dups",
-    "emb_near_dups_skew",
+    # emb_near_dups_skew rotated out for mention_model_neural: judge-
+    # verified in r2 and same bucketed-matmul plan family as in-window
+    # emb_near_dups / emb_near_dup_overflow
     "emb_near_dup_overflow",
     "ann_ivf_topk",
     "ann_recall",
@@ -54,6 +56,7 @@ _WINDOW = [
     "txt_normalize",
     "txt_quality_filter",
     # -- new or semantically changed in round 3 --
+    "mention_model_neural",
     "mm_decode",
     "ann_kmeans_cells",
     "link_fuzzy_minhash",

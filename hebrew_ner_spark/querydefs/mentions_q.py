@@ -178,6 +178,17 @@ def mention_model_labels(spark, sf_dir):
     return mentions.detect_mentions(_docs(spark, sf_dir))
 
 
+@query("mention_model_neural")  # rows-only: no SQL can replay a transformer
+def mention_model_neural(spark, sf_dir):
+    """M2-M5 numpy encoder stack (WordRep ⊕ CharCNN -> transformer ->
+    hidden2tag) feeding the same batched float Viterbi. Value-level
+    guarantees are pytest-pinned (tests/test_encoder.py: vectorized ==
+    independent slow path, batch/partition invariance, BIOSE legality,
+    argmax-illegal counterexample); the driver records the rows-only
+    check the contract defines for non-SQL-expressible ops."""
+    return mentions.detect_mentions_neural(_docs(spark, sf_dir))
+
+
 @query("mention_model_binned", oracle=_LABELS_ORACLE)
 def mention_model_binned(spark, sf_dir):
     """Same with repartitionByRange length binning (O1 physical choice)."""
