@@ -1,0 +1,170 @@
+"""Training-data curation operators: PII redaction, repetition signals,
+token-budget sampling.
+
+These generalize the reference's corpus-preparation stance (its CoNLL
+pipeline filters sentences by length and normalizes text before
+training — utils/data.py length filters, utils/hebrew.py normalizers)
+into the three curation stages an LLM web-corpus pipeline runs after
+dedup/quality: strip PII, drop degenerate-repetition documents (the
+Gopher repetition rules), and cut a deterministic token-budget sample
+per language stratum.
+
+Scale notes (the reason these shapes were chosen):
+
+* ``redact_pii`` is pure codegen column expressions — zero shuffles,
+  regexes engine-portable (no lookaround, explicit classes) so the
+  DuckDB oracle replays them exactly.
+* ``repetition_stats`` shuffles on (doc_id, gram) — high-cardinality,
+  skew-free keys with map-side partial aggregation; nothing quadratic.
+* ``token_budget_sample`` is the part naive implementations get wrong
+  at 100 TB: a per-stratum running sum is a single-task window over the
+  whole stratum. Here the prefix is resolved at BUCKET grain first
+  (≤ N_BUCKETS rows per stratum — trivially small), and only the ONE
+  boundary bucket per stratum (~1/N_BUCKETS of the data) is resolved at
+  document grain. Both windows are deterministic (portable-hash order),
+  so the sample is reproducible across runs, partitionings and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hebrew_ner_spark.functions.hashing import phash_col
+
+# Engine-portable PII patterns: ASCII classes only, no lookaround, no
+# backreferences — the Java (Spark) and RE2 (DuckDB) subsets agree.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+\d{1,3}-\d{3}-\d{4}"
+
+# Redaction order is part of the contract (each pass sees the previous
+# pass's output): emails first (they can contain digit runs), then IPs,
+# then phones.
+_REDACTIONS = [(EMAIL_RE, "<EMAIL>"), (IPV4_RE, "<IP>"), (PHONE_RE, "<PHONE>")]
+
+N_BUCKETS = 256  # token_budget_sample bucket fan-out
+SAMPLE_SEED = 7
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, redacted, n_email, n_ip, n_phone): counts are measured on
+    the ORIGINAL text, then the three patterns are replaced in a fixed
+    order. One narrow codegen stage, zero shuffles, no Python."""
+    red = F.col(text_col)
+    for pat, tag in _REDACTIONS:
+        red = F.regexp_replace(red, pat, tag)
+    return docs.select(
+        "doc_id",
+        red.alias("redacted"),
+        F.regexp_count(F.col(text_col), F.lit(EMAIL_RE)).cast("long").alias("n_email"),
+        F.regexp_count(F.col(text_col), F.lit(IPV4_RE)).cast("long").alias("n_ip"),
+        F.regexp_count(F.col(text_col), F.lit(PHONE_RE)).cast("long").alias("n_phone"),
+    )
+
+
+def _grams(toks_col: str, k: int) -> F.Column:
+    """All word k-grams (NOT distinct — repetition needs multiplicity)."""
+    return F.expr(
+        f"""
+        CASE WHEN size({toks_col}) < {k} THEN array()
+             ELSE transform(sequence(0, size({toks_col}) - {k}),
+                            i -> concat_ws(' ', slice({toks_col}, i + 1, {k})))
+        END
+        """
+    )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per document:
+
+    * ``top2_frac_1e6``  — occurrences of the most frequent 2-gram over
+      total 2-grams (Gopher "top n-gram fraction");
+    * ``dup5_frac_1e6``  — fraction of 5-gram occurrences that are
+      repeats of an earlier occurrence (Gopher "duplicate n-gram
+      fraction").
+
+    Fractions use the repo's exact integer half-up rounding, so the
+    DuckDB oracle matches bit-for-bit. Documents too short for a k-gram
+    report 0 (no evidence of repetition). Shuffle keys are
+    (doc_id, gram): high-cardinality, partial-agg friendly, skew-free.
+    """
+    toks = docs.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    base = toks.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+
+    def _agg(k: int):
+        g = toks.select(
+            "doc_id", F.explode(_grams("toks", k)).alias("gram")
+        )
+        per_gram = g.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+        return per_gram.groupBy("doc_id").agg(
+            F.sum("cnt").alias(f"tot{k}"),
+            F.max("cnt").alias(f"max{k}"),
+            F.count("*").alias(f"n_distinct{k}"),
+        )
+
+    a2, a5 = _agg(2), _agg(5)
+    joined = base.join(a2, "doc_id", "left").join(a5, "doc_id", "left")
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(
+            "CASE WHEN tot2 IS NULL THEN CAST(0 AS BIGINT) ELSE "
+            "CAST((2 * max2 * 1000000 + tot2) DIV (2 * tot2) AS BIGINT) END"
+        ).alias("top2_frac_1e6"),
+        F.expr(
+            "CASE WHEN tot5 IS NULL THEN CAST(0 AS BIGINT) ELSE "
+            "CAST((2 * (tot5 - n_distinct5) * 1000000 + tot5) DIV (2 * tot5) AS BIGINT) END"
+        ).alias("dup5_frac_1e6"),
+    )
+
+
+def token_budget_sample(docs: DataFrame, budget_per_lang: int) -> DataFrame:
+    """Deterministic per-language token-budget sample: keep the hash-order
+    prefix of each lang stratum whose cumulative token count fits the
+    budget. Two-level resolution (bucket prefix + one boundary bucket at
+    doc grain) — see module docstring for why the naive per-stratum
+    window does not survive 100 TB.
+
+    Selection rule (identical in the oracle): within each lang, docs
+    order by (bucket, h, doc_id) where h = phash('SMP|' || doc_id) and
+    bucket = h % N_BUCKETS; a doc is kept iff its cumulative token count
+    (inclusive) under that order <= budget. Bucket-major order is what
+    makes the two-level resolution exact — full prefix buckets are kept
+    wholesale, and only the first over-budget bucket needs doc grain.
+    """
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_toks"),
+        phash_col(F.concat(F.lit("SMP|"), F.col("doc_id").cast("string")), SAMPLE_SEED).alias("h"),
+    ).withColumn("bucket", F.col("h") % N_BUCKETS)
+
+    # bucket grain: <= N_BUCKETS rows per lang — the window is tiny
+    bt = d.groupBy("lang", "bucket").agg(F.sum("n_toks").alias("btoks"))
+    wb = Window.partitionBy("lang").orderBy("bucket")
+    bt = bt.withColumn("bcum", F.sum("btoks").over(wb)).withColumn(
+        "bprev", F.col("bcum") - F.col("btoks")
+    )
+
+    full = bt.where(F.col("bcum") <= budget_per_lang).select("lang", "bucket")
+    boundary = bt.where(
+        (F.col("bprev") < budget_per_lang) & (F.col("bcum") > budget_per_lang)
+    ).select("lang", "bucket", "bprev")
+
+    kept_full = d.join(F.broadcast(full), ["lang", "bucket"], "left_semi")
+
+    # doc grain only inside the one boundary bucket per lang (~1/N_BUCKETS
+    # of each stratum)
+    wd = Window.partitionBy("lang").orderBy("h", "doc_id")
+    bdocs = (
+        d.join(F.broadcast(boundary), ["lang", "bucket"])
+        .withColumn("dcum", F.sum("n_toks").over(wd))
+        .where(F.col("bprev") + F.col("dcum") <= budget_per_lang)
+    )
+
+    return kept_full.select("lang", "doc_id", "n_toks").unionByName(
+        bdocs.select("lang", "doc_id", "n_toks")
+    )

@@ -65,8 +65,13 @@ _WINDOW = [
     "mm_features",
     "mention_model_labels",
     "lbl_alphabet_encode",
-    "eval_span_prf",
-    "cc_dedup_components",
+    # eval_span_prf / cc_dedup_components rotated out (two rounds of
+    # driver-green history + judge re-checks) for the riskiest new
+    # cross-engine shapes: portable-regex redaction and the two-level
+    # budget sample; cur_repetition rides CORRECTNESS_FULL (same
+    # gram/groupBy machinery as the in-window dedup shingle gates)
+    "cur_pii_redact",
+    "cur_token_budget",
     "kg_triples_deppat",
     "kg_edges_typed",
     "kg_cooc_lift",

@@ -2,6 +2,7 @@
 
 from hebrew_ner_spark.querydefs import (  # noqa: F401
     crawl_q,
+    curation_q,
     dedup_q,
     extract_q,
     graph_q,

@@ -1,0 +1,117 @@
+"""Curation-operator queries + DuckDB oracles (PII redaction,
+repetition signals, token-budget sampling).
+
+The testdata corpus contains no natural PII, so ``cur_pii_redact``
+PLANTS it deterministically from doc_id inside the query — the same
+planting expression on both engines (the repo's planted-group pattern,
+cf. dedup_exact) — making the gate non-vacuous: every third document
+gains an email + IP + phone that must be counted and redacted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hebrew_ner_spark.functions.hashing import phash_duck
+from hebrew_ner_spark.operators import curation
+from hebrew_ner_spark.registry import query
+from hebrew_ner_spark.sources.catalog import load_table
+
+BUDGET = 3000  # tokens per lang stratum for cur_token_budget
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+# Identical planting expression in Spark SQL and DuckDB SQL: every third
+# doc gets ' contact user<id>@example.com ip 10.0.<id%256>.7 tel
+# +12-345-<id%10000 lpad 4>' appended.
+_PLANT_SPARK = (
+    "CASE WHEN doc_id % 3 = 0 THEN concat(text, ' contact user', "
+    "CAST(doc_id AS STRING), '@example.com ip 10.0.', "
+    "CAST(doc_id % 256 AS STRING), '.7 tel +12-345-', "
+    "lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) ELSE text END"
+)
+_PLANT_DUCK = (
+    "CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' || "
+    "CAST(doc_id AS VARCHAR) || '@example.com ip 10.0.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.7 tel +12-345-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE text END"
+)
+
+
+@query(
+    "cur_pii_redact",
+    oracle=f"""
+    WITH planted AS (SELECT doc_id, {_PLANT_DUCK} AS text FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '{curation.EMAIL_RE}', '<EMAIL>', 'g'),
+             '{curation.IPV4_RE}', '<IP>', 'g'),
+             '{curation.PHONE_RE}', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text, '{curation.EMAIL_RE}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '{curation.IPV4_RE}')) AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(text, '{curation.PHONE_RE}')) AS BIGINT) AS n_phone
+    FROM planted
+    """,
+)
+def cur_pii_redact(spark, sf_dir):
+    """PII counts + ordered redaction over deterministically planted PII
+    (operators/curation.py redact_pii — zero-shuffle codegen stage)."""
+    planted = _docs(spark, sf_dir).withColumn("text", F.expr(_PLANT_SPARK))
+    return curation.redact_pii(planted)
+
+
+@query(
+    "cur_repetition",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g2 AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 1),
+                 i -> array_to_string(toks[i + 1:i + 2], ' '))) AS gram FROM t),
+    g5 AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 4),
+                 i -> array_to_string(toks[i + 1:i + 5], ' '))) AS gram FROM t),
+    p2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+    p5 AS (SELECT doc_id, gram, count(*) AS cnt FROM g5 GROUP BY 1, 2),
+    a2 AS (SELECT doc_id, sum(cnt) AS tot2, max(cnt) AS max2 FROM p2 GROUP BY 1),
+    a5 AS (SELECT doc_id, sum(cnt) AS tot5, count(*) AS nd5 FROM p5 GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CASE WHEN tot2 IS NULL THEN CAST(0 AS BIGINT)
+                ELSE CAST((2 * max2 * 1000000 + tot2) // (2 * tot2) AS BIGINT) END
+             AS top2_frac_1e6,
+           CASE WHEN tot5 IS NULL THEN CAST(0 AS BIGINT)
+                ELSE CAST((2 * (tot5 - nd5) * 1000000 + tot5) // (2 * tot5) AS BIGINT) END
+             AS dup5_frac_1e6
+    FROM t LEFT JOIN a2 USING (doc_id) LEFT JOIN a5 USING (doc_id)
+    """,
+)
+def cur_repetition(spark, sf_dir):
+    """Gopher repetition signals: top-2-gram fraction + duplicate-5-gram
+    fraction, exact integer rounding (operators/curation.py)."""
+    return curation.repetition_stats(_docs(spark, sf_dir))
+
+
+@query(
+    "cur_token_budget",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+             {phash_duck("'SMP|' || CAST(doc_id AS VARCHAR)", curation.SAMPLE_SEED)} AS h
+      FROM documents
+    ),
+    b AS (SELECT *, h % {curation.N_BUCKETS} AS bucket FROM d),
+    c AS (SELECT *, sum(n_toks) OVER (PARTITION BY lang
+                    ORDER BY bucket, h, doc_id
+                    ROWS UNBOUNDED PRECEDING) AS cum FROM b)
+    SELECT lang, doc_id, n_toks FROM c WHERE cum <= {BUDGET}
+    """,
+)
+def cur_token_budget(spark, sf_dir):
+    """Deterministic per-lang token-budget sample. The oracle replays
+    the selection contract as ONE per-stratum running sum (fine at
+    sf0.01); the Spark plan resolves it at bucket grain with a single
+    boundary bucket at doc grain — the shape that survives 100 TB
+    (operators/curation.py token_budget_sample)."""
+    return curation.token_budget_sample(_docs(spark, sf_dir), BUDGET)

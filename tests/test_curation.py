@@ -1,0 +1,137 @@
+"""Curation operators: closed-form fixtures + distributed invariants."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from hebrew_ner_spark.functions.hashing import phash_py
+from hebrew_ner_spark.operators import curation
+
+
+def test_redact_pii_closed_form(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "write to bob.smith@corp.example.com or 10.0.3.7 now"),
+            (2, "clean document with digits 123 and 45.6 only"),
+            (3, "call +97-234-5678 twice +1-555-0199 and a@b.io"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in curation.redact_pii(docs).collect()}
+    assert out[1]["redacted"] == "write to <EMAIL> or <IP> now"
+    assert (out[1]["n_email"], out[1]["n_ip"], out[1]["n_phone"]) == (1, 1, 0)
+    # no-PII doc passes through byte-identical with zero counts
+    assert out[2]["redacted"] == docs.where("doc_id = 2").first()["text"]
+    assert (out[2]["n_email"], out[2]["n_ip"], out[2]["n_phone"]) == (0, 0, 0)
+    # +1-555-0199 matches \+\d{1,3}-\d{3}-\d{4}
+    assert out[3]["redacted"] == "call <PHONE> twice <PHONE> and <EMAIL>"
+    assert (out[3]["n_email"], out[3]["n_phone"]) == (1, 2)
+
+
+def test_redact_pii_zero_shuffle_plan(spark):
+    docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    plan = (
+        curation.redact_pii(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_repetition_stats_closed_form(spark):
+    docs = spark.createDataFrame(
+        [
+            # 4x "a": bigrams = [a a]x3 -> top2 = 3/3; no 5-grams -> 0
+            (1, "a a a a"),
+            # all-distinct bigrams and 5-grams: top2 = 1/5, dup5 = 0
+            (2, "u v w x y z"),
+            # 6 tokens repeating "a b": bigrams a-b x3, b-a x2 -> top2=3/5;
+            # 5-grams: "a b a b a", "b a b a b" both distinct -> dup5 = 0
+            (3, "a b a b a b"),
+            # one token: no bigrams at all -> both 0 (NULL guard)
+            (4, "solo"),
+            # 10x "r": 5-grams = 6 occurrences of ONE gram -> dup5 = 5/6
+            (5, "r r r r r r r r r r"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in curation.repetition_stats(docs).collect()}
+    assert out[1]["top2_frac_1e6"] == 1_000_000 and out[1]["dup5_frac_1e6"] == 0
+    assert out[2]["top2_frac_1e6"] == 200_000 and out[2]["dup5_frac_1e6"] == 0
+    assert out[3]["top2_frac_1e6"] == 600_000 and out[3]["dup5_frac_1e6"] == 0
+    assert out[4]["top2_frac_1e6"] == 0 and out[4]["n_tokens"] == 1
+    assert out[5]["dup5_frac_1e6"] == 833_333  # round(5/6 * 1e6)
+
+
+def _brute_sample(pdf: pd.DataFrame, budget: int) -> set[tuple]:
+    """Independent pandas replay of the selection contract."""
+    pdf = pdf.copy()
+    pdf["n_toks"] = pdf.text.str.split(" ").str.len()
+    pdf["h"] = [phash_py(f"SMP|{d}", curation.SAMPLE_SEED) for d in pdf.doc_id]
+    pdf["bucket"] = pdf.h % curation.N_BUCKETS
+    keep = set()
+    for lang, g in pdf.groupby("lang"):
+        g = g.sort_values(["bucket", "h", "doc_id"])
+        cum = 0
+        for _, r in g.iterrows():
+            cum += r.n_toks
+            if cum > budget:
+                break
+            keep.add((lang, r.doc_id, r.n_toks))
+    return keep
+
+
+@pytest.fixture(scope="module")
+def sample_docs(spark):
+    rows = [
+        (i, "he" if i % 3 else "en", " ".join(f"w{j}" for j in range(5 + i % 37)))
+        for i in range(300)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "lang", "text"]).cache()
+
+
+def test_token_budget_matches_independent_reference(spark, sample_docs):
+    budget = 900
+    got = {
+        (r["lang"], r["doc_id"], r["n_toks"])
+        for r in curation.token_budget_sample(sample_docs, budget).collect()
+    }
+    want = _brute_sample(sample_docs.toPandas(), budget)
+    assert got == want and got  # non-vacuous
+
+
+def test_token_budget_partition_invariance(spark, sample_docs):
+    budget = 900
+    a = {
+        tuple(r)
+        for r in curation.token_budget_sample(sample_docs, budget).collect()
+    }
+    b = {
+        tuple(r)
+        for r in curation.token_budget_sample(
+            sample_docs.repartition(13), budget
+        ).collect()
+    }
+    assert a == b
+
+
+def test_token_budget_respects_budget_and_monotone(spark, sample_docs):
+    small = curation.token_budget_sample(sample_docs, 400)
+    large = curation.token_budget_sample(sample_docs, 1200)
+    s = small.groupBy("lang").sum("n_toks").collect()
+    assert all(r["sum(n_toks)"] <= 400 for r in s)
+    small_ids = {(r["lang"], r["doc_id"]) for r in small.collect()}
+    large_ids = {(r["lang"], r["doc_id"]) for r in large.collect()}
+    # bucket-major prefix order => a bigger budget only ever adds docs
+    assert small_ids <= large_ids
+
+
+def test_token_budget_plan_broadcasts_bucket_tables(spark, sample_docs):
+    plan = (
+        curation.token_budget_sample(sample_docs, 900)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the bucket-prefix tables join back broadcast — no shuffle join on
+    # the full corpus side
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
