@@ -86,6 +86,45 @@ def split_contamination(docs: DataFrame) -> DataFrame:
     )
 
 
+DECON_K = 8  # decontamination n-gram width (GPT-3 used 13; corpus docs
+# here average ~50 tokens, so 8 keeps the gate non-vacuous while the
+# mechanism is width-agnostic)
+
+
+def decontaminate_ngrams(docs: DataFrame, k: int = DECON_K) -> DataFrame:
+    """(doc_id, n_shared_grams): train-split documents sharing >= 1 exact
+    word k-gram with any test-split document — the GPT-3-style exact
+    decontamination pass that complements split_contamination's
+    near-dup audit (a doc can quote an eval item verbatim without being
+    a near-dup of it).
+
+    Scale shape: the eval split is the SMALL side by construction (10%
+    of buckets, and real eval sets are thousands of docs, not billions)
+    — its distinct k-grams broadcast, so the train side never shuffles:
+    one narrow scan + broadcast join + partial-agg groupBy(doc_id).
+    """
+    from pyspark.sql import functions as F
+
+    from hebrew_ner_spark.functions.hashing import shingles_col
+
+    split = doc_splits(docs).select("doc_id", "split")
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    grams = toks.select(
+        "doc_id", F.explode(shingles_col("toks", k)).alias("gram")
+    )
+    test_grams = (
+        grams.join(split.where("split = 'test'"), "doc_id", "left_semi")
+        .select("gram")
+        .distinct()
+    )
+    train_grams = grams.join(split.where("split = 'train'"), "doc_id", "left_semi")
+    return (
+        train_grams.join(F.broadcast(test_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_shared_grams"))
+    )
+
+
 def dense_entity_ranks(edges: DataFrame) -> DataFrame:
     """(entity_id, r): dense 0-based rank of every node of the edge
     table, ordered by entity_id. Two-level: row_number within a

@@ -91,7 +91,8 @@ _WINDOW = [
 #   web_host_degrees / web_host_pagerank / web_link_resolution /
 #   web_anchor_evidence / web_crawl_to_kg_delta / kg_kcore /
 #   web_host_quality / web_quality_hosts / txt_trigram_score and
-#   trn_doc_splits / trn_contamination / trn_negative_samples — added
+#   trn_doc_splits / trn_contamination / trn_negative_samples /
+#   trn_decontaminate and cur_repetition — added
 #   after the 50-slot window filled; their invariants are pytest-pinned
 #   (canonicalization edge cases, degree conservation, peel cascades,
 #   growth-stable splits, planted cross-split dup, closed-form collision

@@ -15,9 +15,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from hebrew_ner_spark.functions.hashing import phash_duck
+from hebrew_ner_spark.functions.hashing import phash_duck, shingles_duck
 from hebrew_ner_spark.operators import linking, training
-from hebrew_ner_spark.operators.training import NEG_K, TRAIN_PCT, VAL_PCT
+from hebrew_ner_spark.operators.training import DECON_K, NEG_K, TRAIN_PCT, VAL_PCT
 from hebrew_ner_spark.querydefs.dedup_q import _BANDS_CTE, _PAIRS_SQL, NEAR_JACCARD_CTES
 from hebrew_ner_spark.querydefs.graph_q import _dim_values, _edges_ctes
 from hebrew_ner_spark.registry import query
@@ -37,6 +37,26 @@ sp AS (
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
+
+
+@query(
+    "trn_decontaminate",
+    oracle=f"""
+    WITH {_SPLIT_CTE},
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (SELECT doc_id, unnest({shingles_duck("toks", DECON_K)}) AS gram FROM t),
+    tg AS (SELECT DISTINCT gram FROM g JOIN sp USING (doc_id) WHERE split = 'test'),
+    trg AS (SELECT g.doc_id, g.gram FROM g JOIN sp USING (doc_id) WHERE split = 'train')
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+    FROM trg JOIN tg USING (gram) GROUP BY doc_id
+    """,
+)
+def trn_decontaminate(spark, sf_dir):
+    """Exact k-gram decontamination vs the test split: train docs that
+    quote eval items verbatim (operators/training.py
+    decontaminate_ngrams — broadcast eval grams, zero train-side
+    shuffle before the final per-doc count)."""
+    return training.decontaminate_ngrams(_docs(spark, sf_dir))
 
 
 @query(

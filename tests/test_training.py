@@ -97,3 +97,46 @@ class TestNegativeSamples:
             raw = phash_py(f"{r.subj_id}|{r.pred}|{r.obj_id}|{r.neg_i}") % 3
             want = (raw + 1) % 3 if raw == ranks[r.obj_id] else raw
             assert ranks[r.neg_obj_id] == want
+
+
+class TestDecontaminate:
+    # split assignment is hash-stable: doc_ids 1/4/6 land in train,
+    # 0/5/8 in test (phash('split|i') % 100 buckets)
+    QUOTE = "q1 q2 q3 q4 q5 q6 q7 q8"  # exactly DECON_K tokens
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_planted_verbatim_leak_found(self, spark):
+        docs = self._docs(
+            spark,
+            [
+                (1, f"train doc quoting {self.QUOTE} verbatim"),
+                (4, "independent train doc with no overlap at all here"),
+                (0, f"the eval item says {self.QUOTE} and more"),
+                (5, "another clean eval doc of unrelated words entirely"),
+            ],
+        )
+        got = {r.doc_id: r.n_shared_grams for r in
+               training.decontaminate_ngrams(docs).collect()}
+        assert got == {1: 1}  # one shared 8-gram, only the quoting doc
+
+    def test_within_split_duplicates_not_flagged(self, spark):
+        # two TRAIN docs sharing a gram is not eval contamination
+        docs = self._docs(
+            spark,
+            [
+                (1, f"one {self.QUOTE} copy"),
+                (4, f"two {self.QUOTE} copy"),
+                (5, "eval doc with none of those words present at all"),
+            ],
+        )
+        assert training.decontaminate_ngrams(docs).count() == 0
+
+    def test_plan_broadcasts_eval_grams(self, spark):
+        docs = self._docs(spark, [(1, "a b c"), (0, "d e f")])
+        plan = (
+            training.decontaminate_ngrams(docs)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
