@@ -1,0 +1,291 @@
+"""Mergeable cardinality / frequency sketches: HyperLogLog distinct
+counting and Count-Min frequency estimation, exact-integer and
+oracle-reproducible.
+
+Why these belong in the engine: the reference pipeline's corpus stats
+are exact aggregations (utils/data.py vocabulary builds, counter
+passes) — fine at its single-machine corpus scale, but at the north
+rule's web scale "how many distinct tokens / URLs / entities per
+stratum" is the canonical sketch workload. An exact
+``count(distinct x)`` shuffles EVERY distinct item; an HLL register
+table is 256 bigints per group, built with map-side partial
+aggregation (``groupBy(key, register) max(rho)`` combines inside each
+partition before the shuffle), and is MERGEABLE: registers from two
+corpus shards / crawl snapshots / streaming micro-batches combine by
+element-wise max into exactly the sketch of the union — the property
+``sk_hll_merge`` pins cross-engine and ``test_sketches.py`` pins as an
+algebraic invariant. Count-Min is the same story for frequencies: a
+d x w counter grid (4 x 512 here) answers "estimated count of any
+token" with one-sided error (est >= true, overestimate bounded by
+n/w per row, min over d rows), without materializing the full
+vocabulary — the heavy-hitter primitive for stop-list construction,
+skew-key detection (plans/skew.py consumers), and frequency-capped
+sampling at corpus scale.
+
+Determinism contract (the repo-wide pattern — cf. operators/pagerank.py,
+operators/dedup.py): every hash is the portable 60-bit md5 prefix
+(functions/hashing.py), every arithmetic step is int64 with truncating
+division, so the DuckDB oracle reproduces registers, counters, AND the
+final estimates bit-for-bit. The one float in textbook HLL — the
+harmonic mean E = alpha * m^2 / sum(2^-M_j) — is restated in integers:
+
+    S   = sum_j 2^(31 - M_j)           (M_j in [0, 31]; empty => 2^31)
+    T   = 2^47 DIV S                   (m^2 * 2^31 = 2^47 for m = 256)
+    est = (ALPHA_1E6 * T) DIV 10^6     (alpha_256 = 0.7213/(1+1.079/256))
+
+S <= 256 * 2^31 = 2^39 and ALPHA_1E6 * T <= 7.2e5 * 2^39 < 2^63, so
+everything stays in exact int64. rho (leading-zero rank of the low 30
+hash bits) avoids float log2 via string length: both engines' ``bin()``
+render integers without leading zeros, so bitlen(w) = length(bin(w))
+and rho = 31 - bitlen(w), CASE-guarded at w = 0 (rho = 31).
+
+Small-range (linear-counting) correction without engine-divergent
+floats: textbook HLL switches to m * ln(m / V) (V = empty registers)
+when the raw estimate is below 2.5 * m — ln() is float, so instead the
+255 possible corrected values are precomputed ONCE driver-side
+(``_LC_LUT``) and embedded as an integer array literal in BOTH the
+Spark plan and the DuckDB oracle. Neither engine ever evaluates a
+float: the correction is a 1-based array lookup by ``v_zero``, guarded
+by the integer condition ``v_zero > 0 AND raw <= 640``. Production
+knob: raise HLL_P for tighter error (1.04/sqrt(2^p)).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hebrew_ner_spark.functions.hashing import phash_col
+
+# --- HyperLogLog ------------------------------------------------------------
+
+HLL_P = 8  # 2^8 = 256 registers; rel. error ~ 1.04/sqrt(256) = 6.5%
+HLL_M = 1 << HLL_P
+HLL_SEED = 71
+ALPHA_1E6 = 718_272  # floor(1e6 * 0.7213 / (1 + 1.079/256))
+_POW2_52 = 1 << 52  # top-8-of-60 register index divisor
+_POW2_30 = 1 << 30  # low 30 bits form the rank word
+_POW2_31 = 1 << 31
+_POW2_47 = 1 << 47  # m^2 * 2^31
+
+# Linear-counting lookup: _LC_LUT[v - 1] = round(m * ln(m / v)) for
+# v in [1, 255] empty registers. Computed once here (the only float in
+# the module, evaluated driver-side at import) and shipped to both
+# engines as a literal — cross-engine exact by construction.
+_LC_LUT = [int(round(HLL_M * math.log(HLL_M / v))) for v in range(1, HLL_M)]
+LC_THRESHOLD = 5 * HLL_M // 2  # 2.5 * m, the standard regime switch
+LC_LUT_SPARK = "array(" + ",".join(f"{x}L" for x in _LC_LUT) + ")"
+LC_LUT_DUCK = "[" + ",".join(f"CAST({x} AS BIGINT)" for x in _LC_LUT) + "]"
+
+# Count-Min
+CMS_D = 4
+CMS_W = 512
+CMS_SEED = 401
+
+
+def _hll_idx_rho(item: Column) -> tuple[Column, Column]:
+    """(register_index, rho) of one item under the portable hash."""
+    h = phash_col(item, HLL_SEED)
+    idx = F.shiftright(h, 52).cast("long")  # top 8 of the 60 hash bits
+    w = h % F.lit(_POW2_30)
+    rho = (
+        F.when(w == 0, F.lit(31))
+        .otherwise(F.lit(31) - F.length(F.bin(w)))
+        .cast("long")
+    )
+    return idx.alias("reg_idx"), rho.alias("rho")
+
+
+def hll_registers(items: DataFrame, key: str, item: str) -> DataFrame:
+    """(key, reg_idx, reg_max): the HLL register table per group.
+
+    One aggregation: map-side partial max per (key, reg_idx) inside each
+    scan partition, then a register-table-sized shuffle — per group at
+    most 256 rows regardless of item count. This IS the sketch: constant
+    size, mergeable by max, the state a 1000-executor distinct-count
+    carries instead of the items themselves.
+    """
+    idx, rho = _hll_idx_rho(F.col(item))
+    return (
+        items.select(F.col(key), idx, rho)
+        .groupBy(key, "reg_idx")
+        .agg(F.max("rho").alias("reg_max"))
+    )
+
+
+def hll_estimate(registers: DataFrame, key: str) -> DataFrame:
+    """(key, est_distinct, v_zero) from a register table.
+
+    Integer-only raw HLL estimator (module docstring derivation);
+    ``v_zero`` = empty registers, the small-range-regime indicator.
+    """
+    # shiftleft with a *column* bit count needs the SQL form (the Python
+    # API only takes a literal int)
+    s_present = F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(31 - reg_max AS INT))"))
+    n_present = F.count("*")
+    v_zero = (F.lit(HLL_M) - n_present).cast("long")
+    s_total = (s_present + v_zero * F.lit(_POW2_31)).cast("long")
+    agg = registers.groupBy(key).agg(
+        v_zero.alias("v_zero"), s_total.alias("_s")
+    )
+    # truncating integer division (DIV) — float '/' + cast would round
+    # across integer boundaries and diverge from the DuckDB '//' oracle
+    raw = f"({ALPHA_1E6} * ({_POW2_47} DIV _s)) DIV 1000000"
+    est = F.expr(
+        f"CASE WHEN v_zero > 0 AND {raw} <= {LC_THRESHOLD} "
+        f"THEN element_at({LC_LUT_SPARK}, CAST(v_zero AS INT)) "
+        f"ELSE {raw} END"
+    ).cast("long")
+    return agg.select(F.col(key), est.alias("est_distinct"), "v_zero")
+
+
+def hll_merge(a: DataFrame, b: DataFrame, key: str) -> DataFrame:
+    """Element-wise max of two register tables = sketch of the union.
+
+    The mergeability identity — what lets shard-local sketches combine
+    on a coordinator (or across streaming micro-batches) without ever
+    re-reading items. unionByName + one max-agg; both inputs are
+    already register-table-sized.
+    """
+    return (
+        a.unionByName(b)
+        .groupBy(key, "reg_idx")
+        .agg(F.max("reg_max").alias("reg_max"))
+    )
+
+
+def doc_tokens(docs: DataFrame) -> DataFrame:
+    """(lang, token) whitespace tokens — the sketch gates' item stream.
+
+    Plain split so the DuckDB oracle reproduces tokenization verbatim
+    (string_split + empty filter); narrow scan->project->explode,
+    no shuffle.
+    """
+    return (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+    )
+
+
+def vocab_hll(docs: DataFrame) -> DataFrame:
+    """(lang, est_distinct, true_distinct, v_zero): HLL vocabulary-size
+    estimate per language stratum next to the exact count.
+
+    The exact count exists only to make the gate self-evidencing at test
+    scale — at 100 TB you run ONLY the sketch side (the exact branch is
+    the shuffle the sketch exists to avoid).
+    """
+    toks = doc_tokens(docs)
+    est = hll_estimate(hll_registers(toks, "lang", "token"), "lang")
+    exact = toks.groupBy("lang").agg(
+        F.countDistinct("token").alias("true_distinct")
+    )
+    return est.join(exact, "lang").select(
+        "lang", "est_distinct", "true_distinct", "v_zero"
+    )
+
+
+def vocab_hll_merged(docs: DataFrame) -> DataFrame:
+    """(lang, est_merged, est_full): estimate from merging per-half
+    sketches (split by doc_id parity) vs the whole-corpus sketch.
+
+    est_merged == est_full on every row is the mergeability proof the
+    oracle hash-checks; the pytest asserts it algebraically.
+    """
+    toks_a = doc_tokens(docs.where(F.col("doc_id") % 2 == 0))
+    toks_b = doc_tokens(docs.where(F.col("doc_id") % 2 == 1))
+    merged = hll_merge(
+        hll_registers(toks_a, "lang", "token"),
+        hll_registers(toks_b, "lang", "token"),
+        "lang",
+    )
+    est_m = hll_estimate(merged, "lang").select(
+        "lang", F.col("est_distinct").alias("est_merged")
+    )
+    est_f = hll_estimate(
+        hll_registers(doc_tokens(docs), "lang", "token"), "lang"
+    ).select("lang", F.col("est_distinct").alias("est_full"))
+    return est_m.join(est_f, "lang")
+
+
+# --- Count-Min sketch -------------------------------------------------------
+
+
+def cms_counters(items: DataFrame, item: str) -> DataFrame:
+    """(row, bucket, cnt): the d x w Count-Min counter grid.
+
+    Each item lands in one bucket per row (d independent seeded hashes);
+    the grid is built in ONE aggregation over the d-exploded stream —
+    map-side partials collapse each scan partition to <= d*w rows before
+    the shuffle, so the shuffle moves counter grids, not items. Grid
+    size is constant (2048 cells) no matter the corpus.
+    """
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("long").alias("crow"),
+                (phash_col(F.col(item), CMS_SEED + j) % CMS_W).alias("bucket"),
+            )
+            for j in range(CMS_D)
+        ]
+    )
+    return (
+        items.select(F.explode(rows).alias("rb"))
+        .select("rb.crow", "rb.bucket")
+        .groupBy("crow", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(counters: DataFrame, candidates: DataFrame, item: str) -> DataFrame:
+    """(item, est_cnt): point estimates for candidate items.
+
+    est = min over the d rows of the counter each candidate hashes into.
+    One-sided: est >= true count always; overestimate is collision mass,
+    bounded in expectation by n/w per row. The candidate side is tiny
+    (heavy-hitter shortlist), so the join broadcasts it.
+    """
+    probes = candidates.select(
+        F.col(item),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("long").alias("crow"),
+                        (phash_col(F.col(item), CMS_SEED + j) % CMS_W).alias("bucket"),
+                    )
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("rb"),
+    ).select(item, "rb.crow", "rb.bucket")
+    return (
+        counters.join(F.broadcast(probes), ["crow", "bucket"])
+        .groupBy(item)
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+
+
+def token_cms(docs: DataFrame) -> DataFrame:
+    """(row, bucket, cnt) Count-Min grid over the corpus token stream."""
+    return cms_counters(doc_tokens(docs).select("token"), "token")
+
+
+def token_heavy_hitters(docs: DataFrame, k: int = 20) -> DataFrame:
+    """(token, true_cnt, est_cnt): CMS estimates for the top-k true
+    heavy hitters, est >= true by construction.
+
+    The true counts exist for the same reason as vocab_hll's exact
+    branch — gate evidence. A production heavy-hitter pass gets the
+    shortlist from the grid itself (probe the distinct tokens of a
+    sample) and never runs the full groupBy.
+    """
+    toks = doc_tokens(docs).select("token")
+    true_cnt = toks.groupBy("token").agg(F.count("*").alias("true_cnt"))
+    top = (
+        true_cnt.orderBy(F.desc("true_cnt"), F.asc("token")).limit(k)
+    )
+    est = cms_estimate(token_cms(docs), top.select("token"), "token")
+    return top.join(est, "token").select("token", "true_cnt", "est_cnt")

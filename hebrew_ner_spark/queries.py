@@ -29,14 +29,20 @@ _WINDOW = [
     "mention_model_viterbi_tensor",
     "mm_media_stats",
     "mm_frame_sample",
-    "rel_pricing_summary",
-    "rel_revenue_by_nation",
-    "rel_order_rollup",
-    "rel_topk_customers",
+    # rel_pricing_summary / rel_revenue_by_nation / rel_order_rollup /
+    # rel_topk_customers / evt_hourly_counts rotated out for the sketch
+    # family: they are plain aggregations whose plans are unchanged since
+    # round 1 and the round-2 judge re-ran all of them green; the sk_*
+    # gates are brand-new cross-engine shapes (bin() bitlen, integer
+    # shifts, LUT small-range correction) — the riskiest rows this round
     "rel_bootstrap_ci",
     "rel_big_join_smj",
     "evt_sessionize",
-    "evt_hourly_counts",
+    "sk_hll_registers",
+    "sk_hll_estimate",
+    "sk_hll_merge",
+    "sk_cms_counters",
+    "sk_cms_heavy",
     "seg_sentences",
     "seg_tokens",
     "ann_brute_topk",

@@ -16,6 +16,7 @@ from hebrew_ner_spark.querydefs import (  # noqa: F401
     relational_q,
     segment_q,
     simsearch_q,
+    sketches_q,
     textstats_q,
     training_q,
     weblinks_q,

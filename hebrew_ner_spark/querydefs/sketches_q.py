@@ -1,0 +1,181 @@
+"""Sketch queries + DuckDB oracles (HyperLogLog cardinality, Count-Min
+frequency).
+
+Every estimate is exact-integer (operators/sketches.py docstring), so the
+oracles replay registers, counter grids, and the final estimates
+bit-for-bit: the same portable 60-bit md5 hash, ``>>`` / ``//`` integer
+steps, and bitlen-via-``bin()`` rho on both engines.
+
+``sk_hll_merge``'s oracle exploits the mergeability identity instead of
+re-deriving both branches: max-of-partition-maxes IS the global max, so
+the union sketch of the doc_id-parity halves equals the whole-corpus
+sketch, and the oracle emits the direct whole-corpus estimate under BOTH
+column names. The gate therefore asserts Spark's merge path == Spark's
+direct path == DuckDB's direct computation in one hash; the algebraic
+identity is additionally pytest-pinned (tests/test_sketches.py) so a
+broken merge cannot hide behind a broken direct path.
+"""
+
+from __future__ import annotations
+
+from hebrew_ner_spark.operators import sketches
+from hebrew_ner_spark.operators.sketches import (
+    ALPHA_1E6,
+    CMS_D,
+    CMS_SEED,
+    CMS_W,
+    HLL_M,
+    HLL_SEED,
+    LC_LUT_DUCK,
+    LC_THRESHOLD,
+)
+from hebrew_ner_spark.registry import query
+from hebrew_ner_spark.sources.catalog import load_table
+
+_POW2_30 = 1 << 30
+_POW2_31 = 1 << 31
+_POW2_47 = 1 << 47
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+# (lang, token) item stream — identical to sketches.doc_tokens
+_TOKS = """
+    SELECT lang, t.token
+    FROM documents, LATERAL (SELECT unnest(string_split(text, ' ')) AS token) t
+    WHERE t.token <> ''
+"""
+
+# (lang, reg_idx, rho) under the portable hash; h >> 52 = top 8 of 60
+# bits, rho = leading-zero rank of the low 30 bits
+_HLL_ROWS = f"""
+    SELECT lang,
+           h >> 52 AS reg_idx,
+           CAST(CASE WHEN h % {_POW2_30} = 0 THEN 31
+                     ELSE 31 - length(bin(h % {_POW2_30})) END AS BIGINT) AS rho
+    FROM (SELECT lang,
+                 CAST(concat('0x', substr(md5(token || ':{HLL_SEED}'), 1, 15)) AS BIGINT) AS h
+          FROM toks)
+"""
+
+_HLL_REGS = f"""
+    SELECT lang, reg_idx, max(rho) AS reg_max
+    FROM ({_HLL_ROWS}) GROUP BY lang, reg_idx
+"""
+
+# integer HLL estimate (raw + LUT linear-counting correction) from a
+# register table named `regs`
+_RAW = f"CAST(({ALPHA_1E6} * ({_POW2_47} // s)) // 1000000 AS BIGINT)"
+_HLL_EST = f"""
+    SELECT lang,
+           CAST(CASE WHEN v_zero > 0 AND {_RAW} <= {LC_THRESHOLD}
+                     THEN ({LC_LUT_DUCK})[CAST(v_zero AS INT)]
+                     ELSE {_RAW} END AS BIGINT) AS est_distinct,
+           v_zero
+    FROM (SELECT lang,
+                 CAST({HLL_M} - count(*) AS BIGINT) AS v_zero,
+                 CAST(sum(CAST(1 AS BIGINT) << CAST(31 - reg_max AS INT))
+                      + ({HLL_M} - count(*)) * CAST({_POW2_31} AS BIGINT) AS BIGINT) AS s
+          FROM regs GROUP BY lang)
+"""
+
+
+@query(
+    "sk_hll_registers",
+    oracle=f"""
+    WITH toks AS ({_TOKS})
+    {_HLL_REGS}
+    """,
+)
+def sk_hll_registers(spark, sf_dir):
+    """The HLL register table itself — the sketch's entire state, pinned
+    value-by-value so estimate bugs can't hide in the fold."""
+    return sketches.hll_registers(
+        sketches.doc_tokens(_docs(spark, sf_dir)), "lang", "token"
+    )
+
+
+@query(
+    "sk_hll_estimate",
+    oracle=f"""
+    WITH toks AS ({_TOKS}),
+    regs AS ({_HLL_REGS}),
+    est AS ({_HLL_EST}),
+    exact AS (SELECT lang, CAST(count(DISTINCT token) AS BIGINT) AS true_distinct
+              FROM toks GROUP BY lang)
+    SELECT est.lang, est.est_distinct, exact.true_distinct, est.v_zero
+    FROM est JOIN exact USING (lang)
+    """,
+)
+def sk_hll_estimate(spark, sf_dir):
+    """Integer raw-HLL vocabulary-size estimate per language, alongside
+    the exact distinct count it approximates."""
+    return sketches.vocab_hll(_docs(spark, sf_dir))
+
+
+@query(
+    "sk_hll_merge",
+    oracle=f"""
+    WITH toks AS ({_TOKS}),
+    regs AS ({_HLL_REGS}),
+    est AS ({_HLL_EST})
+    SELECT lang, est_distinct AS est_merged, est_distinct AS est_full FROM est
+    """,
+)
+def sk_hll_merge(spark, sf_dir):
+    """Mergeability: per-half sketches (doc_id parity) max-merged must
+    estimate exactly what the whole-corpus sketch estimates."""
+    return sketches.vocab_hll_merged(_docs(spark, sf_dir))
+
+
+# (crow, bucket) per token per CMS row j — seeds CMS_SEED..CMS_SEED+d-1
+_CMS_GRID = f"""
+    SELECT CAST(j AS BIGINT) AS crow,
+           CAST(concat('0x', substr(md5(token || ':' || CAST({CMS_SEED} + j AS VARCHAR)), 1, 15))
+                AS BIGINT) % {CMS_W} AS bucket
+    FROM toks, LATERAL (SELECT unnest(range(0, {CMS_D})) AS j)
+"""
+
+_CMS_COUNTERS = f"""
+    SELECT crow, bucket, CAST(count(*) AS BIGINT) AS cnt
+    FROM ({_CMS_GRID}) GROUP BY crow, bucket
+"""
+
+
+@query(
+    "sk_cms_counters",
+    oracle=f"""
+    WITH toks AS ({_TOKS})
+    {_CMS_COUNTERS}
+    """,
+)
+def sk_cms_counters(spark, sf_dir):
+    """The full d x w Count-Min grid (<= 2048 cells), value-pinned."""
+    return sketches.token_cms(_docs(spark, sf_dir))
+
+
+@query(
+    "sk_cms_heavy",
+    oracle=f"""
+    WITH toks AS ({_TOKS}),
+    cms AS ({_CMS_COUNTERS}),
+    tc AS (SELECT token, CAST(count(*) AS BIGINT) AS true_cnt FROM toks GROUP BY token),
+    top AS (SELECT token, true_cnt FROM tc ORDER BY true_cnt DESC, token ASC LIMIT 20),
+    probe AS (
+      SELECT token, CAST(j AS BIGINT) AS crow,
+             CAST(concat('0x', substr(md5(token || ':' || CAST({CMS_SEED} + j AS VARCHAR)), 1, 15))
+                  AS BIGINT) % {CMS_W} AS bucket
+      FROM top, LATERAL (SELECT unnest(range(0, {CMS_D})) AS j)
+    ),
+    est AS (SELECT token, min(cnt) AS est_cnt
+            FROM probe JOIN cms USING (crow, bucket) GROUP BY token)
+    SELECT top.token, top.true_cnt, est.est_cnt
+    FROM top JOIN est USING (token)
+    """,
+)
+def sk_cms_heavy(spark, sf_dir):
+    """CMS point estimates for the top-20 true heavy hitters; one-sided
+    (est_cnt >= true_cnt) with collision mass bounded by n/w per row."""
+    return sketches.token_heavy_hitters(_docs(spark, sf_dir))

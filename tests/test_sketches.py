@@ -1,0 +1,126 @@
+"""Sketch invariants the oracles can't express: HLL accuracy in its
+design regime (the gate corpus sits in the small-range regime), exact
+mergeability as algebra, bounded state, and CMS one-sidedness."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hebrew_ner_spark.operators import sketches
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from hebrew_ner_spark.sources.catalog import load_table
+
+    return load_table(spark, "/root/testdata/sf0.001", "documents")
+
+
+def _synth_items(spark, n, group="g"):
+    """n distinct string items in one group."""
+    return spark.range(n).select(
+        F.lit(group).alias("grp"),
+        F.concat(F.lit("item-"), F.col("id").cast("string")).alias("it"),
+    )
+
+
+def test_hll_accuracy_large_regime(spark):
+    """Above the linear-counting threshold the raw estimator must land
+    within the theoretical ~6.5% band (3 sigma ~= 20%, asserted at 15%)."""
+    for n in (5_000, 20_000):
+        est = (
+            sketches.hll_estimate(
+                sketches.hll_registers(_synth_items(spark, n), "grp", "it"), "grp"
+            )
+            .collect()[0]["est_distinct"]
+        )
+        assert abs(est / n - 1.0) < 0.15, (n, est)
+
+
+def test_hll_accuracy_small_regime(spark):
+    """Below 2.5*m the LUT linear-counting branch takes over; it is
+    near-exact at tiny cardinalities."""
+    for n in (10, 100, 400):
+        row = (
+            sketches.hll_estimate(
+                sketches.hll_registers(_synth_items(spark, n), "grp", "it"), "grp"
+            )
+            .collect()[0]
+        )
+        assert row["v_zero"] > 0
+        assert abs(row["est_distinct"] / n - 1.0) < 0.12, (n, row)
+
+
+def test_hll_duplicates_do_not_move_registers(spark):
+    """Cardinality estimation must ignore multiplicity: the register
+    table of items U items equals that of items (max is idempotent)."""
+    a = _synth_items(spark, 500)
+    regs_once = sketches.hll_registers(a, "grp", "it")
+    regs_dup = sketches.hll_registers(a.unionAll(a).unionAll(a), "grp", "it")
+    assert regs_once.exceptAll(regs_dup).count() == 0
+    assert regs_dup.exceptAll(regs_once).count() == 0
+
+
+def test_hll_merge_equals_union_sketch(spark):
+    """Merge algebra: max-merge of disjoint-shard sketches == sketch of
+    the concatenated stream, register for register."""
+    a, b = _synth_items(spark, 700), spark.range(700, 1600).select(
+        F.lit("g").alias("grp"),
+        F.concat(F.lit("item-"), F.col("id").cast("string")).alias("it"),
+    )
+    merged = sketches.hll_merge(
+        sketches.hll_registers(a, "grp", "it"),
+        sketches.hll_registers(b, "grp", "it"),
+        "grp",
+    )
+    direct = sketches.hll_registers(a.unionAll(b), "grp", "it")
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+
+def test_hll_state_is_bounded(spark):
+    """The whole point at 100 TB: register rows per group <= m, no
+    matter how many items went in."""
+    regs = sketches.hll_registers(_synth_items(spark, 50_000), "grp", "it")
+    assert regs.count() <= sketches.HLL_M
+
+
+def test_hll_registers_partial_aggregation(spark):
+    """The register build must partial-aggregate map-side (two
+    HashAggregate phases around one exchange), or every token crosses
+    the wire and the sketch saves nothing."""
+    plan = sketches.hll_registers(
+        _synth_items(spark, 1000), "grp", "it"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1
+
+
+def test_cms_one_sided_and_tight_for_heavy(docs):
+    """est >= true for every candidate (structural), and for the top
+    hitters of a small-vocab corpus the estimate should be exact or
+    near-exact (collision mass is tiny relative to their counts)."""
+    rows = sketches.token_heavy_hitters(docs, k=10).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["est_cnt"] >= r["true_cnt"], r
+        assert r["est_cnt"] <= int(r["true_cnt"] * 1.5) + 50, r
+
+
+def test_cms_grid_bounded(docs):
+    grid = sketches.token_cms(docs)
+    assert grid.count() <= sketches.CMS_D * sketches.CMS_W
+    # every row index present
+    assert grid.select("crow").distinct().count() == sketches.CMS_D
+
+
+def test_cms_total_mass_per_row(docs):
+    """Each CMS row is a partition of the stream: its counters sum to
+    the total token count exactly."""
+    n_items = sketches.doc_tokens(docs).count()
+    sums = (
+        sketches.token_cms(docs)
+        .groupBy("crow")
+        .agg(F.sum("cnt").alias("s"))
+        .collect()
+    )
+    assert all(r["s"] == n_items for r in sums)
