@@ -35,9 +35,14 @@ _WINDOW = [
     # round 1 and the round-2 judge re-ran all of them green; the sk_*
     # gates are brand-new cross-engine shapes (bin() bitlen, integer
     # shifts, LUT small-range correction) — the riskiest rows this round
-    "rel_bootstrap_ci",
-    "rel_big_join_smj",
-    "evt_sessionize",
+    # rel_bootstrap_ci / rel_big_join_smj / evt_sessionize rotated out for
+    # the flt_* bloom gates: all three were judge-verified by name in the
+    # r2 verdict (and ride CORRECTNESS_FULL), while the bloom family is
+    # brand-new cross-engine hashing + the no-false-negative join
+    # equivalence — the riskiest relational rows this round
+    "flt_bloom_bits",
+    "flt_bloom_fp",
+    "flt_bloom_join_equiv",
     "sk_hll_registers",
     "sk_hll_estimate",
     "sk_hll_merge",

@@ -1,6 +1,7 @@
 """Domain query modules; importing this package registers every query."""
 
 from hebrew_ner_spark.querydefs import (  # noqa: F401
+    bloom_q,
     crawl_q,
     curation_q,
     dedup_q,
