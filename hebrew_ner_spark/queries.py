@@ -27,8 +27,13 @@ _WINDOW = [
     "mention_model_viterbi",
     "mention_model_nbest",
     "mention_model_viterbi_tensor",
-    "mm_media_stats",
-    "mm_frame_sample",
+    # mm_media_stats / mm_frame_sample rotated out for the quantile
+    # gates: both were judge-verified by name in r2, and the mm family
+    # keeps in-window coverage via mm_decode / mm_features; the sk_len_*
+    # rows are new cross-engine shapes (integer percentile_disc, bitlen
+    # buckets) with no driver history
+    "sk_len_quantiles",
+    "sk_len_log2_hist",
     # rel_pricing_summary / rel_revenue_by_nation / rel_order_rollup /
     # rel_topk_customers / evt_hourly_counts rotated out for the sketch
     # family: they are plain aggregations whose plans are unchanged since
