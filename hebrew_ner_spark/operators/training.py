@@ -211,3 +211,87 @@ def negative_samples(edges: DataFrame, k: int = NEG_K) -> DataFrame:
         .join(ranks.select(F.col("r").alias("_nr"), F.col("entity_id").alias("neg_obj_id")), "_nr")
         .select("subj_id", "pred", "obj_id", F.col("neg_i").cast("long").alias("neg_i"), "neg_obj_id")
     )
+
+
+# --- sequence packing (concat-and-chunk) ------------------------------------
+
+PACK_SEED = 11       # deterministic pack order, independent of SAMPLE_SEED
+PACK_BUCKETS = 256   # offset fan-out: per-(lang,bucket) windows, never
+                     # one window task per stratum
+
+
+def pack_sequences(docs: DataFrame, seq_len: int) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay every language's documents
+    end-to-end in a deterministic order and cut the token stream into
+    fixed ``seq_len`` chunks — the standard pretraining batch layout
+    (documents cross chunk boundaries; nothing is padded or dropped
+    except the final partial chunk's tail remains partial).
+
+    Output: one row per (document x chunk) piece —
+      (lang, chunk_id, doc_id, piece_start, piece_len, chunk_pos)
+    where piece_start indexes into the document's tokens, chunk_pos into
+    the chunk. Invariants (pytest-pinned): pieces of a doc are contiguous
+    and sum to its token count; every chunk except each lang's last holds
+    exactly seq_len tokens; the layout is partition-invariant and stable
+    under corpus growth within a bucket-prefix (same two-level discipline
+    as token_budget_sample).
+
+    Scale shape: a doc's global token offset = its lang-bucket's prefix
+    sum (a broadcast table of <= PACK_BUCKETS rows per lang) + a window
+    cumsum WITHIN its (lang, bucket) partition — PACK_BUCKETS-way
+    parallel, so no stratum ever funnels through one window task. The
+    chunk fan-out is an explode of at most ceil(n_toks/seq_len)+1 rows
+    per doc — linear, no join.
+    """
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_toks"),
+        phash_col(
+            F.concat(F.lit("PCK|"), F.col("doc_id").cast("string")), PACK_SEED
+        ).alias("h"),
+    ).withColumn("bucket", F.col("h") % PACK_BUCKETS)
+
+    # bucket-grain prefix sums: tiny table, broadcast back
+    bt = d.groupBy("lang", "bucket").agg(F.sum("n_toks").alias("btoks"))
+    wb = Window.partitionBy("lang").orderBy("bucket")
+    bt = bt.select(
+        "lang",
+        "bucket",
+        (F.sum("btoks").over(wb) - F.col("btoks")).alias("bprev"),
+    )
+
+    # doc-grain offsets inside each (lang, bucket) — parallel windows
+    wd = Window.partitionBy("lang", "bucket").orderBy("h", "doc_id")
+    offs = (
+        d.join(F.broadcast(bt), ["lang", "bucket"])
+        .withColumn(
+            "off", F.col("bprev") + F.sum("n_toks").over(wd) - F.col("n_toks")
+        )
+        .where(F.col("n_toks") > 0)
+    )
+
+    # integer DIV, not `/`: float division is exact only below 2^53 and
+    # this offset is a corpus-wide token count
+    L = F.lit(seq_len)
+    first_c = F.expr(f"off DIV {seq_len}")
+    last_c = F.expr(f"(off + n_toks - 1) DIV {seq_len}")
+    pieces = offs.select(
+        "lang",
+        "doc_id",
+        "off",
+        "n_toks",
+        F.explode(F.sequence(first_c, last_c)).alias("chunk_id"),
+    )
+    c_lo = F.col("chunk_id") * L
+    c_hi = c_lo + L
+    lo = F.greatest(F.col("off"), c_lo)
+    hi = F.least(F.col("off") + F.col("n_toks"), c_hi)
+    return pieces.select(
+        "lang",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "doc_id",
+        (lo - F.col("off")).cast("long").alias("piece_start"),
+        (hi - lo).cast("long").alias("piece_len"),
+        (lo - c_lo).cast("long").alias("chunk_pos"),
+    )

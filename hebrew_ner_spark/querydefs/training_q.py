@@ -132,3 +132,48 @@ def trn_negative_samples(spark, sf_dir):
     row_number rank must coincide with the Spark side's two-level rank
     (that equivalence is the gated claim)."""
     return training.negative_samples(linking.kg_edges(_docs(spark, sf_dir)))
+
+
+# --- sequence packing --------------------------------------------------------
+
+PACK_LEN = 256  # gate chunk size (tokens)
+
+_PCK_HASH = phash_duck("'PCK|' || CAST(doc_id AS VARCHAR)", training.PACK_SEED)
+
+
+@query(
+    "trn_pack_sequences",
+    oracle=f"""
+    WITH d AS (
+      SELECT lang, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+             {_PCK_HASH} AS h
+      FROM documents),
+    o AS (
+      SELECT lang, doc_id, n_toks,
+             sum(n_toks) OVER (PARTITION BY lang
+                               ORDER BY h % {training.PACK_BUCKETS}, h, doc_id)
+               - n_toks AS off
+      FROM d),
+    p AS (
+      SELECT lang, doc_id, off, n_toks, c.chunk_id
+      FROM o, LATERAL (SELECT unnest(range(CAST(off // {PACK_LEN} AS BIGINT),
+                                           CAST((off + n_toks - 1) // {PACK_LEN} + 1 AS BIGINT)))
+                       AS chunk_id) c
+      WHERE n_toks > 0)
+    SELECT lang,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           doc_id,
+           CAST(greatest(off, chunk_id * {PACK_LEN}) - off AS BIGINT) AS piece_start,
+           CAST(least(off + n_toks, chunk_id * {PACK_LEN} + {PACK_LEN})
+                - greatest(off, chunk_id * {PACK_LEN}) AS BIGINT) AS piece_len,
+           CAST(greatest(off, chunk_id * {PACK_LEN})
+                - chunk_id * {PACK_LEN} AS BIGINT) AS chunk_pos
+    FROM p
+    """,
+)
+def trn_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk packing of each language's token stream into
+    fixed 256-token chunks; the oracle replays the two-level offset as a
+    single bucket-major window (the equivalence IS the gated claim)."""
+    return training.pack_sequences(_docs(spark, sf_dir), PACK_LEN)
