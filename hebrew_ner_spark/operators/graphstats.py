@@ -377,3 +377,98 @@ def kcore_peel(
     return nodes.join(peeled, "entity", "left").select(
         "entity", F.coalesce("peel_round", F.lit(-1)).cast("long").alias("peel_round")
     )
+
+
+# --- deterministic random walks (embedding corpus) ---------------------------
+
+WALK_SEED = 17    # walk-choice hash seed, independent of every other family
+WALK_STEPS = 3    # gate horizon; the oracle unrolls exactly this many steps
+WALKS_PER_NODE = 2
+
+
+def random_walks(
+    edges: DataFrame,
+    steps: int = WALK_STEPS,
+    n_walks: int = WALKS_PER_NODE,
+    seed: int = WALK_SEED,
+) -> DataFrame:
+    """DeepWalk/node2vec-style walk corpus over the materialized KG edge
+    table: ``n_walks`` walks start at every node with out-degree > 0 and
+    take up to ``steps`` hops, at each hop moving to the out-neighbor that
+    minimizes a seeded hash of (walk identity, step, neighbor) — a
+    deterministic stand-in for the uniform draw (the corpus-wide RNG
+    discipline: reproducible, resumable, engine-replayable; reference has
+    no graph-embedding stage — this extends its KG, ner_app.py:196-226,
+    toward a trainable graph representation).
+
+    Output: (walk_src, walk_i, path, walk_len) with ``path`` the
+    '|'-joined node-id sequence (walk_src first). Walks stop early at
+    sinks, so walk_len ranges 2..steps+1 (frontier nodes all have at
+    least one out-edge).
+
+    Scale shape: per hop ONE shuffle join of the frontier (O(nodes *
+    n_walks) rows, never growing) against the distinct edge list keyed by
+    source, then ONE groupBy(walk) min-struct aggregate — partially
+    aggregated map-side, so a hub node's fan-out collapses before the
+    shuffle. The edge list is persisted once and re-scanned per hop;
+    ``steps`` is a small constant (walk horizon), so the whole corpus is
+    2*steps shuffles, independent of graph size.
+    """
+    from hebrew_ner_spark.functions.hashing import phash_col
+
+    ee = (
+        edges.select(F.col("subj_id").alias("src"), F.col("obj_id").alias("dst"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    walk_ids = F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1))).alias("walk_i")
+    walks = (
+        ee.select("src")
+        .distinct()
+        .select(F.col("src").alias("walk_src"), walk_ids)
+        .select(
+            "walk_src",
+            F.col("walk_i").cast("long").alias("walk_i"),
+            F.col("walk_src").alias("cur"),
+            F.col("walk_src").cast("string").alias("path"),
+        )
+    )
+    for t in range(1, steps + 1):
+        cand = walks.join(ee, walks["cur"] == ee["src"], "left")
+        h = phash_col(
+            F.concat_ws(
+                "|",
+                F.lit("WLK"),
+                F.col("walk_src").cast("string"),
+                F.col("walk_i").cast("string"),
+                F.lit(str(t)),
+                F.col("dst").cast("string"),
+            ),
+            seed,
+        )
+        picked = (
+            cand.select(
+                "walk_src",
+                "walk_i",
+                "path",
+                F.struct(h.alias("h"), F.col("dst").alias("dst")).alias("hd"),
+            )
+            .groupBy("walk_src", "walk_i")
+            # rows in a (walk_src, walk_i) group share one path value, so
+            # first() is value-deterministic here
+            .agg(F.min("hd").alias("m"), F.first("path").alias("path"))
+        )
+        walks = picked.select(
+            "walk_src",
+            "walk_i",
+            F.col("m.dst").alias("cur"),
+            F.when(F.col("m.dst").isNull(), F.col("path"))
+            .otherwise(F.concat_ws("|", "path", F.col("m.dst").cast("string")))
+            .alias("path"),
+        )
+    return walks.select(
+        "walk_src",
+        "walk_i",
+        "path",
+        F.size(F.split("path", "\\|")).cast("long").alias("walk_len"),
+    )

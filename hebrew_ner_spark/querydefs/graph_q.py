@@ -516,3 +516,73 @@ def kg_edges_salted(spark, sf_dir):
         partial_aggs=[F.count("*").alias("_pc")],
         final_aggs=[F.sum("_pc").cast("long").alias("n_evidence")],
     )
+
+
+# --- deterministic random walks ----------------------------------------------
+
+from hebrew_ner_spark.operators.graphstats import (  # noqa: E402
+    WALK_SEED as _WALK_SEED,
+    WALK_STEPS as _WALK_STEPS,
+    WALKS_PER_NODE as _WALKS_PER_NODE,
+)
+
+
+def _walk_ctes(steps: int, n_walks: int) -> str:
+    """Unrolled walk steps over ``e`` (the same one-CTE-per-iteration
+    discipline as the PageRank/Lloyd/k-core oracles): s0 seeds n_walks
+    walks per source node; each s{t} extends every live walk to the
+    out-neighbor minimizing the seeded hash, and carries terminated walks
+    (cur IS NULL after a sink) forward unchanged."""
+    parts = [
+        f"""
+    ee AS (SELECT DISTINCT subj_id AS src, obj_id AS dst FROM e),
+    s0 AS (
+      SELECT src AS walk_src, CAST(r.walk_i AS BIGINT) AS walk_i,
+             src AS cur, CAST(src AS VARCHAR) AS path
+      FROM (SELECT DISTINCT src FROM ee), range({n_walks}) r(walk_i)
+    )"""
+    ]
+    for t in range(1, steps + 1):
+        h = _phd(
+            "'WLK|' || CAST(s.walk_src AS VARCHAR) || '|' || "
+            f"CAST(s.walk_i AS VARCHAR) || '|{t}|' || CAST(ee.dst AS VARCHAR)",
+            _WALK_SEED,
+        )
+        parts.append(
+            f"""
+    s{t} AS (
+      SELECT walk_src, walk_i, dst AS cur,
+             CASE WHEN dst IS NULL THEN path
+                  ELSE path || '|' || CAST(dst AS VARCHAR) END AS path
+      FROM (
+        SELECT s.walk_src, s.walk_i, ee.dst, s.path,
+               row_number() OVER (
+                 PARTITION BY s.walk_src, s.walk_i
+                 ORDER BY {h} NULLS LAST, ee.dst NULLS LAST
+               ) AS rn
+        FROM s{t - 1} s LEFT JOIN ee ON s.cur = ee.src
+      ) WHERE rn = 1
+    )"""
+        )
+    return ",".join(parts)
+
+
+@query(
+    "kg_random_walks",
+    oracle=f"""
+    WITH {_dim_values()},
+    {_edges_ctes()},
+    {_walk_ctes(_WALK_STEPS, _WALKS_PER_NODE)}
+    SELECT walk_src, walk_i, path,
+           CAST(len(string_split(path, '|')) AS BIGINT) AS walk_len
+    FROM s{_WALK_STEPS}
+    """,
+)
+def kg_random_walks(spark, sf_dir):
+    """DeepWalk-style embedding corpus: 2 deterministic hash-seeded walks
+    per KG node, 3 hops, early-stop at sinks — vs the identical steps
+    unrolled as DuckDB window CTEs (pick = min seeded hash, tie-broken by
+    neighbor id, in both engines)."""
+    from hebrew_ner_spark.operators import graphstats
+
+    return graphstats.random_walks(linking.kg_edges(_docs(spark, sf_dir)))
