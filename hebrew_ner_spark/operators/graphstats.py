@@ -472,3 +472,46 @@ def random_walks(
         "path",
         F.size(F.split("path", "\\|")).cast("long").alias("walk_len"),
     )
+
+
+SKIPGRAM_WINDOW = 2
+
+
+def skipgram_pairs(walks: DataFrame, window: int = SKIPGRAM_WINDOW) -> DataFrame:
+    """(center, context) skip-gram training pairs from the walk corpus —
+    the DeepWalk objective's input (each node paired with every walk
+    neighbor within ``window`` hops, both directions, offset kept so the
+    consumer can weight by distance).
+
+    Output: (walk_src, walk_i, center, context, off) with off = context
+    position minus center position, in [-window, window] \\ {0}.
+
+    Scale shape: pair generation is ARRAY-SIDE (nested transform +
+    flatten over the path array, the cooc_lift discipline) — O(L * 2w)
+    per walk with L = steps+1 a small constant, zero joins and zero
+    shuffles added on top of the walk corpus itself.
+    """
+    toks = F.split(F.col("path"), "\\|")
+    w = F.lit(window)
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                toks,
+                lambda x, i: F.transform(
+                    toks,
+                    lambda y, j: F.when(
+                        (j >= i - w) & (j <= i + w) & (j != i),
+                        F.struct(
+                            x.cast("long").alias("center"),
+                            y.cast("long").alias("context"),
+                            (j - i).cast("long").alias("off"),
+                        ),
+                    ),
+                ),
+            )
+        ),
+        lambda s: s.isNotNull(),
+    )
+    return walks.select("walk_src", "walk_i", F.explode(pairs).alias("pr")).select(
+        "walk_src", "walk_i", "pr.center", "pr.context", "pr.off"
+    )

@@ -586,3 +586,39 @@ def kg_random_walks(spark, sf_dir):
     from hebrew_ner_spark.operators import graphstats
 
     return graphstats.random_walks(linking.kg_edges(_docs(spark, sf_dir)))
+
+
+from hebrew_ner_spark.operators.graphstats import SKIPGRAM_WINDOW as _SG_W  # noqa: E402
+
+
+@query(
+    "kg_skipgram_pairs",
+    oracle=f"""
+    WITH {_dim_values()},
+    {_edges_ctes()},
+    {_walk_ctes(_WALK_STEPS, _WALKS_PER_NODE)},
+    wp AS (SELECT walk_src, walk_i, string_split(path, '|') AS p FROM s{_WALK_STEPS}),
+    cx AS (
+      SELECT walk_src, walk_i, p,
+             generate_subscripts(p, 1) AS i, unnest(p) AS ci
+      FROM wp)
+    SELECT walk_src, walk_i,
+           CAST(ci AS BIGINT) AS center,
+           CAST(p[j.j] AS BIGINT) AS context,
+           CAST(j.j - i AS BIGINT) AS off
+    FROM cx, LATERAL (
+      SELECT unnest(range(greatest(1, i - {_SG_W}),
+                          least(CAST(len(p) AS BIGINT), i + {_SG_W}) + 1)) AS j
+    ) j
+    WHERE j.j != i
+    """,
+)
+def kg_skipgram_pairs(spark, sf_dir):
+    """Skip-gram (center, context, offset) pairs from the deterministic
+    walk corpus — array-side pair generation vs a DuckDB positional
+    LATERAL unnest over the identical unrolled walks."""
+    from hebrew_ner_spark.operators import graphstats
+
+    return graphstats.skipgram_pairs(
+        graphstats.random_walks(linking.kg_edges(_docs(spark, sf_dir)))
+    )

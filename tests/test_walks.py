@@ -61,3 +61,56 @@ def test_deterministic_and_partition_invariant(spark):
         tuple(r) for r in random_walks(e.repartition(7, "obj_id"), steps=3).collect()
     )
     assert a == b and len(a) > 0
+
+
+# --- skip-gram pairs ---------------------------------------------------------
+
+from hebrew_ner_spark.operators.graphstats import skipgram_pairs
+
+
+def _walks(spark, rows):
+    return spark.createDataFrame(
+        rows, "walk_src long, walk_i long, path string, walk_len long"
+    )
+
+
+def test_skipgram_pairs_enumerate_exactly(spark):
+    got = sorted(
+        (r.center, r.context, r.off)
+        for r in skipgram_pairs(_walks(spark, [(1, 0, "1|2|3|4", 4)]), window=2).collect()
+    )
+    path = [1, 2, 3, 4]
+    want = sorted(
+        (path[i], path[j], j - i)
+        for i in range(4)
+        for j in range(max(0, i - 2), min(3, i + 2) + 1)
+        if j != i
+    )
+    assert got == want
+
+
+def test_skipgram_pair_count_formula_and_symmetry(spark):
+    # a length-L walk with window w yields sum over i of |[i-w,i+w] ∩ [0,L) \ {i}|
+    # pairs, and the (center, context, off) set is mirror-symmetric
+    rows = [(7, 0, "5|6|5|6|5", 5), (8, 1, "9|9", 2)]
+    pairs = skipgram_pairs(_walks(spark, rows), window=2).collect()
+    by_walk = {}
+    for r in pairs:
+        by_walk.setdefault((r.walk_src, r.walk_i), []).append(r)
+    for (src, wi), L in ((7, 0), 5), (((8, 1)), 2):
+        n = sum(
+            len([j for j in range(max(0, i - 2), min(L - 1, i + 2) + 1) if j != i])
+            for i in range(L)
+        )
+        assert len(by_walk[(src, wi)]) == n
+    flat = {(r.walk_src, r.walk_i, r.center, r.context, r.off) for r in pairs}
+    assert flat == {(s, w, b, a, -o) for (s, w, a, b, o) in flat}
+
+
+def test_skipgram_composes_with_walks(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1)])
+    pairs = skipgram_pairs(random_walks(e, steps=3)).collect()
+    # 3-cycle: every walk has length 4, so each yields 10 pairs with w=2
+    assert len(pairs) == 6 * 10
+    for r in pairs:
+        assert r.off != 0 and abs(r.off) <= 2
