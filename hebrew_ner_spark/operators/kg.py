@@ -297,3 +297,38 @@ def entity_nodes(docs: DataFrame) -> DataFrame:
         F.count("*").alias("n_mentions"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
+
+
+def triple_validity(pages: DataFrame) -> DataFrame:
+    """Temporal scoping of extracted triples across crawl snapshots:
+    (subj, pred, obj, first_ms, last_ms, n_sightings, n_pages) — when a
+    fact was first and last observed on the web, how many (page,
+    snapshot) observations support it, and how many distinct pages. The
+    temporal-KG materialization step: downstream consumers use the
+    validity interval to age facts out and the sighting count as an
+    evidence weight (reference's graph stops at per-run adjacency,
+    ner_app.py:196-226 — it has no time axis at all).
+
+    Input: any (url, warc_ts, text) page table (multi-snapshot).
+
+    Scale shape: extraction is the same zero-shuffle codegen'd
+    doc_triples transform, keyed by a (url, ms) struct so the snapshot
+    identity rides through the explode untouched; then ONE aggregation
+    keyed by the triple. min/max/count-distinct all combine map-side
+    (the distincts expand to the standard two-round plan); the mega-fact
+    skew case is the salted_agg pattern, plugged in exactly as
+    typed_edge_counts does when a triple goes viral.
+    """
+    keyed = pages.select(
+        F.struct(
+            F.col("url"), F.unix_millis("warc_ts").alias("ms")
+        ).alias("pk"),
+        "text",
+    )
+    t = doc_triples(keyed, key="pk")
+    return t.groupBy("subj", "pred", "obj").agg(
+        F.min("pk.ms").alias("first_ms"),
+        F.max("pk.ms").alias("last_ms"),
+        F.countDistinct("pk").alias("n_sightings"),
+        F.countDistinct("pk.url").alias("n_pages"),
+    )

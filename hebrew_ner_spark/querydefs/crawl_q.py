@@ -188,3 +188,75 @@ def web_crawl_to_kg_delta(spark, sf_dir):
     base = linking.kg_edges(docs)
     delta = linking.kg_edges(changed)
     return linking.merge_edge_counts(base, delta)
+
+
+# --- temporal triple scoping -------------------------------------------------
+
+from hebrew_ner_spark.operators import kg as _kg  # noqa: E402
+from hebrew_ner_spark.resources import ENTITY_TERMS, PREDICATE_TERMS  # noqa: E402
+
+_ENTS = "(" + ", ".join(f"'{t}'" for t in sorted(ENTITY_TERMS)) + ")"
+_PREDS = "(" + ", ".join(f"'{t}'" for t in sorted(PREDICATE_TERMS)) + ")"
+
+# Non-vacuity by construction: snapshot v drops the page's first 3*v
+# tokens, so triples anchored in the dropped prefix genuinely disappear
+# over time — first_ms/last_ms/n_sightings vary per triple (the synth
+# crawl history only APPENDS filler, under which every interval would
+# degenerately span all snapshots).
+_SNAP_CTE = """
+sn AS (
+  SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         doc_id * 1000 + v * 86400000 AS ms,
+         array_to_string(
+           list_slice(string_split(text, ' '), v * 3 + 1,
+                      len(string_split(text, ' '))), ' ') AS text
+  FROM documents, (SELECT unnest([0, 1, 2]) AS v)
+)
+"""
+
+
+@query(
+    "kg_triple_validity",
+    oracle=f"""
+    WITH {_SNAP_CTE},
+    st AS (
+      SELECT url, ms,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS wi,
+             unnest(string_split(text, ' ')) AS token
+      FROM sn),
+    sw AS (
+      SELECT url, ms, token,
+             lag(token)  OVER (PARTITION BY url, ms ORDER BY wi) AS subj,
+             lead(token) OVER (PARTITION BY url, ms ORDER BY wi) AS obj
+      FROM st),
+    tt AS (
+      SELECT url, ms, subj, token AS pred, obj FROM sw
+      WHERE token IN {_PREDS} AND subj IN {_ENTS} AND obj IN {_ENTS})
+    SELECT subj, pred, obj,
+           min(ms) AS first_ms, max(ms) AS last_ms,
+           count(DISTINCT (url, ms)) AS n_sightings,
+           count(DISTINCT url) AS n_pages
+    FROM tt GROUP BY subj, pred, obj
+    """,
+)
+def kg_triple_validity(spark, sf_dir):
+    """Temporal scoping of triples over a 3-snapshot corpus where version
+    v drops the first 3*v tokens — facts anchored early in a page vanish
+    in later crawls, so validity intervals and sighting counts genuinely
+    vary (closed-form oracle reconstructs every snapshot)."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    snaps = docs.select(
+        "doc_id", "text", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("v")
+    ).select(
+        F.concat(
+            F.lit("https://example.org/doc/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        F.timestamp_millis(
+            F.col("doc_id") * 1000 + F.col("v").cast("long") * 86400000
+        ).alias("warc_ts"),
+        F.array_join(
+            F.slice(toks, F.col("v") * 3 + 1, F.size(toks)), " "
+        ).alias("text"),
+    )
+    return _kg.triple_validity(snaps)
