@@ -515,3 +515,77 @@ def skipgram_pairs(walks: DataFrame, window: int = SKIPGRAM_WINDOW) -> DataFrame
     return walks.select("walk_src", "walk_i", F.explode(pairs).alias("pr")).select(
         "walk_src", "walk_i", "pr.center", "pr.context", "pr.off"
     )
+
+
+# --- landmark BFS distances ---------------------------------------------------
+
+LANDMARK_SEED = 23
+LANDMARKS_K = 4
+BFS_ROUNDS = 3
+
+
+def landmark_distances(
+    edges: DataFrame,
+    k: int = LANDMARKS_K,
+    rounds: int = BFS_ROUNDS,
+    seed: int = LANDMARK_SEED,
+) -> DataFrame:
+    """(entity, landmark, dist) — exact shortest-path distance (up to
+    ``rounds`` hops) from every node to each of ``k`` landmarks over the
+    UNDIRECTED entity graph. Landmark-distance vectors are the standard
+    cheap structural feature for link-prediction / disambiguation
+    training data; the landmarks are the k nodes minimizing a seeded
+    hash — a deterministic, oracle-replayable stand-in for the usual
+    random pick. Pairs farther than ``rounds`` are absent (consumers
+    read absence as 'far'); self-loops are dropped (they never shorten
+    a path).
+
+    Scale shape: the distance table is O(nodes * k) rows. Each round
+    extends ONLY the current frontier (dist == round-1) through one join
+    keyed by the frontier node, then folds with a map-side-combined min
+    aggregate — hub fan-in collapses before the shuffle. The symmetrized
+    edge list is persisted once; rounds is a small constant, so lineage
+    stays bounded without checkpointing (the CC/pagerank discipline).
+    The k-way top-k landmark pick is a TakeOrdered over node hashes —
+    k rows to the driver plan, never the node table.
+    """
+    from hebrew_ner_spark.functions.hashing import phash_col
+
+    fwd = edges.select(F.col("subj_id").alias("a"), F.col("obj_id").alias("b"))
+    sym = (
+        fwd.unionByName(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    lm = (
+        sym.select("a")
+        .distinct()
+        .select(
+            "a",
+            phash_col(
+                F.concat(F.lit("LMK|"), F.col("a").cast("string")), seed
+            ).alias("h"),
+        )
+        .orderBy("h", "a")
+        .limit(k)
+        .select(F.col("a").alias("landmark"))
+    )
+    dist = lm.select(
+        F.col("landmark").alias("entity"),
+        "landmark",
+        F.lit(0).cast("long").alias("dist"),
+    )
+    for r in range(1, rounds + 1):
+        frontier = dist.where(F.col("dist") == r - 1).alias("d")
+        ext = frontier.join(sym.alias("s"), F.col("d.entity") == F.col("s.a")).select(
+            F.col("s.b").alias("entity"),
+            F.col("d.landmark").alias("landmark"),
+            F.lit(r).cast("long").alias("dist"),
+        )
+        dist = (
+            dist.unionByName(ext)
+            .groupBy("entity", "landmark")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist

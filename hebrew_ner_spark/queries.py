@@ -118,11 +118,12 @@ _WINDOW = [
 # * ann_ivf_recall — same recall-metric construction as in-window
 #   ann_recall over the in-window ann_ivf_topk results;
 # * trn_pack_sequences / kg_random_walks / kg_skipgram_pairs /
-#   kg_triple_validity — added after the window filled; invariants
-#   pytest-pinned (exact chunk fill, lossless reconstruction, partition
-#   invariance; hop validity, sink stop, walk divergence; exact pair
-#   enumeration, mirror symmetry; planted appearing/disappearing facts)
-#   and all ride the full-registry artifact;
+#   kg_triple_validity / kg_landmark_dists — added after the window
+#   filled; invariants pytest-pinned (exact chunk fill, lossless
+#   reconstruction, partition invariance; hop validity, sink stop, walk
+#   divergence; exact pair enumeration, mirror symmetry; planted
+#   appearing/disappearing facts; exact chain/triangle distances,
+#   horizon cutoff) and all ride the full-registry artifact;
 # * kg_merge_delta / txt_subword_counts / mm_resize — their invariants are
 #   independently pytest-pinned (delta-fold == batch build; regex parity
 #   fuzz; closed-form resized pixels);

@@ -114,3 +114,45 @@ def test_skipgram_composes_with_walks(spark):
     assert len(pairs) == 6 * 10
     for r in pairs:
         assert r.off != 0 and abs(r.off) <= 2
+
+
+# --- landmark BFS distances --------------------------------------------------
+
+from hebrew_ner_spark.operators.graphstats import landmark_distances
+
+
+def test_bfs_chain_distances_exact(spark):
+    # chain 1-2-3-4-5 (directed edges, BFS is undirected); k=1 landmark
+    # = hash-minimal node; horizon 3 leaves the far end absent when the
+    # landmark sits at a chain end
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    rows = landmark_distances(e, k=1, rounds=3).collect()
+    lms = {r.landmark for r in rows}
+    assert len(lms) == 1
+    (lm,) = lms
+    got = {r.entity: r.dist for r in rows}
+    want = {n: abs(n - lm) for n in range(1, 6) if abs(n - lm) <= 3}
+    assert got == want
+
+
+def test_bfs_undirected_and_min_over_paths(spark):
+    # directed triangle + pendant: 1->2, 2->3, 3->1, 3->4; from any
+    # landmark every node is within 2 undirected hops
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1), (3, 4)])
+    rows = landmark_distances(e, k=2, rounds=3).collect()
+    by_lm = {}
+    for r in rows:
+        by_lm.setdefault(r.landmark, {})[r.entity] = r.dist
+    assert len(by_lm) == 2
+    for lm, d in by_lm.items():
+        assert set(d) == {1, 2, 3, 4} and d[lm] == 0
+        assert max(d.values()) <= 2  # triangle shortcuts beat directed detours
+
+
+def test_bfs_self_loops_and_horizon(spark):
+    # self-loop never shortens; beyond-horizon pairs are absent
+    e = _edges(spark, [(1, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6)])
+    rows = landmark_distances(e, k=1, rounds=2).collect()
+    assert all(r.dist <= 2 for r in rows)
+    ents = {r.entity for r in rows}
+    assert len(ents) < 6  # someone is beyond the 2-hop horizon
