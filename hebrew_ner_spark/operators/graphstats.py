@@ -589,3 +589,40 @@ def landmark_distances(
             .agg(F.min("dist").alias("dist"))
         )
     return dist
+
+
+def walk_pmi(pairs: DataFrame) -> DataFrame:
+    """(center, context, n_cx, lift_1e6) — exact-integer PMI-style
+    association over the skip-gram pair corpus: lift = T * n_cx /
+    (n_c * n_x) with T total pairs, n_c/n_x the marginal center/context
+    counts — the quantity whose log is PMI, and whose shifted-log matrix
+    SGNS embeddings implicitly factorize. Reported as
+    floor(lift * 1e6 + 0.5) via the BIGINT round-half-up identity
+    (2*num + den) DIV (2*den) — no float log/division crosses engines.
+
+    Scale shape: three keyed aggregates over the pair corpus (all
+    map-side combined) + one scalar total; the marginal joins carry no
+    broadcast hint — AQE broadcasts the entity-vocabulary-sized tables
+    and degrades to key-partitioned joins when a web-scale vocabulary
+    outgrows the threshold (the cooc_lift discipline). Exactness bound:
+    2e6 * T * n_cx must stay under 2^63 — T ~ nodes * walks * L * 2w, so
+    ~10^9 pairs tolerates n_cx to ~5*10^2; beyond that rescale to
+    DECIMAL(38,0) as documented on cooc_lift.
+    """
+    cx = pairs.groupBy("center", "context").agg(F.count("*").alias("n_cx"))
+    c = pairs.groupBy("center").agg(F.count("*").alias("n_c"))
+    x = pairs.groupBy("context").agg(F.count("*").alias("n_x"))
+    t = pairs.agg(F.count("*").alias("n_t"))
+    return (
+        cx.crossJoin(F.broadcast(t))
+        .join(c, "center")
+        .join(x, "context")
+        .select(
+            "center",
+            "context",
+            "n_cx",
+            F.expr(
+                "CAST((2000000 * n_t * n_cx + n_c * n_x) DIV (2 * n_c * n_x) AS BIGINT)"
+            ).alias("lift_1e6"),
+        )
+    )

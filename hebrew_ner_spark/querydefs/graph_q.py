@@ -590,6 +590,25 @@ def kg_random_walks(spark, sf_dir):
 
 from hebrew_ner_spark.operators.graphstats import SKIPGRAM_WINDOW as _SG_W  # noqa: E402
 
+# shared by the pair gate and the PMI gate built on top of it:
+# sgp(walk_src, walk_i, center, context, off) over the unrolled walks
+_SG_PAIRS_CTES = f"""
+    wp AS (SELECT walk_src, walk_i, string_split(path, '|') AS p FROM s{_WALK_STEPS}),
+    cx AS (
+      SELECT walk_src, walk_i, p,
+             generate_subscripts(p, 1) AS i, unnest(p) AS ci
+      FROM wp),
+    sgp AS (
+      SELECT walk_src, walk_i,
+             CAST(ci AS BIGINT) AS center,
+             CAST(p[j.j] AS BIGINT) AS context,
+             CAST(j.j - i AS BIGINT) AS off
+      FROM cx, LATERAL (
+        SELECT unnest(range(greatest(1, i - {_SG_W}),
+                            least(CAST(len(p) AS BIGINT), i + {_SG_W}) + 1)) AS j
+      ) j
+      WHERE j.j != i)"""
+
 
 @query(
     "kg_skipgram_pairs",
@@ -597,20 +616,8 @@ from hebrew_ner_spark.operators.graphstats import SKIPGRAM_WINDOW as _SG_W  # no
     WITH {_dim_values()},
     {_edges_ctes()},
     {_walk_ctes(_WALK_STEPS, _WALKS_PER_NODE)},
-    wp AS (SELECT walk_src, walk_i, string_split(path, '|') AS p FROM s{_WALK_STEPS}),
-    cx AS (
-      SELECT walk_src, walk_i, p,
-             generate_subscripts(p, 1) AS i, unnest(p) AS ci
-      FROM wp)
-    SELECT walk_src, walk_i,
-           CAST(ci AS BIGINT) AS center,
-           CAST(p[j.j] AS BIGINT) AS context,
-           CAST(j.j - i AS BIGINT) AS off
-    FROM cx, LATERAL (
-      SELECT unnest(range(greatest(1, i - {_SG_W}),
-                          least(CAST(len(p) AS BIGINT), i + {_SG_W}) + 1)) AS j
-    ) j
-    WHERE j.j != i
+    {_SG_PAIRS_CTES}
+    SELECT walk_src, walk_i, center, context, off FROM sgp
     """,
 )
 def kg_skipgram_pairs(spark, sf_dir):
@@ -690,3 +697,34 @@ def kg_landmark_dists(spark, sf_dir):
         (F.col("pred") == "join") & (F.col("n_evidence") >= 3)
     )
     return graphstats.landmark_distances(edges)
+
+
+@query(
+    "kg_walk_pmi",
+    oracle=f"""
+    WITH {_dim_values()},
+    {_edges_ctes()},
+    {_walk_ctes(_WALK_STEPS, _WALKS_PER_NODE)},
+    {_SG_PAIRS_CTES},
+    pm AS (SELECT center, context, count(*) AS n_cx FROM sgp GROUP BY center, context),
+    cc AS (SELECT center, count(*) AS n_c FROM sgp GROUP BY center),
+    xx AS (SELECT context, count(*) AS n_x FROM sgp GROUP BY context),
+    tt AS (SELECT count(*) AS n_t FROM sgp)
+    SELECT center, context, n_cx,
+           CAST((2000000 * CAST((SELECT n_t FROM tt) AS HUGEINT) * n_cx
+                 + CAST(n_c AS HUGEINT) * n_x)
+                // (2 * CAST(n_c AS HUGEINT) * n_x) AS BIGINT) AS lift_1e6
+    FROM pm JOIN cc USING (center) JOIN xx USING (context)
+    """,
+)
+def kg_walk_pmi(spark, sf_dir):
+    """Exact-integer PMI-style association over the walk skip-gram pair
+    corpus (the matrix SGNS embeddings implicitly factorize) — bit-exact
+    vs the same marginals and round-half-up identity in DuckDB HUGEINT."""
+    from hebrew_ner_spark.operators import graphstats
+
+    return graphstats.walk_pmi(
+        graphstats.skipgram_pairs(
+            graphstats.random_walks(linking.kg_edges(_docs(spark, sf_dir)))
+        )
+    )

@@ -156,3 +156,29 @@ def test_bfs_self_loops_and_horizon(spark):
     assert all(r.dist <= 2 for r in rows)
     ents = {r.entity for r in rows}
     assert len(ents) < 6  # someone is beyond the 2-hop horizon
+
+
+# --- PMI over skip-gram pairs ------------------------------------------------
+
+from hebrew_ner_spark.operators.graphstats import walk_pmi
+
+
+def test_walk_pmi_closed_form(spark):
+    # pair corpus: (1,2)x3, (1,3)x1, (2,3)x2 -> T=6
+    rows = [(0, 0, c, x, 1) for c, x, n in ((1, 2, 3), (1, 3, 1), (2, 3, 2)) for _ in range(n)]
+    pairs = spark.createDataFrame(
+        rows, "walk_src long, walk_i long, center long, context long, off long"
+    )
+    got = {(r.center, r.context): (r.n_cx, r.lift_1e6) for r in walk_pmi(pairs).collect()}
+
+    def lift(t, ncx, nc, nx):
+        return (2_000_000 * t * ncx + nc * nx) // (2 * nc * nx)
+
+    # marginals: n_c(1)=4, n_c(2)=2; n_x(2)=3, n_x(3)=3
+    assert got == {
+        (1, 2): (3, lift(6, 3, 4, 3)),
+        (1, 3): (1, lift(6, 1, 4, 3)),
+        (2, 3): (2, lift(6, 2, 2, 3)),
+    }
+    # sanity: (2,3) is over-represented vs independence (lift > 1e6)
+    assert got[(2, 3)][1] > 1_000_000 > got[(1, 3)][1]
