@@ -626,3 +626,56 @@ def walk_pmi(pairs: DataFrame) -> DataFrame:
             ).alias("lift_1e6"),
         )
     )
+
+
+SRP_BITS = 16
+SRP_SEED = 29
+
+
+def node_signatures(
+    pmi: DataFrame, bits: int = SRP_BITS, seed: int = SRP_SEED
+) -> DataFrame:
+    """(entity, sig) — sign-random-projection structural signature of
+    every node from its PMI context vector (entity = center row of
+    ``walk_pmi``; features = contexts, weights = lift_1e6). Bit j is
+    sign(sum_x lift(entity, x) * r_jx) with r_jx in {+1, -1} from the
+    parity of a seeded hash — the classic SRP sketch: nodes with similar
+    association profiles (structural roles) agree on most bits, and the
+    packed signature plugs straight into the existing SimHash Hamming
+    blocking for similar-role retrieval at corpus scale.
+
+    Exact-integer end to end (weights are already integer micro-units;
+    a zero sum maps to bit 0 deterministically). Scale shape: one
+    explode by ``bits`` (a small constant), one (entity, j) sum — map-
+    side combined — and one entity-keyed pack; no joins, no floats.
+    """
+    from hebrew_ner_spark.functions.hashing import phash_col
+
+    j = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j")
+    rows = pmi.select(F.col("center").alias("entity"), "context", "lift_1e6", j)
+    r = F.when(
+        phash_col(
+            F.concat_ws(
+                "|",
+                F.lit("SRP"),
+                F.col("j").cast("string"),
+                F.col("context").cast("string"),
+            ),
+            seed,
+        )
+        % 2
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    acc = (
+        rows.select("entity", "j", (F.col("lift_1e6") * r).alias("v"))
+        .groupBy("entity", "j")
+        .agg(F.sum("v").alias("s"))
+    )
+    return acc.groupBy("entity").agg(
+        F.sum(
+            F.expr("shiftleft(CAST(CASE WHEN s > 0 THEN 1 ELSE 0 END AS BIGINT), CAST(j AS INT))")
+        )
+        .cast("long")
+        .alias("sig")
+    )

@@ -699,6 +699,21 @@ def kg_landmark_dists(spark, sf_dir):
     return graphstats.landmark_distances(edges)
 
 
+# shared by the PMI gate and the node-signature gate on top of it:
+# pmi(center, context, n_cx, lift_1e6)
+_PMI_CTES = f"""
+    pm AS (SELECT center, context, count(*) AS n_cx FROM sgp GROUP BY center, context),
+    cc AS (SELECT center, count(*) AS n_c FROM sgp GROUP BY center),
+    xx AS (SELECT context, count(*) AS n_x FROM sgp GROUP BY context),
+    tt AS (SELECT count(*) AS n_t FROM sgp),
+    pmi AS (
+      SELECT center, context, n_cx,
+             CAST((2000000 * CAST((SELECT n_t FROM tt) AS HUGEINT) * n_cx
+                   + CAST(n_c AS HUGEINT) * n_x)
+                  // (2 * CAST(n_c AS HUGEINT) * n_x) AS BIGINT) AS lift_1e6
+      FROM pm JOIN cc USING (center) JOIN xx USING (context))"""
+
+
 @query(
     "kg_walk_pmi",
     oracle=f"""
@@ -706,15 +721,8 @@ def kg_landmark_dists(spark, sf_dir):
     {_edges_ctes()},
     {_walk_ctes(_WALK_STEPS, _WALKS_PER_NODE)},
     {_SG_PAIRS_CTES},
-    pm AS (SELECT center, context, count(*) AS n_cx FROM sgp GROUP BY center, context),
-    cc AS (SELECT center, count(*) AS n_c FROM sgp GROUP BY center),
-    xx AS (SELECT context, count(*) AS n_x FROM sgp GROUP BY context),
-    tt AS (SELECT count(*) AS n_t FROM sgp)
-    SELECT center, context, n_cx,
-           CAST((2000000 * CAST((SELECT n_t FROM tt) AS HUGEINT) * n_cx
-                 + CAST(n_c AS HUGEINT) * n_x)
-                // (2 * CAST(n_c AS HUGEINT) * n_x) AS BIGINT) AS lift_1e6
-    FROM pm JOIN cc USING (center) JOIN xx USING (context)
+    {_PMI_CTES}
+    SELECT center, context, n_cx, lift_1e6 FROM pmi
     """,
 )
 def kg_walk_pmi(spark, sf_dir):
@@ -726,5 +734,46 @@ def kg_walk_pmi(spark, sf_dir):
     return graphstats.walk_pmi(
         graphstats.skipgram_pairs(
             graphstats.random_walks(linking.kg_edges(_docs(spark, sf_dir)))
+        )
+    )
+
+
+from hebrew_ner_spark.operators.graphstats import (  # noqa: E402
+    SRP_BITS as _SRP_BITS,
+    SRP_SEED as _SRP_SEED,
+)
+
+
+@query(
+    "kg_node_signatures",
+    oracle=f"""
+    WITH {_dim_values()},
+    {_edges_ctes()},
+    {_walk_ctes(_WALK_STEPS, _WALKS_PER_NODE)},
+    {_SG_PAIRS_CTES},
+    {_PMI_CTES},
+    jj AS (SELECT unnest(range(0, {_SRP_BITS})) AS j),
+    contrib AS (
+      SELECT center AS entity, j,
+             CASE WHEN {_phd("'SRP|' || CAST(j AS VARCHAR) || '|' || CAST(context AS VARCHAR)", _SRP_SEED)} % 2 = 0
+                  THEN lift_1e6 ELSE -lift_1e6 END AS v
+      FROM pmi, jj),
+    acc AS (SELECT entity, j, sum(v) AS s FROM contrib GROUP BY entity, j)
+    SELECT entity,
+           CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(j AS INT) ELSE 0 END) AS BIGINT) AS sig
+    FROM acc GROUP BY entity
+    """,
+)
+def kg_node_signatures(spark, sf_dir):
+    """Sign-random-projection structural node signatures from the walk
+    PMI vectors — 16 exact-integer bits per entity, bit-identical to the
+    same hash-parity projections replayed in DuckDB."""
+    from hebrew_ner_spark.operators import graphstats
+
+    return graphstats.node_signatures(
+        graphstats.walk_pmi(
+            graphstats.skipgram_pairs(
+                graphstats.random_walks(linking.kg_edges(_docs(spark, sf_dir)))
+            )
         )
     )

@@ -182,3 +182,66 @@ def test_walk_pmi_closed_form(spark):
     }
     # sanity: (2,3) is over-represented vs independence (lift > 1e6)
     assert got[(2, 3)][1] > 1_000_000 > got[(1, 3)][1]
+
+
+# --- SRP node signatures -----------------------------------------------------
+
+import hashlib
+
+from hebrew_ner_spark.operators.graphstats import (
+    SRP_BITS,
+    SRP_SEED,
+    node_signatures,
+)
+
+
+def _srp_sign(j, context, seed=SRP_SEED):
+    h = int(hashlib.md5(f"SRP|{j}|{context}:{seed}".encode()).hexdigest()[:15], 16)
+    return 1 if h % 2 == 0 else -1
+
+
+def test_node_signatures_match_independent_replay(spark):
+    pmi_rows = [
+        (1, 10, 2, 3_000_000),
+        (1, 11, 1, 500_000),
+        (2, 10, 1, 1_000_000),
+        (2, 12, 4, 2_500_000),
+        (3, 13, 1, 750_000),
+    ]
+    pmi = spark.createDataFrame(
+        pmi_rows, "center long, context long, n_cx long, lift_1e6 long"
+    )
+    got = {r.entity: r.sig for r in node_signatures(pmi).collect()}
+    want = {}
+    for e in (1, 2, 3):
+        sig = 0
+        for j in range(SRP_BITS):
+            s = sum(
+                w * _srp_sign(j, x) for c, x, _n, w in pmi_rows if c == e
+            )
+            if s > 0:
+                sig |= 1 << j
+        want[e] = sig
+    assert got == want and len(set(got.values())) > 1
+
+
+def test_node_signatures_zero_sum_bit_is_zero(spark):
+    # two contexts with equal weight and opposite signs at some bit force
+    # s == 0 there -> bit must be 0 (deterministic tie), not 1
+    opp = None
+    for x1 in range(100, 200):
+        for x2 in range(x1 + 1, 200):
+            if any(_srp_sign(j, x1) != _srp_sign(j, x2) for j in range(SRP_BITS)):
+                opp = (x1, x2)
+                break
+        if opp:
+            break
+    x1, x2 = opp
+    pmi = spark.createDataFrame(
+        [(9, x1, 1, 1_000_000), (9, x2, 1, 1_000_000)],
+        "center long, context long, n_cx long, lift_1e6 long",
+    )
+    [r] = node_signatures(pmi).collect()
+    for j in range(SRP_BITS):
+        if _srp_sign(j, x1) + _srp_sign(j, x2) == 0:
+            assert not (r.sig >> j) & 1
