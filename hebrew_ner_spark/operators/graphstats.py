@@ -679,3 +679,66 @@ def node_signatures(
         .cast("long")
         .alias("sig")
     )
+
+
+ROLE_HAMMING_MAX = 3
+ROLE_BANDS = 4  # 16 bits -> 4 x 4-bit blocks: lossless for hamming <= 3
+ROLE_BUCKET_CAP = 4096
+
+
+def similar_roles(
+    sigs: DataFrame,
+    max_hamming: int = ROLE_HAMMING_MAX,
+    cap: int = ROLE_BUCKET_CAP,
+) -> DataFrame:
+    """(ent_a, ent_b, hamming) — entity pairs whose SRP signatures agree
+    within ``max_hamming`` bits: structurally similar roles in the KG
+    (interchangeable-entity candidates for canonicalization QA and
+    type induction). Band blocking, not an all-pairs join: the 16-bit
+    signature splits into 4 x 4-bit blocks, and any pair within Hamming
+    3 shares at least one identical block (pigeonhole) — so blocking is
+    lossless at the default radius. Blocks beyond ``cap`` members are
+    excluded from the pair explosion (the simhash mega-cluster guard;
+    at 16 bits a band has only 16 values, so a web-scale run raises
+    SRP_BITS first — documented, not silent).
+
+    Scale shape: one explode by 4 bands, one (band, bval)-keyed group
+    whose pair explosion is bounded by cap², Hamming verified in-flight
+    from the carried signatures (no re-join), distinct folds band
+    duplicates.
+    """
+    blocks = sigs.select(
+        "entity",
+        "sig",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {ROLE_BANDS - 1}), "
+                f"b -> named_struct('band', CAST(b AS BIGINT), "
+                f"'bval', shiftright(sig, CAST(b * 4 AS INT)) & 15))"
+            )
+        ).alias("bk"),
+    ).select("entity", "sig", "bk.band", "bk.bval")
+    grouped = (
+        blocks.groupBy("band", "bval")
+        .agg(F.expr("array_sort(collect_set(struct(entity, sig)))").alias("ms"))
+        .where((F.size("ms") > 1) & (F.size("ms") <= cap))
+    )
+    return (
+        grouped.select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(sequence(0, size(ms) - 2), i ->
+                      transform(sequence(i + 1, size(ms) - 1), j ->
+                        named_struct(
+                          'ent_a', ms[i].entity,
+                          'ent_b', ms[j].entity,
+                          'hamming', CAST(bit_count(ms[i].sig ^ ms[j].sig) AS BIGINT)))))
+                    """
+                )
+            ).alias("p")
+        )
+        .select("p.ent_a", "p.ent_b", "p.hamming")
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -777,3 +777,49 @@ def kg_node_signatures(spark, sf_dir):
             )
         )
     )
+
+
+from hebrew_ner_spark.operators.graphstats import ROLE_HAMMING_MAX as _ROLE_D  # noqa: E402
+
+
+@query(
+    "kg_similar_roles",
+    oracle=f"""
+    WITH {_dim_values()},
+    {_edges_ctes()},
+    {_walk_ctes(_WALK_STEPS, _WALKS_PER_NODE)},
+    {_SG_PAIRS_CTES},
+    {_PMI_CTES},
+    jj AS (SELECT unnest(range(0, {_SRP_BITS})) AS j),
+    contrib AS (
+      SELECT center AS entity, j,
+             CASE WHEN {_phd("'SRP|' || CAST(j AS VARCHAR) || '|' || CAST(context AS VARCHAR)", _SRP_SEED)} % 2 = 0
+                  THEN lift_1e6 ELSE -lift_1e6 END AS v
+      FROM pmi, jj),
+    acc AS (SELECT entity, j, sum(v) AS s FROM contrib GROUP BY entity, j),
+    sigs AS (
+      SELECT entity,
+             CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(j AS INT) ELSE 0 END) AS BIGINT) AS sig
+      FROM acc GROUP BY entity)
+    SELECT a.entity AS ent_a, b.entity AS ent_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM sigs a JOIN sigs b ON a.entity < b.entity
+    WHERE bit_count(xor(a.sig, b.sig)) <= {_ROLE_D}
+    """,
+)
+def kg_similar_roles(spark, sf_dir):
+    """Structurally-similar entity pairs (SRP Hamming <= 3) via lossless
+    pigeonhole band blocking — vs a brute-force all-pairs Hamming oracle
+    (the blocking's losslessness at the default radius IS the gated
+    claim)."""
+    from hebrew_ner_spark.operators import graphstats
+
+    return graphstats.similar_roles(
+        graphstats.node_signatures(
+            graphstats.walk_pmi(
+                graphstats.skipgram_pairs(
+                    graphstats.random_walks(linking.kg_edges(_docs(spark, sf_dir)))
+                )
+            )
+        )
+    )

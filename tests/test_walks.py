@@ -245,3 +245,47 @@ def test_node_signatures_zero_sum_bit_is_zero(spark):
     for j in range(SRP_BITS):
         if _srp_sign(j, x1) + _srp_sign(j, x2) == 0:
             assert not (r.sig >> j) & 1
+
+
+# --- similar-role pairs ------------------------------------------------------
+
+from itertools import combinations
+
+from hebrew_ner_spark.operators.graphstats import similar_roles
+
+
+def _sigs(spark, sigs):
+    return spark.createDataFrame(
+        list(enumerate(sigs)), "entity long, sig long"
+    )
+
+
+def test_similar_roles_equals_brute_force(spark):
+    # deterministic pseudo-random 16-bit signatures, plus planted
+    # neighbors of the first five at Hamming 1..3 (and one at 4, which
+    # must NOT pair with its base)
+    sigs = [
+        int(hashlib.md5(f"role|{i}".encode()).hexdigest()[:4], 16)
+        for i in range(30)
+    ]
+    sigs += [sigs[i] ^ ((1 << (3 * i + 2)) - (1 << (2 * i))) for i in range(5)]
+    got = {
+        (r.ent_a, r.ent_b, r.hamming)
+        for r in similar_roles(_sigs(spark, sigs)).collect()
+    }
+    want = {
+        (a, b, bin(sa ^ sb).count("1"))
+        for (a, sa), (b, sb) in combinations(enumerate(sigs), 2)
+        if bin(sa ^ sb).count("1") <= 3
+    }
+    assert got == want and want  # non-vacuous: the fixture has close pairs
+
+
+def test_similar_roles_radius_boundary(spark):
+    # d=3 (within one band) kept; d=4 dropped even though pairs share
+    # three identical bands (blocking finds them, the filter rejects)
+    base = 0b1010_0101_1100_0011
+    sigs = [base, base ^ 0b0111, base ^ 0b1111]
+    rows = similar_roles(_sigs(spark, sigs)).collect()
+    got = {(r.ent_a, r.ent_b): r.hamming for r in rows}
+    assert got == {(0, 1): 3, (1, 2): 1}  # (0,2) is d=4 -> excluded
