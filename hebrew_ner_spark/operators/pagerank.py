@@ -108,3 +108,91 @@ def entity_pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
     nodes.unpersist()
     _LAST_PR = pr
     return pr.select("entity_id", F.col("pr").alias("pr_1e6"))
+
+
+# --- HITS hubs & authorities --------------------------------------------------
+
+HITS_ITERS = 3
+HITS_SCALE = 1_000_000
+
+
+def hits_scores(
+    edges: DataFrame, iters: int = HITS_ITERS, reliable: bool | None = None
+) -> DataFrame:
+    """(entity_id, hub_1e6, auth_1e6) — HITS after ``iters`` mutual-
+    reinforcement iterations over the weighted entity multigraph:
+    authority = in-weighted sum of hub scores, hub = out-weighted sum of
+    authority scores. Instead of the classic float L2 normalization, each
+    vector is integer-rescaled to max = HITS_SCALE per iteration
+    ((v * SCALE) DIV max(v), truncating division both engines share) —
+    deterministic, overflow-bounded, and bit-replayable in DuckDB with
+    the iterations unrolled as CTEs. Nodes without in-edges (resp.
+    out-edges) hold authority (resp. hub) 0.
+
+    Scale shape: per iteration two keyed join+agg shuffles (one per
+    vector) and two SCALAR max aggregates folded back via broadcast —
+    never a driver collect. Each round's vectors go through the shared
+    ``_lineage_breaker`` (localCheckpoint by default, reliable
+    checkpoint under spark.graft.cc.reliable) — without the break, the
+    nested broadcast-of-aggregate plans grow super-linearly across
+    rounds and Catalyst compile time dwarfs the data work (measured:
+    92 s for a 4-edge graph). Exactness bound: each raw sum is
+    <= SCALE * total graph weight, so BIGINT holds through ~9e12 total
+    evidence; beyond that drop SCALE (the oracle scales with it).
+    """
+    from hebrew_ner_spark.operators.canonicalize import _lineage_breaker
+
+    brk = _lineage_breaker(edges, reliable)
+    wm = (
+        edges.groupBy("subj_id", "obj_id")
+        .agg(F.sum("n_evidence").cast("long").alias("ew"))
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    )
+    nodes = (
+        wm.select(F.col("subj_id").alias("entity_id"))
+        .unionByName(wm.select(F.col("obj_id").alias("entity_id")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    )
+    hub = nodes.select("entity_id", F.lit(HITS_SCALE).cast("long").alias("v"))
+    both = None
+    for _ in range(iters):
+        a_raw = (
+            wm.join(hub.withColumnRenamed("entity_id", "subj_id"), "subj_id")
+            .select(F.col("obj_id").alias("entity_id"), (F.col("v") * F.col("ew")).alias("c"))
+            .groupBy("entity_id")
+            .agg(F.sum("c").cast("long").alias("r"))
+        )
+        auth = brk(_rescaled(nodes, a_raw))
+        h_raw = (
+            wm.join(auth.withColumnRenamed("entity_id", "obj_id"), "obj_id")
+            .select(F.col("subj_id").alias("entity_id"), (F.col("v") * F.col("ew")).alias("c"))
+            .groupBy("entity_id")
+            .agg(F.sum("c").cast("long").alias("r"))
+        )
+        both = brk(
+            _rescaled(nodes, h_raw).join(auth.withColumnRenamed("v", "a"), "entity_id")
+        )
+        hub = both.select("entity_id", "v")
+    wm.unpersist()
+    nodes.unpersist()
+    return both.select(
+        "entity_id",
+        F.col("v").alias("hub_1e6"),
+        F.col("a").alias("auth_1e6"),
+    )
+
+
+def _rescaled(nodes: DataFrame, raw: DataFrame) -> DataFrame:
+    """(entity_id, v) — raw scores over all nodes (missing -> 0), integer-
+    rescaled so max(v) == HITS_SCALE (max folded back via broadcast, no
+    driver collect; max(raw) >= 1 whenever any edge exists)."""
+    mx = raw.agg(F.greatest(F.max("r"), F.lit(1)).cast("long").alias("mx"))
+    return (
+        nodes.join(raw, "entity_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "entity_id",
+            F.expr(f"CAST((coalesce(r, 0L) * {HITS_SCALE}) DIV mx AS BIGINT)").alias("v"),
+        )
+    )

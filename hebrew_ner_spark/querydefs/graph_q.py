@@ -823,3 +823,61 @@ def kg_similar_roles(spark, sf_dir):
             )
         )
     )
+
+
+from hebrew_ner_spark.operators.pagerank import (  # noqa: E402
+    HITS_ITERS as _HITS_ITERS,
+    HITS_SCALE as _HITS_SCALE,
+)
+
+
+def _hits_ctes(iters: int) -> str:
+    """Unrolled HITS iterations over ``e`` (the pagerank discipline):
+    h0 starts uniform; each round computes raw in/out-weighted sums and
+    integer-rescales to max = HITS_SCALE with truncating division."""
+    parts = [
+        f"""
+    wm AS MATERIALIZED (SELECT subj_id, obj_id, CAST(sum(n_evidence) AS BIGINT) AS ew
+           FROM e GROUP BY subj_id, obj_id),
+    hnodes AS (SELECT subj_id AS entity_id FROM wm
+               UNION SELECT obj_id FROM wm),
+    h0 AS (SELECT entity_id, CAST({_HITS_SCALE} AS BIGINT) AS v FROM hnodes)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""
+    a{k}r AS MATERIALIZED (SELECT wm.obj_id AS entity_id, sum(h.v * wm.ew) AS r
+              FROM wm JOIN h{k - 1} h ON wm.subj_id = h.entity_id
+              GROUP BY wm.obj_id),
+    a{k} AS MATERIALIZED (SELECT n.entity_id,
+                    CAST((coalesce(r, 0) * {_HITS_SCALE})
+                         // (SELECT greatest(max(r), 1) FROM a{k}r) AS BIGINT) AS v
+             FROM hnodes n LEFT JOIN a{k}r USING (entity_id)),
+    h{k}r AS MATERIALIZED (SELECT wm.subj_id AS entity_id, sum(a.v * wm.ew) AS r
+              FROM wm JOIN a{k} a ON wm.obj_id = a.entity_id
+              GROUP BY wm.subj_id),
+    h{k} AS MATERIALIZED (SELECT n.entity_id,
+                    CAST((coalesce(r, 0) * {_HITS_SCALE})
+                         // (SELECT greatest(max(r), 1) FROM h{k}r) AS BIGINT) AS v
+             FROM hnodes n LEFT JOIN h{k}r USING (entity_id))"""
+        )
+    return ",".join(parts)
+
+
+@query(
+    "kg_hits",
+    oracle=f"""
+    WITH {_dim_values()},
+    {_edges_ctes()},
+    {_hits_ctes(_HITS_ITERS)}
+    SELECT h.entity_id, h.v AS hub_1e6, a.v AS auth_1e6
+    FROM h{_HITS_ITERS} h JOIN a{_HITS_ITERS} a USING (entity_id)
+    """,
+)
+def kg_hits(spark, sf_dir):
+    """HITS hub/authority after 3 exact-integer mutual-reinforcement
+    iterations (per-round max-rescale replaces float L2 normalization)
+    — bit-identical to the same rounds unrolled as DuckDB CTEs."""
+    from hebrew_ner_spark.operators import pagerank
+
+    return pagerank.hits_scores(linking.kg_edges(_docs(spark, sf_dir)))

@@ -1,0 +1,62 @@
+"""HITS invariants (operators/pagerank.py hits_scores): equality with an
+independent Python replay of the integer algorithm, hub/authority
+asymmetry on a planted star, and in/out-less score zeros."""
+
+from __future__ import annotations
+
+from hebrew_ner_spark.operators.pagerank import HITS_ITERS, HITS_SCALE, hits_scores
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(
+        [(a, "p", b, w) for a, b, w in rows],
+        "subj_id long, pred string, obj_id long, n_evidence long",
+    )
+
+
+def _replay(rows, iters=HITS_ITERS):
+    from collections import defaultdict
+
+    w = defaultdict(int)
+    for a, b, wt in rows:
+        w[(a, b)] += wt
+    nodes = sorted({a for a, _, _ in rows} | {b for _, b, _ in rows})
+    hub = {n: HITS_SCALE for n in nodes}
+
+    def rescale(raw):
+        mx = max(max(raw.values(), default=0), 1)
+        return {n: (raw.get(n, 0) * HITS_SCALE) // mx for n in nodes}
+
+    for _ in range(iters):
+        a_raw = defaultdict(int)
+        for (s, o), wt in w.items():
+            a_raw[o] += hub[s] * wt
+        auth = rescale(a_raw)
+        h_raw = defaultdict(int)
+        for (s, o), wt in w.items():
+            h_raw[s] += auth[o] * wt
+        hub = rescale(h_raw)
+    return {n: (hub[n], auth[n]) for n in nodes}
+
+
+def test_hits_matches_python_replay(spark):
+    rows = [(1, 2, 3), (2, 3, 1), (3, 1, 2), (1, 3, 1), (4, 3, 5), (2, 4, 2)]
+    got = {r.entity_id: (r.hub_1e6, r.auth_1e6) for r in hits_scores(_edges(spark, rows)).collect()}
+    assert got == _replay(rows)
+
+
+def test_hits_star_asymmetry(spark):
+    # hub 1 points at 2..5; authorities are the leaves, the hub has
+    # authority 0 (no in-edges) and the leaves have hub 0 (no out-edges)
+    rows = [(1, k, 1) for k in (2, 3, 4, 5)]
+    got = {r.entity_id: (r.hub_1e6, r.auth_1e6) for r in hits_scores(_edges(spark, rows)).collect()}
+    assert got[1] == (HITS_SCALE, 0)
+    for k in (2, 3, 4, 5):
+        assert got[k] == (0, HITS_SCALE)
+
+
+def test_hits_parallel_edges_collapse(spark):
+    # two parallel predicates == one edge with summed evidence
+    a = hits_scores(_edges(spark, [(1, 2, 2), (2, 1, 1)])).collect()
+    b = hits_scores(_edges(spark, [(1, 2, 1), (1, 2, 1), (2, 1, 1)])).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
