@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hebrew_ner_spark.plans.skew import salted_count
 from hebrew_ner_spark.resources import ENTITY_TERMS
@@ -342,4 +343,42 @@ def quality_hosts(pages: DataFrame) -> DataFrame:
     tp, ts = int(tot.tp or 0), int(tot.ts or 0)  # both NULL on an empty corpus
     return hq.where(F.col("n_pass") * F.lit(tp) > F.lit(ts) * F.col("n_pages")).select(
         "host"
+    )
+
+
+def crawl_frontier(pages: DataFrame, host_pr: DataFrame) -> DataFrame:
+    """(url, host, age_sec, pr_1e6, priority, host_rank) — re-crawl
+    prioritization: the crawl loop the KG feeds back into (host PageRank
+    exists exactly for "crawl/extraction prioritization", pagerank.py
+    module doc). priority = (age_sec + 1) * pr_1e6 — stale pages on
+    authoritative hosts first, integer arithmetic only; host_rank orders
+    the queue WITHIN each host (politeness: a crawler draws the top k
+    per host per cycle, so one mega-host cannot monopolize the fleet).
+
+    Scale shape: one scalar max (broadcast-folded, no collect), one
+    host-keyed left join against the host-sized rank table (AQE
+    broadcasts it while hosts are few, key-partitions it at web scale),
+    and one per-host window for the rank — per-host row counts bound the
+    window task; a pathological mega-host takes the two-level bucket
+    discipline documented on token_budget_sample.
+    """
+    p = pages.select(
+        "url", host_of(F.col("url")).alias("host"), F.unix_seconds("warc_ts").alias("ts")
+    )
+    mx = p.agg(F.max("ts").alias("mx"))
+    aged = p.crossJoin(F.broadcast(mx)).select(
+        "url", "host", (F.col("mx") - F.col("ts")).cast("long").alias("age_sec")
+    )
+    pr = host_pr.select("host", "pr_1e6")
+    scored = aged.join(pr, "host", "left").select(
+        "url",
+        "host",
+        "age_sec",
+        F.coalesce("pr_1e6", F.lit(0)).cast("long").alias("pr_1e6"),
+        ((F.col("age_sec") + 1) * F.coalesce("pr_1e6", F.lit(0))).cast("long").alias("priority"),
+    )
+    w = Window.partitionBy("host").orderBy(F.col("priority").desc(), F.col("url"))
+    return scored.select(
+        "url", "host", "age_sec", "pr_1e6", "priority",
+        F.row_number().over(w).cast("long").alias("host_rank"),
     )

@@ -119,7 +119,8 @@ _WINDOW = [
 #   ann_recall over the in-window ann_ivf_topk results;
 # * trn_pack_sequences / kg_random_walks / kg_skipgram_pairs /
 #   kg_triple_validity / kg_landmark_dists / kg_walk_pmi /
-#   kg_node_signatures / kg_similar_roles / kg_hits — added after the window
+#   kg_node_signatures / kg_similar_roles / kg_hits / web_crawl_frontier —
+#   added after the window
 #   filled; invariants pytest-pinned (exact chunk fill, lossless
 #   reconstruction, partition invariance; hop validity, sink stop, walk
 #   divergence; exact pair enumeration, mirror symmetry; planted

@@ -240,3 +240,46 @@ def web_quality_hosts(spark, sf_dir):
     — the domain keep-list a C4-style pipeline feeds back into the
     crawler)."""
     return weblinks.quality_hosts(_pages(spark, sf_dir))
+
+
+@query(
+    "web_crawl_frontier",
+    oracle=f"""
+    WITH {_LINKS_CTE},
+    e AS (SELECT src_host AS subj_id, dst_host AS obj_id,
+                 n_links AS n_evidence FROM lg),
+    {_pagerank_ctes(PAGERANK_ITERS)},
+    pg AS (
+      SELECT 'https://ex' || CAST(doc_id % {N_HOST_SHARDS} AS VARCHAR)
+               || '.example.net/p/' || CAST(doc_id AS VARCHAR) AS url,
+             'ex' || CAST(doc_id % {N_HOST_SHARDS} AS VARCHAR)
+               || '.example.net' AS host,
+             (SELECT n FROM nd) - 1 - doc_id AS age_sec
+      FROM documents),
+    scored AS (
+      SELECT pg.url, pg.host, CAST(pg.age_sec AS BIGINT) AS age_sec,
+             CAST(coalesce(p.pr, 0) AS BIGINT) AS pr_1e6,
+             CAST((pg.age_sec + 1) * coalesce(p.pr, 0) AS BIGINT) AS priority
+      FROM pg LEFT JOIN p{PAGERANK_ITERS} p ON pg.host = p.id)
+    SELECT url, host, age_sec, pr_1e6, priority,
+           CAST(row_number() OVER (PARTITION BY host
+                                   ORDER BY priority DESC, url) AS BIGINT) AS host_rank
+    FROM scored
+    """,
+)
+def web_crawl_frontier(spark, sf_dir):
+    """Re-crawl queue: (age+1) x host-PageRank priority with per-host
+    politeness ranks — the oracle rebuilds age closed-form from doc_id
+    and replays the same unrolled integer PageRank."""
+    from hebrew_ner_spark.operators import pagerank
+
+    pages = _pages(spark, sf_dir)
+    edges = weblinks.link_edges(pages).select(
+        F.col("src_host").alias("subj_id"),
+        F.col("dst_host").alias("obj_id"),
+        F.col("n_links").alias("n_evidence"),
+    )
+    pr = pagerank.entity_pagerank(edges).select(
+        F.col("entity_id").alias("host"), "pr_1e6"
+    )
+    return weblinks.crawl_frontier(pages, pr)

@@ -60,3 +60,49 @@ def test_hits_parallel_edges_collapse(spark):
     a = hits_scores(_edges(spark, [(1, 2, 2), (2, 1, 1)])).collect()
     b = hits_scores(_edges(spark, [(1, 2, 1), (1, 2, 1), (2, 1, 1)])).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# --- crawl frontier ------------------------------------------------------------
+
+import datetime as dt
+
+from hebrew_ner_spark.operators.weblinks import crawl_frontier
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def test_crawl_frontier_priority_and_politeness_ranks(spark):
+    pages = spark.createDataFrame(
+        [
+            ("https://a.org/1", T0),                            # age 3
+            ("https://a.org/2", T0 + dt.timedelta(seconds=2)),  # age 1
+            ("https://b.org/1", T0 + dt.timedelta(seconds=1)),  # age 2
+            ("https://b.org/2", T0 + dt.timedelta(seconds=3)),  # age 0
+        ],
+        "url string, warc_ts timestamp",
+    )
+    pr = spark.createDataFrame(
+        [("a.org", 500_000), ("b.org", 2_000_000)], "host string, pr_1e6 long"
+    )
+    got = {r.url: r for r in crawl_frontier(pages, pr).collect()}
+    assert got["https://a.org/1"].priority == 4 * 500_000
+    assert got["https://b.org/1"].priority == 3 * 2_000_000
+    assert got["https://b.org/2"].priority == 1 * 2_000_000
+    # per-host politeness ranks: staler page first within each host
+    assert got["https://a.org/1"].host_rank == 1
+    assert got["https://a.org/2"].host_rank == 2
+    assert got["https://b.org/1"].host_rank == 1
+    assert got["https://b.org/2"].host_rank == 2
+
+
+def test_crawl_frontier_unranked_host_gets_zero_priority(spark):
+    pages = spark.createDataFrame(
+        [("https://c.org/1", T0), ("https://c.org/2", T0)],
+        "url string, warc_ts timestamp",
+    )
+    pr = spark.createDataFrame([("other.org", 1)], "host string, pr_1e6 long")
+    rows = crawl_frontier(pages, pr).collect()
+    assert all(r.pr_1e6 == 0 and r.priority == 0 for r in rows)
+    # deterministic tie-break by url
+    ranks = {r.url: r.host_rank for r in rows}
+    assert ranks == {"https://c.org/1": 1, "https://c.org/2": 2}
