@@ -1,0 +1,132 @@
+"""Knowledge fusion: source-reliability weighted truth finding.
+
+The reference emits labeled spans per request (ner_app.py:125-194) and
+never has to reconcile CONFLICTING extractions, because one model sees
+one document at a time. A corpus-scale KG build does: the same (subj,
+pred, obj) fact arrives from thousands of pages across hosts of very
+different quality, and the canonical answer (TruthFinder, Yin et al.
+KDD'07; the Knowledge Vault fusion layer, Dong et al. KDD'14) is the
+mutual-reinforcement fixpoint between fact confidence and source
+reliability:
+
+    conf(fact)  = sum of reliability over hosts asserting it
+    rel(host)   = mean confidence over facts the host asserts
+
+This is the HITS recurrence on the bipartite host/fact assertion graph,
+so it takes the exact same engineering the KG centrality operators
+already pin down (pagerank.py:119-198): a fixed small iteration count,
+EXACT integer micro-unit arithmetic so a DuckDB oracle replays every
+round bit-for-bit with the iterations unrolled as MATERIALIZED CTEs,
+per-round max-rescale ((v * SCALE) DIV max) instead of float L1/L2
+normalization, scalar maxes folded back via broadcast (never a driver
+collect), and a per-round lineage break through the shared
+``_lineage_breaker`` (localCheckpoint locally, reliable checkpoint
+under spark.graft.cc.reliable) because broadcast-of-aggregate plans
+nest super-linearly across rounds otherwise.
+
+Scale shape per iteration: two keyed join+agg shuffles (one keyed by
+the fact, one by the host) over the DISTINCT assertion table, plus two
+scalar max aggregates. The assertion table is built once, persisted,
+and reused by both directions every round. A mega-fact (asserted by
+half the web) or mega-host (asserting billions of facts) is ordinary
+aggregation skew on those keys and takes the salted_agg plug-in; the
+joins carry no broadcast hints so AQE picks broadcast only while the
+reliability/confidence vectors are genuinely small.
+
+Exactness bound: each raw confidence is <= SCALE * n_hosts(fact) and
+each raw reliability sum is <= SCALE * n_facts(host); BIGINT holds
+through ~9e12 assertions per key — beyond that drop SCALE (the oracle
+scales with it, same rule as HITS).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+FUSION_ITERS = 2
+FUSION_SCALE = 1_000_000
+
+_FACT_KEY = ["subj", "pred", "obj"]
+
+
+def _max_rescaled(raw: DataFrame, key: list[str], carry: str) -> DataFrame:
+    """raw (key..., r, carry) -> (key..., v, carry): integer-rescale so
+    max(v) == SCALE, carrying the count column through in the same pass
+    (no self-join — the aggregate subplan runs once).
+
+    The max is folded back via broadcast (one scalar row), never
+    collected; GREATEST(max, 1) guards the empty/all-zero edge exactly
+    like HITS ``_rescaled``. Unlike HITS there is no nodes left-join:
+    every host asserts >= 1 fact and every fact has >= 1 asserting
+    host, so neither side can go missing mid-iteration.
+    """
+    mx = raw.agg(F.greatest(F.max("r"), F.lit(1)).cast("long").alias("mx"))
+    return raw.crossJoin(F.broadcast(mx)).select(
+        *key,
+        F.expr(f"CAST((r * {FUSION_SCALE}) DIV mx AS BIGINT)").alias("v"),
+        carry,
+    )
+
+
+def _fusion(
+    assertions: DataFrame, iters: int, reliable: bool | None
+) -> tuple[DataFrame, DataFrame]:
+    """Run ``iters`` rounds; returns (fact_conf, host_rel) as of the end.
+
+    ``assertions`` must be DISTINCT (host, subj, pred, obj) rows — the
+    caller's extraction dedups per host so a host spamming one fact on
+    a million pages still votes once (the TruthFinder independence
+    assumption, and what keeps the per-key sums evidence-bounded).
+    """
+    from hebrew_ner_spark.operators.canonicalize import _lineage_breaker
+
+    brk = _lineage_breaker(assertions, reliable)
+    a = assertions.select("host", *_FACT_KEY).distinct().persist(
+        StorageLevel.MEMORY_AND_DISK_DESER
+    )
+    rel = a.select("host").distinct().select(
+        "host", F.lit(FUSION_SCALE).cast("long").alias("v")
+    )
+    conf = None
+    for _ in range(iters):
+        c_raw = (
+            a.join(rel.select("host", "v"), "host")
+            .groupBy(*_FACT_KEY)
+            .agg(F.sum("v").cast("long").alias("r"), F.count("*").alias("n_hosts"))
+        )
+        conf = brk(_max_rescaled(c_raw, _FACT_KEY, "n_hosts"))
+        r_raw = (
+            a.join(conf.select(*_FACT_KEY, "v"), _FACT_KEY)
+            .groupBy("host")
+            .agg(F.sum("v").cast("long").alias("s"), F.count("*").alias("n_facts"))
+            .select(
+                "host",
+                F.expr("CAST(s DIV n_facts AS BIGINT)").alias("r"),
+                "n_facts",
+            )
+        )
+        rel = brk(_max_rescaled(r_raw, ["host"], "n_facts"))
+    a.unpersist()
+    return conf, rel
+
+
+def fact_confidences(
+    assertions: DataFrame, iters: int = FUSION_ITERS, reliable: bool | None = None
+) -> DataFrame:
+    """(subj, pred, obj, n_hosts, conf_1e6) — fused fact confidence.
+
+    conf_1e6 == FUSION_SCALE marks the round's most-corroborated fact;
+    singleton facts from low-reliability hosts land near the bottom.
+    """
+    conf, _ = _fusion(assertions, iters, reliable)
+    return conf.select(*_FACT_KEY, "n_hosts", F.col("v").alias("conf_1e6"))
+
+
+def source_reliability(
+    assertions: DataFrame, iters: int = FUSION_ITERS, reliable: bool | None = None
+) -> DataFrame:
+    """(host, n_facts, rel_1e6) — fused per-host source reliability."""
+    _, rel = _fusion(assertions, iters, reliable)
+    return rel.select("host", "n_facts", F.col("v").alias("rel_1e6"))

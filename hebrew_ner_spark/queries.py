@@ -95,8 +95,13 @@ _WINDOW = [
     "kg_snapshot_timetravel",
     "kg_paths_2hop",
     "kg_communities_lpa",
-    "web_crawl_history",
-    "web_latest_crawl",
+    # web_crawl_history / web_latest_crawl rotated out for the fusion
+    # gates: both are single-window/max_by shapes pytest-pinned and
+    # family-covered in-window by web_crawl_deltas + web_asof_probe,
+    # while fusion is a brand-new unrolled-iteration integer recurrence
+    # (the riskiest cross-engine class)
+    "kg_fact_fusion",
+    "kg_source_reliability",
     "web_crawl_deltas",
     "web_asof_probe",
 ]

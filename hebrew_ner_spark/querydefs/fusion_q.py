@@ -1,0 +1,121 @@
+"""Gates: knowledge fusion (fact confidence x source reliability).
+
+The oracle unrolls the fixed FUSION_ITERS mutual-reinforcement rounds as
+MATERIALIZED DuckDB CTEs (the kg_hits rule: without MATERIALIZED the
+nested scalar-max subqueries re-evaluate each round exponentially) and
+replays the exact integer arithmetic — SUM in HUGEINT cast back,
+truncating ``//`` == Spark ``DIV`` on non-negatives, GREATEST(max, 1)
+rescale guard — so confidences and reliabilities match bit-for-bit.
+
+Host attribution in the gate is closed-form from doc_id (doc_id % 4
+shards, the weblinks _host_shard discipline) so the oracle never runs an
+extractor or URL parser; the production entry point is the same operator
+over host_of(url)-keyed triples from the web lifecycle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hebrew_ner_spark.operators import fusion, kg
+from hebrew_ner_spark.operators.fusion import FUSION_ITERS, FUSION_SCALE
+from hebrew_ner_spark.registry import query
+from hebrew_ner_spark.resources import ENTITY_TERMS, PREDICATE_TERMS
+from hebrew_ner_spark.sources.catalog import load_table
+
+_ENTS_SQL = "(" + ", ".join(f"'{t}'" for t in ENTITY_TERMS) + ")"
+_PREDS_SQL = "(" + ", ".join(f"'{t}'" for t in PREDICATE_TERMS) + ")"
+
+N_FUSION_HOSTS = 4
+
+# distinct (host, subj, pred, obj) assertions, host sharded closed-form
+_ASSERTIONS_CTE = f"""
+    toks AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS word_index,
+             unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, token,
+             lag(token)  OVER (PARTITION BY doc_id ORDER BY word_index) AS subj,
+             lead(token) OVER (PARTITION BY doc_id ORDER BY word_index) AS obj
+      FROM toks
+    ),
+    a AS MATERIALIZED (
+      SELECT DISTINCT
+             'ex' || CAST(doc_id % {N_FUSION_HOSTS} AS VARCHAR) || '.example.net' AS host,
+             subj, token AS pred, obj
+      FROM w
+      WHERE token IN {_PREDS_SQL} AND subj IN {_ENTS_SQL} AND obj IN {_ENTS_SQL}
+    )
+"""
+
+
+def _fusion_oracle(iters: int, out: str) -> str:
+    """Unrolled fusion rounds; ``out`` is 'facts' or 'hosts'."""
+    s = FUSION_SCALE
+    rounds = [
+        f"""
+    r0 AS (SELECT host, CAST({s} AS BIGINT) AS v
+           FROM (SELECT DISTINCT host FROM a))"""
+    ]
+    prev_rel = "r0"
+    for k in range(1, iters + 1):
+        rounds.append(
+            f"""
+    c{k}r AS MATERIALIZED (
+      SELECT subj, pred, obj, CAST(SUM(v) AS BIGINT) AS r,
+             COUNT(*) AS n_hosts
+      FROM a JOIN {prev_rel} USING (host) GROUP BY 1, 2, 3),
+    c{k} AS MATERIALIZED (
+      SELECT subj, pred, obj,
+             CAST((r * {s}) // (SELECT GREATEST(MAX(r), 1) FROM c{k}r)
+                  AS BIGINT) AS v,
+             n_hosts
+      FROM c{k}r),
+    r{k}r AS MATERIALIZED (
+      SELECT host, CAST(CAST(SUM(v) AS HUGEINT) // COUNT(*) AS BIGINT) AS r,
+             COUNT(*) AS n_facts
+      FROM a JOIN c{k} USING (subj, pred, obj) GROUP BY 1),
+    r{k} AS MATERIALIZED (
+      SELECT host,
+             CAST((r * {s}) // (SELECT GREATEST(MAX(r), 1) FROM r{k}r)
+                  AS BIGINT) AS v,
+             n_facts
+      FROM r{k}r)"""
+        )
+        prev_rel = f"r{k}"
+    tail = (
+        f"SELECT subj, pred, obj, n_hosts, v AS conf_1e6 FROM c{iters}"
+        if out == "facts"
+        else f"SELECT host, n_facts, v AS rel_1e6 FROM r{iters}"
+    )
+    return f"WITH {_ASSERTIONS_CTE}, {','.join(rounds)}\n    {tail}"
+
+
+def _assertions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return kg.doc_triples(docs).select(
+        F.concat(
+            F.lit("ex"),
+            (F.col("doc_id") % N_FUSION_HOSTS).cast("string"),
+            F.lit(".example.net"),
+        ).alias("host"),
+        "subj",
+        "pred",
+        "obj",
+    )
+
+
+@query("kg_fact_fusion", oracle=_fusion_oracle(FUSION_ITERS, "facts"))
+def kg_fact_fusion(spark, sf_dir):
+    """Fused fact confidences after FUSION_ITERS reinforcement rounds."""
+    return fusion.fact_confidences(_assertions(spark, sf_dir))
+
+
+@query("kg_source_reliability", oracle=_fusion_oracle(FUSION_ITERS, "hosts"))
+def kg_source_reliability(spark, sf_dir):
+    """Fused per-host source reliabilities (same rounds, host side)."""
+    return fusion.source_reliability(_assertions(spark, sf_dir))
