@@ -290,6 +290,53 @@ def triple_counts(docs: DataFrame, salt_buckets: int = 0) -> DataFrame:
     return triples.groupBy("subj", "pred", "obj").agg(F.count("*").alias("n_evidence"))
 
 
+def predicate_stats(docs: DataFrame) -> DataFrame:
+    """(pred, n_pairs, n_evidence, n_subj, n_obj, fun_1e6, inv_fun_1e6) —
+    PARIS-style schema induction over the extracted triples.
+
+    Functionality (Suchanek, Abiteboul & Senellart, PARIS, VLDB 2012) is
+    the KG-construction signal that tells a linker/canonicalizer which
+    predicates are key-like: fun(p) = #distinct subjects / #distinct
+    (subject, object) pairs — 1e6 means every subject has exactly one
+    object (safe to merge entities that share it); inverse functionality
+    is the object-side mirror. Reported exact-integer via the repo's
+    round-half-up identity (2*num + den) DIV (2*den) — no float division
+    crosses engines.
+
+    Plan shape: one aggregate keyed by the full triple (dedup + evidence
+    sum — mega-fact skew lives here and takes the salted_agg plug-in like
+    triple_counts), then one aggregate keyed by pred with two distinct
+    counts. Predicates are a small closed set, so the second aggregate is
+    inherently high-skew: Catalyst's expand + partial-distinct handles it
+    map-side (each (pred, subj) / (pred, obj) pair dedups before the
+    exchange), which is exactly the two-level shape a hand-salted variant
+    would produce.
+    """
+    pairs = (
+        doc_triples(docs)
+        .groupBy("pred", "subj", "obj")
+        .agg(F.count("*").alias("n_evidence"))
+    )
+    return pairs.groupBy("pred").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("n_evidence").cast("long").alias("n_evidence"),
+        F.countDistinct("subj").alias("n_subj"),
+        F.countDistinct("obj").alias("n_obj"),
+    ).select(
+        "pred",
+        "n_pairs",
+        "n_evidence",
+        "n_subj",
+        "n_obj",
+        F.expr("CAST((2000000 * n_subj + n_pairs) DIV (2 * n_pairs) AS BIGINT)").alias(
+            "fun_1e6"
+        ),
+        F.expr("CAST((2000000 * n_obj + n_pairs) DIV (2 * n_pairs) AS BIGINT)").alias(
+            "inv_fun_1e6"
+        ),
+    )
+
+
 def entity_nodes(docs: DataFrame) -> DataFrame:
     """(entity, n_mentions, n_docs) node table for graph materialization."""
     labels = doc_token_labels(docs).where(F.col("label") != "O")

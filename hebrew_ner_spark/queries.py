@@ -50,13 +50,19 @@ _WINDOW = [
     "flt_bloom_join_equiv",
     "sk_hll_registers",
     "sk_hll_estimate",
-    "sk_hll_merge",
+    # sk_hll_merge rotated out (merge==direct is also pytest-pinned and
+    # algebraically tied to the two in-window HLL gates) for
+    # kg_predicate_stats — a brand-new multi-countDistinct expand shape
+    "kg_predicate_stats",
     "sk_cms_counters",
     "sk_cms_heavy",
     "seg_sentences",
     "seg_tokens",
     "ann_brute_topk",
-    "ann_lsh_buckets",
+    # ann_lsh_buckets rotated out (upstream of, and exercised through,
+    # in-window ann_lsh_topk) for kg_link_pred — new wedge-join +
+    # anti-join + integer-division shape
+    "kg_link_pred",
     "ann_lsh_topk",
     "emb_near_dups",
     # emb_near_dups_skew rotated out for mention_model_neural: judge-

@@ -182,6 +182,31 @@ def kg_triangles(spark, sf_dir):
 
 
 @query(
+    "kg_link_pred",
+    oracle=f"""
+    WITH {_EDGES_CTE},
+    {_SPARSE_EW},
+    e AS (SELECT a, b FROM ews),
+    sym AS (SELECT a AS z, b AS x FROM e UNION ALL SELECT b AS z, a AS x FROM e),
+    deg AS (SELECT z, count(*) AS d FROM sym GROUP BY 1),
+    wed AS (SELECT s1.x AS a, s2.x AS b, s1.z
+            FROM sym s1 JOIN sym s2 ON s1.z = s2.z AND s1.x < s2.x),
+    cand AS (SELECT w.a, w.b, w.z FROM wed w
+             LEFT JOIN e ON e.a = w.a AND e.b = w.b
+             WHERE e.a IS NULL)
+    SELECT c.a, c.b, count(*) AS n_common,
+           CAST(SUM(1000000 // d) AS BIGINT) AS ra_1e6
+    FROM cand c JOIN deg ON deg.z = c.z
+    GROUP BY 1, 2
+    """,
+)
+def kg_link_pred(spark, sf_dir):
+    """Resource-allocation link prediction (non-adjacent pairs, exact
+    integer 1e6 DIV deg evidence) vs the naive self-join oracle."""
+    return graphstats.link_pred_ra(_docs(spark, sf_dir))
+
+
+@query(
     "kg_paths_2hop",
     oracle=f"""
     WITH {_EDGES_CTE},

@@ -138,6 +138,30 @@ def kg_triple_counts_salted(spark, sf_dir):
 
 
 @query(
+    "kg_predicate_stats",
+    oracle=f"""
+    WITH t AS ({_TRIPLES_ORACLE}),
+    pairs AS (SELECT pred, subj, obj, count(*) AS n_evidence
+              FROM t GROUP BY 1, 2, 3)
+    SELECT pred,
+           count(*) AS n_pairs,
+           CAST(sum(n_evidence) AS BIGINT) AS n_evidence,
+           count(DISTINCT subj) AS n_subj,
+           count(DISTINCT obj) AS n_obj,
+           CAST((2000000 * count(DISTINCT subj) + count(*))
+                // (2 * count(*)) AS BIGINT) AS fun_1e6,
+           CAST((2000000 * count(DISTINCT obj) + count(*))
+                // (2 * count(*)) AS BIGINT) AS inv_fun_1e6
+    FROM pairs GROUP BY pred
+    """,
+)
+def kg_predicate_stats(spark, sf_dir):
+    """PARIS functionality / inverse functionality per predicate — the
+    schema-induction signal entity canonicalization keys on."""
+    return kg.predicate_stats(_docs(spark, sf_dir))
+
+
+@query(
     "kg_entity_nodes",
     oracle=f"""
     WITH {_TOKS_CTE}

@@ -215,3 +215,50 @@ class TestKcorePeel:
         docs = _docs(spark, heavy + light)
         with pytest.raises(RuntimeError, match="no fixpoint"):
             graphstats.kcore_peel(docs, k=2, max_rounds=1)
+
+
+class TestLinkPredRA:
+    def test_planted_path_predicts_endpoints(self, spark):
+        # heavy path key-table-row; the only non-adjacent candidate pair is
+        # (key, row) through center 'table' (deg 2): RA = 1e6 DIV 2.
+        heavy = ["key join table", "table join row"] * 3
+        light = ["part join value", "order join query", "batch join line"]
+        docs = _docs(spark, heavy + light)
+        rows = [tuple(r) for r in graphstats.link_pred_ra(docs).collect()]
+        assert rows == [("key", "row", 1, 500000)]
+
+    def test_adjacent_pairs_excluded(self, spark):
+        # complete heavy triangle: every common-neighbor pair is already an
+        # edge, so nothing is predicted.
+        heavy = ["key join table", "table join row", "key join row"] * 3
+        light = ["part join value", "order join query", "batch join line"]
+        docs = _docs(spark, heavy + light)
+        assert graphstats.link_pred_ra(docs).count() == 0
+
+    def test_center_degree_cap_drops_hub_evidence(self, spark):
+        # star centered on 'table' with 4 leaves: uncapped -> C(4,2)=6
+        # candidates at RA = 1e6 DIV 4; capping below the hub degree
+        # removes the only wedge center, so no candidates remain.
+        heavy = [f"table join {x}" for x in ("key", "row", "part", "value")] * 3
+        light = ["order join query", "batch join line", "hash join group"]
+        docs = _docs(spark, heavy + light)
+        full = graphstats.link_pred_ra(docs).collect()
+        assert len(full) == 6 and all(r.ra_1e6 == 250000 for r in full)
+        assert graphstats.link_pred_ra(docs, max_center_degree=3).count() == 0
+
+
+class TestPredicateStats:
+    def test_functionality_closed_form(self, spark):
+        docs = _docs(
+            spark,
+            ["key join table", "key join table", "key join row", "row merge table"],
+        )
+        got = {
+            r.pred: (r.n_pairs, r.n_evidence, r.n_subj, r.n_obj, r.fun_1e6, r.inv_fun_1e6)
+            for r in kg.predicate_stats(docs).collect()
+        }
+        # join: pairs {(key,table) ev2, (key,row) ev1}: 1 subj / 2 pairs
+        assert got == {
+            "join": (2, 3, 1, 2, 500000, 1000000),
+            "merge": (1, 1, 1, 1, 1000000, 1000000),
+        }
