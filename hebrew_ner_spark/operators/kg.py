@@ -337,6 +337,49 @@ def predicate_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def bgp_match(
+    docs: DataFrame, patterns: list[tuple[str, str, str]] | None = None
+) -> DataFrame:
+    """Basic-graph-pattern matching over the materialized triple store —
+    the SPARQL-style "query the KG" operator a constructed graph exists
+    to serve. ``patterns`` is a list of (subj_var, pred, obj_var) legs
+    sharing variables; the default is the join-merge-scan triangle
+
+        (?x join ?y), (?y merge ?z), (?x scan ?z)
+
+    Output: one row per variable binding (sorted var names as columns)
+    plus ``n_witness`` — the number of distinct evidence combinations
+    (product of per-leg evidence counts), the support a downstream rule
+    miner (AMIE-style) weighs bindings by.
+
+    Plan shape: each leg is pre-aggregated to its DISTINCT (subj, obj,
+    n_evidence) pair table BEFORE joining — the joins then run on pair
+    vocabularies, never on raw evidence rows, which is what keeps a
+    10^12-row evidence table out of the multi-way join. Legs chain
+    through hash equi-joins on shared variables (AQE reorders/broadcasts
+    by runtime sizes; a hot binding value is ordinary join skew for the
+    AQE skew-split). Predicates are pushed down to the triple scan.
+    """
+    if patterns is None:
+        patterns = [("x", "join", "y"), ("y", "merge", "z"), ("x", "scan", "z")]
+    triples = triple_counts(docs)
+    out = None
+    for i, (sv, pred, ov) in enumerate(patterns):
+        leg = (
+            triples.where(F.col("pred") == pred)
+            .groupBy(F.col("subj").alias(sv), F.col("obj").alias(ov))
+            .agg(F.sum("n_evidence").cast("long").alias(f"_w{i}"))
+        )
+        if out is None:
+            out = leg
+        else:
+            shared = [c for c in (sv, ov) if c in out.columns]
+            out = out.join(leg, shared) if shared else out.crossJoin(leg)
+    vars_ = sorted({v for s, _, o in patterns for v in (s, o)})
+    witness = " * ".join(f"_w{i}" for i in range(len(patterns)))
+    return out.select(*vars_, F.expr(f"CAST({witness} AS BIGINT)").alias("n_witness"))
+
+
 def entity_nodes(docs: DataFrame) -> DataFrame:
     """(entity, n_mentions, n_docs) node table for graph materialization."""
     labels = doc_token_labels(docs).where(F.col("label") != "O")

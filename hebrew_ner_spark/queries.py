@@ -54,7 +54,10 @@ _WINDOW = [
     # algebraically tied to the two in-window HLL gates) for
     # kg_predicate_stats — a brand-new multi-countDistinct expand shape
     "kg_predicate_stats",
-    "sk_cms_counters",
+    # sk_cms_counters rotated out (upstream twin of in-window sk_cms_heavy,
+    # which reads the same counter grid) for kg_bgp_match — a new
+    # multi-way variable-binding join shape
+    "kg_bgp_match",
     "sk_cms_heavy",
     "seg_sentences",
     "seg_tokens",
@@ -65,13 +68,18 @@ _WINDOW = [
     "kg_link_pred",
     "ann_lsh_topk",
     "emb_near_dups",
+    # emb_near_dup_overflow rotated out (planted-overflow shape also
+    # pytest-pinned, same plan family as emb_near_dups) and txt_doc_stats
+    # rotated out (its predicate is exercised through in-window
+    # txt_quality_filter) for the two alignment gates — brand-new
+    # feature-join + ranked-assignment shapes
+    "kg_align_scores",
+    "kg_align_best",
     # emb_near_dups_skew rotated out for mention_model_neural: judge-
     # verified in r2 and same bucketed-matmul plan family as in-window
-    # emb_near_dups / emb_near_dup_overflow
-    "emb_near_dup_overflow",
+    # emb_near_dups
     "ann_ivf_topk",
     "ann_recall",
-    "txt_doc_stats",
     "txt_lang_id",
     "txt_token_freq",
     "txt_fingerprint",

@@ -138,6 +138,27 @@ def kg_triple_counts_salted(spark, sf_dir):
 
 
 @query(
+    "kg_bgp_match",
+    oracle=f"""
+    WITH t AS ({_TRIPLES_ORACLE}),
+    tc AS (SELECT subj, pred, obj, count(*) AS n FROM t GROUP BY 1, 2, 3),
+    l0 AS (SELECT subj AS x, obj AS y, CAST(sum(n) AS BIGINT) AS w0
+           FROM tc WHERE pred = 'join' GROUP BY 1, 2),
+    l1 AS (SELECT subj AS y, obj AS z, CAST(sum(n) AS BIGINT) AS w1
+           FROM tc WHERE pred = 'merge' GROUP BY 1, 2),
+    l2 AS (SELECT subj AS x, obj AS z, CAST(sum(n) AS BIGINT) AS w2
+           FROM tc WHERE pred = 'scan' GROUP BY 1, 2)
+    SELECT x, y, z, CAST(w0 * w1 * w2 AS BIGINT) AS n_witness
+    FROM l0 JOIN l1 USING (y) JOIN l2 USING (x, z)
+    """,
+)
+def kg_bgp_match(spark, sf_dir):
+    """SPARQL-style triangle BGP (?x join ?y)(?y merge ?z)(?x scan ?z)
+    with witness-combination support counts."""
+    return kg.bgp_match(_docs(spark, sf_dir))
+
+
+@query(
     "kg_predicate_stats",
     oracle=f"""
     WITH t AS ({_TRIPLES_ORACLE}),

@@ -262,3 +262,22 @@ class TestPredicateStats:
             "join": (2, 3, 1, 2, 500000, 1000000),
             "merge": (1, 1, 1, 1, 1000000, 1000000),
         }
+
+
+class TestBgpMatch:
+    def test_planted_triangle_binding(self, spark):
+        docs = _docs(spark, ["key join table", "table merge row", "key scan row"])
+        rows = [tuple(r) for r in kg.bgp_match(docs).collect()]
+        assert rows == [("key", "table", "row", 1)]
+
+    def test_witness_counts_multiply(self, spark):
+        docs = _docs(
+            spark,
+            ["key join table", "key join table", "table merge row", "key scan row"],
+        )
+        rows = [tuple(r) for r in kg.bgp_match(docs).collect()]
+        assert rows == [("key", "table", "row", 2)]
+
+    def test_open_wedge_matches_nothing(self, spark):
+        docs = _docs(spark, ["key join table", "table merge row"])
+        assert kg.bgp_match(docs).count() == 0
