@@ -380,6 +380,84 @@ def bgp_match(
     return out.select(*vars_, F.expr(f"CAST({witness} AS BIGINT)").alias("n_witness"))
 
 
+def rule_confidence(
+    docs: DataFrame,
+    body: list[tuple[str, str, str]] | None = None,
+    head: tuple[str, str, str] | None = None,
+) -> DataFrame:
+    """One-row rule-quality stats for a horn rule over the KG — the
+    AMIE(-style) measure set (Galárraga et al., WWW 2013) a rule miner
+    scores candidate rules with before they feed inference back into
+    construction:
+
+      n_body        distinct variable bindings satisfying the body
+      n_support     body bindings whose head triple also holds
+      conf_1e6      standard confidence: support / body (round-half-up)
+      n_pca_body    body bindings whose head-subject has ANY head-pred
+                    edge (the partial-completeness assumption denominator
+                    — the open-world correction that makes confidence
+                    meaningful on an incomplete KG)
+      pca_conf_1e6  support / pca_body
+
+    Default rule: (?x join ?y) ∧ (?y merge ?z) ⇒ (?x scan ?z).
+
+    Plan shape: body legs chain as distinct-pair hash equi-joins (the
+    bgp_match discipline — vocabularies, never evidence rows); the head
+    check and the PCA subject check are left-semi-style joins folded as
+    left joins + null flags so one pass computes all four counters in a
+    single scalar aggregate. No window, no collect; at web scale every
+    join is key-partitioned and AQE-broadcast when a leg is small.
+    """
+    if body is None:
+        body = [("x", "join", "y"), ("y", "merge", "z")]
+    if head is None:
+        head = ("x", "scan", "z")
+    t = doc_triples(docs).select("subj", "pred", "obj")
+    out = None
+    for sv, pred, ov in body:
+        leg = (
+            t.where(F.col("pred") == pred)
+            .select(F.col("subj").alias(sv), F.col("obj").alias(ov))
+            .distinct()
+        )
+        if out is None:
+            out = leg
+        else:
+            shared = [c for c in (sv, ov) if c in out.columns]
+            out = out.join(leg, shared) if shared else out.crossJoin(leg)
+    hs, hp, ho = head
+    head_pairs = (
+        t.where(F.col("pred") == hp)
+        .select(F.col("subj").alias(hs), F.col("obj").alias(ho), F.lit(1).alias("_hit"))
+        .distinct()
+    )
+    head_subjs = head_pairs.select(hs).distinct().withColumn("_any", F.lit(1))
+    flagged = out.join(head_pairs, [hs, ho], "left").join(head_subjs, [hs], "left")
+    # outer coalesce: SUM over zero rows is NULL in both engines — the
+    # empty-body rule must report all-zero counters, not nulls
+    return flagged.agg(
+        F.count("*").alias("n_body"),
+        F.coalesce(F.sum(F.coalesce(F.col("_hit"), F.lit(0))), F.lit(0))
+        .cast("long")
+        .alias("n_support"),
+        F.coalesce(F.sum(F.coalesce(F.col("_any"), F.lit(0))), F.lit(0))
+        .cast("long")
+        .alias("n_pca_body"),
+    ).select(
+        "n_body",
+        "n_support",
+        "n_pca_body",
+        F.expr(
+            "CAST(CASE WHEN n_body = 0 THEN 0 ELSE"
+            " (2000000 * n_support + n_body) DIV (2 * n_body) END AS BIGINT)"
+        ).alias("conf_1e6"),
+        F.expr(
+            "CAST(CASE WHEN n_pca_body = 0 THEN 0 ELSE"
+            " (2000000 * n_support + n_pca_body) DIV (2 * n_pca_body) END AS BIGINT)"
+        ).alias("pca_conf_1e6"),
+    )
+
+
 def entity_nodes(docs: DataFrame) -> DataFrame:
     """(entity, n_mentions, n_docs) node table for graph materialization."""
     labels = doc_token_labels(docs).where(F.col("label") != "O")

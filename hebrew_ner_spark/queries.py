@@ -92,7 +92,11 @@ _WINDOW = [
     "link_fuzzy_minhash",
     "link_full_tiered",
     "kg_pagerank",
-    "mm_features",
+    # mm_features rotated out (channel means over the same decode kernel
+    # as in-window mm_decode, pytest-pinned closed form) for
+    # kg_rule_confidence — new multi-left-join scalar-aggregate shape
+    # with empty-input NULL guards on both engines
+    "kg_rule_confidence",
     "mention_model_labels",
     "lbl_alphabet_encode",
     # eval_span_prf / cc_dedup_components rotated out (two rounds of

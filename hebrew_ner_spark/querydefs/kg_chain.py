@@ -159,6 +159,38 @@ def kg_bgp_match(spark, sf_dir):
 
 
 @query(
+    "kg_rule_confidence",
+    oracle=f"""
+    WITH t AS ({_TRIPLES_ORACLE}),
+    l0 AS (SELECT DISTINCT subj AS x, obj AS y FROM t WHERE pred = 'join'),
+    l1 AS (SELECT DISTINCT subj AS y, obj AS z FROM t WHERE pred = 'merge'),
+    hp AS (SELECT DISTINCT subj AS x, obj AS z FROM t WHERE pred = 'scan'),
+    hsub AS (SELECT DISTINCT x FROM hp),
+    b AS (SELECT l0.x, l0.y, l1.z FROM l0 JOIN l1 USING (y)),
+    f AS (SELECT b.x, b.z,
+                 CASE WHEN hp.x IS NULL THEN 0 ELSE 1 END AS hit,
+                 CASE WHEN hs.x IS NULL THEN 0 ELSE 1 END AS anyh
+          FROM b LEFT JOIN hp ON hp.x = b.x AND hp.z = b.z
+                 LEFT JOIN hsub hs ON hs.x = b.x)
+    SELECT count(*) AS n_body,
+           CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_support,
+           CAST(coalesce(sum(anyh), 0) AS BIGINT) AS n_pca_body,
+           CAST(CASE WHEN count(*) = 0 THEN 0 ELSE
+             (2000000 * coalesce(sum(hit), 0) + count(*))
+             // (2 * count(*)) END AS BIGINT) AS conf_1e6,
+           CAST(CASE WHEN coalesce(sum(anyh), 0) = 0 THEN 0 ELSE
+             (2000000 * coalesce(sum(hit), 0) + sum(anyh))
+             // (2 * sum(anyh)) END AS BIGINT) AS pca_conf_1e6
+    FROM f
+    """,
+)
+def kg_rule_confidence(spark, sf_dir):
+    """AMIE support / confidence / PCA-confidence for the default horn
+    rule (?x join ?y) ∧ (?y merge ?z) ⇒ (?x scan ?z)."""
+    return kg.rule_confidence(_docs(spark, sf_dir))
+
+
+@query(
     "kg_predicate_stats",
     oracle=f"""
     WITH t AS ({_TRIPLES_ORACLE}),

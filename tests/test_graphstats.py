@@ -281,3 +281,36 @@ class TestBgpMatch:
     def test_open_wedge_matches_nothing(self, spark):
         docs = _docs(spark, ["key join table", "table merge row"])
         assert kg.bgp_match(docs).count() == 0
+
+
+class TestRuleConfidence:
+    def test_closed_form_counts(self, spark):
+        # body bindings: (key,table,row) and (part,table,row); head holds
+        # for key only; 'part' has no scan edge at all, so PCA drops it
+        # from the denominator: conf = 1/2, pca_conf = 1/1.
+        docs = _docs(
+            spark,
+            [
+                "key join table",
+                "part join table",
+                "table merge row",
+                "key scan row",
+            ],
+        )
+        r = kg.rule_confidence(docs).collect()[0]
+        assert (r.n_body, r.n_support, r.n_pca_body) == (2, 1, 1)
+        assert (r.conf_1e6, r.pca_conf_1e6) == (500000, 1000000)
+
+    def test_empty_body_yields_zeroes(self, spark):
+        docs = _docs(spark, ["key scan row"])
+        r = kg.rule_confidence(docs).collect()[0]
+        assert tuple(r) == (0, 0, 0, 0, 0)
+
+    def test_pca_counts_wrong_object_evidence(self, spark):
+        # head-subject 'key' HAS a scan edge but to the wrong object:
+        # PCA keeps the binding in the denominator (known-incomplete
+        # region), so pca_conf = 0/1 while plain conf = 0/1 too.
+        docs = _docs(spark, ["key join table", "table merge row", "key scan part"])
+        r = kg.rule_confidence(docs).collect()[0]
+        assert (r.n_body, r.n_support, r.n_pca_body) == (1, 0, 1)
+        assert (r.conf_1e6, r.pca_conf_1e6) == (0, 0)
