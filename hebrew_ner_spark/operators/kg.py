@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hebrew_ner_spark.resources import ADJECTIVE_TERMS, ENTITY_TERMS, PREDICATE_TERMS
 
@@ -455,6 +456,92 @@ def rule_confidence(
             "CAST(CASE WHEN n_pca_body = 0 THEN 0 ELSE"
             " (2000000 * n_support + n_pca_body) DIV (2 * n_pca_body) END AS BIGINT)"
         ).alias("pca_conf_1e6"),
+    )
+
+
+def entity_summary(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(subj, rk, pred, obj, n_evidence) — the top-``k`` facts per entity
+    by evidence weight, ties broken (pred, obj) ascending: the "entity
+    card" a KG serving layer materializes (and the summarization baseline
+    — FACES/RELIN-style relevance reduces to evidence ranking when no
+    user model is present).
+
+    One aggregate + one window partitioned by subj — task size is
+    facts-per-entity, never corpus size. A mega-entity with millions of
+    distinct facts makes the per-partition top-k sort the hazard;
+    rank-over-partition with k small is exactly the shape Spark's
+    WindowGroupLimit pushes a partial top-k through map-side, so the
+    exchange carries ~k rows per (partition, subj), not the full fact
+    list.
+    """
+    facts = triple_counts(docs)
+    win = Window.partitionBy("subj").orderBy(
+        F.col("n_evidence").desc(), F.col("pred").asc(), F.col("obj").asc()
+    )
+    return (
+        facts.withColumn("rk", F.row_number().over(win))
+        .where(F.col("rk") <= k)
+        # row_number is int32 in Spark, int64 in DuckDB — pin the wider
+        .select("subj", F.col("rk").cast("long").alias("rk"), "pred", "obj", "n_evidence")
+    )
+
+
+def subsumption_candidates(
+    docs: DataFrame, min_conf_1e6: int = 800_000, min_docs: int = 3
+) -> DataFrame:
+    """(hyper, hypo, c_hyper, c_hypo, c_both, conf_1e6) — statistical
+    subsumption (taxonomy-induction) candidates: ``hyper`` subsumes
+    ``hypo`` when nearly every document mentioning the hyponym also
+    mentions the hypernym (doc-set containment, the distributional
+    inclusion hypothesis behind Hearst-style taxonomy mining at corpus
+    scale). conf = c_both / c_hypo as an exact round-half-up integer;
+    candidates need conf >= ``min_conf_1e6`` and c_hypo >= ``min_docs``
+    (singleton support proves nothing), and the trivial self-pair is
+    excluded.
+
+    Plan shape: reuses the array-side within-doc pair generation (no
+    self-join of the mention table) + one pair count + two broadcast-or-
+    shuffled frequency joins — identical skeleton to cooc_lift, so the
+    same mega-entity skew notes apply. Containment needs ORDERED pairs;
+    pairs are generated a<b, so each unordered pair contributes both
+    orientations by symmetry of c_ab.
+    """
+    from hebrew_ner_spark.operators.graphstats import doc_entity_sets, entity_pairs
+
+    pairs = entity_pairs(docs)
+    c_ab = pairs.groupBy("ea", "eb").agg(F.count("*").alias("c_both"))
+    freq = (
+        doc_entity_sets(docs)
+        .select(F.explode("ents").alias("entity"))
+        .groupBy("entity")
+        .agg(F.count("*").alias("c"))
+    )
+    both_dirs = c_ab.select(
+        F.col("ea").alias("hyper"), F.col("eb").alias("hypo"), "c_both"
+    ).unionAll(
+        c_ab.select(F.col("eb").alias("hyper"), F.col("ea").alias("hypo"), "c_both")
+    )
+    return (
+        both_dirs.join(
+            freq.select(F.col("entity").alias("hyper"), F.col("c").alias("c_hyper")),
+            "hyper",
+        )
+        .join(
+            freq.select(F.col("entity").alias("hypo"), F.col("c").alias("c_hypo")),
+            "hypo",
+        )
+        .where(F.col("c_hypo") >= min_docs)
+        .select(
+            "hyper",
+            "hypo",
+            "c_hyper",
+            "c_hypo",
+            "c_both",
+            F.expr("CAST((2000000 * c_both + c_hypo) DIV (2 * c_hypo) AS BIGINT)").alias(
+                "conf_1e6"
+            ),
+        )
+        .where(F.col("conf_1e6") >= min_conf_1e6)
     )
 
 

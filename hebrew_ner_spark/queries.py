@@ -89,7 +89,10 @@ _WINDOW = [
     "mention_model_neural",
     "mm_decode",
     "ann_kmeans_cells",
-    "link_fuzzy_minhash",
+    # link_fuzzy_minhash rotated out (its MinHash tier is exercised as a
+    # stage of in-window link_full_tiered) for kg_entity_summary — the
+    # new WindowGroupLimit per-entity top-k shape
+    "kg_entity_summary",
     "link_full_tiered",
     "kg_pagerank",
     # mm_features rotated out (channel means over the same decode kernel
@@ -107,7 +110,10 @@ _WINDOW = [
     "cur_pii_redact",
     "cur_token_budget",
     "kg_triples_deppat",
-    "kg_edges_typed",
+    # kg_edges_typed rotated out (one groupBy over in-window
+    # kg_triples_deppat's output) for kg_subsumption — new ordered-pair
+    # containment shape with threshold semantics
+    "kg_subsumption",
     "kg_cooc_lift",
     "kg_triangles",
     "kg_snapshot_timetravel",

@@ -215,6 +215,47 @@ def kg_predicate_stats(spark, sf_dir):
 
 
 @query(
+    "kg_entity_summary",
+    oracle=f"""
+    WITH t AS ({_TRIPLES_ORACLE}),
+    tc AS (SELECT subj, pred, obj, count(*) AS n_evidence FROM t GROUP BY 1, 2, 3),
+    rk AS (SELECT subj, pred, obj, n_evidence,
+                  row_number() OVER (PARTITION BY subj
+                                     ORDER BY n_evidence DESC, pred ASC, obj ASC)
+                    AS rk
+           FROM tc)
+    SELECT subj, rk, pred, obj, n_evidence FROM rk WHERE rk <= 3
+    """,
+)
+def kg_entity_summary(spark, sf_dir):
+    """Top-3 facts per entity by evidence (the materialized entity card)."""
+    return kg.entity_summary(_docs(spark, sf_dir))
+
+
+@query(
+    "kg_subsumption",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    de AS (SELECT DISTINCT doc_id, token FROM toks WHERE token IN {_ENTS_SQL}),
+    freq AS (SELECT token, count(*) AS c FROM de GROUP BY 1),
+    p AS (SELECT x.token AS hyper, y.token AS hypo, count(*) AS c_both
+          FROM de x JOIN de y ON x.doc_id = y.doc_id AND x.token <> y.token
+          GROUP BY 1, 2)
+    SELECT p.hyper, p.hypo, fa.c AS c_hyper, fb.c AS c_hypo, p.c_both,
+           CAST((2000000 * p.c_both + fb.c) // (2 * fb.c) AS BIGINT) AS conf_1e6
+    FROM p
+    JOIN freq fa ON p.hyper = fa.token
+    JOIN freq fb ON p.hypo = fb.token
+    WHERE fb.c >= 3
+      AND (2000000 * p.c_both + fb.c) // (2 * fb.c) >= 800000
+    """,
+)
+def kg_subsumption(spark, sf_dir):
+    """Doc-set-containment subsumption candidates (taxonomy induction)."""
+    return kg.subsumption_candidates(_docs(spark, sf_dir))
+
+
+@query(
     "kg_entity_nodes",
     oracle=f"""
     WITH {_TOKS_CTE}

@@ -314,3 +314,43 @@ class TestRuleConfidence:
         r = kg.rule_confidence(docs).collect()[0]
         assert (r.n_body, r.n_support, r.n_pca_body) == (1, 0, 1)
         assert (r.conf_1e6, r.pca_conf_1e6) == (0, 0)
+
+
+class TestEntitySummary:
+    def test_top_k_and_tie_order(self, spark):
+        docs = _docs(
+            spark,
+            ["key join table"] * 3
+            + ["key merge row"] * 2
+            + ["key scan row"] * 2
+            + ["key agg part"],
+        )
+        rows = [tuple(r) for r in kg.entity_summary(docs).orderBy("rk").collect()]
+        # ties at n=2 break (pred, obj) ascending: merge < scan; k=3 drops agg
+        assert rows == [
+            ("key", 1, "join", "table", 3),
+            ("key", 2, "merge", "row", 2),
+            ("key", 3, "scan", "row", 2),
+        ]
+
+
+class TestSubsumption:
+    def test_planted_containment(self, spark):
+        # 'row' occurs only alongside 'table' (full containment, 4 docs);
+        # 'table' also appears alone so the reverse direction is partial.
+        docs = _docs(
+            spark,
+            ["row table key"] * 4 + ["table part"] * 4 + ["key value"] * 4,
+        )
+        got = {
+            (r.hyper, r.hypo): (r.c_hyper, r.c_hypo, r.c_both, r.conf_1e6)
+            for r in kg.subsumption_candidates(docs).collect()
+        }
+        assert got[("table", "row")] == (8, 4, 4, 1000000)
+        assert ("row", "table") not in got  # 4/8 containment, below cutoff
+        assert ("key", "row") in got  # key co-occurs in all 4 row-docs
+
+    def test_min_docs_guard(self, spark):
+        docs = _docs(spark, ["row table key"] * 2 + ["table part"] * 4)
+        got = {(r.hyper, r.hypo) for r in kg.subsumption_candidates(docs).collect()}
+        assert ("table", "row") not in got  # c_hypo=2 < min_docs
