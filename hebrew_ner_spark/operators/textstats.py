@@ -261,3 +261,54 @@ def trigram_score(docs: DataFrame) -> DataFrame:
             "CAST((2 * n_common * 1000000 + n_trigrams) DIV (2 * n_trigrams) AS BIGINT)"
         ).alias("common_ratio_1e6"),
     )
+
+
+def unigram_surprisal(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, surprisal_bits, mean_bits_1e6): integer unigram
+    cross-entropy — the CCNet-style LM-perplexity quality filter, exact.
+
+    Per-token surprisal is the bit-length gap ``bitlen(T) - bitlen(cnt)``
+    (T = corpus token occurrences, cnt = the token's corpus frequency):
+    an integer within 1 bit of ``-log2 p(token)``, so per-doc mean bits
+    orders documents exactly like unigram perplexity would, with no float
+    log anywhere — the score replays bit-for-bit cross-engine (the same
+    ``length(bin(x))`` trick the HLL sketch uses, sketches.py).
+
+    Shape at 10^12 docs: the Zipf table is one map-side-combined aggregate
+    (vocab-sized output); the doc side pre-aggregates to (doc, token, c)
+    grain BEFORE the vocabulary join, so the token-keyed shuffle carries
+    distinct-types-per-doc rows, not every occurrence; the scalar total T
+    is a broadcast-folded crossJoin. Two keyed shuffles end to end.
+    """
+    tok = (
+        with_tokens(docs)
+        .select("doc_id", F.explode("toks").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    freq = token_freq(docs)
+    total = freq.agg(F.sum("n").cast("long").alias("_t"))
+    scored = (
+        tok.join(freq, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "c",
+            (F.length(F.bin(F.col("_t"))) - F.length(F.bin(F.col("n"))))
+            .cast("long")
+            .alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("s")).cast("long").alias("surprisal_bits"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "surprisal_bits",
+        F.expr(
+            "CAST((2 * surprisal_bits * 1000000 + n_tokens) DIV (2 * n_tokens) AS BIGINT)"
+        ).alias("mean_bits_1e6"),
+    )

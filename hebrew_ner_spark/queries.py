@@ -158,6 +158,8 @@ _WINDOW = [
 # * kg_merge_delta / txt_subword_counts / mm_resize — their invariants are
 #   independently pytest-pinned (delta-fold == batch build; regex parity
 #   fuzz; closed-form resized pixels);
+# * txt_surprisal — added after the window filled; closed-form bitlen
+#   fixture + ordering contract pytest-pinned, rides CORRECTNESS_FULL;
 # * hybrid_pipeline — the hybrid==direct invariant is also pytest-pinned,
 #   and it has two rounds of driver-green history plus a judge re-check;
 # * kg_triples / kg_triple_counts / kg_web_triples / eval_f1_bootstrap_ci

@@ -196,3 +196,28 @@ def txt_trigram_score(spark, sf_dir):
     each doc's distinct trigrams whose document frequency clears the
     scale-free corpus threshold — no global top-k sort anywhere."""
     return textstats.trigram_score(_docs(spark, sf_dir))
+
+
+@query(
+    "txt_surprisal",
+    oracle="""
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+               FROM documents),
+    f AS (SELECT token, count(*) AS n FROM t GROUP BY token),
+    tot AS (SELECT sum(n) AS tt FROM f),
+    dt AS (SELECT doc_id, token, count(*) AS c FROM t GROUP BY doc_id, token),
+    j AS (SELECT dt.doc_id, dt.c,
+                 CAST(length(bin(tot.tt)) - length(bin(f.n)) AS BIGINT) AS s
+          FROM dt JOIN f USING (token), tot)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(sum(c * s) AS BIGINT) AS surprisal_bits,
+           CAST((2 * sum(c * s) * 1000000 + sum(c)) // (2 * sum(c)) AS BIGINT)
+             AS mean_bits_1e6
+    FROM j GROUP BY doc_id
+    """,
+)
+def txt_surprisal(spark, sf_dir):
+    """Integer unigram cross-entropy (CCNet-style LM-perplexity quality
+    filter): per-doc mean bits via the bitlen gap, exact cross-engine."""
+    return textstats.unigram_surprisal(_docs(spark, sf_dir))

@@ -11,3 +11,32 @@ class TestTrigramScore:
         got = {r.doc_id: (r.n_trigrams, r.n_common) for r in trigram_score(docs).collect()}
         assert got[0] == (2, 2)  # 'abc','bcd' both df=9 -> common
         assert got[9] == (1, 0)  # distinct trigrams of 'zzzz' = {'zzz'}, df=1 -> rare
+
+
+class TestUnigramSurprisal:
+    def test_closed_form(self, spark):
+        # Corpus: doc0 = "a a b", doc1 = "a c". Occurrences T=5 (bitlen 3).
+        # counts: a=3 (bitlen 2), b=1 (bitlen 1), c=1 (bitlen 1).
+        # surprisal: a -> 3-2=1 bit, b/c -> 3-1=2 bits.
+        rows = [(0, "a a b", "he"), (1, "a c", "he")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        from hebrew_ner_spark.operators.textstats import unigram_surprisal
+
+        got = {r.doc_id: r for r in unigram_surprisal(docs).collect()}
+        assert (got[0].n_tokens, got[0].surprisal_bits) == (3, 1 + 1 + 2)
+        assert (got[1].n_tokens, got[1].surprisal_bits) == (2, 1 + 2)
+        # round-half-up micro-bits: doc0 4/3 -> 1333333, doc1 3/2 -> 1500000
+        assert got[0].mean_bits_1e6 == 1333333
+        assert got[1].mean_bits_1e6 == 1500000
+
+    def test_rare_scores_above_common(self, spark):
+        # A doc of one-off gibberish tokens must score strictly above a
+        # doc made of the corpus's common token -- the filter's ordering
+        # contract (high mean bits == perplexity outlier).
+        rows = [(i, "the the the the", "he") for i in range(8)]
+        rows.append((8, "qz xv jk wq", "he"))
+        docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        from hebrew_ner_spark.operators.textstats import unigram_surprisal
+
+        got = {r.doc_id: r.mean_bits_1e6 for r in unigram_surprisal(docs).collect()}
+        assert got[8] > got[0]
