@@ -160,6 +160,9 @@ _WINDOW = [
 #   fuzz; closed-form resized pixels);
 # * txt_surprisal — added after the window filled; closed-form bitlen
 #   fixture + ordering contract pytest-pinned, rides CORRECTNESS_FULL;
+# * txt_bpe_merges / txt_bpe_vocab — added after the window filled; the
+#   training loop is pytest-pinned closed-form (greedy adjacency, prefix
+#   safety, tie order, early stop) and both ride CORRECTNESS_FULL;
 # * hybrid_pipeline — the hybrid==direct invariant is also pytest-pinned,
 #   and it has two rounds of driver-green history plus a judge re-check;
 # * kg_triples / kg_triple_counts / kg_web_triples / eval_f1_bootstrap_ci

@@ -221,3 +221,80 @@ def txt_surprisal(spark, sf_dir):
     """Integer unigram cross-entropy (CCNet-style LM-perplexity quality
     filter): per-doc mean bits via the bitlen gap, exact cross-engine."""
     return textstats.unigram_surprisal(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (operators/bpe.py): the oracle replays the training
+# loop with one CTE block per round — pair counts from a positional unnest,
+# argmax with the pinned (cnt DESC, l, r) tie order, and the same
+# wrapped-encoding replace() merge (left-to-right non-overlapping in both
+# engines — the BPE greedy rule).
+
+from hebrew_ner_spark.operators import bpe  # noqa: E402
+
+
+def _bpe_ctes(rounds: int) -> str:
+    parts = [
+        "tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)",
+        "w0 AS (SELECT regexp_replace(token, '(.)', ' \\1 ', 'g') AS s,"
+        " CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"ax{r} AS (SELECT n, string_split(trim(s), '  ') AS a FROM w{p}"
+            f" WHERE len(string_split(trim(s), '  ')) >= 2)"
+        )
+        parts.append(
+            f"px{r} AS (SELECT n, a, generate_subscripts(a, 1) AS i,"
+            f" unnest(a) AS l FROM ax{r})"
+        )
+        parts.append(
+            f"p{r} AS (SELECT l, a[i + 1] AS r, CAST(sum(n) AS BIGINT) AS cnt"
+            f" FROM px{r} WHERE i < len(a) GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"m{r} AS (SELECT l, r, cnt FROM p{r} ORDER BY cnt DESC, l, r LIMIT 1)"
+        )
+        parts.append(
+            f"w{r} AS (SELECT replace(w{p}.s,"
+            f" ' ' || m{r}.l || '  ' || m{r}.r || ' ',"
+            f" ' ' || m{r}.l || m{r}.r || ' ') AS s, n FROM w{p}, m{r})"
+        )
+    return ",\n    ".join(parts)
+
+
+_BPE_MERGES_SELECT = " UNION ALL ".join(
+    f"SELECT CAST({r} AS BIGINT) AS round, l, r, cnt FROM m{r}"
+    for r in range(1, bpe.BPE_ROUNDS + 1)
+)
+
+
+@query(
+    "txt_bpe_merges",
+    oracle=f"""
+    WITH {_bpe_ctes(bpe.BPE_ROUNDS)}
+    {_BPE_MERGES_SELECT}
+    """,
+)
+def txt_bpe_merges(spark, sf_dir):
+    """BPE tokenizer training: the learned merge table (one row per
+    round), replayed bit-for-bit by the unrolled DuckDB training loop."""
+    return bpe.bpe_merges(_docs(spark, sf_dir))
+
+
+@query(
+    "txt_bpe_vocab",
+    oracle=f"""
+    WITH {_bpe_ctes(bpe.BPE_ROUNDS)}
+    SELECT replace(s, ' ', '') AS token, n,
+           CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_symbols,
+           list_aggregate(string_split(trim(s), '  '), 'string_agg', '|')
+             AS segmented
+    FROM w{bpe.BPE_ROUNDS}
+    """,
+)
+def txt_bpe_vocab(spark, sf_dir):
+    """Every vocabulary word segmented by the learned BPE merges — the
+    subword split a downstream token counter consumes."""
+    return bpe.bpe_vocab(_docs(spark, sf_dir))

@@ -1,0 +1,47 @@
+"""BPE merge training: closed-form fixtures for the training loop,
+the greedy left-to-right merge rule, prefix safety of the wrapped
+encoding, and the early-stop path."""
+
+from hebrew_ner_spark.operators import bpe
+
+
+def _docs(spark, texts):
+    rows = [(i, t, "he") for i, t in enumerate(texts)]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+class TestBpeMerges:
+    def test_closed_form_and_early_stop(self, spark):
+        # vocab: aaab (n=2), ab (n=1)
+        # r1: (a,a)=4 beats (a,b)=3            -> aaab = [aa, a, b]
+        # r2: (a,b)=2+1=3 beats (aa,a)=2       -> aaab = [aa, ab], ab = [ab]
+        # r3: (aa,ab)=2                         -> aaab = [aaab]
+        # r4: no adjacent pairs remain          -> early stop (3 rows, not 4)
+        d = _docs(spark, ["aaab aaab", "ab"])
+        got = [(r["round"], r.l, r.r, r.cnt) for r in bpe.bpe_merges(d, 4).collect()]
+        assert got == [(1, "a", "a", 4), (2, "a", "b", 3), (3, "aa", "ab", 2)]
+
+    def test_greedy_left_to_right(self, spark):
+        # 'aaaa': one (a,a) merge must produce [aa, aa] — adjacent
+        # non-overlapping matches both fire (the wrapped encoding leaves
+        # the next symbol's leading space intact).
+        d = _docs(spark, ["aaaa"])
+        vocab = {r.token: r for r in bpe.bpe_vocab(d, 1).collect()}
+        assert vocab["aaaa"].segmented == "aa|aa"
+        assert vocab["aaaa"].n_symbols == 2
+
+    def test_prefix_safety(self, spark):
+        # merge (a,b) must NOT fire inside ' b  c ' or against the longer
+        # symbol 'bc' — the closing space in the pattern forbids it.
+        d = _docs(spark, ["ab ab ab ab ab", "a bc"])
+        merges = bpe.bpe_merges(d, 1).collect()
+        assert [(m.l, m.r, m.cnt) for m in merges] == [("a", "b", 5)]
+        vocab = {r.token: r.segmented for r in bpe.bpe_vocab(d, 1).collect()}
+        assert vocab == {"ab": "ab", "a": "a", "bc": "b|c"}
+
+    def test_tie_order(self, spark):
+        # (a,b) and (c,d) both count 1 -> lexicographically smaller (a,b)
+        # must win round 1 (cnt DESC, l ASC, r ASC).
+        d = _docs(spark, ["cd ab"])
+        m = bpe.bpe_merges(d, 1).collect()[0]
+        assert (m.l, m.r, m.cnt) == ("a", "b", 1)
