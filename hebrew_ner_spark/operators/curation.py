@@ -168,3 +168,37 @@ def token_budget_sample(docs: DataFrame, budget_per_lang: int) -> DataFrame:
     return kept_full.select("lang", "doc_id", "n_toks").unionByName(
         bdocs.select("lang", "doc_id", "n_toks")
     )
+
+
+def dedup_canonical(docs: DataFrame) -> DataFrame:
+    """(component_id, keep_doc_id, n_members, n_dropped): canonical-copy
+    selection over near-duplicate clusters — the curation step that turns
+    dedup CLUSTERS into a KEEP decision (C4/CCNet keep the richest copy;
+    docs in no cluster are implicitly kept).
+
+    Survivor rule is deterministic: longest text wins, doc_id ascending
+    breaks ties. One shuffle of the component table (cluster membership
+    is LSH-capped upstream, so no window partition exceeds the bucket
+    cap); the doc-length side joins at doc grain before the window, so
+    text itself never shuffles — only (doc_id, n_chars).
+    """
+    from hebrew_ner_spark.operators import canonicalize, dedup
+
+    comp = canonicalize.dedup_components(dedup.near_dup_pairs_all(docs))
+    stats = docs.select("doc_id", F.length("text").cast("long").alias("n_chars"))
+    j = comp.join(stats, "doc_id")
+    sel = Window.partitionBy("component_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    members = Window.partitionBy("component_id")
+    return (
+        j.withColumn("rk", F.row_number().over(sel))
+        .withColumn("n_members", F.count("*").over(members).cast("long"))
+        .where(F.col("rk") == 1)
+        .select(
+            "component_id",
+            F.col("doc_id").alias("keep_doc_id"),
+            "n_members",
+            (F.col("n_members") - F.lit(1)).cast("long").alias("n_dropped"),
+        )
+    )

@@ -163,6 +163,9 @@ _WINDOW = [
 # * txt_bpe_merges / txt_bpe_vocab — added after the window filled; the
 #   training loop is pytest-pinned closed-form (greedy adjacency, prefix
 #   safety, tie order, early stop) and both ride CORRECTNESS_FULL;
+# * cur_dedup_canonical — added after the window filled; survivor rule
+#   pytest-pinned (longest-then-min-doc_id, two planted clusters) and
+#   shares the in-window-cohort CC oracle prefix, rides CORRECTNESS_FULL;
 # * hybrid_pipeline — the hybrid==direct invariant is also pytest-pinned,
 #   and it has two rounds of driver-green history plus a judge re-check;
 # * kg_triples / kg_triple_counts / kg_web_triples / eval_f1_bootstrap_ci

@@ -115,3 +115,45 @@ def cur_token_budget(spark, sf_dir):
     boundary bucket at doc grain — the shape that survives 100 TB
     (operators/curation.py token_budget_sample)."""
     return curation.token_budget_sample(_docs(spark, sf_dir), BUDGET)
+
+
+@query(
+    "cur_dedup_canonical",
+    oracle=None,  # set below: composes the CC transitive-closure CTEs
+)
+def cur_dedup_canonical(spark, sf_dir):
+    """Canonical-copy selection over near-dup clusters: longest text
+    wins, doc_id breaks ties — the cluster -> keep decision. Shares the
+    exact-transitive-closure oracle prefix with cc_dedup_components
+    (including its loud-fail guard: hub-edge routing for over-cap
+    buckets is not expressible in the exact oracle)."""
+    from hebrew_ner_spark.querydefs.graph_q import _assert_no_overflow
+
+    d = load_table(spark, sf_dir, "documents")
+    _assert_no_overflow(d, sf_dir)
+    return curation.dedup_canonical(d)
+
+
+# late-bound: graph_q (which defines the shared CTEs) also imports the
+# registry, so pull the constant after both modules exist
+from hebrew_ner_spark.querydefs.graph_q import _CC_CTES  # noqa: E402
+from hebrew_ner_spark.registry import ORACLES  # noqa: E402
+
+ORACLES["cur_dedup_canonical"] = f"""
+    WITH RECURSIVE {_CC_CTES},
+    jq AS (
+      SELECT c.component_id, c.doc_id, length(d.text) AS n_chars
+      FROM comp c JOIN documents d USING (doc_id)
+    ),
+    rk AS (
+      SELECT component_id, doc_id, n_chars,
+             row_number() OVER (PARTITION BY component_id
+                                ORDER BY n_chars DESC, doc_id) AS rk,
+             count(*) OVER (PARTITION BY component_id) AS n_members
+      FROM jq
+    )
+    SELECT component_id, doc_id AS keep_doc_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(n_members - 1 AS BIGINT) AS n_dropped
+    FROM rk WHERE rk = 1
+    """

@@ -405,10 +405,9 @@ def kg_merge_delta(spark, sf_dir):
     return linking.merge_edge_counts(base, delta)
 
 
-@query(
-    "cc_dedup_components",
-    oracle=f"""
-    WITH RECURSIVE {_BANDS_CTE},
+# CC-over-near-dup-pairs oracle prefix (recursive transitive closure),
+# shared with the canonical-selection gate in curation_q.py.
+_CC_CTES = f"""{_BANDS_CTE},
     pairs AS ({_PAIRS_SQL}),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
@@ -431,8 +430,30 @@ def kg_merge_delta(spark, sf_dir):
       SELECT a, b FROM base
       UNION
       SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-    )
-    SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a
+    ),
+    comp AS (SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a)"""
+
+
+def _assert_no_overflow(docs, sf_dir):
+    """Loud-fail guard shared by every gate whose exact oracle cannot
+    model hub-edge routing: over-cap LSH buckets at the gated scale would
+    otherwise surface as an opaque hash mismatch. Memoized per corpus dir
+    (testdata is read-only) — one eager banding pass, not one per call."""
+    if sf_dir not in _CC_OVERFLOW_CHECKED:
+        if dedup.lsh_overflow(docs).limit(1).count():
+            raise AssertionError(
+                "over-cap LSH bucket present at the gated scale — the exact "
+                "transitive-closure oracle cannot model hub-edge routing; "
+                "regenerate test data or raise MAX_BUCKET"
+            )
+        _CC_OVERFLOW_CHECKED.add(sf_dir)
+
+
+@query(
+    "cc_dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_CC_CTES}
+    SELECT doc_id, component_id FROM comp
     """,
 )
 def cc_dedup_components(spark, sf_dir):
@@ -445,17 +466,7 @@ def cc_dedup_components(spark, sf_dir):
     surface as an opaque hash mismatch). The capped production path
     itself is pinned by tests/test_skew.py."""
     d = _docs(spark, sf_dir)
-    # The guard is a full banding pass; memoize per corpus dir (testdata
-    # is read-only) so repeated calls — bench reps, gate re-runs in one
-    # session — don't re-execute an eager Spark job per call.
-    if sf_dir not in _CC_OVERFLOW_CHECKED:
-        if dedup.lsh_overflow(d).limit(1).count():
-            raise AssertionError(
-                "cc_dedup_components gate: over-cap LSH bucket present at the "
-                "gated scale — the exact-transitive-closure oracle cannot model "
-                "hub-edge routing; regenerate test data or raise MAX_BUCKET"
-            )
-        _CC_OVERFLOW_CHECKED.add(sf_dir)
+    _assert_no_overflow(d, sf_dir)
     pairs = dedup.near_dup_pairs_all(d)
     return canonicalize.dedup_components(pairs)
 

@@ -135,3 +135,23 @@ def test_token_budget_plan_broadcasts_bucket_tables(spark, sample_docs):
     # the bucket-prefix tables join back broadcast — no shuffle join on
     # the full corpus side
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_dedup_canonical_keeps_longest_then_min_doc_id(spark):
+    """Cluster A: the extended copy (longest text) must be kept even
+    though it has the middle doc_id; cluster B: equal lengths fall back
+    to min doc_id. Docs outside any cluster never appear."""
+    from hebrew_ner_spark.operators.curation import dedup_canonical
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    other = "one two three four five six seven eight nine ten eleven twelve"
+    rows = [
+        (10, base), (11, base + " extra trailing detail"), (12, base),
+        (20, other), (21, other),
+        (99, "completely unrelated singleton text with its own words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.component_id: r for r in dedup_canonical(docs).collect()}
+    assert set(got) == {10, 20}
+    assert (got[10].keep_doc_id, got[10].n_members, got[10].n_dropped) == (11, 3, 2)
+    assert (got[20].keep_doc_id, got[20].n_members, got[20].n_dropped) == (20, 2, 1)
