@@ -784,3 +784,89 @@ def similar_roles(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def link_pred_ranks(docs: DataFrame, max_center_degree: int = 0) -> DataFrame:
+    """(src, dst, n_common, ra_1e6, rank): KG-completion ranking
+    evaluation for the RA link predictor — the leave-in filtered ranking
+    protocol (Bordes et al. 2013 TransE eval, adapted to a closed-form
+    scorer): every EXISTING edge with at least one common neighbor is a
+    test positive, ranked per source endpoint against all non-adjacent
+    same-source candidates by (ra_1e6 DESC, n_common DESC, dst ASC), with
+    other positives filtered out of the rank (rows above it that are
+    themselves edges don't count). rank = 1 means RA would propose the
+    held-out edge first.
+
+    Plan shape: the wedge join from link_pred_ra WITHOUT the anti-join (both
+    positives and negatives need scores), one left join against the edge
+    list to label positives, a two-way select to symmetrize pair scores
+    into per-source rows, then ONE src-keyed window (row_number plus a
+    cumulative positive count — rank_filtered = rn - positives_above).
+    Per-source candidate fan-out is the wedge fan-out, so the same
+    ``max_center_degree`` super-hub cap bounds the window partition size
+    at web scale (0 = exact, the gate's setting).
+    """
+    from pyspark.sql import Window
+
+    _evict("linkpredeval")
+    und = _persist("linkpredeval", above_mean_edges(docs).select("a", "b"))
+    sym = und.select(F.col("a").alias("z"), F.col("b").alias("x")).unionAll(
+        und.select(F.col("b").alias("z"), F.col("a").alias("x"))
+    )
+    deg = sym.groupBy("z").agg(F.count("*").alias("d"))
+    if max_center_degree > 0:
+        deg = deg.where(F.col("d") <= max_center_degree)
+    centers = sym.join(deg, "z")
+    s1 = centers.select("z", F.col("x").alias("a"), "d")
+    s2 = centers.select("z", F.col("x").alias("b"))
+    wedges = s1.join(s2, "z").where(F.col("a") < F.col("b"))
+    scored = wedges.groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("n_common"),
+        F.sum(F.expr("1000000 DIV d")).cast("long").alias("ra_1e6"),
+    )
+    lab = scored.join(
+        und.select("a", "b", F.lit(1).alias("is_pos")), ["a", "b"], "left"
+    ).withColumn("is_pos", F.coalesce(F.col("is_pos"), F.lit(0)).cast("long"))
+    both = lab.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"),
+        "n_common", "ra_1e6", "is_pos",
+    ).unionAll(
+        lab.select(
+            F.col("b").alias("src"), F.col("a").alias("dst"),
+            "n_common", "ra_1e6", "is_pos",
+        )
+    )
+    order = Window.partitionBy("src").orderBy(
+        F.desc("ra_1e6"), F.desc("n_common"), F.asc("dst")
+    )
+    prev = order.rowsBetween(Window.unboundedPreceding, -1)
+    rk = both.withColumn("rn", F.row_number().over(order)).withColumn(
+        "prev_pos", F.coalesce(F.sum("is_pos").over(prev), F.lit(0))
+    )
+    return rk.where(F.col("is_pos") == 1).select(
+        "src", "dst", "n_common", "ra_1e6",
+        (F.col("rn") - F.col("prev_pos")).cast("long").alias("rank"),
+    )
+
+
+def link_pred_mrr(docs: DataFrame, max_center_degree: int = 0) -> DataFrame:
+    """One row (n_pos, mrr_1e6, hits1, hits3, hits10): exact-integer
+    summary of the filtered ranking eval — MRR's per-positive reciprocal
+    is 1e6 DIV rank (truncating, replayed identically by the oracle) and
+    the mean is round-half-up micro-units."""
+    r = link_pred_ranks(docs, max_center_degree)
+    agg = r.agg(
+        F.count("*").cast("long").alias("n_pos"),
+        F.sum(F.expr("1000000 DIV rank")).cast("long").alias("rr_sum"),
+        F.sum((F.col("rank") <= 1).cast("long")).alias("hits1"),
+        F.sum((F.col("rank") <= 3).cast("long")).alias("hits3"),
+        F.sum((F.col("rank") <= 10).cast("long")).alias("hits10"),
+    )
+    return agg.select(
+        "n_pos",
+        F.expr(
+            "CAST(CASE WHEN n_pos = 0 THEN 0 ELSE"
+            " (2 * rr_sum + n_pos) DIV (2 * n_pos) END AS BIGINT)"
+        ).alias("mrr_1e6"),
+        "hits1", "hits3", "hits10",
+    )

@@ -166,6 +166,9 @@ _WINDOW = [
 # * cur_dedup_canonical — added after the window filled; survivor rule
 #   pytest-pinned (longest-then-min-doc_id, two planted clusters) and
 #   shares the in-window-cohort CC oracle prefix, rides CORRECTNESS_FULL;
+# * kg_lp_ranks / kg_lp_mrr — added after the window filled; the filtered
+#   ranking protocol is pytest-pinned on a fully hand-computed graph
+#   (ranks, MRR, hits@k), rides CORRECTNESS_FULL;
 # * hybrid_pipeline — the hybrid==direct invariant is also pytest-pinned,
 #   and it has two rounds of driver-green history plus a judge re-check;
 # * kg_triples / kg_triple_counts / kg_web_triples / eval_f1_bootstrap_ci

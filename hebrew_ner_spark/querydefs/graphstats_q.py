@@ -316,3 +316,70 @@ def kg_kcore(spark, sf_dir):
     presence diff between consecutive edge sets defines the round (a
     node stranded edgeless by its neighbors' removal peels with them)."""
     return graphstats.kcore_peel(_docs(spark, sf_dir))
+
+
+# Shared CTE chain for the link-prediction ranking eval: wedge scores for
+# ALL pairs (positives keep their scores), positive labels from the edge
+# list, two-way symmetrization, and the filtered per-source rank
+# (rn - positives_above) under the pinned (ra DESC, n_common DESC, dst)
+# tie order — bit-identical to the Spark window.
+_LP_RANKS_CTES = f"""{_EDGES_CTE},
+    {_SPARSE_EW},
+    e AS (SELECT a, b FROM ews),
+    sym AS (SELECT a AS z, b AS x FROM e UNION ALL SELECT b AS z, a AS x FROM e),
+    deg AS (SELECT z, count(*) AS d FROM sym GROUP BY 1),
+    wed AS (SELECT s1.x AS a, s2.x AS b, s1.z
+            FROM sym s1 JOIN sym s2 ON s1.z = s2.z AND s1.x < s2.x),
+    scored AS (SELECT w.a, w.b, CAST(count(*) AS BIGINT) AS n_common,
+                      CAST(SUM(1000000 // d) AS BIGINT) AS ra_1e6
+               FROM wed w JOIN deg ON deg.z = w.z GROUP BY 1, 2),
+    lab AS (SELECT s.a, s.b, s.n_common, s.ra_1e6,
+                   CASE WHEN e.a IS NULL THEN 0 ELSE 1 END AS is_pos
+            FROM scored s LEFT JOIN e ON e.a = s.a AND e.b = s.b),
+    dir AS (SELECT a AS src, b AS dst, n_common, ra_1e6, is_pos FROM lab
+            UNION ALL
+            SELECT b AS src, a AS dst, n_common, ra_1e6, is_pos FROM lab),
+    rkd AS (SELECT src, dst, n_common, ra_1e6, is_pos,
+                   row_number() OVER (PARTITION BY src
+                     ORDER BY ra_1e6 DESC, n_common DESC, dst) AS rn,
+                   coalesce(sum(is_pos) OVER (PARTITION BY src
+                     ORDER BY ra_1e6 DESC, n_common DESC, dst
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS prev_pos
+            FROM dir),
+    lpr AS (SELECT src, dst, n_common, ra_1e6,
+                   CAST(rn - prev_pos AS BIGINT) AS rank
+            FROM rkd WHERE is_pos = 1)"""
+
+
+@query(
+    "kg_lp_ranks",
+    oracle=f"""
+    WITH {_LP_RANKS_CTES}
+    SELECT src, dst, n_common, ra_1e6, rank FROM lpr
+    """,
+)
+def kg_lp_ranks(spark, sf_dir):
+    """Filtered per-source rank of every existing edge among its
+    same-source RA candidates — the KG-completion ranking protocol."""
+    return graphstats.link_pred_ranks(_docs(spark, sf_dir))
+
+
+@query(
+    "kg_lp_mrr",
+    oracle=f"""
+    WITH {_LP_RANKS_CTES}
+    SELECT CAST(count(*) AS BIGINT) AS n_pos,
+           CAST(CASE WHEN count(*) = 0 THEN 0 ELSE
+             (2 * sum(1000000 // rank) + count(*)) // (2 * count(*)) END
+             AS BIGINT) AS mrr_1e6,
+           CAST(sum(CASE WHEN rank <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits1,
+           CAST(sum(CASE WHEN rank <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS hits3,
+           CAST(sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hits10
+    FROM lpr
+    """,
+)
+def kg_lp_mrr(spark, sf_dir):
+    """Exact-integer MRR / hits@k over the filtered link-prediction
+    ranks (reciprocal = 1e6 DIV rank, mean round-half-up)."""
+    return graphstats.link_pred_mrr(_docs(spark, sf_dir))

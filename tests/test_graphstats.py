@@ -354,3 +354,41 @@ class TestSubsumption:
         docs = _docs(spark, ["row table key"] * 2 + ["table part"] * 4)
         got = {(r.hyper, r.hypo) for r in kg.subsumption_candidates(docs).collect()}
         assert ("table", "row") not in got  # c_hypo=2 < min_docs
+
+
+class TestLinkPredEval:
+    def _fixture(self, spark):
+        # heavy (above-mean) undirected edges: key-table, table-row,
+        # key-row (triangle) + table-part (pendant); three one-off light
+        # edges set the mean so only the repeated ones survive.
+        heavy = [
+            "key join table", "table join row", "key join row",
+            "table join part",
+        ] * 3
+        light = ["order join query", "batch join line", "hash join group"]
+        return _docs(spark, heavy + light)
+
+    def test_filtered_ranks_closed_form(self, spark):
+        # deg: key 2, table 3, row 2, part 1. Scored pairs (ra_1e6):
+        #   (key,row) 333333 pos | (key,part) 333333 neg | (part,row)
+        #   333333 neg | (row,table) 500000 pos | (key,table) 500000 pos.
+        # Filtered ranks: src=key -> table r1, row r2 (the neg 'part'
+        # outranks it on dst asc at equal score; the pos 'table' above is
+        # filtered); src=row -> table r1, key r1; src=table -> key r1,
+        # row r1 (both pos, mutual filtering).
+        got = {
+            (r.src, r.dst): r.rank
+            for r in graphstats.link_pred_ranks(self._fixture(spark)).collect()
+        }
+        assert got == {
+            ("key", "table"): 1, ("key", "row"): 2,
+            ("row", "table"): 1, ("row", "key"): 1,
+            ("table", "key"): 1, ("table", "row"): 1,
+        }
+
+    def test_mrr_hits_closed_form(self, spark):
+        # rr_sum = 5*1e6 + 500000; mrr = round(5.5e6/6) = 916667
+        m = graphstats.link_pred_mrr(self._fixture(spark)).collect()[0]
+        assert (m.n_pos, m.mrr_1e6, m.hits1, m.hits3, m.hits10) == (
+            6, 916667, 5, 6, 6,
+        )
