@@ -587,3 +587,38 @@ def triple_validity(pages: DataFrame) -> DataFrame:
         F.countDistinct("pk").alias("n_sightings"),
         F.countDistinct("pk.url").alias("n_pages"),
     )
+
+
+def fact_outliers(docs: DataFrame) -> DataFrame:
+    """(pred, subj, n_objects, n_evidence): subjects that assert MORE
+    distinct objects than the predicate's corpus mean — the
+    constraint-violation / extraction-noise review queue a fusion stage
+    consumes. The absolute PARIS rule (flag multi-object subjects on
+    predicates with functionality ~1) is vacuous on corpora where no
+    predicate is functional, so the production form is relative:
+    ``n_objects * n_subj > n_pairs`` (strictly above the predicate's
+    mean objects-per-subject, the same scale-free above-mean device as
+    the sparsified entity graph — no global sort, no float division).
+
+    Plan shape: the triple-keyed dedup aggregate (shared shape with
+    predicate_stats), one (pred, subj) aggregate, then one join against
+    the predicate profile — predicates are a small closed set, so the
+    profile is broadcast and the join is map-side.
+    """
+    pairs = (
+        doc_triples(docs)
+        .groupBy("pred", "subj", "obj")
+        .agg(F.count("*").alias("n_ev"))
+    )
+    per_subj = pairs.groupBy("pred", "subj").agg(
+        F.count("*").cast("long").alias("n_objects"),
+        F.sum("n_ev").cast("long").alias("n_evidence"),
+    )
+    profile = pairs.groupBy("pred").agg(
+        F.count("*").alias("n_pairs"), F.countDistinct("subj").alias("n_subj")
+    )
+    return (
+        per_subj.join(F.broadcast(profile), "pred")
+        .where(F.col("n_objects") * F.col("n_subj") > F.col("n_pairs"))
+        .select("pred", "subj", "n_objects", "n_evidence")
+    )

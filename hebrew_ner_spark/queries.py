@@ -169,6 +169,8 @@ _WINDOW = [
 # * kg_lp_ranks / kg_lp_mrr — added after the window filled; the filtered
 #   ranking protocol is pytest-pinned on a fully hand-computed graph
 #   (ranks, MRR, hits@k), rides CORRECTNESS_FULL;
+# * kg_fact_outliers — added after the window filled; above-mean rule
+#   pytest-pinned closed-form (flagged vs uniform), rides CORRECTNESS_FULL;
 # * hybrid_pipeline — the hybrid==direct invariant is also pytest-pinned,
 #   and it has two rounds of driver-green history plus a judge re-check;
 # * kg_triples / kg_triple_counts / kg_web_triples / eval_f1_bootstrap_ci

@@ -367,3 +367,27 @@ def kg_snapshot_timetravel(spark, sf_dir):
     out = snap.read_snapshot(spark, root, "edges", version=1).localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@query(
+    "kg_fact_outliers",
+    oracle=f"""
+    WITH t AS ({_TRIPLES_ORACLE}),
+    pairs AS (SELECT pred, subj, obj, count(*) AS n_ev
+              FROM t GROUP BY 1, 2, 3),
+    per_subj AS (SELECT pred, subj,
+                        CAST(count(*) AS BIGINT) AS n_objects,
+                        CAST(sum(n_ev) AS BIGINT) AS n_evidence
+                 FROM pairs GROUP BY 1, 2),
+    prof AS (SELECT pred, count(*) AS n_pairs, count(DISTINCT subj) AS n_subj
+             FROM pairs GROUP BY 1)
+    SELECT ps.pred, ps.subj, ps.n_objects, ps.n_evidence
+    FROM per_subj ps JOIN prof USING (pred)
+    WHERE ps.n_objects * prof.n_subj > prof.n_pairs
+    """,
+)
+def kg_fact_outliers(spark, sf_dir):
+    """Over-asserting subjects per predicate (strictly above the
+    predicate's mean objects-per-subject) — the constraint-violation
+    review queue for fusion."""
+    return kg.fact_outliers(_docs(spark, sf_dir))

@@ -392,3 +392,20 @@ class TestLinkPredEval:
         assert (m.n_pos, m.mrr_1e6, m.hits1, m.hits3, m.hits10) == (
             6, 916667, 5, 6, 6,
         )
+
+
+class TestFactOutliers:
+    def test_above_mean_subject_flagged(self, spark):
+        # join pairs: key->{table,row,part}, row->{table}; mean = 4/2 = 2
+        # objects/subject -> key (3 > 2) flagged, row (1) not.
+        docs = _docs(
+            spark,
+            ["key join table", "key join row", "key join part", "row join table"],
+        )
+        rows = [tuple(r) for r in kg.fact_outliers(docs).collect()]
+        assert rows == [("join", "key", 3, 3)]
+
+    def test_uniform_assertion_yields_nothing(self, spark):
+        # every subject exactly at the mean -> strict inequality empty
+        docs = _docs(spark, ["key join table", "row join part"])
+        assert kg.fact_outliers(docs).count() == 0
