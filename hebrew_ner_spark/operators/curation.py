@@ -202,3 +202,77 @@ def dedup_canonical(docs: DataFrame) -> DataFrame:
             (F.col("n_members") - F.lit(1)).cast("long").alias("n_dropped"),
         )
     )
+
+
+BOILER_K = 3  # word-gram size for cross-document boilerplate detection
+BOILER_DF_DENOM = 100  # boilerplate = gram present in > n_docs/100 documents
+
+
+def boilerplate_ngrams(
+    docs: DataFrame, k: int = BOILER_K, denom: int = BOILER_DF_DENOM
+) -> DataFrame:
+    """(gram, df): word k-grams whose DOCUMENT frequency clears the
+    scale-free corpus threshold ``df * BOILER_DF_DENOM > n_docs`` — the
+    header/footer/navigation boilerplate table a stripping pass consumes
+    (the cross-document mirror of Gopher's within-document repetition
+    signals above). Per-doc grams dedup BEFORE the aggregate (presence,
+    not multiplicity, defines boilerplate), so the shuffle carries
+    distinct (doc, gram) rows; the df aggregate is map-side combined and
+    the scalar corpus size is a broadcast-folded crossJoin — no global
+    top-k sort anywhere.
+    """
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    grams = toks.select(
+        "doc_id", F.explode(F.array_distinct(_grams("toks", k))).alias("gram")
+    )
+    n_docs = docs.agg(F.count("*").alias("_n"))
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").cast("long").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("df") * denom > F.col("_n"))
+        .select("gram", "df")
+    )
+
+
+def boilerplate_fraction(
+    docs: DataFrame, k: int = BOILER_K, denom: int = BOILER_DF_DENOM
+) -> DataFrame:
+    """(doc_id, n_grams, n_boiler, boiler_ratio_1e6): the share of each
+    document's k-gram OCCURRENCES covered by the corpus boilerplate
+    table — the per-doc strip/keep quality signal. The boilerplate side
+    is corpus-thresholded (tiny by construction: AQE broadcasts it), so
+    the join adds no doc-side shuffle; docs shorter than k report 0/0
+    with ratio 0."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    grams = toks.select("doc_id", F.explode(_grams("toks", k)).alias("gram"))
+    boiler = boilerplate_ngrams(docs, k, denom).select(
+        "gram", F.lit(1).alias("_b")
+    )
+    per_doc = (
+        grams.join(boiler, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_b"), F.lit(0))).cast("long").alias("n_boiler"),
+        )
+    )
+    # left join back to docs so too-short documents (no grams) appear
+    base = docs.select("doc_id")
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_boiler", F.lit(0)).cast("long").alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_boiler",
+            F.expr(
+                "CASE WHEN n_grams = 0 THEN CAST(0 AS BIGINT) ELSE "
+                "CAST((2 * n_boiler * 1000000 + n_grams) DIV (2 * n_grams) AS BIGINT) END"
+            ).alias("boiler_ratio_1e6"),
+        )
+    )

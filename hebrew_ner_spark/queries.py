@@ -171,6 +171,9 @@ _WINDOW = [
 #   (ranks, MRR, hits@k), rides CORRECTNESS_FULL;
 # * kg_fact_outliers — added after the window filled; above-mean rule
 #   pytest-pinned closed-form (flagged vs uniform), rides CORRECTNESS_FULL;
+# * cur_boilerplate / cur_boiler_fraction — added after the window
+#   filled; planted-header threshold + fraction closed-form pytest-pinned,
+#   ride CORRECTNESS_FULL;
 # * hybrid_pipeline — the hybrid==direct invariant is also pytest-pinned,
 #   and it has two rounds of driver-green history plus a judge re-check;
 # * kg_triples / kg_triple_counts / kg_web_triples / eval_f1_bootstrap_ci

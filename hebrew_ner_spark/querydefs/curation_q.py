@@ -157,3 +157,60 @@ ORACLES["cur_dedup_canonical"] = f"""
            CAST(n_members - 1 AS BIGINT) AS n_dropped
     FROM rk WHERE rk = 1
     """
+
+
+_BOILER_CTES = f"""
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    gset AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(0, greatest(0, len(toks) - {curation.BOILER_K} + 1)),
+               i -> array_to_string(toks[i + 1:i + {curation.BOILER_K}], ' '))))
+             AS gram
+      FROM t),
+    nd AS (SELECT count(*) AS n FROM documents),
+    boiler AS (
+      SELECT gram, CAST(count(*) AS BIGINT) AS df
+      FROM gset, nd GROUP BY gram, nd.n
+      HAVING count(*) * {curation.BOILER_DF_DENOM} > nd.n)"""
+
+
+@query(
+    "cur_boilerplate",
+    oracle=f"""
+    WITH {_BOILER_CTES}
+    SELECT gram, df FROM boiler
+    """,
+)
+def cur_boilerplate(spark, sf_dir):
+    """Cross-document boilerplate k-gram table (scale-free document-
+    frequency threshold, presence-deduped per doc)."""
+    return curation.boilerplate_ngrams(_docs(spark, sf_dir))
+
+
+@query(
+    "cur_boiler_fraction",
+    oracle=f"""
+    WITH {_BOILER_CTES},
+    gocc AS (
+      SELECT doc_id, unnest(list_transform(
+               range(0, greatest(0, len(toks) - {curation.BOILER_K} + 1)),
+               i -> array_to_string(toks[i + 1:i + {curation.BOILER_K}], ' ')))
+             AS gram
+      FROM t),
+    j AS (SELECT g.doc_id, CASE WHEN b.gram IS NULL THEN 0 ELSE 1 END AS hit
+          FROM gocc g LEFT JOIN boiler b USING (gram)),
+    pd AS (SELECT doc_id, count(*) AS n_grams, sum(hit) AS n_boiler
+           FROM j GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(pd.n_boiler, 0) AS BIGINT) AS n_boiler,
+           CAST(CASE WHEN coalesce(pd.n_grams, 0) = 0 THEN 0 ELSE
+             (2 * pd.n_boiler * 1000000 + pd.n_grams) // (2 * pd.n_grams) END
+             AS BIGINT) AS boiler_ratio_1e6
+    FROM documents d LEFT JOIN pd USING (doc_id)
+    """,
+)
+def cur_boiler_fraction(spark, sf_dir):
+    """Per-document share of k-gram occurrences covered by the corpus
+    boilerplate table — the strip/keep signal."""
+    return curation.boilerplate_fraction(_docs(spark, sf_dir))

@@ -155,3 +155,30 @@ def test_dedup_canonical_keeps_longest_then_min_doc_id(spark):
     assert set(got) == {10, 20}
     assert (got[10].keep_doc_id, got[10].n_members, got[10].n_dropped) == (11, 3, 2)
     assert (got[20].keep_doc_id, got[20].n_members, got[20].n_dropped) == (20, 2, 1)
+
+
+def test_boilerplate_threshold_and_fraction(spark):
+    """Planted header gram clears the df threshold; one-off grams and
+    too-short docs do not. denom=2 with 4 docs -> boilerplate needs
+    df*2 > 4, i.e. df >= 3."""
+    from hebrew_ner_spark.operators.curation import (
+        boilerplate_fraction,
+        boilerplate_ngrams,
+    )
+
+    rows = [
+        (0, "a b c q0"), (1, "a b c q1"), (2, "a b c q2"),
+        (3, "z z z z"), (4, "x y"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    boiler = [(r.gram, r.df) for r in boilerplate_ngrams(docs, denom=2).collect()]
+    assert boiler == [("a b c", 3)]
+
+    frac = {r.doc_id: r for r in boilerplate_fraction(docs, denom=2).collect()}
+    assert (frac[0].n_grams, frac[0].n_boiler, frac[0].boiler_ratio_1e6) == (
+        2, 1, 500000,
+    )
+    # within-doc repetition of a non-boilerplate gram stays 0
+    assert (frac[3].n_grams, frac[3].n_boiler) == (2, 0)
+    # shorter than k: no grams, ratio 0
+    assert (frac[4].n_grams, frac[4].n_boiler, frac[4].boiler_ratio_1e6) == (0, 0, 0)
