@@ -243,28 +243,22 @@ def boilerplate_fraction(
     table — the per-doc strip/keep quality signal. The boilerplate side
     is corpus-thresholded (tiny by construction: AQE broadcasts it), so
     the join adds no doc-side shuffle; docs shorter than k report 0/0
-    with ratio 0."""
+    with ratio 0 (explode_outer keeps them as a null-gram row that
+    count(gram) ignores — no back-join against the doc table, one
+    doc-keyed exchange total)."""
     toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
-    grams = toks.select("doc_id", F.explode(_grams("toks", k)).alias("gram"))
+    grams = toks.select(
+        "doc_id", F.explode_outer(_grams("toks", k)).alias("gram")
+    )
     boiler = boilerplate_ngrams(docs, k, denom).select(
         "gram", F.lit(1).alias("_b")
     )
-    per_doc = (
+    return (
         grams.join(boiler, "gram", "left")
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_grams"),
+            F.count("gram").cast("long").alias("n_grams"),
             F.sum(F.coalesce(F.col("_b"), F.lit(0))).cast("long").alias("n_boiler"),
-        )
-    )
-    # left join back to docs so too-short documents (no grams) appear
-    base = docs.select("doc_id")
-    return (
-        base.join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
-            F.coalesce("n_boiler", F.lit(0)).cast("long").alias("n_boiler"),
         )
         .select(
             "doc_id",

@@ -287,7 +287,11 @@ def unigram_surprisal(docs: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("c"))
     )
     freq = token_freq(docs)
-    total = freq.agg(F.sum("n").cast("long").alias("_t"))
+    # T = total occurrences: a narrow doc-side scan (sum of array sizes),
+    # NOT a second pass over the Zipf aggregate
+    total = with_tokens(docs).agg(
+        F.sum(F.size("toks")).cast("long").alias("_t")
+    )
     scored = (
         tok.join(freq, "token")
         .crossJoin(F.broadcast(total))
