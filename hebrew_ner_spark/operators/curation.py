@@ -270,3 +270,45 @@ def boilerplate_fraction(
             ).alias("boiler_ratio_1e6"),
         )
     )
+
+
+PPL_HEAD_Q = 33  # head = cleanest third (lowest surprisal), CCNet's split
+PPL_MID_Q = 67
+
+
+def perplexity_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, mean_bits_1e6, bucket): CCNet's perplexity
+    bucketing (Wenzek et al. 2020) — per-language head/middle/tail split
+    of the corpus by LM score, used to stratify training-data sampling
+    toward the cleanest third. The LM score is the exact-integer unigram
+    surprisal (textstats.unigram_surprisal); thresholds are the
+    per-language integer percentile_disc 33/67 from the sort-free
+    histogram quantiles (operators/quantiles.py) — deterministic and
+    resume-stable, unlike approxQuantile.
+
+    Plan shape: surprisal's two keyed shuffles, one (lang, score)
+    histogram aggregate (map-side combined, <= |distinct scores| rows
+    per language), one per-lang window over that tiny histogram, and a
+    BROADCAST of the per-language threshold table back onto the doc
+    side — the labeling pass itself is map-side.
+    """
+    from hebrew_ner_spark.operators.quantiles import exact_quantiles
+    from hebrew_ner_spark.operators.textstats import unigram_surprisal
+
+    s = unigram_surprisal(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    qs = exact_quantiles(
+        s, "lang", F.col("mean_bits_1e6"), [PPL_HEAD_Q, PPL_MID_Q]
+    )
+    th = qs.groupBy("lang").agg(
+        F.min(F.when(F.col("q") == PPL_HEAD_Q, F.col("v"))).alias("p_head"),
+        F.min(F.when(F.col("q") == PPL_MID_Q, F.col("v"))).alias("p_mid"),
+    )
+    return s.join(F.broadcast(th), "lang").select(
+        "doc_id",
+        "lang",
+        "mean_bits_1e6",
+        F.when(F.col("mean_bits_1e6") <= F.col("p_head"), F.lit("head"))
+        .when(F.col("mean_bits_1e6") <= F.col("p_mid"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

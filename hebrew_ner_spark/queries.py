@@ -174,6 +174,9 @@ _WINDOW = [
 # * cur_boilerplate / cur_boiler_fraction — added after the window
 #   filled; planted-header threshold + fraction closed-form pytest-pinned,
 #   ride CORRECTNESS_FULL;
+# * cur_ppl_buckets — added after the window filled; per-lang bucket
+#   labels pytest-pinned vs an independent integer-percentile replay,
+#   rides CORRECTNESS_FULL;
 # * hybrid_pipeline — the hybrid==direct invariant is also pytest-pinned,
 #   and it has two rounds of driver-green history plus a judge re-check;
 # * kg_triples / kg_triple_counts / kg_web_triples / eval_f1_bootstrap_ci

@@ -214,3 +214,48 @@ def cur_boiler_fraction(spark, sf_dir):
     """Per-document share of k-gram occurrences covered by the corpus
     boilerplate table — the strip/keep signal."""
     return curation.boilerplate_fraction(_docs(spark, sf_dir))
+
+
+_SURPRISAL_CTES = """
+    tt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+    f AS (SELECT token, count(*) AS n FROM tt GROUP BY token),
+    tot AS (SELECT sum(n) AS t FROM f),
+    dtk AS (SELECT doc_id, token, count(*) AS c FROM tt GROUP BY doc_id, token),
+    sc AS (
+      SELECT d.doc_id, d.lang,
+             CAST((2 * sum(dtk.c * (length(bin(tot.t)) - length(bin(f.n))))
+                   * 1000000 + sum(dtk.c)) // (2 * sum(dtk.c)) AS BIGINT)
+               AS mean_bits_1e6
+      FROM dtk JOIN f USING (token), tot
+      JOIN documents d ON d.doc_id = dtk.doc_id
+      GROUP BY d.doc_id, d.lang, tot.t)"""
+
+
+@query(
+    "cur_ppl_buckets",
+    oracle=f"""
+    WITH {_SURPRISAL_CTES},
+    hist AS (SELECT lang, mean_bits_1e6 AS v, count(*) AS cnt
+             FROM sc GROUP BY 1, 2),
+    cum AS (SELECT lang, v,
+                   sum(cnt) OVER (PARTITION BY lang ORDER BY v) AS cum,
+                   sum(cnt) OVER (PARTITION BY lang) AS total
+            FROM hist),
+    th AS (SELECT lang,
+                  min(CASE WHEN 100 * cum >= {curation.PPL_HEAD_Q} * total
+                           THEN v END) AS p_head,
+                  min(CASE WHEN 100 * cum >= {curation.PPL_MID_Q} * total
+                           THEN v END) AS p_mid
+           FROM cum GROUP BY lang)
+    SELECT sc.doc_id, sc.lang, sc.mean_bits_1e6,
+           CASE WHEN sc.mean_bits_1e6 <= th.p_head THEN 'head'
+                WHEN sc.mean_bits_1e6 <= th.p_mid THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM sc JOIN th USING (lang)
+    """,
+)
+def cur_ppl_buckets(spark, sf_dir):
+    """CCNet perplexity bucketing: per-language head/middle/tail split
+    of the corpus by the exact-integer unigram LM score."""
+    return curation.perplexity_buckets(_docs(spark, sf_dir))

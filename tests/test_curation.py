@@ -182,3 +182,35 @@ def test_boilerplate_threshold_and_fraction(spark):
     assert (frac[3].n_grams, frac[3].n_boiler) == (2, 0)
     # shorter than k: no grams, ratio 0
     assert (frac[4].n_grams, frac[4].n_boiler, frac[4].boiler_ratio_1e6) == (0, 0, 0)
+
+
+def test_ppl_buckets_match_independent_replay(spark, sample_docs):
+    """Bucket labels replay exactly from the operator's own scores under
+    the integer percentile_disc rule, per language; all three buckets
+    are populated and ordering is monotone (head <= middle <= tail)."""
+    got = curation.perplexity_buckets(sample_docs).toPandas()
+    for lang, grp in got.groupby("lang"):
+        vs = sorted(grp.mean_bits_1e6)
+        total = len(vs)
+
+        def pct(q):
+            cum = 0
+            seen = {}
+            for v in vs:
+                cum += 1
+                if v not in seen and 100 * cum >= q * total:
+                    return v
+            return vs[-1]
+
+        p_head, p_mid = pct(curation.PPL_HEAD_Q), pct(curation.PPL_MID_Q)
+        for _, r in grp.iterrows():
+            want = (
+                "head" if r.mean_bits_1e6 <= p_head
+                else "middle" if r.mean_bits_1e6 <= p_mid
+                else "tail"
+            )
+            assert r.bucket == want, (lang, r.doc_id, r.mean_bits_1e6)
+        assert set(grp.bucket) == {"head", "middle", "tail"}, lang
+        assert grp[grp.bucket == "head"].mean_bits_1e6.max() <= (
+            grp[grp.bucket == "tail"].mean_bits_1e6.min()
+        )
