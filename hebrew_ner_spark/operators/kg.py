@@ -622,3 +622,48 @@ def fact_outliers(docs: DataFrame) -> DataFrame:
         .where(F.col("n_objects") * F.col("n_subj") > F.col("n_pairs"))
         .select("pred", "subj", "n_objects", "n_evidence")
     )
+
+
+def predicate_symmetry(docs: DataFrame) -> DataFrame:
+    """(pred, n_pairs, n_sym, sym_1e6): schema induction, symmetry axis —
+    the share of a predicate's ordered (subj, obj) pairs whose reverse is
+    also asserted (sym ~ 1e6 suggests an undirected relation; ~0 a
+    functional/hierarchical one). Complements PARIS functionality
+    (predicate_stats) in deciding which predicates may canonicalize
+    bidirectionally.
+
+    Plan shape: NO self-join — ordered distinct pairs collapse onto the
+    unordered key (pred, least, greatest), where count(*) IS the number
+    of directions present (1 or 2); symmetry then folds in a second
+    map-side-combined aggregate. Self-loops are excluded (a loop is
+    trivially its own reverse). Both aggregates take the salted-agg
+    plug-in if a mega-entity skews the pair key.
+    """
+    p = (
+        doc_triples(docs)
+        .where(F.col("subj") != F.col("obj"))
+        .select("pred", "subj", "obj")
+        .distinct()
+    )
+    u = p.groupBy(
+        "pred",
+        F.least("subj", "obj").alias("lo"),
+        F.greatest("subj", "obj").alias("hi"),
+    ).agg(F.count("*").alias("n_dir"))
+    return (
+        u.groupBy("pred")
+        .agg(
+            F.sum("n_dir").cast("long").alias("n_pairs"),
+            F.sum(F.when(F.col("n_dir") == 2, F.lit(2)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_sym"),
+        )
+        .select(
+            "pred",
+            "n_pairs",
+            "n_sym",
+            F.expr(
+                "CAST((2 * n_sym * 1000000 + n_pairs) DIV (2 * n_pairs) AS BIGINT)"
+            ).alias("sym_1e6"),
+        )
+    )

@@ -177,6 +177,8 @@ _WINDOW = [
 # * cur_ppl_buckets — added after the window filled; per-lang bucket
 #   labels pytest-pinned vs an independent integer-percentile replay,
 #   rides CORRECTNESS_FULL;
+# * kg_pred_symmetry — added after the window filled; closed-form
+#   symmetric/asymmetric fixtures pytest-pinned, rides CORRECTNESS_FULL;
 # * hybrid_pipeline — the hybrid==direct invariant is also pytest-pinned,
 #   and it has two rounds of driver-green history plus a judge re-check;
 # * kg_triples / kg_triple_counts / kg_web_triples / eval_f1_bootstrap_ci

@@ -391,3 +391,25 @@ def kg_fact_outliers(spark, sf_dir):
     predicate's mean objects-per-subject) — the constraint-violation
     review queue for fusion."""
     return kg.fact_outliers(_docs(spark, sf_dir))
+
+
+@query(
+    "kg_pred_symmetry",
+    oracle=f"""
+    WITH t AS ({_TRIPLES_ORACLE}),
+    p AS (SELECT DISTINCT pred, subj, obj FROM t WHERE subj <> obj),
+    u AS (SELECT pred, least(subj, obj) AS lo, greatest(subj, obj) AS hi,
+                 count(*) AS n_dir
+          FROM p GROUP BY 1, 2, 3)
+    SELECT pred,
+           CAST(sum(n_dir) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN n_dir = 2 THEN 2 ELSE 0 END) AS BIGINT) AS n_sym,
+           CAST((2 * sum(CASE WHEN n_dir = 2 THEN 2 ELSE 0 END) * 1000000
+                 + sum(n_dir)) // (2 * sum(n_dir)) AS BIGINT) AS sym_1e6
+    FROM u GROUP BY pred
+    """,
+)
+def kg_pred_symmetry(spark, sf_dir):
+    """Predicate symmetry share (reverse-pair presence) — the
+    directionality axis of schema induction, join-free."""
+    return kg.predicate_symmetry(_docs(spark, sf_dir))

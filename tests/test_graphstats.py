@@ -409,3 +409,22 @@ class TestFactOutliers:
         # every subject exactly at the mean -> strict inequality empty
         docs = _docs(spark, ["key join table", "row join part"])
         assert kg.fact_outliers(docs).count() == 0
+
+
+class TestPredicateSymmetry:
+    def test_closed_form(self, spark):
+        # join: key->table asserted both ways (symmetric, 2 ordered
+        # pairs), key->row one way; loops excluded.
+        docs = _docs(
+            spark,
+            ["key join table", "table join key", "key join row",
+             "key join key"],
+        )
+        rows = [tuple(r) for r in kg.predicate_symmetry(docs).collect()]
+        # n_pairs=3 ordered, n_sym=2 -> sym = round(2/3 * 1e6) = 666667
+        assert rows == [("join", 3, 2, 666667)]
+
+    def test_fully_asymmetric(self, spark):
+        docs = _docs(spark, ["key join table", "row join part"])
+        rows = [tuple(r) for r in kg.predicate_symmetry(docs).collect()]
+        assert rows == [("join", 2, 0, 0)]
