@@ -478,3 +478,97 @@ def near_dup_overflow(
         .agg(F.count("*").alias("n_vecs"))
         .where(F.col("n_vecs") > max_bucket)
     )
+
+
+# --- KG-embedding inference (TransE scoring) -------------------------------
+
+TRANSE_K = 3
+_TRANSE_SPAN = 200000  # relation components in [-0.2, 0.2] micro-units
+
+
+def transe_relation_vectors() -> dict[str, list[int]]:
+    """Hash-seeded integer relation vectors per predicate — the
+    inference-side stand-in for trained TransE relation embeddings
+    (Bordes et al. 2013), same contract as the seeded CRF weights
+    (operators/crf.py): no torch in the sandbox, so the TRAINED artifact
+    is replaced by a deterministic one while the distributed INFERENCE
+    path stays real. Derived driver-side with phash_py (the documented
+    single source of truth for constant derivation), embedded as
+    literals in both engines."""
+    from hebrew_ner_spark.functions.hashing import phash_py
+    from hebrew_ner_spark.resources import PREDICATE_TERMS
+
+    return {
+        p: [
+            phash_py(f"TRE|{p}|{j}") % (2 * _TRANSE_SPAN + 1) - _TRANSE_SPAN
+            for j in range(DIM)
+        ]
+        for p in PREDICATE_TERMS
+    }
+
+
+def transe_topk(edges: DataFrame, emb: DataFrame, k: int = TRANSE_K) -> DataFrame:
+    """(subj_id, pred, tail_id, energy, rk): TransE link-scoring pass —
+    for every observed (head, relation) the k candidate tails minimizing
+    the exact-integer L1 energy ``sum_j |h_j + r_j - t_j|`` (micro-unit
+    quantized embeddings; ties break tail_id ASC; the head itself is
+    excluded as its own tail).
+
+    Plan shape: heads dedup to (subj_id, pred) grain; entity vectors and
+    the 6x64 relation table BROADCAST onto them; candidates arrive via a
+    broadcast crossJoin of the entity-node vector set — sound here
+    because candidates are the closed entity vocabulary of the graph; at
+    a 10^8-entity web KG the candidate set comes from the IVF/LSH ANN
+    buckets instead (ivf_topk / rp_lsh_topk above) and this operator
+    reranks bucket candidates with the SAME energy expression. Energy is
+    one codegen'd array fold (zero Python, zero shuffle); the top-k
+    window is per-(head, relation) and WindowGroupLimit pushes the
+    partial top-k map-side.
+    """
+    from pyspark.sql import Window
+
+    spark = edges.sparkSession
+    rv = spark.createDataFrame(
+        [(p, v) for p, v in transe_relation_vectors().items()],
+        "pred string, rv array<bigint>",
+    )
+    vecs = _micro_vecs(emb)
+    nodes = (
+        edges.select(F.col("subj_id").alias("eid"))
+        .unionAll(edges.select(F.col("obj_id").alias("eid")))
+        .distinct()
+        .join(vecs, F.col("eid") == F.col("vec_id"))
+        .select("eid", "mv")
+    )
+    heads = (
+        edges.select("subj_id", "pred")
+        .distinct()
+        .join(F.broadcast(nodes.select(F.col("eid"), F.col("mv").alias("hv"))),
+              F.col("subj_id") == F.col("eid"))
+        .drop("eid")
+        .join(F.broadcast(rv), "pred")
+    )
+    cands = F.broadcast(
+        nodes.select(F.col("eid").alias("tail_id"), F.col("mv").alias("tv"))
+    )
+    scored = (
+        heads.crossJoin(cands)
+        .where(F.col("tail_id") != F.col("subj_id"))
+        .select(
+            "subj_id",
+            "pred",
+            "tail_id",
+            F.expr(
+                "aggregate(transform(sequence(0, size(hv) - 1),"
+                " j -> abs(hv[j] + rv[j] - tv[j])), 0L, (acc, x) -> acc + x)"
+            ).alias("energy"),
+        )
+    )
+    w = Window.partitionBy("subj_id", "pred").orderBy(
+        F.asc("energy"), F.asc("tail_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("subj_id", "pred", "tail_id", "energy", F.col("rk").cast("long").alias("rk"))
+    )

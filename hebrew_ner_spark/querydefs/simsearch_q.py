@@ -471,3 +471,59 @@ def ann_ivf_recall(spark, sf_dir):
 "CAST((2 * (n_hit) * 1000000 + (n_brute)) DIV (2 * (n_brute)) AS BIGINT)"
         ).alias("recall_1e6"),
     )
+
+
+# --- TransE link scoring over the entity graph -----------------------------
+# The relation vectors are literals derived once driver-side (phash_py) and
+# embedded identically in the Spark plan and the oracle.
+
+from hebrew_ner_spark.operators import linking  # noqa: E402
+from hebrew_ner_spark.querydefs.graph_q import (  # noqa: E402
+    _dim_values,
+    _edges_ctes,
+)
+
+_RV_VALUES = ", ".join(
+    f"('{p}', CAST({v} AS BIGINT[]))"
+    for p, v in simsearch.transe_relation_vectors().items()
+)
+
+
+@query(
+    "kg_transe_topk",
+    oracle=f"""
+    WITH {_dim_values()},
+    {_edges_ctes()},
+    rv(pred, rvv) AS (VALUES {_RV_VALUES}),
+    mvv AS (SELECT vec_id, list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
+              AS mv FROM embeddings),
+    nodes AS (SELECT DISTINCT eid FROM
+               (SELECT subj_id AS eid FROM e
+                UNION ALL SELECT obj_id FROM e)),
+    nv AS (SELECT n.eid, m.mv FROM nodes n JOIN mvv m ON m.vec_id = n.eid),
+    heads AS (SELECT DISTINCT subj_id, pred FROM e),
+    sc AS (SELECT h.subj_id, h.pred, t.eid AS tail_id,
+                  list_sum(list_transform(range(1, {simsearch.DIM} + 1),
+                    j -> abs(hv.mv[j] + r.rvv[j] - t.mv[j]))) AS energy
+           FROM heads h
+           JOIN nv hv ON hv.eid = h.subj_id
+           JOIN rv r ON r.pred = h.pred
+           CROSS JOIN nv t
+           WHERE t.eid <> h.subj_id),
+    rkd AS (SELECT subj_id, pred, tail_id, energy,
+                   row_number() OVER (PARTITION BY subj_id, pred
+                                      ORDER BY energy, tail_id) AS rk
+            FROM sc)
+    SELECT subj_id, pred, tail_id, CAST(energy AS BIGINT) AS energy,
+           CAST(rk AS BIGINT) AS rk
+    FROM rkd WHERE rk <= {simsearch.TRANSE_K}
+    """,
+)
+def kg_transe_topk(spark, sf_dir):
+    """TransE link scoring: top-k minimum-L1-energy candidate tails per
+    observed (head, relation) over micro-unit quantized embeddings."""
+    from hebrew_ner_spark.sources.catalog import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents")
+    return simsearch.transe_topk(linking.kg_edges(docs), _emb(spark, sf_dir))

@@ -159,3 +159,52 @@ def test_ivf_topk_hits_carry_brute_scores(emb):
     bscore = {(r.qid, r.nid): r.cos_1e6 for r in brute.itertuples()}
     for r in ivf.itertuples():
         assert bscore[(r.qid, r.nid)] == r.cos_1e6
+
+
+class TestTransETopK:
+    def test_matches_independent_python_replay(self, spark):
+        import itertools
+
+        from hebrew_ner_spark.operators import simsearch as ss
+
+        # 4 entities, deterministic float embeddings; edges over 2 preds
+        vecs = {
+            e: [((e * 64 + j) % 7 - 3) / 10.0 for j in range(64)]
+            for e in range(4)
+        }
+        emb = spark.createDataFrame(
+            [(e, v, 0) for e, v in vecs.items()],
+            "vec_id long, embedding array<float>, label int",
+        )
+        edge_rows = [(0, "join", 1, 2), (1, "join", 2, 1), (2, "merge", 3, 1),
+                     (3, "merge", 0, 1)]
+        edges = spark.createDataFrame(
+            edge_rows, "subj_id long, pred string, obj_id long, n_evidence long"
+        )
+        got = {
+            (r.subj_id, r.pred, r.rk): (r.tail_id, r.energy)
+            for r in ss.transe_topk(edges, emb, k=2).collect()
+        }
+
+        # pure-Python replay: float32 rounding first (parquet-less fixture
+        # still goes through array<float>), then micro quantization
+        import numpy as np
+
+        rv = ss.transe_relation_vectors()
+        micro = {
+            e: [int(np.floor(float(np.float32(x)) * 1e6 + 0.5)) for x in v]
+            for e, v in vecs.items()
+        }
+        heads = {(s, p) for s, p, _, _ in edge_rows}
+        nodes = sorted({s for s, *_ in edge_rows} | {o for _, _, o, _ in edge_rows})
+        want = {}
+        for s, p in heads:
+            scored = sorted(
+                (
+                    (sum(abs(micro[s][j] + rv[p][j] - micro[t][j]) for j in range(64)), t)
+                    for t in nodes if t != s
+                ),
+            )
+            for rk, (en, t) in enumerate(scored[:2], 1):
+                want[(s, p, rk)] = (t, en)
+        assert got == want
