@@ -507,12 +507,12 @@ def transe_relation_vectors() -> dict[str, list[int]]:
     }
 
 
-def transe_topk(edges: DataFrame, emb: DataFrame, k: int = TRANSE_K) -> DataFrame:
-    """(subj_id, pred, tail_id, energy, rk): TransE link-scoring pass —
-    for every observed (head, relation) the k candidate tails minimizing
-    the exact-integer L1 energy ``sum_j |h_j + r_j - t_j|`` (micro-unit
-    quantized embeddings; ties break tail_id ASC; the head itself is
-    excluded as its own tail).
+def _transe_scored(edges: DataFrame, emb: DataFrame) -> DataFrame:
+    """(subj_id, pred, tail_id, energy) for EVERY candidate tail of every
+    observed (head, relation) — the TransE link-scoring pass shared by
+    transe_topk (proposal) and transe_ranks (evaluation). Energy is the
+    exact-integer L1 ``sum_j |h_j + r_j - t_j|`` over micro-unit
+    quantized embeddings; the head itself is excluded as its own tail.
 
     Plan shape: heads dedup to (subj_id, pred) grain; entity vectors and
     the 6x64 relation table BROADCAST onto them; candidates arrive via a
@@ -525,7 +525,6 @@ def transe_topk(edges: DataFrame, emb: DataFrame, k: int = TRANSE_K) -> DataFram
     window is per-(head, relation) and WindowGroupLimit pushes the
     partial top-k map-side.
     """
-    from pyspark.sql import Window
 
     spark = edges.sparkSession
     rv = spark.createDataFrame(
@@ -564,6 +563,16 @@ def transe_topk(edges: DataFrame, emb: DataFrame, k: int = TRANSE_K) -> DataFram
             ).alias("energy"),
         )
     )
+    return scored
+
+
+def transe_topk(edges: DataFrame, emb: DataFrame, k: int = TRANSE_K) -> DataFrame:
+    """(subj_id, pred, tail_id, energy, rk): top-k minimum-energy
+    candidate tails per observed (head, relation) — see _transe_scored
+    for the plan shape."""
+    from pyspark.sql import Window
+
+    scored = _transe_scored(edges, emb)
     w = Window.partitionBy("subj_id", "pred").orderBy(
         F.asc("energy"), F.asc("tail_id")
     )
@@ -571,4 +580,40 @@ def transe_topk(edges: DataFrame, emb: DataFrame, k: int = TRANSE_K) -> DataFram
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
         .select("subj_id", "pred", "tail_id", "energy", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def transe_ranks(edges: DataFrame, emb: DataFrame) -> DataFrame:
+    """(subj_id, pred, tail_id, energy, rank): the TransE EVALUATION pass
+    — the filtered rank (Bordes et al. 2013) of every TRUE tail among
+    its (head, relation) candidates by (energy ASC, tail ASC); candidate
+    rows that are themselves true tails of the same (head, relation) are
+    filtered out of the rank, exactly the protocol link_pred_ranks uses
+    for the RA scorer. rank = 1 means the embedding model retrieves the
+    observed edge first.
+
+    Plan adds to _transe_scored: one left join against the distinct true
+    (subj, pred, obj) set and ONE (head, relation)-keyed window
+    (row_number + bounded-preceding positive count share a single
+    Sort + Exchange).
+    """
+    from pyspark.sql import Window
+
+    scored = _transe_scored(edges, emb)
+    truth = edges.select(
+        "subj_id", "pred", F.col("obj_id").alias("tail_id")
+    ).distinct().withColumn("is_pos", F.lit(1))
+    lab = scored.join(truth, ["subj_id", "pred", "tail_id"], "left").withColumn(
+        "is_pos", F.coalesce(F.col("is_pos"), F.lit(0)).cast("long")
+    )
+    order = Window.partitionBy("subj_id", "pred").orderBy(
+        F.asc("energy"), F.asc("tail_id")
+    )
+    prev = order.rowsBetween(Window.unboundedPreceding, -1)
+    rk = lab.withColumn("rn", F.row_number().over(order)).withColumn(
+        "prev_pos", F.coalesce(F.sum("is_pos").over(prev), F.lit(0))
+    )
+    return rk.where(F.col("is_pos") == 1).select(
+        "subj_id", "pred", "tail_id", "energy",
+        (F.col("rn") - F.col("prev_pos")).cast("long").alias("rank"),
     )

@@ -527,3 +527,51 @@ def kg_transe_topk(spark, sf_dir):
 
     docs = _lt(spark, sf_dir, "documents")
     return simsearch.transe_topk(linking.kg_edges(docs), _emb(spark, sf_dir))
+
+
+@query(
+    "kg_transe_rank",
+    oracle=f"""
+    WITH {_dim_values()},
+    {_edges_ctes()},
+    rv(pred, rvv) AS (VALUES {_RV_VALUES}),
+    mvv AS (SELECT vec_id, list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
+              AS mv FROM embeddings),
+    nodes AS (SELECT DISTINCT eid FROM
+               (SELECT subj_id AS eid FROM e
+                UNION ALL SELECT obj_id FROM e)),
+    nv AS (SELECT n.eid, m.mv FROM nodes n JOIN mvv m ON m.vec_id = n.eid),
+    heads AS (SELECT DISTINCT subj_id, pred FROM e),
+    sc AS (SELECT h.subj_id, h.pred, t.eid AS tail_id,
+                  list_sum(list_transform(range(1, {simsearch.DIM} + 1),
+                    j -> abs(hv.mv[j] + r.rvv[j] - t.mv[j]))) AS energy
+           FROM heads h
+           JOIN nv hv ON hv.eid = h.subj_id
+           JOIN rv r ON r.pred = h.pred
+           CROSS JOIN nv t
+           WHERE t.eid <> h.subj_id),
+    truth AS (SELECT DISTINCT subj_id, pred, obj_id AS tail_id FROM e),
+    lab AS (SELECT sc.*, CASE WHEN tr.tail_id IS NULL THEN 0 ELSE 1 END
+                           AS is_pos
+            FROM sc LEFT JOIN truth tr USING (subj_id, pred, tail_id)),
+    rkd AS (SELECT subj_id, pred, tail_id, energy, is_pos,
+                   row_number() OVER (PARTITION BY subj_id, pred
+                                      ORDER BY energy, tail_id) AS rn,
+                   coalesce(sum(is_pos) OVER (PARTITION BY subj_id, pred
+                     ORDER BY energy, tail_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS prev_pos
+            FROM lab)
+    SELECT subj_id, pred, tail_id, CAST(energy AS BIGINT) AS energy,
+           CAST(rn - prev_pos AS BIGINT) AS rank
+    FROM rkd WHERE is_pos = 1
+    """,
+)
+def kg_transe_rank(spark, sf_dir):
+    """TransE evaluation: filtered rank of every TRUE tail among its
+    (head, relation) candidates by integer L1 energy."""
+    from hebrew_ner_spark.sources.catalog import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents")
+    return simsearch.transe_ranks(linking.kg_edges(docs), _emb(spark, sf_dir))

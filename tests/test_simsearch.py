@@ -208,3 +208,41 @@ class TestTransETopK:
             for rk, (en, t) in enumerate(scored[:2], 1):
                 want[(s, p, rk)] = (t, en)
         assert got == want
+
+    def test_ranks_filtered_protocol(self, spark):
+        from hebrew_ner_spark.operators import simsearch as ss
+
+        # Zero embeddings for all entities: every candidate tail has the
+        # SAME energy |r|_1 per (head, pred), so ranks are decided purely
+        # by (tail ASC) and positive filtering — closed form.
+        emb = spark.createDataFrame(
+            [(e, [0.0] * 64, 0) for e in range(4)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        # head 0 asserts join->1, join->2, join->3: candidate order is
+        # 1,2,3 (all ties); the filtered protocol skips positives above:
+        # every true tail gets rank 1.
+        edges = spark.createDataFrame(
+            [(0, "join", t, 1) for t in (1, 2, 3)],
+            "subj_id long, pred string, obj_id long, n_evidence long",
+        )
+        got = {(r.subj_id, r.pred, r.tail_id): r.rank
+               for r in ss.transe_ranks(edges, emb).collect()}
+        assert got == {(0, "join", 1): 1, (0, "join", 2): 1, (0, "join", 3): 1}
+
+        # Only tail 3 true: tails 1 and 2 (negatives) outrank it on id ->
+        # filtered rank 3.
+        edges2 = spark.createDataFrame(
+            [(0, "join", 3, 1)],
+            "subj_id long, pred string, obj_id long, n_evidence long",
+        )
+        # nodes set = {0, 3} only (from edges) -> tail 3 is rank 1 there;
+        # widen the node set via extra merge edges among 1 and 2
+        edges2 = edges2.unionByName(spark.createDataFrame(
+            [(1, "merge", 2, 1)],
+            "subj_id long, pred string, obj_id long, n_evidence long",
+        ))
+        got2 = {(r.subj_id, r.pred, r.tail_id): r.rank
+                for r in ss.transe_ranks(edges2, emb).collect()}
+        assert got2[(0, "join", 3)] == 3
+        assert got2[(1, "merge", 2)] == 2  # negative tail 0 outranks id-wise
