@@ -459,3 +459,56 @@ def near_dup_pairs_all(
         "doc_a", "doc_b"
     )
     return verified.unionByName(hub_verified).distinct()
+
+
+def lsh_probe_delta(
+    base_docs: DataFrame, delta_docs: DataFrame, cap: int = MAX_BUCKET
+) -> DataFrame:
+    """(doc_a, doc_b): near-dup candidate pairs involving at least one
+    DELTA document — incremental dedup-index maintenance, the only shape
+    that survives a 10^12-doc corpus ingesting daily crawls. The base
+    corpus's band-key table is the stored index (in production an
+    Iceberg table carried across crawls — here recomputed because the
+    sandbox has no persisted index, but the base side is touched ONLY
+    by that one signature read, never re-banded per pair); the delta
+    signs only its own documents, then
+
+    * cross pairs: delta band keys equi-join the base index on
+      (band, band_key) — shuffle bounded by delta size plus matching
+      index rows;
+    * intra pairs: the normal capped array-side pair generation among
+      the delta itself.
+
+    Contract (gated): probe(base, delta) == full-corpus
+    lsh_candidate_pairs(base UNION delta) restricted to pairs with a
+    delta member, whenever no combined bucket exceeds ``cap`` (the gate
+    asserts that loudly, as cc_dedup_components does). Base-index
+    buckets above ``cap`` are excluded from the cross join the same way
+    _bucket_pairs excludes them (mega-buckets route through exact-hash
+    grouping upstream).
+    """
+    base_keys = _band_keys(base_docs)
+    delta_keys = _band_keys(delta_docs)
+    # exclude over-cap index buckets from the probe fan-out
+    ok_buckets = (
+        base_keys.groupBy("band", "band_key")
+        .agg(F.count_distinct("doc_id").alias("_n"))
+        .where(F.col("_n") <= cap)
+        .select("band", "band_key")
+    )
+    cross = (
+        delta_keys.select("band", "band_key", F.col("doc_id").alias("_d"))
+        .join(ok_buckets, ["band", "band_key"], "left_semi")
+        .join(
+            base_keys.select("band", "band_key", F.col("doc_id").alias("_b")),
+            ["band", "band_key"],
+        )
+        .where(F.col("_d") != F.col("_b"))
+        .select(
+            F.least("_d", "_b").alias("doc_a"),
+            F.greatest("_d", "_b").alias("doc_b"),
+        )
+        .distinct()
+    )
+    intra = _bucket_pairs(delta_keys, ["band", "band_key"], cap)
+    return cross.unionByName(intra).distinct()

@@ -182,6 +182,9 @@ _WINDOW = [
 # * kg_transe_topk / kg_transe_rank — added after the window filled;
 #   pytest-pinned vs an independent pure-Python energy replay plus a
 #   closed-form filtered-rank fixture, ride CORRECTNESS_FULL;
+# * dedup_probe_delta — added after the window filled; incremental ==
+#   full-restricted equality pytest-pinned on planted base/delta dups,
+#   rides CORRECTNESS_FULL;
 # * hybrid_pipeline — the hybrid==direct invariant is also pytest-pinned,
 #   and it has two rounds of driver-green history plus a judge re-check;
 # * kg_triples / kg_triple_counts / kg_web_triples / eval_f1_bootstrap_ci

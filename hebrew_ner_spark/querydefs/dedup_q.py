@@ -356,3 +356,29 @@ def dedup_simhash_overflow(spark, sf_dir):
     identical-text cluster shares all four 15-bit blocks, so each must
     surface (and is excluded from the pair explosion at the same cap)."""
     return dedup.simhash_overflow(_mega_docs(spark, sf_dir), cap=_CAP)
+
+
+@query(
+    "dedup_probe_delta",
+    oracle=f"""
+    WITH {_BANDS_CTE},
+    pairs AS ({_PAIRS_SQL})
+    SELECT doc_a, doc_b FROM pairs
+    WHERE doc_a % 2 = 1 OR doc_b % 2 = 1
+    """,
+)
+def dedup_probe_delta(spark, sf_dir):
+    """Incremental dedup-index maintenance: odd doc_ids are the crawl
+    delta, even the stored base index; the probe must equal the full
+    re-band restricted to delta-involving pairs (the gated contract —
+    valid while no combined bucket exceeds the cap, asserted loudly by
+    the shared overflow guard)."""
+    from pyspark.sql import functions as F
+
+    from hebrew_ner_spark.querydefs.graph_q import _assert_no_overflow
+
+    d = _docs(spark, sf_dir)
+    _assert_no_overflow(d, sf_dir)
+    base = d.where(F.col("doc_id") % 2 == 0)
+    delta = d.where(F.col("doc_id") % 2 == 1)
+    return dedup.lsh_probe_delta(base, delta)

@@ -188,3 +188,34 @@ def test_subword_regex_engine_parity_fuzz(spark):
             "SELECT len(regexp_extract_all(?, ?))", [t, textstats.BPE_REGEX]
         ).fetchone()
         assert got[i] == exp, (i, repr(cases[i]), got[i], exp)
+
+
+class TestLshProbeDelta:
+    def test_incremental_equals_full_restricted(self, spark):
+        from hebrew_ner_spark.operators import dedup
+
+        boiler = "the same boilerplate page body repeated across mirror hosts"
+        other = "an entirely different page about streams joins and windows"
+        rows = [
+            (0, boiler), (2, boiler),              # base dup pair (0,2)
+            (4, other),                            # base unique
+            (1, boiler),                           # delta copy of base dups
+            (3, other + " with a tail"),           # delta near-copy of 4
+            (5, "unique delta text nothing shares these words at all"),
+            (7, other + " with a tail"),           # delta dup of 3
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        base = docs.where("doc_id % 2 = 0")
+        delta = docs.where("doc_id % 2 = 1")
+
+        probe = {(r.doc_a, r.doc_b)
+                 for r in dedup.lsh_probe_delta(base, delta).collect()}
+        full = {(r.doc_a, r.doc_b)
+                for r in dedup.lsh_candidate_pairs(docs).collect()}
+        want = {p for p in full if p[0] % 2 == 1 or p[1] % 2 == 1}
+        assert probe == want
+        # base-only pair (0,2) must NOT be produced by the probe
+        assert (0, 2) in full and (0, 2) not in probe
+        # cross (base x delta) and intra (delta x delta) pairs both present
+        assert (0, 1) in probe and (1, 2) in probe   # cross
+        assert (3, 7) in probe                        # intra
