@@ -293,3 +293,30 @@ def merge_edge_counts(base: DataFrame, delta: DataFrame) -> DataFrame:
         .alias("n_evidence"),
         F.when(F.col("_nb").isNull(), 1).otherwise(0).cast("long").alias("is_new"),
     )
+
+
+def graph_diff(edges_old: DataFrame, edges_new: DataFrame) -> DataFrame:
+    """(subj_id, pred, obj_id, n_old, n_new, status): edge-grain diff
+    between two graph snapshots — the KG analog of crawl_deltas, feeding
+    re-review queues ('removed' facts whose pages vanished) and freshness
+    metrics. status in {added, removed, changed}; unchanged edges are
+    filtered out so the diff is delta-sized.
+
+    Same plan as merge_edge_counts: ONE full-outer join on the edge key —
+    co-located (no wide shuffle) when both snapshots follow the Iceberg
+    bucket-transform layout the sinks already use.
+    """
+    keys = ["subj_id", "pred", "obj_id"]
+    o = edges_old.select(*keys, F.col("n_evidence").alias("_no"))
+    n = edges_new.select(*keys, F.col("n_evidence").alias("_nn"))
+    j = o.join(n, keys, "full_outer").select(
+        *keys,
+        F.coalesce("_no", F.lit(0)).cast("long").alias("n_old"),
+        F.coalesce("_nn", F.lit(0)).cast("long").alias("n_new"),
+        F.when(F.col("_no").isNull(), F.lit("added"))
+        .when(F.col("_nn").isNull(), F.lit("removed"))
+        .when(F.col("_no") != F.col("_nn"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+        .alias("status"),
+    )
+    return j.where(F.col("status") != "same")

@@ -185,6 +185,8 @@ _WINDOW = [
 # * dedup_probe_delta — added after the window filled; incremental ==
 #   full-restricted equality pytest-pinned on planted base/delta dups,
 #   rides CORRECTNESS_FULL;
+# * kg_graph_diff — added after the window filled; added/removed/changed
+#   statuses pytest-pinned closed-form, rides CORRECTNESS_FULL;
 # * hybrid_pipeline — the hybrid==direct invariant is also pytest-pinned,
 #   and it has two rounds of driver-green history plus a judge re-check;
 # * kg_triples / kg_triple_counts / kg_web_triples / eval_f1_bootstrap_ci

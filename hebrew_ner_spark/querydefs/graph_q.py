@@ -892,3 +892,38 @@ def kg_hits(spark, sf_dir):
     from hebrew_ner_spark.operators import pagerank
 
     return pagerank.hits_scores(linking.kg_edges(_docs(spark, sf_dir)))
+
+
+@query(
+    "kg_graph_diff",
+    oracle=f"""
+    WITH {_dim_values()},
+    {_edges_ctes('a_', 'WHERE doc_id % 2 = 0')},
+    {_edges_ctes('b_', 'WHERE doc_id % 2 = 1')},
+    j AS (
+      SELECT coalesce(a.subj_id, b.subj_id) AS subj_id,
+             coalesce(a.pred, b.pred) AS pred,
+             coalesce(a.obj_id, b.obj_id) AS obj_id,
+             coalesce(a.n_evidence, 0) AS n_old,
+             coalesce(b.n_evidence, 0) AS n_new,
+             CASE WHEN a.subj_id IS NULL THEN 'added'
+                  WHEN b.subj_id IS NULL THEN 'removed'
+                  WHEN a.n_evidence <> b.n_evidence THEN 'changed'
+                  ELSE 'same' END AS status
+      FROM a_e a FULL OUTER JOIN b_e b
+        ON a.subj_id = b.subj_id AND a.pred = b.pred AND a.obj_id = b.obj_id)
+    SELECT subj_id, pred, obj_id,
+           CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
+           status
+    FROM j WHERE status <> 'same'
+    """,
+)
+def kg_graph_diff(spark, sf_dir):
+    """Edge-grain diff between two graph snapshots (even-doc corpus vs
+    odd-doc corpus): added / removed / changed with evidence counts."""
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    old = linking.kg_edges(docs.where(F.col("doc_id") % 2 == 0))
+    new = linking.kg_edges(docs.where(F.col("doc_id") % 2 == 1))
+    return linking.graph_diff(old, new)

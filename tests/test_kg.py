@@ -66,3 +66,22 @@ def test_sf0001_counts(spark, sf_dir):
     nodes = kg.entity_nodes(docs).collect()
     assert len(nodes) == 18
     assert all(r.n_mentions >= r.n_docs > 0 for r in nodes)
+
+
+def test_graph_diff_statuses(spark):
+    from hebrew_ner_spark.operators.linking import graph_diff
+
+    schema = "subj_id long, pred string, obj_id long, n_evidence long"
+    old = spark.createDataFrame(
+        [(1, "join", 2, 5), (1, "join", 3, 2), (2, "merge", 3, 1)], schema
+    )
+    new = spark.createDataFrame(
+        [(1, "join", 2, 5), (1, "join", 3, 7), (4, "scan", 1, 1)], schema
+    )
+    got = {(r.subj_id, r.pred, r.obj_id): (r.n_old, r.n_new, r.status)
+           for r in graph_diff(old, new).collect()}
+    assert got == {
+        (1, "join", 3): (2, 7, "changed"),
+        (2, "merge", 3): (1, 0, "removed"),
+        (4, "scan", 1): (0, 1, "added"),
+    }  # the unchanged (1, join, 2) edge is filtered out
