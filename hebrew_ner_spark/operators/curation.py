@@ -312,3 +312,45 @@ def perplexity_buckets(docs: DataFrame) -> DataFrame:
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+def curation_pipeline(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, mean_bits_1e6, bucket): the composed curation
+    funnel a training corpus actually runs —
+
+      1. quality gate (textstats.quality_pass_expr: length window,
+         stopword ceiling, type/token floor — per-doc codegen, no
+         shuffle);
+      2. exact-dedup survivorship (min doc_id per text md5 — one window
+         on the uniform hash key; non-canonical copies drop);
+      3. perplexity keep (CCNet head+middle; thresholds computed on the
+         FULL corpus before any filtering — pinned contract, so the
+         funnel's stages commute with threshold derivation and a resumed
+         run sees identical cuts).
+
+    Stage order is part of the contract but stages are independent
+    predicates, so Catalyst is free to fuse the quality CASE and the
+    dedup window into the surprisal join's shuffle boundaries. Output is
+    the kept corpus manifest a packer/sampler consumes.
+    """
+    from hebrew_ner_spark.operators.textstats import quality_pass_expr
+
+    toks = docs.withColumn("toks", F.split("text", " "))
+    q = toks.where(quality_pass_expr("toks")).select("doc_id")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    survivors = (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select("doc_id")
+    )
+    ppl = perplexity_buckets(docs).where(F.col("bucket") != "tail")
+    return (
+        ppl.join(q, "doc_id", "left_semi")
+        .join(survivors, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("mean_bits_1e6"),
+            "bucket",
+        )
+    )

@@ -187,6 +187,8 @@ _WINDOW = [
 #   rides CORRECTNESS_FULL;
 # * kg_graph_diff — added after the window filled; added/removed/changed
 #   statuses pytest-pinned closed-form, rides CORRECTNESS_FULL;
+# * cur_pipeline — added after the window filled; per-stage funnel drops
+#   pytest-pinned on planted docs, rides CORRECTNESS_FULL;
 # * hybrid_pipeline — the hybrid==direct invariant is also pytest-pinned,
 #   and it has two rounds of driver-green history plus a judge re-check;
 # * kg_triples / kg_triple_counts / kg_web_triples / eval_f1_bootstrap_ci

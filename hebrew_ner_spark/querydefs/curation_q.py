@@ -259,3 +259,50 @@ def cur_ppl_buckets(spark, sf_dir):
     """CCNet perplexity bucketing: per-language head/middle/tail split
     of the corpus by the exact-integer unigram LM score."""
     return curation.perplexity_buckets(_docs(spark, sf_dir))
+
+
+from hebrew_ner_spark.operators.textstats import quality_pass_sql  # noqa: E402
+
+
+@query(
+    "cur_pipeline",
+    oracle=f"""
+    WITH {_SURPRISAL_CTES},
+    hist AS (SELECT lang, mean_bits_1e6 AS v, count(*) AS cnt
+             FROM sc GROUP BY 1, 2),
+    cum AS (SELECT lang, v,
+                   sum(cnt) OVER (PARTITION BY lang ORDER BY v) AS cum,
+                   sum(cnt) OVER (PARTITION BY lang) AS total
+            FROM hist),
+    th AS (SELECT lang,
+                  min(CASE WHEN 100 * cum >= {curation.PPL_HEAD_Q} * total
+                           THEN v END) AS p_head,
+                  min(CASE WHEN 100 * cum >= {curation.PPL_MID_Q} * total
+                           THEN v END) AS p_mid
+           FROM cum GROUP BY lang),
+    keepq AS (SELECT doc_id FROM
+                (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents)
+              WHERE {quality_pass_sql('toks')}),
+    surv AS (SELECT doc_id FROM
+               (SELECT doc_id, row_number() OVER
+                  (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+                FROM documents)
+             WHERE rk = 1),
+    lab AS (SELECT sc.doc_id, sc.lang, sc.mean_bits_1e6,
+                   CASE WHEN sc.mean_bits_1e6 <= th.p_head THEN 'head'
+                        WHEN sc.mean_bits_1e6 <= th.p_mid THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM sc JOIN th USING (lang))
+    SELECT l.doc_id, l.lang, l.mean_bits_1e6, l.bucket
+    FROM lab l
+    JOIN keepq USING (doc_id)
+    JOIN surv USING (doc_id)
+    WHERE l.bucket <> 'tail'
+    """,
+)
+def cur_pipeline(spark, sf_dir):
+    """The composed curation funnel: quality gate -> exact-dedup
+    survivor -> CCNet head+middle perplexity keep (full-corpus
+    thresholds — pinned)."""
+    return curation.curation_pipeline(_docs(spark, sf_dir))
