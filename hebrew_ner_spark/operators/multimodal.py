@@ -271,3 +271,42 @@ def image_features(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         run, "doc_id long, channel long, ch_sum long, ch_mean_1e6 long"
     )
+
+
+AHASH_H, AHASH_W = 6, 10  # 60-bit hash == the SimHash banding geometry
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """(doc_id, ahash): 60-bit average hash per image — the classic
+    perceptual near-dup signature (resize small, gray, threshold at the
+    mean). 60 bits on purpose: the hash drops straight into the existing
+    SimHash Hamming band blocking (dedup.py SIMHASH_BANDS 4 x 15-bit,
+    radius <= 3 lossless by pigeonhole), so image near-dup detection is
+    the TEXT near-dup plan with a different signature column.
+
+    Integer contract (oracle replays it from the synthetic pixel closed
+    form, no decoder): nearest-neighbor floor-map resize to (6, 10),
+    gray = (r + g + b) DIV 3 per pixel, mean = sum(gray) DIV 60, bit j
+    (row-major) = gray_j > mean. One mapInPandas over (doc_id, payload),
+    no shuffle.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = np.int64(1) << np.arange(AHASH_H * AHASH_W, dtype=np.int64)
+        for pdf in batches:
+            out = {"doc_id": [], "ahash": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_bmp(bytes(payload)).astype(np.int64)
+                h, w = img.shape[:2]
+                ri = (np.arange(AHASH_H, dtype=np.int64) * h) // AHASH_H
+                ci = (np.arange(AHASH_W, dtype=np.int64) * w) // AHASH_W
+                gray = (img[ri][:, ci].sum(axis=2) // 3).reshape(-1)
+                mean = int(gray.sum()) // gray.size
+                bits = (gray > mean).astype(np.int64)
+                out["doc_id"].append(int(doc_id))
+                out["ahash"].append(int((bits * weights).sum()))
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, "doc_id long, ahash long"
+    )

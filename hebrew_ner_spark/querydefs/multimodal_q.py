@@ -134,3 +134,34 @@ def mm_features(spark, sf_dir):
     """Per-channel feature vectors from decoded images — exact sums and
     round-half-up micro-unit means, 3 rows per image."""
     return multimodal.image_features(multimodal.synth_bmp(_docs(spark, sf_dir)))
+
+
+_AH, _AW = multimodal.AHASH_H, multimodal.AHASH_W
+_GRAY_SQL = " + ".join(
+    f"((doc_id*31 + (((j // {_AW}) * h) // {_AH})*7"
+    f" + (((j % {_AW}) * w) // {_AW})*3 + {ch}) % 256)"
+    for ch in range(3)
+)
+
+
+@query(
+    "mm_ahash",
+    oracle=f"""
+    WITH {_DIMS_CTE},
+    g AS (
+      SELECT doc_id, j, ({_GRAY_SQL}) // 3 AS gray
+      FROM dims, unnest(range(0, {_AH * _AW})) AS u(j)
+    ),
+    m AS (SELECT doc_id, sum(gray) // {_AH * _AW} AS mean
+          FROM g GROUP BY doc_id)
+    SELECT g.doc_id,
+           CAST(sum(CASE WHEN gray > mean
+                         THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+                         ELSE 0 END) AS BIGINT) AS ahash
+    FROM g JOIN m USING (doc_id) GROUP BY g.doc_id
+    """,
+)
+def mm_ahash(spark, sf_dir):
+    """60-bit image average hash (perceptual near-dup signature), real
+    BMP decode vs the pixel closed form — bit-for-bit."""
+    return multimodal.image_ahash(multimodal.synth_bmp(_docs(spark, sf_dir)))

@@ -120,3 +120,36 @@ def test_image_features_channel_means(spark):
         s = int(src[:, :, ch].astype(np.int64).sum())
         assert rows[ch].ch_sum == s
         assert rows[ch].ch_mean_1e6 == (2 * s * 1_000_000 + 6) // 12
+
+
+class TestImageAhash:
+    def test_matches_independent_replay_and_known_bits(self, spark):
+        import numpy as np
+
+        from hebrew_ner_spark.operators import multimodal as mm
+
+        # image 0: left half dark, right half bright -> bright columns set
+        px0 = np.zeros((12, 20, 3), dtype=np.uint8)
+        px0[:, 10:, :] = 200
+        # image 1: uniform -> gray > mean is false everywhere -> ahash 0
+        px1 = np.full((7, 9, 3), 55, dtype=np.uint8)
+        rows = [(0, mm.encode_bmp(px0)), (1, mm.encode_bmp(px1))]
+        media = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = {r.doc_id: r.ahash for r in mm.image_ahash(media).collect()}
+
+        def replay(px):
+            img = px.astype(np.int64)
+            h, w = img.shape[:2]
+            ri = (np.arange(mm.AHASH_H, dtype=np.int64) * h) // mm.AHASH_H
+            ci = (np.arange(mm.AHASH_W, dtype=np.int64) * w) // mm.AHASH_W
+            gray = (img[ri][:, ci].sum(axis=2) // 3).reshape(-1)
+            mean = int(gray.sum()) // gray.size
+            return int(((gray > mean).astype(np.int64)
+                        * (np.int64(1) << np.arange(60, dtype=np.int64))).sum())
+
+        assert got == {0: replay(px0), 1: replay(px1)}
+        assert got[1] == 0
+        # half-bright image: exactly the right-half bits (cols 5..9 of
+        # each of the 6 rows) are set
+        want_bits = {r * 10 + c for r in range(6) for c in range(5, 10)}
+        assert {j for j in range(60) if (got[0] >> j) & 1} == want_bits
