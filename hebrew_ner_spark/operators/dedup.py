@@ -351,34 +351,11 @@ def simhash_near_pairs(
     at least one identical block (pigeonhole), so blocking loses nothing.
     Blocks beyond ``cap`` members are excluded from the pair explosion
     (same mega-cluster guard as the LSH path) and reported by
-    ``simhash_overflow``.
+    ``simhash_overflow``. Delegates to ``hamming_near_pairs_from_sigs`` —
+    the signature-agnostic form shared with image aHash.
     """
-    blocks = _simhash_blocks(docs)
-    # pair generation inside each block (single pass over the simhash
-    # plan); the simhash rides along so Hamming verifies without a re-join
-    grouped = (
-        blocks.groupBy("band", "bval")
-        .agg(F.expr("array_sort(collect_set(struct(doc_id, simhash)))").alias("ms"))
-        .where((F.size("ms") > 1) & (F.size("ms") <= cap))
-    )
-    return (
-        grouped.select(
-            F.explode(
-                F.expr(
-                    """
-                    flatten(transform(sequence(0, size(ms) - 2), i ->
-                      transform(sequence(i + 1, size(ms) - 1), j ->
-                        named_struct(
-                          'doc_a', ms[i].doc_id,
-                          'doc_b', ms[j].doc_id,
-                          'hamming', CAST(bit_count(ms[i].simhash ^ ms[j].simhash) AS BIGINT)))))
-                    """
-                )
-            ).alias("p")
-        )
-        .select("p.doc_a", "p.doc_b", "p.hamming")
-        .where(F.col("hamming") <= max_hamming)
-        .distinct()
+    return hamming_near_pairs_from_sigs(
+        simhash(docs).select("doc_id", "simhash"), "simhash", max_hamming, cap
     )
 
 
@@ -512,3 +489,59 @@ def lsh_probe_delta(
     )
     intra = _bucket_pairs(delta_keys, ["band", "band_key"], cap)
     return cross.unionByName(intra).distinct()
+
+
+def hamming_near_pairs_from_sigs(
+    sigs: DataFrame,
+    sig_col: str = "simhash",
+    max_hamming: int = HAMMING_MAX,
+    cap: int = MAX_BUCKET,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): band-blocked Hamming pairs over ANY
+    60-bit signature table (doc_id, ``sig_col``) — the SimHash blocking
+    generalized so other 60-bit perceptual signatures (image aHash,
+    multimodal.image_ahash; SRP role signatures) reuse the identical
+    lossless pigeonhole plan: 4 x 15-bit blocks, any pair within radius
+    3 shares a block; over-``cap`` blocks are excluded from the pair
+    explosion (the mega-cluster guard), and the signature rides the
+    grouped array so Hamming verifies without a re-join.
+    """
+    blocks = (
+        sigs.select("doc_id", F.col(sig_col).alias("_sig"))
+        .select(
+            "doc_id",
+            "_sig",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {SIMHASH_BANDS - 1}), "
+                    f"b -> named_struct('band', CAST(b AS BIGINT), "
+                    f"'bval', shiftright(_sig, CAST(b * 15 AS INT)) & 32767))"
+                )
+            ).alias("bk"),
+        )
+        .select("doc_id", "_sig", F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval"))
+    )
+    grouped = (
+        blocks.groupBy("band", "bval")
+        .agg(F.expr("array_sort(collect_set(struct(doc_id, _sig)))").alias("ms"))
+        .where((F.size("ms") > 1) & (F.size("ms") <= cap))
+    )
+    return (
+        grouped.select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(sequence(0, size(ms) - 2), i ->
+                      transform(sequence(i + 1, size(ms) - 1), j ->
+                        named_struct(
+                          'doc_a', ms[i].doc_id,
+                          'doc_b', ms[j].doc_id,
+                          'hamming', CAST(bit_count(ms[i]._sig ^ ms[j]._sig) AS BIGINT)))))
+                    """
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b", "p.hamming")
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

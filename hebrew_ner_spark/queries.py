@@ -189,8 +189,10 @@ _WINDOW = [
 #   statuses pytest-pinned closed-form, rides CORRECTNESS_FULL;
 # * cur_pipeline — added after the window filled; per-stage funnel drops
 #   pytest-pinned on planted docs, rides CORRECTNESS_FULL;
-# * mm_ahash — added after the window filled; independent numpy replay +
-#   known-bit fixtures pytest-pinned, rides CORRECTNESS_FULL;
+# * mm_ahash / mm_ahash_pairs — added after the window filled;
+#   independent numpy replay + known-bit fixtures pytest-pinned, and the
+#   pairs gate's oracle is the brute-force all-pairs scan (losslessness
+#   is the gated claim); ride CORRECTNESS_FULL;
 # * hybrid_pipeline — the hybrid==direct invariant is also pytest-pinned,
 #   and it has two rounds of driver-green history plus a judge re-check;
 # * kg_triples / kg_triple_counts / kg_web_triples / eval_f1_bootstrap_ci

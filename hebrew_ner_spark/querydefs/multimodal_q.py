@@ -165,3 +165,35 @@ def mm_ahash(spark, sf_dir):
     """60-bit image average hash (perceptual near-dup signature), real
     BMP decode vs the pixel closed form — bit-for-bit."""
     return multimodal.image_ahash(multimodal.synth_bmp(_docs(spark, sf_dir)))
+
+
+@query(
+    "mm_ahash_pairs",
+    oracle=f"""
+    WITH {_DIMS_CTE},
+    g AS (
+      SELECT doc_id, j, ({_GRAY_SQL}) // 3 AS gray
+      FROM dims, unnest(range(0, {_AH * _AW})) AS u(j)
+    ),
+    m AS (SELECT doc_id, sum(gray) // {_AH * _AW} AS mean
+          FROM g GROUP BY doc_id),
+    ah AS (SELECT g.doc_id,
+                  CAST(sum(CASE WHEN gray > mean
+                                THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+                                ELSE 0 END) AS BIGINT) AS ahash
+           FROM g JOIN m USING (doc_id) GROUP BY g.doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+    FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+    """,
+)
+def mm_ahash_pairs(spark, sf_dir):
+    """Image near-dup pairs: aHash through the shared 4x15-bit Hamming
+    band blocking (lossless at radius 3 by pigeonhole — the oracle is
+    the BRUTE-FORCE all-pairs scan, so losslessness is the gated
+    claim, exactly like kg_similar_roles)."""
+    from hebrew_ner_spark.operators import dedup
+
+    ah = multimodal.image_ahash(multimodal.synth_bmp(_docs(spark, sf_dir)))
+    return dedup.hamming_near_pairs_from_sigs(ah, sig_col="ahash")
