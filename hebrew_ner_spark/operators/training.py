@@ -295,3 +295,39 @@ def pack_sequences(docs: DataFrame, seq_len: int) -> DataFrame:
         (hi - lo).cast("long").alias("piece_len"),
         (lo - c_lo).cast("long").alias("chunk_pos"),
     )
+
+
+def decontaminate_ngrams_bloom(docs: DataFrame, k: int = DECON_K) -> DataFrame:
+    """decontaminate_ngrams for eval-gram sets too big to broadcast
+    whole: the train side is first pruned MAP-SIDE by the eval grams'
+    Bloom bitset (operators/bloomfilter.py — O(m) bits regardless of
+    eval cardinality, no probe shuffle), then the exact gram equi-join
+    verifies only the pruned superset, so the keyed shuffle carries
+    ~(true matches + false positives) instead of every train gram.
+
+    Gated contract: output == decontaminate_ngrams exactly — Bloom
+    pruning has no false negatives and the verify join removes the
+    false positives.
+    """
+    from pyspark.sql import functions as F
+
+    from hebrew_ner_spark.functions.hashing import shingles_col
+    from hebrew_ner_spark.operators.bloomfilter import bloom_bits, bloom_prune
+
+    split = doc_splits(docs).select("doc_id", "split")
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    grams = toks.select(
+        "doc_id", F.explode(shingles_col("toks", k)).alias("gram")
+    )
+    test_grams = (
+        grams.join(split.where("split = 'test'"), "doc_id", "left_semi")
+        .select("gram")
+        .distinct()
+    )
+    train_grams = grams.join(split.where("split = 'train'"), "doc_id", "left_semi")
+    pruned = bloom_prune(train_grams, "gram", bloom_bits(test_grams, "gram"))
+    return (
+        pruned.join(test_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_shared_grams"))
+    )

@@ -189,6 +189,9 @@ _WINDOW = [
 #   statuses pytest-pinned closed-form, rides CORRECTNESS_FULL;
 # * cur_pipeline — added after the window filled; per-stage funnel drops
 #   pytest-pinned on planted docs, rides CORRECTNESS_FULL;
+# * trn_decontaminate_bloom — added after the window filled; bloom ==
+#   exact equality pytest-pinned on the planted-leak corpus, rides
+#   CORRECTNESS_FULL;
 # * mm_ahash / mm_ahash_pairs — added after the window filled;
 #   independent numpy replay + known-bit fixtures pytest-pinned, and the
 #   pairs gate's oracle is the brute-force all-pairs scan (losslessness

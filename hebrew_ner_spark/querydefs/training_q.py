@@ -177,3 +177,22 @@ def trn_pack_sequences(spark, sf_dir):
     fixed 256-token chunks; the oracle replays the two-level offset as a
     single bucket-major window (the equivalence IS the gated claim)."""
     return training.pack_sequences(_docs(spark, sf_dir), PACK_LEN)
+
+
+@query(
+    "trn_decontaminate_bloom",
+    oracle=f"""
+    WITH {_SPLIT_CTE},
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (SELECT doc_id, unnest({shingles_duck("toks", DECON_K)}) AS gram FROM t),
+    tg AS (SELECT DISTINCT gram FROM g JOIN sp USING (doc_id) WHERE split = 'test'),
+    trg AS (SELECT g.doc_id, g.gram FROM g JOIN sp USING (doc_id) WHERE split = 'train')
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+    FROM trg JOIN tg USING (gram) GROUP BY doc_id
+    """,
+)
+def trn_decontaminate_bloom(spark, sf_dir):
+    """Bloom-pruned exact decontamination — the oracle is the EXACT
+    (non-bloom) pass, so 'pruning changes nothing' is the gated claim
+    (no false negatives end to end)."""
+    return training.decontaminate_ngrams_bloom(_docs(spark, sf_dir))

@@ -140,3 +140,23 @@ class TestDecontaminate:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_bloom_equals_exact(spark):
+    """Bloom pruning must change nothing: same planted-leak corpus, the
+    pruned+verified pass reproduces the exact pass (no false negatives
+    end to end; verify removes the false positives)."""
+    quote = TestDecontaminate.QUOTE
+    rows = [
+        (1, f"train doc quoting {quote} verbatim"),
+        (4, f"second train doc also quoting {quote} twice {quote}"),
+        (6, "independent train doc with no overlap at all here"),
+        (0, f"the eval item says {quote} and more"),
+        (5, "another clean eval doc of unrelated words entirely"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    exact = {(r.doc_id, r.n_shared_grams)
+             for r in training.decontaminate_ngrams(docs).collect()}
+    bloom = {(r.doc_id, r.n_shared_grams)
+             for r in training.decontaminate_ngrams_bloom(docs).collect()}
+    assert bloom == exact and exact
