@@ -354,3 +354,23 @@ def curation_pipeline(docs: DataFrame) -> DataFrame:
             "bucket",
         )
     )
+
+
+def data_card(docs: DataFrame) -> DataFrame:
+    """(lang, bucket, n_docs, share_1e6): corpus composition report over
+    the kept output of curation_pipeline — the 'data card' table a
+    training run records next to its manifest. One map-side-combined
+    aggregate over the funnel output plus a broadcast-folded total."""
+    kept = curation_pipeline(docs)
+    per = kept.groupBy("lang", "bucket").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    total = kept.agg(F.count("*").alias("_t"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "bucket",
+        "n_docs",
+        F.expr(
+            "CAST((2 * n_docs * 1000000 + _t) DIV (2 * _t) AS BIGINT)"
+        ).alias("share_1e6"),
+    )

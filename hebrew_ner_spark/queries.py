@@ -187,8 +187,9 @@ _WINDOW = [
 #   rides CORRECTNESS_FULL;
 # * kg_graph_diff — added after the window filled; added/removed/changed
 #   statuses pytest-pinned closed-form, rides CORRECTNESS_FULL;
-# * cur_pipeline — added after the window filled; per-stage funnel drops
-#   pytest-pinned on planted docs, rides CORRECTNESS_FULL;
+# * cur_pipeline / cur_data_card — added after the window filled;
+#   per-stage funnel drops + share-sum invariant pytest-pinned, ride
+#   CORRECTNESS_FULL;
 # * trn_decontaminate_bloom — added after the window filled; bloom ==
 #   exact equality pytest-pinned on the planted-leak corpus, rides
 #   CORRECTNESS_FULL;

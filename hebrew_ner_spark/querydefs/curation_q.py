@@ -257,7 +257,14 @@ _SURPRISAL_CTES = """
 )
 def cur_ppl_buckets(spark, sf_dir):
     """CCNet perplexity bucketing: per-language head/middle/tail split
-    of the corpus by the exact-integer unigram LM score."""
+    of the corpus by the exact-integer unigram LM score.
+
+    Non-vacuity note: the synthetic corpus's vocabulary is near-uniform,
+    so most docs sit on the 5-bits/token mass point and p33 == p67 —
+    'middle' is empty HERE (head + tail both populate; percentile ties
+    collapse by percentile_disc semantics). The full 3-way split is
+    pinned by the pytest independent replay on a spread corpus
+    (tests/test_curation.py)."""
     return curation.perplexity_buckets(_docs(spark, sf_dir))
 
 
@@ -306,3 +313,54 @@ def cur_pipeline(spark, sf_dir):
     survivor -> CCNet head+middle perplexity keep (full-corpus
     thresholds — pinned)."""
     return curation.curation_pipeline(_docs(spark, sf_dir))
+
+
+_CUR_KEPT_CTES = f"""{_SURPRISAL_CTES},
+    hist AS (SELECT lang, mean_bits_1e6 AS v, count(*) AS cnt
+             FROM sc GROUP BY 1, 2),
+    cum AS (SELECT lang, v,
+                   sum(cnt) OVER (PARTITION BY lang ORDER BY v) AS cum,
+                   sum(cnt) OVER (PARTITION BY lang) AS total
+            FROM hist),
+    th AS (SELECT lang,
+                  min(CASE WHEN 100 * cum >= {curation.PPL_HEAD_Q} * total
+                           THEN v END) AS p_head,
+                  min(CASE WHEN 100 * cum >= {curation.PPL_MID_Q} * total
+                           THEN v END) AS p_mid
+           FROM cum GROUP BY lang),
+    keepq AS (SELECT doc_id FROM
+                (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents)
+              WHERE {quality_pass_sql('toks')}),
+    surv AS (SELECT doc_id FROM
+               (SELECT doc_id, row_number() OVER
+                  (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+                FROM documents)
+             WHERE rk = 1),
+    lab AS (SELECT sc.doc_id, sc.lang, sc.mean_bits_1e6,
+                   CASE WHEN sc.mean_bits_1e6 <= th.p_head THEN 'head'
+                        WHEN sc.mean_bits_1e6 <= th.p_mid THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM sc JOIN th USING (lang)),
+    kept AS (SELECT l.doc_id, l.lang, l.bucket
+             FROM lab l JOIN keepq USING (doc_id) JOIN surv USING (doc_id)
+             WHERE l.bucket <> 'tail')"""
+
+
+@query(
+    "cur_data_card",
+    oracle=f"""
+    WITH {_CUR_KEPT_CTES},
+    ttot AS (SELECT count(*) AS t FROM kept)
+    SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST((2 * count(*) * 1000000 + ttot.t) // (2 * ttot.t) AS BIGINT)
+             AS share_1e6
+    FROM kept, ttot GROUP BY lang, bucket, ttot.t
+    """,
+)
+def cur_data_card(spark, sf_dir):
+    """Corpus composition data card over the curation funnel's kept set:
+    per (lang, bucket) document counts and micro-unit shares. (At the
+    gated scale every kept doc is 'head' — see cur_ppl_buckets' mass-
+    point note; shares still vary per language, which is what hashes.)"""
+    return curation.data_card(_docs(spark, sf_dir))

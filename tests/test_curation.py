@@ -238,3 +238,11 @@ def test_curation_pipeline_funnel(spark):
     # scores everything can be head/middle; assert at least the funnel
     # kept a strict subset
     assert 0 < len(got) < len(rows)
+
+
+def test_data_card_shares_sum_to_one(spark, sample_docs):
+    card = curation.data_card(sample_docs).toPandas()
+    assert (card.n_docs > 0).all()
+    # round-half-up micro shares sum to ~1e6 (off by at most #rows/2)
+    assert abs(card.share_1e6.sum() - 1_000_000) <= len(card)
+    assert set(card.lang) == {"he", "en"}
