@@ -331,3 +331,39 @@ def decontaminate_ngrams_bloom(docs: DataFrame, k: int = DECON_K) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_shared_grams"))
     )
+
+
+EVAL_QUOTA = 40  # docs per (split, lang) stratum in eval_sample
+
+
+def eval_sample(docs: DataFrame, quota: int = EVAL_QUOTA) -> DataFrame:
+    """(doc_id, lang, split, pick_rank): exact-quota stratified eval set —
+    the first ``quota`` documents per (split, lang) stratum in portable-
+    hash order. The companion to ``doc_splits``: splits give *membership*,
+    this cuts a fixed-size, reproducible evaluation subset per stratum
+    (human-eval batches, per-language leaderboards) that never moves when
+    unrelated documents are added, because the order key is a pure
+    function of document identity (reference's fixed dev/test files,
+    utils/data.py CoNLL splits, generalized to per-stratum quotas).
+
+    Scale shape: rank <= k over a window is exactly the pattern Spark's
+    WindowGroupLimit rewrites into a per-partition partial top-k BEFORE
+    the shuffle (the kg_entity_summary plan) — each map task forwards at
+    most ``quota`` rows per stratum it sees, so the exchange carries
+    O(strata x quota x tasks) rows, never the corpus. No global sort,
+    no driver state.
+    """
+    ranked = doc_splits(docs).join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        "split",
+        phash_col(F.concat(F.lit("esample|"), F.col("doc_id").cast("string")), 0).alias(
+            "ord"
+        ),
+    )
+    w = Window.partitionBy("split", "lang").orderBy("ord", "doc_id")
+    return (
+        ranked.withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("pick_rank") <= quota)
+        .select("doc_id", "lang", "split", "pick_rank")
+    )

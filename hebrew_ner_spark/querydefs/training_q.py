@@ -196,3 +196,29 @@ def trn_decontaminate_bloom(spark, sf_dir):
     (non-bloom) pass, so 'pruning changes nothing' is the gated claim
     (no false negatives end to end)."""
     return training.decontaminate_ngrams_bloom(_docs(spark, sf_dir))
+
+
+_ESAMPLE_HASH = phash_duck("'esample|' || CAST(doc_id AS VARCHAR)", 0)
+
+
+@query(
+    "trn_eval_sample",
+    oracle=f"""
+    WITH {_SPLIT_CTE},
+    ranked AS (
+      SELECT d.doc_id, d.lang, sp.split,
+             row_number() OVER (PARTITION BY sp.split, d.lang
+                                ORDER BY {_ESAMPLE_HASH}, d.doc_id)
+               AS pick_rank
+      FROM documents d JOIN sp USING (doc_id)
+    )
+    SELECT doc_id, lang, split, CAST(pick_rank AS BIGINT) AS pick_rank
+    FROM ranked WHERE pick_rank <= {training.EVAL_QUOTA}
+    """,
+)
+def trn_eval_sample(spark, sf_dir):
+    """Exact-quota stratified eval subset per (split, lang): first
+    EVAL_QUOTA docs per stratum in portable-hash order
+    (operators/training.py eval_sample — WindowGroupLimit partial
+    top-k, the exchange never carries the corpus)."""
+    return training.eval_sample(_docs(spark, sf_dir))

@@ -160,3 +160,40 @@ def test_decontaminate_bloom_equals_exact(spark):
     bloom = {(r.doc_id, r.n_shared_grams)
              for r in training.decontaminate_ngrams_bloom(docs).collect()}
     assert bloom == exact and exact
+
+
+class TestEvalSample:
+    def _docs5(self, spark, n=300):
+        langs = ["en", "he", "fr", "de", "es"]
+        return spark.createDataFrame(
+            [(i, f"text {i}", langs[i % 5]) for i in range(n)],
+            "doc_id long, text string, lang string",
+        )
+
+    def test_quota_and_rank_contiguous(self, spark):
+        out = training.eval_sample(self._docs5(spark), quota=7).collect()
+        by_stratum = {}
+        for r in out:
+            by_stratum.setdefault((r.split, r.lang), []).append(r.pick_rank)
+        for ranks in by_stratum.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+            assert len(ranks) <= 7
+
+    def test_growth_stable_prefix(self, spark):
+        # adding documents can only push LATER-ranked docs out: any doc
+        # kept in the big corpus that existed in the small one was kept
+        # there too (hash order is identity-pure, so prefixes nest)
+        small = {
+            (r.split, r.lang, r.doc_id)
+            for r in training.eval_sample(self._docs5(spark, 150), quota=5).collect()
+        }
+        big = {
+            (r.split, r.lang, r.doc_id)
+            for r in training.eval_sample(self._docs5(spark, 300), quota=5).collect()
+        }
+        kept_both = {k for k in big if k[2] < 150}
+        assert kept_both <= small
+
+    def test_plan_uses_window_group_limit(self, spark):
+        plan = training.eval_sample(self._docs5(spark))._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan
