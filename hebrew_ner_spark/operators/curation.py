@@ -374,3 +374,96 @@ def data_card(docs: DataFrame) -> DataFrame:
             "CAST((2 * n_docs * 1000000 + _t) DIV (2 * _t) AS BIGINT)"
         ).alias("share_1e6"),
     )
+
+
+# Mixture resampling: temperature exponent is fixed at alpha = 1/2
+# (sqrt scaling, the mBERT/XLM-R family's low-resource-upweighting
+# range) because 1/2 is the one exponent with an EXACT integer form —
+# isqrt — so the sampled corpus is bit-reproducible across engines,
+# partitionings and runs. MIX_M is the keep-hash modulus.
+MIX_M = 1_048_576  # 2^20
+MIX_WSCALE = 1_000_000  # weight = isqrt(n_docs * MIX_WSCALE)
+
+
+def _isqrt_sql(x: str) -> str:
+    """Exact integer sqrt in portable SQL: float sqrt, then an integer
+    correction CASE (double sqrt is within 1 ulp for x < 2^52, so the
+    corrected value is exact on both engines)."""
+    return (
+        f"(SELECT CASE WHEN (s + 1) * (s + 1) <= {x} THEN s + 1 "
+        f"WHEN s * s > {x} THEN s - 1 ELSE s END "
+        f"FROM (SELECT CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT) AS s))"
+    )
+
+
+def _isqrt_col(x: F.Column) -> F.Column:
+    s = F.floor(F.sqrt(x.cast("double"))).cast("long")
+    return (
+        F.when((s + 1) * (s + 1) <= x, s + 1)
+        .when(s * s > x, s - 1)
+        .otherwise(s)
+        .cast("long")
+    )
+
+
+def mixture_shares(docs: DataFrame, target: int, strat_col: str = "lang") -> DataFrame:
+    """(lang, n_docs, weight, natural_share_1e6, target_share_1e6,
+    keep_threshold): the temperature-resampled mixture plan table.
+
+    weight_g = isqrt(n_g * MIX_WSCALE)  (i.e. sqrt(n_g), integer-scaled);
+    target share is weight_g / sum(weights); keep_threshold is the
+    per-stratum cutoff ``floor(target * MIX_M * w_g / (W * n_g))`` capped
+    at MIX_M, so keeping documents with hash % MIX_M < threshold yields
+    an expected ``target``-document corpus at the temperature shares —
+    upweighting low-resource strata, downsampling the head.
+
+    Scale shape: ONE map-side-combined count per stratum (strata are a
+    closed small set — languages, sources), a broadcast-folded total, and
+    pure integer arithmetic on the ≤|strata|-row table. int64 bounds:
+    target * MIX_M * weight must stay < 2^63 — holds through n_g ~ 10^9
+    per stratum at gate targets; at the 10^12-doc corpus swap these four
+    columns to DECIMAL(38,0) (both engines' decimal arithmetic is exact;
+    the table is tiny so decimal cost is irrelevant).
+    """
+    per = docs.groupBy(F.col(strat_col).alias("lang")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    per = per.withColumn("weight", _isqrt_col(F.col("n_docs") * MIX_WSCALE))
+    tot = per.agg(
+        F.sum("n_docs").alias("_n"), F.sum("weight").alias("_w")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "weight",
+        F.expr("CAST((2 * n_docs * 1000000 + _n) DIV (2 * _n) AS BIGINT)").alias(
+            "natural_share_1e6"
+        ),
+        F.expr("CAST((2 * weight * 1000000 + _w) DIV (2 * _w) AS BIGINT)").alias(
+            "target_share_1e6"
+        ),
+        F.expr(
+            f"CAST(least(CAST({MIX_M} AS BIGINT), "
+            f"(CAST({int(target)} AS BIGINT) * {MIX_M} * weight) DIV (_w * n_docs)) "
+            "AS BIGINT)"
+        ).alias("keep_threshold"),
+    )
+
+
+def mixture_sample(docs: DataFrame, target: int, strat_col: str = "lang") -> DataFrame:
+    """(doc_id, lang): the temperature-resampled corpus — documents whose
+    portable keep-hash falls under their stratum's threshold. The join
+    against the ≤|strata|-row share table is broadcast (map-side), the
+    keep test is one codegen'd comparison, and the decision is a pure
+    function of (doc_id, stratum counts) — reproducible across runs and
+    engines, no RNG state, no shuffle beyond the stratum count agg."""
+    shares = mixture_shares(docs, target, strat_col)
+    keep_hash = phash_col(
+        F.concat(F.lit("mix|"), F.col("doc_id").cast("string")), 0
+    ) % MIX_M
+    return (
+        docs.select("doc_id", F.col(strat_col).alias("lang"), keep_hash.alias("_h"))
+        .join(F.broadcast(shares.select("lang", "keep_threshold")), "lang")
+        .where(F.col("_h") < F.col("keep_threshold"))
+        .select("doc_id", "lang")
+    )

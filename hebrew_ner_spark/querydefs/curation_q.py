@@ -364,3 +364,61 @@ def cur_data_card(spark, sf_dir):
     gated scale every kept doc is 'head' — see cur_ppl_buckets' mass-
     point note; shares still vary per language, which is what hashes.)"""
     return curation.data_card(_docs(spark, sf_dir))
+
+
+MIX_TARGET = 250  # expected docs in the resampled gate corpus
+
+_MIX_HASH = phash_duck("'mix|' || CAST(doc_id AS VARCHAR)", 0)
+
+# Exact isqrt in DuckDB: float sqrt + integer correction (same CASE the
+# Spark side codegens in curation._isqrt_col).
+_MIX_SHARES_CTES = f"""
+per AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang),
+sq AS (SELECT lang, n_docs,
+              CAST(floor(sqrt(CAST(n_docs * {curation.MIX_WSCALE} AS DOUBLE))) AS BIGINT) AS s
+       FROM per),
+w AS (SELECT lang, n_docs,
+             CASE WHEN (s + 1) * (s + 1) <= n_docs * {curation.MIX_WSCALE} THEN s + 1
+                  WHEN s * s > n_docs * {curation.MIX_WSCALE} THEN s - 1
+                  ELSE s END AS weight
+      FROM sq),
+tot AS (SELECT sum(n_docs) AS _n, sum(weight) AS _w FROM w),
+shares AS (
+  SELECT lang, n_docs, weight,
+         CAST((2 * n_docs * 1000000 + _n) // (2 * _n) AS BIGINT) AS natural_share_1e6,
+         CAST((2 * weight * 1000000 + _w) // (2 * _w) AS BIGINT) AS target_share_1e6,
+         CAST(least(CAST({curation.MIX_M} AS BIGINT),
+                    ({MIX_TARGET} * {curation.MIX_M} * weight) // (_w * n_docs))
+              AS BIGINT) AS keep_threshold
+  FROM w CROSS JOIN tot
+)
+"""
+
+
+@query(
+    "cur_mixture_shares",
+    oracle=f"WITH {_MIX_SHARES_CTES} SELECT * FROM shares",
+)
+def cur_mixture_shares(spark, sf_dir):
+    """Temperature (alpha=1/2) mixture plan per language stratum:
+    integer-exact sqrt weights, target shares, per-stratum keep
+    thresholds (operators/curation.py mixture_shares — one count agg
+    over a closed stratum set plus broadcast-folded totals)."""
+    return curation.mixture_shares(_docs(spark, sf_dir), MIX_TARGET)
+
+
+@query(
+    "cur_mixture_sample",
+    oracle=f"""
+    WITH {_MIX_SHARES_CTES}
+    SELECT doc_id, lang FROM documents JOIN shares USING (lang)
+    WHERE {_MIX_HASH} % {curation.MIX_M} < keep_threshold
+    """,
+)
+def cur_mixture_sample(spark, sf_dir):
+    """The resampled corpus: documents whose portable keep-hash clears
+    their stratum's temperature threshold (operators/curation.py
+    mixture_sample — broadcast share join + one codegen comparison,
+    deterministic, no RNG state)."""
+    return curation.mixture_sample(_docs(spark, sf_dir), MIX_TARGET)

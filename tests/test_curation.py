@@ -246,3 +246,43 @@ def test_data_card_shares_sum_to_one(spark, sample_docs):
     # round-half-up micro shares sum to ~1e6 (off by at most #rows/2)
     assert abs(card.share_1e6.sum() - 1_000_000) <= len(card)
     assert set(card.lang) == {"he", "en"}
+
+
+class TestMixtureSample:
+    def _skewed(self, spark):
+        # head stratum 900 docs, tail stratum 16 docs
+        rows = [(i, f"doc {i}", "en") for i in range(900)]
+        rows += [(1000 + i, f"doc {1000+i}", "yo") for i in range(16)]
+        return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def test_temperature_upweights_tail(self, spark):
+        docs = self._skewed(spark)
+        shares = {r.lang: r for r in curation.mixture_shares(docs, target=300).collect()}
+        # natural share of the tail is ~1.7%; sqrt-temperature share must be higher
+        assert shares["yo"].target_share_1e6 > shares["yo"].natural_share_1e6
+        assert shares["en"].target_share_1e6 < shares["en"].natural_share_1e6
+        # keep RATE (threshold/M) must be strictly higher for the tail
+        assert shares["yo"].keep_threshold > shares["en"].keep_threshold
+
+    def test_threshold_caps_at_m(self, spark):
+        docs = self._skewed(spark)
+        shares = {r.lang: r for r in curation.mixture_shares(docs, target=5000).collect()}
+        assert shares["yo"].keep_threshold == curation.MIX_M  # keep everything
+        assert shares["en"].keep_threshold <= curation.MIX_M
+
+    def test_deterministic_and_subset(self, spark):
+        docs = self._skewed(spark)
+        a = {r.doc_id for r in curation.mixture_sample(docs, target=300).collect()}
+        b = {r.doc_id for r in curation.mixture_sample(docs, target=300).collect()}
+        assert a == b
+        # monotone in target: smaller target keeps a subset
+        small = {r.doc_id for r in curation.mixture_sample(docs, target=100).collect()}
+        assert small <= a
+
+    def test_share_table_broadcasts(self, spark):
+        docs = self._skewed(spark)
+        plan = (
+            curation.mixture_sample(docs, target=300)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
