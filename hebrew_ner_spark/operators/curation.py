@@ -467,3 +467,65 @@ def mixture_sample(docs: DataFrame, target: int, strat_col: str = "lang") -> Dat
         .where(F.col("_h") < F.col("keep_threshold"))
         .select("doc_id", "lang")
     )
+
+
+PASSAGE_LEN = 10  # tokens per non-overlapping passage window
+
+
+def passage_dedup(docs: DataFrame, p: int = PASSAGE_LEN) -> DataFrame:
+    """(doc_id, n_passages, n_dup_passages, dup_frac_1e6): exact
+    duplicated-passage signal — the scalable stand-in for
+    suffix-array exact-substring dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): tile each document
+    into consecutive NON-overlapping ``p``-token passages and mark a
+    passage duplicated when its corpus-wide occurrence count exceeds 1
+    (within-doc repeats count — verbatim self-repetition is the same
+    removal target). Complements cur_boilerplate (cross-doc *presence*
+    of short grams) with occurrence-grain long-window evidence, at 1/p
+    the gram volume of a sliding window.
+
+    Scale shape: only (doc_id, passage_hash) int64 pairs ever shuffle —
+    never text. One map-side-combined count at passage-hash grain, one
+    hash-keyed equi-join back to occurrence grain (a viral passage is a
+    hot join key — AQE skew-join splits it), one doc-keyed aggregate.
+    The doc left join keeps short documents (< p tokens) as zero rows.
+    """
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    occ = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"""
+                CASE WHEN size(toks) < {p} THEN array()
+                     ELSE transform(sequence(0, size(toks) DIV {p} - 1),
+                                    i -> concat_ws(' ', slice(toks, i * {p} + 1, {p})))
+                END
+                """
+            )
+        ).alias("passage"),
+    ).select("doc_id", phash_col(F.col("passage"), 1).alias("ph"))
+    tot = occ.groupBy("ph").agg(F.count("*").alias("tot"))
+    per_doc = (
+        occ.join(tot, "ph")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_passages"),
+            F.sum(F.when(F.col("tot") > 1, 1).otherwise(0)).cast("long").alias(
+                "n_dup_passages"
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_passages", F.lit(0)).cast("long").alias("n_passages"),
+            F.coalesce("n_dup_passages", F.lit(0)).cast("long").alias("n_dup_passages"),
+            F.expr(
+                "CASE WHEN coalesce(n_passages, 0) = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE CAST((2 * n_dup_passages * 1000000 + n_passages) "
+                "DIV (2 * n_passages) AS BIGINT) END"
+            ).alias("dup_frac_1e6"),
+        )
+    )

@@ -422,3 +422,41 @@ def cur_mixture_sample(spark, sf_dir):
     mixture_sample — broadcast share join + one codegen comparison,
     deterministic, no RNG state)."""
     return curation.mixture_sample(_docs(spark, sf_dir), MIX_TARGET)
+
+
+_PASSAGE_HASH = phash_duck("passage", 1)
+
+
+@query(
+    "cur_passage_dedup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    occ AS (
+      SELECT doc_id, {_PASSAGE_HASH} AS ph FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(0, len(toks) // {curation.PASSAGE_LEN}),
+                 i -> array_to_string(
+                        toks[i * {curation.PASSAGE_LEN} + 1:
+                             (i + 1) * {curation.PASSAGE_LEN}], ' '))) AS passage
+        FROM t)
+    ),
+    tot AS (SELECT ph, count(*) AS tot FROM occ GROUP BY ph),
+    per AS (
+      SELECT doc_id, count(*) AS n_passages,
+             sum(CASE WHEN tot > 1 THEN 1 ELSE 0 END) AS n_dup_passages
+      FROM occ JOIN tot USING (ph) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(n_passages, 0) AS BIGINT) AS n_passages,
+           CAST(coalesce(n_dup_passages, 0) AS BIGINT) AS n_dup_passages,
+           CASE WHEN coalesce(n_passages, 0) = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST((2 * n_dup_passages * 1000000 + n_passages)
+                          // (2 * n_passages) AS BIGINT) END AS dup_frac_1e6
+    FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+)
+def cur_passage_dedup(spark, sf_dir):
+    """Exact duplicated-passage fraction per document: non-overlapping
+    10-token windows, corpus-wide occurrence counts (operators/
+    curation.py passage_dedup — only int64 hashes shuffle, never text)."""
+    return curation.passage_dedup(_docs(spark, sf_dir))

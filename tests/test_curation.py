@@ -286,3 +286,38 @@ class TestMixtureSample:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BroadcastHashJoin" in plan
+
+
+class TestPassageDedup:
+    def test_planted_duplicates_and_short_docs(self, spark):
+        p10 = " ".join(f"w{i}" for i in range(10))         # one shared passage
+        uniq = lambda d: " ".join(f"u{d}x{i}" for i in range(10))
+        docs = spark.createDataFrame(
+            [
+                (1, p10 + " " + uniq(1)),   # passage 1 dup, passage 2 unique
+                (2, p10 + " " + uniq(2)),   # same
+                (3, "short doc"),           # < 10 tokens -> zero passages
+                (4, p10 + " " + p10),       # self-repetition: both dup
+            ],
+            ["doc_id", "text"],
+        )
+        got = {r.doc_id: r for r in curation.passage_dedup(docs).collect()}
+        assert (got[1].n_passages, got[1].n_dup_passages) == (2, 1)
+        assert got[1].dup_frac_1e6 == 500000
+        assert (got[3].n_passages, got[3].n_dup_passages, got[3].dup_frac_1e6) == (0, 0, 0)
+        assert (got[4].n_passages, got[4].n_dup_passages) == (2, 2)
+        assert got[4].dup_frac_1e6 == 1000000
+
+    def test_text_never_shuffles(self, spark):
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"t{i}x{j}" for j in range(25))) for i in range(8)],
+            ["doc_id", "text"],
+        )
+        plan = (
+            curation.passage_dedup(docs)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # every exchange must carry only (doc_id, ph) ints / agg buffers
+        import re
+        for frag in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+            assert "passage" not in frag and "text" not in frag and "toks" not in frag
