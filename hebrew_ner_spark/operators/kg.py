@@ -667,3 +667,56 @@ def predicate_symmetry(docs: DataFrame) -> DataFrame:
             ).alias("sym_1e6"),
         )
     )
+
+
+def _etype_case(col_name: str) -> str:
+    """CASE mapping an entity token to its ontology class (closed
+    gazetteer — stays inside whole-stage codegen, no join)."""
+    from hebrew_ner_spark.resources import ENTITY_TYPES
+
+    whens = " ".join(
+        f"WHEN {col_name} = '{t}' THEN '{ty}'" for t, ty in sorted(ENTITY_TYPES.items())
+    )
+    return f"CASE {whens} END"
+
+
+def pred_domains(docs: DataFrame) -> DataFrame:
+    """(pred, n_triples, domain_type, domain_share_1e6, range_type,
+    range_share_1e6): ontology induction — the dominant subject class
+    (rdfs:domain candidate) and object class (rdfs:range candidate) per
+    predicate, with exact integer support shares. The schema-learning
+    step KG pipelines run after extraction: induced domains become
+    validation rules for new triples (a 'join' whose subject is not
+    AGENT/DATA is an extraction error candidate).
+
+    Scale shape: typing is a codegen CASE over the closed gazetteer (no
+    join); counts aggregate at (pred, type) grain — at most |preds| x
+    |types| rows survive the map-side combine regardless of corpus size;
+    the argmax is a window over that tiny table; ties break by type name
+    so the result is deterministic on both engines.
+    """
+    t = doc_triples(docs).select(
+        "pred",
+        F.expr(_etype_case("subj")).alias("stype"),
+        F.expr(_etype_case("obj")).alias("otype"),
+    )
+
+    def _dominant(type_col: str, out: str) -> DataFrame:
+        per = t.groupBy("pred", F.col(type_col).alias(out)).agg(
+            F.count("*").cast("long").alias("cnt")
+        )
+        tot = per.groupBy("pred").agg(F.sum("cnt").alias("n_triples"))
+        w = Window.partitionBy("pred").orderBy(F.col("cnt").desc(), F.col(out))
+        top = per.withColumn("_r", F.row_number().over(w)).where(F.col("_r") == 1)
+        return top.join(tot, "pred").select(
+            "pred",
+            F.col("n_triples").cast("long").alias("n_triples"),
+            out,
+            F.expr(
+                "CAST((2 * cnt * 1000000 + n_triples) DIV (2 * n_triples) AS BIGINT)"
+            ).alias(f"{out[:-5]}_share_1e6" if out.endswith("_type") else f"{out}_share"),
+        )
+
+    dom = _dominant("stype", "domain_type")
+    rng = _dominant("otype", "range_type").drop("n_triples")
+    return dom.join(rng, "pred")

@@ -413,3 +413,45 @@ def kg_pred_symmetry(spark, sf_dir):
     """Predicate symmetry share (reverse-pair presence) — the
     directionality axis of schema induction, join-free."""
     return kg.predicate_symmetry(_docs(spark, sf_dir))
+
+
+def _etype_duck(col: str) -> str:
+    from hebrew_ner_spark.resources import ENTITY_TYPES
+
+    whens = " ".join(
+        f"WHEN {col} = '{t}' THEN '{ty}'" for t, ty in sorted(ENTITY_TYPES.items())
+    )
+    return f"CASE {whens} END"
+
+
+@query(
+    "kg_pred_domains",
+    oracle=f"""
+    WITH t AS ({_TRIPLES_ORACLE}),
+    typed AS (SELECT pred, {_etype_duck("subj")} AS stype,
+                     {_etype_duck("obj")} AS otype FROM t),
+    ds AS (SELECT pred, stype, count(*) AS cnt FROM typed GROUP BY 1, 2),
+    dr AS (SELECT pred, otype, count(*) AS cnt FROM typed GROUP BY 1, 2),
+    tot AS (SELECT pred, CAST(count(*) AS BIGINT) AS n_triples FROM typed GROUP BY 1),
+    topd AS (SELECT pred, stype, cnt,
+                    row_number() OVER (PARTITION BY pred ORDER BY cnt DESC, stype) AS r
+             FROM ds),
+    topr AS (SELECT pred, otype, cnt,
+                    row_number() OVER (PARTITION BY pred ORDER BY cnt DESC, otype) AS r
+             FROM dr)
+    SELECT tot.pred, n_triples,
+           topd.stype AS domain_type,
+           CAST((2 * topd.cnt * 1000000 + n_triples) // (2 * n_triples) AS BIGINT)
+             AS domain_share_1e6,
+           topr.otype AS range_type,
+           CAST((2 * topr.cnt * 1000000 + n_triples) // (2 * n_triples) AS BIGINT)
+             AS range_share_1e6
+    FROM tot JOIN topd ON tot.pred = topd.pred AND topd.r = 1
+             JOIN topr ON tot.pred = topr.pred AND topr.r = 1
+    """,
+)
+def kg_pred_domains(spark, sf_dir):
+    """Ontology induction: dominant subject/object class per predicate
+    with exact integer support shares (operators/kg.py pred_domains —
+    codegen CASE typing, (pred, type)-grain aggregates, tiny windows)."""
+    return kg.pred_domains(_docs(spark, sf_dir))

@@ -67,3 +67,31 @@ EVAL_GOLD_ENTITY_TERMS = [t for t in ENTITY_TERMS if t not in ("batch", "window"
 # (the reference's linguistic regrouping rules enumerate the same set:
 # utils/ner.py:260-330 handles ב/ל/כ/ה/ש/ו/מ and the combos וש/כש).
 HEB_PREFIXES = ["ו", "ש", "ה", "ב", "כ", "ל", "מ", "וש", "כש", "וה", "בה", "לה", "כה", "מה", "ושה"]
+
+# Deterministic ontology classes over the entity gazetteer (the type
+# dimension domain/range induction works against). Frozen — oracles and
+# tests embed the same literals.
+ENTITY_TYPES = {
+    # agent-like: things that DO operations
+    "customer": "AGENT",
+    "query": "AGENT",
+    "spark": "AGENT",
+    # data-like: things operations act ON
+    "batch": "DATA",
+    "column": "DATA",
+    "data": "DATA",
+    "line": "DATA",
+    "part": "DATA",
+    "row": "DATA",
+    "stream": "DATA",
+    "table": "DATA",
+    "value": "DATA",
+    "vector": "DATA",
+    # key-like: things operations organize BY
+    "group": "KEY",
+    "hash": "KEY",
+    "key": "KEY",
+    "order": "KEY",
+    "window": "KEY",
+}
+assert set(ENTITY_TYPES) == set(ENTITY_TERMS)

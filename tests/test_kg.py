@@ -85,3 +85,38 @@ def test_graph_diff_statuses(spark):
         (2, "merge", 3): (1, 0, "removed"),
         (4, "scan", 1): (0, 1, "added"),
     }  # the unchanged (1, join, 2) edge is filtered out
+
+
+class TestPredDomains:
+    def test_closed_form_dominants(self, spark):
+        # 'scan': 2x AGENT subj, 1x DATA subj; objects all DATA.
+        # 'sort': 1x KEY subj; object KEY.
+        docs = spark.createDataFrame(
+            [
+                (1, "customer scan table"),
+                (2, "query scan row"),
+                (3, "data scan value"),
+                (4, "key sort window"),
+            ],
+            ["doc_id", "text"],
+        )
+        from hebrew_ner_spark.operators.kg import pred_domains
+
+        got = {r.pred: r for r in pred_domains(docs).collect()}
+        assert got["scan"].n_triples == 3
+        assert got["scan"].domain_type == "AGENT"
+        assert got["scan"].domain_share_1e6 == 666667
+        assert got["scan"].range_type == "DATA"
+        assert got["scan"].range_share_1e6 == 1000000
+        assert (got["sort"].domain_type, got["sort"].range_type) == ("KEY", "KEY")
+
+    def test_tie_breaks_by_type_name(self, spark):
+        # 1 AGENT subj vs 1 KEY subj for 'join' -> AGENT wins (lexical)
+        docs = spark.createDataFrame(
+            [(1, "customer join table"), (2, "key join table")],
+            ["doc_id", "text"],
+        )
+        from hebrew_ner_spark.operators.kg import pred_domains
+
+        [r] = pred_domains(docs).collect()
+        assert r.domain_type == "AGENT" and r.domain_share_1e6 == 500000
