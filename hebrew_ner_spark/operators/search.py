@@ -1,0 +1,112 @@
+"""Full-text relevance search: postings statistics and BM25 top-k.
+
+The reference's retrieval surface is a dictionary lookup (alias ->
+entity, utils-level exact match); a web-corpus engine additionally needs
+*ranked* retrieval over the document table — the operator behind
+"find the passages about X" in a curation / evaluation loop. Two pieces:
+
+* ``term_postings`` — the inverted-index statistics table (term, df, cf):
+  document frequency and collection frequency per term. At 10^12 docs
+  this is the classic high-cardinality, skew-free aggregate (terms hash
+  well; mega-terms are stopwords you cut with a df ceiling).
+* ``bm25_topk`` — Okapi BM25 (k1 = 6/5, b = 3/4) in EXACT integer
+  arithmetic so the DuckDB oracle reproduces every score bit-for-bit:
+
+      idf_1e6  = (1e6 * (N - df + 1)) DIV (df + 1)
+      contrib  = (idf_1e6 * 22 * tf * L) DIV (10*tf*L + 3*L + 9*len*N)
+      score    = sum over query terms
+
+  The rational idf (N-df+1)/(df+1) replaces the usual log-idf: it is
+  monotone in df with the same ordering intent, and — unlike log — has
+  an exact integer form, which is what makes the gate cross-engine.
+  The contrib formula is the standard tf*(k1+1)/(tf + k1*(1-b+b*len/avg))
+  with avglen = L/N cleared of denominators (multiply through by 10*L).
+  int64 bound: idf_1e6 * 22 * tf * L < 2^63 — holds to ~10^9-token
+  gate corpora; at full web scale score with doubles (ranking tolerates
+  ulp noise; the integer form exists for the correctness gate).
+
+Scale shape: the per-(doc, term) tf for the query's terms is computed
+ARRAY-side (size(filter(toks, ...)) per term — no explode, no shuffle);
+df for the ≤|query| terms and the (N, L) totals are tiny aggregates that
+broadcast back; the only wide operation is the final top-k, which Spark
+executes as TakeOrderedAndProject (per-partition heap + driver merge of
+k rows — never a global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BM25_TOPK = 20
+
+
+def _toks(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).cast("long").alias("len_d"),
+    )
+
+
+def term_postings(docs: DataFrame) -> DataFrame:
+    """(term, df, cf): inverted-index statistics. One explode + one
+    map-side-combined aggregate; tf is resolved array-side per document
+    first so the exchange carries (term, tf) pairs at (doc, term) grain,
+    not raw token occurrences."""
+    per_doc = _toks(docs).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                """
+                transform(array_distinct(toks),
+                          t -> named_struct('term', t,
+                                            'tf', size(filter(toks, x -> x = t))))
+                """
+            )
+        ).alias("p"),
+    )
+    return per_doc.groupBy(F.col("p.term").alias("term")).agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("p.tf").cast("long").alias("cf"),
+    )
+
+
+def bm25_topk(docs: DataFrame, terms: list[str], k: int = BM25_TOPK) -> DataFrame:
+    """(doc_id, score_1e6): top-k documents for a bag-of-terms query
+    under exact-integer BM25 (module docstring). Ties break on doc_id,
+    so the cut is deterministic on both engines."""
+    toks = _toks(docs)
+    structs = ", ".join(
+        f"named_struct('term', '{t}', 'tf', bigint(size(filter(toks, x -> x = '{t}'))))"
+        for t in terms
+    )
+    tfs = (
+        toks.select("doc_id", "len_d", F.explode(F.expr(f"array({structs})")).alias("p"))
+        .select("doc_id", "len_d", F.col("p.term").alias("term"), F.col("p.tf").alias("tf"))
+        .where(F.col("tf") > 0)
+    )
+    dfreq = tfs.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    totals = toks.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("len_d").cast("long").alias("n_toks"),
+    )
+    scored = (
+        tfs.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "idf_1e6",
+            F.expr("(1000000 * (n_docs - df + 1)) DIV (df + 1)"),
+        )
+        .withColumn(
+            "contrib",
+            F.expr(
+                "(idf_1e6 * 22 * tf * n_toks) DIV "
+                "(10 * tf * n_toks + 3 * n_toks + 9 * len_d * n_docs)"
+            ),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("contrib").cast("long").alias("score_1e6")
+    )
+    return per_doc.orderBy(F.col("score_1e6").desc(), "doc_id").limit(k)

@@ -1,0 +1,70 @@
+"""Gates: inverted-index postings stats + exact-integer BM25 top-k.
+
+The oracle replays the identical integer BM25 (operators/search.py) in
+DuckDB — same cleared-denominator contrib formula, same rational idf,
+same (score DESC, doc_id) deterministic cut — so the two engines agree
+on every scored row, not just on ranking."""
+
+from __future__ import annotations
+
+from hebrew_ner_spark.operators import search
+from hebrew_ner_spark.registry import query
+from hebrew_ner_spark.sources.catalog import load_table
+
+# Fixed gate query: one frequent term, one mid, one adjective.
+BM25_TERMS = ["customer", "vector", "slow"]
+_TERMS_SQL = "[" + ", ".join(f"'{t}'" for t in BM25_TERMS) + "]"
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@query(
+    "srch_postings",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    per AS (
+      SELECT doc_id, term, len(list_filter(toks, x -> x = term)) AS tf
+      FROM (SELECT doc_id, toks, unnest(list_distinct(toks)) AS term FROM t)
+    )
+    SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+    FROM per GROUP BY term
+    """,
+)
+def srch_postings(spark, sf_dir):
+    """Inverted-index statistics (term, df, cf) over the corpus
+    (operators/search.py term_postings — array-side tf, one agg)."""
+    return search.term_postings(_docs(spark, sf_dir))
+
+
+@query(
+    "srch_bm25_topk",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS len_d FROM t),
+    tfs AS (
+      SELECT doc_id, len_d, term,
+             CAST(len(list_filter(toks, x -> x = term)) AS BIGINT) AS tf
+      FROM d CROSS JOIN (SELECT unnest({_TERMS_SQL}) AS term)
+    ),
+    m AS (SELECT * FROM tfs WHERE tf > 0),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM m GROUP BY term),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len_d) AS BIGINT) AS n_toks FROM d),
+    scored AS (
+      SELECT doc_id,
+             ((1000000 * (n_docs - df + 1)) // (df + 1)) * 22 * tf * n_toks
+               // (10 * tf * n_toks + 3 * n_toks + 9 * len_d * n_docs) AS contrib
+      FROM m JOIN dfreq USING (term) CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_1e6
+    FROM scored GROUP BY doc_id
+    ORDER BY score_1e6 DESC, doc_id LIMIT {search.BM25_TOPK}
+    """,
+)
+def srch_bm25_topk(spark, sf_dir):
+    """Exact-integer Okapi BM25 top-k for a fixed bag-of-terms query
+    (operators/search.py bm25_topk — array-side tf, broadcast df/totals,
+    TakeOrderedAndProject cut)."""
+    return search.bm25_topk(_docs(spark, sf_dir), BM25_TERMS)

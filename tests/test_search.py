@@ -1,0 +1,49 @@
+"""BM25 closed-form scores, ranking properties, plan shape."""
+
+from __future__ import annotations
+
+from hebrew_ner_spark.operators import search
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "customer customer table"),
+            (2, "customer slow row"),
+            (3, "the a dup"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_postings_closed_form(spark):
+    got = {r.term: (r.df, r.cf) for r in search.term_postings(_docs(spark)).collect()}
+    assert got["customer"] == (2, 3)
+    assert got["slow"] == (1, 1)
+    assert got["the"] == (1, 1)
+
+
+def test_bm25_hand_computed(spark):
+    # N=3, L=9; idf(customer)=666666, idf(slow)=1500000 (rational idf);
+    # d1: tf(customer)=2 -> (666666*396)//288 = 916665
+    # d2: tf=1 each -> 666666 + 1500000 = 2166666
+    out = search.bm25_topk(_docs(spark), ["customer", "slow"], k=10).collect()
+    scores = {r.doc_id: r.score_1e6 for r in out}
+    assert scores == {1: 916665, 2: 2166666}
+
+
+def test_rare_term_outranks_common(spark):
+    # ten docs contain 'table'; one doc contains 'vector' -> the vector
+    # doc must outrank any single-occurrence table doc
+    rows = [(i, "table row data") for i in range(10)] + [(99, "vector row data")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = search.bm25_topk(docs, ["table", "vector"], k=11).collect()
+    assert out[0].doc_id == 99
+
+
+def test_topk_plan_is_take_ordered(spark):
+    plan = (
+        search.bm25_topk(_docs(spark), ["customer"], k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan  # never a global Sort
