@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from hebrew_ner_spark.operators import kg
 from hebrew_ner_spark.registry import query
 from hebrew_ner_spark.resources import ENTITY_TERMS, PREDICATE_TERMS
+from hebrew_ner_spark.sources import catalog
 from hebrew_ner_spark.sources.catalog import load_table
 
 _ENTS_SQL = "(" + ", ".join(f"'{t}'" for t in ENTITY_TERMS) + ")"
@@ -455,3 +456,26 @@ def kg_pred_domains(spark, sf_dir):
     with exact integer support shares (operators/kg.py pred_domains —
     codegen CASE typing, (pred, type)-grain aggregates, tiny windows)."""
     return kg.pred_domains(_docs(spark, sf_dir))
+
+
+@query(
+    "kg_ntriples_lines",
+    oracle=f"""
+    WITH t AS ({_TRIPLES_ORACLE}),
+    d AS (SELECT DISTINCT subj, pred, obj FROM t)
+    SELECT subj, pred, obj,
+           '<{catalog.NT_NS}/e/' || subj || '> <{catalog.NT_NS}/p/' || pred
+             || '> <{catalog.NT_NS}/e/' || obj || '> .' AS line
+    FROM d
+    """,
+)
+def kg_ntriples_lines(spark, sf_dir):
+    """Canonical N-Triples serialization of the distinct extracted
+    triples (sources/catalog.py ntriples_lines — one codegen
+    format_string stage; the escape chain is identity on the closed
+    alnum vocabulary, and its non-trivial cases are pytest round-trip
+    gated)."""
+    from pyspark.sql import functions as F
+
+    triples = kg.doc_triples(_docs(spark, sf_dir)).select("subj", "pred", "obj").distinct()
+    return catalog.ntriples_lines(triples)

@@ -223,3 +223,89 @@ def write_table(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+# --- N-Triples export / ingest ----------------------------------------------
+#
+# The KG materialization format peers actually exchange: one
+# '<subj-iri> <pred-iri> <obj-iri> .' line per triple (W3C N-Triples).
+# IRIs are minted under a fixed namespace; the only characters our
+# closed extraction vocabulary can emit that N-Triples forbids inside
+# an IRI are space, '<', '>', '"', '{', '}', '|', '^', '`', '\' — all
+# percent-encoded. Serialization and parse are single codegen stages
+# (format_string / regexp_extract), so export is shuffle-free shard
+# writing and ingest is an embarrassingly parallel line scan.
+
+NT_NS = "http://kg.example.org"
+
+_NT_ESCAPES = [
+    ("%", "%25"),  # first, so later escapes don't double-encode
+    (" ", "%20"),
+    ("<", "%3C"),
+    (">", "%3E"),
+    ('"', "%22"),
+    ("{", "%7B"),
+    ("}", "%7D"),
+    ("|", "%7C"),
+    ("^", "%5E"),
+    ("`", "%60"),
+    ("\\", "%5C"),
+]
+
+
+def _nt_escape(col):
+    from pyspark.sql import functions as F
+
+    out = col
+    for ch, enc in _NT_ESCAPES:
+        out = F.replace(out, F.lit(ch), F.lit(enc))
+    return out
+
+
+def ntriples_lines(triples: DataFrame) -> DataFrame:
+    """(subj, pred, obj, line): canonical N-Triples serialization of a
+    distinct (subj, pred, obj) table."""
+    from pyspark.sql import functions as F
+
+    return triples.select(
+        "subj",
+        "pred",
+        "obj",
+        F.format_string(
+            f"<{NT_NS}/e/%s> <{NT_NS}/p/%s> <{NT_NS}/e/%s> .",
+            _nt_escape(F.col("subj")),
+            _nt_escape(F.col("pred")),
+            _nt_escape(F.col("obj")),
+        ).alias("line"),
+    )
+
+
+def write_ntriples(triples: DataFrame, path: str, n_partitions: int | None = None) -> None:
+    """Shard-partitioned .nt export (single file only for fixtures)."""
+    from pyspark.sql import functions as F
+
+    lines = ntriples_lines(triples).select(F.col("line").alias("value"))
+    if n_partitions:
+        lines = lines.coalesce(n_partitions)
+    lines.write.mode("overwrite").text(path)
+
+
+def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
+    """Parse an .nt shard set back to (subj, pred, obj) — one regexp
+    stage, percent-decoding reversed in the same fixed order."""
+    from pyspark.sql import functions as F
+
+    lines = spark.read.text(path)
+    pat = rf"^<{NT_NS}/e/([^>]*)> <{NT_NS}/p/([^>]*)> <{NT_NS}/e/([^>]*)> \.$"
+
+    def _unescape(col):
+        out = col
+        for ch, enc in reversed(_NT_ESCAPES):
+            out = F.replace(out, F.lit(enc), F.lit(ch))
+        return out
+
+    return lines.select(
+        _unescape(F.regexp_extract("value", pat, 1)).alias("subj"),
+        _unescape(F.regexp_extract("value", pat, 2)).alias("pred"),
+        _unescape(F.regexp_extract("value", pat, 3)).alias("obj"),
+    )

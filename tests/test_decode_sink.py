@@ -69,3 +69,37 @@ def test_nbest_decode_sink_roundtrip(spark, tmp_path):
         assert g["rank"].tolist() == [1, 2, 3] or sorted(g["rank"]) == [1, 2, 3]
         assert all(re.fullmatch(r"0\.\d{4}", s) for s in g.score_str)
         assert abs(sum(float(s) for s in g.score_str) - 1.0) < 5e-4
+
+
+class TestNTriplesSink:
+    def test_roundtrip_with_hostile_strings(self, spark, tmp_path):
+        from hebrew_ner_spark.sources.catalog import (
+            ntriples_lines,
+            read_ntriples,
+            write_ntriples,
+        )
+
+        rows = [
+            ("plain", "join", "table"),
+            ("has space", "a<b", 'quote"mark'),
+            ("back\\slash", "per%cent", "curly{brace}"),
+            ("pipe|caret^tick`", "p", "o"),
+        ]
+        triples = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+        path = str(tmp_path / "kg.nt")
+        write_ntriples(triples, path, n_partitions=1)
+        back = {(r.subj, r.pred, r.obj) for r in read_ntriples(spark, path).collect()}
+        assert back == set(rows)
+
+    def test_lines_are_valid_ntriples(self, spark):
+        import re
+
+        from hebrew_ner_spark.sources.catalog import ntriples_lines
+
+        triples = spark.createDataFrame(
+            [("has space", "a<b", 'quote"mark')], ["subj", "pred", "obj"]
+        )
+        [r] = ntriples_lines(triples).collect()
+        # no raw space/angle/quote inside any IRI
+        m = re.match(r"^<([^<>\" ]+)> <([^<>\" ]+)> <([^<>\" ]+)> \.$", r.line)
+        assert m, r.line
