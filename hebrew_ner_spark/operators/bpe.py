@@ -138,3 +138,41 @@ def bpe_vocab(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
         (F.size(F.split("segmented", "\\|"))).cast("long").alias("n_symbols"),
         "segmented",
     )
+
+
+def bpe_encode(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
+    """(doc_id, word_index, piece_index, piece): the corpus encoded with
+    the learned merges — the APPLY half of tokenizer induction (what the
+    trained artifact is for).
+
+    Scale shape: segmentation is resolved once at VOCAB grain (the same
+    persisted Zipf table training used — merges never touch corpus
+    text), then joined back onto token occurrences. The segmentation
+    table is vocabulary-sized: broadcast here; at a web-corpus vocab
+    (10^8 types) it becomes the tiered hot/tail join alphabet_encode
+    already implements (operators/labels.py) — the occurrence side never
+    re-runs a single merge. Piece explosion is array-side posexplode
+    (zero extra shuffle after the join).
+    """
+    _, w = _train(docs, rounds)
+    seg = w.select(
+        F.replace(F.col("s"), F.lit(" "), F.lit("")).alias("token"),
+        F.split(F.trim("s"), "  ").alias("pieces"),
+    )
+    occ = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("word_index", "token")
+    )
+    return (
+        occ.join(F.broadcast(seg), "token")
+        .select(
+            "doc_id",
+            F.col("word_index").cast("long").alias("word_index"),
+            F.posexplode("pieces").alias("piece_index", "piece"),
+        )
+        .select(
+            "doc_id",
+            "word_index",
+            F.col("piece_index").cast("long").alias("piece_index"),
+            "piece",
+        )
+    )

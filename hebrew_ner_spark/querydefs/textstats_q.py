@@ -298,3 +298,26 @@ def txt_bpe_vocab(spark, sf_dir):
     """Every vocabulary word segmented by the learned BPE merges — the
     subword split a downstream token counter consumes."""
     return bpe.bpe_vocab(_docs(spark, sf_dir))
+
+
+@query(
+    "txt_bpe_encode",
+    oracle=f"""
+    WITH {{ctes}},
+    seg AS (SELECT replace(s, ' ', '') AS token,
+                   string_split(trim(s), '  ') AS pieces
+            FROM w{bpe.BPE_ROUNDS}),
+    occ AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS word_index,
+                   unnest(toks) AS token
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+    enc AS (SELECT doc_id, word_index, pieces FROM occ JOIN seg USING (token))
+    SELECT doc_id, CAST(word_index AS BIGINT) AS word_index,
+           CAST(generate_subscripts(pieces, 1) - 1 AS BIGINT) AS piece_index,
+           unnest(pieces) AS piece
+    FROM enc
+    """.format(ctes=_bpe_ctes(bpe.BPE_ROUNDS)),
+)
+def txt_bpe_encode(spark, sf_dir):
+    """Corpus encoded with the trained merges: vocab-grain segmentation
+    joined back onto token occurrences (operators/bpe.py bpe_encode)."""
+    return bpe.bpe_encode(load_table(spark, sf_dir, "documents"))

@@ -45,3 +45,36 @@ class TestBpeMerges:
         d = _docs(spark, ["cd ab"])
         m = bpe.bpe_merges(d, 1).collect()[0]
         assert (m.l, m.r, m.cnt) == ("a", "b", 1)
+
+
+class TestBpeEncode:
+    def test_pieces_reconstruct_tokens(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "the table the table value"), (2, "value table the")],
+            ["doc_id", "text"],
+        )
+        from hebrew_ner_spark.operators.bpe import bpe_encode
+
+        rows = bpe_encode(docs, rounds=3).collect()
+        # group pieces back per (doc, word) in piece order
+        words = {}
+        for r in rows:
+            words.setdefault((r.doc_id, r.word_index), []).append((r.piece_index, r.piece))
+        rebuilt = {k: "".join(p for _, p in sorted(v)) for k, v in words.items()}
+        expected = {}
+        for doc_id, text in [(1, "the table the table value"), (2, "value table the")]:
+            for i, t in enumerate(text.split(" ")):
+                expected[(doc_id, i)] = t
+        assert rebuilt == expected
+
+    def test_more_rounds_never_more_pieces(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "table table table value value the")], ["doc_id", "text"]
+        )
+        from hebrew_ner_spark.operators.bpe import bpe_encode
+
+        n0 = bpe_encode(docs, rounds=0).count()
+        n2 = bpe_encode(docs, rounds=2).count()
+        n4 = bpe_encode(docs, rounds=4).count()
+        assert n0 >= n2 >= n4
+        assert n4 < n0  # merges actually fired
