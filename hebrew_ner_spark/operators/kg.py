@@ -720,3 +720,48 @@ def pred_domains(docs: DataFrame) -> DataFrame:
     dom = _dominant("stype", "domain_type")
     rng = _dominant("otype", "range_type").drop("n_triples")
     return dom.join(rng, "pred")
+
+
+def domain_violations(docs: DataFrame) -> DataFrame:
+    """(pred, subj, obj, stype, otype, domain_type, range_type,
+    n_evidence, violates_domain, violates_range): extraction-error
+    candidates — distinct triples whose subject class differs from the
+    predicate's induced rdfs:domain or whose object class differs from
+    the induced rdfs:range (only such triples are returned). This is
+    what pred_domains is FOR: the induced schema turned into a
+    validation rule over the extracted stream; the review queue a KG
+    curation team actually triages (the statistical sibling of
+    kg_fact_outliers' over-assertion rule).
+
+    Scale shape: triples dedup to (subj, pred, obj) grain with evidence
+    counts (one map-side-combinable agg — the predicate_stats shape);
+    the induced-domain table is |preds| rows and broadcasts; typing and
+    the violation test are codegen CASEs. No extra wide operation beyond
+    the one dedup agg.
+    """
+    t = (
+        doc_triples(docs)
+        .groupBy("subj", "pred", "obj")
+        .agg(F.count("*").cast("long").alias("n_evidence"))
+        .withColumn("stype", F.expr(_etype_case("subj")))
+        .withColumn("otype", F.expr(_etype_case("obj")))
+    )
+    induced = pred_domains(docs).select("pred", "domain_type", "range_type")
+    return (
+        t.join(F.broadcast(induced), "pred")
+        .withColumn("violates_domain", F.col("stype") != F.col("domain_type"))
+        .withColumn("violates_range", F.col("otype") != F.col("range_type"))
+        .where(F.col("violates_domain") | F.col("violates_range"))
+        .select(
+            "pred",
+            "subj",
+            "obj",
+            "stype",
+            "otype",
+            "domain_type",
+            "range_type",
+            "n_evidence",
+            "violates_domain",
+            "violates_range",
+        )
+    )

@@ -61,13 +61,19 @@ _WINDOW = [
     "sk_cms_heavy",
     "seg_sentences",
     "seg_tokens",
-    "ann_brute_topk",
-    # ann_lsh_buckets rotated out (upstream of, and exercised through,
-    # in-window ann_lsh_topk) for kg_link_pred — new wedge-join +
-    # anti-join + integer-division shape
+    # late-r3 rotation: txt_token_freq / txt_fingerprint / txt_normalize /
+    # txt_lang_id / ann_brute_topk / ann_lsh_topk / ann_lsh_buckets /
+    # emb_near_dups / web_crawl_deltas / web_asof_probe rotated out — all
+    # judge-verified by name in r2 (or pytest-pinned r3 shapes whose plan
+    # family stays in-window) and green in every local full-registry run —
+    # for the nine operators added late in round 3, which would otherwise
+    # have NO driver row at all: the mixture/passage curation gates, the
+    # BM25 pair, ontology induction, N-Triples serialization, BPE encode,
+    # and the stratified eval sample
+    "cur_mixture_sample",
     "kg_link_pred",
-    "ann_lsh_topk",
-    "emb_near_dups",
+    "cur_passage_dedup",
+    "kg_pred_domains",
     # emb_near_dup_overflow rotated out (planted-overflow shape also
     # pytest-pinned, same plan family as emb_near_dups) and txt_doc_stats
     # rotated out (its predicate is exercised through in-window
@@ -75,15 +81,14 @@ _WINDOW = [
     # feature-join + ranked-assignment shapes
     "kg_align_scores",
     "kg_align_best",
-    # emb_near_dups_skew rotated out for mention_model_neural: judge-
-    # verified in r2 and same bucketed-matmul plan family as in-window
-    # emb_near_dups
+    # emb_near_dups_skew rotated out for mention_model_neural (judge-
+    # verified in r2, same bucketed-matmul plan family as emb_near_dups)
     "ann_ivf_topk",
     "ann_recall",
-    "txt_lang_id",
-    "txt_token_freq",
-    "txt_fingerprint",
-    "txt_normalize",
+    "cur_mixture_shares",
+    "srch_postings",
+    "srch_bm25_topk",
+    "txt_bpe_encode",
     "txt_quality_filter",
     # -- new or semantically changed in round 3 --
     "mention_model_neural",
@@ -126,8 +131,8 @@ _WINDOW = [
     # (the riskiest cross-engine class)
     "kg_fact_fusion",
     "kg_source_reliability",
-    "web_crawl_deltas",
-    "web_asof_probe",
+    "kg_ntriples_lines",
+    "trn_eval_sample",
 ]
 
 # Out-of-window this round (check_correctness still gates all of them;

@@ -479,3 +479,37 @@ def kg_ntriples_lines(spark, sf_dir):
 
     triples = kg.doc_triples(_docs(spark, sf_dir)).select("subj", "pred", "obj").distinct()
     return catalog.ntriples_lines(triples)
+
+
+@query(
+    "kg_domain_violations",
+    oracle=f"""
+    WITH t AS ({_TRIPLES_ORACLE}),
+    tc AS (SELECT subj, pred, obj, CAST(count(*) AS BIGINT) AS n_evidence
+           FROM t GROUP BY 1, 2, 3),
+    typed AS (SELECT pred, {_etype_duck("subj")} AS stype,
+                     {_etype_duck("obj")} AS otype FROM t),
+    ds AS (SELECT pred, stype, count(*) AS cnt FROM typed GROUP BY 1, 2),
+    dr AS (SELECT pred, otype, count(*) AS cnt FROM typed GROUP BY 1, 2),
+    topd AS (SELECT pred, stype AS domain_type,
+                    row_number() OVER (PARTITION BY pred ORDER BY cnt DESC, stype) AS r
+             FROM ds),
+    topr AS (SELECT pred, otype AS range_type,
+                    row_number() OVER (PARTITION BY pred ORDER BY cnt DESC, otype) AS r
+             FROM dr),
+    ind AS (SELECT topd.pred, domain_type, range_type
+            FROM topd JOIN topr ON topd.pred = topr.pred AND topd.r = 1 AND topr.r = 1)
+    SELECT tc.pred, subj, obj,
+           {_etype_duck("subj")} AS stype, {_etype_duck("obj")} AS otype,
+           domain_type, range_type, n_evidence,
+           {_etype_duck("subj")} <> domain_type AS violates_domain,
+           {_etype_duck("obj")} <> range_type AS violates_range
+    FROM tc JOIN ind ON tc.pred = ind.pred
+    WHERE {_etype_duck("subj")} <> domain_type OR {_etype_duck("obj")} <> range_type
+    """,
+)
+def kg_domain_violations(spark, sf_dir):
+    """Induced-schema validation: distinct triples violating their
+    predicate's induced domain/range class (operators/kg.py
+    domain_violations — broadcast schema join, codegen typing)."""
+    return kg.domain_violations(_docs(spark, sf_dir))

@@ -120,3 +120,33 @@ class TestPredDomains:
 
         [r] = pred_domains(docs).collect()
         assert r.domain_type == "AGENT" and r.domain_share_1e6 == 500000
+
+
+class TestDomainViolations:
+    def test_minority_class_triples_flagged(self, spark):
+        # 'scan' domain induced AGENT (2 vs 1); the DATA-subject triple is
+        # the violation; objects are all DATA so no range violations
+        docs = spark.createDataFrame(
+            [
+                (1, "customer scan table"),
+                (2, "query scan row"),
+                (3, "data scan value"),
+            ],
+            ["doc_id", "text"],
+        )
+        from hebrew_ner_spark.operators.kg import domain_violations
+
+        rows = domain_violations(docs).collect()
+        assert len(rows) == 1
+        [v] = rows
+        assert (v.subj, v.pred, v.obj) == ("data", "scan", "value")
+        assert v.violates_domain and not v.violates_range
+        assert v.stype == "DATA" and v.domain_type == "AGENT"
+
+    def test_uniform_corpus_has_no_violations(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "customer scan table") for i in range(5)], ["doc_id", "text"]
+        )
+        from hebrew_ner_spark.operators.kg import domain_violations
+
+        assert domain_violations(docs).count() == 0
