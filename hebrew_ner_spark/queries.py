@@ -184,6 +184,9 @@ _WINDOW = [
 #   rides CORRECTNESS_FULL;
 # * kg_pred_symmetry — added after the window filled; closed-form
 #   symmetric/asymmetric fixtures pytest-pinned, rides CORRECTNESS_FULL;
+# * kg_domain_violations — composes in-window kg_pred_domains (same typing
+#   CASE + induction CTEs) and is pytest-pinned closed-form (planted
+#   minority-class triple), rides CORRECTNESS_FULL;
 # * kg_transe_topk / kg_transe_rank — added after the window filled;
 #   pytest-pinned vs an independent pure-Python energy replay plus a
 #   closed-form filtered-rank fixture, ride CORRECTNESS_FULL;
