@@ -870,3 +870,37 @@ def link_pred_mrr(docs: DataFrame, max_center_degree: int = 0) -> DataFrame:
         ).alias("mrr_1e6"),
         "hits1", "hits3", "hits10",
     )
+
+
+def distance_histogram(edges: DataFrame, **landmark_kw) -> DataFrame:
+    """(dist, n_pairs, cum_pairs, eff_diameter): the (entity, landmark)
+    distance distribution from the landmark BFS sample, with the
+    ANF/HyperANF-style effective diameter — the smallest distance d at
+    which >= 90% of all reached pairs are within d (``10*cum >= 9*total``
+    in exact integers; eff_diameter is TRUE on exactly that first row).
+    The one-table graph health report (is the KG one tight component?
+    did an extraction bug shatter it into long chains?) over the same
+    sampled-BFS features link prediction already pays for.
+
+    Scale shape: everything after landmark_distances is an aggregate on
+    a <= (horizon+1)-row table — one map-side-combined count per dist,
+    one window + broadcast-folded total on rows you can count on one
+    hand. Adds nothing to the BFS cost it composes.
+    """
+    from pyspark.sql import Window
+
+    d = landmark_distances(edges, **landmark_kw)
+    hist = d.groupBy("dist").agg(F.count("*").cast("long").alias("n_pairs"))
+    w = Window.orderBy("dist").rowsBetween(Window.unboundedPreceding, 0)
+    hist = hist.withColumn("cum_pairs", F.sum("n_pairs").over(w).cast("long"))
+    total = hist.agg(F.max("cum_pairs").alias("_t"))
+    wprev = Window.orderBy("dist")
+    return (
+        hist.crossJoin(F.broadcast(total))
+        .withColumn("_hit", 10 * F.col("cum_pairs") >= 9 * F.col("_t"))
+        .withColumn(
+            "eff_diameter",
+            F.col("_hit") & ~F.coalesce(F.lag("_hit").over(wprev), F.lit(False)),
+        )
+        .select("dist", "n_pairs", "cum_pairs", "eff_diameter")
+    )

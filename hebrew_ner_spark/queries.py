@@ -184,6 +184,9 @@ _WINDOW = [
 #   rides CORRECTNESS_FULL;
 # * kg_pred_symmetry — added after the window filled; closed-form
 #   symmetric/asymmetric fixtures pytest-pinned, rides CORRECTNESS_FULL;
+# * kg_dist_hist — composes the same unrolled-BFS CTEs as kg_landmark_dists
+#   (which has in-window history) and is pytest-pinned closed-form (chain +
+#   star distributions, single eff-diameter flag), rides CORRECTNESS_FULL;
 # * kg_domain_violations — composes in-window kg_pred_domains (same typing
 #   CASE + induction CTEs) and is pytest-pinned closed-form (planted
 #   minority-class triple), rides CORRECTNESS_FULL;

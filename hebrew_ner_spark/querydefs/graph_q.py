@@ -927,3 +927,38 @@ def kg_graph_diff(spark, sf_dir):
     old = linking.kg_edges(docs.where(F.col("doc_id") % 2 == 0))
     new = linking.kg_edges(docs.where(F.col("doc_id") % 2 == 1))
     return linking.graph_diff(old, new)
+
+
+@query(
+    "kg_dist_hist",
+    oracle=f"""
+    WITH {_dim_values()},
+    {_edges_ctes()},
+    {_bfs_ctes(_LM_K, _BFS_ROUNDS)},
+    dh_h AS (SELECT dist, CAST(count(*) AS BIGINT) AS n_pairs
+          FROM d{_BFS_ROUNDS} GROUP BY dist),
+    dh_c AS (SELECT dist, n_pairs,
+                 CAST(sum(n_pairs) OVER (ORDER BY dist) AS BIGINT) AS cum_pairs
+          FROM dh_h),
+    dh_t AS (SELECT max(cum_pairs) AS _t FROM dh_c),
+    dh_f AS (SELECT dist, n_pairs, cum_pairs,
+                 10 * cum_pairs >= 9 * _t AS _hit,
+                 coalesce(lag(10 * cum_pairs >= 9 * _t) OVER (ORDER BY dist),
+                          FALSE) AS _prev
+          FROM dh_c CROSS JOIN dh_t)
+    SELECT dist, n_pairs, cum_pairs, _hit AND NOT _prev AS eff_diameter
+    FROM dh_f
+    """,
+)
+def kg_dist_hist(spark, sf_dir):
+    """Distance distribution + 90% effective diameter from the landmark
+    BFS sample (operators/graphstats.py distance_histogram — aggregates
+    on a <= horizon+1 row table after the shared BFS)."""
+    from pyspark.sql import functions as F
+
+    from hebrew_ner_spark.operators import graphstats
+
+    edges = linking.kg_edges(_docs(spark, sf_dir)).where(
+        (F.col("pred") == "join") & (F.col("n_evidence") >= 3)
+    )
+    return graphstats.distance_histogram(edges)

@@ -428,3 +428,39 @@ class TestPredicateSymmetry:
         docs = _docs(spark, ["key join table", "row join part"])
         rows = [tuple(r) for r in kg.predicate_symmetry(docs).collect()]
         assert rows == [("join", 2, 0, 0)]
+
+
+class TestDistanceHistogram:
+    def test_chain_distribution_and_eff_diameter(self, spark):
+        # path graph 0-1-2-3-4; landmark pick is hash-minimal among nodes
+        from hebrew_ner_spark.operators import graphstats
+
+        edges = spark.createDataFrame(
+            [(i, i + 1, "join", 3) for i in range(4)],
+            "subj_id long, obj_id long, pred string, n_evidence long",
+        )
+        rows = graphstats.distance_histogram(edges, k=1, rounds=4).collect()
+        by_dist = {r.dist: r for r in rows}
+        # one landmark on a 5-chain: exactly one pair per reachable dist 0..
+        assert by_dist[0].n_pairs == 1
+        assert sum(r.n_pairs for r in rows) == 5  # all nodes reached
+        # cum is monotone and ends at total
+        cums = [r.cum_pairs for r in sorted(rows, key=lambda r: r.dist)]
+        assert cums == sorted(cums) and cums[-1] == 5
+        # exactly one row flagged as the effective diameter, at the first
+        # dist where cum >= 0.9 * total
+        flagged = [r for r in rows if r.eff_diameter]
+        assert len(flagged) == 1
+        d_star = min(r.dist for r in rows if 10 * r.cum_pairs >= 9 * 5)
+        assert flagged[0].dist == d_star
+
+    def test_star_has_eff_diameter_one(self, spark):
+        from hebrew_ner_spark.operators import graphstats
+
+        edges = spark.createDataFrame(
+            [(0, i, "join", 3) for i in range(1, 11)],
+            "subj_id long, obj_id long, pred string, n_evidence long",
+        )
+        rows = graphstats.distance_histogram(edges, k=2, rounds=3).collect()
+        [f] = [r for r in rows if r.eff_diameter]
+        assert f.dist <= 2  # star: everything within 2 of any landmark
