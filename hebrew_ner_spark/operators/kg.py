@@ -765,3 +765,44 @@ def domain_violations(docs: DataFrame) -> DataFrame:
             "violates_range",
         )
     )
+
+
+FACT_HALF_LIFE_MS = 86_400_000  # one crawl-day per half-life unit
+
+
+def fact_decay(pages: DataFrame, half_life_ms: int = FACT_HALF_LIFE_MS) -> DataFrame:
+    """(subj, pred, obj, n_sightings, last_ms, age_half_lives,
+    decayed_1e6): staleness-discounted fact confidence — evidence decays
+    by a factor of 2 per elapsed half-life since the fact was last
+    sighted, against the deterministic corpus clock (max last_ms over
+    the snapshot set; no wall clock, so reruns are bit-identical). The
+    freshness prior a temporal KG applies before serving facts whose
+    validity interval has gone quiet.
+
+    Binary half-lives make the decay EXACT integer arithmetic
+    (``(n * 1e6) DIV (1 << units)``, shift capped at 62) — the same
+    reason the mixture sampler fixes alpha at 1/2: the one decay base
+    with a bit-reproducible cross-engine form.
+
+    Scale shape: composes triple_validity's single triple-keyed
+    aggregate; the corpus clock is a broadcast-folded scalar max and the
+    decay itself is one codegen expression — nothing new crosses the
+    wire.
+    """
+    v = triple_validity(pages)
+    now = v.agg(F.max("last_ms").alias("_now"))
+    return v.crossJoin(F.broadcast(now)).select(
+        "subj",
+        "pred",
+        "obj",
+        "n_sightings",
+        "last_ms",
+        F.expr(f"CAST((_now - last_ms) DIV {int(half_life_ms)} AS BIGINT)").alias(
+            "age_half_lives"
+        ),
+        F.expr(
+            f"CAST((n_sightings * 1000000) DIV "
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(least((_now - last_ms) DIV {int(half_life_ms)}, 62) AS INT)) AS BIGINT)"
+        ).alias("decayed_1e6"),
+    )

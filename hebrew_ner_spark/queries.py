@@ -184,6 +184,9 @@ _WINDOW = [
 #   rides CORRECTNESS_FULL;
 # * kg_pred_symmetry — added after the window filled; closed-form
 #   symmetric/asymmetric fixtures pytest-pinned, rides CORRECTNESS_FULL;
+# * kg_fact_decay — composes in-window-cohort kg_triple_validity's CTEs
+#   plus one codegen decay expression, pytest-pinned closed-form (exact
+#   halving, shift cap), rides CORRECTNESS_FULL;
 # * kg_dist_hist — composes the same unrolled-BFS CTEs as kg_landmark_dists
 #   (which has in-window history) and is pytest-pinned closed-form (chain +
 #   star distributions, single eff-diameter flag), rides CORRECTNESS_FULL;

@@ -260,3 +260,60 @@ def kg_triple_validity(spark, sf_dir):
         ).alias("text"),
     )
     return _kg.triple_validity(snaps)
+
+
+@query(
+    "kg_fact_decay",
+    oracle=f"""
+    WITH {_SNAP_CTE},
+    st AS (
+      SELECT url, ms,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS wi,
+             unnest(string_split(text, ' ')) AS token
+      FROM sn),
+    sw AS (
+      SELECT url, ms, token,
+             lag(token)  OVER (PARTITION BY url, ms ORDER BY wi) AS subj,
+             lead(token) OVER (PARTITION BY url, ms ORDER BY wi) AS obj
+      FROM st),
+    tt AS (
+      SELECT url, ms, subj, token AS pred, obj FROM sw
+      WHERE token IN {_PREDS} AND subj IN {_ENTS} AND obj IN {_ENTS}),
+    v AS (
+      SELECT subj, pred, obj,
+             max(ms) AS last_ms,
+             count(DISTINCT (url, ms)) AS n_sightings
+      FROM tt GROUP BY subj, pred, obj),
+    nw AS (SELECT max(last_ms) AS _now FROM v)
+    SELECT subj, pred, obj,
+           n_sightings, last_ms,
+           CAST((_now - last_ms) // {_kg.FACT_HALF_LIFE_MS} AS BIGINT)
+             AS age_half_lives,
+           CAST((n_sightings * 1000000) //
+                (CAST(1 AS BIGINT) <<
+                 least((_now - last_ms) // {_kg.FACT_HALF_LIFE_MS}, 62))
+             AS BIGINT) AS decayed_1e6
+    FROM v CROSS JOIN nw
+    """,
+)
+def kg_fact_decay(spark, sf_dir):
+    """Staleness-discounted fact confidence: binary half-life decay
+    against the deterministic corpus clock (operators/kg.py fact_decay
+    — broadcast scalar max + one codegen expression over the
+    triple_validity aggregate)."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    snaps = docs.select(
+        "doc_id", "text", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("v")
+    ).select(
+        F.concat(
+            F.lit("https://example.org/doc/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        F.timestamp_millis(
+            F.col("doc_id") * 1000 + F.col("v").cast("long") * 86400000
+        ).alias("warc_ts"),
+        F.array_join(
+            F.slice(toks, F.col("v") * 3 + 1, F.size(toks)), " "
+        ).alias("text"),
+    )
+    return _kg.fact_decay(snaps)

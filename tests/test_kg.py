@@ -150,3 +150,39 @@ class TestDomainViolations:
         from hebrew_ner_spark.operators.kg import domain_violations
 
         assert domain_violations(docs).count() == 0
+
+
+class TestFactDecay:
+    def test_halving_per_elapsed_half_life(self, spark):
+        from pyspark.sql import functions as F
+
+        from hebrew_ner_spark.operators.kg import fact_decay
+
+        # fact A sighted at t=0 and t=2d (2 sightings, fresh at corpus
+        # clock 2d); fact B sighted only at t=0 (age 2 half-lives)
+        pages = spark.createDataFrame(
+            [
+                ("u1", 0, "customer scan table"),
+                ("u1", 2 * 86_400_000, "customer scan table"),
+                ("u2", 0, "query sort window"),
+            ],
+            ["url", "ms", "text"],
+        ).select("url", F.timestamp_millis("ms").alias("warc_ts"), "text")
+        got = {(r.subj, r.pred, r.obj): r for r in fact_decay(pages).collect()}
+        a = got[("customer", "scan", "table")]
+        b = got[("query", "sort", "window")]
+        assert (a.n_sightings, a.age_half_lives, a.decayed_1e6) == (2, 0, 2_000_000)
+        assert (b.n_sightings, b.age_half_lives, b.decayed_1e6) == (1, 2, 250_000)
+
+    def test_shift_caps_at_62(self, spark):
+        from pyspark.sql import functions as F
+
+        from hebrew_ner_spark.operators.kg import fact_decay
+
+        pages = spark.createDataFrame(
+            [("u1", 0, "customer scan table"), ("u2", 70 * 86_400_000, "query sort window")],
+            ["url", "ms", "text"],
+        ).select("url", F.timestamp_millis("ms").alias("warc_ts"), "text")
+        got = {(r.subj): r for r in fact_decay(pages).collect()}
+        old = got["customer"]
+        assert old.age_half_lives == 70 and old.decayed_1e6 == 0  # no overflow
