@@ -140,7 +140,12 @@ def bpe_vocab(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
     )
 
 
-def bpe_encode(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
+BPE_HOT_K = 65_536  # hot-tier size for the occurrence join (alphabet_encode discipline)
+
+
+def bpe_encode(
+    docs: DataFrame, rounds: int = BPE_ROUNDS, hot_k: int = BPE_HOT_K
+) -> DataFrame:
     """(doc_id, word_index, piece_index, piece): the corpus encoded with
     the learned merges — the APPLY half of tokenizer induction (what the
     trained artifact is for).
@@ -158,12 +163,24 @@ def bpe_encode(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
     seg = w.select(
         F.replace(F.col("s"), F.lit(" "), F.lit("")).alias("token"),
         F.split(F.trim("s"), "  ").alias("pieces"),
+        F.col("n"),
     )
     occ = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("word_index", "token")
     )
+    # Tiered join (the alphabet_encode discipline): broadcast only the
+    # hot_k most frequent types (count DESC, token ASC — a TakeOrdered,
+    # never a single-partition sort); the tail, which at a web-scale
+    # vocabulary can be 10^8 types, resolves through a hinted
+    # sort-merge join so the plan never gambles on a size estimate.
+    hot = seg.orderBy(F.desc("n"), "token").limit(hot_k).select("token", "pieces")
+    tail = seg.join(hot.select("token"), "token", "left_anti").select("token", "pieces")
+    hit = occ.join(F.broadcast(hot), "token")
+    miss = occ.join(F.broadcast(hot.select("token")), "token", "left_anti").join(
+        tail.hint("merge"), "token"
+    )
     return (
-        occ.join(F.broadcast(seg), "token")
+        hit.unionByName(miss)
         .select(
             "doc_id",
             F.col("word_index").cast("long").alias("word_index"),

@@ -78,3 +78,29 @@ class TestBpeEncode:
         n4 = bpe_encode(docs, rounds=4).count()
         assert n0 >= n2 >= n4
         assert n4 < n0  # merges actually fired
+
+    def test_tiered_join_matches_broadcast_path(self, spark):
+        # hot_k=1 forces most tokens through the tail sort-merge tier;
+        # output must be identical to the all-broadcast path
+        docs = spark.createDataFrame(
+            [(1, "the table the table value"), (2, "value table the")],
+            ["doc_id", "text"],
+        )
+        from hebrew_ner_spark.operators.bpe import bpe_encode
+
+        allb = {tuple(r) for r in bpe_encode(docs, rounds=2, hot_k=100).collect()}
+        tier = {tuple(r) for r in bpe_encode(docs, rounds=2, hot_k=1).collect()}
+        assert tier == allb
+
+    def test_tail_tier_never_broadcasts(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "the table the table value"), (2, "value table the")],
+            ["doc_id", "text"],
+        )
+        from hebrew_ner_spark.operators.bpe import bpe_encode
+
+        plan = (
+            bpe_encode(docs, rounds=1, hot_k=1)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "SortMergeJoin" in plan  # the tail tier resolves by merge
