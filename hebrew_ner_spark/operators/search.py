@@ -110,3 +110,61 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = BM25_TOPK) -> DataFram
         F.sum("contrib").cast("long").alias("score_1e6")
     )
     return per_doc.orderBy(F.col("score_1e6").desc(), "doc_id").limit(k)
+
+
+BM25_BATCH_K = 5
+
+
+def bm25_batch(docs: DataFrame, queries: DataFrame, k: int = BM25_BATCH_K) -> DataFrame:
+    """(qid, doc_id, score_1e6, rank): per-query BM25 top-k for a TABLE
+    of queries (qid, term) — the batch-evaluation shape (thousands of
+    eval queries scored in one pass) where unrolling terms as literals
+    (bm25_topk) stops making sense.
+
+    Scale shape: the corpus-grain token explode is pruned IMMEDIATELY by
+    a broadcast semi-join against the distinct query-term set, so the
+    (doc, term) tf aggregate only ever sees occurrences of queried terms
+    (~|matches|, not |corpus tokens|); df and totals broadcast back; the
+    per-query cut is a rank <= k window — WindowGroupLimit ships at most
+    k rows per qid per map task. Duplicate (qid, term) rows are deduped
+    so a repeated term cannot double-score.
+    """
+    toks = _toks(docs)
+    q = queries.select("qid", "term").distinct()
+    qterms = q.select("term").distinct()
+    occ = toks.select(
+        "doc_id", "len_d", F.explode("toks").alias("term")
+    ).join(F.broadcast(qterms), "term")
+    tfs = occ.groupBy("doc_id", "len_d", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dfreq = tfs.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    totals = toks.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("len_d").cast("long").alias("n_toks"),
+    )
+    contrib = (
+        tfs.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("idf_1e6", F.expr("(1000000 * (n_docs - df + 1)) DIV (df + 1)"))
+        .withColumn(
+            "c",
+            F.expr(
+                "(idf_1e6 * 22 * tf * n_toks) DIV "
+                "(10 * tf * n_toks + 3 * n_toks + 9 * len_d * n_docs)"
+            ),
+        )
+    )
+    per_q = (
+        contrib.join(F.broadcast(q), "term")
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("c").cast("long").alias("score_1e6"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("score_1e6").desc(), "doc_id")
+    return (
+        per_q.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "doc_id", "score_1e6", "rank")
+    )

@@ -68,3 +68,59 @@ def srch_bm25_topk(spark, sf_dir):
     (operators/search.py bm25_topk — array-side tf, broadcast df/totals,
     TakeOrderedAndProject cut)."""
     return search.bm25_topk(_docs(spark, sf_dir), BM25_TERMS)
+
+
+# Fixed batch: three queries sharing terms (shared-term df must be
+# computed once and agree across queries).
+BM25_BATCH = [
+    ("q_cust", "customer"),
+    ("q_cust", "table"),
+    ("q_fast", "fast"),
+    ("q_fast", "vector"),
+    ("q_mix", "customer"),
+    ("q_mix", "fast"),
+    ("q_mix", "slow"),
+]
+_BATCH_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in BM25_BATCH)
+
+
+@query(
+    "srch_bm25_batch",
+    oracle=f"""
+    WITH qr(qid, term) AS (VALUES {_BATCH_VALUES}),
+    q AS (SELECT DISTINCT qid, term FROM qr),
+    qt AS (SELECT DISTINCT term FROM q),
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS len_d FROM t),
+    occ AS (SELECT doc_id, len_d, unnest(toks) AS term FROM d),
+    m AS (SELECT doc_id, len_d, term, CAST(count(*) AS BIGINT) AS tf
+          FROM occ JOIN qt USING (term) GROUP BY 1, 2, 3),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM m GROUP BY term),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len_d) AS BIGINT) AS n_toks FROM d),
+    scored AS (
+      SELECT doc_id, term,
+             ((1000000 * (n_docs - df + 1)) // (df + 1)) * 22 * tf * n_toks
+               // (10 * tf * n_toks + 3 * n_toks + 9 * len_d * n_docs) AS c
+      FROM m JOIN dfreq USING (term) CROSS JOIN tot
+    ),
+    per_q AS (
+      SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS score_1e6
+      FROM scored JOIN q USING (term) GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT qid, doc_id, score_1e6,
+             CAST(row_number() OVER (PARTITION BY qid
+                                     ORDER BY score_1e6 DESC, doc_id) AS BIGINT) AS rank
+      FROM per_q
+    )
+    SELECT qid, doc_id, score_1e6, rank FROM ranked
+    WHERE rank <= {search.BM25_BATCH_K}
+    """,
+)
+def srch_bm25_batch(spark, sf_dir):
+    """Batch BM25: per-query top-k for a query TABLE in one corpus pass
+    (operators/search.py bm25_batch — broadcast term-set pruning before
+    the tf aggregate, WindowGroupLimit per-query cut)."""
+    q = spark.createDataFrame(BM25_BATCH, "qid string, term string")
+    return search.bm25_batch(_docs(spark, sf_dir), q)

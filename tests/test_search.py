@@ -47,3 +47,38 @@ def test_topk_plan_is_take_ordered(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan  # never a global Sort
+
+
+def test_bm25_batch_matches_single_query_scores(spark):
+    # a batch query's scores must equal the single-query path's scores
+    docs = _docs(spark)
+    q = spark.createDataFrame(
+        [("qa", "customer"), ("qa", "slow")], "qid string, term string"
+    )
+    batch = {r.doc_id: r.score_1e6 for r in search.bm25_batch(docs, q, k=10).collect()}
+    single = {
+        r.doc_id: r.score_1e6
+        for r in search.bm25_topk(docs, ["customer", "slow"], k=10).collect()
+    }
+    assert batch == single
+
+
+def test_bm25_batch_dedups_repeated_terms(spark):
+    docs = _docs(spark)
+    q_dup = spark.createDataFrame(
+        [("qa", "customer"), ("qa", "customer")], "qid string, term string"
+    )
+    q_one = spark.createDataFrame([("qa", "customer")], "qid string, term string")
+    dup = {r.doc_id: r.score_1e6 for r in search.bm25_batch(docs, q_dup, k=10).collect()}
+    one = {r.doc_id: r.score_1e6 for r in search.bm25_batch(docs, q_one, k=10).collect()}
+    assert dup == one
+
+
+def test_bm25_batch_plan_group_limits(spark):
+    docs = _docs(spark)
+    q = spark.createDataFrame([("qa", "customer")], "qid string, term string")
+    plan = (
+        search.bm25_batch(docs, q, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
