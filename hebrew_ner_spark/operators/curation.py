@@ -529,3 +529,84 @@ def passage_dedup(docs: DataFrame, p: int = PASSAGE_LEN) -> DataFrame:
             ).alias("dup_frac_1e6"),
         )
     )
+
+
+CDC_DIVISOR = 8  # expected content-defined chunk length in tokens
+CDC_SEED = 5  # boundary-hash seed
+CDC_CHUNK_SEED = 6  # chunk-identity hash seed
+
+
+def cdc_chunks_expr(toks_col: str = "toks") -> str:
+    """Spark SQL fragment: content-defined chunks of a token array.
+
+    A boundary falls AFTER token i when the token's portable hash is
+    0 mod CDC_DIVISOR — a pure function of token CONTENT, so inserting
+    or deleting one token only perturbs the two chunks around the edit
+    (the FastCDC property fixed windows lack; passage_dedup's tiling
+    shifts every downstream window). Expected chunk length is
+    CDC_DIVISOR tokens. Everything is array-side: no shuffle until the
+    chunk hashes aggregate.
+    """
+    from hebrew_ner_spark.functions.hashing import phash_sql_expr
+
+    h = phash_sql_expr("t", CDC_SEED)
+    return f"""
+    filter(
+      transform(
+        sequence(1, size(bnd) - 1),
+        j -> CASE WHEN bnd[j] > bnd[j - 1]
+                  THEN concat_ws(' ', slice({toks_col},
+                                            CAST(bnd[j - 1] + 2 AS INT),
+                                            CAST(bnd[j] - bnd[j - 1] AS INT)))
+                  ELSE NULL END),
+      x -> x IS NOT NULL)
+    """.replace(
+        "bnd",
+        f"""concat(array(CAST(-1 AS BIGINT)),
+              filter(transform({toks_col},
+                               (t, i) -> IF(pmod({h}, {CDC_DIVISOR}) = 0,
+                                            CAST(i AS BIGINT),
+                                            CAST(-1 AS BIGINT))),
+                     x -> x >= 0),
+              array(CAST(size({toks_col}) - 1 AS BIGINT)))""",
+    )
+
+
+def cdc_dedup(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chunks, n_dup_chunks, dup_frac_1e6): duplicated-chunk
+    signal over content-defined chunks — the shift-RESISTANT sibling of
+    passage_dedup: a one-token edit leaves every other chunk's identity
+    intact, so near-verbatim quotes with small insertions still light
+    up. Same scale shape: only (doc_id, hash) int64 pairs cross the
+    wire, one hash-grain count, one hash-keyed join back, one doc-keyed
+    aggregate.
+    """
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    occ = toks.select(
+        "doc_id", F.explode(F.expr(cdc_chunks_expr("toks"))).alias("chunk")
+    ).select("doc_id", phash_col(F.col("chunk"), CDC_CHUNK_SEED).alias("ph"))
+    tot = occ.groupBy("ph").agg(F.count("*").alias("tot"))
+    per_doc = (
+        occ.join(tot, "ph")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("tot") > 1, 1).otherwise(0)).cast("long").alias(
+                "n_dup_chunks"
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+            F.coalesce("n_dup_chunks", F.lit(0)).cast("long").alias("n_dup_chunks"),
+            F.expr(
+                "CASE WHEN coalesce(n_chunks, 0) = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE CAST((2 * n_dup_chunks * 1000000 + n_chunks) "
+                "DIV (2 * n_chunks) AS BIGINT) END"
+            ).alias("dup_frac_1e6"),
+        )
+    )

@@ -187,6 +187,11 @@ _WINDOW = [
 # * kg_fact_decay — composes in-window-cohort kg_triple_validity's CTEs
 #   plus one codegen decay expression, pytest-pinned closed-form (exact
 #   halving, shift cap), rides CORRECTNESS_FULL;
+# * cur_cdc_dedup / srch_bm25_batch — plan-siblings of in-window
+#   cur_passage_dedup / srch_bm25_topk (same hash-grain dedup join /
+#   same integer BM25 scoring); their distinguishing properties
+#   (insert-resistance, batch==single score equality, dedup of repeated
+#   query terms) are pytest-pinned, ride CORRECTNESS_FULL;
 # * kg_dist_hist — composes the same unrolled-BFS CTEs as kg_landmark_dists
 #   (which has in-window history) and is pytest-pinned closed-form (chain +
 #   star distributions, single eff-diameter flag), rides CORRECTNESS_FULL;

@@ -460,3 +460,51 @@ def cur_passage_dedup(spark, sf_dir):
     10-token windows, corpus-wide occurrence counts (operators/
     curation.py passage_dedup — only int64 hashes shuffle, never text)."""
     return curation.passage_dedup(_docs(spark, sf_dir))
+
+
+_CDC_BHASH = phash_duck("toks[CAST(i AS INT)]", curation.CDC_SEED)
+_CDC_CHASH = phash_duck("chunk", curation.CDC_CHUNK_SEED)
+
+
+@query(
+    "cur_cdc_dedup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    b AS (SELECT doc_id, toks,
+            [CAST(0 AS BIGINT)] ||
+            list_filter(list_transform(range(1, len(toks) + 1),
+              i -> CASE WHEN {_CDC_BHASH} % {curation.CDC_DIVISOR} = 0
+                        THEN CAST(i AS BIGINT) ELSE CAST(-1 AS BIGINT) END),
+              x -> x >= 0) ||
+            [CAST(len(toks) AS BIGINT)] AS bnd
+          FROM t),
+    c AS (SELECT doc_id,
+            unnest(list_filter(list_transform(range(2, len(bnd) + 1),
+              j -> CASE WHEN bnd[CAST(j AS INT)] > bnd[CAST(j AS INT) - 1]
+                        THEN array_to_string(
+                               toks[CAST(bnd[CAST(j AS INT) - 1] + 1 AS INT):
+                                    CAST(bnd[CAST(j AS INT)] AS INT)], ' ')
+                        ELSE NULL END),
+              x -> x IS NOT NULL)) AS chunk
+          FROM b),
+    occ AS (SELECT doc_id, {_CDC_CHASH} AS ph FROM c),
+    tot AS (SELECT ph, count(*) AS tot FROM occ GROUP BY ph),
+    per AS (
+      SELECT doc_id, count(*) AS n_chunks,
+             sum(CASE WHEN tot > 1 THEN 1 ELSE 0 END) AS n_dup_chunks
+      FROM occ JOIN tot USING (ph) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(n_chunks, 0) AS BIGINT) AS n_chunks,
+           CAST(coalesce(n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+           CASE WHEN coalesce(n_chunks, 0) = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST((2 * n_dup_chunks * 1000000 + n_chunks)
+                          // (2 * n_chunks) AS BIGINT) END AS dup_frac_1e6
+    FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+)
+def cur_cdc_dedup(spark, sf_dir):
+    """Shift-resistant duplicated-chunk fraction over content-defined
+    chunks (operators/curation.py cdc_dedup — FastCDC-style boundaries,
+    array-side chunking, int64-only shuffles)."""
+    return curation.cdc_dedup(_docs(spark, sf_dir))

@@ -321,3 +321,41 @@ class TestPassageDedup:
         import re
         for frag in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
             assert "passage" not in frag and "text" not in frag and "toks" not in frag
+
+
+class TestCdcDedup:
+    def test_insert_resistance_vs_fixed_windows(self, spark):
+        # doc B = doc A with ONE token inserted at the front. Fixed
+        # 10-token tiling shifts every window (passage_dedup finds no
+        # dups); content-defined chunks keep their identity after the
+        # first boundary, so cdc_dedup still finds shared chunks.
+        base = " ".join(f"w{i}" for i in range(64))
+        docs = spark.createDataFrame(
+            [(1, base), (2, "inserted " + base)], ["doc_id", "text"]
+        )
+        cdc = {r.doc_id: r for r in curation.cdc_dedup(docs).collect()}
+        fixed = {r.doc_id: r for r in curation.passage_dedup(docs).collect()}
+        assert fixed[1].n_dup_passages == 0  # tiling sheared every window
+        assert cdc[1].n_dup_chunks > 0  # CDC survives the shift
+        assert cdc[2].n_dup_chunks > 0
+
+    def test_chunks_partition_the_document(self, spark):
+        # chunk texts, joined in order, reconstruct the token stream
+        from pyspark.sql import functions as F
+
+        text = " ".join(f"w{i}" for i in range(40))
+        docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        toks = docs.select(
+            "doc_id", F.split("text", " ").alias("toks")
+        )
+        chunks = toks.select(
+            F.explode(F.expr(curation.cdc_chunks_expr("toks"))).alias("chunk")
+        ).collect()
+        assert " ".join(r.chunk for r in chunks) == text
+
+    def test_identical_docs_fully_duplicated(self, spark):
+        text = " ".join(f"w{i}" for i in range(30))
+        docs = spark.createDataFrame([(1, text), (2, text)], ["doc_id", "text"])
+        got = {r.doc_id: r for r in curation.cdc_dedup(docs).collect()}
+        assert got[1].dup_frac_1e6 == 1000000
+        assert got[1].n_chunks == got[2].n_chunks > 0
