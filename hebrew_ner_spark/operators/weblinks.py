@@ -382,3 +382,43 @@ def crawl_frontier(pages: DataFrame, host_pr: DataFrame) -> DataFrame:
         "url", "host", "age_sec", "pr_1e6", "priority",
         F.row_number().over(w).cast("long").alias("host_rank"),
     )
+
+
+ALIAS_MIN_N = 2  # minimum naming evidence for a mined alias
+ALIAS_MIN_SHARE_1E6 = 600_000  # dominance threshold (60% of the alias's uses)
+
+
+def alias_dictionary(pages: DataFrame) -> DataFrame:
+    """(anchor_text, canon, n, n_total, share_1e6): the alias dictionary
+    MINED from cross-page naming evidence — for each anchor text, the
+    dominant canonical target, kept when it wins >= 60% of the alias's
+    uses with >= ALIAS_MIN_N sightings. This is where a web-scale
+    linker's dictionary actually comes from (the reference ships a
+    static per-language alias list; the crawl keeps growing one): the
+    output is exactly the broadcast tier link_mentions consumes.
+
+    Scale shape: one (canon, anchor_text) aggregate (anchor_evidence),
+    one anchor-keyed total + argmax window — WindowGroupLimit ships one
+    candidate row per alias per map task; ambiguous aliases (share below
+    threshold) drop out rather than mislink.
+    """
+    ev = anchor_evidence(pages)
+    tot = ev.groupBy("anchor_text").agg(F.sum("n").cast("long").alias("n_total"))
+    w = Window.partitionBy("anchor_text").orderBy(F.col("n").desc(), "canon")
+    top = ev.withColumn("_r", F.row_number().over(w)).where(F.col("_r") == 1)
+    return (
+        top.join(tot, "anchor_text")
+        .select(
+            "anchor_text",
+            "canon",
+            "n",
+            "n_total",
+            F.expr(
+                "CAST((2 * n * 1000000 + n_total) DIV (2 * n_total) AS BIGINT)"
+            ).alias("share_1e6"),
+        )
+        .where(
+            (F.col("n") >= ALIAS_MIN_N)
+            & (F.col("share_1e6") >= ALIAS_MIN_SHARE_1E6)
+        )
+    )

@@ -283,3 +283,101 @@ def web_crawl_frontier(spark, sf_dir):
         F.col("entity_id").alias("host"), "pr_1e6"
     )
     return weblinks.crawl_frontier(pages, pr)
+
+
+# Planted naming evidence for the alias-dictionary gate: the organic
+# synthetic nav cycles anchors so every (canon, anchor) pair has n = 1
+# and no alias can ever reach dominance — the planted set (the
+# cur_pii_redact pattern) adds
+#   * 5 unambiguous aliases  alias0..alias4 (share = 100%, kept),
+#   * one ambiguous alias    amb  (~50/50 over two targets, dropped),
+#   * one low-support alias  weak (n = 1 < ALIAS_MIN_N, dropped),
+# with identical closed-form construction on both engines.
+_PLANT_PAGE_SPARK = """
+CASE WHEN doc_id % 10 = 0 THEN
+       concat('<a href="https://ex0.example.net/p/',
+              CAST((doc_id DIV 10) % 5 AS STRING), '">alias',
+              CAST((doc_id DIV 10) % 5 AS STRING), '</a>')
+     WHEN doc_id % 10 = 1 THEN
+       concat('<a href="https://ex0.example.net/p/',
+              CASE WHEN doc_id % 20 = 1 THEN '9001' ELSE '9002' END,
+              '">amb</a>')
+     WHEN doc_id = 7 THEN
+       '<a href="https://ex0.example.net/p/9003">weak</a>'
+END
+"""
+
+_PLANT_EV_DUCK = """
+ev_pl AS (
+  SELECT canon, anchor_text, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT 'https://ex0.example.net/p/' || CAST((doc_id // 10) % 5 AS VARCHAR) AS canon,
+           'alias' || CAST((doc_id // 10) % 5 AS VARCHAR) AS anchor_text
+    FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT 'https://ex0.example.net/p/' ||
+             CASE WHEN doc_id % 20 = 1 THEN '9001' ELSE '9002' END,
+           'amb'
+    FROM documents WHERE doc_id % 10 = 1
+    UNION ALL
+    SELECT 'https://ex0.example.net/p/9003', 'weak'
+    FROM documents WHERE doc_id = 7
+  ) GROUP BY 1, 2
+)
+"""
+
+
+@query(
+    "web_alias_dict",
+    oracle=f"""
+    WITH {_LINKS_CTE},
+    ev_org AS (
+      SELECT 'https://' || dst_host || '/p/' || CAST(t AS VARCHAR) AS canon,
+             ({_TERMS_SQL})[CAST((t + k) % {len(weblinks.ANCHOR_TERMS)} AS INT) + 1]
+               AS anchor_text,
+             CAST(count(*) AS BIGINT) AS n
+      FROM cn GROUP BY 1, 2),
+    {_PLANT_EV_DUCK.strip().rstrip()},
+    ev AS (SELECT canon, anchor_text, CAST(sum(n) AS BIGINT) AS n
+           FROM (SELECT * FROM ev_org UNION ALL SELECT * FROM ev_pl)
+           GROUP BY 1, 2),
+    tot AS (SELECT anchor_text, CAST(sum(n) AS BIGINT) AS n_total
+            FROM ev GROUP BY anchor_text),
+    top AS (SELECT canon, anchor_text, n,
+                   row_number() OVER (PARTITION BY anchor_text
+                                      ORDER BY n DESC, canon) AS _r
+            FROM ev)
+    SELECT anchor_text, canon, n, n_total,
+           CAST((2 * n * 1000000 + n_total) // (2 * n_total) AS BIGINT)
+             AS share_1e6
+    FROM top JOIN tot USING (anchor_text)
+    WHERE _r = 1 AND n >= {weblinks.ALIAS_MIN_N}
+      AND (2 * n * 1000000 + n_total) // (2 * n_total)
+            >= {weblinks.ALIAS_MIN_SHARE_1E6}
+    """,
+)
+def web_alias_dict(spark, sf_dir):
+    """Alias dictionary mined from anchor naming evidence over organic +
+    planted pages: dominant canonical target per anchor text with
+    support + dominance guards; the ambiguous and low-support plants
+    must be rejected (operators/weblinks.py alias_dictionary — the
+    broadcast tier the web-scale linker consumes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    organic = weblinks.synth_linked_pages(docs)
+    planted = (
+        docs.select("doc_id", F.expr(_PLANT_PAGE_SPARK).alias("_a"))
+        .where(F.col("_a").isNotNull())
+        .select(
+            F.concat(
+                F.lit("https://plant.example.net/src/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+            F.expr("timestamp'2024-01-01 00:00:00'").alias("warc_ts"),
+            F.encode(
+                F.concat(F.lit("<html><body>"), F.col("_a"), F.lit("</body></html>")),
+                "UTF-8",
+            ).alias("html"),
+            F.lit("").alias("text"),
+            F.lit("en").alias("lang"),
+        )
+    )
+    return weblinks.alias_dictionary(organic.unionByName(planted))

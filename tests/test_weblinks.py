@@ -193,3 +193,35 @@ class TestReviewRegressions:
         assert host == "h.example.net"
         _, host2 = TestCanonicalHref()._canon(spark, "https://h.example.net#a@b")
         assert host2 == "h.example.net"
+
+
+class TestAliasDictionary:
+    def _pages(self, spark, rows):
+        # rows: list of (src_id, href, anchor)
+        from pyspark.sql import functions as F
+
+        return spark.createDataFrame(
+            [
+                (
+                    f"https://src.example.net/{i}",
+                    f'<html><body><a href="{href}">{a}</a></body></html>'.encode(),
+                )
+                for i, (href, a) in enumerate(rows)
+            ],
+            "url string, html binary",
+        ).select("url", F.col("html"), F.lit("").alias("text"))
+
+    def test_dominant_alias_mined_ambiguous_and_weak_dropped(self, spark):
+        from hebrew_ner_spark.operators.weblinks import alias_dictionary
+
+        rows = (
+            [("https://t.example.net/a", "acme")] * 3       # dominant: 3/4
+            + [("https://t.example.net/b", "acme")]          # minority use
+            + [("https://t.example.net/a", "amb"),           # 1/2 -> dropped
+               ("https://t.example.net/b", "amb")]
+            + [("https://t.example.net/c", "weak")]          # n=1 -> dropped
+        )
+        got = {r.anchor_text: r for r in alias_dictionary(self._pages(spark, rows)).collect()}
+        assert set(got) == {"acme"}
+        assert got["acme"].canon == "https://t.example.net/a"
+        assert (got["acme"].n, got["acme"].n_total, got["acme"].share_1e6) == (3, 4, 750000)
