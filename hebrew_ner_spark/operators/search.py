@@ -168,3 +168,24 @@ def bm25_batch(docs: DataFrame, queries: DataFrame, k: int = BM25_BATCH_K) -> Da
         .where(F.col("rank") <= k)
         .select("qid", "doc_id", "score_1e6", "rank")
     )
+
+
+def merge_postings(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold a crawl delta's postings statistics into the persisted index
+    WITHOUT rescanning the base corpus: (term, df, cf) is a mergeable
+    summary (both counts are sums), so maintenance is one full-outer
+    join + coalesced adds on the term key — the dedup_probe_delta
+    discipline applied to the retrieval index. At 10^12 docs the base
+    postings table is the artifact; only the delta is ever tokenized.
+    """
+    b = base.select("term", F.col("df").alias("_bdf"), F.col("cf").alias("_bcf"))
+    d = delta.select("term", F.col("df").alias("_ddf"), F.col("cf").alias("_dcf"))
+    return b.join(d, "term", "full_outer").select(
+        "term",
+        (F.coalesce("_bdf", F.lit(0)) + F.coalesce("_ddf", F.lit(0)))
+        .cast("long")
+        .alias("df"),
+        (F.coalesce("_bcf", F.lit(0)) + F.coalesce("_dcf", F.lit(0)))
+        .cast("long")
+        .alias("cf"),
+    )

@@ -187,6 +187,9 @@ _WINDOW = [
 # * kg_fact_decay — composes in-window-cohort kg_triple_validity's CTEs
 #   plus one codegen decay expression, pytest-pinned closed-form (exact
 #   halving, shift cap), rides CORRECTNESS_FULL;
+# * srch_postings_delta — merge==direct mergeability contract over
+#   in-window srch_postings' summary, pytest-pinned (split + disjoint
+#   terms), rides CORRECTNESS_FULL;
 # * web_alias_dict — composes in-window-family anchor_evidence (judge-
 #   verified web_anchor_evidence chain) with a planted dominant/ambiguous/
 #   low-support alias fixture, pytest-pinned, rides CORRECTNESS_FULL;

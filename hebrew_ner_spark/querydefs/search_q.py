@@ -124,3 +124,28 @@ def srch_bm25_batch(spark, sf_dir):
     the tf aggregate, WindowGroupLimit per-query cut)."""
     q = spark.createDataFrame(BM25_BATCH, "qid string, term string")
     return search.bm25_batch(_docs(spark, sf_dir), q)
+
+
+@query(
+    "srch_postings_delta",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    per AS (
+      SELECT doc_id, term, len(list_filter(toks, x -> x = term)) AS tf
+      FROM (SELECT doc_id, toks, unnest(list_distinct(toks)) AS term FROM t)
+    )
+    SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+    FROM per GROUP BY term
+    """,
+)
+def srch_postings_delta(spark, sf_dir):
+    """Incremental index maintenance contract: postings(base) folded
+    with postings(delta) must equal postings built over the whole corpus
+    (operators/search.py merge_postings — one term-keyed full-outer
+    join, base corpus never re-tokenized)."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    base = search.term_postings(docs.where(F.col("doc_id") % 2 == 0))
+    delta = search.term_postings(docs.where(F.col("doc_id") % 2 != 0))
+    return search.merge_postings(base, delta)

@@ -82,3 +82,25 @@ def test_bm25_batch_plan_group_limits(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_merge_postings_equals_direct(spark):
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark)
+    direct = {tuple(r) for r in search.term_postings(docs).collect()}
+    merged = {
+        tuple(r)
+        for r in search.merge_postings(
+            search.term_postings(docs.where(F.col("doc_id") <= 1)),
+            search.term_postings(docs.where(F.col("doc_id") > 1)),
+        ).collect()
+    }
+    assert merged == direct
+
+
+def test_merge_postings_disjoint_terms_survive(spark):
+    base = spark.createDataFrame([("a", 2, 5)], "term string, df long, cf long")
+    delta = spark.createDataFrame([("b", 1, 1)], "term string, df long, cf long")
+    got = {r.term: (r.df, r.cf) for r in search.merge_postings(base, delta).collect()}
+    assert got == {"a": (2, 5), "b": (1, 1)}
