@@ -310,3 +310,109 @@ def image_ahash(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         run, "doc_id long, ahash long"
     )
+
+
+# --- audio: real RIFF/WAVE PCM16 codec (the BMP discipline for sound) -------
+
+WAV_RATES = [8000, 12000, 16000]
+WAV_N_BASE = 64
+WAV_N_MOD = 129
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """Pack a 1-D int16 array as a mono PCM16 RIFF/WAVE file — pure
+    numpy/struct, no codec library (the encode_bmp discipline)."""
+    assert samples.dtype == np.int16 and samples.ndim == 1
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def decode_wav(raw: bytes) -> tuple[int, np.ndarray]:
+    """Parse a mono PCM16 RIFF/WAVE payload into (sample_rate, int16
+    samples) by walking the chunk list (fmt may not be the first chunk
+    in the wild). Rejects anything but uncompressed 16-bit mono."""
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(raw):
+        cid, size = struct.unpack_from("<4sI", raw, pos)
+        body = raw[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAVE: fmt={audio_fmt} ch={channels} bits={bits}"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+def synth_wav(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload binary): a deterministic valid WAV per 'audio'
+    document (doc_id % 3 = 1, matching synth_media's typing).
+    sample[i] = (doc_id*31 + i*17) % 4096 - 2048; n = 64 + doc_id % 129;
+    rate cycles WAV_RATES by doc_id DIV 3 — all closed-form, so the
+    DuckDB oracle reproduces every statistic without a decoder."""
+    base = docs.where(F.col("doc_id") % 3 == 1).select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            payloads = []
+            for doc_id in b["doc_id"]:
+                n = WAV_N_BASE + int(doc_id) % WAV_N_MOD
+                rate = WAV_RATES[(int(doc_id) // 3) % len(WAV_RATES)]
+                i = np.arange(n, dtype=np.int64)
+                s = ((int(doc_id) * 31 + i * 17) % 4096 - 2048).astype(np.int16)
+                payloads.append(encode_wav(s, rate))
+            yield pd.DataFrame({"doc_id": b["doc_id"], "payload": payloads})
+
+    return base.mapInPandas(run, "doc_id long, payload binary")
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """(doc_id, sample_rate, n_samples, duration_ms, peak, rms): decode
+    the real WAV payload and report exact-integer signal statistics —
+    duration_ms = n*1000 DIV rate, peak = max |s|, rms = isqrt of the
+    mean square (floor). The audio twin of decode_image's checksum gate:
+    any header/chunk-walk/byte-order bug diverges from the closed-form
+    oracle. Arrow-batched mapInPandas, executor-local, zero shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for b in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "sample_rate": [], "n_samples": [],
+                "duration_ms": [], "peak": [], "rms": [],
+            }
+            for doc_id, payload in zip(b["doc_id"], b["payload"]):
+                rate, s = decode_wav(bytes(payload))
+                sq = s.astype(np.int64)
+                out["doc_id"].append(int(doc_id))
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(s))
+                out["duration_ms"].append(len(s) * 1000 // rate)
+                out["peak"].append(int(np.max(np.abs(sq))) if len(s) else 0)
+                out["rms"].append(
+                    math.isqrt(int(np.sum(sq * sq)) // len(s)) if len(s) else 0
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        run,
+        "doc_id long, sample_rate long, n_samples long, duration_ms long, "
+        "peak long, rms long",
+    )

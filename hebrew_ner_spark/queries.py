@@ -187,6 +187,10 @@ _WINDOW = [
 # * kg_fact_decay — composes in-window-cohort kg_triple_validity's CTEs
 #   plus one codegen decay expression, pytest-pinned closed-form (exact
 #   halving, shift cap), rides CORRECTNESS_FULL;
+# * mm_audio_stats — the audio twin of in-window mm_decode (same
+#   closed-form-synth -> real-codec -> exact-stats gate class),
+#   pytest-pinned (chunk walk, stereo reject, literal round-trip),
+#   rides CORRECTNESS_FULL;
 # * srch_postings_delta — merge==direct mergeability contract over
 #   in-window srch_postings' summary, pytest-pinned (split + disjoint
 #   terms), rides CORRECTNESS_FULL;

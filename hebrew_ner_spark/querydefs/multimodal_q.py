@@ -197,3 +197,45 @@ def mm_ahash_pairs(spark, sf_dir):
 
     ah = multimodal.image_ahash(multimodal.synth_bmp(_docs(spark, sf_dir)))
     return dedup.hamming_near_pairs_from_sigs(ah, sig_col="ahash")
+
+
+_WAV_RATES_SQL = "[" + ", ".join(str(r) for r in multimodal.WAV_RATES) + "]"
+
+
+@query(
+    "mm_audio_stats",
+    oracle=f"""
+    WITH adims AS (
+      SELECT doc_id,
+             {multimodal.WAV_N_BASE} + doc_id % {multimodal.WAV_N_MOD} AS n,
+             ({_WAV_RATES_SQL})[CAST((doc_id // 3) % {len(multimodal.WAV_RATES)} AS INT) + 1]
+               AS rate
+      FROM documents WHERE doc_id % 3 = 1),
+    sm AS (
+      SELECT doc_id, n, rate,
+             (doc_id * 31 + i * 17) % 4096 - 2048 AS v
+      FROM adims, unnest(range(0, n)) AS u(i)),
+    agg AS (
+      SELECT doc_id, rate, n,
+             max(abs(v)) AS peak,
+             sum(v * v) // n AS msq
+      FROM sm GROUP BY doc_id, rate, n),
+    sq AS (SELECT *, CAST(floor(sqrt(CAST(msq AS DOUBLE))) AS BIGINT) AS s FROM agg)
+    SELECT doc_id,
+           CAST(rate AS BIGINT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+           CAST(peak AS BIGINT) AS peak,
+           CAST(CASE WHEN (s + 1) * (s + 1) <= msq THEN s + 1
+                     WHEN s * s > msq THEN s - 1
+                     ELSE s END AS BIGINT) AS rms
+    FROM sq
+    """,
+)
+def mm_audio_stats(spark, sf_dir):
+    """End-to-end audio column: closed-form samples -> real PCM16 WAV
+    encode -> real chunk-walking WAV decode -> exact integer signal
+    stats; the oracle computes the same stats straight from the sample
+    formula, so any header/chunk/byte-order bug in either codec half
+    diverges (operators/multimodal.py synth_wav/audio_stats)."""
+    return multimodal.audio_stats(multimodal.synth_wav(_docs(spark, sf_dir)))

@@ -153,3 +153,59 @@ class TestImageAhash:
         # each of the 6 rows) are set
         want_bits = {r * 10 + c for r in range(6) for c in range(5, 10)}
         assert {j for j in range(60) if (got[0] >> j) & 1} == want_bits
+
+
+class TestWavCodec:
+    def test_roundtrip_literal(self):
+        import numpy as np
+
+        from hebrew_ner_spark.operators.multimodal import decode_wav, encode_wav
+
+        s = np.array([0, 1, -1, 2047, -2048, 123], dtype=np.int16)
+        rate, back = decode_wav(encode_wav(s, 16000))
+        assert rate == 16000 and (back == s).all()
+
+    def test_decode_walks_chunk_list(self):
+        # a LIST chunk inserted before fmt must be skipped, not fatal
+        import struct
+
+        import numpy as np
+
+        from hebrew_ner_spark.operators.multimodal import decode_wav, encode_wav
+
+        s = np.array([5, -7, 9], dtype=np.int16)
+        raw = encode_wav(s, 8000)
+        extra = struct.pack("<4sI", b"LIST", 4) + b"INFO"
+        doctored = raw[:12] + extra + raw[12:]
+        rate, back = decode_wav(doctored)
+        assert rate == 8000 and (back == s).all()
+
+    def test_rejects_stereo(self):
+        import struct
+
+        import numpy as np
+        import pytest
+
+        from hebrew_ner_spark.operators.multimodal import decode_wav, encode_wav
+
+        raw = bytearray(encode_wav(np.array([1], dtype=np.int16), 8000))
+        struct.pack_into("<H", raw, 12 + 8 + 2, 2)  # channels = 2
+        with pytest.raises(ValueError):
+            decode_wav(bytes(raw))
+
+    def test_audio_stats_closed_form(self, spark):
+        import math
+
+        from hebrew_ner_spark.operators.multimodal import audio_stats, synth_wav
+
+        docs = spark.createDataFrame([(1, "x"), (4, "y")], ["doc_id", "text"])
+        got = {r.doc_id: r for r in audio_stats(synth_wav(docs)).collect()}
+        for doc_id in (1, 4):
+            n = 64 + doc_id % 129
+            rate = [8000, 12000, 16000][(doc_id // 3) % 3]
+            samples = [((doc_id * 31 + i * 17) % 4096) - 2048 for i in range(n)]
+            r = got[doc_id]
+            assert (r.sample_rate, r.n_samples) == (rate, n)
+            assert r.duration_ms == n * 1000 // rate
+            assert r.peak == max(abs(v) for v in samples)
+            assert r.rms == math.isqrt(sum(v * v for v in samples) // n)
