@@ -297,3 +297,68 @@ def read_link_graph(spark: SparkSession, out_dir: str) -> DataFrame:
     return partials.groupBy("src_host", "dst_host").agg(
         F.sum("n_links").cast("long").alias("n_links")
     )
+
+
+def run_incremental_postings(
+    spark: SparkSession, src_dir: str, out_dir: str, checkpoint_dir: str
+) -> int:
+    """Drain newly-landed page files -> per-batch PARTIAL postings
+    statistics (term, df, cf). Same exactly-once contract as
+    run_incremental_link_graph: each micro-batch runs the identical
+    batch operator (search.term_postings) over only its files and
+    overwrites its own batch-keyed directory; the postings summary is
+    algebraic (both counts are sums), so fold(partials) == one-shot
+    build over everything drained — the retrieval index never
+    re-tokenizes the base corpus as the crawl grows."""
+    from hebrew_ner_spark.operators import search
+
+    postings_dir = os.path.join(out_dir, "postings")
+    if not os.path.exists(checkpoint_dir) and os.path.exists(postings_dir):
+        import shutil
+
+        shutil.rmtree(postings_dir)
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    n_batches = {"n": 0}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        n_batches["n"] += 1
+        docs = batch_df.select(F.xxhash64("url").alias("doc_id"), "text")
+        (
+            search.term_postings(docs)
+            .write.mode("overwrite")
+            .parquet(os.path.join(postings_dir, f"batch_id={batch_id}"))
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]
+
+
+def read_postings(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Fold the per-batch partial postings into the index (one term-keyed
+    aggregate — the merge_postings algebra applied across all partials).
+    Empty drains fold to an empty index, same reader-side PATH_NOT_FOUND
+    contract as read_link_graph."""
+    from pyspark.errors import AnalysisException
+
+    postings_dir = os.path.join(out_dir, "postings")
+    try:
+        partials = spark.read.parquet(postings_dir)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
+        return spark.createDataFrame([], "term string, df long, cf long")
+    return partials.groupBy("term").agg(
+        F.sum("df").cast("long").alias("df"),
+        F.sum("cf").cast("long").alias("cf"),
+    )

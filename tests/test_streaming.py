@@ -242,3 +242,40 @@ def test_read_link_graph_empty_drain(spark, tmp_path):
     n = incremental.run_incremental_link_graph(spark, src, out, ckpt)
     assert n == 0
     assert incremental.read_link_graph(spark, out).count() == 0
+
+
+def test_incremental_postings_fold_equals_batch(spark, tmp_path):
+    from hebrew_ner_spark.operators import search, weblinks
+    from hebrew_ner_spark.sources.catalog import load_table
+
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    docs = load_table(spark, SF, "documents").limit(40)
+    pages = weblinks.synth_linked_pages(docs)
+    wave1 = pages.where(F.element_at(F.split("url", "/"), -1).cast("long") < 20)
+    wave2 = pages.where(F.element_at(F.split("url", "/"), -1).cast("long") >= 20)
+
+    def batch_postings(p):
+        return search.term_postings(
+            p.select(F.xxhash64("url").alias("doc_id"), "text")
+        )
+
+    wave1.coalesce(1).write.mode("append").parquet(src)
+    n1 = incremental.run_incremental_postings(spark, src, out, ckpt)
+    assert n1 >= 1
+    got1 = {tuple(r) for r in incremental.read_postings(spark, out).collect()}
+    assert got1 == {tuple(r) for r in batch_postings(wave1).collect()}
+
+    wave2.coalesce(1).write.mode("append").parquet(src)
+    n2 = incremental.run_incremental_postings(spark, src, out, ckpt)
+    assert n2 >= 1
+    folded = {tuple(r) for r in incremental.read_postings(spark, out).collect()}
+    assert folded == {tuple(r) for r in batch_postings(pages).collect()}
+
+
+def test_read_postings_empty_drain(spark, tmp_path):
+    out = str(tmp_path / "out")
+    assert incremental.read_postings(spark, out).count() == 0
