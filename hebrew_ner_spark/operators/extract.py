@@ -88,3 +88,36 @@ def extract_webpages(pages: DataFrame) -> DataFrame:
     heavy ``html`` column feeds the Arrow UDF and is pruned immediately
     after; nothing else shuffles."""
     return pages.select("url", extract_udf(F.col("html")).alias("extracted"))
+
+
+def main_content(pages: DataFrame) -> DataFrame:
+    """(url, main_text, main_toks, n_blocks): readability-style
+    main-content pick — extract every inter-tag text run and keep the
+    token-densest block (ties -> earliest). The text-density heuristic
+    behind trafilatura/boilerpipe-class extractors, reduced to its
+    engine shape: at 10^12 pages this is ONE narrow codegen stage
+    (regexp_extract_all + an array max over per-page blocks) with zero
+    shuffles and zero Python — the html column is pruned in the same
+    projection. Complements the byte-identical full extraction
+    (extract_webpages pins fidelity; this picks the block a curation
+    pipeline keeps when nav/header boilerplate must go).
+    """
+    scored = F.expr(
+        """
+        array_max(transform(
+          regexp_extract_all(decode(html, 'UTF-8'), '>([^<>]+)<', 1),
+          (t, i) -> struct(bigint(size(split(t, ' '))) AS n,
+                           bigint(-i) AS ni,
+                           t AS txt)))
+        """
+    )
+    return pages.select(
+        "url",
+        F.expr(
+            "size(regexp_extract_all(decode(html, 'UTF-8'), '>([^<>]+)<', 1))"
+        )
+        .cast("long")
+        .alias("n_blocks"),
+        scored.getField("txt").alias("main_text"),
+        scored.getField("n").alias("main_toks"),
+    )

@@ -187,6 +187,9 @@ _WINDOW = [
 # * kg_fact_decay — composes in-window-cohort kg_triple_validity's CTEs
 #   plus one codegen decay expression, pytest-pinned closed-form (exact
 #   halving, shift cap), rides CORRECTNESS_FULL;
+# * ext_main_content — zero-shuffle codegen sibling of the in-window
+#   ext_* extraction family; density rule + tie order pytest-pinned,
+#   rides CORRECTNESS_FULL;
 # * mm_audio_stats — the audio twin of in-window mm_decode (same
 #   closed-form-synth -> real-codec -> exact-stats gate class),
 #   pytest-pinned (chunk walk, stereo reject, literal round-trip),

@@ -103,3 +103,27 @@ def ext_warc_to_triples(spark, sf_dir):
         F.element_at(F.split("url", "/"), -1).cast("long").alias("doc_id"), "text"
     )
     return kg.doc_triples(recovered)
+
+
+@query(
+    "ext_main_content",
+    oracle=f"""
+    SELECT 'https://ex' || CAST(doc_id % 4 AS VARCHAR) || '.example.net/p/'
+             || CAST(doc_id AS VARCHAR) AS url,
+           CAST(2 + (doc_id % 3 + 1) AS BIGINT) AS n_blocks,
+           text AS main_text,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS main_toks
+    FROM documents
+    """,
+)
+def ext_main_content(spark, sf_dir):
+    """Token-densest-block main-content extraction over the hyperlinked
+    synthetic pages: the body <p> must beat the title and every nav
+    anchor, recovering the original text column byte-identically; the
+    oracle reconstructs block counts closed-form (title + body +
+    doc_id%3+1 anchors) without parsing HTML (operators/extract.py
+    main_content — one codegen stage, zero shuffles)."""
+    from hebrew_ner_spark.operators import weblinks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract.main_content(weblinks.synth_linked_pages(docs))

@@ -135,3 +135,35 @@ class TestWarcSource:
         )
         with pytest.raises(Exception, match="truncated WARC segment"):
             warc.parse_warc_segments(bad).collect()
+
+
+class TestMainContent:
+    def test_densest_block_wins_and_ties_go_first(self, spark):
+        from pyspark.sql import functions as F
+
+        from hebrew_ner_spark.operators.extract import main_content
+
+        pages = spark.createDataFrame(
+            [
+                ("u1", "<html><title>two words</title><p>one two three four</p>"
+                       "<a>nav</a></html>"),
+                # tie: two 2-token blocks -> the EARLIER one wins
+                ("u2", "<html><p>first block</p><p>later block</p></html>"),
+            ],
+            ["url", "h"],
+        ).select("url", F.encode("h", "UTF-8").alias("html"))
+        got = {r.url: r for r in main_content(pages).collect()}
+        assert got["u1"].main_text == "one two three four"
+        assert (got["u1"].main_toks, got["u1"].n_blocks) == (4, 3)
+        assert got["u2"].main_text == "first block"
+
+    def test_zero_shuffle_plan(self, spark):
+        from pyspark.sql import functions as F
+
+        from hebrew_ner_spark.operators.extract import main_content
+
+        pages = spark.createDataFrame(
+            [("u", "<p>a b</p>")], ["url", "h"]
+        ).select("url", F.encode("h", "UTF-8").alias("html"))
+        plan = main_content(pages)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
