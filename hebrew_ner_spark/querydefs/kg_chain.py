@@ -513,3 +513,37 @@ def kg_domain_violations(spark, sf_dir):
     predicate's induced domain/range class (operators/kg.py
     domain_violations — broadcast schema join, codegen typing)."""
     return kg.domain_violations(_docs(spark, sf_dir))
+
+
+@query(
+    "kg_rdf_patch",
+    oracle=f"""
+    WITH t AS ({_TRIPLES_ORACLE}),
+    o AS (SELECT DISTINCT subj, pred, obj FROM t WHERE doc_id % 2 = 0),
+    n AS (SELECT DISTINCT subj, pred, obj FROM t WHERE doc_id % 2 = 1),
+    u AS (
+      SELECT 'A' AS op, subj, pred, obj FROM n
+      WHERE NOT EXISTS (SELECT 1 FROM o WHERE o.subj = n.subj
+                        AND o.pred = n.pred AND o.obj = n.obj)
+      UNION ALL
+      SELECT 'D' AS op, subj, pred, obj FROM o
+      WHERE NOT EXISTS (SELECT 1 FROM n WHERE n.subj = o.subj
+                        AND n.pred = o.pred AND n.obj = o.obj)
+    )
+    SELECT op, subj, pred, obj,
+           op || ' <{catalog.NT_NS}/e/' || subj || '> <{catalog.NT_NS}/p/' || pred
+              || '> <{catalog.NT_NS}/e/' || obj || '> .' AS line
+    FROM u
+    """,
+)
+def kg_rdf_patch(spark, sf_dir):
+    """RDF-Patch delta between the even-doc and odd-doc triple
+    snapshots: presence-grain adds/deletes with canonical N-Triples
+    serialization (sources/catalog.py rdf_patch_lines — two co-located
+    anti-joins + one codegen format stage)."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    old = kg.doc_triples(docs.where(F.col("doc_id") % 2 == 0))
+    new = kg.doc_triples(docs.where(F.col("doc_id") % 2 != 0))
+    return catalog.rdf_patch_lines(old, new)

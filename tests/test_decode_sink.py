@@ -103,3 +103,30 @@ class TestNTriplesSink:
         # no raw space/angle/quote inside any IRI
         m = re.match(r"^<([^<>\" ]+)> <([^<>\" ]+)> <([^<>\" ]+)> \.$", r.line)
         assert m, r.line
+
+
+class TestRdfPatch:
+    def test_adds_deletes_and_shared_triples(self, spark):
+        from hebrew_ner_spark.sources.catalog import rdf_patch_lines
+
+        old = spark.createDataFrame(
+            [("a", "p", "b"), ("c", "p", "d")], ["subj", "pred", "obj"]
+        )
+        new = spark.createDataFrame(
+            [("a", "p", "b"), ("e", "p", "f")], ["subj", "pred", "obj"]
+        )
+        got = {(r.op, r.subj, r.pred, r.obj): r.line
+               for r in rdf_patch_lines(old, new).collect()}
+        assert set(got) == {("A", "e", "p", "f"), ("D", "c", "p", "d")}
+        assert got[("A", "e", "p", "f")].startswith("A <")
+        assert got[("A", "e", "p", "f")].endswith("> .")
+
+    def test_evidence_count_changes_are_not_patch_ops(self, spark):
+        from hebrew_ner_spark.sources.catalog import rdf_patch_lines
+
+        # same triple asserted twice in new: presence unchanged -> no op
+        old = spark.createDataFrame([("a", "p", "b")], ["subj", "pred", "obj"])
+        new = spark.createDataFrame(
+            [("a", "p", "b"), ("a", "p", "b")], ["subj", "pred", "obj"]
+        )
+        assert rdf_patch_lines(old, new).count() == 0
