@@ -367,3 +367,53 @@ def eval_sample(docs: DataFrame, quota: int = EVAL_QUOTA) -> DataFrame:
         .where(F.col("pick_rank") <= quota)
         .select("doc_id", "lang", "split", "pick_rank")
     )
+
+
+def training_manifest(docs: DataFrame, mixture_target: int) -> DataFrame:
+    """(doc_id, lang, n_toks, split, quality_pass, in_mixture,
+    eval_rank): the per-document TRAINING MANIFEST — the one table a
+    run records to answer "why is/isn't this document in my batch?".
+    Composes the independent per-doc decisions side by side (each is a
+    pure function of document identity + corpus statistics, so the
+    manifest is reproducible row-for-row):
+
+    * split           — hash-stable 80/10/10 (doc_splits)
+    * quality_pass    — the curation threshold predicate
+    * in_mixture      — temperature-resampled keep (mixture_sample)
+    * eval_rank       — pick_rank if inside the stratified eval quota,
+                        else NULL
+
+    Scale shape: three broadcast joins (mixture shares table, eval picks
+    — both tiny by construction) onto one narrow doc scan; the only wide
+    work is what the composed operators already pay. Deliberately NOT a
+    filter: downstream stages filter the manifest, the manifest itself
+    records every document's disposition (the data-card discipline).
+    """
+    from hebrew_ner_spark.operators import curation
+    from hebrew_ner_spark.operators.textstats import quality_pass_expr
+
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_toks"),
+        F.split("text", " ").alias("toks"),
+    ).withColumn("quality_pass", quality_pass_expr("toks"))
+    sp = doc_splits(docs).select("doc_id", "split")
+    mix = curation.mixture_sample(docs, mixture_target).select(
+        "doc_id", F.lit(True).alias("in_mixture")
+    )
+    ev = eval_sample(docs).select("doc_id", F.col("pick_rank").alias("eval_rank"))
+    return (
+        base.join(sp, "doc_id")
+        .join(mix, "doc_id", "left")
+        .join(ev, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "n_toks",
+            "split",
+            "quality_pass",
+            F.coalesce("in_mixture", F.lit(False)).alias("in_mixture"),
+            "eval_rank",
+        )
+    )

@@ -187,6 +187,9 @@ _WINDOW = [
 # * kg_fact_decay — composes in-window-cohort kg_triple_validity's CTEs
 #   plus one codegen decay expression, pytest-pinned closed-form (exact
 #   halving, shift cap), rides CORRECTNESS_FULL;
+# * trn_manifest — records-not-filters composition of in-window
+#   trn_eval_sample / cur_mixture_* and the quality predicate; part-wise
+#   agreement pytest-pinned, rides CORRECTNESS_FULL;
 # * kg_rdf_patch — presence-grain delta serialization composing the
 #   in-window kg_ntriples_lines format with two anti-joins; set
 #   semantics (evidence-count changes excluded) pytest-pinned, rides

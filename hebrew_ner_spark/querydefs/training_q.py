@@ -222,3 +222,48 @@ def trn_eval_sample(spark, sf_dir):
     (operators/training.py eval_sample — WindowGroupLimit partial
     top-k, the exchange never carries the corpus)."""
     return training.eval_sample(_docs(spark, sf_dir))
+
+
+from hebrew_ner_spark.operators.textstats import quality_pass_sql  # noqa: E402
+from hebrew_ner_spark.querydefs.curation_q import (  # noqa: E402
+    MIX_TARGET as _MANIFEST_MIX_TARGET,
+    _MIX_SHARES_CTES,
+    _MIX_HASH,
+)
+from hebrew_ner_spark.operators import curation as _curation  # noqa: E402
+
+
+@query(
+    "trn_manifest",
+    oracle=f"""
+    WITH {_SPLIT_CTE},
+    {_MIX_SHARES_CTES},
+    mix AS (
+      SELECT doc_id, TRUE AS in_mixture
+      FROM documents JOIN shares USING (lang)
+      WHERE {_MIX_HASH} % {_curation.MIX_M} < keep_threshold),
+    ranked AS (
+      SELECT d.doc_id,
+             row_number() OVER (PARTITION BY sp.split, d.lang
+                                ORDER BY {_ESAMPLE_HASH}, d.doc_id) AS pick_rank
+      FROM documents d JOIN sp USING (doc_id)),
+    ev AS (SELECT doc_id, CAST(pick_rank AS BIGINT) AS eval_rank
+           FROM ranked WHERE pick_rank <= {training.EVAL_QUOTA})
+    SELECT d.doc_id, d.lang,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks,
+           sp.split,
+           {quality_pass_sql("string_split(d.text, ' ')")} AS quality_pass,
+           coalesce(in_mixture, FALSE) AS in_mixture,
+           eval_rank
+    FROM documents d
+    JOIN sp USING (doc_id)
+    LEFT JOIN mix USING (doc_id)
+    LEFT JOIN ev USING (doc_id)
+    """,
+)
+def trn_manifest(spark, sf_dir):
+    """The per-document training manifest: split, quality verdict,
+    mixture keep, eval rank — every disposition side by side
+    (operators/training.py training_manifest — broadcast joins onto one
+    narrow doc scan; records, never filters)."""
+    return training.training_manifest(_docs(spark, sf_dir), _MANIFEST_MIX_TARGET)

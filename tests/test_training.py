@@ -197,3 +197,27 @@ class TestEvalSample:
     def test_plan_uses_window_group_limit(self, spark):
         plan = training.eval_sample(self._docs5(spark))._jdf.queryExecution().executedPlan().toString()
         assert "WindowGroupLimit" in plan
+
+
+class TestTrainingManifest:
+    def test_manifest_records_every_doc_and_agrees_with_parts(self, spark):
+        from hebrew_ner_spark.operators import curation
+        from hebrew_ner_spark.operators.training import training_manifest
+
+        langs = ["en", "he"]
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"w{i}x{j}" for j in range(12)), langs[i % 2])
+             for i in range(40)],
+            "doc_id long, text string, lang string",
+        )
+        m = {r.doc_id: r for r in training_manifest(docs, mixture_target=20).collect()}
+        assert set(m) == set(range(40))  # records, never filters
+        # agreement with the standalone operators
+        splits = {r.doc_id: r.split for r in training.doc_splits(docs).collect()}
+        mix = {r.doc_id for r in curation.mixture_sample(docs, 20).collect()}
+        ev = {r.doc_id: r.pick_rank for r in training.eval_sample(docs).collect()}
+        for d, r in m.items():
+            assert r.split == splits[d]
+            assert r.in_mixture == (d in mix)
+            assert r.eval_rank == ev.get(d)
+            assert r.n_toks == 12
