@@ -904,3 +904,61 @@ def distance_histogram(edges: DataFrame, **landmark_kw) -> DataFrame:
         )
         .select("dist", "n_pairs", "cum_pairs", "eff_diameter")
     )
+
+
+TYPEPROP_ITERS = 2
+TYPEPROP_SEED = 11
+
+
+def type_propagation(docs: DataFrame, iters: int = TYPEPROP_ITERS) -> DataFrame:
+    """(entity, etype, inferred): semi-supervised entity typing — seed
+    HALF the nodes with their gazetteer ontology class (hash-selected,
+    deterministic), leave the rest untyped, and propagate: each round an
+    untyped node adopts the class with the largest summed edge weight
+    among its TYPED neighbours (ties -> class name). Seeds are CLAMPED
+    (never re-vote — the difference from label_propagation, whose labels
+    all float). The standard KG completion move when the type dictionary
+    covers a fraction of a web-scale entity set; nodes that never reach
+    a typed neighbour within ``iters`` stay absent (consumers read
+    absence as 'unknown').
+
+    Scale shape per round: one edge ⋈ label join + one weighted count +
+    one max-by window, all node-keyed; the symmetrized sparse edge list
+    persists once (the LPA/pagerank discipline). Fixed synchronous
+    rounds so the oracle unrolls the identical computation.
+    """
+    from pyspark.sql import Window
+
+    from hebrew_ner_spark.functions.hashing import phash_col
+    from hebrew_ner_spark.operators.kg import _etype_case
+
+    weighted = above_mean_edges(docs)
+    sym = (
+        weighted.select(F.col("a").alias("src"), F.col("b").alias("dst"), "n")
+        .unionAll(weighted.select(F.col("b").alias("src"), F.col("a").alias("dst"), "n"))
+    )
+    _evict("typeprop")
+    sym = _persist("typeprop", sym)
+
+    nodes = sym.select(F.col("src").alias("entity")).distinct()
+    is_seed = phash_col(F.concat(F.lit("TPS|"), F.col("entity")), TYPEPROP_SEED) % 2 == 0
+    seeds = nodes.where(is_seed).select(
+        "entity", F.expr(_etype_case("entity")).alias("etype")
+    )
+    labels = seeds
+    win = Window.partitionBy("entity").orderBy(F.desc("w"), F.asc("etype"))
+    for _ in range(iters):
+        votes = (
+            sym.join(labels.withColumnRenamed("entity", "dst"), "dst")
+            .groupBy(F.col("src").alias("entity"), "etype")
+            .agg(F.sum("n").alias("w"))
+        )
+        best = (
+            votes.withColumn("rk", F.row_number().over(win))
+            .where(F.col("rk") == 1)
+            .select("entity", "etype")
+        )
+        labels = seeds.unionByName(best.join(seeds.select("entity"), "entity", "left_anti"))
+    return labels.withColumn("inferred", ~(
+        phash_col(F.concat(F.lit("TPS|"), F.col("entity")), TYPEPROP_SEED) % 2 == 0
+    ))

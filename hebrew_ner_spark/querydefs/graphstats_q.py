@@ -383,3 +383,58 @@ def kg_lp_mrr(spark, sf_dir):
     """Exact-integer MRR / hits@k over the filtered link-prediction
     ranks (reciprocal = 1e6 DIV rank, mean round-half-up)."""
     return graphstats.link_pred_mrr(_docs(spark, sf_dir))
+
+
+# Type-propagation oracle: identical seeding hash + unrolled clamped
+# rounds (iters imported — retuning cannot desync plan and oracle).
+from hebrew_ner_spark.functions.hashing import phash_duck as _tp_phd  # noqa: E402
+from hebrew_ner_spark.operators.graphstats import (  # noqa: E402
+    TYPEPROP_ITERS as _TP_ITERS,
+    TYPEPROP_SEED as _TP_SEED,
+)
+from hebrew_ner_spark.querydefs.kg_chain import _etype_duck as _tp_etype  # noqa: E402
+
+_TP_HASH = _tp_phd("'TPS|' || entity", _TP_SEED)
+
+
+def _typeprop_oracle(iters: int) -> str:
+    rounds = []
+    prev = "t0"
+    for k in range(1, iters + 1):
+        rounds.append(
+            f"""
+    t{k} AS (
+      SELECT entity, etype FROM seeds
+      UNION ALL
+      SELECT entity, etype FROM (
+        SELECT s.src AS entity, l.etype, sum(s.n) AS w,
+               row_number() OVER (PARTITION BY s.src
+                                  ORDER BY sum(s.n) DESC, l.etype ASC) AS rk
+        FROM sym s JOIN {prev} l ON s.dst = l.entity
+        WHERE s.src NOT IN (SELECT entity FROM seeds)
+        GROUP BY s.src, l.etype)
+      WHERE rk = 1
+    )"""
+        )
+        prev = f"t{k}"
+    return f"""
+    WITH {_EDGES_CTE},
+    {_SPARSE_EW},
+    sym AS (SELECT a AS src, b AS dst, n FROM ews
+            UNION ALL SELECT b AS src, a AS dst, n FROM ews),
+    nodes AS (SELECT DISTINCT src AS entity FROM sym),
+    seeds AS (SELECT entity, {_tp_etype("entity")} AS etype
+              FROM nodes WHERE {_TP_HASH} % 2 = 0),
+    t0 AS (SELECT entity, etype FROM seeds),
+    {",".join(rounds)}
+    SELECT entity, etype, {_TP_HASH} % 2 <> 0 AS inferred FROM {prev}
+    """
+
+
+@query("kg_type_propagation", oracle=_typeprop_oracle(_TP_ITERS))
+def kg_type_propagation(spark, sf_dir):
+    """Semi-supervised entity typing: clamped seeds (hash-selected half
+    of the nodes, gazetteer classes), weighted majority-vote propagation
+    for the rest, fixed synchronous rounds vs the unrolled-CTE oracle
+    (operators/graphstats.py type_propagation)."""
+    return graphstats.type_propagation(_docs(spark, sf_dir))

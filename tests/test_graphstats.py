@@ -464,3 +464,30 @@ class TestDistanceHistogram:
         rows = graphstats.distance_histogram(edges, k=2, rounds=3).collect()
         [f] = [r for r in rows if r.eff_diameter]
         assert f.dist <= 2  # star: everything within 2 of any landmark
+
+
+class TestTypePropagation:
+    def test_clamped_seeds_and_majority_adoption(self, spark):
+        # Edges (scan triples): customer-key x8, table-key x3,
+        # customer-table x1; mean weight 4 -> only customer-key survives
+        # the above-mean sparsifier. Under TYPEPROP_SEED: 'customer' is
+        # seeded (AGENT), 'key' and 'table' are unseeded — so 'key' must
+        # adopt AGENT from its one typed neighbor and be marked inferred;
+        # 'table' is not an endpoint of the sparse graph and stays absent.
+        from hebrew_ner_spark.functions.hashing import phash_py
+        from hebrew_ner_spark.operators import graphstats
+
+        assert phash_py("TPS|customer", graphstats.TYPEPROP_SEED) % 2 == 0
+        assert phash_py("TPS|key", graphstats.TYPEPROP_SEED) % 2 != 0
+        assert phash_py("TPS|table", graphstats.TYPEPROP_SEED) % 2 != 0
+
+        docs = spark.createDataFrame(
+            [(i, "customer scan key") for i in range(8)]
+            + [(100 + i, "table scan key") for i in range(3)]
+            + [(200, "customer scan table")],
+            ["doc_id", "text"],
+        )
+        got = {r.entity: r for r in graphstats.type_propagation(docs).collect()}
+        assert set(got) == {"customer", "key"}
+        assert (got["customer"].etype, got["customer"].inferred) == ("AGENT", False)
+        assert (got["key"].etype, got["key"].inferred) == ("AGENT", True)
