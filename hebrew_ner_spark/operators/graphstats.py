@@ -900,7 +900,8 @@ def distance_histogram(edges: DataFrame, **landmark_kw) -> DataFrame:
         .withColumn("_hit", 10 * F.col("cum_pairs") >= 9 * F.col("_t"))
         .withColumn(
             "eff_diameter",
-            F.col("_hit") & ~F.coalesce(F.lag("_hit").over(wprev), F.lit(False)),
+            (F.col("_hit") & ~F.coalesce(F.lag("_hit").over(wprev), F.lit(False)))
+            .cast("long"),
         )
         .select("dist", "n_pairs", "cum_pairs", "eff_diameter")
     )
@@ -959,6 +960,8 @@ def type_propagation(docs: DataFrame, iters: int = TYPEPROP_ITERS) -> DataFrame:
             .select("entity", "etype")
         )
         labels = seeds.unionByName(best.join(seeds.select("entity"), "entity", "left_anti"))
-    return labels.withColumn("inferred", ~(
-        phash_col(F.concat(F.lit("TPS|"), F.col("entity")), TYPEPROP_SEED) % 2 == 0
-    ))
+    return labels.withColumn(
+        "inferred",
+        (~(phash_col(F.concat(F.lit("TPS|"), F.col("entity")), TYPEPROP_SEED) % 2 == 0))
+        .cast("long"),
+    )

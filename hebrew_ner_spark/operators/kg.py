@@ -749,9 +749,13 @@ def domain_violations(docs: DataFrame) -> DataFrame:
     induced = pred_domains(docs).select("pred", "domain_type", "range_type")
     return (
         t.join(F.broadcast(induced), "pred")
-        .withColumn("violates_domain", F.col("stype") != F.col("domain_type"))
-        .withColumn("violates_range", F.col("otype") != F.col("range_type"))
-        .where(F.col("violates_domain") | F.col("violates_range"))
+        .withColumn(
+            "violates_domain", (F.col("stype") != F.col("domain_type")).cast("long")
+        )
+        .withColumn(
+            "violates_range", (F.col("otype") != F.col("range_type")).cast("long")
+        )
+        .where((F.col("violates_domain") == 1) | (F.col("violates_range") == 1))
         .select(
             "pred",
             "subj",

@@ -397,10 +397,10 @@ def training_manifest(docs: DataFrame, mixture_target: int) -> DataFrame:
         "lang",
         F.size(F.split("text", " ")).cast("long").alias("n_toks"),
         F.split("text", " ").alias("toks"),
-    ).withColumn("quality_pass", quality_pass_expr("toks"))
+    ).withColumn("quality_pass", quality_pass_expr("toks").cast("long"))
     sp = doc_splits(docs).select("doc_id", "split")
     mix = curation.mixture_sample(docs, mixture_target).select(
-        "doc_id", F.lit(True).alias("in_mixture")
+        "doc_id", F.lit(1).cast("long").alias("in_mixture")
     )
     ev = eval_sample(docs).select("doc_id", F.col("pick_rank").alias("eval_rank"))
     return (
@@ -413,7 +413,7 @@ def training_manifest(docs: DataFrame, mixture_target: int) -> DataFrame:
             "n_toks",
             "split",
             "quality_pass",
-            F.coalesce("in_mixture", F.lit(False)).alias("in_mixture"),
+            F.coalesce("in_mixture", F.lit(0)).cast("long").alias("in_mixture"),
             "eval_rank",
         )
     )

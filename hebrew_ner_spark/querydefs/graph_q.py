@@ -946,7 +946,8 @@ def kg_graph_diff(spark, sf_dir):
                  coalesce(lag(10 * cum_pairs >= 9 * _t) OVER (ORDER BY dist),
                           FALSE) AS _prev
           FROM dh_c CROSS JOIN dh_t)
-    SELECT dist, n_pairs, cum_pairs, _hit AND NOT _prev AS eff_diameter
+    SELECT dist, n_pairs, cum_pairs,
+           CAST(_hit AND NOT _prev AS BIGINT) AS eff_diameter
     FROM dh_f
     """,
 )

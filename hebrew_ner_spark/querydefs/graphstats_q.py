@@ -427,7 +427,7 @@ def _typeprop_oracle(iters: int) -> str:
               FROM nodes WHERE {_TP_HASH} % 2 = 0),
     t0 AS (SELECT entity, etype FROM seeds),
     {",".join(rounds)}
-    SELECT entity, etype, {_TP_HASH} % 2 <> 0 AS inferred FROM {prev}
+    SELECT entity, etype, CAST({_TP_HASH} % 2 <> 0 AS BIGINT) AS inferred FROM {prev}
     """
 
 

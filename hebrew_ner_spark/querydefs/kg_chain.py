@@ -502,8 +502,8 @@ def kg_ntriples_lines(spark, sf_dir):
     SELECT tc.pred, subj, obj,
            {_etype_duck("subj")} AS stype, {_etype_duck("obj")} AS otype,
            domain_type, range_type, n_evidence,
-           {_etype_duck("subj")} <> domain_type AS violates_domain,
-           {_etype_duck("obj")} <> range_type AS violates_range
+           CAST({_etype_duck("subj")} <> domain_type AS BIGINT) AS violates_domain,
+           CAST({_etype_duck("obj")} <> range_type AS BIGINT) AS violates_range
     FROM tc JOIN ind ON tc.pred = ind.pred
     WHERE {_etype_duck("subj")} <> domain_type OR {_etype_duck("obj")} <> range_type
     """,

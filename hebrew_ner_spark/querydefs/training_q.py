@@ -239,7 +239,7 @@ from hebrew_ner_spark.operators import curation as _curation  # noqa: E402
     WITH {_SPLIT_CTE},
     {_MIX_SHARES_CTES},
     mix AS (
-      SELECT doc_id, TRUE AS in_mixture
+      SELECT doc_id, CAST(1 AS BIGINT) AS in_mixture
       FROM documents JOIN shares USING (lang)
       WHERE {_MIX_HASH} % {_curation.MIX_M} < keep_threshold),
     ranked AS (
@@ -252,8 +252,9 @@ from hebrew_ner_spark.operators import curation as _curation  # noqa: E402
     SELECT d.doc_id, d.lang,
            CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks,
            sp.split,
-           {quality_pass_sql("string_split(d.text, ' ')")} AS quality_pass,
-           coalesce(in_mixture, FALSE) AS in_mixture,
+           CAST({quality_pass_sql("string_split(d.text, ' ')")} AS BIGINT)
+             AS quality_pass,
+           CAST(coalesce(in_mixture, 0) AS BIGINT) AS in_mixture,
            eval_rank
     FROM documents d
     JOIN sp USING (doc_id)
