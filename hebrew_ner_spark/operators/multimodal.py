@@ -416,3 +416,90 @@ def audio_stats(media: DataFrame) -> DataFrame:
         "doc_id long, sample_rate long, n_samples long, duration_ms long, "
         "peak long, rms long",
     )
+
+
+# --- video: BMP-sequence container + key-frame extraction -------------------
+#
+# The synthetic video container is a plain concatenation of valid BMP
+# frames (each frame self-describes its byte length in the BMP file
+# header), so the demuxer below is a REAL container walk — offset
+# arithmetic over untrusted lengths — even though the codec inside each
+# frame is the uncompressed one the image path already proves out.
+
+VIDEO_W, VIDEO_H = 5, 4
+VIDEO_FRAMES_BASE = 2
+VIDEO_FRAMES_MOD = 4
+KEYFRAME_STRIDE = 2
+
+
+def _video_frame(doc_id: int, f: int) -> np.ndarray:
+    r = np.arange(VIDEO_H).reshape(-1, 1, 1)
+    c = np.arange(VIDEO_W).reshape(1, -1, 1)
+    ch = np.arange(3).reshape(1, 1, -1)
+    return ((doc_id * 31 + f * 11 + r * 7 + c * 3 + ch) % 256).astype(np.uint8)
+
+
+def synth_video(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload binary): a deterministic BMP-sequence 'video' per
+    video document (doc_id % 3 = 2, matching synth_media's typing) —
+    2 + doc_id % 4 frames of 5x4 RGB; pixel value at (frame f, row r,
+    col c, ch) is (doc_id*31 + f*11 + r*7 + c*3 + ch) % 256."""
+    base = docs.where(F.col("doc_id") % 3 == 2).select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            payloads = []
+            for doc_id in b["doc_id"]:
+                n = VIDEO_FRAMES_BASE + int(doc_id) % VIDEO_FRAMES_MOD
+                payloads.append(
+                    b"".join(encode_bmp(_video_frame(int(doc_id), f)) for f in range(n))
+                )
+            yield pd.DataFrame({"doc_id": b["doc_id"], "payload": payloads})
+
+    return base.mapInPandas(run, "doc_id long, payload binary")
+
+
+def video_keyframes(media: DataFrame, stride: int = KEYFRAME_STRIDE) -> DataFrame:
+    """(doc_id, frame_index, height, width, pixel_sum, pixel_wsum):
+    demux the BMP-sequence container (walk frame lengths from each BMP
+    file header), decode every ``stride``-th frame with the real BMP
+    decoder, and emit exact integer checksums — the decode → sample →
+    feature chain a video curation pipeline runs, with the sampling
+    BEFORE the expensive decode (only keyframes are decoded; skipped
+    frames cost one header read). Arrow-batched mapInPandas, zero
+    shuffle; one input row fans out to its keyframes (UDTF shape).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_index": [], "height": [], "width": [],
+                "pixel_sum": [], "pixel_wsum": [],
+            }
+            for doc_id, payload in zip(b["doc_id"], b["payload"]):
+                raw = bytes(payload)
+                pos, f = 0, 0
+                while pos + 6 <= len(raw):
+                    if raw[pos : pos + 2] != b"BM":
+                        raise ValueError(f"bad frame magic at offset {pos}")
+                    (size,) = struct.unpack_from("<I", raw, pos + 2)
+                    if f % stride == 0:
+                        img = decode_bmp(raw[pos : pos + size])
+                        flat = img.reshape(-1).astype(np.int64)
+                        out["doc_id"].append(int(doc_id))
+                        out["frame_index"].append(f)
+                        out["height"].append(img.shape[0])
+                        out["width"].append(img.shape[1])
+                        out["pixel_sum"].append(int(flat.sum()))
+                        out["pixel_wsum"].append(
+                            int((flat * (np.arange(len(flat)) + 1)).sum())
+                        )
+                    pos += size
+                    f += 1
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        run,
+        "doc_id long, frame_index long, height long, width long, "
+        "pixel_sum long, pixel_wsum long",
+    )

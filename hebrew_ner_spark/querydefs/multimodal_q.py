@@ -239,3 +239,39 @@ def mm_audio_stats(spark, sf_dir):
     formula, so any header/chunk/byte-order bug in either codec half
     diverges (operators/multimodal.py synth_wav/audio_stats)."""
     return multimodal.audio_stats(multimodal.synth_wav(_docs(spark, sf_dir)))
+
+
+@query(
+    "mm_video_keyframes",
+    oracle=f"""
+    WITH vdims AS (
+      SELECT doc_id,
+             {multimodal.VIDEO_FRAMES_BASE} + doc_id % {multimodal.VIDEO_FRAMES_MOD}
+               AS n_frames
+      FROM documents WHERE doc_id % 3 = 2),
+    kf AS (
+      SELECT doc_id, f
+      FROM vdims, unnest(range(0, n_frames)) AS u(f)
+      WHERE f % {multimodal.KEYFRAME_STRIDE} = 0),
+    px AS (
+      SELECT doc_id, f, i,
+             (doc_id*31 + f*11
+              + (i // ({multimodal.VIDEO_W}*3))*7
+              + ((i % ({multimodal.VIDEO_W}*3)) // 3)*3
+              + (i % 3)) % 256 AS v
+      FROM kf, unnest(range(0, {multimodal.VIDEO_H}*{multimodal.VIDEO_W}*3)) AS u(i))
+    SELECT doc_id, CAST(f AS BIGINT) AS frame_index,
+           CAST({multimodal.VIDEO_H} AS BIGINT) AS height,
+           CAST({multimodal.VIDEO_W} AS BIGINT) AS width,
+           CAST(sum(v) AS BIGINT) AS pixel_sum,
+           CAST(sum((i+1)*v) AS BIGINT) AS pixel_wsum
+    FROM px GROUP BY doc_id, f
+    """,
+)
+def mm_video_keyframes(spark, sf_dir):
+    """End-to-end video column: closed-form frames -> real BMP-sequence
+    container -> header-walk demux -> real decode of every 2nd frame ->
+    exact checksums; the oracle reproduces keyframe checksums straight
+    from the pixel formula, so container-offset or frame-order bugs
+    diverge (operators/multimodal.py synth_video/video_keyframes)."""
+    return multimodal.video_keyframes(multimodal.synth_video(_docs(spark, sf_dir)))

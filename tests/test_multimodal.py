@@ -209,3 +209,36 @@ class TestWavCodec:
             assert r.duration_ms == n * 1000 // rate
             assert r.peak == max(abs(v) for v in samples)
             assert r.rms == math.isqrt(sum(v * v for v in samples) // n)
+
+
+class TestVideoKeyframes:
+    def test_demux_and_stride_closed_form(self, spark):
+        import numpy as np
+
+        from hebrew_ner_spark.operators.multimodal import (
+            _video_frame,
+            synth_video,
+            video_keyframes,
+        )
+
+        # doc 5: 2 + 5%4 = 3 frames -> keyframes 0, 2
+        docs = spark.createDataFrame([(5, "x")], ["doc_id", "text"])
+        rows = {r.frame_index: r for r in
+                video_keyframes(synth_video(docs)).collect()}
+        assert set(rows) == {0, 2}
+        for f, r in rows.items():
+            flat = _video_frame(5, f).reshape(-1).astype(np.int64)
+            assert (r.height, r.width) == (4, 5)
+            assert r.pixel_sum == int(flat.sum())
+            assert r.pixel_wsum == int((flat * (np.arange(len(flat)) + 1)).sum())
+
+    def test_corrupt_container_raises(self, spark):
+        import pytest
+
+        from hebrew_ner_spark.operators.multimodal import video_keyframes
+
+        media = spark.createDataFrame(
+            [(1, bytearray(b"XX not a bmp sequence"))], "doc_id long, payload binary"
+        )
+        with pytest.raises(Exception, match="bad frame magic"):
+            video_keyframes(media).collect()
