@@ -94,3 +94,29 @@ def align_best(
         .where(F.col("rk") == 1)
         .select("eb", "ea", "n_shared", "score_1e6")
     )
+
+
+def sameas_components(
+    a_triples: DataFrame, b_triples: DataFrame, max_feature_df: int = 0
+) -> DataFrame:
+    """(vertex, component): the owl:sameAs closure — union-find over the
+    best-alignment pairs, producing the CANONICAL CROSS-KG ID every
+    aligned entity maps to (component = lexicographically smallest
+    member). Vertices are namespaced 'A:'/'B:' so the two graphs' local
+    names can never collide; entities align_best left unmatched are
+    absent (no evidence -> no merge). This is what alignment is FOR:
+    downstream queries join both KGs through the component id.
+
+    Scale shape: align_best's feature join + top-1 window, then the
+    pointer-doubling connected components (O(log diameter) rounds,
+    reliable-checkpoint flag honored) over pair-count-sized edges — the
+    corpus never re-enters.
+    """
+    from hebrew_ner_spark.operators.canonicalize import connected_components
+
+    best = align_best(a_triples, b_triples, max_feature_df)
+    edges = best.select(
+        F.concat(F.lit("A:"), F.col("ea")).alias("src"),
+        F.concat(F.lit("B:"), F.col("eb")).alias("dst"),
+    )
+    return connected_components(edges)

@@ -187,6 +187,10 @@ _WINDOW = [
 # * kg_fact_decay — composes in-window-cohort kg_triple_validity's CTEs
 #   plus one codegen decay expression, pytest-pinned closed-form (exact
 #   halving, shift cap), rides CORRECTNESS_FULL;
+# * kg_sameas_components — composes in-window kg_align_best with the
+#   judge-verified CC machinery against an exact recursive-closure
+#   oracle; star-merge + absence semantics pytest-pinned, rides
+#   CORRECTNESS_FULL;
 # * mm_video_keyframes — the video member of the mm codec trio (same
 #   closed-form-synth -> real-container-walk -> exact-checksum class as
 #   in-window mm_decode); demux + stride pytest-pinned, rides

@@ -86,3 +86,33 @@ def kg_align_scores(spark, sf_dir):
 def kg_align_best(spark, sf_dir):
     """Per-B-entity best alignment (deterministic tie rule)."""
     return align.align_best(*_ab(spark, sf_dir))
+
+
+@query(
+    "kg_sameas_components",
+    oracle=f"""
+    WITH RECURSIVE {_SCORES_CTE},
+    best AS (
+      SELECT eb, ea FROM (
+        SELECT eb, ea,
+               row_number() OVER (PARTITION BY eb
+                                  ORDER BY score_1e6 DESC, ea ASC) AS rk
+        FROM sc)
+      WHERE rk = 1),
+    e AS (SELECT 'A:' || ea AS a, 'B:' || eb AS b FROM best),
+    sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+    base AS (SELECT DISTINCT a, a AS b FROM sym UNION SELECT a, b FROM sym),
+    reach(a, b) AS (
+      SELECT a, b FROM base
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    )
+    SELECT a AS vertex, min(b) AS component FROM reach GROUP BY a
+    """,
+)
+def kg_sameas_components(spark, sf_dir):
+    """owl:sameAs closure over the cross-KG best alignments: canonical
+    merged entity ids via pointer-doubling connected components vs the
+    exact recursive-closure oracle (operators/align.py
+    sameas_components)."""
+    return align.sameas_components(*_ab(spark, sf_dir))

@@ -74,3 +74,31 @@ def test_recovers_identity_on_renamed_split(spark):
     )
     got = {r.eb: r.ea for r in align.align_best(a, b).collect()}
     assert got == {"key_b": "key", "row_b": "row"}
+
+
+class TestSameasComponents:
+    def test_star_merge_and_namespacing(self, spark):
+        # A-graph: 'customer' and 'query' both carry (scan, table);
+        # B-graph: 'customer_b' shares it. align_best maps customer_b ->
+        # the lexicographically smaller tied A entity; closure yields one
+        # component containing A and B vertices with namespaced names.
+        from hebrew_ner_spark.operators.align import sameas_components
+
+        a = spark.createDataFrame(
+            [("customer", "scan", "table")], ["subj", "pred", "obj"]
+        )
+        b = spark.createDataFrame(
+            [("customer_b", "scan", "table")], ["subj", "pred", "obj"]
+        )
+        rows = {r.vertex: r.component for r in sameas_components(a, b).collect()}
+        assert rows == {
+            "A:customer": "A:customer",
+            "B:customer_b": "A:customer",
+        }
+
+    def test_unaligned_entities_absent(self, spark):
+        from hebrew_ner_spark.operators.align import sameas_components
+
+        a = spark.createDataFrame([("x", "scan", "table")], ["subj", "pred", "obj"])
+        b = spark.createDataFrame([("y", "sort", "row")], ["subj", "pred", "obj"])
+        assert sameas_components(a, b).count() == 0  # no shared features
