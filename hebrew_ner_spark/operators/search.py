@@ -189,3 +189,39 @@ def merge_postings(base: DataFrame, delta: DataFrame) -> DataFrame:
         .cast("long")
         .alias("cf"),
     )
+
+
+def phrase_match(docs: DataFrame, phrase: list[str]) -> DataFrame:
+    """(doc_id, n_matches, first_pos): exact phrase search — documents
+    containing the token sequence ``phrase`` verbatim, with occurrence
+    count and first match position (0-based). The companion to BM25's
+    bag-of-terms ranking: quote queries, eval-contamination spot checks,
+    boilerplate hunting.
+
+    Scale shape: entirely array-side — one codegen filter over window
+    starts comparing a token slice against the phrase literal; zero
+    shuffles, zero Python, and the WHERE n_matches > 0 predicate sits on
+    the same narrow stage, so non-matching documents never leave the
+    scan task. (A positional-postings index is the right shape once the
+    same corpus serves MANY phrase queries; for pipeline-style single
+    passes the scan IS the index.)
+    """
+    lits = ", ".join(f"'{t}'" for t in phrase)
+    n = len(phrase)
+    matches = F.expr(
+        f"""
+        filter(
+          CASE WHEN size(toks) < {n} THEN array()
+               ELSE sequence(0, size(toks) - {n}) END,
+          i -> slice(toks, i + 1, {n}) = array({lits}))
+        """
+    )
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            F.size(matches).cast("long").alias("n_matches"),
+            F.element_at(matches, 1).cast("long").alias("first_pos"),
+        )
+        .where(F.col("n_matches") > 0)
+    )

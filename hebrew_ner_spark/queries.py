@@ -187,6 +187,9 @@ _WINDOW = [
 # * kg_fact_decay — composes in-window-cohort kg_triple_validity's CTEs
 #   plus one codegen decay expression, pytest-pinned closed-form (exact
 #   halving, shift cap), rides CORRECTNESS_FULL;
+# * srch_phrase_match — zero-shuffle array-side sibling of the
+#   in-window srch_* family; overlap counting + short-doc guard
+#   pytest-pinned, rides CORRECTNESS_FULL;
 # * kg_sameas_components — composes in-window kg_align_best with the
 #   judge-verified CC machinery against an exact recursive-closure
 #   oracle; star-merge + absence semantics pytest-pinned, rides

@@ -149,3 +149,30 @@ def srch_postings_delta(spark, sf_dir):
     base = search.term_postings(docs.where(F.col("doc_id") % 2 == 0))
     delta = search.term_postings(docs.where(F.col("doc_id") % 2 != 0))
     return search.merge_postings(base, delta)
+
+
+PHRASE = ["the", "customer"]  # frequent-enough bigram for a non-vacuous gate
+_PHRASE_SQL = "[" + ", ".join(f"'{t}'" for t in PHRASE) + "]"
+
+
+@query(
+    "srch_phrase_match",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+             list_filter(range(0, greatest(len(toks) - {len(PHRASE)} + 1, 0)),
+               i -> toks[CAST(i + 1 AS INT):CAST(i + {len(PHRASE)} AS INT)]
+                      = {_PHRASE_SQL}) AS hits
+      FROM t)
+    SELECT doc_id,
+           CAST(len(hits) AS BIGINT) AS n_matches,
+           CAST(hits[1] AS BIGINT) AS first_pos
+    FROM m WHERE len(hits) > 0
+    """,
+)
+def srch_phrase_match(spark, sf_dir):
+    """Exact phrase search: verbatim token-sequence occurrences with
+    count and first position (operators/search.py phrase_match —
+    one array-side codegen stage, zero shuffles)."""
+    return search.phrase_match(_docs(spark, sf_dir), PHRASE)

@@ -104,3 +104,34 @@ def test_merge_postings_disjoint_terms_survive(spark):
     delta = spark.createDataFrame([("b", 1, 1)], "term string, df long, cf long")
     got = {r.term: (r.df, r.cf) for r in search.merge_postings(base, delta).collect()}
     assert got == {"a": (2, 5), "b": (1, 1)}
+
+
+def test_phrase_match_closed_form(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b a"),      # 'a b' at 0 and 3
+            (2, "b a c"),            # no match
+            (3, "a b"),              # exactly the phrase
+            (4, "a"),                # shorter than the phrase
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: (r.n_matches, r.first_pos)
+           for r in search.phrase_match(docs, ["a", "b"]).collect()}
+    assert got == {1: (2, 0), 3: (1, 0)}
+
+
+def test_phrase_match_no_overlap_miscount(spark):
+    # overlapping self-similar phrase: 'a a a' contains 'a a' at 0 and 1
+    docs = spark.createDataFrame([(1, "a a a")], ["doc_id", "text"])
+    [r] = search.phrase_match(docs, ["a", "a"]).collect()
+    assert (r.n_matches, r.first_pos) == (2, 0)
+
+
+def test_phrase_match_zero_shuffle(spark):
+    docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    plan = (
+        search.phrase_match(docs, ["a", "b"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
