@@ -42,7 +42,13 @@ PR_DAMP_NUM = 85  # damping as the exact rational 85/100
 _LAST_PR = None
 
 
-def entity_pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
+PPR_SEED = 13
+PPR_SEED_MOD = 8  # ~1/8 of the nodes form the personalization set
+
+
+def entity_pagerank(
+    edges: DataFrame, iters: int = PAGERANK_ITERS, seed_mod: int | None = None
+) -> DataFrame:
     """(entity_id, pr_1e6): damped PageRank after ``iters`` power
     iterations over the weighted entity multigraph (parallel edges with
     distinct predicates collapse by summed evidence).
@@ -75,7 +81,29 @@ def entity_pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK_DESER)
     )
-    pr = nodes.select("entity_id", F.lit(PR_SCALE).cast("long").alias("pr"))
+    if seed_mod is None:
+        seeded = nodes.withColumn("base", F.lit(PR_BASE).cast("long")).withColumn(
+            "pr0", F.lit(PR_SCALE).cast("long")
+        )
+    else:
+        # Personalized PageRank: teleport mass returns ONLY to the
+        # hash-selected seed set — ranks become relevance RELATIVE to the
+        # seeds (topic-sensitive PageRank, Haveliwala 2002). Same loop,
+        # same integer arithmetic; only the base vector changes.
+        from hebrew_ner_spark.functions.hashing import phash_col
+
+        is_seed = (
+            phash_col(
+                F.concat(F.lit("PPR|"), F.col("entity_id").cast("string")), PPR_SEED
+            )
+            % seed_mod
+            == 0
+        )
+        seeded = nodes.withColumn(
+            "base", F.when(is_seed, PR_BASE).otherwise(0).cast("long")
+        ).withColumn("pr0", F.when(is_seed, PR_SCALE).otherwise(0).cast("long"))
+    seeded = seeded.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    pr = seeded.select("entity_id", F.col("pr0").alias("pr"))
     for k in range(iters):
         prev = pr
         contrib = (
@@ -88,11 +116,11 @@ def entity_pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
             .agg(F.sum("c").cast("long").alias("s"))
         )
         pr = (
-            nodes.join(contrib, "entity_id", "left")
+            seeded.join(contrib, "entity_id", "left")
             .select(
                 "entity_id",
                 F.expr(
-                    f"CAST({PR_BASE} + ({PR_DAMP_NUM} * coalesce(s, 0L)) DIV 100"
+                    f"CAST(base + ({PR_DAMP_NUM} * coalesce(s, 0L)) DIV 100"
                     " AS BIGINT)"
                 ).alias("pr"),
             )
@@ -106,6 +134,7 @@ def entity_pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
             prev.unpersist()
     wmat.unpersist()
     nodes.unpersist()
+    seeded.unpersist()
     _LAST_PR = pr
     return pr.select("entity_id", F.col("pr").alias("pr_1e6"))
 

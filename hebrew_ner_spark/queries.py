@@ -187,6 +187,10 @@ _WINDOW = [
 # * kg_fact_decay — composes in-window-cohort kg_triple_validity's CTEs
 #   plus one codegen decay expression, pytest-pinned closed-form (exact
 #   halving, shift cap), rides CORRECTNESS_FULL;
+# * kg_ppr — the seeded variant of in-window kg_pagerank (same unrolled
+#   integer iterations, base vector restricted to hash seeds);
+#   seed-locality + seed_mod=1 == plain equality pytest-pinned, rides
+#   CORRECTNESS_FULL;
 # * srch_phrase_match — zero-shuffle array-side sibling of the
 #   in-window srch_* family; overlap counting + short-doc guard
 #   pytest-pinned, rides CORRECTNESS_FULL;

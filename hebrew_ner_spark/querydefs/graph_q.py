@@ -963,3 +963,69 @@ def kg_dist_hist(spark, sf_dir):
         (F.col("pred") == "join") & (F.col("n_evidence") >= 3)
     )
     return graphstats.distance_histogram(edges)
+
+
+# PPR oracle: same unrolled power iterations with the base/initial mass
+# restricted to the hash-selected seed set.
+from hebrew_ner_spark.operators.pagerank import (  # noqa: E402
+    PPR_SEED as _PPR_SEED,
+    PPR_SEED_MOD as _PPR_MOD,
+    PR_BASE as _PPR_BASE,
+    PR_DAMP_NUM as _PPR_DAMP,
+    PR_SCALE as _PPR_SCALE,
+)
+
+_PPR_HASH = _phd("'PPR|' || CAST(id AS VARCHAR)", _PPR_SEED)
+
+
+def _ppr_ctes(iters: int) -> str:
+    parts = [
+        "wm AS (SELECT subj_id, obj_id, CAST(sum(n_evidence) AS BIGINT) AS ew"
+        " FROM e GROUP BY 1, 2)",
+        "ow AS (SELECT subj_id, CAST(sum(ew) AS BIGINT) AS ow FROM wm GROUP BY 1)",
+        "nodes AS (SELECT subj_id AS id FROM wm UNION SELECT obj_id FROM wm)",
+        f"""sd AS (SELECT id,
+               CASE WHEN {_PPR_HASH} % {_PPR_MOD} = 0
+                    THEN CAST({_PPR_BASE} AS BIGINT) ELSE 0 END AS base,
+               CASE WHEN {_PPR_HASH} % {_PPR_MOD} = 0
+                    THEN CAST({_PPR_SCALE} AS BIGINT) ELSE 0 END AS pr0
+        FROM nodes)""",
+        "q0 AS (SELECT id, pr0 AS pr FROM sd)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""d{k} AS (
+      SELECT wm.obj_id AS id, CAST(sum((p.pr * wm.ew) // ow.ow) AS BIGINT) AS s
+      FROM wm JOIN ow USING (subj_id) JOIN q{k - 1} p ON p.id = wm.subj_id
+      GROUP BY wm.obj_id
+    )"""
+        )
+        parts.append(
+            f"""q{k} AS (
+      SELECT sd.id, CAST(sd.base + ({_PPR_DAMP} * coalesce(d.s, 0)) // 100
+                         AS BIGINT) AS pr
+      FROM sd LEFT JOIN d{k} d ON d.id = sd.id
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+@query(
+    "kg_ppr",
+    oracle=f"""
+    WITH {_dim_values()},
+    {_edges_ctes()},
+    {_ppr_ctes(_PR_ITERS)}
+    SELECT id AS entity_id, pr AS pr_1e6 FROM q{_PR_ITERS}
+    """,
+)
+def kg_ppr(spark, sf_dir):
+    """Personalized (topic-sensitive) PageRank: teleport mass restricted
+    to the hash-selected seed set, same exact-integer iterations
+    (operators/pagerank.py entity_pagerank(seed_mod=...)) vs the
+    seeded unrolled-CTE oracle."""
+    from hebrew_ner_spark.operators import pagerank
+
+    return pagerank.entity_pagerank(
+        linking.kg_edges(_docs(spark, sf_dir)), seed_mod=pagerank.PPR_SEED_MOD
+    )

@@ -213,3 +213,44 @@ def test_merge_fold_equals_batch_build(spark):
     batch = {(r.subj_id, r.pred, r.obj_id): r.n_evidence
              for r in linking.kg_edges(docs).collect()}
     assert folded == batch and len(batch) > 100
+
+
+class TestPersonalizedPagerank:
+    def test_seed_locality_dominates(self, spark):
+        # two disjoint stars; seeds (hash-selected) keep all teleport
+        # mass, so any node in a component with NO seed must rank 0
+        from hebrew_ner_spark.functions.hashing import phash_py
+        from hebrew_ner_spark.operators import pagerank
+
+        edges = spark.createDataFrame(
+            [(1, 2, "p", 3), (2, 1, "p", 3), (10, 11, "p", 3), (11, 10, "p", 3)],
+            "subj_id long, obj_id long, pred string, n_evidence long",
+        )
+        ranks = {
+            r.entity_id: r.pr_1e6
+            for r in pagerank.entity_pagerank(edges, seed_mod=2).collect()
+        }
+        for node, pr in ranks.items():
+            comp = {1, 2} if node in (1, 2) else {10, 11}
+            has_seed = any(
+                phash_py(f"PPR|{n}", pagerank.PPR_SEED) % 2 == 0 for n in comp
+            )
+            if not has_seed:
+                assert pr == 0, (node, pr)
+            # a seeded component's nodes all carry mass after 3 rounds of
+            # a 2-cycle (mass flows both ways)
+            if has_seed:
+                assert pr > 0, (node, pr)
+
+    def test_uniform_seed_mod_one_equals_plain_pagerank(self, spark):
+        from hebrew_ner_spark.operators import pagerank
+
+        edges = spark.createDataFrame(
+            [(1, 2, "p", 2), (2, 3, "p", 1), (3, 1, "p", 4)],
+            "subj_id long, obj_id long, pred string, n_evidence long",
+        )
+        plain = {tuple(r) for r in pagerank.entity_pagerank(edges).collect()}
+        seeded_all = {
+            tuple(r) for r in pagerank.entity_pagerank(edges, seed_mod=1).collect()
+        }
+        assert plain == seeded_all
