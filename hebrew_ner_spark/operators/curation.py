@@ -536,40 +536,47 @@ CDC_SEED = 5  # boundary-hash seed
 CDC_CHUNK_SEED = 6  # chunk-identity hash seed
 
 
-def cdc_chunks_expr(toks_col: str = "toks") -> str:
-    """Spark SQL fragment: content-defined chunks of a token array.
+def cdc_bounds_expr(toks_col: str = "toks") -> str:
+    """Spark SQL fragment: chunk-boundary index array [-1, cuts..., n-1].
 
     A boundary falls AFTER token i when the token's portable hash is
     0 mod CDC_DIVISOR — a pure function of token CONTENT, so inserting
     or deleting one token only perturbs the two chunks around the edit
     (the FastCDC property fixed windows lack; passage_dedup's tiling
     shifts every downstream window). Expected chunk length is
-    CDC_DIVISOR tokens. Everything is array-side: no shuffle until the
-    chunk hashes aggregate.
+    CDC_DIVISOR tokens.
     """
     from hebrew_ner_spark.functions.hashing import phash_sql_expr
 
     h = phash_sql_expr("t", CDC_SEED)
-    return f"""
-    filter(
-      transform(
-        sequence(1, size(bnd) - 1),
-        j -> CASE WHEN bnd[j] > bnd[j - 1]
-                  THEN concat_ws(' ', slice({toks_col},
-                                            CAST(bnd[j - 1] + 2 AS INT),
-                                            CAST(bnd[j] - bnd[j - 1] AS INT)))
-                  ELSE NULL END),
-      x -> x IS NOT NULL)
-    """.replace(
-        "bnd",
-        f"""concat(array(CAST(-1 AS BIGINT)),
+    return f"""concat(array(CAST(-1 AS BIGINT)),
               filter(transform({toks_col},
                                (t, i) -> IF(pmod({h}, {CDC_DIVISOR}) = 0,
                                             CAST(i AS BIGINT),
                                             CAST(-1 AS BIGINT))),
                      x -> x >= 0),
-              array(CAST(size({toks_col}) - 1 AS BIGINT)))""",
-    )
+              array(CAST(size({toks_col}) - 1 AS BIGINT)))"""
+
+
+def cdc_chunks_expr(toks_col: str = "toks", bnd_col: str = "bnd") -> str:
+    """Spark SQL fragment: chunk texts from a precomputed boundary array
+    (materialize ``cdc_bounds_expr`` into ``bnd_col`` first — the
+    boundary array is referenced four times here, and a named column
+    guarantees it is computed once rather than leaning on codegen
+    subexpression elimination). Everything is array-side: no shuffle
+    until the chunk hashes aggregate.
+    """
+    return f"""
+    filter(
+      transform(
+        sequence(1, size({bnd_col}) - 1),
+        j -> CASE WHEN {bnd_col}[j] > {bnd_col}[j - 1]
+                  THEN concat_ws(' ', slice({toks_col},
+                                            CAST({bnd_col}[j - 1] + 2 AS INT),
+                                            CAST({bnd_col}[j] - {bnd_col}[j - 1] AS INT)))
+                  ELSE NULL END),
+      x -> x IS NOT NULL)
+    """
 
 
 def cdc_dedup(docs: DataFrame) -> DataFrame:
@@ -581,9 +588,11 @@ def cdc_dedup(docs: DataFrame) -> DataFrame:
     wire, one hash-grain count, one hash-keyed join back, one doc-keyed
     aggregate.
     """
-    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks")).withColumn(
+        "bnd", F.expr(cdc_bounds_expr("toks"))
+    )
     occ = toks.select(
-        "doc_id", F.explode(F.expr(cdc_chunks_expr("toks"))).alias("chunk")
+        "doc_id", F.explode(F.expr(cdc_chunks_expr("toks", "bnd"))).alias("chunk")
     ).select("doc_id", phash_col(F.col("chunk"), CDC_CHUNK_SEED).alias("ph"))
     tot = occ.groupBy("ph").agg(F.count("*").alias("tot"))
     per_doc = (

@@ -347,9 +347,9 @@ class TestCdcDedup:
         docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
         toks = docs.select(
             "doc_id", F.split("text", " ").alias("toks")
-        )
+        ).withColumn("bnd", F.expr(curation.cdc_bounds_expr("toks")))
         chunks = toks.select(
-            F.explode(F.expr(curation.cdc_chunks_expr("toks"))).alias("chunk")
+            F.explode(F.expr(curation.cdc_chunks_expr("toks", "bnd"))).alias("chunk")
         ).collect()
         assert " ".join(r.chunk for r in chunks) == text
 
