@@ -385,17 +385,6 @@ MIX_M = 1_048_576  # 2^20
 MIX_WSCALE = 1_000_000  # weight = isqrt(n_docs * MIX_WSCALE)
 
 
-def _isqrt_sql(x: str) -> str:
-    """Exact integer sqrt in portable SQL: float sqrt, then an integer
-    correction CASE (double sqrt is within 1 ulp for x < 2^52, so the
-    corrected value is exact on both engines)."""
-    return (
-        f"(SELECT CASE WHEN (s + 1) * (s + 1) <= {x} THEN s + 1 "
-        f"WHEN s * s > {x} THEN s - 1 ELSE s END "
-        f"FROM (SELECT CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT) AS s))"
-    )
-
-
 def _isqrt_col(x: F.Column) -> F.Column:
     s = F.floor(F.sqrt(x.cast("double"))).cast("long")
     return (

@@ -353,10 +353,19 @@ def eval_sample(docs: DataFrame, quota: int = EVAL_QUOTA) -> DataFrame:
     O(strata x quota x tasks) rows, never the corpus. No global sort,
     no driver state.
     """
-    ranked = doc_splits(docs).join(docs.select("doc_id", "lang"), "doc_id").select(
+    # split is a pure function of doc_id — recompute it inline rather
+    # than joining doc_splits back (which would shuffle the corpus on
+    # doc_id just to attach a derivable column)
+    bucket = (
+        phash_col(F.concat(F.lit("split|"), F.col("doc_id").cast("string")), 0) % 100
+    )
+    ranked = docs.select(
         "doc_id",
         "lang",
-        "split",
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
         phash_col(F.concat(F.lit("esample|"), F.col("doc_id").cast("string")), 0).alias(
             "ord"
         ),
