@@ -401,20 +401,26 @@ def training_manifest(docs: DataFrame, mixture_target: int) -> DataFrame:
     from hebrew_ner_spark.operators import curation
     from hebrew_ner_spark.operators.textstats import quality_pass_expr
 
+    bucket = (
+        phash_col(F.concat(F.lit("split|"), F.col("doc_id").cast("string")), 0) % 100
+    )
     base = docs.select(
         "doc_id",
         "lang",
         F.size(F.split("text", " ")).cast("long").alias("n_toks"),
         F.split("text", " ").alias("toks"),
+        # split is derivable from doc_id — inline, never a corpus join
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
     ).withColumn("quality_pass", quality_pass_expr("toks").cast("long"))
-    sp = doc_splits(docs).select("doc_id", "split")
     mix = curation.mixture_sample(docs, mixture_target).select(
         "doc_id", F.lit(1).cast("long").alias("in_mixture")
     )
     ev = eval_sample(docs).select("doc_id", F.col("pick_rank").alias("eval_rank"))
     return (
-        base.join(sp, "doc_id")
-        .join(mix, "doc_id", "left")
+        base.join(mix, "doc_id", "left")
         .join(ev, "doc_id", "left")
         .select(
             "doc_id",
