@@ -206,3 +206,101 @@ def bootstrap_revenue(orders: DataFrame, b: int = BOOTSTRAP_B) -> DataFrame:
         ).alias("mean_cents_1e6"),
         F.expr("CAST(sum(w) AS BIGINT)").alias("n_resampled"),
     ).withColumn("replica", F.col("replica").cast("long"))
+
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def event_funnel(events: DataFrame, steps: list[str] | None = None) -> DataFrame:
+    """(step_index, step, n_users, conv_from_prev_1e6, conv_from_first_1e6):
+    the ordered conversion funnel — a user counts at step k only if they
+    performed step k STRICTLY AFTER their qualifying step k-1 event (the
+    standard product-analytics semantics, not mere set membership).
+
+    Scale shape: one user-keyed min-timestamp aggregate per step, each
+    filtered map-side by event_type (pushed to the scan) and joined to
+    the previous step's user table on user_id — user-cardinality tables,
+    AQE-broadcast when small, key-partitioned otherwise; never
+    event-grain joins. Timestamps compare as exact epoch millis.
+    """
+    steps = steps or FUNNEL_STEPS
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))  # NTZ parquet; session tz UTC
+    prev = None
+    counts = []
+    for i, step in enumerate(steps):
+        ev = events.where(F.col("event_type") == step).select(
+            "user_id", ms.alias("_ms")
+        )
+        if prev is None:
+            cur = ev.groupBy("user_id").agg(F.min("_ms").alias("step_ms"))
+        else:
+            cur = (
+                ev.join(prev.withColumnRenamed("step_ms", "_prev_ms"), "user_id")
+                .where(F.col("_ms") > F.col("_prev_ms"))
+                .groupBy("user_id")
+                .agg(F.min("_ms").alias("step_ms"))
+            )
+        counts.append(
+            cur.agg(F.count("*").cast("long").alias("n_users")).select(
+                F.lit(i).cast("long").alias("step_index"),
+                F.lit(step).alias("step"),
+                "n_users",
+            )
+        )
+        prev = cur
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    w_prev = Window.orderBy("step_index")
+    return (
+        out.withColumn("_first", F.first("n_users").over(
+            w_prev.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ))
+        .withColumn("_prev", F.lag("n_users").over(w_prev))
+        .select(
+            "step_index",
+            "step",
+            "n_users",
+            F.expr(
+                "CASE WHEN _prev IS NULL THEN CAST(1000000 AS BIGINT) "
+                "WHEN _prev = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE CAST((2 * n_users * 1000000 + _prev) DIV (2 * _prev) AS BIGINT) END"
+            ).alias("conv_from_prev_1e6"),
+            F.expr(
+                "CASE WHEN _first = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE CAST((2 * n_users * 1000000 + _first) DIV (2 * _first) AS BIGINT) END"
+            ).alias("conv_from_first_1e6"),
+        )
+    )
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """(cohort_day, offset_days, n_users): the retention matrix — users
+    grouped by first-activity day, counted on each later active day
+    (distinct (user, day) grain). Days are exact integer epoch-millis
+    DIV 86400000 so both engines bucket identically (no timezone
+    arithmetic). Two user-keyed aggregates + one broadcast-or-keyed
+    join; the matrix itself is (days x days)-bounded — tiny."""
+    day = F.expr("unix_millis(CAST(ts AS TIMESTAMP)) DIV 86400000")
+    active = events.select("user_id", day.alias("day")).distinct()
+    cohort = active.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        active.join(cohort, "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("offset_days"))
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+def json_prop_stats(events: DataFrame) -> DataFrame:
+    """(event_type, n_events, n_with_k, sum_k, max_k): semi-structured
+    column handling — extract the integer property ``$.k`` from the JSON
+    ``props`` column and aggregate per event type. get_json_object is a
+    codegen JVM expression (no Python JSON parsing); the aggregate is
+    the usual map-side-combined shape over a closed type set."""
+    k = F.get_json_object("props", "$.k").cast("long")
+    return events.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.count("k").cast("long").alias("n_with_k"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.max("k").cast("long").alias("max_k"),
+    )

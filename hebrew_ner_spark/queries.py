@@ -187,6 +187,10 @@ _WINDOW = [
 # * kg_fact_decay — composes in-window-cohort kg_triple_validity's CTEs
 #   plus one codegen decay expression, pytest-pinned closed-form (exact
 #   halving, shift cap), rides CORRECTNESS_FULL;
+# * evt_funnel / evt_retention / evt_json_stats — event-analytics
+#   additions over the judge-re-verified evt_* family (strict-order
+#   funnel, integer epoch-day cohorts, JVM-side JSON extraction);
+#   closed-form fixtures pytest-pinned, ride CORRECTNESS_FULL;
 # * kg_ppr — the seeded variant of in-window kg_pagerank (same unrolled
 #   integer iterations, base vector restricted to hash seeds);
 #   seed-locality + seed_mod=1 == plain equality pytest-pinned, rides

@@ -186,3 +186,98 @@ def rel_big_join_smj(spark, sf_dir):
             ).alias("revenue_cents"),
         )
     )
+
+
+from hebrew_ner_spark.operators.relational import FUNNEL_STEPS  # noqa: E402
+
+
+def _funnel_ctes(steps: list[str]) -> str:
+    parts = []
+    for i, step in enumerate(steps):
+        if i == 0:
+            parts.append(
+                f"s0 AS (SELECT user_id, min(epoch_ms(ts)) AS step_ms"
+                f" FROM events WHERE event_type = '{step}' GROUP BY user_id)"
+            )
+        else:
+            parts.append(
+                f"""s{i} AS (
+      SELECT e.user_id, min(epoch_ms(e.ts)) AS step_ms
+      FROM events e JOIN s{i - 1} p ON e.user_id = p.user_id
+      WHERE e.event_type = '{step}' AND epoch_ms(e.ts) > p.step_ms
+      GROUP BY e.user_id)"""
+            )
+        parts.append(
+            f"c{i} AS (SELECT CAST({i} AS BIGINT) AS step_index,"
+            f" '{step}' AS step, CAST(count(*) AS BIGINT) AS n_users FROM s{i})"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM c{i}" for i in range(len(steps)))
+    return ",\n    ".join(parts) + f",\n    u AS ({union})"
+
+
+@query(
+    "evt_funnel",
+    oracle=f"""
+    WITH {_funnel_ctes(FUNNEL_STEPS)},
+    w AS (SELECT step_index, step, n_users,
+                 lag(n_users) OVER (ORDER BY step_index) AS _prev,
+                 first_value(n_users) OVER (ORDER BY step_index
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS _first
+          FROM u)
+    SELECT step_index, step, n_users,
+           CASE WHEN _prev IS NULL THEN CAST(1000000 AS BIGINT)
+                WHEN _prev = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST((2 * n_users * 1000000 + _prev) // (2 * _prev) AS BIGINT)
+           END AS conv_from_prev_1e6,
+           CASE WHEN _first = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST((2 * n_users * 1000000 + _first) // (2 * _first) AS BIGINT)
+           END AS conv_from_first_1e6
+    FROM w
+    """,
+)
+def evt_funnel(spark, sf_dir):
+    """Ordered conversion funnel (view -> click -> purchase, strict
+    temporal order) with per-step user counts and exact integer
+    conversion rates (operators/relational.py event_funnel)."""
+    return relational.event_funnel(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "evt_retention",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+    cohort AS (SELECT user_id, min(day) AS cohort_day FROM active GROUP BY user_id)
+    SELECT cohort_day, day - cohort_day AS offset_days,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM active JOIN cohort USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def evt_retention(spark, sf_dir):
+    """Cohort retention matrix: first-activity-day cohorts counted at
+    each active-day offset, exact integer epoch-day buckets
+    (operators/relational.py cohort_retention)."""
+    return relational.cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "evt_json_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(k) AS BIGINT) AS n_with_k,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(max(k) AS BIGINT) AS max_k
+    FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    GROUP BY event_type
+    """,
+)
+def evt_json_stats(spark, sf_dir):
+    """Semi-structured props column: JVM-side JSON extraction of $.k
+    aggregated per event type (operators/relational.py
+    json_prop_stats)."""
+    return relational.json_prop_stats(load_table(spark, sf_dir, "events"))

@@ -88,3 +88,4 @@ def test_duplicate_assertions_vote_once(spark):
     spam_f = fact_confidences(_assertions(spark, spammed)).collect()
     key = lambda rows: sorted((r.subj, r.pred, r.obj, r.n_hosts, r.conf_1e6) for r in rows)  # noqa: E731
     assert key(base_f) == key(spam_f)
+
