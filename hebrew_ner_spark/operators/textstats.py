@@ -316,3 +316,108 @@ def unigram_surprisal(docs: DataFrame) -> DataFrame:
             "CAST((2 * surprisal_bits * 1000000 + n_tokens) DIV (2 * n_tokens) AS BIGINT)"
         ).alias("mean_bits_1e6"),
     )
+
+
+BACKOFF_BITS = 2  # Stupid Backoff alpha as a power of two: 2^-2 = 0.25
+
+
+def bigram_score(docs: DataFrame, lm_docs: DataFrame | None = None) -> DataFrame:
+    """(doc_id, n_scored, n_backoff, bits, mean_bits_1e6): integer bigram
+    LM score with Stupid Backoff (Brants et al. 2007) — the context-aware
+    upgrade of unigram_surprisal's CCNet-style quality filter, still with
+    no float log anywhere:
+
+    * seen bigram:  bits = bitlen(cnt(w1)) - bitlen(cnt(w1 w2))
+      (within 1 bit of -log2 of the conditional MLE; >= 0 since the
+      bigram count never exceeds its context count);
+    * unseen:       bits = BACKOFF_BITS + bitlen(T) - bitlen(cnt(w2))
+      (alpha x unigram probability, alpha = 2^-BACKOFF_BITS);
+    * first token:  unigram bits (no context).
+
+    Shape at 10^12 docs: the bigram Zipf table is one map-side-combined
+    aggregate (distinct-bigram-sized); the doc side pre-aggregates to
+    (doc, w1, w2, c) grain BEFORE the joins, so the bigram-keyed shuffle
+    carries distinct pairs per doc, not occurrences; unigram counts join
+    by token key (AQE-broadcast on closed vocabularies, tiered hot/tail
+    at web scale — the alphabet_encode discipline); T is one
+    broadcast-folded scalar. n_backoff is a data-quality signal in its
+    own right (out-of-distribution word order).
+
+    ``lm_docs`` is the reference corpus the LM tables are built from
+    (default: ``docs`` itself — self-scoring, where backoff is provably
+    never taken). The production shape scores a crawl DELTA against the
+    base corpus's persisted LM tables: unseen word order then actually
+    backs off, which is the filter signal.
+    """
+    toks = with_tokens(docs)
+    lm_toks = toks if lm_docs is None else with_tokens(lm_docs)
+    pairs_expr = F.expr(
+        """
+        CASE WHEN size(toks) < 2 THEN array()
+             ELSE transform(sequence(0, size(toks) - 2),
+                            i -> named_struct('w1', toks[i], 'w2', toks[i + 1]))
+        END
+        """
+    )
+    corpus_big = (
+        lm_toks.select(F.explode(pairs_expr).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count("*").cast("long").alias("cb"))
+    )
+    uni = token_freq(docs if lm_docs is None else lm_docs)
+    total = lm_toks.agg(F.sum(F.size("toks")).cast("long").alias("_t"))
+
+    dpairs = (
+        toks.select("doc_id", F.explode(pairs_expr).alias("p"))
+        .groupBy("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    pair_bits = (
+        dpairs.join(corpus_big, ["w1", "w2"], "left")
+        .join(uni.select(F.col("token").alias("w1"), F.col("n").alias("n1")), "w1")
+        .join(uni.select(F.col("token").alias("w2"), F.col("n").alias("n2")), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "c",
+            F.expr(
+                f"""CASE WHEN cb IS NOT NULL
+                         THEN length(bin(n1)) - length(bin(cb))
+                         ELSE {BACKOFF_BITS} + length(bin(_t)) - length(bin(n2))
+                    END"""
+            ).cast("long").alias("s"),
+            F.expr("CASE WHEN cb IS NULL THEN c ELSE 0 END").cast("long").alias("bk"),
+        )
+    )
+    first_bits = (
+        toks.where(F.size("toks") >= 1)
+        .select("doc_id", F.col("toks")[0].alias("token"))
+        .join(uni, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.lit(1).cast("long").alias("c"),
+            (F.length(F.bin(F.col("_t"))) - F.length(F.bin(F.col("n"))))
+            .cast("long")
+            .alias("s"),
+            F.lit(0).cast("long").alias("bk"),
+        )
+    )
+    return (
+        pair_bits.unionByName(first_bits)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_scored"),
+            F.sum("bk").cast("long").alias("n_backoff"),
+            F.sum(F.col("c") * F.col("s")).cast("long").alias("bits"),
+        )
+        .select(
+            "doc_id",
+            "n_scored",
+            "n_backoff",
+            "bits",
+            F.expr(
+                "CAST((2 * bits * 1000000 + n_scored) DIV (2 * n_scored) AS BIGINT)"
+            ).alias("mean_bits_1e6"),
+        )
+    )

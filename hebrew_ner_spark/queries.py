@@ -165,6 +165,11 @@ _WINDOW = [
 #   fuzz; closed-form resized pixels);
 # * txt_surprisal — added after the window filled; closed-form bitlen
 #   fixture + ordering contract pytest-pinned, rides CORRECTNESS_FULL;
+# * txt_bigram_score — added after the window filled; composes the
+#   in-window-cohort surprisal bitlen arithmetic at bigram grain with a
+#   Stupid-Backoff CASE; closed-form seen/backoff bits, self-scoring
+#   no-backoff invariant and delta-corpus backoff pytest-pinned, rides
+#   CORRECTNESS_FULL;
 # * txt_bpe_merges / txt_bpe_vocab — added after the window filled; the
 #   training loop is pytest-pinned closed-form (greedy adjacency, prefix
 #   safety, tie order, early stop) and both ride CORRECTNESS_FULL;

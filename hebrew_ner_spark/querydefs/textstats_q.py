@@ -321,3 +321,52 @@ def txt_bpe_encode(spark, sf_dir):
     """Corpus encoded with the trained merges: vocab-grain segmentation
     joined back onto token occurrences (operators/bpe.py bpe_encode)."""
     return bpe.bpe_encode(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "txt_bigram_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    pr AS (
+      SELECT doc_id, toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
+      FROM t, unnest(range(1, len(toks))) AS u(i)),
+    cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM pr GROUP BY 1, 2),
+    uni AS (SELECT unnest(toks) AS token FROM t),
+    uf AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM uni GROUP BY token),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS _t FROM uni),
+    dp AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS c
+           FROM pr GROUP BY 1, 2, 3),
+    pb AS (
+      SELECT dp.doc_id, dp.c,
+             CASE WHEN cb.cb IS NOT NULL
+                  THEN length(bin(u1.n)) - length(bin(cb.cb))
+                  ELSE {textstats.BACKOFF_BITS} + length(bin(_t)) - length(bin(u2.n))
+             END AS s,
+             CASE WHEN cb.cb IS NULL THEN dp.c ELSE 0 END AS bk
+      FROM dp
+      LEFT JOIN cb ON cb.w1 = dp.w1 AND cb.w2 = dp.w2
+      JOIN uf u1 ON u1.token = dp.w1
+      JOIN uf u2 ON u2.token = dp.w2
+      CROSS JOIN tot),
+    fb AS (
+      SELECT t.doc_id, CAST(1 AS BIGINT) AS c,
+             length(bin(_t)) - length(bin(uf.n)) AS s,
+             CAST(0 AS BIGINT) AS bk
+      FROM t JOIN uf ON uf.token = toks[1] CROSS JOIN tot
+      WHERE len(toks) >= 1),
+    ub AS (SELECT * FROM pb UNION ALL SELECT * FROM fb)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_scored,
+           CAST(sum(bk) AS BIGINT) AS n_backoff,
+           CAST(sum(c * s) AS BIGINT) AS bits,
+           CAST((2 * sum(c * s) * 1000000 + sum(c)) // (2 * sum(c)) AS BIGINT)
+             AS mean_bits_1e6
+    FROM ub GROUP BY doc_id
+    """,
+)
+def txt_bigram_score(spark, sf_dir):
+    """Integer bigram LM score with Stupid Backoff — the context-aware
+    perplexity-filter upgrade; backoff count doubles as an
+    out-of-distribution word-order signal (operators/textstats.py
+    bigram_score)."""
+    return textstats.bigram_score(load_table(spark, sf_dir, "documents"))

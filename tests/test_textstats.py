@@ -40,3 +40,47 @@ class TestUnigramSurprisal:
 
         got = {r.doc_id: r.mean_bits_1e6 for r in unigram_surprisal(docs).collect()}
         assert got[8] > got[0]
+
+
+class TestBigramScore:
+    def test_closed_form_seen_and_backoff(self, spark):
+        from hebrew_ner_spark.operators.textstats import bigram_score
+
+        # corpus: "a b" x3 and "b a" x1.
+        # unigrams: a=4, b=4; T=8. bigrams: (a,b)=3, (b,a)=1.
+        docs = spark.createDataFrame(
+            [(1, "a b"), (2, "a b"), (3, "a b"), (4, "b a")],
+            ["doc_id", "text"],
+        )
+        got = {r.doc_id: r for r in bigram_score(docs).collect()}
+        # doc 1: first 'a' -> bitlen(8)-bitlen(4) = 4-3 = 1;
+        #        pair (a,b) seen -> bitlen(4)-bitlen(3) = 3-2 = 1; total 2
+        assert (got[1].n_scored, got[1].n_backoff, got[1].bits) == (2, 0, 2)
+        assert got[1].mean_bits_1e6 == 1_000_000
+        # doc 4: first 'b' -> 1; pair (b,a) seen -> bitlen(4)-bitlen(1) = 2
+        assert (got[4].n_scored, got[4].bits) == (2, 3)
+
+    def test_self_scoring_never_backs_off(self, spark):
+        # a bigram in the scored corpus is by definition in the LM corpus
+        # when self-scoring — n_backoff must be 0 (catches a broken join)
+        from hebrew_ner_spark.operators.textstats import bigram_score
+
+        docs = spark.createDataFrame(
+            [(1, "a b a"), (2, "b b c")], ["doc_id", "text"]
+        )
+        rows = bigram_score(docs).collect()
+        assert all(r.n_backoff == 0 for r in rows)
+
+    def test_delta_scoring_backs_off_on_unseen_order(self, spark):
+        from hebrew_ner_spark.operators.textstats import BACKOFF_BITS, bigram_score
+
+        # LM corpus: "a b" x4 (unigrams a=4, b=4, T=8; bigram (a,b)=4).
+        # Delta doc "b a": first 'b' -> bitlen(8)-bitlen(4) = 1;
+        # pair (b,a) UNSEEN -> 2 + bitlen(8) - bitlen(4) = 3. total 4.
+        lm = spark.createDataFrame(
+            [(i, "a b") for i in range(4)], ["doc_id", "text"]
+        )
+        delta = spark.createDataFrame([(100, "b a")], ["doc_id", "text"])
+        [r] = bigram_score(delta, lm_docs=lm).collect()
+        assert (r.n_scored, r.n_backoff, r.bits) == (2, 1, 1 + BACKOFF_BITS + 1)
+        assert r.mean_bits_1e6 == 2_000_000
