@@ -165,6 +165,11 @@ _WINDOW = [
 #   fuzz; closed-form resized pixels);
 # * txt_surprisal — added after the window filled; closed-form bitlen
 #   fixture + ordering contract pytest-pinned, rides CORRECTNESS_FULL;
+# * dedup_ssjoin_exact — added after the window filled; the prefix
+#   filter's no-false-negative contract is pytest-pinned against brute
+#   force at three thresholds plus the ssjoin ⊇ LSH superset invariant,
+#   and its oracle replays the entire prefix+verify chain; rides
+#   CORRECTNESS_FULL;
 # * txt_bigram_score — added after the window filled; composes the
 #   in-window-cohort surprisal bitlen arithmetic at bigram grain with a
 #   Stupid-Backoff CASE; closed-form seen/backoff bits, self-scoring

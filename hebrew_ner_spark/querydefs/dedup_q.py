@@ -382,3 +382,63 @@ def dedup_probe_delta(spark, sf_dir):
     base = d.where(F.col("doc_id") % 2 == 0)
     delta = d.where(F.col("doc_id") % 2 == 1)
     return dedup.lsh_probe_delta(base, delta)
+
+
+from hebrew_ner_spark.operators import ssjoin as _ssj
+
+_SSJ_PREF_LEN = f"s - (({_ssj.SSJ_NUM} * s + {_ssj.SSJ_DEN} - 1) // {_ssj.SSJ_DEN}) + 1"
+
+
+@query(
+    "dedup_ssjoin_exact",
+    oracle=f"""
+    WITH ssj_tok AS (
+      SELECT doc_id, unnest({shingles_duck('toks', K)}) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+    ssj_df AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df
+               FROM ssj_tok GROUP BY shingle),
+    ssj_sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS s
+               FROM ssj_tok GROUP BY doc_id),
+    ssj_ord AS (
+      SELECT t.doc_id, t.shingle, z.s,
+             row_number() OVER (PARTITION BY t.doc_id
+                                ORDER BY d.df, t.shingle) AS rn
+      FROM ssj_tok t JOIN ssj_df d USING (shingle)
+      JOIN ssj_sz z USING (doc_id)),
+    ssj_pref AS (
+      SELECT doc_id, shingle, s FROM ssj_ord WHERE rn <= {_SSJ_PREF_LEN}),
+    ssj_ok AS (
+      SELECT shingle FROM ssj_pref GROUP BY shingle
+      HAVING count(DISTINCT doc_id) BETWEEN 2 AND {_ssj.SSJ_CAP}),
+    ssj_cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ssj_pref a JOIN ssj_ok USING (shingle)
+      JOIN ssj_pref b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+      WHERE {_ssj.SSJ_DEN} * least(a.s, b.s)
+            >= {_ssj.SSJ_NUM} * greatest(a.s, b.s)),
+    ssj_int AS (
+      SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_inter
+      FROM ssj_cand c
+      JOIN ssj_tok ta ON ta.doc_id = c.doc_a
+      JOIN ssj_tok tb ON tb.doc_id = c.doc_b AND tb.shingle = ta.shingle
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT i.doc_a, i.doc_b, n_inter,
+           CAST(sa.s + sb.s - n_inter AS BIGINT) AS n_union,
+           CAST((2 * n_inter * 1000000 + (sa.s + sb.s - n_inter))
+                // (2 * (sa.s + sb.s - n_inter)) AS BIGINT) AS jaccard_1e6
+    FROM ssj_int i
+    JOIN ssj_sz sa ON sa.doc_id = i.doc_a
+    JOIN ssj_sz sb ON sb.doc_id = i.doc_b
+    WHERE {_ssj.SSJ_DEN} * n_inter
+          >= {_ssj.SSJ_NUM} * (sa.s + sb.s - n_inter)
+    """,
+)
+def dedup_ssjoin_exact(spark, sf_dir):
+    """Exact set-similarity join (prefix filter, AllPairs/PPJoin family):
+    ALL doc pairs with shingle-set Jaccard >= 0.5 — the lossless
+    complement to probabilistic MinHash-LSH at the same threshold and
+    set definition, so ssjoin_pairs ⊇ near_dup_jaccard is a pinned
+    invariant (operators/ssjoin.py ssjoin_pairs); rarest-first ordering
+    keeps boilerplate shingles out of the candidate index, cap overflow
+    is surfaced not swallowed."""
+    return _ssj.ssjoin_pairs(_docs(spark, sf_dir))
