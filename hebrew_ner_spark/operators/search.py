@@ -225,3 +225,48 @@ def phrase_match(docs: DataFrame, phrase: list[str]) -> DataFrame:
         )
         .where(F.col("n_matches") > 0)
     )
+
+
+RRF_K = 60      # Cormack et al. SIGIR'09 smoothing constant
+RRF_TOPK = 10
+
+
+def rrf_fuse(runs: list[DataFrame], k: int = RRF_TOPK, rrf_k: int = RRF_K) -> DataFrame:
+    """(qid, doc_id, n_runs, rrf_1e6, rank): Reciprocal Rank Fusion of
+    ranked retrieval runs — the standard hybrid-retrieval combiner
+    (lexical BM25 + semantic ANN, Cormack et al. SIGIR'09).
+
+    Each run is (qid, doc_id, rank); a doc's fused score is
+    sum over runs of 1e6 DIV (rrf_k + rank) — pure integer arithmetic,
+    rank-only (score scales never have to be calibrated across runs,
+    which is WHY RRF is the standard fusion). n_runs counts how many
+    runs retrieved the doc (the agreement signal).
+
+    Scale shape: each run is already top-k per query (k rows per qid),
+    so the union + (qid, doc_id) aggregate + per-query window all touch
+    O(|queries| * k * |runs|) rows — never the corpus; WindowGroupLimit
+    pushes the final cut map-side.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    contribs = [
+        r.select(
+            "qid",
+            "doc_id",
+            F.expr(f"CAST(1000000 DIV ({rrf_k} + rank) AS BIGINT)").alias("c"),
+        )
+        for r in runs
+    ]
+    allc = reduce(lambda a, b: a.unionByName(b), contribs)
+    fused = allc.groupBy("qid", "doc_id").agg(
+        F.count("*").cast("long").alias("n_runs"),
+        F.sum("c").cast("long").alias("rrf_1e6"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("rrf_1e6"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "doc_id", "n_runs", "rrf_1e6", "rank")
+    )

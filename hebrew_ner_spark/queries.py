@@ -165,6 +165,10 @@ _WINDOW = [
 #   fuzz; closed-form resized pixels);
 # * txt_surprisal — added after the window filled; closed-form bitlen
 #   fixture + ordering contract pytest-pinned, rides CORRECTNESS_FULL;
+# * srch_rrf_hybrid — rank-only integer fusion of the in-window
+#   srch_bm25_topk family's batch run with the judge-verified
+#   ann_brute_topk run; closed-form RRF arithmetic, agreement ordering
+#   and tie order pytest-pinned, rides CORRECTNESS_FULL;
 # * dedup_ssjoin_exact — added after the window filled; the prefix
 #   filter's no-false-negative contract is pytest-pinned against brute
 #   force at three thresholds plus the ssjoin ⊇ LSH superset invariant,

@@ -176,3 +176,100 @@ def srch_phrase_match(spark, sf_dir):
     count and first position (operators/search.py phrase_match —
     one array-side codegen stage, zero shuffles)."""
     return search.phrase_match(_docs(spark, sf_dir), PHRASE)
+
+
+# Hybrid retrieval: the three BM25 batch queries paired with query
+# vectors 0/1/2 (embeddings row i is document i's vector, so this is the
+# same id space on both runs). Frozen — the oracle embeds the same map.
+RRF_QID_MAP = [("q_cust", 0), ("q_fast", 1), ("q_mix", 2)]
+_RRF_MAP_VALUES = ", ".join(f"('{q}', {v})" for q, v in RRF_QID_MAP)
+_RRF_NQ = len(RRF_QID_MAP)
+
+from hebrew_ner_spark.querydefs.simsearch_q import _DOT_QE, _E_CTE
+
+
+@query(
+    "srch_rrf_hybrid",
+    oracle=f"""
+    WITH qr(qid, term) AS (VALUES {_BATCH_VALUES}),
+    q AS (SELECT DISTINCT qid, term FROM qr),
+    qt AS (SELECT DISTINCT term FROM q),
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS len_d FROM t),
+    occ AS (SELECT doc_id, len_d, unnest(toks) AS term FROM d),
+    m AS (SELECT doc_id, len_d, term, CAST(count(*) AS BIGINT) AS tf
+          FROM occ JOIN qt USING (term) GROUP BY 1, 2, 3),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM m GROUP BY term),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len_d) AS BIGINT) AS n_toks FROM d),
+    scored AS (
+      SELECT doc_id, term,
+             ((1000000 * (n_docs - df + 1)) // (df + 1)) * 22 * tf * n_toks
+               // (10 * tf * n_toks + 3 * n_toks + 9 * len_d * n_docs) AS c
+      FROM m JOIN dfreq USING (term) CROSS JOIN tot
+    ),
+    per_q AS (
+      SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS score_1e6
+      FROM scored JOIN q USING (term) GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT qid, doc_id, score_1e6,
+             CAST(row_number() OVER (PARTITION BY qid
+                                     ORDER BY score_1e6 DESC, doc_id) AS BIGINT) AS rank
+      FROM per_q
+    ),
+    {_E_CTE.strip()},
+    qset AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn
+             FROM e WHERE vec_id < {_RRF_NQ}),
+    s AS (
+      SELECT qset.qid, e.vec_id AS nid,
+             CAST(round({_DOT_QE} / (e.nrm * qset.qn) * 1000000.0) AS BIGINT) AS cos_1e6
+      FROM e CROSS JOIN qset WHERE e.vec_id <> qset.qid
+    ),
+    sr AS (
+      SELECT qid, nid,
+             CAST(row_number() OVER (PARTITION BY qid
+                                     ORDER BY cos_1e6 DESC, nid) AS BIGINT) AS rank
+      FROM s QUALIFY rank <= {search.BM25_BATCH_K}
+    ),
+    rrf_map(qid, qid_s) AS (VALUES {_RRF_MAP_VALUES}),
+    rrf_lex AS (
+      SELECT qid, doc_id, CAST(1000000 // (60 + rank) AS BIGINT) AS c
+      FROM ranked WHERE rank <= {search.BM25_BATCH_K}),
+    rrf_sem AS (
+      SELECT mp.qid, sr.nid AS doc_id, CAST(1000000 // (60 + sr.rank) AS BIGINT) AS c
+      FROM sr JOIN rrf_map mp ON mp.qid_s = sr.qid),
+    rrf_all AS (SELECT * FROM rrf_lex UNION ALL SELECT * FROM rrf_sem),
+    rrf_f AS (
+      SELECT qid, doc_id,
+             CAST(count(*) AS BIGINT) AS n_runs,
+             CAST(sum(c) AS BIGINT) AS rrf_1e6
+      FROM rrf_all GROUP BY 1, 2)
+    SELECT qid, doc_id, n_runs, rrf_1e6,
+           CAST(row_number() OVER (PARTITION BY qid
+                                   ORDER BY rrf_1e6 DESC, doc_id) AS BIGINT) AS rank
+    FROM rrf_f QUALIFY rank <= {search.RRF_TOPK}
+    """,
+)
+def srch_rrf_hybrid(spark, sf_dir):
+    """Hybrid retrieval: Reciprocal Rank Fusion of the batch-BM25
+    lexical run and the brute-force cosine semantic run over the SAME
+    three queries (operators/search.py rrf_fuse) — rank-only integer
+    fusion, so lexical and semantic score scales never need calibration."""
+    from pyspark.sql import functions as F
+
+    from hebrew_ner_spark.operators import simsearch
+
+    docs = _docs(spark, sf_dir)
+    q = spark.createDataFrame(BM25_BATCH, "qid string, term string")
+    lex = search.bm25_batch(docs, q).select("qid", "doc_id", "rank")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qid_map = spark.createDataFrame(RRF_QID_MAP, "qid string, qid_s long")
+    sem = (
+        simsearch.brute_topk(emb, n_queries=_RRF_NQ, k=search.BM25_BATCH_K)
+        .withColumnRenamed("qid", "qid_s")
+        .join(F.broadcast(qid_map), "qid_s")
+        .select("qid", F.col("nid").alias("doc_id"), "rank")
+    )
+    return search.rrf_fuse([lex, sem])

@@ -135,3 +135,57 @@ def test_phrase_match_zero_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+class TestRrfFuse:
+    def _runs(self, spark):
+        lex = spark.createDataFrame(
+            [("q", 10, 1), ("q", 11, 2), ("q", 12, 3)],
+            "qid string, doc_id long, rank long",
+        )
+        sem = spark.createDataFrame(
+            [("q", 11, 1), ("q", 13, 2), ("q", 10, 3)],
+            "qid string, doc_id long, rank long",
+        )
+        return lex, sem
+
+    def test_closed_form_scores(self, spark):
+        lex, sem = self._runs(spark)
+        got = {r.doc_id: r for r in search.rrf_fuse([lex, sem]).collect()}
+        # doc 11: 1e6//62 + 1e6//61 = 16129 + 16393 = 32522 (both runs)
+        assert (got[11].rrf_1e6, got[11].n_runs) == (16129 + 16393, 2)
+        # doc 10: 1e6//61 + 1e6//63 = 16393 + 15873
+        assert (got[10].rrf_1e6, got[10].n_runs) == (16393 + 15873, 2)
+        # single-run docs
+        assert (got[12].rrf_1e6, got[12].n_runs) == (1_000_000 // 63, 1)
+        assert (got[13].rrf_1e6, got[13].n_runs) == (1_000_000 // 62, 1)
+        # agreement wins: both two-run docs outrank both one-run docs
+        assert got[11].rank == 1 and got[10].rank == 2
+        assert {got[12].rank, got[13].rank} == {3, 4}
+
+    def test_topk_cut_and_tie_order(self, spark):
+        lex, sem = self._runs(spark)
+        out = search.rrf_fuse([lex, sem], k=2).collect()
+        assert sorted((r.rank, r.doc_id) for r in out) == [(1, 11), (2, 10)]
+        # identical ranks in both runs -> equal scores; tie breaks on doc_id
+        a = spark.createDataFrame(
+            [("q", 5, 1), ("q", 3, 2)], "qid string, doc_id long, rank long"
+        )
+        b = spark.createDataFrame(
+            [("q", 3, 1), ("q", 5, 2)], "qid string, doc_id long, rank long"
+        )
+        out = search.rrf_fuse([a, b]).collect()
+        assert [(r.rank, r.doc_id) for r in sorted(out, key=lambda r: r.rank)] == [
+            (1, 3),
+            (2, 5),
+        ]
+
+    def test_queries_fuse_independently(self, spark):
+        a = spark.createDataFrame(
+            [("q1", 1, 1), ("q2", 2, 1)], "qid string, doc_id long, rank long"
+        )
+        b = spark.createDataFrame(
+            [("q1", 1, 1), ("q2", 3, 1)], "qid string, doc_id long, rank long"
+        )
+        got = {(r.qid, r.doc_id): r.rank for r in search.rrf_fuse([a, b]).collect()}
+        assert got == {("q1", 1): 1, ("q2", 2): 1, ("q2", 3): 2}
