@@ -210,3 +210,67 @@ def dedup_components(near_dup_pairs: DataFrame) -> DataFrame:
     return cc.select(
         F.col("vertex").alias("doc_id"), F.col("component").alias("component_id")
     )
+
+
+def incremental_components(
+    labels: DataFrame,
+    delta: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 25,
+    reliable: bool | None = None,
+) -> DataFrame:
+    """(vertex, component): fold a delta edge set into persisted
+    component labels WITHOUT touching the base graph's edges.
+
+    The crawl-increment shape: a 10^12-doc corpus's duplicate/sameAs
+    components are persisted; each crawl adds a delta of edges. A full
+    re-run is O(|base|); this is O(|delta| + |touched components|):
+
+    1. lift each delta edge to component space — endpoints map to their
+       persisted component (broadcast-or-SMJ left join; vertices the
+       labels have never seen map to themselves);
+    2. run ``connected_components`` on the component-grain graph, whose
+       vertex set is only the components and new vertices the delta
+       touches — corpus-size independent;
+    3. apply the comp -> merged-comp mapping back with one left join +
+       coalesce (untouched components keep their label), and label
+       delta-new vertices.
+
+    EXACTLY equals a full recompute over base ∪ delta edges: a base
+    component's id is its min member vertex, so contracting components
+    to their ids preserves both connectivity and the min — the merged
+    label is the global min vertex id either way (oracle-gated against
+    the recursive-closure full answer; pytest merge/split-free cases).
+    """
+    la = labels.select(F.col("vertex").alias("_v"), F.col("component").alias("_c"))
+    e = delta.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    lifted = (
+        e.join(la.withColumnRenamed("_v", "a").withColumnRenamed("_c", "ca"), "a", "left")
+        .join(la.withColumnRenamed("_v", "b").withColumnRenamed("_c", "cb"), "b", "left")
+        .select(
+            F.coalesce("ca", "a").alias("src"),
+            F.coalesce("cb", "b").alias("dst"),
+        )
+    )
+    comp_edges = lifted.where(F.col("src") != F.col("dst")).distinct()
+    mapping = connected_components(
+        comp_edges, max_rounds=max_rounds, reliable=reliable
+    ).select(F.col("vertex").alias("_m_from"), F.col("component").alias("_m_to"))
+
+    relabeled = labels.join(
+        mapping, labels["component"] == mapping["_m_from"], "left"
+    ).select(
+        "vertex",
+        F.coalesce("_m_to", "component").alias("component"),
+    )
+    new_vertices = (
+        e.select(F.col("a").alias("vertex"))
+        .union(e.select(F.col("b").alias("vertex")))
+        .distinct()
+        .join(labels.select("vertex"), "vertex", "left_anti")
+    )
+    new_labeled = new_vertices.join(
+        mapping, new_vertices["vertex"] == mapping["_m_from"], "left"
+    ).select("vertex", F.coalesce("_m_to", "vertex").alias("component"))
+    return relabeled.unionByName(new_labeled)

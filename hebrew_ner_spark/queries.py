@@ -165,6 +165,10 @@ _WINDOW = [
 #   fuzz; closed-form resized pixels);
 # * txt_surprisal — added after the window filled; closed-form bitlen
 #   fixture + ordering contract pytest-pinned, rides CORRECTNESS_FULL;
+# * cc_incremental — composes the judge-verified CC machinery at
+#   component grain; merge/full-equality/new-vertex cases pytest-pinned
+#   and the gate's oracle is the exact recursive closure over
+#   base ∪ delta, rides CORRECTNESS_FULL;
 # * srch_rrf_hybrid — rank-only integer fusion of the in-window
 #   srch_bm25_topk family's batch run with the judge-verified
 #   ann_brute_topk run; closed-form RRF arithmetic, agreement ordering

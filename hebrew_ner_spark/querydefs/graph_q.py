@@ -1029,3 +1029,40 @@ def kg_ppr(spark, sf_dir):
     return pagerank.entity_pagerank(
         linking.kg_edges(_docs(spark, sf_dir)), seed_mod=pagerank.PPR_SEED_MOD
     )
+
+
+@query(
+    "cc_incremental",
+    oracle="""
+    WITH RECURSIVE inc_e AS (
+      SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+      WHERE doc_id % 5 <> 4),
+    inc_sym AS (SELECT a, b FROM inc_e UNION SELECT b, a FROM inc_e),
+    inc_base AS (
+      SELECT DISTINCT a, a AS b FROM inc_sym
+      UNION SELECT a, b FROM inc_sym),
+    inc_reach(a, b) AS (
+      SELECT a, b FROM inc_base
+      UNION
+      SELECT r.a, s.b FROM inc_reach r JOIN inc_sym s ON r.b = s.a)
+    SELECT a AS vertex, CAST(min(b) AS BIGINT) AS component
+    FROM inc_reach GROUP BY a
+    """,
+)
+def cc_incremental(spark, sf_dir):
+    """Incremental connected components: persisted labels from the BASE
+    edges (even sources of a 5-node chain graph) folded together with the
+    odd-source DELTA edges — which merge base pairs into full chains —
+    must equal the exact recursive-closure answer over base ∪ delta
+    (operators/canonicalize.py incremental_components; the crawl-
+    increment contract, O(delta) not O(base))."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    edges = docs.select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+    ).where(F.col("doc_id") % 5 != 4)
+    base = edges.where(F.col("src") % 2 == 0)
+    delta = edges.where(F.col("src") % 2 == 1)
+    labels = canonicalize.connected_components(base)
+    return canonicalize.incremental_components(labels, delta)
