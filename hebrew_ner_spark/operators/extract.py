@@ -121,3 +121,61 @@ def main_content(pages: DataFrame) -> DataFrame:
         scored.getField("txt").alias("main_text"),
         scored.getField("n").alias("main_toks"),
     )
+
+
+def synth_html_infobox(docs: DataFrame) -> DataFrame:
+    """(doc_id, html binary): the page skeleton with an infobox TABLE
+    planted on every third document — the structured-data synthesis for
+    table-mining gates. Fields are pure functions of document columns
+    (language, token count, a derived category), so an oracle can state
+    the expected triples closed-form while the operator must actually
+    recover them from the markup."""
+    rows = F.concat(
+        F.lit('<table class="infobox">'),
+        F.lit("<tr><th>language</th><td>"),
+        F.col("lang"),
+        F.lit("</td></tr><tr><th>tokens</th><td>"),
+        F.size(F.split("text", " ")).cast("string"),
+        F.lit("</td></tr><tr><th>category</th><td>c"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("</td></tr></table>"),
+    )
+    infobox = F.when(F.col("doc_id") % 3 == 0, rows).otherwise(F.lit(""))
+    page = F.concat(
+        F.lit("<html><head><title>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title></head><body><h1>Document "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1>"),
+        infobox,
+        F.lit("<div><p>"),
+        F.col("text"),
+        F.lit("</p></div></body></html>"),
+    )
+    return docs.select("doc_id", F.encode(page, "UTF-8").alias("html"))
+
+
+def infobox_triples(pages: DataFrame) -> DataFrame:
+    """(doc_id, pred, obj): table mining — every <tr><th>k</th><td>v</td>
+    row of every infobox table becomes an attribute triple keyed by the
+    page (the DBpedia-style structured-data source of a KG pipeline,
+    complementing the text-pattern extractors in operators/kg.py).
+
+    Engine shape at 10^12 pages: ONE narrow codegen stage — extract the
+    <tr> fragments with regexp_extract_all, split each into (pred, obj)
+    array-side, explode — zero shuffles, zero Python; the html column is
+    pruned inside the same projection. Pages without tables contribute
+    nothing (plain explode, not explode_outer, is the semantics)."""
+    rows = F.expr(
+        r"""
+        transform(
+          regexp_extract_all(decode(html, 'UTF-8'),
+                             '<tr><th>([^<]*)</th><td>([^<]*)</td></tr>', 0),
+          r -> named_struct(
+                 'pred', regexp_extract(r, '<th>([^<]*)</th>', 1),
+                 'obj',  regexp_extract(r, '<td>([^<]*)</td>', 1)))
+        """
+    )
+    return pages.select("doc_id", F.explode(rows).alias("kv")).select(
+        "doc_id", F.col("kv.pred").alias("pred"), F.col("kv.obj").alias("obj")
+    )

@@ -165,6 +165,10 @@ _WINDOW = [
 #   fuzz; closed-form resized pixels);
 # * txt_surprisal — added after the window filled; closed-form bitlen
 #   fixture + ordering contract pytest-pinned, rides CORRECTNESS_FULL;
+# * kg_infobox_triples — zero-shuffle codegen sibling of the in-window
+#   ext_* extraction family; synthesis->extraction round trip with a
+#   closed-form oracle, handwritten-markup parse pytest-pinned, rides
+#   CORRECTNESS_FULL;
 # * cc_incremental — composes the judge-verified CC machinery at
 #   component grain; merge/full-equality/new-vertex cases pytest-pinned
 #   and the gate's oracle is the exact recursive closure over

@@ -127,3 +127,28 @@ def ext_main_content(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return extract.main_content(weblinks.synth_linked_pages(docs))
+
+
+@query(
+    "kg_infobox_triples",
+    oracle="""
+    WITH ib_d AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS VARCHAR) AS n_toks,
+             'c' || CAST(doc_id % 7 AS VARCHAR) AS cat
+      FROM documents WHERE doc_id % 3 = 0)
+    SELECT doc_id, 'language' AS pred, lang AS obj FROM ib_d
+    UNION ALL
+    SELECT doc_id, 'tokens' AS pred, n_toks AS obj FROM ib_d
+    UNION ALL
+    SELECT doc_id, 'category' AS pred, cat AS obj FROM ib_d
+    """,
+)
+def kg_infobox_triples(spark, sf_dir):
+    """Structured-data table mining: attribute triples recovered from
+    planted infobox markup must equal the closed-form expectation the
+    synthesis derives them from — a true synthesis->extraction round
+    trip (operators/extract.py infobox_triples; one codegen stage,
+    zero shuffles, zero Python)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract.infobox_triples(extract.synth_html_infobox(docs))

@@ -167,3 +167,59 @@ class TestMainContent:
         ).select("url", F.encode("h", "UTF-8").alias("html"))
         plan = main_content(pages)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestInfoboxTriples:
+    def test_closed_form_round_trip(self, spark):
+        from hebrew_ner_spark.operators.extract import (
+            infobox_triples,
+            synth_html_infobox,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "a b c", "en"), (1, "x y", "de"), (3, "q", "fr")],
+            ["doc_id", "text", "lang"],
+        )
+        got = {
+            (r.doc_id, r.pred): r.obj
+            for r in infobox_triples(synth_html_infobox(docs)).collect()
+        }
+        # only doc_id % 3 == 0 carries an infobox
+        assert got == {
+            (0, "language"): "en",
+            (0, "tokens"): "3",
+            (0, "category"): "c0",
+            (3, "language"): "fr",
+            (3, "tokens"): "1",
+            (3, "category"): "c3",
+        }
+
+    def test_zero_shuffle_plan(self, spark):
+        from hebrew_ner_spark.operators.extract import (
+            infobox_triples,
+            synth_html_infobox,
+        )
+
+        docs = spark.createDataFrame([(0, "a", "en")], ["doc_id", "text", "lang"])
+        plan = (
+            infobox_triples(synth_html_infobox(docs))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+
+    def test_handles_arbitrary_table_rows(self, spark):
+        # the miner reads the MARKUP, not the synthesis: a handwritten
+        # page with extra rows and no planted fields still parses
+        from pyspark.sql import functions as F
+
+        from hebrew_ner_spark.operators.extract import infobox_triples
+
+        html = (
+            "<html><body><table><tr><th>born</th><td>1912</td></tr>"
+            "<tr><th>field</th><td>logic</td></tr></table></body></html>"
+        )
+        pages = spark.createDataFrame([(9, html)], ["doc_id", "h"]).select(
+            "doc_id", F.encode("h", "UTF-8").alias("html")
+        )
+        got = {(r.pred, r.obj) for r in infobox_triples(pages).collect()}
+        assert got == {("born", "1912"), ("field", "logic")}
