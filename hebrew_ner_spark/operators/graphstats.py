@@ -965,3 +965,52 @@ def type_propagation(docs: DataFrame, iters: int = TYPEPROP_ITERS) -> DataFrame:
         (~(phash_col(F.concat(F.lit("TPS|"), F.col("entity")), TYPEPROP_SEED) % 2 == 0))
         .cast("long"),
     )
+
+
+def pra_path_features(docs: DataFrame, max_center_degree: int = 0) -> DataFrame:
+    """(a, c, pred1, pred2, n_paths): PRA path-type features (Lao & Cohen
+    2010 path-ranking) over the TYPED triple store — for each ordered
+    entity pair, the number of distinct mid entities connecting them
+    through the (pred1, pred2) relation sequence. This is the feature
+    matrix behind path-ranking KG completion: each relation-pair column
+    scores candidate edges for extraction review, complementing the
+    untyped reachability counts (``paths_2hop``) and the structural RA
+    index (``link_pred_ra``).
+
+    Plan shape: the evidence-grain pattern triples pre-aggregate to the
+    DISTINCT (subj, pred, obj) edge set BEFORE the wedge join on the mid
+    entity, so the join carries one row per typed edge, never per
+    occurrence; the mid-keyed self-join is the ``paths_2hop`` shape with
+    the same ``max_center_degree`` hub truncation (mids above the cap
+    excluded as path evidence — the link_pred_ra non-silent contract;
+    0 = exact, the gate's setting).
+    """
+    from hebrew_ner_spark.operators import kg
+
+    e = (
+        kg.doc_triples_patterns(docs)
+        .where(F.col("subj") != F.col("obj"))
+        .select("subj", "pred", "obj")
+        .distinct()
+    )
+    if max_center_degree > 0:
+        deg = (
+            e.select(F.col("obj").alias("mid"))
+            .unionAll(e.select(F.col("subj").alias("mid")))
+            .groupBy("mid")
+            .agg(F.count("*").alias("d"))
+            .where(F.col("d") <= max_center_degree)
+            .select("mid")
+        )
+    else:
+        deg = None
+    e1 = e.select(F.col("subj").alias("a"), F.col("pred").alias("pred1"), F.col("obj").alias("mid"))
+    e2 = e.select(F.col("subj").alias("mid"), F.col("pred").alias("pred2"), F.col("obj").alias("c"))
+    if deg is not None:
+        e1 = e1.join(deg, "mid")
+    return (
+        e1.join(e2, "mid")
+        .where(F.col("a") != F.col("c"))
+        .groupBy("a", "c", "pred1", "pred2")
+        .agg(F.count_distinct("mid").alias("n_paths"))
+    )

@@ -165,6 +165,10 @@ _WINDOW = [
 #   fuzz; closed-form resized pixels);
 # * txt_surprisal — added after the window filled; closed-form bitlen
 #   fixture + ordering contract pytest-pinned, rides CORRECTNESS_FULL;
+# * kg_pra_features — the typed sibling of in-window-cohort
+#   kg_paths_2hop (same wedge-join machinery plus relation-pair
+#   grain); closed-form path types and hub-cap semantics
+#   pytest-pinned, rides CORRECTNESS_FULL;
 # * kg_infobox_triples — zero-shuffle codegen sibling of the in-window
 #   ext_* extraction family; synthesis->extraction round trip with a
 #   closed-form oracle, handwritten-markup parse pytest-pinned, rides

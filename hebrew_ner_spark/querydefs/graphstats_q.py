@@ -438,3 +438,23 @@ def kg_type_propagation(spark, sf_dir):
     for the rest, fixed synchronous rounds vs the unrolled-CTE oracle
     (operators/graphstats.py type_propagation)."""
     return graphstats.type_propagation(_docs(spark, sf_dir))
+
+
+@query(
+    "kg_pra_features",
+    oracle=f"""
+    WITH pra_t AS ({_DEPPAT_ORACLE}),
+    pra_e AS (SELECT DISTINCT subj, pred, obj FROM pra_t WHERE subj <> obj)
+    SELECT e1.subj AS a, e2.obj AS c, e1.pred AS pred1, e2.pred AS pred2,
+           CAST(count(DISTINCT e1.obj) AS BIGINT) AS n_paths
+    FROM pra_e e1 JOIN pra_e e2 ON e1.obj = e2.subj
+    WHERE e1.subj <> e2.obj
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def kg_pra_features(spark, sf_dir):
+    """PRA path-type features: distinct-mid counts per (pred1, pred2)
+    relation sequence over the typed triple store (operators/graphstats.py
+    pra_path_features — distinct typed edges before the wedge join,
+    hub-cap contract shared with link_pred_ra)."""
+    return graphstats.pra_path_features(_docs(spark, sf_dir))

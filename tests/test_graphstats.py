@@ -491,3 +491,78 @@ class TestTypePropagation:
         assert set(got) == {"customer", "key"}
         assert (got["customer"].etype, got["customer"].inferred) == ("AGENT", False)
         assert (got["key"].etype, got["key"].inferred) == ("AGENT", True)
+
+
+class TestPraPathFeatures:
+    def test_closed_form_typed_paths(self, spark):
+        from unittest.mock import patch
+
+        from pyspark.sql import functions as F
+
+        from hebrew_ner_spark.operators import graphstats
+
+        edges = spark.createDataFrame(
+            [
+                # a -r1-> m1 -r2-> c   and   a -r1-> m2 -r2-> c : 2 paths
+                ("a", "r1", "m1"), ("m1", "r2", "c"),
+                ("a", "r1", "m2"), ("m2", "r2", "c"),
+                # a -r1-> m1 -r3-> c : a different path TYPE, counted apart
+                ("m1", "r3", "c"),
+                # cycle back to self must be excluded
+                ("c", "r9", "a"), ("a", "r0", "x"), ("x", "r0", "a"),
+            ],
+            ["subj", "pred", "obj"],
+        )
+        fake = edges.withColumn("doc_id", F.lit(0)).withColumn(
+            "word_index", F.lit(0)
+        ).withColumn("pattern", F.lit("svo"))
+        from hebrew_ner_spark.operators import kg
+
+        with patch.object(kg, "doc_triples_patterns", return_value=fake):
+            got = {
+                (r.a, r.c, r.pred1, r.pred2): r.n_paths
+                for r in graphstats.pra_path_features(edges).collect()
+            }
+        assert got[("a", "c", "r1", "r2")] == 2
+        assert got[("a", "c", "r1", "r3")] == 1
+        # the x-loop contributes a->x->a which is a==c: excluded
+        assert ("a", "a", "r0", "r0") not in got
+        # reverse wedge c -r9-> a -r1-> m1 exists
+        assert got[("c", "m1", "r9", "r1")] == 1
+
+    def test_hub_cap_excludes_mid(self, spark):
+        from unittest.mock import patch
+
+        from pyspark.sql import functions as F
+
+        from hebrew_ner_spark.operators import graphstats
+
+        edges = spark.createDataFrame(
+            # hub m has degree 4 (2 in + 2 out); quiet mid q has 2
+            [
+                ("a", "r", "m"), ("b", "r", "m"),
+                ("m", "r", "c"), ("m", "r", "d"),
+                ("a", "r", "q"), ("q", "r", "c"),
+            ],
+            ["subj", "pred", "obj"],
+        )
+        fake = edges.withColumn("doc_id", F.lit(0)).withColumn(
+            "word_index", F.lit(0)
+        ).withColumn("pattern", F.lit("svo"))
+        from hebrew_ner_spark.operators import kg
+
+        with patch.object(kg, "doc_triples_patterns", return_value=fake):
+            capped = {
+                (r.a, r.c): r.n_paths
+                for r in graphstats.pra_path_features(
+                    edges, max_center_degree=3
+                ).collect()
+            }
+            exact = {
+                (r.a, r.c): r.n_paths
+                for r in graphstats.pra_path_features(edges).collect()
+            }
+        # exact sees both mids for (a, c); the cap drops hub m everywhere
+        assert exact[("a", "c")] == 2
+        assert capped[("a", "c")] == 1
+        assert ("b", "c") in exact and ("b", "c") not in capped
