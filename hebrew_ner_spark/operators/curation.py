@@ -608,3 +608,99 @@ def cdc_dedup(docs: DataFrame) -> DataFrame:
             ).alias("dup_frac_1e6"),
         )
     )
+
+
+DUP_SPAN_L = 6  # minimum duplicated-substring length, in tokens
+
+
+def _gram_positions(docs: DataFrame, L: int = DUP_SPAN_L) -> DataFrame:
+    """(doc_id, pos, gram): every L-gram with its 0-based token position,
+    on the codegen zip-slice fast path (dedup._shingle_rows' shape plus
+    posexplode for the position)."""
+    from hebrew_ner_spark.operators.kg import with_tokens
+
+    toks = with_tokens(docs).select("doc_id", "toks")
+    n = f"greatest(size(toks) - {L - 1}, 0)"
+    zipped = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.arrays_zip(*[F.expr(f"slice(toks, {i + 1}, {n})") for i in range(L)])
+        ).alias("pos", "g"),
+    )
+    return zipped.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.concat_ws(" ", *[f"g.{i}" for i in range(L)]).alias("gram"),
+    )
+
+
+def dup_spans(docs: DataFrame, L: int = DUP_SPAN_L) -> DataFrame:
+    """(doc_id, span_start, span_end, span_len, n_grams): maximal token
+    spans covered by corpus-duplicated L-grams — the exact-substring
+    dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), in its gram-cover formulation: a maximal
+    duplicated substring of length m >= L is covered by exactly its
+    m - L + 1 duplicated grams, which are CONTIGUOUS positions, so
+    merging flagged positions whose gap <= L - 1 (token-span overlap)
+    recovers the substring spans without any suffix array. The spans are
+    what a curation pass cuts out of the text (vs. dropping whole docs —
+    the passage/CDC/LSH family's grain).
+
+    Plan shape at 10^12 docs: one codegen gram scan; one gram-keyed
+    map-side-combined count (> 1 filter makes the dup-gram table
+    collision-sized, not corpus-sized); one gram-keyed join flags
+    positions; one per-doc window builds the runs. The gram join's key
+    distribution is the corpus's duplication profile — AQE skew split
+    applies; a boilerplate mega-gram flags many positions but each doc
+    contributes at most its own length.
+    """
+    gp = _gram_positions(docs, L)
+    dup = gp.groupBy("gram").agg(F.count("*").alias("n")).where(F.col("n") > 1)
+    flagged = gp.join(dup.select("gram"), "gram").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = flagged.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) > L - 1, 1).otherwise(0),
+    ).withColumn("grp", F.sum("brk").over(w))
+    return (
+        runs.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + L - 1).cast("long").alias("span_end"),
+            F.count("*").cast("long").alias("n_grams"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).cast("long").alias("span_len"),
+            "n_grams",
+        )
+    )
+
+
+def dup_span_fraction(docs: DataFrame, L: int = DUP_SPAN_L) -> DataFrame:
+    """(doc_id, n_toks, dup_tokens, dup_1e6): per-document fraction of
+    tokens inside duplicated substrings — the keep/cut curation signal
+    over ``dup_spans`` (merged spans are disjoint, so their lengths sum
+    to the covered-token count). Docs with no duplicated span report 0."""
+    spans = dup_spans(docs, L).groupBy("doc_id").agg(
+        F.sum("span_len").cast("long").alias("dup_tokens")
+    )
+    sizes = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_toks")
+    )
+    return (
+        sizes.join(spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_toks",
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        )
+        .withColumn(
+            "dup_1e6",
+            F.expr(
+                "CAST((2 * dup_tokens * 1000000 + n_toks) DIV (2 * n_toks) AS BIGINT)"
+            ),
+        )
+    )

@@ -165,6 +165,11 @@ _WINDOW = [
 #   fuzz; closed-form resized pixels);
 # * txt_surprisal — added after the window filled; closed-form bitlen
 #   fixture + ordering contract pytest-pinned, rides CORRECTNESS_FULL;
+# * cur_dup_spans / cur_dup_fraction — added after the window filled;
+#   the gram-cover span algebra (overlap merge at gap = L-1,
+#   within-doc repeats, planted cross-doc dup) is pytest-pinned and
+#   both oracles replay the full gram->flag->run chain; ride
+#   CORRECTNESS_FULL;
 # * kg_pra_features — the typed sibling of in-window-cohort
 #   kg_paths_2hop (same wedge-join machinery plus relation-pair
 #   grain); closed-form path types and hub-cap semantics

@@ -508,3 +508,71 @@ def cur_cdc_dedup(spark, sf_dir):
     chunks (operators/curation.py cdc_dedup — FastCDC-style boundaries,
     array-side chunking, int64-only shuffles)."""
     return curation.cdc_dedup(_docs(spark, sf_dir))
+
+
+_DSP_L = curation.DUP_SPAN_L
+
+_DSP_CTES = f"""
+    dsp_t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    dsp_g AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(toks[CAST(i + 1 AS INT):CAST(i + {_DSP_L} AS INT)], ' ') AS gram
+      FROM dsp_t, unnest(range(0, greatest(len(toks) - {_DSP_L} + 1, 0))) AS u(i)),
+    dsp_c AS (SELECT gram FROM dsp_g GROUP BY gram HAVING count(*) > 1),
+    dsp_f AS (SELECT doc_id, pos FROM dsp_g JOIN dsp_c USING (gram)),
+    dsp_r AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       > {_DSP_L} - 1
+                  THEN 1 ELSE 0 END AS brk
+      FROM dsp_f),
+    dsp_grp AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM dsp_r),
+    dsp_spans AS (
+      SELECT doc_id,
+             CAST(min(pos) AS BIGINT) AS span_start,
+             CAST(max(pos) + {_DSP_L} - 1 AS BIGINT) AS span_end,
+             CAST(max(pos) + {_DSP_L} - min(pos) AS BIGINT) AS span_len,
+             CAST(count(*) AS BIGINT) AS n_grams
+      FROM dsp_grp GROUP BY doc_id, grp)
+"""
+
+
+@query(
+    "cur_dup_spans",
+    oracle=f"""
+    WITH {_DSP_CTES.strip()}
+    SELECT doc_id, span_start, span_end, span_len, n_grams FROM dsp_spans
+    """,
+)
+def cur_dup_spans(spark, sf_dir):
+    """Exact duplicated-substring spans (Lee et al. 2022, gram-cover
+    formulation): maximal token spans whose every L-gram repeats in the
+    corpus — the cut list for substring-grain dedup
+    (operators/curation.py dup_spans)."""
+    return curation.dup_spans(_docs(spark, sf_dir))
+
+
+@query(
+    "cur_dup_fraction",
+    oracle=f"""
+    WITH {_DSP_CTES.strip()},
+    dsp_cov AS (
+      SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS dup_tokens
+      FROM dsp_spans GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks,
+           CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST((2 * coalesce(c.dup_tokens, 0) * 1000000
+                 + len(string_split(d.text, ' ')))
+                // (2 * len(string_split(d.text, ' '))) AS BIGINT) AS dup_1e6
+    FROM documents d LEFT JOIN dsp_cov c USING (doc_id)
+    """,
+)
+def cur_dup_fraction(spark, sf_dir):
+    """Per-document duplicated-substring token fraction — the
+    keep/cut curation signal over cur_dup_spans (operators/curation.py
+    dup_span_fraction)."""
+    return curation.dup_span_fraction(_docs(spark, sf_dir))

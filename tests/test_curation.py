@@ -359,3 +359,64 @@ class TestCdcDedup:
         got = {r.doc_id: r for r in curation.cdc_dedup(docs).collect()}
         assert got[1].dup_frac_1e6 == 1000000
         assert got[1].n_chunks == got[2].n_chunks > 0
+
+
+class TestDupSpans:
+    def test_planted_cross_doc_duplicate(self, spark):
+        from hebrew_ner_spark.operators.curation import dup_span_fraction, dup_spans
+
+        # docs 1/2 share an 8-token substring (>= L=6) at different
+        # offsets; doc 3 is clean
+        shared = "q w e r t y u i"
+        docs = spark.createDataFrame(
+            [
+                (1, "a1 b1 " + shared + " z1"),
+                (2, shared + " a2 b2 c2"),
+                (3, "n1 n2 n3 n4 n5 n6 n7 n8 n9"),
+            ],
+            ["doc_id", "text"],
+        )
+        got = {r.doc_id: r for r in dup_spans(docs).collect()}
+        # doc 1: shared tokens at positions 2..9 -> grams 2..4 -> span 2..9
+        assert (got[1].span_start, got[1].span_end, got[1].span_len, got[1].n_grams) == (2, 9, 8, 3)
+        # doc 2: positions 0..7 -> grams 0..2
+        assert (got[2].span_start, got[2].span_end, got[2].n_grams) == (0, 7, 3)
+        assert 3 not in got
+        frac = {r.doc_id: r for r in dup_span_fraction(docs).collect()}
+        # doc 1: 8 of 11 tokens covered
+        assert (frac[1].dup_tokens, frac[1].n_toks) == (8, 11)
+        assert frac[1].dup_1e6 == round(8 / 11 * 1e6)
+        assert (frac[3].dup_tokens, frac[3].dup_1e6) == (0, 0)
+
+    def test_within_doc_repeat_counts(self, spark):
+        from hebrew_ner_spark.operators.curation import dup_spans
+
+        # one doc repeating the same 6 tokens twice: both occurrences of
+        # the gram are duplicated (corpus count 2), both spans flagged
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f x y z w v u a b c d e f")], ["doc_id", "text"]
+        )
+        got = sorted(
+            (r.span_start, r.span_end) for r in dup_spans(docs).collect()
+        )
+        assert got == [(0, 5), (12, 17)]
+
+    def test_merge_rule_gap_boundary(self, spark):
+        from hebrew_ner_spark.operators.curation import dup_spans
+
+        # two dup grams in one doc at positions 0 and 5 (gap 5 = L-1):
+        # token spans [0,5] and [5,10] overlap at token 5 -> ONE span
+        doc1 = ["a", "b", "c", "d", "e", "f", "v", "w", "x", "y", "z", "pad1"]
+        gram_a = doc1[0:6]   # "a b c d e f" at pos 0
+        gram_b = doc1[5:11]  # "f v w x y z" at pos 5
+        docs = spark.createDataFrame(
+            [
+                (1, " ".join(doc1)),
+                (2, " ".join(gram_a) + " join1 join2"),  # duplicates A
+                (3, " ".join(gram_b) + " join3 join4"),  # duplicates B
+            ],
+            ["doc_id", "text"],
+        )
+        spans = {r.doc_id: (r.span_start, r.span_end) for r in dup_spans(docs).collect()
+                 if r.doc_id == 1}
+        assert spans[1] == (0, 10)
