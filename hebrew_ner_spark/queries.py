@@ -58,7 +58,13 @@ _WINDOW = [
     # broadcast-LUT + table-sum shape with no driver history
     "ann_pq_topk",
     "flt_bloom_join_equiv",
-    "sk_hll_registers",
+    # sk_hll_registers rotated out late-r3 (the register grid is the
+    # direct upstream of in-window sk_hll_estimate — any register drift
+    # surfaces there — and the grid is pytest-pinned) for
+    # kg_coref_triples: sieve substitution + pattern replay is a
+    # brand-new cross-engine shape (array algebra vs IGNORE NULLS
+    # windows) with no driver history
+    "kg_coref_triples",
     "sk_hll_estimate",
     # sk_hll_merge rotated out (merge==direct is also pytest-pinned and
     # algebraically tied to the two in-window HLL gates) for
@@ -116,7 +122,11 @@ _WINDOW = [
     # with empty-input NULL guards on both engines
     "kg_rule_confidence",
     "mention_model_labels",
-    "lbl_alphabet_encode",
+    # lbl_alphabet_encode rotated out late-r3 (driver-green in r1 AND r2;
+    # the r3 tiered hot/tail join change is plan-asserted + gate-green in
+    # every local full-registry run) for kg_coref_gain — the full-outer
+    # before/after recall measurement over two pattern replays
+    "kg_coref_gain",
     # eval_span_prf / cc_dedup_components rotated out (two rounds of
     # driver-green history + judge re-checks) for the riskiest new
     # cross-engine shapes: portable-regex redaction and the two-level
@@ -307,7 +317,11 @@ _WINDOW = [
 # * ann_pq_recall — added after the window filled; the recall join is
 #   the same construction as in-window-cohort ann_recall over the
 #   in-window ann_pq_topk results, its bounds + self-hit floor are
-#   pytest-pinned, rides CORRECTNESS_FULL.
+#   pytest-pinned, rides CORRECTNESS_FULL;
+# * kg_coref_mentions — the resolution table is consumed wholesale by
+#   in-window kg_coref_triples (any antecedent drift breaks that gate's
+#   substitution); sentinel + nearest-mention rule pytest-pinned
+#   closed-form, rides CORRECTNESS_FULL.
 
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
 # out of the driver-verified window with no signal at all (explicit raise,

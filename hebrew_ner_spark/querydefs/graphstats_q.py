@@ -38,18 +38,24 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every NOT-IN test is guarded by IS NOT NULL so a document boundary never
 # yields a NULL predicate (which DuckDB would treat as no-match, matching
 # the Spark i-bounds guards only by accident).
-_DEPPAT_ORACLE = f"""
-    WITH {_TOKS_CTE},
-    w AS (
+#
+# ``deppat_sql`` parametrizes the whole chain over the token-source CTE
+# (and a CTE-name prefix, house namespace rule) so coref_q can replay the
+# identical cascade over sieve-resolved tokens.
+
+
+def deppat_sql(src: str = "toks", p: str = "") -> str:
+    return f"""
+    {p}w AS (
       SELECT doc_id, word_index, token,
-             lag(token, 1)  OVER win AS pm1,
-             lag(token, 2)  OVER win AS pm2,
-             lead(token, 1) OVER win AS pp1,
-             lead(token, 2) OVER win AS pp2
-      FROM toks
-      WINDOW win AS (PARTITION BY doc_id ORDER BY word_index)
+             lag(token, 1)  OVER {p}win AS pm1,
+             lag(token, 2)  OVER {p}win AS pm2,
+             lead(token, 1) OVER {p}win AS pp1,
+             lead(token, 2) OVER {p}win AS pp2
+      FROM {src}
+      WINDOW {p}win AS (PARTITION BY doc_id ORDER BY word_index)
     ),
-    m AS (
+    {p}m AS (
       SELECT doc_id, word_index, token, pm1, pm2, pp1, pp2,
              CASE
                WHEN token IN {_PREDS_SQL} AND pm1 IN {_ENTS_SQL} AND pp1 IN {_ENTS_SQL}
@@ -67,7 +73,7 @@ _DEPPAT_ORACLE = f"""
                WHEN token IN {_ADJS_SQL} AND pp1 IN {_ENTS_SQL}
                  THEN 'has_attr'
              END AS pattern
-      FROM w
+      FROM {p}w
     )
     SELECT doc_id, word_index, pattern,
            CASE pattern WHEN 'svo' THEN pm1 WHEN 'svo_gap_subj' THEN pm2
@@ -79,7 +85,13 @@ _DEPPAT_ORACLE = f"""
            CASE pattern WHEN 'svo_gap_obj' THEN pp2
                         WHEN 'has_attr' THEN token
                         ELSE pp1 END AS obj
-    FROM m WHERE pattern IS NOT NULL
+    FROM {p}m WHERE pattern IS NOT NULL
+"""
+
+
+_DEPPAT_ORACLE = f"""
+    WITH {_TOKS_CTE},
+    {deppat_sql()}
 """
 
 

@@ -95,3 +95,9 @@ ENTITY_TYPES = {
     "window": "KEY",
 }
 assert set(ENTITY_TYPES) == set(ENTITY_TERMS)
+
+# Anaphoric vocabulary -> coreference sieve targets (operators/coref.py).
+# In the synthetic grammar the indefinite "a" is the anaphor: it refers
+# to the nearest preceding entity mention in the document. "the" stays
+# plain filler (it also serves as the gap token in deppat patterns).
+PRONOUN_TERMS = ["a"]
