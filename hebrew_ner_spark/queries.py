@@ -38,7 +38,12 @@ _WINDOW = [
     # rows are new cross-engine shapes (integer percentile_disc, bitlen
     # buckets) with no driver history
     "sk_len_quantiles",
-    "sk_len_log2_hist",
+    # sk_len_log2_hist rotated out late-r3 (bitlen-bucket arithmetic is
+    # closed-form pytest-pinned and the integer percentile gate keeps the
+    # sketch-length family in-window) for ann_sq_topk — the int8
+    # quantize + telescoped code-space distance is a brand-new
+    # cross-engine shape (half-up quantizer, trunc DIV rescale)
+    "ann_sq_topk",
     # rel_pricing_summary / rel_revenue_by_nation / rel_order_rollup /
     # rel_topk_customers / evt_hourly_counts rotated out for the sketch
     # family: they are plain aggregations whose plans are unchanged since
@@ -321,7 +326,12 @@ _WINDOW = [
 # * kg_coref_mentions — the resolution table is consumed wholesale by
 #   in-window kg_coref_triples (any antecedent drift breaks that gate's
 #   substitution); sentinel + nearest-mention rule pytest-pinned
-#   closed-form, rides CORRECTNESS_FULL.
+#   closed-form, rides CORRECTNESS_FULL;
+# * ann_sq_codes / ann_sq_recall — the code table is the direct input of
+#   in-window ann_sq_topk (quantizer drift surfaces there) and the
+#   recall join repeats the ann_recall construction; min->0/max->255
+#   extremes, python quantizer recompute and the near-lossless floor
+#   (79/80 vs PQ ~26/80) are pytest-pinned; ride CORRECTNESS_FULL.
 
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
 # out of the driver-verified window with no signal at all (explicit raise,
