@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from hebrew_ner_spark.functions.hashing import shingles_col
+from hebrew_ner_spark.functions.hashing import phash_sql_expr, shingles_col
 from hebrew_ner_spark.operators.kg import with_tokens
 
 # Closed-class filler words of the synthetic corpus; doubles as the
@@ -173,6 +173,62 @@ def doc_fingerprints(docs: DataFrame, k: int = FINGERPRINT_K) -> DataFrame:
         ),
     )
     return hashed.select("doc_id", "fingerprint")
+
+
+WINNOW_W = 4  # winnowing window: grams per selection window
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = FINGERPRINT_K, w: int = WINNOW_W
+) -> DataFrame:
+    """(doc_id, pos, fp): TRUE winnowing (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003) — the fingerprint SET, not just the global min that
+    ``doc_fingerprints`` keeps as a pre-cluster key.
+
+    Per document: positional k-gram hashes, then for every window of
+    ``w`` consecutive grams select the minimal ``(hash, pos)`` pair
+    (min hash, leftmost tie — one deterministic rule, mirrored in the
+    oracle), dedupe selections. The guarantee this buys (and the pytest
+    pins): any shared token run of length >= w + k - 1 between two
+    documents produces at least one shared fingerprint hash, and at most
+    1/~(w) of positions are kept — bounded-density, position-robust
+    near-dup evidence.
+
+    Scale shape: pure per-document array algebra inside the codegen map
+    stage — zero shuffles, like the rest of the fingerprint family. A
+    document shorter than ``w`` grams winnows its single truncated
+    window; shorter than ``k`` tokens yields no fingerprints.
+    """
+    h = phash_sql_expr(f"concat_ws(' ', slice(toks, i + 1, {k}))", 0)
+    return (
+        with_tokens(docs)
+        .withColumn(
+            "gp",
+            F.expr(
+                f"""
+                CASE WHEN size(toks) < {k} THEN
+                  CAST(array() AS array<struct<h: bigint, pos: bigint>>)
+                ELSE transform(sequence(0, size(toks) - {k}),
+                               i -> struct({h} AS h, bigint(i) AS pos))
+                END
+                """
+            ),
+        )
+        .withColumn(
+            "sel",
+            F.expr(
+                f"""
+                CASE WHEN size(gp) = 0 THEN gp
+                ELSE array_distinct(transform(
+                       sequence(0, greatest(size(gp) - {w}, 0)),
+                       j -> array_min(slice(gp, j + 1, {w}))))
+                END
+                """
+            ),
+        )
+        .select("doc_id", F.explode("sel").alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("fp"))
+    )
 
 
 def length_filter(docs: DataFrame, max_tokens: int = 250) -> DataFrame:

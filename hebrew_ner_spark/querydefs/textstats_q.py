@@ -370,3 +370,46 @@ def txt_bigram_score(spark, sf_dir):
     out-of-distribution word-order signal (operators/textstats.py
     bigram_score)."""
     return textstats.bigram_score(load_table(spark, sf_dir, "documents"))
+
+
+_WINNOW_K = textstats.FINGERPRINT_K
+_WINNOW_W = textstats.WINNOW_W
+
+# TRUE winnowing oracle — a deliberately different formulation from the
+# Spark array algebra: long-form positional gram hashes, then a struct-min
+# window frame (CURRENT ROW .. W-1 FOLLOWING) per valid window start, then
+# DISTINCT over the selected (pos, hash) pairs. Struct comparison orders
+# (h, pos) — min hash, leftmost tie — exactly the Spark array_min rule.
+_WINNOW_GRAMS = f"""
+wg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, greatest(len(toks) - {_WINNOW_K} + 1, 0)),
+                i -> {{'pos': CAST(i AS BIGINT),
+                       'h': {phash_duck(f"array_to_string(toks[i + 1:i + {_WINNOW_K}], ' ')", 0)}}})) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) wt
+),
+wwin AS (
+  SELECT doc_id, g.pos AS pos,
+         min({{'h': g.h, 'pos': g.pos}}) OVER
+           (PARTITION BY doc_id ORDER BY g.pos
+            ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS sel,
+         count(*) OVER (PARTITION BY doc_id) AS ng
+  FROM wg
+)
+"""
+
+
+@query(
+    "txt_winnow",
+    oracle=f"""
+    WITH {_WINNOW_GRAMS}
+    SELECT DISTINCT doc_id, sel.pos AS pos, sel.h AS fp
+    FROM wwin
+    WHERE pos <= greatest(ng - {_WINNOW_W}, 0)
+    """,
+)
+def txt_winnow(spark, sf_dir):
+    """The winnowing fingerprint SET (Schleimer et al. 2003): min-(hash,
+    pos) per gram window, deduped — position-robust near-dup evidence
+    with the shared-run guarantee (pytest-pinned on planted documents)."""
+    return textstats.winnow_fingerprints(_docs(spark, sf_dir))

@@ -84,3 +84,44 @@ class TestBigramScore:
         [r] = bigram_score(delta, lm_docs=lm).collect()
         assert (r.n_scored, r.n_backoff, r.bits) == (2, 1, 1 + BACKOFF_BITS + 1)
         assert r.mean_bits_1e6 == 2_000_000
+
+
+def test_winnow_guarantee_and_edges(spark):
+    """Winnowing guarantee: docs sharing a token run of length
+    >= w + k - 1 share at least one fingerprint hash; short-doc edges
+    are exact; every fp is the portable hash of its gram."""
+    from hebrew_ner_spark.functions.hashing import phash_py
+    from hebrew_ner_spark.operators.textstats import (
+        FINGERPRINT_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    run = "spark scan table join row merge key order"  # w + k - 1 = 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (0, "the a value " + run + " group hash"),
+            (1, run + " window filter stream data the a"),
+            (2, "key order join"),          # < k tokens -> no fingerprints
+            (3, "key order join row merge"),  # exactly k -> single window
+        ],
+        "doc_id long, text string",
+    )
+    out = winnow_fingerprints(docs).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc[0] and {x.fp for x in by_doc[0]})
+    assert {x.fp for x in by_doc[0]} & {x.fp for x in by_doc[1]}, "guarantee violated"
+    assert 2 not in by_doc
+    assert len(by_doc[3]) == 1 and by_doc[3][0].pos == 0
+    assert by_doc[3][0].fp == phash_py("key order join row merge")
+    # positional self-containment on doc 0
+    toks0 = ("the a value " + run + " group hash").split(" ")
+    for r in by_doc[0]:
+        gram = " ".join(toks0[r.pos : r.pos + FINGERPRINT_K])
+        assert r.fp == phash_py(gram)
+    # density: selections are a strict subset of gram positions
+    n_grams0 = len(toks0) - FINGERPRINT_K + 1
+    assert 1 <= len(by_doc[0]) < n_grams0
+    assert WINNOW_W > 1
