@@ -421,6 +421,85 @@ def kcore_peel(
     )
 
 
+KTRUSS_K = 4  # each surviving edge must close >= k-2 triangles
+KTRUSS_ORACLE_ROUNDS = 6
+
+
+def ktruss_peel(
+    docs: DataFrame,
+    k: int = KTRUSS_K,
+    max_rounds: int = KTRUSS_ORACLE_ROUNDS,
+    reliable: bool | None = None,
+) -> DataFrame:
+    """(a, b, peel_round): the k-truss peel trace of the above-mean
+    entity graph — the EDGE-grain sibling of ``kcore_peel``. An edge
+    survives a round iff it closes at least ``k - 2`` triangles within
+    the surviving subgraph; peeling iterates to fixpoint (monotone, so
+    an oracle unrolling extra rounds is a no-op). Survivors report -1.
+
+    k-truss is the standard KG noise-edge filter: a spurious triple
+    rarely embeds in triangles of corroborating facts, so truss edges
+    are the high-confidence relational core (stricter than k-core,
+    which counts raw degree).
+
+    Per round: one wedge join (edges ⋈ sym ⋈ sym — the triangle
+    enumeration shape kg_triangles already carries, inheriting its AQE
+    skew handling), one left join back to keep 0-support edges, one
+    count action for the fixpoint test. Rounds go through the shared
+    lineage break (localCheckpoint locally; managed round tables under
+    spark.graft.cc.reliable=true) — the kcore_peel contract.
+    """
+    from hebrew_ner_spark.operators.canonicalize import _lineage_breaker
+
+    _evict("ktruss")
+    und = _persist("ktruss", above_mean_edges(docs).select("a", "b"))
+    brk = _lineage_breaker(docs, reliable)
+    edges = brk(und)
+    all_edges = edges
+    n_prev = edges.count()
+    peels: list[DataFrame] = []
+    for rnd in range(max_rounds):
+        sym = edges.unionAll(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        supp = (
+            edges.alias("e")
+            .join(sym.alias("x"), F.col("x.a") == F.col("e.a"))
+            .join(
+                sym.alias("y"),
+                (F.col("y.a") == F.col("e.b")) & (F.col("y.b") == F.col("x.b")),
+            )
+            .groupBy(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+            .agg(F.count("*").alias("s"))
+        )
+        pruned = brk(
+            edges.join(supp, ["a", "b"], "left")
+            .where(F.coalesce(F.col("s"), F.lit(0)) >= k - 2)
+            .select("a", "b")
+        )
+        n_now = pruned.count()
+        peels.append(
+            edges.join(pruned, ["a", "b"], "left_anti").select(
+                "a", "b", F.lit(rnd).cast("long").alias("peel_round")
+            )
+        )
+        if n_now == n_prev:
+            edges = pruned
+            break
+        edges, n_prev = pruned, n_now
+    else:
+        raise RuntimeError(
+            f"ktruss_peel: no fixpoint within {max_rounds} peel rounds — "
+            "raise KTRUSS_ORACLE_ROUNDS (and regenerate the oracle) for this corpus"
+        )
+    peeled = peels[0]
+    for p in peels[1:]:
+        peeled = peeled.unionByName(p)
+    return all_edges.join(peeled, ["a", "b"], "left").select(
+        "a", "b", F.coalesce("peel_round", F.lit(-1)).cast("long").alias("peel_round")
+    )
+
+
 # --- deterministic random walks (embedding corpus) ---------------------------
 
 WALK_SEED = 17    # walk-choice hash seed, independent of every other family

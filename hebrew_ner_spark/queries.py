@@ -147,7 +147,12 @@ _WINDOW = [
     "kg_cooc_lift",
     "kg_triangles",
     "kg_snapshot_timetravel",
-    "kg_paths_2hop",
+    # kg_paths_2hop rotated out late-r3 (its wedge-join machinery is
+    # exercised in-window by kg_triangles + kg_bgp_match and typed-sibling
+    # kg_pra_features is pytest-pinned) for kg_ktruss — an unrolled
+    # iterative MATERIALIZED oracle (the riskiest cross-engine class)
+    # with a 4-round peel trace at the gated scale
+    "kg_ktruss",
     "kg_communities_lpa",
     # web_crawl_history / web_latest_crawl rotated out for the fusion
     # gates: both are single-window/max_by shapes pytest-pinned and

@@ -330,6 +330,54 @@ def kg_kcore(spark, sf_dir):
     return graphstats.kcore_peel(_docs(spark, sf_dir))
 
 
+def _ktruss_oracle(k: int, rounds: int) -> str:
+    # MATERIALIZED for the same reason as _kcore_oracle: each round
+    # references the previous one several times. Support is a correlated
+    # wedge count over the symmetrized survivor set.
+    parts = ["ktt0 AS MATERIALIZED (SELECT a, b FROM ews)"]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""
+    kty{i} AS MATERIALIZED (
+      SELECT a, b FROM ktt{i - 1} UNION ALL SELECT b, a FROM ktt{i - 1}
+    ),
+    ktt{i} AS MATERIALIZED (
+      SELECT e.a, e.b FROM ktt{i - 1} e
+      WHERE (SELECT count(*) FROM kty{i} x, kty{i} z
+             WHERE x.a = e.a AND z.a = e.b AND z.b = x.b) >= {k - 2}
+    ),
+    ktq{i} AS MATERIALIZED (
+      SELECT e.a, e.b, CAST({i - 1} AS BIGINT) AS peel_round
+      FROM ktt{i - 1} e
+      WHERE NOT EXISTS (SELECT 1 FROM ktt{i} u WHERE u.a = e.a AND u.b = e.b)
+    )"""
+        )
+    peel_union = " UNION ALL ".join(
+        f"SELECT a, b, peel_round FROM ktq{i}" for i in range(1, rounds + 1)
+    )
+    return f"""
+    WITH {_EDGES_CTE},
+    {_SPARSE_EW},
+    {",".join(parts)},
+    ktpeeled AS ({peel_union})
+    SELECT e.a, e.b, coalesce(p.peel_round, -1) AS peel_round
+    FROM ktt0 e LEFT JOIN ktpeeled p ON p.a = e.a AND p.b = e.b
+    """
+
+
+@query(
+    "kg_ktruss",
+    oracle=_ktruss_oracle(graphstats.KTRUSS_K, graphstats.KTRUSS_ORACLE_ROUNDS),
+)
+def kg_ktruss(spark, sf_dir):
+    """k-truss peel trace (edge grain) of the above-mean entity graph:
+    iterative triangle-support peeling to fixpoint vs the same rounds
+    unrolled as materialized CTEs. peel_round = -1 marks truss edges —
+    the high-confidence relational core (every edge corroborated by
+    >= k-2 triangles of surviving facts)."""
+    return graphstats.ktruss_peel(_docs(spark, sf_dir))
+
+
 # Shared CTE chain for the link-prediction ranking eval: wedge scores for
 # ALL pairs (positives keep their scores), positive labels from the edge
 # list, two-way symmetrization, and the filtered per-source rank

@@ -566,3 +566,51 @@ class TestPraPathFeatures:
         assert exact[("a", "c")] == 2
         assert capped[("a", "c")] == 1
         assert ("b", "c") in exact and ("b", "c") not in capped
+
+
+class TestKtrussPeel:
+    def test_truss_core_and_cascade(self, spark):
+        # two triangles sharing edge row-table: every rim edge closes 1
+        # triangle (< k-2 = 2) and peels round 0; the shared edge starts
+        # at support 2, is stranded by the rim, and peels round 1.
+        heavy = (
+            ["key join row", "key join table", "row join table"] * 3
+            + ["row join part", "table join part"] * 3
+        )
+        light = ["batch join line", "order join query", "hash join group"]
+        docs = _docs(spark, heavy + light)
+        got = {
+            (r.a, r.b): r.peel_round
+            for r in graphstats.ktruss_peel(docs, k=4).collect()
+        }
+        assert got == {
+            ("key", "row"): 0,
+            ("key", "table"): 0,
+            ("part", "row"): 0,
+            ("part", "table"): 0,
+            ("row", "table"): 1,
+        }
+
+    def test_k4_is_a_4_truss(self, spark):
+        # complete graph on 4 entities: every edge closes exactly 2
+        # triangles, so the whole K4 survives at k=4.
+        k4 = [
+            "key join row", "key join table", "key join part",
+            "row join table", "row join part", "table join part",
+        ]
+        light = ["batch join line", "order join query", "hash join group"]
+        docs = _docs(spark, [t for t in k4 for _ in range(3)] + light)
+        got = {
+            (r.a, r.b): r.peel_round
+            for r in graphstats.ktruss_peel(docs, k=4).collect()
+        }
+        assert len(got) == 6 and set(got.values()) == {-1}
+
+    def test_nonconvergence_raises(self, spark):
+        heavy = (
+            ["key join row", "key join table", "row join table"] * 3
+            + ["row join part", "table join part"] * 3
+        )
+        docs = _docs(spark, heavy + ["batch join line"])
+        with pytest.raises(RuntimeError, match="no fixpoint"):
+            graphstats.ktruss_peel(docs, k=4, max_rounds=1)
