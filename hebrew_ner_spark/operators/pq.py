@@ -162,6 +162,37 @@ def _adc_lut(emb: DataFrame, books: DataFrame, n_queries: int) -> DataFrame:
     )
 
 
+def _packed_codes(codes: DataFrame) -> DataFrame:
+    """(vec_id, pcodes): codes packed in subspace order."""
+    return codes.groupBy("vec_id").agg(
+        F.expr("transform(array_sort(collect_list(struct(m, code))), p -> p.code)").alias(
+            "pcodes"
+        )
+    )
+
+
+def _packed_lut(emb: DataFrame, books: DataFrame, n_queries: int) -> DataFrame:
+    """(qid, tbl): the ADC lookup table packed per query as tbl[m][code]
+    (codes are dense 0..PQ_K-1 only if no Lloyd cell died; pack by
+    position in the code-sorted list and keep the code ids alongside to
+    index safely even when sparse)."""
+    return (
+        _adc_lut(emb, books, n_queries)
+        .groupBy("qid", "m")
+        .agg(F.expr("array_sort(collect_list(struct(code, d)))").alias("row"))
+        .groupBy("qid")
+        .agg(F.expr("array_sort(collect_list(struct(m, row)))").alias("tbl"))
+    )
+
+
+# per subspace m: the lut row is code-sorted; filter to the vector's code
+# (exactly one hit — codes come from the same codebook) and take its d.
+_ADC_EXPR = (
+    "aggregate(tbl, 0L, (acc, mr) -> acc + "
+    "filter(mr.row, e -> e.code = element_at(pcodes, mr.m + 1))[0].d)"
+)
+
+
 def pq_adc_topk(
     emb: DataFrame,
     k: int = PQ_TOPK,
@@ -178,31 +209,59 @@ def pq_adc_topk(
         books = pq_codebooks(emb)
     if codes is None:
         codes = pq_encode(emb, books)
-    packed = codes.groupBy("vec_id").agg(
-        F.expr("transform(array_sort(collect_list(struct(m, code))), p -> p.code)").alias(
-            "pcodes"
-        )
-    )
-    # lut packed per qid as tbl[m][code] (codes are dense 0..PQ_K-1 only
-    # if no Lloyd cell died; pack by position in the code-sorted list and
-    # keep the code ids alongside to index safely even when sparse).
-    lut = (
-        _adc_lut(emb, books, n_queries)
-        .groupBy("qid", "m")
-        .agg(F.expr("array_sort(collect_list(struct(code, d)))").alias("row"))
-        .groupBy("qid")
-        .agg(F.expr("array_sort(collect_list(struct(m, row)))").alias("tbl"))
-    )
+    packed = _packed_codes(codes)
+    lut = _packed_lut(emb, books, n_queries)
     scored = packed.crossJoin(F.broadcast(lut)).select(
         "qid",
         F.col("vec_id").alias("nid"),
-        F.expr(
-            # per subspace m: the lut row is code-sorted; filter to the
-            # vector's code (exactly one hit — codes come from the same
-            # codebook) and take its distance.
-            "aggregate(tbl, 0L, (acc, mr) -> acc + "
-            "filter(mr.row, e -> e.code = element_at(pcodes, mr.m + 1))[0].d)"
-        ).alias("adc_d"),
+        F.expr(_ADC_EXPR).alias("adc_d"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adc_d"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "adc_d")
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    k: int = PQ_TOPK,
+    n_queries: int = PQ_QUERIES,
+    n_probes: int | None = None,
+    cents: DataFrame | None = None,
+    books: DataFrame | None = None,
+) -> DataFrame:
+    """(qid, nid, rank, adc_d): IVF-PQ — the production ANN layout
+    (FAISS IndexIVFPQ). Each query probes its nearest IVF cells (trained
+    Lloyd centroids, cosine probe — simsearch.ivf_probes) and ADC-scores
+    ONLY the PQ codes of vectors assigned to probed cells.
+
+    Scale story: at 10^12 rows the scan touches PQ_M bytes per vector of
+    1/(cells/probes) of the corpus — the probe join partitions by cell
+    (the index's physical layout: Iceberg-bucketed by cell in
+    production) and both the probe list and the Q lookup tables are
+    broadcast, so the only corpus-side work is a partition-pruned code
+    scan + table-sum. Self-inclusive like pq_adc_topk (rank 1 is the
+    query when its own cell is probed), so recall numbers compare
+    directly across the pq/sq tiers."""
+    from hebrew_ner_spark.operators import simsearch
+
+    if cents is None:
+        cents = simsearch.kmeans_centroids(emb)
+    if books is None:
+        books = pq_codebooks(emb)
+    if n_probes is None:
+        n_probes = simsearch.IVF_PROBES
+    cells = simsearch.ivf_assign(emb, cents=cents)
+    probes = simsearch.ivf_probes(emb, cents, n_queries, n_probes)
+    cand = (
+        _packed_codes(pq_encode(emb, books))
+        .join(cells, "vec_id")
+        .join(F.broadcast(probes), "cell")
+    )
+    scored = cand.join(F.broadcast(_packed_lut(emb, books, n_queries)), "qid").select(
+        "qid", F.col("vec_id").alias("nid"), F.expr(_ADC_EXPR).alias("adc_d")
     )
     w = Window.partitionBy("qid").orderBy(F.asc("adc_d"), F.asc("nid"))
     return (

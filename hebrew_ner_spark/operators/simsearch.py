@@ -296,6 +296,36 @@ def ivf_assign(
     return _assign_cells(_micro_vecs(emb), cents)
 
 
+def ivf_probes(
+    emb: DataFrame,
+    cents: DataFrame,
+    n_queries: int = DEFAULT_QUERIES,
+    n_probes: int = IVF_PROBES,
+) -> DataFrame:
+    """(qid, cell): each query's ``n_probes`` nearest cells — the same
+    integer-dot/cnorm score as assignment (and the same zero-norm
+    exclusion, see _assign_cells). Broadcast centroids; one window over
+    Q x n_cells rows."""
+    scored = (
+        _micro_vecs(emb.where(F.col("vec_id") < n_queries))
+        .crossJoin(F.broadcast(cents.where(F.col("cnorm") > 0)))
+        .select(
+            F.col("vec_id").alias("qid"),
+            "cell",
+            F.expr(
+                "CAST(aggregate(zip_with(mv, cent, (x, y) -> x * y), 0L, (a, v) -> a + v) AS DOUBLE)"
+                " / cnorm"
+            ).alias("score"),
+        )
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cell"))
+    return (
+        scored.withColumn("r", F.row_number().over(wq))
+        .where(F.col("r") <= n_probes)
+        .select("qid", "cell")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     n_queries: int = DEFAULT_QUERIES,
@@ -313,27 +343,7 @@ def ivf_topk(
         cents = kmeans_centroids(emb, n_cells)
     cells = ivf_assign(emb, n_cells, cents)
     base = _with_norm(emb).join(cells, "vec_id")
-
-    # probe selection: the same integer-dot/cnorm score as assignment
-    # (and the same zero-norm exclusion — see _assign_cells)
-    probes = (
-        _micro_vecs(emb.where(F.col("vec_id") < n_queries))
-        .crossJoin(F.broadcast(cents.where(F.col("cnorm") > 0)))
-        .select(
-            F.col("vec_id").alias("qid"),
-            "cell",
-            F.expr(
-                "CAST(aggregate(zip_with(mv, cent, (x, y) -> x * y), 0L, (a, v) -> a + v) AS DOUBLE)"
-                " / cnorm"
-            ).alias("score"),
-        )
-    )
-    wq = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cell"))
-    probes = (
-        probes.withColumn("r", F.row_number().over(wq))
-        .where(F.col("r") <= n_probes)
-        .select("qid", "cell")
-    )
+    probes = ivf_probes(emb, cents, n_queries, n_probes)
     queries = _with_norm(emb).where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("q_emb"),

@@ -105,7 +105,12 @@ _WINDOW = [
     # emb_near_dups_skew rotated out for mention_model_neural (judge-
     # verified in r2, same bucketed-matmul plan family as emb_near_dups)
     "ann_ivf_topk",
-    "ann_recall",
+    # ann_recall rotated out late-r3 (same recall-join construction as
+    # the pq/sq recall gates riding CORRECTNESS_FULL, over the in-window
+    # ann_ivf_topk results) for ann_ivfpq_topk — the IVF-PQ composition:
+    # both trained indexes interoperating in one gate (probe restriction
+    # + ADC rescoring), the shape most likely to break if either drifts
+    "ann_ivfpq_topk",
     "cur_mixture_shares",
     "srch_postings",
     "srch_bm25_topk",

@@ -132,12 +132,16 @@ def ann_pq_codes(spark, sf_dir):
 
 # ADC: lookup table = query sub-vectors x trained book; corpus rows score
 # by summing their codes' table entries.
-_PQ_ADC = f"""
+_PQLUT = f"""
 pqlut AS (
   SELECT sv.vec_id AS qid, sv.m, b.code, {_SQD} AS d
   FROM pqsv sv JOIN {_BFINAL} b ON sv.m = b.m
   WHERE sv.vec_id < {Q}
-),
+)
+"""
+
+_PQ_ADC = f"""
+{_PQLUT},
 pqscored AS (
   SELECT l.qid, c.vec_id AS nid, CAST(sum(l.d) AS BIGINT) AS adc_d
   FROM pqcodes c JOIN pqlut l ON c.m = l.m AND c.code = l.code
@@ -199,3 +203,49 @@ def ann_pq_recall(spark, sf_dir):
     Exact integers on both sides; zero-hit queries report 0 (left join
     from the query universe on both engines)."""
     return pq.pq_recall(_emb(spark, sf_dir), books=_trained_books(spark, sf_dir))
+
+
+def _ivfpq_oracle() -> str:
+    """IVF-PQ composition: the simsearch Lloyd/probe chain (mv, cells,
+    probes — imported CTE text, cosine probe over trained centroids)
+    plus the PQ chain (codebooks, codes, lut), joined so ADC scores only
+    candidates in probed cells. CTE namespaces are disjoint by
+    construction (mv/c*/fin/cells/probes vs pq*)."""
+    from hebrew_ner_spark.querydefs.simsearch_q import _IVF_CTE, _MV_CTE
+
+    return f"""
+    WITH {_MV_CTE},
+    {_IVF_CTE},
+    {_PQMV},
+    {_PQSV},
+    {_LLOYD_SQL},
+    {_PQCODES},
+    {_PQLUT},
+    ivfpqscored AS (
+      SELECT l.qid, c.vec_id AS nid, CAST(sum(l.d) AS BIGINT) AS adc_d
+      FROM pqcodes c
+      JOIN cells ce ON ce.vec_id = c.vec_id
+      JOIN probes p ON p.cell = ce.cell
+      JOIN pqlut l ON l.qid = p.qid AND l.m = c.m AND l.code = c.code
+      GROUP BY l.qid, c.vec_id
+    )
+    SELECT qid, nid, rank, adc_d FROM (
+      SELECT qid, nid, adc_d,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY adc_d, nid) AS BIGINT) AS rank
+      FROM ivfpqscored) WHERE rank <= {TOPK}
+    """
+
+
+@query("ann_ivfpq_topk", oracle=_ivfpq_oracle())
+def ann_ivfpq_topk(spark, sf_dir):
+    """The production ANN layout (FAISS IndexIVFPQ): probe trained IVF
+    cells, ADC-score only the PQ codes living there. Composes the two
+    trained-index memos, so any drift in EITHER index surfaces here."""
+    from hebrew_ner_spark.querydefs.simsearch_q import _trained_cents
+
+    emb = _emb(spark, sf_dir)
+    return pq.ivfpq_topk(
+        emb,
+        cents=_trained_cents(spark, sf_dir),
+        books=_trained_books(spark, sf_dir),
+    )

@@ -116,3 +116,37 @@ def test_codebooks_deterministic(emb):
     a = sorted(map(tuple, pq.pq_codebooks(emb).select("m", "code").collect()))
     b = sorted(map(tuple, pq.pq_codebooks(emb).select("m", "code").collect()))
     assert a == b
+
+
+def test_ivfpq_consistent_with_full_adc(emb, books, spark):
+    """Every IVF-PQ hit must carry the same ADC distance the full PQ
+    scan assigns to that (qid, nid); restricting to probed cells can
+    only drop candidates, never rescore them."""
+    from hebrew_ner_spark.operators import simsearch
+
+    cents = simsearch.kmeans_centroids(emb)
+    local_cents = spark.createDataFrame(cents.collect(), cents.schema)
+    out = pq.ivfpq_topk(emb, cents=local_cents, books=books).toPandas()
+    full = pq.pq_adc_topk(emb, k=10**6, books=books).toPandas()
+    fmap = {(r.qid, r.nid): r.adc_d for r in full.itertuples()}
+    assert len(out) > 0
+    for r in out.itertuples():
+        assert fmap[(r.qid, r.nid)] == r.adc_d
+    # each query found candidates in its probed cells, and fewer than the
+    # full corpus (the probe restriction actually prunes)
+    n = emb.count()
+    per_q = out.groupby("qid").size()
+    assert (per_q >= 1).all()
+    assert len(set(map(tuple, out[["qid", "nid"]].values))) < n * len(per_q)
+
+
+def test_ivfpq_self_in_candidates(emb, books, spark):
+    """A query's own cell is its nearest probe, so the query itself is
+    always scored (and in this corpus ranks first)."""
+    from hebrew_ner_spark.operators import simsearch
+
+    cents = simsearch.kmeans_centroids(emb)
+    local_cents = spark.createDataFrame(cents.collect(), cents.schema)
+    out = pq.ivfpq_topk(emb, cents=local_cents, books=books).toPandas()
+    r1 = out[out["rank"] == 1]
+    assert (r1.qid == r1.nid).all()
