@@ -704,3 +704,47 @@ def dup_span_fraction(docs: DataFrame, L: int = DUP_SPAN_L) -> DataFrame:
             ),
         )
     )
+
+
+CHUNK_W = 8  # tokens per retrieval chunk
+CHUNK_S = 4  # stride (overlap = CHUNK_W - CHUNK_S)
+
+
+def chunk_windows(docs: DataFrame, w: int = CHUNK_W, s: int = CHUNK_S) -> DataFrame:
+    """(doc_id, chunk_id, start, n_tokens, chunk): overlapping retrieval
+    chunks — the RAG/embedding prep counterpart of passage_dedup's
+    non-overlapping tiles. Windows of ``w`` tokens every ``s`` tokens;
+    the last window starts at the smallest multiple of ``s`` that still
+    reaches the final token, so coverage is total and the tail chunk may
+    be short (the standard keep-the-tail convention). A document of
+    <= w tokens yields exactly one whole-document chunk.
+
+    Scale shape: per-document array algebra in the codegen map stage —
+    zero shuffles, like every extractor in the curation family. The
+    chunk count per doc is ceil((n-w)/s)+1, emitted via one sequence +
+    transform; chunk text is sliced, never re-scanned.
+    """
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"""
+                    transform(
+                      sequence(0, CASE WHEN size(toks) <= {w} THEN 0
+                                       ELSE (size(toks) - {w} + {s} - 1) DIV {s} END),
+                      i -> struct(bigint(i * {s}) AS start,
+                                  slice(toks, i * {s} + 1, {w}) AS ctoks))
+                    """
+                )
+            ).alias("chunk_id", "c"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("c.start").alias("start"),
+            F.expr("size(c.ctoks)").cast("long").alias("n_tokens"),
+            F.expr("concat_ws(' ', c.ctoks)").alias("chunk"),
+        )
+    )

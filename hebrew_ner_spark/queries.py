@@ -341,7 +341,11 @@ _WINDOW = [
 #   in-window ann_sq_topk (quantizer drift surfaces there) and the
 #   recall join repeats the ann_recall construction; min->0/max->255
 #   extremes, python quantizer recompute and the near-lossless floor
-#   (79/80 vs PQ ~26/80) are pytest-pinned; ride CORRECTNESS_FULL.
+#   (79/80 vs PQ ~26/80) are pytest-pinned; ride CORRECTNESS_FULL;
+# * txt_winnow / cur_chunk_windows / ann_recall — added or rotated out
+#   late-r3 after the window filled; winnowing's shared-run guarantee,
+#   chunk coverage algebra and the recall-join construction are all
+#   pytest-pinned closed-form; ride CORRECTNESS_FULL.
 
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
 # out of the driver-verified window with no signal at all (explicit raise,

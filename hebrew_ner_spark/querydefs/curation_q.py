@@ -576,3 +576,34 @@ def cur_dup_fraction(spark, sf_dir):
     keep/cut curation signal over cur_dup_spans (operators/curation.py
     dup_span_fraction)."""
     return curation.dup_span_fraction(_docs(spark, sf_dir))
+
+
+_CHW = curation.CHUNK_W
+_CHS = curation.CHUNK_S
+
+
+@query(
+    "cur_chunk_windows",
+    oracle=f"""
+    WITH chtoks AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    chix AS (
+      SELECT doc_id, toks,
+             unnest(range(0, CASE WHEN len(toks) <= {_CHW} THEN 1
+                               ELSE (len(toks) - {_CHW} + {_CHS} - 1) // {_CHS} + 1 END)) AS i
+      FROM chtoks
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_id,
+           CAST(i * {_CHS} AS BIGINT) AS start,
+           CAST(len(toks[i * {_CHS} + 1 : i * {_CHS} + {_CHW}]) AS BIGINT) AS n_tokens,
+           array_to_string(toks[i * {_CHS} + 1 : i * {_CHS} + {_CHW}], ' ') AS chunk
+    FROM chix
+    """,
+)
+def cur_chunk_windows(spark, sf_dir):
+    """Overlapping retrieval chunks (w tokens every s, tail kept): the
+    RAG prep stage — total coverage, closed-form chunk count, zero
+    shuffles. DuckDB replays with 1-based end-inclusive list slices."""
+    return curation.chunk_windows(_docs(spark, sf_dir))

@@ -420,3 +420,37 @@ class TestDupSpans:
         spans = {r.doc_id: (r.span_start, r.span_end) for r in dup_spans(docs).collect()
                  if r.doc_id == 1}
         assert spans[1] == (0, 10)
+
+
+class TestChunkWindows:
+    def _chunks(self, spark, text, **kw):
+        from hebrew_ner_spark.operators.curation import chunk_windows
+
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        return sorted(
+            chunk_windows(df, **kw).collect(), key=lambda r: r.chunk_id
+        )
+
+    def test_short_doc_single_chunk(self, spark):
+        out = self._chunks(spark, "a b c", w=8, s=4)
+        assert len(out) == 1
+        assert (out[0].start, out[0].n_tokens, out[0].chunk) == (0, 3, "a b c")
+
+    def test_exact_window_single_chunk(self, spark):
+        out = self._chunks(spark, "a b c d", w=4, s=2)
+        assert len(out) == 1 and out[0].n_tokens == 4
+
+    def test_stride_overlap_and_tail(self, spark):
+        # 7 tokens, w=4 s=2 -> starts 0,2,4 (ceil(3/2)=2): tail len 3
+        out = self._chunks(spark, "t0 t1 t2 t3 t4 t5 t6", w=4, s=2)
+        assert [(r.start, r.n_tokens) for r in out] == [(0, 4), (2, 4), (4, 3)]
+        assert out[1].chunk == "t2 t3 t4 t5"
+
+    def test_total_coverage(self, spark):
+        # every token index is inside at least one chunk
+        toks = [f"w{i}" for i in range(13)]
+        out = self._chunks(spark, " ".join(toks), w=5, s=3)
+        covered = set()
+        for r in out:
+            covered |= set(range(r.start, r.start + r.n_tokens))
+        assert covered == set(range(13))
