@@ -179,3 +179,90 @@ def infobox_triples(pages: DataFrame) -> DataFrame:
     return pages.select("doc_id", F.explode(rows).alias("kv")).select(
         "doc_id", F.col("kv.pred").alias("pred"), F.col("kv.obj").alias("obj")
     )
+
+
+LD_TYPES = ["Article", "Product", "Organization"]
+
+
+def synth_html_ld(docs: DataFrame) -> DataFrame:
+    """(doc_id, html binary) — the page skeleton with an embedded
+    schema.org JSON-LD block (CC-style structured data), deterministic
+    per document: @type cycles through LD_TYPES by doc_id, ``about`` is
+    the document's first token, ``position`` is doc_id mod 7. The block
+    sits between head and body so the text extractor must strip it (the
+    parity pytest pins extracted(ld page) == extracted(plain page))."""
+    t = (
+        "CASE CAST(doc_id % 3 AS INT) "
+        + " ".join(f"WHEN {i} THEN '{n}'" for i, n in enumerate(LD_TYPES))
+        + " END"
+    )
+    ld = F.concat(
+        F.lit('<script type="application/ld+json">{"@id":"https://example.org/'),
+        F.col("lang"),
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit('","@type":"'),
+        F.expr(t),
+        F.lit('","name":"doc '),
+        F.col("doc_id").cast("string"),
+        F.lit('","about":"'),
+        F.expr("element_at(split(text, ' '), 1)"),
+        F.lit('","position":'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("}</script>"),
+    )
+    page = F.concat(
+        F.lit("<html><head><title>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title>"),
+        ld,
+        F.lit("<style>p { margin: 0; }</style></head><body><!-- header -->"),
+        F.lit("<h1>Document "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><div><p>"),
+        F.col("text"),
+        F.lit("</p></div><!-- footer --></body></html>"),
+    )
+    return docs.select("doc_id", F.encode(page, "UTF-8").alias("html"))
+
+
+_LD_SCHEMA = (
+    "struct<`@id`: string, `@type`: string, name: string, about: string,"
+    " position: bigint>"
+)
+
+
+def jsonld_triples(pages: DataFrame, key: str = "doc_id") -> DataFrame:
+    """(key, subj, pred, obj): schema.org triples mined from embedded
+    JSON-LD — the structured-data extraction path every CC KG pipeline
+    runs alongside text extraction.
+
+    Stage shape: decode -> regexp_extract the ld+json payload ->
+    ``from_json`` (Catalyst's JSON parser, JVM-side — no Python) ->
+    one in-row stack to triple grain. Zero shuffles; malformed or
+    absent payloads parse to NULL and drop out (never crash). Subject
+    is the block's @id, so the triples join the URL-keyed graph
+    directly."""
+    payload = F.regexp_extract(
+        F.decode(F.col("html"), "utf-8"),
+        '<script type="application/ld\\+json">(.*?)</script>',
+        1,
+    )
+    j = F.from_json(payload, _LD_SCHEMA)
+    return (
+        pages.select(key, j.alias("j"))
+        .where(F.col("j").isNotNull() & F.col("j.`@id`").isNotNull())
+        .select(
+            key,
+            F.col("j.`@id`").alias("subj"),
+            F.expr(
+                "explode(filter(array("
+                "  struct('rdf:type' AS pred, j.`@type` AS obj),"
+                "  struct('schema:name' AS pred, j.name AS obj),"
+                "  struct('schema:about' AS pred, j.about AS obj),"
+                "  struct('schema:position' AS pred, CAST(j.position AS STRING) AS obj)"
+                "), p -> p.obj IS NOT NULL))"
+            ).alias("p"),
+        )
+        .select(key, "subj", F.col("p.pred").alias("pred"), F.col("p.obj").alias("obj"))
+    )

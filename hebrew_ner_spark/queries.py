@@ -345,7 +345,10 @@ _WINDOW = [
 # * txt_winnow / cur_chunk_windows / ann_recall — added or rotated out
 #   late-r3 after the window filled; winnowing's shared-run guarantee,
 #   chunk coverage algebra and the recall-join construction are all
-#   pytest-pinned closed-form; ride CORRECTNESS_FULL.
+#   pytest-pinned closed-form; ride CORRECTNESS_FULL;
+# * kg_jsonld_triples — synthesis->parse round trip with a closed-form
+#   oracle, the same class as out-of-window kg_infobox_triples; strip
+#   parity and malformed-drop pytest-pinned; rides CORRECTNESS_FULL.
 
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
 # out of the driver-verified window with no signal at all (explicit raise,

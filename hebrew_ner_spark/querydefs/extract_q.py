@@ -152,3 +152,35 @@ def kg_infobox_triples(spark, sf_dir):
     zero shuffles, zero Python)."""
     docs = load_table(spark, sf_dir, "documents")
     return extract.infobox_triples(extract.synth_html_infobox(docs))
+
+
+@query(
+    "kg_jsonld_triples",
+    oracle="""
+    WITH ld_d AS (
+      SELECT doc_id,
+             'https://example.org/' || lang || '/doc/' || CAST(doc_id AS VARCHAR) AS subj,
+             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'Article'
+                  WHEN 1 THEN 'Product' ELSE 'Organization' END AS typ,
+             'doc ' || CAST(doc_id AS VARCHAR) AS nm,
+             (string_split(text, ' '))[1] AS abt,
+             CAST(doc_id % 7 AS VARCHAR) AS posn
+      FROM documents)
+    SELECT doc_id, subj, 'rdf:type' AS pred, typ AS obj FROM ld_d
+    UNION ALL
+    SELECT doc_id, subj, 'schema:name' AS pred, nm AS obj FROM ld_d
+    UNION ALL
+    SELECT doc_id, subj, 'schema:about' AS pred, abt AS obj FROM ld_d
+    UNION ALL
+    SELECT doc_id, subj, 'schema:position' AS pred, posn AS obj FROM ld_d
+    """,
+)
+def kg_jsonld_triples(spark, sf_dir):
+    """Embedded JSON-LD mining (the structured-data path of web KG
+    construction): triples parsed out of the ld+json script payload via
+    regexp_extract + Catalyst from_json must equal the closed-form
+    expectation the synthesis derives them from — a full
+    synthesis->parse round trip (operators/extract.py jsonld_triples;
+    one codegen stage, zero shuffles, zero Python)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract.jsonld_triples(extract.synth_html_ld(docs))

@@ -223,3 +223,51 @@ class TestInfoboxTriples:
         )
         got = {(r.pred, r.obj) for r in infobox_triples(pages).collect()}
         assert got == {("born", "1912"), ("field", "logic")}
+
+
+class TestJsonLd:
+    def test_extractor_strips_ld_block(self, spark):
+        """Text extraction must be identical with and without the
+        embedded JSON-LD block — structured data never leaks into the
+        extracted text (the byte-identity invariant is preserved)."""
+        from hebrew_ner_spark.operators import extract
+
+        docs = spark.createDataFrame(
+            [(7, "table scan row", "he")], "doc_id long, text string, lang string"
+        )
+        a = extract.synth_html(docs).select(
+            extract.extract_udf(F.col("html")).alias("t")
+        ).collect()[0].t
+        b = extract.synth_html_ld(docs).select(
+            extract.extract_udf(F.col("html")).alias("t")
+        ).collect()[0].t
+        assert a == b
+
+    def test_malformed_payload_drops_not_crashes(self, spark):
+        from hebrew_ner_spark.operators import extract
+
+        pages = spark.createDataFrame(
+            [
+                (0, b'<html><script type="application/ld+json">{broken</script></html>'),
+                (1, b"<html><body>no ld at all</body></html>"),
+            ],
+            "doc_id long, html binary",
+        )
+        assert extract.jsonld_triples(pages).count() == 0
+
+    def test_triples_closed_form(self, spark):
+        from hebrew_ner_spark.operators import extract
+
+        docs = spark.createDataFrame(
+            [(4, "key join value", "de")], "doc_id long, text string, lang string"
+        )
+        got = {
+            (r.pred, r.obj)
+            for r in extract.jsonld_triples(extract.synth_html_ld(docs)).collect()
+        }
+        assert got == {
+            ("rdf:type", "Product"),      # 4 % 3 == 1
+            ("schema:name", "doc 4"),
+            ("schema:about", "key"),
+            ("schema:position", "4"),     # 4 % 7
+        }
