@@ -810,3 +810,37 @@ def fact_decay(pages: DataFrame, half_life_ms: int = FACT_HALF_LIFE_MS) -> DataF
             f"CAST(least((_now - last_ms) DIV {int(half_life_ms)}, 62) AS INT)) AS BIGINT)"
         ).alias("decayed_1e6"),
     )
+
+
+SALIENCE_K = 3
+
+
+def entity_salience(docs: DataFrame, k: int = SALIENCE_K) -> DataFrame:
+    """(doc_id, entity, n_mentions, first_pos, rank): the document's
+    top-k salient entities — frequency first, earlier first mention as
+    the tiebreak (the classic salience heuristic: lead position +
+    repetition), entity name as the final deterministic tie.
+
+    This is the doc-side index a KG uses to answer "what is this page
+    about" (aboutness links, doc->entity edges with weights); the
+    entity-side mirror is entity_summary. Plan: one map-side-combined
+    aggregate at (doc, entity) grain + one bounded per-doc ranking
+    window (partitions are document-sized — never skewed)."""
+    ents = _sql_terms(ENTITY_TERMS)
+    per = (
+        doc_tokens(docs)
+        .where(F.expr(f"array_contains({ents}, token)"))
+        .groupBy("doc_id", F.col("token").alias("entity"))
+        .agg(
+            F.count("*").alias("n_mentions"),
+            F.min("word_index").alias("first_pos"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("n_mentions"), F.asc("first_pos"), F.asc("entity")
+    )
+    return (
+        per.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "entity", "n_mentions", "first_pos", "rank")
+    )

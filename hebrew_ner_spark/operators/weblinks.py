@@ -422,3 +422,60 @@ def alias_dictionary(pages: DataFrame) -> DataFrame:
             & (F.col("share_1e6") >= ALIAS_MIN_SHARE_1E6)
         )
     )
+
+
+def synth_messy_urls(docs: DataFrame) -> DataFrame:
+    """(doc_id, url): deterministically messy absolute urls — mixed-case
+    scheme/host, explicit default port, tracking params, fragments,
+    trailing slashes — the planted-evidence input for url_canonicalize
+    (every mess dimension varies independently by doc_id residue)."""
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.expr("IF(doc_id % 2 = 0, 'HTTPS', 'https')"),
+            F.lit("://"),
+            F.expr("IF(doc_id % 4 = 0, 'ExAmple.ORG', 'example.org')"),
+            F.expr("IF(doc_id % 3 = 0, ':443', '')"),
+            F.lit("/"),
+            F.col("lang"),
+            F.lit("/Doc/"),
+            F.col("doc_id").cast("string"),
+            F.expr("IF(doc_id % 2 = 0, '/', '')"),
+            F.expr(
+                "CASE CAST(doc_id % 3 AS INT)"
+                " WHEN 0 THEN concat('?utm_source=feed&ref=', CAST(doc_id % 5 AS STRING))"
+                " WHEN 1 THEN concat('?ref=', CAST(doc_id % 5 AS STRING))"
+                " ELSE '' END"
+            ),
+            F.expr("IF(doc_id % 5 = 0, '#top', '')"),
+        ).alias("url"),
+    )
+
+
+def url_canonicalize(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """+ ``canon`` column: the crawl-dedup URL canonicalizer — the rules
+    a CC-scale frontier/dedup actually applies, in order:
+
+    1. fragment stripped;
+    2. ``utm_*`` tracking params stripped (leading-param shape; other
+       params KEPT — unlike canonical_href, which drops whole queries
+       for link-graph identity);
+    3. scheme + host (+port) lower-cased, path case preserved;
+    4. explicit default port ``:443`` dropped (synthesis is all-https);
+    5. one trailing path slash stripped — including the path-final
+       slash in front of a kept query string.
+
+    Pure codegen string primitives, zero shuffles. Each rule is one
+    regexp with no lookaround (engine-parity rules, BENCH.md); the
+    oracle replays them with DuckDB's backreference syntax — identical
+    VALUES, independently spelled."""
+    u = F.regexp_replace(F.col(url_col), "#.*", "")
+    u = F.regexp_replace(u, "\\?utm_[^&]*&", "?")
+    u = F.regexp_replace(u, "\\?utm_[^&]*$", "")
+    head = F.lower(F.regexp_extract(u, "^([a-zA-Z]+://[^/?#]*)", 1))
+    tail = F.regexp_replace(u, "^[a-zA-Z]+://[^/?#]*", "")
+    u = F.when(head == "", u).otherwise(F.concat(head, tail))
+    u = F.regexp_replace(u, "^(https://[^/:]+):443", "$1")
+    u = F.regexp_replace(u, "/\\?", "?")
+    u = F.regexp_replace(u, "/$", "")
+    return pages.withColumn("canon", u)

@@ -348,7 +348,11 @@ _WINDOW = [
 #   pytest-pinned closed-form; ride CORRECTNESS_FULL;
 # * kg_jsonld_triples — synthesis->parse round trip with a closed-form
 #   oracle, the same class as out-of-window kg_infobox_triples; strip
-#   parity and malformed-drop pytest-pinned; rides CORRECTNESS_FULL.
+#   parity and malformed-drop pytest-pinned; rides CORRECTNESS_FULL;
+# * web_url_canon / kg_entity_salience — added after the window filled;
+#   the regex rule chain (six pinned canonical forms + idempotence) and
+#   the salience tie-order closed form are pytest-pinned; ride
+#   CORRECTNESS_FULL.
 
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
 # out of the driver-verified window with no signal at all (explicit raise,

@@ -547,3 +547,33 @@ def kg_rdf_patch(spark, sf_dir):
     old = kg.doc_triples(docs.where(F.col("doc_id") % 2 == 0))
     new = kg.doc_triples(docs.where(F.col("doc_id") % 2 != 0))
     return catalog.rdf_patch_lines(old, new)
+
+
+@query(
+    "kg_entity_salience",
+    oracle=f"""
+    WITH saltoks AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS word_index,
+             unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    salper AS (
+      SELECT doc_id, token AS entity,
+             CAST(count(*) AS BIGINT) AS n_mentions,
+             CAST(min(word_index) AS BIGINT) AS first_pos
+      FROM saltoks
+      WHERE token IN ({", ".join(f"'{t}'" for t in ENTITY_TERMS)})
+      GROUP BY doc_id, token
+    )
+    SELECT doc_id, entity, n_mentions, first_pos, rank FROM (
+      SELECT doc_id, entity, n_mentions, first_pos,
+             CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY n_mentions DESC, first_pos, entity) AS BIGINT) AS rank
+      FROM salper) WHERE rank <= {kg.SALIENCE_K}
+    """,
+)
+def kg_entity_salience(spark, sf_dir):
+    """Per-document top-k salient entities (frequency, then lead
+    position): the doc->entity aboutness index."""
+    return kg.entity_salience(_docs(spark, sf_dir))

@@ -381,3 +381,50 @@ def web_alias_dict(spark, sf_dir):
         )
     )
     return weblinks.alias_dictionary(organic.unionByName(planted))
+
+
+@query(
+    "web_url_canon",
+    oracle=r"""
+    WITH ucmess AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END || '://'
+             || CASE WHEN doc_id % 4 = 0 THEN 'ExAmple.ORG' ELSE 'example.org' END
+             || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+             || '/' || lang || '/Doc/' || CAST(doc_id AS VARCHAR)
+             || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+             || CASE CAST(doc_id % 3 AS INT)
+                  WHEN 0 THEN '?utm_source=feed&ref=' || CAST(doc_id % 5 AS VARCHAR)
+                  WHEN 1 THEN '?ref=' || CAST(doc_id % 5 AS VARCHAR)
+                  ELSE '' END
+             || CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END AS url
+      FROM documents
+    ),
+    ucsteps AS (
+      SELECT doc_id, url,
+        regexp_replace(regexp_replace(regexp_replace(url, '#.*', ''),
+                       '\?utm_[^&]*&', '?'), '\?utm_[^&]*$', '') AS u1
+      FROM ucmess
+    ),
+    uclow AS (
+      SELECT doc_id, url,
+        CASE WHEN regexp_extract(u1, '^([a-zA-Z]+://[^/?#]*)', 1) = '' THEN u1
+             ELSE lower(regexp_extract(u1, '^([a-zA-Z]+://[^/?#]*)', 1))
+                  || regexp_replace(u1, '^[a-zA-Z]+://[^/?#]*', '') END AS u2
+      FROM ucsteps
+    )
+    SELECT doc_id, url,
+      regexp_replace(regexp_replace(regexp_replace(u2,
+        '^(https://[^/:]+):443', '\1'), '/\?', '?'), '/$', '') AS canon
+    FROM uclow
+    """,
+)
+def web_url_canon(spark, sf_dir):
+    """Crawl-dedup URL canonicalization over deterministically messy
+    urls: fragment / utm / case / default-port / trailing-slash rules,
+    each varying independently by doc_id residue so every rule is
+    exercised (and their compositions). The oracle replays the rules in
+    DuckDB's regex dialect — identical values, independent spelling."""
+    return weblinks.url_canonicalize(
+        weblinks.synth_messy_urls(load_table(spark, sf_dir, "documents"))
+    )

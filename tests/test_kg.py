@@ -186,3 +186,29 @@ class TestFactDecay:
         got = {(r.subj): r for r in fact_decay(pages).collect()}
         old = got["customer"]
         assert old.age_half_lives == 70 and old.decayed_1e6 == 0  # no overflow
+
+
+class TestEntitySalience:
+    def test_closed_form_ranking(self, spark):
+        from hebrew_ner_spark.operators.kg import entity_salience
+
+        # row x3 (first at 1), key x3 (first at 0) -> key wins the tie on
+        # first_pos; table x1 third; 'scan'/'the' are not entities
+        text = "key row the key row scan key row table"
+        docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        got = [
+            (r.entity, r.n_mentions, r.first_pos, r.rank)
+            for r in entity_salience(docs).orderBy("rank").collect()
+        ]
+        assert got == [("key", 3, 0, 1), ("row", 3, 1, 2), ("table", 1, 8, 3)]
+
+    def test_k_bound_and_no_entity_doc(self, spark):
+        from hebrew_ner_spark.operators.kg import entity_salience
+
+        docs = spark.createDataFrame(
+            [(0, "key row table value batch line"), (1, "the a scan sort")],
+            "doc_id long, text string",
+        )
+        out = entity_salience(docs).toPandas()
+        assert set(out.doc_id) == {0}          # doc 1 has no entities
+        assert out["rank"].max() <= 3 and len(out) == 3

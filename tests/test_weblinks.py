@@ -225,3 +225,31 @@ class TestAliasDictionary:
         assert set(got) == {"acme"}
         assert got["acme"].canon == "https://t.example.net/a"
         assert (got["acme"].n, got["acme"].n_total, got["acme"].share_1e6) == (3, 4, 750000)
+
+
+class TestUrlCanonicalize:
+    def test_pinned_examples_and_idempotence(self, spark):
+        from hebrew_ner_spark.operators.weblinks import url_canonicalize
+
+        cases = [
+            (0, "HTTPS://ExAmple.ORG:443/he/Doc/0/?utm_source=feed&ref=0#top",
+             "https://example.org/he/Doc/0?ref=0"),
+            (1, "https://example.org/en/Doc/1?ref=1",
+             "https://example.org/en/Doc/1?ref=1"),
+            (2, "HTTPS://example.org/de/Doc/2/", "https://example.org/de/Doc/2"),
+            (3, "https://example.org:443/fr?utm_source=x", "https://example.org/fr"),
+            (4, "https://example.org/CaseKept/Path", "https://example.org/CaseKept/Path"),
+            (5, "not a url #frag", "not a url "),
+        ]
+        df = spark.createDataFrame(
+            [(i, u) for i, u, _ in cases], "doc_id long, url string"
+        )
+        got = {r.doc_id: r.canon for r in url_canonicalize(df).collect()}
+        for i, _, want in cases:
+            assert got[i] == want, (i, got[i])
+        # idempotence: canonicalizing the canon column is a fixpoint
+        df2 = spark.createDataFrame(
+            [(i, c) for i, c in got.items()], "doc_id long, url string"
+        )
+        got2 = {r.doc_id: r.canon for r in url_canonicalize(df2).collect()}
+        assert got2 == got
