@@ -844,3 +844,53 @@ def entity_salience(docs: DataFrame, k: int = SALIENCE_K) -> DataFrame:
         .where(F.col("rank") <= k)
         .select("doc_id", "entity", "n_mentions", "first_pos", "rank")
     )
+
+
+def triple_provenance(docs: DataFrame) -> DataFrame:
+    """(doc_id, word_index, subj, pred, obj, subj_start, pred_start,
+    obj_start): SVO triples with exact character offsets into the source
+    text — the provenance spans a KG stores alongside each fact (evidence
+    display, audit, re-extraction).
+
+    Offsets are derived in-row from the token array (char_start of token
+    j = sum of lengths of tokens before j, plus j separators), so the
+    substring invariant ``substr(text, start+1, len(tok)) == tok`` holds
+    by construction — and is what the pytest pins. Zero shuffles: the
+    offset prefix sums ride the same codegen stage as the extraction."""
+    start = "j -> aggregate(slice(toks, 1, j), 0L, (a, x) -> a + length(x) + 1)"
+    return (
+        with_tokens(docs)
+        .withColumn("starts", F.expr(f"transform(sequence(0, size(toks) - 1), {start})"))
+        .withColumn(
+            "tr",
+            F.expr(
+                f"""
+                filter(
+                  transform(toks, (t, i) ->
+                    CASE WHEN i > 0 AND i < size(toks) - 1
+                          AND array_contains({_sql_terms(PREDICATE_TERMS)}, t)
+                          AND array_contains({_sql_terms(ENTITY_TERMS)}, toks[i-1])
+                          AND array_contains({_sql_terms(ENTITY_TERMS)}, toks[i+1])
+                    THEN named_struct(
+                      'word_index', bigint(i),
+                      'subj', toks[i-1], 'pred', t, 'obj', toks[i+1],
+                      'subj_start', element_at(starts, i),
+                      'pred_start', element_at(starts, i + 1),
+                      'obj_start', element_at(starts, i + 2))
+                    ELSE NULL END),
+                  x -> x IS NOT NULL)
+                """
+            ),
+        )
+        .select("doc_id", F.explode("tr").alias("t"))
+        .select(
+            "doc_id",
+            "t.word_index",
+            "t.subj",
+            "t.pred",
+            "t.obj",
+            "t.subj_start",
+            "t.pred_start",
+            "t.obj_start",
+        )
+    )

@@ -352,6 +352,10 @@ _WINDOW = [
 # * web_url_canon / kg_entity_salience — added after the window filled;
 #   the regex rule chain (six pinned canonical forms + idempotence) and
 #   the salience tie-order closed form are pytest-pinned; ride
+#   CORRECTNESS_FULL;
+# * kg_triple_provenance — added after the window filled; the substring
+#   round-trip invariant and doc_triples set-equality are pytest-pinned
+#   (offsets correct by construction on both engines); rides
 #   CORRECTNESS_FULL.
 
 # validate BEFORE filtering: a silently-skipped typo would rotate a query

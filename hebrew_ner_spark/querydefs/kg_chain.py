@@ -577,3 +577,44 @@ def kg_entity_salience(spark, sf_dir):
     """Per-document top-k salient entities (frequency, then lead
     position): the doc->entity aboutness index."""
     return kg.entity_salience(_docs(spark, sf_dir))
+
+
+@query(
+    "kg_triple_provenance",
+    oracle=f"""
+    WITH prvtoks AS (
+      SELECT doc_id, text,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS word_index,
+             unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    prvstart AS (
+      SELECT doc_id, word_index, token,
+             CAST(coalesce(sum(length(token) + 1) OVER
+               (PARTITION BY doc_id ORDER BY word_index
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS char_start
+      FROM prvtoks
+    ),
+    prvpos AS (
+      SELECT doc_id, word_index, token, char_start,
+             lag(token)       OVER prvw AS pm1,
+             lead(token)      OVER prvw AS pp1,
+             lag(char_start)  OVER prvw AS pm1_start,
+             lead(char_start) OVER prvw AS pp1_start
+      FROM prvstart
+      WINDOW prvw AS (PARTITION BY doc_id ORDER BY word_index)
+    )
+    SELECT doc_id, word_index, pm1 AS subj, token AS pred, pp1 AS obj,
+           pm1_start AS subj_start, char_start AS pred_start,
+           pp1_start AS obj_start
+    FROM prvpos
+    WHERE token IN {_PREDS_SQL} AND pm1 IN {_ENTS_SQL} AND pp1 IN {_ENTS_SQL}
+    """,
+)
+def kg_triple_provenance(spark, sf_dir):
+    """SVO triples with exact char-offset provenance spans — the oracle
+    derives offsets with running-sum windows (different formulation from
+    the Spark in-row prefix sums); the substring round-trip invariant is
+    pytest-pinned."""
+    return kg.triple_provenance(_docs(spark, sf_dir))

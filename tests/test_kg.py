@@ -212,3 +212,32 @@ class TestEntitySalience:
         out = entity_salience(docs).toPandas()
         assert set(out.doc_id) == {0}          # doc 1 has no entities
         assert out["rank"].max() <= 3 and len(out) == 3
+
+
+class TestTripleProvenance:
+    def test_substring_roundtrip(self, spark):
+        from hebrew_ner_spark.operators.kg import triple_provenance
+
+        text = "the key join table scan row merge value"
+        docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        out = triple_provenance(docs).collect()
+        # key join table; table scan row; row merge value
+        assert len(out) == 3
+        for r in out:
+            assert text[r.subj_start : r.subj_start + len(r.subj)] == r.subj
+            assert text[r.pred_start : r.pred_start + len(r.pred)] == r.pred
+            assert text[r.obj_start : r.obj_start + len(r.obj)] == r.obj
+        first = [r for r in out if r.word_index == 2][0]
+        assert (first.subj, first.pred, first.obj) == ("key", "join", "table")
+        assert (first.subj_start, first.pred_start, first.obj_start) == (4, 8, 13)
+
+    def test_provenance_matches_doc_triples(self, spark):
+        from hebrew_ner_spark.operators.kg import doc_triples, triple_provenance
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = {tuple(r) for r in doc_triples(docs).collect()}
+        b = {
+            (r.doc_id, r.word_index, r.subj, r.pred, r.obj)
+            for r in triple_provenance(docs).collect()
+        }
+        assert a == b
