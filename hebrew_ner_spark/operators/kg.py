@@ -894,3 +894,44 @@ def triple_provenance(docs: DataFrame) -> DataFrame:
             "t.obj_start",
         )
     )
+
+
+def bgp_match_optional(
+    docs: DataFrame,
+    pattern: tuple[str, str, str] = ("x", "join", "y"),
+    optional: tuple[str, str, str] = ("y", "merge", "z"),
+) -> DataFrame:
+    """SPARQL OPTIONAL semantics over the triple store: the required leg
+    binds, the optional leg left-joins — bindings without an optional
+    match survive with the sentinel ``''`` and zero optional evidence
+    (SQL NULL never crosses the gate). Multiple optional matches fan out
+    to multiple rows, exactly as SPARQL does.
+
+    Plan: both legs pre-aggregate to DISTINCT pair tables (the bgp_match
+    contract — joins run on pair vocabularies, never raw evidence), then
+    one left equi-join on the shared variable. Predicate filters push to
+    the triple scan."""
+    sv, p, ov = pattern
+    osv, op, oov = optional
+    triples = triple_counts(docs)
+    req = (
+        triples.where(F.col("pred") == p)
+        .groupBy(F.col("subj").alias(sv), F.col("obj").alias(ov))
+        .agg(F.sum("n_evidence").cast("long").alias("n_witness"))
+    )
+    opt = (
+        triples.where(F.col("pred") == op)
+        .groupBy(F.col("subj").alias(osv), F.col("obj").alias(oov))
+        .agg(F.sum("n_evidence").cast("long").alias("_ow"))
+    )
+    shared = [c for c in (osv, oov) if c in (sv, ov)]
+    out = req.join(opt, shared, "left")
+    vars_ = sorted({sv, ov, osv, oov})
+    return out.select(
+        *[
+            F.coalesce(F.col(v), F.lit("")).alias(v) if v not in (sv, ov) else v
+            for v in vars_
+        ],
+        "n_witness",
+        F.coalesce(F.col("_ow"), F.lit(0)).cast("long").alias("n_opt"),
+    )

@@ -356,7 +356,10 @@ _WINDOW = [
 # * kg_triple_provenance — added after the window filled; the substring
 #   round-trip invariant and doc_triples set-equality are pytest-pinned
 #   (offsets correct by construction on both engines); rides
-#   CORRECTNESS_FULL.
+#   CORRECTNESS_FULL;
+# * kg_bgp_optional — the left-join sibling of in-window kg_bgp_match
+#   (same pair-vocabulary legs); sentinel/fan-out semantics
+#   pytest-pinned closed-form; rides CORRECTNESS_FULL.
 
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
 # out of the driver-verified window with no signal at all (explicit raise,

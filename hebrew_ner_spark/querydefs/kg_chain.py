@@ -618,3 +618,31 @@ def kg_triple_provenance(spark, sf_dir):
     the Spark in-row prefix sums); the substring round-trip invariant is
     pytest-pinned."""
     return kg.triple_provenance(_docs(spark, sf_dir))
+
+
+@query(
+    "kg_bgp_optional",
+    oracle=f"""
+    WITH bgo_t AS ({_TRIPLES_ORACLE}),
+    bgo_c AS (
+      SELECT subj, pred, obj, CAST(count(*) AS BIGINT) AS n FROM bgo_t
+      GROUP BY 1, 2, 3
+    ),
+    bgo_req AS (
+      SELECT subj AS x, obj AS y, CAST(sum(n) AS BIGINT) AS n_witness
+      FROM bgo_c WHERE pred = 'join' GROUP BY 1, 2
+    ),
+    bgo_opt AS (
+      SELECT subj AS y, obj AS z, CAST(sum(n) AS BIGINT) AS ow
+      FROM bgo_c WHERE pred = 'merge' GROUP BY 1, 2
+    )
+    SELECT r.x, r.y, coalesce(o.z, '') AS z, r.n_witness,
+           CAST(coalesce(o.ow, 0) AS BIGINT) AS n_opt
+    FROM bgo_req r LEFT JOIN bgo_opt o ON o.y = r.y
+    """,
+)
+def kg_bgp_optional(spark, sf_dir):
+    """Graph pattern with SPARQL OPTIONAL: (?x join ?y) OPTIONAL
+    (?y merge ?z) — left-join binding semantics with the '' sentinel for
+    unmatched optionals and exact evidence weights on both legs."""
+    return kg.bgp_match_optional(_docs(spark, sf_dir))

@@ -241,3 +241,27 @@ class TestTripleProvenance:
             for r in triple_provenance(docs).collect()
         }
         assert a == b
+
+
+class TestBgpOptional:
+    def test_optional_binding_and_sentinel(self, spark):
+        from hebrew_ner_spark.operators.kg import bgp_match_optional
+
+        docs = spark.createDataFrame(
+            [
+                (0, "key join table"),            # y=table, no merge from table
+                (1, "row join value"),            # y=value, merges below
+                (2, "value merge part"),
+                (3, "value merge batch"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            (r.x, r.y, r.z, r.n_witness, r.n_opt)
+            for r in bgp_match_optional(docs).collect()
+        }
+        assert out == {
+            ("key", "table", "", 1, 0),          # OPTIONAL unmatched -> sentinel
+            ("row", "value", "part", 1, 1),      # fan-out on two optional matches
+            ("row", "value", "batch", 1, 1),
+        }
