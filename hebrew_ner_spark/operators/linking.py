@@ -320,3 +320,55 @@ def graph_diff(edges_old: DataFrame, edges_new: DataFrame) -> DataFrame:
         .alias("status"),
     )
     return j.where(F.col("status") != "same")
+
+
+EDIT_MAX_DIST = 1
+
+
+def fuzzy_link_edit(
+    mentions: DataFrame, dim: DataFrame, max_dist: int = EDIT_MAX_DIST
+) -> DataFrame:
+    """Tier 5: (doc_id, lo, hi, surface, entity_id, dist) — edit-distance
+    linking for single-character typos (dropped/substituted letters),
+    the classic complement to the MinHash tier: char-2-gram Jaccard is
+    weak exactly where edit distance is strong (short strings, where one
+    dropped character destroys most shingles).
+
+    Plan: DISTINCT unresolved surfaces (shuffle bounded by surface
+    vocabulary, never mention count) broadcast-join the dimension under
+    a length-band block (|len(s) - len(name)| <= max_dist), then exact
+    ``levenshtein`` (JVM built-in; DuckDB has the identical classic
+    definition) filters to <= max_dist and the best match per surface is
+    (dist ASC, entity_id ASC). Unmatched surfaces keep NULL/0 — the
+    countable-unlinked convention. The dimension is broadcast-sized by
+    the module contract, so the candidate step never shuffles the
+    corpus."""
+    surf = mentions.select("surface").distinct()
+    names = F.broadcast(
+        dim.select(
+            F.col("entity_id").alias("_ee"),
+            F.lower("canonical_name").alias("_nm"),
+        )
+    )
+    cand = surf.join(
+        names,
+        F.abs(F.length("surface") - F.length("_nm")) <= max_dist,
+    ).select(
+        "surface",
+        "_ee",
+        F.levenshtein(F.lower("surface"), F.col("_nm")).alias("dist"),
+    ).where(F.col("dist") <= max_dist)
+    w = Window.partitionBy("surface").orderBy(F.asc("dist"), F.asc("_ee"))
+    best = (
+        cand.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select("surface", F.col("_ee").alias("entity_id"), "dist")
+    )
+    return mentions.join(best, "surface", "left").select(
+        "doc_id",
+        "lo",
+        "hi",
+        "surface",
+        "entity_id",
+        F.coalesce(F.col("dist"), F.lit(-1)).cast("long").alias("dist"),
+    )

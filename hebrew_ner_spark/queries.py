@@ -359,7 +359,10 @@ _WINDOW = [
 #   CORRECTNESS_FULL;
 # * kg_bgp_optional — the left-join sibling of in-window kg_bgp_match
 #   (same pair-vocabulary legs); sentinel/fan-out semantics
-#   pytest-pinned closed-form; rides CORRECTNESS_FULL.
+#   pytest-pinned closed-form; rides CORRECTNESS_FULL;
+# * link_fuzzy_edit — tier-5 sibling of in-window link_full_tiered's
+#   fuzzy machinery (levenshtein is a native builtin on both engines);
+#   drop-char/exact/case/unlinked pinned; rides CORRECTNESS_FULL.
 
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
 # out of the driver-verified window with no signal at all (explicit raise,

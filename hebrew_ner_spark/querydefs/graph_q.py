@@ -1066,3 +1066,59 @@ def cc_incremental(spark, sf_dir):
     delta = edges.where(F.col("src") % 2 == 1)
     labels = canonicalize.connected_components(base)
     return canonicalize.incremental_components(labels, delta)
+
+
+_EDIT_D = linking.EDIT_MAX_DIST
+
+
+@query(
+    "link_fuzzy_edit",
+    oracle=f"""
+    WITH {_SPANS_CTE}, {_dim_values()},
+    ednoisy AS (
+      SELECT doc_id, lo, hi,
+             CASE WHEN hi = lo AND length(surface) >= 4
+                  THEN substr(surface, 1, 1) || substr(surface, 3)
+                  ELSE surface END AS surface
+      FROM spans
+    ),
+    edsurf AS (SELECT DISTINCT surface FROM ednoisy),
+    edcand AS (
+      SELECT s.surface, d.entity_id,
+             CAST(levenshtein(lower(s.surface), lower(d.canonical_name)) AS BIGINT) AS dist
+      FROM edsurf s JOIN dim d
+        ON abs(length(s.surface) - length(d.canonical_name)) <= {_EDIT_D}
+      WHERE levenshtein(lower(s.surface), lower(d.canonical_name)) <= {_EDIT_D}
+    ),
+    edbest AS (
+      SELECT surface, entity_id, dist FROM (
+        SELECT surface, entity_id, dist,
+               row_number() OVER (PARTITION BY surface ORDER BY dist, entity_id) AS r
+        FROM edcand) WHERE r = 1
+    )
+    SELECT n.doc_id, n.lo, n.hi, n.surface, b.entity_id,
+           CAST(coalesce(b.dist, -1) AS BIGINT) AS dist
+    FROM ednoisy n LEFT JOIN edbest b USING (surface)
+    """,
+)
+def link_fuzzy_edit(spark, sf_dir):
+    """Tier-5 edit-distance linking on a planted drop-char corruption:
+    single-token surfaces of length >= 4 lose their second character
+    ('table' -> 'tble'), which destroys most 2-gram shingles but sits at
+    Levenshtein 1 from the canonical name. Length-band blocking +
+    broadcast dimension; best = (dist ASC, entity_id ASC)."""
+    from pyspark.sql import functions as F
+
+    from hebrew_ner_spark.operators import kg
+
+    noisy = kg.mention_spans(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "lo",
+        "hi",
+        F.expr(
+            "CASE WHEN hi = lo AND length(surface) >= 4"
+            " THEN concat(substr(surface, 1, 1), substr(surface, 3))"
+            " ELSE surface END"
+        ).alias("surface"),
+    )
+    return linking.fuzzy_link_edit(noisy, linking.entity_dim(spark))

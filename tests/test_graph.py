@@ -254,3 +254,28 @@ class TestPersonalizedPagerank:
             tuple(r) for r in pagerank.entity_pagerank(edges, seed_mod=1).collect()
         }
         assert plain == seeded_all
+
+
+class TestFuzzyLinkEdit:
+    def test_dropchar_exact_and_unlinked(self, spark):
+        from hebrew_ner_spark.operators.linking import entity_dim, fuzzy_link_edit
+
+        mentions = spark.createDataFrame(
+            [
+                (0, 0, 0, "tble"),       # 'table' minus one char -> dist 1
+                (0, 1, 1, "key"),        # exact lowercase name -> dist 0
+                (0, 2, 2, "zzzzzz"),     # nothing within band/dist -> unlinked
+                (0, 3, 3, "Valu"),       # case-insensitive: 'value' at dist 1
+            ],
+            "doc_id long, lo long, hi long, surface string",
+        )
+        got = {
+            r.surface: (r.entity_id, r.dist)
+            for r in fuzzy_link_edit(mentions, entity_dim(spark)).collect()
+        }
+        dim = {r.canonical_name.lower(): r.entity_id
+               for r in entity_dim(spark).collect()}
+        assert got["tble"] == (dim["table"], 1)
+        assert got["key"] == (dim["key"], 0)
+        assert got["zzzzzz"] == (None, -1)
+        assert got["Valu"] == (dim["value"], 1)
