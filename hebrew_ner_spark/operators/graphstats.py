@@ -1093,3 +1093,46 @@ def pra_path_features(docs: DataFrame, max_center_degree: int = 0) -> DataFrame:
         .groupBy("a", "c", "pred1", "pred2")
         .agg(F.count_distinct("mid").alias("n_paths"))
     )
+
+
+def clustering_coefficient(docs: DataFrame) -> DataFrame:
+    """(entity, deg, n_tri, cc_1e6): local clustering coefficient of the
+    above-mean entity graph — 2*tri(v) / (deg(v)*(deg(v)-1)) in exact
+    micro-units (repo half-up identity), 0 for degree < 2. The standard
+    per-node cohesion score (Watts-Strogatz): a fact hub whose neighbors
+    interconnect is a coherent topic; one whose neighbors don't is a
+    disambiguation page or extraction noise.
+
+    Plan: reuses the orientation-minimal triangle enumeration (each
+    triangle once), explodes its three corners (3x a triangle-sized
+    table — tiny), one count per node, one left join onto degrees so
+    triangle-free nodes report 0."""
+    und = above_mean_edges(docs).select("a", "b")
+    deg = (
+        und.select(F.col("a").alias("entity"))
+        .unionAll(und.select(F.col("b").alias("entity")))
+        .groupBy("entity")
+        .agg(F.count("*").alias("deg"))
+    )
+    tri = (
+        triangles(docs)
+        .select(F.explode(F.array("ea", "eb", "ec")).alias("entity"))
+        .groupBy("entity")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    return (
+        deg.join(tri, "entity", "left")
+        .select(
+            "entity",
+            F.col("deg").cast("long").alias("deg"),
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+        )
+        .withColumn(
+            "cc_1e6",
+            F.expr(
+                "CASE WHEN deg < 2 THEN 0L ELSE "
+                "CAST((2 * (2 * n_tri * 1000000) + (deg * (deg - 1)))"
+                " DIV (2 * (deg * (deg - 1))) AS BIGINT) END"
+            ),
+        )
+    )

@@ -362,7 +362,10 @@ _WINDOW = [
 #   pytest-pinned closed-form; rides CORRECTNESS_FULL;
 # * link_fuzzy_edit — tier-5 sibling of in-window link_full_tiered's
 #   fuzzy machinery (levenshtein is a native builtin on both engines);
-#   drop-char/exact/case/unlinked pinned; rides CORRECTNESS_FULL.
+#   drop-char/exact/case/unlinked pinned; rides CORRECTNESS_FULL;
+# * kg_clustering — composes in-window kg_triangles' enumeration with a
+#   degree join (oracle = independent closed-walk count); closed form
+#   pytest-pinned; rides CORRECTNESS_FULL.
 
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
 # out of the driver-verified window with no signal at all (explicit raise,

@@ -518,3 +518,36 @@ def kg_pra_features(spark, sf_dir):
     pra_path_features — distinct typed edges before the wedge join,
     hub-cap contract shared with link_pred_ra)."""
     return graphstats.pra_path_features(_docs(spark, sf_dir))
+
+
+@query(
+    "kg_clustering",
+    oracle=f"""
+    WITH {_EDGES_CTE},
+    {_SPARSE_EW},
+    ccsym AS (SELECT a, b FROM ews UNION ALL SELECT b, a FROM ews),
+    ccdeg AS (SELECT a AS entity, CAST(count(*) AS BIGINT) AS deg
+              FROM ccsym GROUP BY a),
+    cctri AS (
+      SELECT s1.a AS entity, CAST(count(*) AS BIGINT) AS n_tri
+      FROM ccsym s1
+      JOIN ccsym s2 ON s2.a = s1.b
+      JOIN ccsym s3 ON s3.a = s2.b AND s3.b = s1.a
+      GROUP BY s1.a
+    )
+    SELECT d.entity, d.deg,
+           CAST(coalesce(t.n_tri // 2, 0) AS BIGINT) AS n_tri,
+           CASE WHEN d.deg < 2 THEN 0
+                ELSE CAST((2 * (2 * (coalesce(t.n_tri // 2, 0)) * 1000000)
+                           + (d.deg * (d.deg - 1)))
+                          // (2 * (d.deg * (d.deg - 1))) AS BIGINT) END AS cc_1e6
+    FROM ccdeg d LEFT JOIN cctri t ON t.entity = d.entity
+    """,
+)
+def kg_clustering(spark, sf_dir):
+    """Per-node local clustering coefficient (Watts-Strogatz) in exact
+    micro-units. The oracle counts directed closed walks per corner
+    (each triangle twice per node) — a different enumeration than the
+    Spark orientation-minimal corner explode, so agreement gates the
+    counting itself."""
+    return graphstats.clustering_coefficient(_docs(spark, sf_dir))

@@ -614,3 +614,22 @@ class TestKtrussPeel:
         docs = _docs(spark, heavy + ["batch join line"])
         with pytest.raises(RuntimeError, match="no fixpoint"):
             graphstats.ktruss_peel(docs, k=4, max_rounds=1)
+
+
+class TestClusteringCoefficient:
+    def test_triangle_with_pendant(self, spark):
+        # triangle key-row-table + pendant table-part: key/row cc = 1.0,
+        # table deg 3 with 1 triangle -> 2/(3*2) = 333333, part deg 1 -> 0
+        heavy = ["key join row", "key join table", "row join table"] * 3 + [
+            "table join part"
+        ] * 3
+        light = ["batch join line", "order join query", "hash join group"]
+        docs = _docs(spark, heavy + light)
+        got = {
+            r.entity: (r.deg, r.n_tri, r.cc_1e6)
+            for r in graphstats.clustering_coefficient(docs).collect()
+        }
+        assert got["key"] == (2, 1, 1000000)
+        assert got["row"] == (2, 1, 1000000)
+        assert got["table"] == (3, 1, 333333)
+        assert got["part"] == (1, 0, 0)
