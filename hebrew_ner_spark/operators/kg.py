@@ -935,3 +935,74 @@ def bgp_match_optional(
         "n_witness",
         F.coalesce(F.col("_ow"), F.lit(0)).cast("long").alias("n_opt"),
     )
+
+
+def type_closure(spark) -> DataFrame:
+    """(sub, super, dist): transitive rdfs:subClassOf closure of the
+    declared hierarchy, computed by iterative doubling (closure ∪
+    closure⋈closure until fixpoint) — the generic distributed closure;
+    on the declared 5-edge hierarchy it converges in 2 rounds, and the
+    SAME code handles a mined million-class taxonomy (each round is one
+    self-join + distinct, O(log depth) rounds total)."""
+    from hebrew_ner_spark.resources import TYPE_HIERARCHY
+
+    clos = spark.createDataFrame(
+        [(a, b, 1) for a, b in sorted(TYPE_HIERARCHY.items())],
+        "sub string, super string, dist int",
+    )
+    while True:
+        n_prev = clos.count()
+        step = (
+            clos.alias("l")
+            .join(clos.alias("r"), F.col("l.super") == F.col("r.sub"))
+            .select(
+                F.col("l.sub").alias("sub"),
+                F.col("r.super").alias("super"),
+                (F.col("l.dist") + F.col("r.dist")).alias("dist"),
+            )
+        )
+        clos = (
+            clos.unionByName(step)
+            .groupBy("sub", "super")
+            .agg(F.min("dist").cast("int").alias("dist"))
+        )
+        n_now = clos.count()
+        if n_now == n_prev:
+            return clos.select("sub", "super", F.col("dist").cast("long").alias("dist"))
+
+
+def rdfs_entity_types(docs: DataFrame) -> DataFrame:
+    """(entity, typ, depth, n_mentions): the rdfs9 entailment
+    materialized over the extracted mention stream — every entity
+    carries its direct class (depth 0) plus every inherited superclass
+    (depth = subClassOf hops), weighted by corpus mention count.
+
+    Plan: one map-side-combined mention count per entity, the direct
+    class attached by the in-codegen gazetteer CASE, then one broadcast
+    join against the (tiny, closed) subclass closure — at 10^12 rows the
+    closure of even a huge taxonomy stays MBs, so inference is one
+    broadcast fan-out, no corpus re-shuffle."""
+    ents = _sql_terms(ENTITY_TERMS)
+    counts = (
+        doc_tokens(docs)
+        .where(F.expr(f"array_contains({ents}, token)"))
+        .groupBy(F.col("token").alias("entity"))
+        .agg(F.count("*").alias("n_mentions"))
+        .withColumn("dtype", F.expr(_etype_case("entity")))
+    )
+    clos = type_closure(docs.sparkSession)
+    direct = counts.select(
+        "entity",
+        F.col("dtype").alias("typ"),
+        F.lit(0).cast("long").alias("depth"),
+        "n_mentions",
+    )
+    inherited = counts.join(
+        F.broadcast(clos), counts.dtype == clos.sub
+    ).select(
+        "entity",
+        F.col("super").alias("typ"),
+        F.col("dist").alias("depth"),
+        "n_mentions",
+    )
+    return direct.unionByName(inherited)

@@ -365,7 +365,10 @@ _WINDOW = [
 #   drop-char/exact/case/unlinked pinned; rides CORRECTNESS_FULL;
 # * kg_clustering — composes in-window kg_triangles' enumeration with a
 #   degree join (oracle = independent closed-walk count); closed form
-#   pytest-pinned; rides CORRECTNESS_FULL.
+#   pytest-pinned; rides CORRECTNESS_FULL;
+# * kg_rdfs_types — two independent closure algorithms (doubling vs
+#   recursive CTE) must agree; depths + inheritance pytest-pinned;
+#   rides CORRECTNESS_FULL.
 
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
 # out of the driver-verified window with no signal at all (explicit raise,

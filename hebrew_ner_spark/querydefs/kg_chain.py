@@ -646,3 +646,49 @@ def kg_bgp_optional(spark, sf_dir):
     (?y merge ?z) — left-join binding semantics with the '' sentinel for
     unmatched optionals and exact evidence weights on both legs."""
     return kg.bgp_match_optional(_docs(spark, sf_dir))
+
+
+_etype_case_sql = kg._etype_case
+
+
+def _hier_values() -> str:
+    from hebrew_ner_spark.resources import TYPE_HIERARCHY
+
+    rows = ", ".join(f"('{a}', '{b}')" for a, b in sorted(TYPE_HIERARCHY.items()))
+    return f"rdfhier(sub, super) AS (SELECT * FROM (VALUES {rows}))"
+
+
+@query(
+    "kg_rdfs_types",
+    oracle=f"""
+    WITH RECURSIVE {_hier_values()},
+    rdfclos(sub, super, dist) AS (
+      SELECT sub, super, 1 FROM rdfhier
+      UNION
+      SELECT c.sub, h.super, c.dist + 1
+      FROM rdfclos c JOIN rdfhier h ON h.sub = c.super
+    ),
+    rdftoks AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    rdfcnt AS (
+      SELECT token AS entity, CAST(count(*) AS BIGINT) AS n_mentions,
+             {_etype_case_sql("token")} AS dtype
+      FROM rdftoks WHERE token IN {_ENTS_SQL} GROUP BY token
+    ),
+    rdfmin AS (
+      SELECT sub, super, CAST(min(dist) AS BIGINT) AS dist
+      FROM rdfclos GROUP BY sub, super
+    )
+    SELECT entity, dtype AS typ, CAST(0 AS BIGINT) AS depth, n_mentions FROM rdfcnt
+    UNION ALL
+    SELECT c.entity, m.super AS typ, m.dist AS depth, c.n_mentions
+    FROM rdfcnt c JOIN rdfmin m ON m.sub = c.dtype
+    """,
+)
+def kg_rdfs_types(spark, sf_dir):
+    """RDFS entailment (rdfs9 + rdfs11): direct classes plus every
+    inherited superclass per entity, weighted by mention count. Spark
+    closes the hierarchy by iterative doubling; the oracle by recursive
+    CTE — two independent closure algorithms must agree."""
+    return kg.rdfs_entity_types(_docs(spark, sf_dir))

@@ -101,3 +101,15 @@ assert set(ENTITY_TYPES) == set(ENTITY_TERMS)
 # to the nearest preceding entity mention in the document. "the" stays
 # plain filler (it also serves as the gap token in deppat patterns).
 PRONOUN_TERMS = ["a"]
+
+# Declared class hierarchy (child -> parent, rdfs:subClassOf). The flat
+# ENTITY_TYPES classes sit under two intermediate classes and a root —
+# three levels, so transitive closure and inherited-type inference have
+# real work (operators/kg.py rdfs closure). Frozen — oracles embed it.
+TYPE_HIERARCHY = {
+    "AGENT": "ACTOR",
+    "ACTOR": "THING",
+    "DATA": "ARTIFACT",
+    "KEY": "ARTIFACT",
+    "ARTIFACT": "THING",
+}

@@ -265,3 +265,36 @@ class TestBgpOptional:
             ("row", "value", "part", 1, 1),      # fan-out on two optional matches
             ("row", "value", "batch", 1, 1),
         }
+
+
+class TestRdfsTypes:
+    def test_closure_depths(self, spark):
+        from hebrew_ner_spark.operators.kg import type_closure
+
+        got = {(r.sub, r.super): r.dist for r in type_closure(spark).collect()}
+        assert got[("AGENT", "ACTOR")] == 1
+        assert got[("AGENT", "THING")] == 2
+        assert got[("DATA", "ARTIFACT")] == 1
+        assert got[("DATA", "THING")] == 2
+        assert got[("ARTIFACT", "THING")] == 1
+        assert ("THING", "THING") not in got  # closure is irreflexive
+
+    def test_inference_per_entity(self, spark):
+        from hebrew_ner_spark.operators.kg import rdfs_entity_types
+
+        docs = spark.createDataFrame(
+            [(0, "spark join table spark")], "doc_id long, text string"
+        )
+        got = {
+            (r.entity, r.typ): (r.depth, r.n_mentions)
+            for r in rdfs_entity_types(docs).collect()
+        }
+        # spark: AGENT(0) -> ACTOR(1) -> THING(2), 2 mentions
+        assert got[("spark", "AGENT")] == (0, 2)
+        assert got[("spark", "ACTOR")] == (1, 2)
+        assert got[("spark", "THING")] == (2, 2)
+        # table: DATA(0) -> ARTIFACT(1) -> THING(2), 1 mention
+        assert got[("table", "DATA")] == (0, 1)
+        assert got[("table", "ARTIFACT")] == (1, 1)
+        assert got[("table", "THING")] == (2, 1)
+        assert len(got) == 6
