@@ -1,0 +1,75 @@
+"""Lakehouse table maintenance: compaction planning and Z-order keys.
+
+A 10^12-row Iceberg table rots without maintenance — streaming commits
+leave small files, and range queries over uncorrelated columns scan
+everything. The two standard fixes, engine-side:
+
+* ``compaction_plan`` — greedy running-total bin packing of the file
+  inventory into target-size rewrite groups. The inventory is METADATA
+  (one row per file — millions of rows at worst, never data), so the
+  plan is one ordered window over it; executors then rewrite each group
+  independently.
+* ``zorder_keys`` — Morton (bit-interleaved) sort keys over two integer
+  dimensions. Writing data ordered by the Z-curve makes min/max file
+  pruning effective for BOTH dimensions at once (the Delta/Iceberg
+  Z-ORDER feature). Pure bit arithmetic, unrolled — identical in Spark
+  and DuckDB, no UDF.
+
+The sandbox synthesizes a file inventory deterministically from the
+documents table (file size = a hash-spread function of doc_id), the
+planted-evidence precedent."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TARGET_BYTES = 1_000_000  # compaction rewrite-group target
+Z_BITS = 16  # bits per dimension in the Morton code
+
+
+def synth_file_inventory(docs: DataFrame) -> DataFrame:
+    """(file_id, bytes): a skewed small-file inventory — sizes spread
+    deterministically across ~3 decades (the shape streaming commits
+    actually leave: many tiny files, a few near-target ones)."""
+    return docs.select(
+        F.col("doc_id").alias("file_id"),
+        F.expr(
+            "CAST(1000 + (doc_id * doc_id * 2654435761) % 399000 AS BIGINT)"
+        ).alias("bytes"),
+    )
+
+
+def compaction_plan(files: DataFrame, target: int = TARGET_BYTES) -> DataFrame:
+    """(file_id, bytes, grp): greedy bin packing by running total — file
+    f (in file_id order) joins group floor(cumsum_before / target).
+    Exactly the plan Iceberg's binpack rewrite produces for an ordered
+    inventory; one window over metadata, zero data movement. Groups are
+    contiguous in file_id, so each rewrite task reads a key range."""
+    w = Window.orderBy("file_id").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        files.withColumn("_before", F.coalesce(F.sum("bytes").over(w), F.lit(0)))
+        .select(
+            "file_id",
+            "bytes",
+            F.expr(f"CAST(_before DIV {target} AS BIGINT)").alias("grp"),
+        )
+    )
+
+
+def _interleave(col: str, shift: int, bits: int = Z_BITS) -> str:
+    """SQL: spread ``bits`` low bits of ``col`` to even positions, then
+    shift left by ``shift`` (0 = even lanes, 1 = odd lanes)."""
+    terms = " + ".join(
+        f"(shiftleft(shiftright({col}, {i}) & 1, {2 * i + shift}))" for i in range(bits)
+    )
+    return f"({terms})"
+
+
+def zorder_keys(df: DataFrame, xcol: str, ycol: str, bits: int = Z_BITS) -> DataFrame:
+    """+ ``zkey``: the Morton interleave of the low ``bits`` of two
+    integer columns — x in even bit lanes, y in odd. Sorting by zkey
+    before write clusters BOTH dimensions for min/max pruning. Unrolled
+    shift/mask terms stay inside whole-stage codegen."""
+    expr = f"CAST({_interleave(xcol, 0, bits)} + {_interleave(ycol, 1, bits)} AS BIGINT)"
+    return df.withColumn("zkey", F.expr(expr))

@@ -368,7 +368,11 @@ _WINDOW = [
 #   pytest-pinned; rides CORRECTNESS_FULL;
 # * kg_rdfs_types — two independent closure algorithms (doubling vs
 #   recursive CTE) must agree; depths + inheritance pytest-pinned;
-#   rides CORRECTNESS_FULL.
+#   rides CORRECTNESS_FULL;
+# * maint_compaction_plan / maint_zorder_keys — metadata-plane ops with
+#   closed-form oracles (DuckDB-native bit operators vs Spark
+#   shiftleft/shiftright); greedy invariant + interleave + Z-locality
+#   pytest-pinned; ride CORRECTNESS_FULL.
 
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
 # out of the driver-verified window with no signal at all (explicit raise,

@@ -1,0 +1,73 @@
+"""Gates for table maintenance (operators/maintenance.py).
+
+Oracles replay the bin-pack window and the Morton interleave with
+DuckDB's native bit operators (`>>`/`<<`/`&`) against Spark's
+shiftleft/shiftright — identical values, independent spelling. CTE
+names are mnt-prefixed."""
+
+from __future__ import annotations
+
+from hebrew_ner_spark.operators import maintenance
+from hebrew_ner_spark.registry import query
+from hebrew_ner_spark.sources.catalog import load_table
+
+T = maintenance.TARGET_BYTES
+B = maintenance.Z_BITS
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@query(
+    "maint_compaction_plan",
+    oracle=f"""
+    WITH mntfiles AS (
+      SELECT doc_id AS file_id,
+             CAST(1000 + (doc_id * doc_id * 2654435761) % 399000 AS BIGINT) AS bytes
+      FROM documents
+    )
+    SELECT file_id, bytes,
+           CAST(coalesce(sum(bytes) OVER
+             (ORDER BY file_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) // {T} AS BIGINT) AS grp
+    FROM mntfiles
+    """,
+)
+def maint_compaction_plan(spark, sf_dir):
+    """Greedy binpack rewrite groups over the synthesized small-file
+    inventory: one running-total window over metadata, groups contiguous
+    in file_id (each rewrite task reads a key range)."""
+    return maintenance.compaction_plan(
+        maintenance.synth_file_inventory(_docs(spark, sf_dir))
+    )
+
+
+def _duck_interleave(col: str, shift: int) -> str:
+    terms = " + ".join(
+        f"((({col} >> {i}) & 1) << {2 * i + shift})" for i in range(B)
+    )
+    return f"({terms})"
+
+
+@query(
+    "maint_zorder_keys",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_duck_interleave("(doc_id % 65536)", 0)}
+                + {_duck_interleave("(n_chars % 65536)", 1)} AS BIGINT) AS zkey
+    FROM documents
+    """,
+)
+def maint_zorder_keys(spark, sf_dir):
+    """Morton Z-order write keys over (doc_id, n_chars): bit interleave
+    in pure codegen arithmetic; sorting by zkey clusters both dimensions
+    for file-level min/max pruning."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") % 65536).alias("_zx"),
+        (F.col("n_chars") % 65536).alias("_zy"),
+    )
+    return maintenance.zorder_keys(docs, "_zx", "_zy").select("doc_id", "zkey")

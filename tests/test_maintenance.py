@@ -1,0 +1,55 @@
+"""Table-maintenance tests: bin packing and Z-order keys."""
+
+from pyspark.sql import functions as F
+
+from hebrew_ner_spark.operators import maintenance
+
+
+def test_compaction_groups_respect_target(spark):
+    files = spark.createDataFrame(
+        [(i, b) for i, b in enumerate([400, 400, 400, 900, 100, 100, 1200, 50])],
+        "file_id long, bytes long",
+    )
+    out = {r.file_id: r.grp for r in maintenance.compaction_plan(files, target=1000).collect()}
+    # cumsums before: 0,400,800,1200,2100,2200,2300,3500 -> groups 0,0,0,1,2,2,2,3
+    assert out == {0: 0, 1: 0, 2: 0, 3: 1, 4: 2, 5: 2, 6: 2, 7: 3}
+
+
+def test_compaction_group_sizes_bounded(spark):
+    """Every group's total is < target + its last file's size (greedy
+    invariant), and groups are contiguous in file_id."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    inv = maintenance.synth_file_inventory(docs)
+    out = maintenance.compaction_plan(inv).orderBy("file_id").collect()
+    by_grp = {}
+    last_grp = 0
+    for r in out:
+        assert r.grp >= last_grp  # contiguity / monotonicity
+        last_grp = r.grp
+        by_grp.setdefault(r.grp, []).append(r.bytes)
+    for g, sizes in by_grp.items():
+        assert sum(sizes) < maintenance.TARGET_BYTES + sizes[-1]
+
+
+def test_zorder_interleave_closed_form(spark):
+    df = spark.createDataFrame(
+        [(0, 0b1010, 0b0110)], "doc_id long, x long, y long"
+    )
+    z = maintenance.zorder_keys(df, "x", "y").collect()[0].zkey
+    want = 0
+    for i in range(16):
+        want |= ((0b1010 >> i) & 1) << (2 * i)
+        want |= ((0b0110 >> i) & 1) << (2 * i + 1)
+    assert z == want == 0b01101100
+
+
+def test_zorder_locality(spark):
+    """Points close in both dims are close in zkey: the max zkey gap
+    within a 2x2 block is far below the gap across distant blocks."""
+    rows = [(i * 100 + j, i, j) for i in range(4) for j in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, x long, y long")
+    z = {(r.x, r.y): r.zkey for r in maintenance.zorder_keys(df, "x", "y").collect()}
+    block = [z[(x, y)] for x in (0, 1) for y in (0, 1)]
+    far = z[(3, 3)]
+    assert max(block) - min(block) == 3          # 2x2 block is 4 consecutive codes
+    assert far - max(block) > 10
