@@ -432,3 +432,28 @@ def training_manifest(docs: DataFrame, mixture_target: int) -> DataFrame:
             "eval_rank",
         )
     )
+
+
+FEATURE_BUCKETS = 64
+
+
+def feature_hash(docs: DataFrame, n_buckets: int = FEATURE_BUCKETS) -> DataFrame:
+    """(doc_id, bucket, cnt): the hashing-trick document vectorizer
+    (Weinberger et al. 2009) — token counts folded into a fixed bucket
+    space by the portable 60-bit hash, the vocabulary-free feature prep
+    a trillion-token corpus needs (no global vocab build, no OOV, fixed
+    width).
+
+    Plan: posexplode -> in-row hash -> one map-side-combined aggregate
+    at (doc, bucket) grain. The hash is the shared phash, so the DuckDB
+    oracle folds identically; bucket = phash % n_buckets on NON-NEGATIVE
+    hashes (60-bit, sign never enters)."""
+    from hebrew_ner_spark.functions.hashing import phash_sql_expr
+
+    h = phash_sql_expr("token", 0)
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .select("doc_id", F.expr(f"CAST({h} % {n_buckets} AS BIGINT)").alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )

@@ -372,7 +372,10 @@ _WINDOW = [
 # * maint_compaction_plan / maint_zorder_keys — metadata-plane ops with
 #   closed-form oracles (DuckDB-native bit operators vs Spark
 #   shiftleft/shiftright); greedy invariant + interleave + Z-locality
-#   pytest-pinned; ride CORRECTNESS_FULL.
+#   pytest-pinned; ride CORRECTNESS_FULL;
+# * trn_feature_hash — one portable-hash fold + count (the same phash
+#   machinery as the in-window dedup/bloom gates); python-fold equality
+#   pytest-pinned; rides CORRECTNESS_FULL.
 
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
 # out of the driver-verified window with no signal at all (explicit raise,

@@ -268,3 +268,21 @@ def trn_manifest(spark, sf_dir):
     (operators/training.py training_manifest — broadcast joins onto one
     narrow doc scan; records, never filters)."""
     return training.training_manifest(_docs(spark, sf_dir), _MANIFEST_MIX_TARGET)
+
+
+@query(
+    "trn_feature_hash",
+    oracle=f"""
+    WITH fhtoks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    SELECT doc_id,
+           CAST({phash_duck("token", 0)} % {training.FEATURE_BUCKETS} AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM fhtoks GROUP BY 1, 2
+    """,
+)
+def trn_feature_hash(spark, sf_dir):
+    """Hashing-trick document vectors: vocabulary-free fixed-width
+    features via the portable hash, folded map-side."""
+    return training.feature_hash(_docs(spark, sf_dir))

@@ -221,3 +221,24 @@ class TestTrainingManifest:
             assert r.in_mixture == (d in mix)
             assert r.eval_rank == ev.get(d)
             assert r.n_toks == 12
+
+
+def test_feature_hash_folds_and_preserves_mass(spark):
+    from hebrew_ner_spark.functions.hashing import phash_py
+    from hebrew_ner_spark.operators.training import FEATURE_BUCKETS, feature_hash
+
+    docs = spark.createDataFrame(
+        [(0, "key key row"), (1, "key")], "doc_id long, text string"
+    )
+    out = feature_hash(docs).collect()
+    got = {(r.doc_id, r.bucket): r.cnt for r in out}
+    # python-side fold (collisions included — 'key' and 'row' collide
+    # mod 64, which is the hashing trick working as designed)
+    want = {}
+    for doc_id, text in [(0, "key key row"), (1, "key")]:
+        for t in text.split(" "):
+            k = (doc_id, phash_py(t) % FEATURE_BUCKETS)
+            want[k] = want.get(k, 0) + 1
+    assert got == want
+    assert sum(got.values()) == 4  # token mass preserved through the fold
+    assert all(0 <= b < FEATURE_BUCKETS for _, b in got)
