@@ -6,8 +6,12 @@ everything. The two standard fixes, engine-side:
 
 * ``compaction_plan`` — greedy running-total bin packing of the file
   inventory into target-size rewrite groups. The inventory is METADATA
-  (one row per file — millions of rows at worst, never data), so the
-  plan is one ordered window over it; executors then rewrite each group
+  (one row per file — but a 10^12-row table easily carries 10^8 files),
+  so the running total is computed **two-level** like ``build_vocab``'s
+  rank: a per-bucket cumsum under a hash-partitioned window plus a
+  broadcast table of cumulative bucket offsets. Only the bucket-count
+  table (|inventory| / bucket_span rows) crosses a single partition;
+  the file-grain rows never do. Executors then rewrite each group
   independently.
 * ``zorder_keys`` — Morton (bit-interleaved) sort keys over two integer
   dimensions. Writing data ordered by the Z-curve makes min/max file
@@ -40,20 +44,50 @@ def synth_file_inventory(docs: DataFrame) -> DataFrame:
     )
 
 
-def compaction_plan(files: DataFrame, target: int = TARGET_BYTES) -> DataFrame:
+def compaction_plan(
+    files: DataFrame, target: int = TARGET_BYTES, bucket_span: int = 65536
+) -> DataFrame:
     """(file_id, bytes, grp): greedy bin packing by running total — file
     f (in file_id order) joins group floor(cumsum_before / target).
     Exactly the plan Iceberg's binpack rewrite produces for an ordered
-    inventory; one window over metadata, zero data movement. Groups are
-    contiguous in file_id, so each rewrite task reads a key range."""
-    w = Window.orderBy("file_id").rowsBetween(Window.unboundedPreceding, -1)
-    return (
-        files.withColumn("_before", F.coalesce(F.sum("bytes").over(w), F.lit(0)))
-        .select(
-            "file_id",
-            "bytes",
-            F.expr(f"CAST(_before DIV {target} AS BIGINT)").alias("grp"),
+    inventory, zero data movement. Groups are contiguous in file_id, so
+    each rewrite task reads a key range.
+
+    The running total is two-level: ``file_id DIV bucket_span`` is a
+    monotone bucket key (ordering by (bucket, file_id) == ordering by
+    file_id), so cumsum = per-bucket cumsum (hash-partitioned window)
+    + the cumulative byte total of all earlier buckets (a broadcast
+    offsets table; the only ordered un-partitioned window runs over
+    |inventory|/bucket_span bucket-count rows, never file-grain)."""
+    b = files.withColumn(
+        "_bkt", F.expr(f"CAST(file_id DIV {bucket_span} AS BIGINT)")
+    )
+    wl = (
+        Window.partitionBy("_bkt")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = b.withColumn("_lb", F.coalesce(F.sum("bytes").over(wl), F.lit(0)))
+    offsets = (
+        b.groupBy("_bkt")
+        .agg(F.sum("bytes").alias("_n"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
         )
+        .select("_bkt", "_off")
+    )
+    return local.join(F.broadcast(offsets), "_bkt").select(
+        "file_id",
+        "bytes",
+        F.expr(f"CAST((_lb + _off) DIV {target} AS BIGINT)").alias("grp"),
     )
 
 

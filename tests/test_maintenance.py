@@ -31,6 +31,33 @@ def test_compaction_group_sizes_bounded(spark):
         assert sum(sizes) < maintenance.TARGET_BYTES + sizes[-1]
 
 
+def test_compaction_two_level_crosses_buckets(spark):
+    """With bucket_span=4 the 8-file fixture spans two cumsum buckets;
+    the cross-bucket offsets must reproduce the global running total —
+    and the file-grain window must be hash-partitioned (the plan's only
+    un-partitioned ordered window runs over bucket counts)."""
+    sizes = [400, 400, 400, 900, 100, 100, 1200, 50]
+    files = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(sizes)], "file_id long, bytes long"
+    )
+    out = {
+        r.file_id: r.grp
+        for r in maintenance.compaction_plan(
+            files, target=1000, bucket_span=4
+        ).collect()
+    }
+    assert out == {0: 0, 1: 0, 2: 0, 3: 1, 4: 2, 5: 2, 6: 2, 7: 3}
+    import re
+
+    plan = maintenance.compaction_plan(files, target=1000, bucket_span=4)
+    phys = plan._jdf.queryExecution().executedPlan().toString()
+    # the file-grain window must be partitioned by the bucket key:
+    # windowspecdefinition(_bkt#N, file_id#M ASC ...) — the un-partitioned
+    # ordered window may appear only over the bucket-count aggregate (_n)
+    assert re.search(r"windowspecdefinition\(_bkt#\d+L?, file_id#", phys)
+    assert not re.search(r"windowspecdefinition\(file_id#", phys)
+
+
 def test_zorder_interleave_closed_form(spark):
     df = spark.createDataFrame(
         [(0, 0b1010, 0b0110)], "doc_id long, x long, y long"
