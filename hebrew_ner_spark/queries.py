@@ -151,7 +151,11 @@ _WINDOW = [
     "kg_subsumption",
     "kg_cooc_lift",
     "kg_triangles",
-    "kg_snapshot_timetravel",
+    # kg_snapshot_timetravel rotated out late-r3 (snapshot-filter
+    # semantics pytest-pinned, gate-green in every full-registry run)
+    # for web_robots_decisions — brand-new cross-engine precedence
+    # shape (max(struct) longest-match fold vs ranked-window oracle)
+    "web_robots_decisions",
     # kg_paths_2hop rotated out late-r3 (its wedge-join machinery is
     # exercised in-window by kg_triangles + kg_bgp_match and typed-sibling
     # kg_pra_features is pytest-pinned) for kg_ktruss — an unrolled
@@ -381,6 +385,12 @@ _WINDOW = [
 #   two-level cumsum rewrite);
 # * kg_ntriples_lines — pure serialization with a pytest round-trip,
 #   rotated out for the rewritten maint_compaction_plan; rides
+#   CORRECTNESS_FULL;
+# * kg_snapshot_timetravel — snapshot-filter semantics pytest-pinned,
+#   rotated out for web_robots_decisions; rides CORRECTNESS_FULL;
+# * web_robots_blocked_share — one integer-share aggregate over
+#   in-window web_robots_decisions' output (verdict drift surfaces
+#   there); probe classes pytest-pinned non-vacuous; rides
 #   CORRECTNESS_FULL;
 # * trn_feature_hash — one portable-hash fold + count (the same phash
 #   machinery as the in-window dedup/bloom gates); python-fold equality
