@@ -149,7 +149,11 @@ _WINDOW = [
     # kg_triples_deppat's output) for kg_subsumption — new ordered-pair
     # containment shape with threshold semantics
     "kg_subsumption",
-    "kg_cooc_lift",
+    # kg_cooc_lift rotated out late-r3 (plain lift arithmetic over the
+    # judge-stable cooccurrence agg, pytest-pinned) for eval_bcubed_dedup
+    # — brand-new cross-engine metric arithmetic (contingency-grain
+    # half-up terms + guarded F1) over the exact-closure oracle
+    "eval_bcubed_dedup",
     "kg_triangles",
     # kg_snapshot_timetravel rotated out late-r3 (snapshot-filter
     # semantics pytest-pinned, gate-green in every full-registry run)
@@ -388,6 +392,8 @@ _WINDOW = [
 #   CORRECTNESS_FULL;
 # * kg_snapshot_timetravel — snapshot-filter semantics pytest-pinned,
 #   rotated out for web_robots_decisions; rides CORRECTNESS_FULL;
+# * kg_cooc_lift — plain integer lift arithmetic, rotated out for
+#   eval_bcubed_dedup; rides CORRECTNESS_FULL;
 # * web_robots_blocked_share — one integer-share aggregate over
 #   in-window web_robots_decisions' output (verdict drift surfaces
 #   there); probe classes pytest-pinned non-vacuous; rides

@@ -1122,3 +1122,59 @@ def link_fuzzy_edit(spark, sf_dir):
         ).alias("surface"),
     )
     return linking.fuzzy_link_edit(noisy, linking.entity_dim(spark))
+
+
+# B-cubed terms in micro-units over the (pred, gold) contingency grain;
+# P+R=0 guarded to 0 on BOTH engines (the cross-engine NULL-division
+# class). CTE names are bc-prefixed.
+_BCUBED_TAIL = """
+bcc AS (SELECT pred, gold, count(*) AS n_pg FROM bca GROUP BY pred, gold),
+bcp AS (SELECT pred, sum(n_pg) AS n_p FROM bcc GROUP BY pred),
+bcg AS (SELECT gold, sum(n_pg) AS n_g FROM bcc GROUP BY gold),
+bct AS (
+  SELECT c.n_pg,
+         (2 * 1000000 * c.n_pg * c.n_pg + p.n_p) // (2 * p.n_p) AS p_term,
+         (2 * 1000000 * c.n_pg * c.n_pg + g.n_g) // (2 * g.n_g) AS r_term
+  FROM bcc c JOIN bcp p USING (pred) JOIN bcg g USING (gold)),
+bcs AS (SELECT sum(n_pg) AS n_items, sum(p_term) AS sp, sum(r_term) AS sr
+        FROM bct),
+bcm AS (SELECT CAST(n_items AS BIGINT) AS n_items,
+               CAST((2 * sp + n_items) // (2 * n_items) AS BIGINT) AS p6,
+               CAST((2 * sr + n_items) // (2 * n_items) AS BIGINT) AS r6
+        FROM bcs)
+SELECT n_items, p6 AS precision_1e6, r6 AS recall_1e6,
+       CAST(CASE WHEN p6 + r6 = 0 THEN 0
+            ELSE (2 * 2 * p6 * r6 + (p6 + r6)) // (2 * (p6 + r6)) END
+            AS BIGINT) AS f1_1e6
+FROM bcm
+"""
+
+
+@query(
+    "eval_bcubed_dedup",
+    oracle=f"""
+    WITH RECURSIVE {_CC_CTES},
+    bcgold AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS gold
+               FROM documents),
+    bca AS (
+      SELECT d.doc_id AS item,
+             CAST(coalesce(c.component_id, d.doc_id) AS BIGINT) AS pred,
+             CAST(g.gold AS BIGINT) AS gold
+      FROM documents d
+      LEFT JOIN comp c ON c.doc_id = d.doc_id
+      JOIN bcgold g ON g.doc_id = d.doc_id),
+    {_BCUBED_TAIL}
+    """,
+)
+def eval_bcubed_dedup(spark, sf_dir):
+    """B³ P/R/F1 of the near-dup clustering against byte-identical gold
+    groups: exact dups must stay together (recall 1e6 — they share every
+    shingle), near-merges of non-identical docs price precision below
+    1e6. Same loud-fail overflow guard as cc_dedup_components (the exact
+    closure oracle cannot model hub-edge routing)."""
+    from hebrew_ner_spark.operators import clustereval
+
+    d = _docs(spark, sf_dir)
+    _assert_no_overflow(d, sf_dir)
+    comp = canonicalize.dedup_components(dedup.near_dup_pairs_all(d))
+    return clustereval.bcubed_prf(clustereval.dedup_bcubed_assign(d, comp))
