@@ -289,3 +289,128 @@ def token_heavy_hitters(docs: DataFrame, k: int = 20) -> DataFrame:
     )
     est = cms_estimate(token_cms(docs), top.select("token"), "token")
     return top.join(est, "token").select("token", "true_cnt", "est_cnt")
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k) distinct sketches.
+#
+# HLL answers "how many distinct" but cannot intersect; the KMV sketch —
+# the k smallest hash values of a set — additionally supports UNION
+# (merge arrays, keep k smallest) and hence JACCARD between strata
+# (Bar-Yossef et al. 2002; the DataSketches theta family): the bottom-k
+# of A ∪ B is a uniform sample of the union, and the fraction of it
+# present in both sketches estimates |A∩B| / |A∪B|. Everything below is
+# exact-integer over the portable 60-bit hash, so oracles replay values
+# bit-for-bit.
+
+KMV_K = 128
+KMV_SEED = 77
+KMV_BKT_SHIFT = 48  # 60-bit hash >> 48 = 4096 value-range buckets
+
+
+def kmv_sketch(items: DataFrame, key: str, item: str, k: int = KMV_K) -> DataFrame:
+    """(key, r, hv): the k smallest distinct hash values per group,
+    r = 1-based rank.
+
+    Scale shape — the naive form (rank every distinct value per key,
+    keep k) sorts ENTIRE per-key vocabularies through a window. Here the
+    window only ever sees ~k survivors: distinct (key, hv) rows carry a
+    value-range bucket (hv >> KMV_BKT_SHIFT); a per-key cumulative count
+    over the ≤4096 bucket rows finds the bucket prefix that must contain
+    the k minima ("cum_before < k" — same two-level discipline as
+    build_vocab / token_budget_sample); only rows in kept buckets reach
+    the ranking window. With uniform hashes the kept prefix carries
+    O(k) rows per key regardless of vocabulary size."""
+    d = (
+        items.select(F.col(key), phash_col(F.col(item), KMV_SEED).alias("hv"))
+        .distinct()
+        .withColumn("bkt", F.shiftright("hv", KMV_BKT_SHIFT))
+    )
+    from pyspark.sql.window import Window
+
+    wcum = (
+        Window.partitionBy(key)
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    keep = (
+        d.groupBy(key, "bkt")
+        .agg(F.count("*").alias("_n"))
+        .withColumn("_cb", F.coalesce(F.sum("_n").over(wcum), F.lit(0)))
+        .where(F.col("_cb") < k)
+        .select(key, "bkt")
+    )
+    wr = Window.partitionBy(key).orderBy("hv")
+    return (
+        d.join(F.broadcast(keep), [key, "bkt"])
+        .withColumn("r", F.row_number().over(wr).cast("long"))
+        .where(F.col("r") <= k)
+        .select(key, "r", "hv")
+    )
+
+
+# 127 * 2^53 < 2^63: the estimator divides in a 7-bit-coarsened domain
+# so (k-1) * numerator never overflows int64 (hv near 2^60 otherwise
+# forces a 127 * 2^60 intermediate). Both engines coarsen identically.
+_KMV_NUM_SHIFT = 7
+
+
+def kmv_estimate(sk: DataFrame, key: str, k: int = KMV_K) -> DataFrame:
+    """(key, n_sk, est_distinct): the KMV cardinality estimate
+    (k-1) * H / h_(k) with H = 2^60 the hash space — exact count when the
+    sketch holds the whole set (n_sk < k), the textbook unbiased
+    estimator otherwise, in overflow-safe integer arithmetic."""
+    h_space = 1 << (60 - _KMV_NUM_SHIFT)
+    agg = sk.groupBy(key).agg(
+        F.count("*").cast("long").alias("n_sk"),
+        F.max(F.when(F.col("r") == k, F.col("hv"))).alias("_hk"),
+    )
+    return agg.select(
+        key,
+        "n_sk",
+        F.expr(
+            f"CAST(CASE WHEN n_sk < {k} THEN n_sk "
+            f"ELSE ({k - 1} * CAST({h_space} AS BIGINT)) "
+            f"     DIV (1 + (_hk DIV {1 << _KMV_NUM_SHIFT})) END AS BIGINT)"
+        ).alias("est_distinct"),
+    )
+
+
+def kmv_pair_jaccard(sk: DataFrame, key: str, k: int = KMV_K) -> DataFrame:
+    """(key_a, key_b, n_eval, n_both, jaccard_1e6) for every unordered
+    key pair: the bottom-k of the MERGED sketch is a uniform sample of
+    A ∪ B; the fraction of its values present in both input sketches
+    estimates Jaccard (half-up micro-units).
+
+    Pair expansion is sketch-grain — P pairs x ≤2k rows — so this is for
+    stratum-level keys (languages, hosts, crawl snapshots), never
+    item-grain; the corpus itself is touched only by kmv_sketch."""
+    a = sk.select(F.col(key).alias("key_a"), "hv")
+    b = sk.select(F.col(key).alias("key_b"), "hv")
+    keys = sk.select(F.col(key).alias("key_a")).distinct()
+    pairs = keys.join(
+        keys.select(F.col("key_a").alias("key_b")),
+        F.col("key_a") < F.col("key_b"),
+    )
+    ra = pairs.join(a, "key_a").select(
+        "key_a", "key_b", "hv", F.lit(1).alias("_ia"), F.lit(0).alias("_ib")
+    )
+    rb = pairs.join(b, "key_b").select(
+        "key_a", "key_b", "hv", F.lit(0).alias("_ia"), F.lit(1).alias("_ib")
+    )
+    u = (
+        ra.unionByName(rb)
+        .groupBy("key_a", "key_b", "hv")
+        .agg(F.max("_ia").alias("_ia"), F.max("_ib").alias("_ib"))
+    )
+    from pyspark.sql.window import Window
+
+    wr = Window.partitionBy("key_a", "key_b").orderBy("hv")
+    topk = u.withColumn("_r", F.row_number().over(wr)).where(F.col("_r") <= k)
+    return topk.groupBy("key_a", "key_b").agg(
+        F.count("*").cast("long").alias("n_eval"),
+        F.sum(F.col("_ia") * F.col("_ib")).cast("long").alias("n_both"),
+        F.expr(
+            "CAST((2 * 1000000 * sum(_ia * _ib) + count(*)) DIV (2 * count(*)) AS BIGINT)"
+        ).alias("jaccard_1e6"),
+    )

@@ -154,7 +154,11 @@ _WINDOW = [
     # — brand-new cross-engine metric arithmetic (contingency-grain
     # half-up terms + guarded F1) over the exact-closure oracle
     "eval_bcubed_dedup",
-    "kg_triangles",
+    # kg_triangles rotated out late-r3 (its wedge enumeration is
+    # exercised in-window by kg_ktruss's triangle-support peel) for
+    # sk_kmv_jaccard — brand-new cross-engine shape (merged bottom-k
+    # membership flags + micro-unit overlap)
+    "sk_kmv_jaccard",
     # kg_snapshot_timetravel rotated out late-r3 (snapshot-filter
     # semantics pytest-pinned, gate-green in every full-registry run)
     # for web_robots_decisions — brand-new cross-engine precedence
@@ -394,6 +398,12 @@ _WINDOW = [
 #   rotated out for web_robots_decisions; rides CORRECTNESS_FULL;
 # * kg_cooc_lift — plain integer lift arithmetic, rotated out for
 #   eval_bcubed_dedup; rides CORRECTNESS_FULL;
+# * kg_triangles — wedge enumeration family-covered in-window by
+#   kg_ktruss, rotated out for sk_kmv_jaccard; rides CORRECTNESS_FULL;
+# * sk_kmv_sketch / sk_kmv_estimate — direct inputs of in-window
+#   sk_kmv_jaccard (sketch or estimator drift surfaces there); the
+#   bucket-prefix pruning is pytest-pinned lossless vs the naive
+#   window construction; ride CORRECTNESS_FULL;
 # * web_robots_blocked_share — one integer-share aggregate over
 #   in-window web_robots_decisions' output (verdict drift surfaces
 #   there); probe classes pytest-pinned non-vacuous; rides

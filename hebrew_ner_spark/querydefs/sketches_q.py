@@ -179,3 +179,109 @@ def sk_cms_heavy(spark, sf_dir):
     """CMS point estimates for the top-20 true heavy hitters; one-sided
     (est_cnt >= true_cnt) with collision mass bounded by n/w per row."""
     return sketches.token_heavy_hitters(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k gates. Oracles replay sketch, estimate, and pairwise
+# Jaccard bit-for-bit via ranked windows over the portable hash — the
+# Spark side reaches the same rows through the bucket-prefix pruning, so
+# the two-level shortcut is value-pinned against the naive construction.
+# CTE names are kmv-prefixed.
+
+from hebrew_ner_spark.operators.sketches import (  # noqa: E402
+    _KMV_NUM_SHIFT,
+    KMV_K,
+    KMV_SEED,
+)
+
+_KMV_SKETCH = f"""
+kmvd AS (
+  SELECT DISTINCT lang,
+         CAST(concat('0x', substr(md5(token || ':{KMV_SEED}'), 1, 15)) AS BIGINT) AS hv
+  FROM toks),
+kmvs AS (
+  SELECT lang, r, hv FROM (
+    SELECT lang, hv,
+           CAST(row_number() OVER (PARTITION BY lang ORDER BY hv) AS BIGINT) AS r
+    FROM kmvd)
+  WHERE r <= {KMV_K})
+"""
+
+
+@query(
+    "sk_kmv_sketch",
+    oracle=f"""
+    WITH toks AS ({_TOKS}),
+    {_KMV_SKETCH}
+    SELECT lang, r, hv FROM kmvs
+    """,
+)
+def sk_kmv_sketch(spark, sf_dir):
+    """Bottom-k distinct-token sketch per language stratum; the ranking
+    window sees only the bucket-prefix survivors (~k rows per key), not
+    the vocabulary."""
+    return sketches.kmv_sketch(
+        sketches.doc_tokens(_docs(spark, sf_dir)), "lang", "token"
+    )
+
+
+@query(
+    "sk_kmv_estimate",
+    oracle=f"""
+    WITH toks AS ({_TOKS}),
+    {_KMV_SKETCH}
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_sk,
+           CAST(CASE WHEN count(*) < {KMV_K} THEN count(*)
+                ELSE ({KMV_K - 1} * CAST({1 << (60 - _KMV_NUM_SHIFT)} AS BIGINT))
+                     // (1 + (max(CASE WHEN r = {KMV_K} THEN hv END)
+                              // {1 << _KMV_NUM_SHIFT}))
+                END AS BIGINT) AS est_distinct
+    FROM kmvs GROUP BY lang
+    """,
+)
+def sk_kmv_estimate(spark, sf_dir):
+    """(k-1)·H/h_(k) cardinality estimate per stratum — exact when the
+    sketch holds the whole set, overflow-safe coarsened division
+    otherwise."""
+    sk = sketches.kmv_sketch(
+        sketches.doc_tokens(_docs(spark, sf_dir)), "lang", "token"
+    )
+    return sketches.kmv_estimate(sk, "lang")
+
+
+@query(
+    "sk_kmv_jaccard",
+    oracle=f"""
+    WITH toks AS ({_TOKS}),
+    {_KMV_SKETCH},
+    kmvp AS (
+      SELECT a.lang AS key_a, b.lang AS key_b
+      FROM (SELECT DISTINCT lang FROM kmvs) a
+      JOIN (SELECT DISTINCT lang FROM kmvs) b ON a.lang < b.lang),
+    kmvu AS (
+      SELECT key_a, key_b, hv, max(ia) AS ia, max(ib) AS ib FROM (
+        SELECT p.key_a, p.key_b, s.hv, 1 AS ia, 0 AS ib
+        FROM kmvp p JOIN kmvs s ON s.lang = p.key_a
+        UNION ALL
+        SELECT p.key_a, p.key_b, s.hv, 0, 1
+        FROM kmvp p JOIN kmvs s ON s.lang = p.key_b
+      ) GROUP BY key_a, key_b, hv),
+    kmvt AS (
+      SELECT key_a, key_b, ia, ib,
+             row_number() OVER (PARTITION BY key_a, key_b ORDER BY hv) AS r
+      FROM kmvu)
+    SELECT key_a, key_b, CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(sum(ia * ib) AS BIGINT) AS n_both,
+           CAST((2 * 1000000 * sum(ia * ib) + count(*))
+                // (2 * count(*)) AS BIGINT) AS jaccard_1e6
+    FROM kmvt WHERE r <= {KMV_K} GROUP BY key_a, key_b
+    """,
+)
+def sk_kmv_jaccard(spark, sf_dir):
+    """Pairwise vocabulary-overlap estimate between language strata from
+    merged bottom-k sketches — the set-intersection capability HLL
+    lacks; pair expansion is sketch-grain, never corpus-grain."""
+    sk = sketches.kmv_sketch(
+        sketches.doc_tokens(_docs(spark, sf_dir)), "lang", "token"
+    )
+    return sketches.kmv_pair_jaccard(sk, "lang")

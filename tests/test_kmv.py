@@ -1,0 +1,91 @@
+"""KMV bottom-k sketches: pruning losslessness, mergeability, estimates."""
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hebrew_ner_spark.functions.hashing import phash_py
+from hebrew_ner_spark.operators import sketches
+
+
+def _items(spark, rows):
+    return spark.createDataFrame(rows, "grp string, tok string")
+
+
+def test_sketch_equals_naive_window(spark):
+    """The bucket-prefix pruning must reproduce the naive rank-everything
+    construction exactly (losslessness of the two-level shortcut)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = sketches.doc_tokens(docs)
+    fast = sketches.kmv_sketch(toks, "lang", "token")
+    naive = (
+        toks.select(
+            "lang",
+            F.expr(
+                "CAST(conv(substr(md5(concat(token, ':', '77')), 1, 15), 16, 10) AS BIGINT)"
+            ).alias("hv"),
+        )
+        .distinct()
+        .withColumn(
+            "r",
+            F.row_number()
+            .over(Window.partitionBy("lang").orderBy("hv"))
+            .cast("long"),
+        )
+        .where(F.col("r") <= sketches.KMV_K)
+        .select("lang", "r", "hv")
+    )
+    assert fast.exceptAll(naive).count() == 0
+    assert naive.exceptAll(fast).count() == 0
+
+
+def test_estimate_exact_below_k(spark):
+    """A set smaller than k is carried whole: est == true count."""
+    rows = [("g", f"t{i}") for i in range(20)]
+    sk = sketches.kmv_sketch(_items(spark, rows), "grp", "tok", k=64)
+    est = sketches.kmv_estimate(sk, "grp", k=64).collect()[0]
+    assert est.n_sk == 20 and est.est_distinct == 20
+
+
+def test_estimate_reasonable_above_k(spark):
+    """With 2000 distinct items and k=64 the estimator should land
+    within a factor-of-2 band (binomial tail at this k is far tighter)."""
+    rows = [("g", f"token-{i}") for i in range(2000)]
+    sk = sketches.kmv_sketch(_items(spark, rows), "grp", "tok", k=64)
+    est = sketches.kmv_estimate(sk, "grp", k=64).collect()[0].est_distinct
+    assert 1000 <= est <= 4000
+
+
+def test_jaccard_extremes(spark):
+    """Identical strata -> 1e6; disjoint strata -> 0."""
+    rows = (
+        [("a", f"s{i}") for i in range(300)]
+        + [("b", f"s{i}") for i in range(300)]       # b == a
+        + [("c", f"other{i}") for i in range(300)]   # c disjoint
+    )
+    sk = sketches.kmv_sketch(_items(spark, rows), "grp", "tok", k=64)
+    j = {
+        (r.key_a, r.key_b): r.jaccard_1e6
+        for r in sketches.kmv_pair_jaccard(sk, "grp", k=64).collect()
+    }
+    assert j[("a", "b")] == 1_000_000
+    assert j[("a", "c")] == 0
+    assert j[("b", "c")] == 0
+
+
+def test_half_overlap_estimate(spark):
+    """Two strata sharing half their items: estimate near J = 1/3."""
+    rows = [("a", f"x{i}") for i in range(400)] + [
+        ("b", f"x{i}") for i in range(200, 600)
+    ]
+    sk = sketches.kmv_sketch(_items(spark, rows), "grp", "tok", k=128)
+    r = sketches.kmv_pair_jaccard(sk, "grp", k=128).collect()[0]
+    assert 200_000 <= r.jaccard_1e6 <= 470_000
+    assert r.n_eval == 128
+
+
+def test_portable_hash_parity():
+    """The Spark-side hv column and phash_py agree (single source of
+    truth for the sketch contents)."""
+    assert phash_py("abc", 77) == int(
+        __import__("hashlib").md5(b"abc:77").hexdigest()[:15], 16
+    )
