@@ -169,6 +169,15 @@ def doc_tokens(docs: DataFrame) -> DataFrame:
     )
 
 
+def doc_tokens_with_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, token) — the doc-keyed twin of doc_tokens, for gates
+    that stratify the item stream by document residue."""
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+    )
+
+
 def vocab_hll(docs: DataFrame) -> DataFrame:
     """(lang, est_distinct, true_distinct, v_zero): HLL vocabulary-size
     estimate per language stratum next to the exact count.
@@ -414,3 +423,36 @@ def kmv_pair_jaccard(sk: DataFrame, key: str, k: int = KMV_K) -> DataFrame:
             "CAST((2 * 1000000 * sum(_ia * _ib) + count(*)) DIV (2 * count(*)) AS BIGINT)"
         ).alias("jaccard_1e6"),
     )
+
+
+def cms_join_size(a_items: DataFrame, b_items: DataFrame, item: str) -> DataFrame:
+    """(true_pairs, est_pairs): equi-join cardinality estimate from two
+    Count-Min grids — the optimizer primitive for sizing a shuffle
+    BEFORE running it (AMS/CMS inner-product estimator: |A ⋈ B| =
+    Σ_v fA(v)·fB(v) ≈ min_d Σ_j cmsA[d][j]·cmsB[d][j]).
+
+    One-sided like the point estimate (colliding keys only ADD mass),
+    so est_pairs >= true_pairs always. Both grids are constant-size
+    (d x w = 2048 cells): the dot products cost a grid-grain join —
+    at 10^12 rows you build each grid in one pass (map-side combined)
+    and the estimate itself is free. true_pairs is the exact
+    Σ-of-products (one agg per side + one key join) for gate pinning;
+    a production caller skips it."""
+    ca = cms_counters(a_items, item)
+    cb = cms_counters(b_items, item)
+    dots = (
+        ca.join(
+            cb.select("crow", "bucket", F.col("cnt").alias("_cntb")),
+            ["crow", "bucket"],
+        )
+        .groupBy("crow")
+        .agg(F.sum(F.col("cnt") * F.col("_cntb")).alias("_dot"))
+    )
+    est = dots.agg(F.min("_dot").cast("long").alias("est_pairs"))
+    fa = a_items.groupBy(item).agg(F.count("*").alias("_fa"))
+    fb = b_items.groupBy(item).agg(F.count("*").alias("_fb"))
+    true = (
+        fa.join(fb, item)
+        .agg(F.coalesce(F.sum(F.col("_fa") * F.col("_fb")), F.lit(0)).cast("long").alias("true_pairs"))
+    )
+    return true.crossJoin(est)

@@ -404,6 +404,9 @@ _WINDOW = [
 #   sk_kmv_jaccard (sketch or estimator drift surfaces there); the
 #   bucket-prefix pruning is pytest-pinned lossless vs the naive
 #   window construction; ride CORRECTNESS_FULL;
+# * sk_cms_join_est — the min-row inner product over the SAME grid
+#   machinery as in-window sk_cms_heavy; one-sidedness + hot-key floor
+#   pytest-pinned; rides CORRECTNESS_FULL;
 # * web_robots_blocked_share — one integer-share aggregate over
 #   in-window web_robots_decisions' output (verdict drift surfaces
 #   there); probe classes pytest-pinned non-vacuous; rides

@@ -285,3 +285,55 @@ def sk_kmv_jaccard(spark, sf_dir):
         sketches.doc_tokens(_docs(spark, sf_dir)), "lang", "token"
     )
     return sketches.kmv_pair_jaccard(sk, "lang")
+
+
+# Join-size estimation: grids over the doc-parity halves of the token
+# stream; est = min-row dot product, true = exact sum of count products.
+# CTE names are cj-prefixed.
+def _cj_grid(toks_cte: str) -> str:
+    return f"""
+    SELECT crow, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+      SELECT CAST(j AS BIGINT) AS crow,
+             CAST(concat('0x', substr(md5(token || ':' || CAST({CMS_SEED} + j AS VARCHAR)), 1, 15))
+                  AS BIGINT) % {CMS_W} AS bucket
+      FROM {toks_cte}, LATERAL (SELECT unnest(range(0, {CMS_D})) AS j)
+    ) GROUP BY crow, bucket
+    """
+
+
+@query(
+    "sk_cms_join_est",
+    oracle=f"""
+    WITH cjtoka AS (
+      SELECT t.token FROM documents,
+             LATERAL (SELECT unnest(string_split(text, ' ')) AS token) t
+      WHERE t.token <> '' AND doc_id % 2 = 0),
+    cjtokb AS (
+      SELECT t.token FROM documents,
+             LATERAL (SELECT unnest(string_split(text, ' ')) AS token) t
+      WHERE t.token <> '' AND doc_id % 2 = 1),
+    cjga AS ({_cj_grid("cjtoka")}),
+    cjgb AS ({_cj_grid("cjtokb")}),
+    cjdot AS (
+      SELECT a.crow, sum(a.cnt * b.cnt) AS dot
+      FROM cjga a JOIN cjgb b ON a.crow = b.crow AND a.bucket = b.bucket
+      GROUP BY a.crow),
+    cjest AS (SELECT CAST(min(dot) AS BIGINT) AS est_pairs FROM cjdot),
+    cjfa AS (SELECT token, count(*) AS fa FROM cjtoka GROUP BY token),
+    cjfb AS (SELECT token, count(*) AS fb FROM cjtokb GROUP BY token),
+    cjtrue AS (SELECT CAST(coalesce(sum(fa * fb), 0) AS BIGINT) AS true_pairs
+               FROM cjfa JOIN cjfb USING (token))
+    SELECT true_pairs, est_pairs FROM cjtrue, cjest
+    """,
+)
+def sk_cms_join_est(spark, sf_dir):
+    """Equi-join cardinality estimate from two Count-Min grids (the
+    pre-shuffle sizing primitive): one-sided min-row inner product vs
+    the exact Σ fA·fB — grids are constant-size, the estimate costs a
+    2048-cell join."""
+    from pyspark.sql import functions as F
+
+    toks = sketches.doc_tokens_with_id(_docs(spark, sf_dir))
+    a = toks.where(F.col("doc_id") % 2 == 0).select("token")
+    b = toks.where(F.col("doc_id") % 2 == 1).select("token")
+    return sketches.cms_join_size(a, b, "token")

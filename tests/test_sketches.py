@@ -124,3 +124,35 @@ def test_cms_total_mass_per_row(docs):
         .collect()
     )
     assert all(r["s"] == n_items for r in sums)
+
+
+def test_cms_join_est_one_sided_and_exact_equal_sides(spark):
+    """est >= true always; identical sides where every key is unique
+    give true == n (and est >= n)."""
+    from hebrew_ner_spark.operators import sketches as sk
+
+    a = spark.createDataFrame([(f"k{i}",) for i in range(200)], "token string")
+    r = sk.cms_join_size(a, a, "token").collect()[0]
+    assert r.true_pairs == 200
+    assert r.est_pairs >= r.true_pairs
+
+    b = spark.createDataFrame([(f"other{i}",) for i in range(50)], "token string")
+    r2 = sk.cms_join_size(a, b, "token").collect()[0]
+    assert r2.true_pairs == 0
+    assert r2.est_pairs >= 0
+
+
+def test_cms_join_est_skewed_key_dominates(spark):
+    """A single hot key contributes fa*fb pairs exactly — the estimator
+    must carry it (CMS never undercounts the heavy cell)."""
+    from hebrew_ner_spark.operators import sketches as sk
+
+    a = spark.createDataFrame(
+        [("hot",)] * 40 + [(f"a{i}",) for i in range(10)], "token string"
+    )
+    b = spark.createDataFrame(
+        [("hot",)] * 30 + [(f"b{i}",) for i in range(10)], "token string"
+    )
+    r = sk.cms_join_size(a, b, "token").collect()[0]
+    assert r.true_pairs == 1200
+    assert r.est_pairs >= 1200
