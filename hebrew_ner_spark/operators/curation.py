@@ -748,3 +748,60 @@ def chunk_windows(docs: DataFrame, w: int = CHUNK_W, s: int = CHUNK_S) -> DataFr
             F.expr("concat_ws(' ', c.ctoks)").alias("chunk"),
         )
     )
+
+
+def triples_in_dup_spans(docs: DataFrame, L: int = DUP_SPAN_L) -> DataFrame:
+    """(doc_id, word_index, subj, pred, obj, in_dup): each extracted
+    triple occurrence flagged 1 when its full token window
+    [word_index-1, word_index+1] lies inside a corpus-duplicated
+    substring span — the curation x KG bridge: facts harvested from
+    boilerplate/content-farm repeats should not count as independent
+    evidence (the same reason fact fusion dedupes per host).
+
+    Join shape: both sides are doc-keyed and per-doc bounded (spans are
+    merged-disjoint, triples <= doc length), so the containment test is
+    one doc_id equi-join plus a range predicate — never a band join.
+    The max-flag groupBy restores occurrence grain (a triple sits in at
+    most one merged span, but the aggregate makes that a non-assumption).
+    """
+    from hebrew_ner_spark.operators import kg
+
+    tr = kg.doc_triples(docs)
+    spans = dup_spans(docs, L).select(
+        F.col("doc_id").alias("_sd"), "span_start", "span_end"
+    )
+    j = tr.join(
+        spans,
+        (tr["doc_id"] == spans["_sd"])
+        & (F.col("span_start") <= F.col("word_index") - 1)
+        & (F.col("word_index") + 1 <= F.col("span_end")),
+        "left",
+    )
+    return (
+        j.groupBy("doc_id", "word_index", "subj", "pred", "obj")
+        .agg(
+            F.max(
+                F.when(F.col("_sd").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("in_dup")
+        )
+    )
+
+
+def pred_dup_evidence(docs: DataFrame, L: int = DUP_SPAN_L) -> DataFrame:
+    """(pred, n_occ, n_dup, dup_share_1e6): per-predicate share of triple
+    evidence that comes out of duplicated substrings — the discount
+    table a fact-fusion pass consults (a predicate whose evidence is
+    mostly boilerplate deserves a lower prior)."""
+    return (
+        triples_in_dup_spans(docs, L)
+        .groupBy("pred")
+        .agg(
+            F.count("*").cast("long").alias("n_occ"),
+            F.sum("in_dup").cast("long").alias("n_dup"),
+            F.expr(
+                "CAST((2 * 1000000 * sum(in_dup) + count(*)) DIV (2 * count(*)) AS BIGINT)"
+            ).alias("dup_share_1e6"),
+        )
+    )

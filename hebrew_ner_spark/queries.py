@@ -112,7 +112,11 @@ _WINDOW = [
     # + ADC rescoring), the shape most likely to break if either drifts
     "ann_ivfpq_topk",
     "cur_mixture_shares",
-    "srch_postings",
+    # srch_postings rotated out late-r3 (in-window srch_bm25_topk
+    # consumes the postings summary — index drift surfaces there) for
+    # kg_triples_dup_flag — brand-new cross-engine containment shape
+    # (left range join + max-flag vs correlated EXISTS)
+    "kg_triples_dup_flag",
     "srch_bm25_topk",
     "txt_bpe_encode",
     "txt_quality_filter",
@@ -407,6 +411,12 @@ _WINDOW = [
 # * sk_cms_join_est — the min-row inner product over the SAME grid
 #   machinery as in-window sk_cms_heavy; one-sidedness + hot-key floor
 #   pytest-pinned; rides CORRECTNESS_FULL;
+# * srch_postings — its summary is the direct input of in-window
+#   srch_bm25_topk, rotated out for kg_triples_dup_flag; rides
+#   CORRECTNESS_FULL;
+# * kg_pred_dup_share — one micro-unit share aggregate over in-window
+#   kg_triples_dup_flag's output; planted-fixture pytest-pinned; rides
+#   CORRECTNESS_FULL;
 # * web_robots_blocked_share — one integer-share aggregate over
 #   in-window web_robots_decisions' output (verdict drift surfaces
 #   there); probe classes pytest-pinned non-vacuous; rides

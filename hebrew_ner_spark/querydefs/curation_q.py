@@ -607,3 +607,73 @@ def cur_chunk_windows(spark, sf_dir):
     RAG prep stage — total coverage, closed-form chunk count, zero
     shuffles. DuckDB replays with 1-based end-inclusive list slices."""
     return curation.chunk_windows(_docs(spark, sf_dir))
+
+
+# Curation x KG bridge: triple occurrences flagged against the dup-span
+# cut list. Occurrence triples replay via lag/lead (the kg_edges oracle
+# construction); containment resolves through a correlated EXISTS —
+# the opposite route from Spark's left-range-join + max-flag. CTE names
+# are tds-prefixed.
+from hebrew_ner_spark.resources import ENTITY_TERMS, PREDICATE_TERMS  # noqa: E402
+
+_TDS_ENTS = "(" + ", ".join(f"'{t}'" for t in sorted(ENTITY_TERMS)) + ")"
+_TDS_PREDS = "(" + ", ".join(f"'{t}'" for t in PREDICATE_TERMS) + ")"
+
+_TDS_CTES = f"""
+    tds_toks AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS wi,
+             unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    tds_w AS (
+      SELECT doc_id, wi, token,
+             lag(token)  OVER (PARTITION BY doc_id ORDER BY wi) AS subj,
+             lead(token) OVER (PARTITION BY doc_id ORDER BY wi) AS obj
+      FROM tds_toks),
+    tds_tr AS (
+      SELECT doc_id, CAST(wi AS BIGINT) AS word_index, subj, token AS pred, obj
+      FROM tds_w
+      WHERE token IN {_TDS_PREDS} AND subj IN {_TDS_ENTS} AND obj IN {_TDS_ENTS}),
+    tds_fl AS (
+      SELECT t.doc_id, t.word_index, t.subj, t.pred, t.obj,
+             CAST(CASE WHEN EXISTS (
+               SELECT 1 FROM dsp_spans s
+               WHERE s.doc_id = t.doc_id
+                 AND s.span_start <= t.word_index - 1
+                 AND t.word_index + 1 <= s.span_end) THEN 1 ELSE 0 END
+             AS BIGINT) AS in_dup
+      FROM tds_tr t)
+"""
+
+
+@query(
+    "kg_triples_dup_flag",
+    oracle=f"""
+    WITH {_DSP_CTES.strip()},
+    {_TDS_CTES.strip()}
+    SELECT doc_id, word_index, subj, pred, obj, in_dup FROM tds_fl
+    """,
+)
+def kg_triples_dup_flag(spark, sf_dir):
+    """Triple occurrences flagged when their token window sits inside a
+    corpus-duplicated substring span — boilerplate facts must not count
+    as independent evidence."""
+    return curation.triples_in_dup_spans(_docs(spark, sf_dir))
+
+
+@query(
+    "kg_pred_dup_share",
+    oracle=f"""
+    WITH {_DSP_CTES.strip()},
+    {_TDS_CTES.strip()}
+    SELECT pred, CAST(count(*) AS BIGINT) AS n_occ,
+           CAST(sum(in_dup) AS BIGINT) AS n_dup,
+           CAST((2 * 1000000 * sum(in_dup) + count(*))
+                // (2 * count(*)) AS BIGINT) AS dup_share_1e6
+    FROM tds_fl GROUP BY pred
+    """,
+)
+def kg_pred_dup_share(spark, sf_dir):
+    """Per-predicate duplicated-evidence share in micro-units — the
+    fact-fusion discount table."""
+    return curation.pred_dup_evidence(_docs(spark, sf_dir))

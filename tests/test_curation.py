@@ -454,3 +454,27 @@ class TestChunkWindows:
         for r in out:
             covered |= set(range(r.start, r.start + r.n_tokens))
         assert covered == set(range(13))
+
+
+def test_triples_in_dup_spans_planted(spark):
+    """Two docs sharing a 8-token window that embeds a triple -> that
+    triple flags in_dup=1 in both docs; a triple outside any duplicated
+    span stays 0."""
+    from hebrew_ner_spark.operators import curation
+
+    shared = "alpha beta gamma table join key delta epsilon"
+    rows = [
+        (1, f"unique1 words here {shared} tail1"),
+        (2, f"other2 prefix2 goes {shared} tail2"),
+        (3, "scan table filter key nothing duplicated at all here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curation.triples_in_dup_spans(docs)
+    rs = {(r.doc_id, r.subj, r.pred, r.obj): r.in_dup for r in out.collect()}
+    assert rs[(1, "table", "join", "key")] == 1
+    assert rs[(2, "table", "join", "key")] == 1
+    assert rs[(3, "table", "filter", "key")] == 0
+    share = curation.pred_dup_evidence(docs).collect()
+    by_pred = {r.pred: (r.n_occ, r.n_dup, r.dup_share_1e6) for r in share}
+    assert by_pred["join"] == (2, 2, 1_000_000)
+    assert by_pred["filter"] == (1, 0, 0)
