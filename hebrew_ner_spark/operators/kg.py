@@ -1006,3 +1006,99 @@ def rdfs_entity_types(docs: DataFrame) -> DataFrame:
         "n_mentions",
     )
     return direct.unionByName(inherited)
+
+
+# Functional-conflict review queue: thresholds + planted-fact residues.
+FUN_CONFLICT_MIN_1E6 = 500_000  # predicate must be at least half-functional
+FUN_SUBJ_SPAN = 20   # planted: one subject per 20 docs
+FUN_CITY_MOD = 7     # planted: consistent object id
+FUN_CONFLICT_MOD = 13  # planted: docs injecting a conflicting object
+
+
+def synth_functional_facts(docs: DataFrame) -> DataFrame:
+    """(pred, subj, obj, n_evidence): planted fact table with one
+    near-functional predicate ('born_in': each subject consistent except
+    where a doc_id % FUN_CONFLICT_MOD witness asserts an _alt object)
+    and one non-functional control ('visited': objects cycle per doc) —
+    deterministic from doc_id, the planted-evidence precedent."""
+    subj = F.concat(F.lit("p"), (F.col("doc_id") / FUN_SUBJ_SPAN).cast("long").cast("string"))
+    born = docs.select(
+        F.lit("born_in").alias("pred"),
+        subj.alias("subj"),
+        F.when(
+            F.col("doc_id") % FUN_CONFLICT_MOD == 0,
+            F.concat(
+                F.lit("city_alt"),
+                (((F.col("doc_id") / FUN_SUBJ_SPAN).cast("long")) % FUN_CITY_MOD).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("city"),
+                (((F.col("doc_id") / FUN_SUBJ_SPAN).cast("long")) % FUN_CITY_MOD).cast("string"),
+            )
+        )
+        .alias("obj"),
+    )
+    visited = docs.select(
+        F.lit("visited").alias("pred"),
+        subj.alias("subj"),
+        F.concat(F.lit("city"), (F.col("doc_id") % 5).cast("string")).alias("obj"),
+    )
+    return (
+        born.unionByName(visited)
+        .groupBy("pred", "subj", "obj")
+        .agg(F.count("*").cast("long").alias("n_evidence"))
+    )
+
+
+def functional_conflicts(
+    facts: DataFrame, fun_threshold_1e6: int = FUN_CONFLICT_MIN_1E6
+) -> DataFrame:
+    """(pred, subj, n_obj, keep_obj, n_keep, n_total): the conflicting-
+    fact review queue — for predicates the corpus itself shows to be
+    key-like (PARIS functionality >= threshold, computed over the SAME
+    fact table), subjects asserting more than one object are conflicts;
+    the keeper is (evidence DESC, obj ASC), the rest is review mass.
+
+    ``facts`` is fact grain (pred, subj, obj, n_evidence). Plan: one
+    pred-keyed functionality aggregate (predicates are a closed small
+    set — the broadcast side), one (pred, subj)-keyed aggregate with a
+    min(struct) keeper fold; no window, no self-join. A mega-subject is
+    aggregation skew on (pred, subj) — salted_agg plugs in as with
+    triple_counts."""
+    stats = (
+        facts.groupBy("pred")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("subj").alias("n_subj"),
+        )
+        .where(
+            F.expr(
+                f"(2000000 * n_subj + n_pairs) DIV (2 * n_pairs) >= {fun_threshold_1e6}"
+            )
+        )
+        .select("pred")
+    )
+    return (
+        facts.join(F.broadcast(stats), "pred")
+        .groupBy("pred", "subj")
+        .agg(
+            F.count("*").cast("long").alias("n_obj"),
+            F.min(
+                F.struct(
+                    (-F.col("n_evidence")).alias("_neg"), F.col("obj").alias("obj")
+                )
+            ).alias("_k"),
+            F.sum("n_evidence").cast("long").alias("n_total"),
+        )
+        .where(F.col("n_obj") > 1)
+        .select(
+            "pred",
+            "subj",
+            "n_obj",
+            F.col("_k.obj").alias("keep_obj"),
+            (-F.col("_k._neg")).cast("long").alias("n_keep"),
+            "n_total",
+        )
+    )

@@ -74,7 +74,12 @@ _WINDOW = [
     # sk_hll_merge rotated out (merge==direct is also pytest-pinned and
     # algebraically tied to the two in-window HLL gates) for
     # kg_predicate_stats — a brand-new multi-countDistinct expand shape
-    "kg_predicate_stats",
+    # kg_predicate_stats rotated out late-r3 for kg_functional_conflicts,
+    # which composes the same PARIS-functionality arithmetic as its
+    # in-queue threshold and adds the keeper fold (min(struct) vs ranked
+    # window) — the stats gate's fun/inv_fun idiom is exercised in-window
+    # through the conflicts queue and rides CORRECTNESS_FULL
+    "kg_functional_conflicts",
     # sk_cms_counters rotated out (upstream twin of in-window sk_cms_heavy,
     # which reads the same counter grid) for kg_bgp_match — a new
     # multi-way variable-binding join shape
@@ -416,6 +421,9 @@ _WINDOW = [
 #   CORRECTNESS_FULL;
 # * kg_pred_dup_share — one micro-unit share aggregate over in-window
 #   kg_triples_dup_flag's output; planted-fixture pytest-pinned; rides
+#   CORRECTNESS_FULL;
+# * kg_predicate_stats — its functionality arithmetic is composed
+#   in-window by kg_functional_conflicts' threshold; rides
 #   CORRECTNESS_FULL;
 # * web_robots_blocked_share — one integer-share aggregate over
 #   in-window web_robots_decisions' output (verdict drift surfaces

@@ -692,3 +692,73 @@ def kg_rdfs_types(spark, sf_dir):
     closes the hierarchy by iterative doubling; the oracle by recursive
     CTE — two independent closure algorithms must agree."""
     return kg.rdfs_entity_types(_docs(spark, sf_dir))
+
+
+# Functional-conflict review queue: planted facts ('born_in' with %13
+# conflict witnesses, non-functional 'visited' control) union the
+# organic triples; the functionality threshold is computed over the SAME
+# table, so organic predicates (fun ~ 0.09) and the control drop out
+# arithmetically. Oracle resolves the keeper with a ranked window vs
+# Spark's min(struct) fold. CTE names are fc-prefixed.
+_FC_SPAN = kg.FUN_SUBJ_SPAN
+_FC_MOD = kg.FUN_CONFLICT_MOD
+_FC_CITY = kg.FUN_CITY_MOD
+
+_FC_FACTS = f"""
+fcraw AS (
+  SELECT 'born_in' AS pred,
+         'p' || CAST(doc_id // {_FC_SPAN} AS VARCHAR) AS subj,
+         CASE WHEN doc_id % {_FC_MOD} = 0
+              THEN 'city_alt' || CAST((doc_id // {_FC_SPAN}) % {_FC_CITY} AS VARCHAR)
+              ELSE 'city' || CAST((doc_id // {_FC_SPAN}) % {_FC_CITY} AS VARCHAR)
+         END AS obj
+  FROM documents
+  UNION ALL
+  SELECT 'visited', 'p' || CAST(doc_id // {_FC_SPAN} AS VARCHAR),
+         'city' || CAST(doc_id % 5 AS VARCHAR)
+  FROM documents
+  UNION ALL
+  SELECT pred, subj, obj FROM ({_TRIPLES_ORACLE})
+),
+fcfacts AS (
+  SELECT pred, subj, obj, CAST(count(*) AS BIGINT) AS n_evidence
+  FROM fcraw GROUP BY pred, subj, obj),
+fckeep AS (
+  SELECT pred FROM (
+    SELECT pred, count(*) AS np, count(DISTINCT subj) AS ns
+    FROM fcfacts GROUP BY pred)
+  WHERE (2000000 * ns + np) // (2 * np) >= {kg.FUN_CONFLICT_MIN_1E6}),
+fcr AS (
+  SELECT f.pred, f.subj, f.obj, f.n_evidence,
+         row_number() OVER (PARTITION BY f.pred, f.subj
+                            ORDER BY f.n_evidence DESC, f.obj ASC) AS rk,
+         count(*) OVER (PARTITION BY f.pred, f.subj) AS n_obj,
+         sum(f.n_evidence) OVER (PARTITION BY f.pred, f.subj) AS n_total
+  FROM fcfacts f JOIN fckeep USING (pred))
+"""
+
+
+@query(
+    "kg_functional_conflicts",
+    oracle=f"""
+    WITH {_FC_FACTS}
+    SELECT pred, subj, CAST(n_obj AS BIGINT) AS n_obj, obj AS keep_obj,
+           CAST(n_evidence AS BIGINT) AS n_keep,
+           CAST(n_total AS BIGINT) AS n_total
+    FROM fcr WHERE rk = 1 AND n_obj > 1
+    """,
+)
+def kg_functional_conflicts(spark, sf_dir):
+    """Conflicting facts under corpus-induced key-like predicates: the
+    review queue a KB-quality pass feeds to fusion — keeper by
+    (evidence DESC, obj ASC), review mass alongside."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    organic = kg.doc_triples(docs).groupBy("pred", "subj", "obj").agg(
+        F.count("*").cast("long").alias("n_evidence")
+    )
+    facts = kg.synth_functional_facts(docs).unionByName(organic).groupBy(
+        "pred", "subj", "obj"
+    ).agg(F.sum("n_evidence").cast("long").alias("n_evidence"))
+    return kg.functional_conflicts(facts)

@@ -298,3 +298,51 @@ class TestRdfsTypes:
         assert got[("table", "ARTIFACT")] == (1, 1)
         assert got[("table", "THING")] == (2, 1)
         assert len(got) == 6
+
+
+def test_functional_conflicts_closed_form(spark):
+    """Hand fact table: 'key_pred' is functional (3 subjects, one with a
+    conflict) -> one review row with the evidence-max keeper; 'multi'
+    fails the threshold and emits nothing even though subjects conflict."""
+    from hebrew_ner_spark.operators import kg as kgo
+
+    rows = [
+        ("key_pred", "s1", "a", 5),
+        ("key_pred", "s1", "b", 2),   # conflict; keeper = a (5 > 2)
+        ("key_pred", "s2", "c", 1),
+        ("key_pred", "s3", "d", 1),
+        ("multi", "t1", "x", 1),
+        ("multi", "t1", "y", 1),
+        ("multi", "t1", "z", 1),
+        ("multi", "t2", "x", 1),
+        ("multi", "t2", "y", 1),
+        ("multi", "t2", "z", 1),
+    ]
+    facts = spark.createDataFrame(
+        rows, "pred string, subj string, obj string, n_evidence long"
+    )
+    # key_pred: 3 subj / 4 pairs = 0.75 >= 0.5; multi: 2/6 = 0.33 < 0.5
+    out = kgo.functional_conflicts(facts).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.pred, r.subj, r.n_obj, r.keep_obj, r.n_keep, r.n_total) == (
+        "key_pred", "s1", 2, "a", 5, 7,
+    )
+
+
+def test_functional_conflicts_keeper_tie_order(spark):
+    """Equal evidence -> lexicographically smallest object wins."""
+    from hebrew_ner_spark.operators import kg as kgo
+
+    rows = [
+        ("p", "s", "beta", 3),
+        ("p", "s", "alpha", 3),
+        ("p", "u", "x", 1),
+        ("p", "v", "x", 1),
+        ("p", "w", "x", 1),
+    ]
+    facts = spark.createDataFrame(
+        rows, "pred string, subj string, obj string, n_evidence long"
+    )
+    r = kgo.functional_conflicts(facts).collect()[0]
+    assert r.keep_obj == "alpha" and r.n_keep == 3
