@@ -1136,3 +1136,61 @@ def clustering_coefficient(docs: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+# Bounded all-pairs reachability: min-plus doubling parameters.
+REACH_MAX_HOPS = 4
+REACH_N_NODES = 64  # planted sparse-graph order
+
+
+def synth_sparse_edges(docs: DataFrame) -> DataFrame:
+    """(src, dst): a deterministic sparse directed graph — 64 nodes,
+    one edge per doc at src = doc_id % 64, dst = (doc_id * 7 + 13) % 64
+    (self-loops dropped, duplicates collapsed). Average out-degree stays
+    small at every scale factor, so min-hop structure beyond 2 actually
+    exists — the organic entity graph is too dense (18 nodes, >50%
+    edge density) for multi-hop paths to survive."""
+    n = REACH_N_NODES
+    e = docs.select(
+        F.concat(F.lit("n"), (F.col("doc_id") % n).cast("string")).alias("src"),
+        F.concat(F.lit("n"), ((F.col("doc_id") * 7 + 13) % n).cast("string")).alias(
+            "dst"
+        ),
+    )
+    return e.where(F.col("src") != F.col("dst")).distinct()
+
+
+def bounded_reach(edges: DataFrame, max_hops: int = REACH_MAX_HOPS) -> DataFrame:
+    """(src, dst, min_hops): every ordered pair reachable in at most
+    ``max_hops`` directed hops, with the exact minimum hop count —
+    **min-plus doubling**: round k holds all shortest paths of length
+    <= 2^k, so ceil(log2(H)) self-joins reach horizon H (the O(log H)
+    alternative to H-round BFS; each round is one equi-join on the
+    relay node + one min aggregate, both key-partitioned). The frontier
+    table is bounded by reachable-pair count; a relay hub fans out as
+    join skew on its key (AQE skew split / salted_agg apply as ever).
+
+    Proven against the opposite algorithm: the gate's oracle grows paths
+    one hop at a time through a depth-bounded recursive CTE — the two
+    constructions agree only if both min-hop semantics are exact."""
+    r = edges.select("src", "dst").distinct().withColumn(
+        "min_hops", F.lit(1).cast("long")
+    )
+    rounds = max(1, (max_hops - 1).bit_length())
+    for _ in range(rounds):
+        a = r.select(
+            F.col("src"), F.col("dst").alias("_via"), F.col("min_hops").alias("_ha")
+        )
+        b = r.select(
+            F.col("src").alias("_via"), F.col("dst"), F.col("min_hops").alias("_hb")
+        )
+        step = a.join(b, "_via").select(
+            "src", "dst", (F.col("_ha") + F.col("_hb")).alias("min_hops")
+        )
+        r = (
+            r.unionByName(step)
+            .groupBy("src", "dst")
+            .agg(F.min("min_hops").cast("long").alias("min_hops"))
+            .where(F.col("min_hops") <= max_hops)
+        )
+    return r

@@ -105,7 +105,13 @@ _WINDOW = [
     # rotated out (its predicate is exercised through in-window
     # txt_quality_filter) for the two alignment gates — brand-new
     # feature-join + ranked-assignment shapes
-    "kg_align_scores",
+    # kg_align_scores rotated out late-r3 (its score table is consumed
+    # wholesale by in-window kg_align_best — any feature/score drift
+    # breaks that gate's ranked assignment — and the overlap features
+    # are pytest-pinned closed-form) for kg_bounded_reach: min-plus
+    # doubling vs a depth-bounded recursive CTE is the riskiest
+    # cross-engine class (two opposite algorithms must agree exactly)
+    "kg_bounded_reach",
     "kg_align_best",
     # emb_near_dups_skew rotated out for mention_model_neural (judge-
     # verified in r2, same bucketed-matmul plan family as emb_near_dups)
@@ -431,7 +437,10 @@ _WINDOW = [
 #   CORRECTNESS_FULL;
 # * trn_feature_hash — one portable-hash fold + count (the same phash
 #   machinery as the in-window dedup/bloom gates); python-fold equality
-#   pytest-pinned; rides CORRECTNESS_FULL.
+#   pytest-pinned; rides CORRECTNESS_FULL;
+# * kg_align_scores — rotated out late-r3 for kg_bounded_reach; its
+#   score table is consumed wholesale by in-window kg_align_best and
+#   the overlap features are pytest-pinned; rides CORRECTNESS_FULL.
 
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
 # out of the driver-verified window with no signal at all (explicit raise,

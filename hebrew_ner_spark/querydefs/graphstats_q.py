@@ -551,3 +551,43 @@ def kg_clustering(spark, sf_dir):
     Spark orientation-minimal corner explode, so agreement gates the
     counting itself."""
     return graphstats.clustering_coefficient(_docs(spark, sf_dir))
+
+
+# Bounded reachability oracle: the OPPOSITE construction to the Spark
+# plan. Spark does min-plus doubling (log2(H) self-joins, each squaring
+# the hop horizon); the oracle grows paths one hop at a time through a
+# depth-bounded recursive CTE and takes the min per pair. They agree
+# only if both min-hop semantics are exact. Horizon/order imported from
+# the operator so retuning cannot desync plan and oracle.
+_BR_H = graphstats.REACH_MAX_HOPS
+_BR_N = graphstats.REACH_N_NODES
+
+_BOUNDED_REACH_ORACLE = f"""
+    WITH RECURSIVE brce AS (
+      SELECT DISTINCT 'n' || CAST(doc_id % {_BR_N} AS VARCHAR) AS src,
+                      'n' || CAST((doc_id * 7 + 13) % {_BR_N} AS VARCHAR) AS dst
+      FROM documents
+      WHERE (doc_id % {_BR_N}) <> ((doc_id * 7 + 13) % {_BR_N})
+    ),
+    brcp AS (
+      SELECT src, dst, 1 AS hops FROM brce
+      UNION
+      SELECT p.src, e.dst, p.hops + 1
+      FROM brcp p JOIN brce e ON e.src = p.dst
+      WHERE p.hops < {_BR_H}
+    )
+    SELECT src, dst, CAST(min(hops) AS BIGINT) AS min_hops
+    FROM brcp GROUP BY 1, 2
+"""
+
+
+@query("kg_bounded_reach", oracle=_BOUNDED_REACH_ORACLE)
+def kg_bounded_reach(spark, sf_dir):
+    """Bounded all-pairs min-hop reachability over the planted sparse
+    graph (operators/graphstats.py bounded_reach): min-plus doubling —
+    ceil(log2 H) relay-keyed self-joins + min aggregates — vs the
+    oracle's one-hop-at-a-time depth-bounded recursive CTE. Includes
+    cycle returns (src == dst at the cycle length) on both engines."""
+    return graphstats.bounded_reach(
+        graphstats.synth_sparse_edges(_docs(spark, sf_dir))
+    )

@@ -633,3 +633,46 @@ class TestClusteringCoefficient:
         assert got["row"] == (2, 1, 1000000)
         assert got["table"] == (3, 1, 333333)
         assert got["part"] == (1, 0, 0)
+
+
+class TestBoundedReach:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "src string, dst string")
+
+    def _reach(self, spark, pairs):
+        df = graphstats.bounded_reach(self._edges(spark, pairs))
+        return {(r.src, r.dst): r.min_hops for r in df.collect()}
+
+    def test_chain_exact_hops_and_horizon_cutoff(self, spark):
+        # 6-chain a->...->f: every pair within 4 hops, exact counts;
+        # a->f (5 hops) falls past the horizon.
+        got = self._reach(
+            spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f")]
+        )
+        assert got[("a", "b")] == 1
+        assert got[("a", "e")] == 4
+        assert got[("b", "f")] == 4
+        assert ("a", "f") not in got
+        assert len(got) == 14  # all 15 ordered chain pairs minus the 5-hop one
+
+    def test_shortcut_beats_longer_path(self, spark):
+        # a->b->c->d plus direct a->d: min is the shortcut, not 3.
+        got = self._reach(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")])
+        assert got[("a", "d")] == 1
+        assert got[("b", "d")] == 2
+
+    def test_cycle_includes_self_returns(self, spark):
+        # 3-cycle: forward distances exact, and each node returns to
+        # itself at the cycle length (self-loops only via real cycles).
+        got = self._reach(spark, [("x", "y"), ("y", "z"), ("z", "x")])
+        assert got[("x", "z")] == 2
+        assert got[("x", "x")] == 3
+        assert got[("y", "y")] == 3
+
+    def test_synth_edges_have_no_self_loops(self, spark):
+        docs = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+        e = graphstats.synth_sparse_edges(docs)
+        assert e.where(F.col("src") == F.col("dst")).count() == 0
+        # 64-node order: every endpoint is n0..n63
+        nodes = {r.src for r in e.select("src").distinct().collect()}
+        assert nodes <= {f"n{i}" for i in range(64)}
