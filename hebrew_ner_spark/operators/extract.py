@@ -266,3 +266,94 @@ def jsonld_triples(pages: DataFrame, key: str = "doc_id") -> DataFrame:
         )
         .select(key, "subj", F.col("p.pred").alias("pred"), F.col("p.obj").alias("obj"))
     )
+
+
+def synth_html_webtable(docs: DataFrame) -> DataFrame:
+    """(doc_id, html binary): the page skeleton with a RELATIONAL data
+    table planted on every fourth document — the WebTables-class
+    synthesis (Cafarella et al.: horizontal entity-attribute tables,
+    header row + one entity per data row), complementing the vertical
+    key-value infobox. Cells are pure functions of document columns so
+    the oracle can state the expected triples closed-form while the
+    operator must genuinely recover header/row structure from markup.
+    Every twentieth document additionally carries a MALFORMED data row
+    (cell count != header arity) that extraction must drop — the
+    size-guard is non-vacuous at every scale factor."""
+    row = lambda r: F.concat(  # noqa: E731
+        F.lit("<tr><td>e"),
+        F.col("doc_id").cast("string"),
+        F.lit(f"_{r}</td><td>"),
+        F.col("lang"),
+        F.lit("</td><td>b"),
+        ((F.col("doc_id") + F.lit(r)) % 5).cast("string"),
+        F.lit("</td></tr>"),
+    )
+    bad = F.when(
+        F.col("doc_id") % 20 == 0, F.lit("<tr><td>bad</td></tr>")
+    ).otherwise(F.lit(""))
+    table = F.concat(
+        F.lit('<table class="data"><tr><th>entity</th><th>lang</th>'),
+        F.lit("<th>bucket</th></tr>"),
+        row(0),
+        bad,
+        row(1),
+        F.lit("</table>"),
+    )
+    page = F.concat(
+        F.lit("<html><head><title>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title></head><body><h1>Document "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1>"),
+        F.when(F.col("doc_id") % 4 == 0, table).otherwise(F.lit("")),
+        F.lit("<div><p>"),
+        F.col("text"),
+        F.lit("</p></div></body></html>"),
+    )
+    return docs.select("doc_id", F.encode(page, "UTF-8").alias("html"))
+
+
+def webtable_triples(pages: DataFrame) -> DataFrame:
+    """(doc_id, subj, pred, obj): relational-table mining — each data
+    row of a horizontal entity-attribute table yields one triple per
+    non-key column, subject = the row's first cell, predicate = the
+    header cell above the column (the WebTables binary-relation
+    recovery every web-scale KG pipeline runs over CC markup, distinct
+    from the vertical infobox path).
+
+    Engine shape at 10^12 pages: ONE narrow codegen stage — extract the
+    table payload, the <th> header array and the <td>-bearing rows with
+    regexp machinery, then a nested transform + flatten zips each row's
+    cells against the header, all array-side — zero shuffles, zero
+    Python; the html column is pruned inside the same projection. Rows
+    whose cell count differs from the header arity (malformed markup)
+    are filtered array-side, and pages without a data table contribute
+    nothing (plain explode semantics)."""
+    payload = F.regexp_extract(
+        F.decode(F.col("html"), "utf-8"), '<table class="data">(.*?)</table>', 1
+    )
+    staged = pages.select("doc_id", payload.alias("_tbl")).select(
+        "doc_id",
+        F.expr("regexp_extract_all(_tbl, '<th>([^<]*)</th>', 1)").alias("_hdr"),
+        F.expr(
+            "transform(regexp_extract_all(_tbl, '<tr>(?:<td>[^<]*</td>)+</tr>', 0),"
+            " r -> regexp_extract_all(r, '<td>([^<]*)</td>', 1))"
+        ).alias("_rows"),
+    )
+    triples = F.expr(
+        """
+        flatten(transform(
+          filter(_rows, c -> size(c) = size(_hdr)),
+          c -> transform(
+                 slice(_hdr, 2, size(_hdr) - 1),
+                 (p, i) -> named_struct('subj', element_at(c, 1),
+                                        'pred', p,
+                                        'obj', element_at(c, i + 2)))))
+        """
+    )
+    return staged.select("doc_id", F.explode(triples).alias("t")).select(
+        "doc_id",
+        F.col("t.subj").alias("subj"),
+        F.col("t.pred").alias("pred"),
+        F.col("t.obj").alias("obj"),
+    )

@@ -440,7 +440,12 @@ _WINDOW = [
 #   pytest-pinned; rides CORRECTNESS_FULL;
 # * kg_align_scores — rotated out late-r3 for kg_bounded_reach; its
 #   score table is consumed wholesale by in-window kg_align_best and
-#   the overlap features are pytest-pinned; rides CORRECTNESS_FULL.
+#   the overlap features are pytest-pinned; rides CORRECTNESS_FULL;
+# * kg_webtable_triples — same synthesis->extraction round-trip class
+#   as out-of-window kg_infobox_triples (closed-form oracle from doc_id
+#   arithmetic); handwritten markup, malformed-row drop and
+#   header-only/absent-table cases pytest-pinned; rides
+#   CORRECTNESS_FULL.
 
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
 # out of the driver-verified window with no signal at all (explicit raise,

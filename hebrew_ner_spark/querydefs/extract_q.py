@@ -184,3 +184,31 @@ def kg_jsonld_triples(spark, sf_dir):
     one codegen stage, zero shuffles, zero Python)."""
     docs = load_table(spark, sf_dir, "documents")
     return extract.jsonld_triples(extract.synth_html_ld(docs))
+
+
+@query(
+    "kg_webtable_triples",
+    oracle="""
+    WITH wt_d AS (
+      SELECT doc_id, lang FROM documents WHERE doc_id % 4 = 0),
+    wt_r AS (
+      SELECT doc_id, lang, r,
+             'e' || CAST(doc_id AS VARCHAR) || '_' || CAST(r AS VARCHAR) AS subj
+      FROM wt_d, (SELECT unnest([0, 1]) AS r))
+    SELECT doc_id, subj, 'lang' AS pred, lang AS obj FROM wt_r
+    UNION ALL
+    SELECT doc_id, subj, 'bucket' AS pred,
+           'b' || CAST((doc_id + r) % 5 AS VARCHAR) AS obj
+    FROM wt_r
+    """,
+)
+def kg_webtable_triples(spark, sf_dir):
+    """Relational-table (WebTables) mining: binary-relation triples
+    recovered from planted horizontal entity-attribute tables must
+    equal the closed-form expectation the synthesis derives them from —
+    a true synthesis->extraction round trip INCLUDING the malformed-row
+    drop (every 20th page plants a row with the wrong cell count, which
+    the oracle never emits; operators/extract.py webtable_triples —
+    one codegen stage, zero shuffles, zero Python)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract.webtable_triples(extract.synth_html_webtable(docs))

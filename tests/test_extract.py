@@ -271,3 +271,65 @@ class TestJsonLd:
             ("schema:about", "key"),
             ("schema:position", "4"),     # 4 % 7
         }
+
+
+class TestWebtableTriples:
+    def _pages(self, spark, html):
+        return spark.createDataFrame(
+            [(0, bytearray(html.encode()))], "doc_id long, html binary"
+        )
+
+    def _triples(self, spark, html):
+        df = extract.webtable_triples(self._pages(spark, html))
+        return sorted((r.subj, r.pred, r.obj) for r in df.collect())
+
+    def test_handwritten_markup(self, spark):
+        html = (
+            '<html><body><table class="data">'
+            "<tr><th>entity</th><th>pop</th><th>area</th></tr>"
+            "<tr><td>berlin</td><td>3.6m</td><td>891</td></tr>"
+            "<tr><td>paris</td><td>2.1m</td><td>105</td></tr>"
+            "</table></body></html>"
+        )
+        assert self._triples(spark, html) == [
+            ("berlin", "area", "891"),
+            ("berlin", "pop", "3.6m"),
+            ("paris", "area", "105"),
+            ("paris", "pop", "2.1m"),
+        ]
+
+    def test_malformed_row_dropped_not_crashed(self, spark):
+        html = (
+            '<table class="data"><tr><th>entity</th><th>x</th></tr>'
+            "<tr><td>ok</td><td>1</td></tr>"
+            "<tr><td>short</td></tr>"
+            "<tr><td>long</td><td>2</td><td>extra</td></tr></table>"
+        )
+        assert self._triples(spark, html) == [("ok", "x", "1")]
+
+    def test_pages_without_table_or_key_only_header(self, spark):
+        assert self._triples(spark, "<html><body>no table</body></html>") == []
+        assert (
+            self._triples(
+                spark,
+                '<table class="data"><tr><th>entity</th></tr>'
+                "<tr><td>lonely</td></tr></table>",
+            )
+            == []
+        )
+
+    def test_synthesis_round_trip_with_planted_malformed(self, spark):
+        docs = spark.createDataFrame(
+            [(20, "t", "he"), (3, "t", "en")], "doc_id long, text string, lang string"
+        )
+        got = self._rows(spark, docs)
+        assert got == [
+            (20, "e20_0", "bucket", "b0"),
+            (20, "e20_0", "lang", "he"),
+            (20, "e20_1", "bucket", "b1"),
+            (20, "e20_1", "lang", "he"),
+        ]
+
+    def _rows(self, spark, docs):
+        df = extract.webtable_triples(extract.synth_html_webtable(docs))
+        return sorted((r.doc_id, r.subj, r.pred, r.obj) for r in df.collect())
