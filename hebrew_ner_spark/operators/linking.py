@@ -372,3 +372,65 @@ def fuzzy_link_edit(
         "entity_id",
         F.coalesce(F.col("dist"), F.lit(-1)).cast("long").alias("dist"),
     )
+
+
+SN_WINDOW = 2
+
+
+def sorted_neighborhood_pairs(
+    records: DataFrame, col: str = "name", w: int = SN_WINDOW
+) -> DataFrame:
+    """(a, b, gap, dist): sorted-neighborhood ER blocking (Hernandez &
+    Stolfo's merge/purge) — candidate pairs are records within ``w``
+    positions of each other in the GLOBAL sort order of the blocking
+    key, the classic complement to hash blocking: LSH/length bands
+    catch set-overlap neighbors, the sorted window catches prefix-run
+    neighbors (typo clusters, serial ids) with a hard per-record
+    candidate bound of w.
+
+    Engine shape: the global rank uses the same **two-level rank** as
+    build_vocab (per-prefix-bucket window + broadcast cumulative bucket
+    offsets — no single-partition window at any vocabulary size), then
+    each record explodes exactly w probe ranks (rk+1..rk+w) and ONE
+    integer equi-join on the unique rank key pairs neighbors — skew-
+    free by construction (every join key matches at most once). Output
+    carries the rank gap and the exact Levenshtein distance (JVM
+    built-in; DuckDB's is the identical classic definition) so the
+    caller thresholds matches without recomputing.
+    """
+    recs = records.select(F.col(col).alias("_nm")).distinct().withColumn(
+        "_bkt", F.substring("_nm", 1, 2)
+    )
+    local = recs.withColumn(
+        "_lr", F.row_number().over(Window.partitionBy("_bkt").orderBy("_nm"))
+    )
+    offsets = (
+        recs.groupBy("_bkt")
+        .agg(F.count("*").alias("_n"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_bkt", "_off")
+    )
+    ranked = local.join(F.broadcast(offsets), "_bkt").select(
+        "_nm", (F.col("_off") + F.col("_lr")).cast("long").alias("_rk")
+    )
+    probes = ranked.select(
+        F.col("_nm").alias("a"),
+        F.explode(F.sequence(F.lit(1), F.lit(w))).alias("gap"),
+        F.col("_rk"),
+    ).withColumn("_rk", F.col("_rk") + F.col("gap"))
+    return probes.join(ranked, "_rk").select(
+        "a",
+        F.col("_nm").alias("b"),
+        F.col("gap").cast("long").alias("gap"),
+        F.levenshtein("a", F.col("_nm")).cast("long").alias("dist"),
+    )

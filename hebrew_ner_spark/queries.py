@@ -146,7 +146,14 @@ _WINDOW = [
     # kg_rule_confidence — new multi-left-join scalar-aggregate shape
     # with empty-input NULL guards on both engines
     "kg_rule_confidence",
-    "mention_model_labels",
+    # mention_model_labels rotated out late-r3 (driver-green in r1 AND
+    # r2, hybrid==direct invariant pytest-pinned, and the in-window
+    # hybrid_pipeline + mention_model_neural gates compose the same
+    # labeller) for link_blocking_sn — the sorted-neighborhood blocking
+    # gate is a brand-new cross-engine shape (distributed two-level
+    # global rank vs one oracle window, byte-collation + levenshtein
+    # parity on every candidate pair)
+    "link_blocking_sn",
     # lbl_alphabet_encode rotated out late-r3 (driver-green in r1 AND r2;
     # the r3 tiered hot/tail join change is plan-asserted + gate-green in
     # every local full-registry run) for kg_coref_gain — the full-outer
@@ -441,6 +448,10 @@ _WINDOW = [
 # * kg_align_scores — rotated out late-r3 for kg_bounded_reach; its
 #   score table is consumed wholesale by in-window kg_align_best and
 #   the overlap features are pytest-pinned; rides CORRECTNESS_FULL;
+# * mention_model_labels — rotated out late-r3 for link_blocking_sn
+#   (two rounds of driver-green history; hybrid==direct pytest-pinned;
+#   in-window hybrid_pipeline composes the same labeller); rides
+#   CORRECTNESS_FULL;
 # * kg_webtable_triples — same synthesis->extraction round-trip class
 #   as out-of-window kg_infobox_triples (closed-form oracle from doc_id
 #   arithmetic); handwritten markup, malformed-row drop and

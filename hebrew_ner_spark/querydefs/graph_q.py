@@ -1178,3 +1178,35 @@ def eval_bcubed_dedup(spark, sf_dir):
     _assert_no_overflow(d, sf_dir)
     comp = canonicalize.dedup_components(dedup.near_dup_pairs_all(d))
     return clustereval.bcubed_prf(clustereval.dedup_bcubed_assign(d, comp))
+
+
+_SN_W = linking.SN_WINDOW
+
+
+@query(
+    "link_blocking_sn",
+    oracle=f"""
+    WITH sntk AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    snr AS (SELECT DISTINCT token AS nm FROM sntk),
+    snk AS (SELECT nm, row_number() OVER (ORDER BY nm) AS rk FROM snr)
+    SELECT x.nm AS a, y.nm AS b, CAST(y.rk - x.rk AS BIGINT) AS gap,
+           CAST(levenshtein(x.nm, y.nm) AS BIGINT) AS dist
+    FROM snk x JOIN snk y ON y.rk > x.rk AND y.rk <= x.rk + {_SN_W}
+    """,
+)
+def link_blocking_sn(spark, sf_dir):
+    """Sorted-neighborhood ER blocking over the distinct token
+    vocabulary: every record pairs with its w nearest neighbors in the
+    GLOBAL lexicographic order (operators/linking.py
+    sorted_neighborhood_pairs — two-level rank, offset explode, one
+    unique-key integer equi-join). The oracle ranks with a single
+    DuckDB window and pairs by rank difference — agreement gates both
+    the distributed rank construction (bucket offsets must compose to
+    the exact global order, UTF-8 byte collation on both engines) and
+    the Levenshtein parity on every candidate pair."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("name"))
+    return linking.sorted_neighborhood_pairs(toks)

