@@ -479,3 +479,49 @@ def url_canonicalize(pages: DataFrame, url_col: str = "url") -> DataFrame:
     u = F.regexp_replace(u, "/\\?", "?")
     u = F.regexp_replace(u, "/$", "")
     return pages.withColumn("canon", u)
+
+
+CRAWL_BUDGET = 1000
+
+
+def crawl_budget(pages: DataFrame, budget: int = CRAWL_BUDGET) -> DataFrame:
+    """(host, w, base, rem, budget): per-host crawl-budget apportionment
+    by the largest-remainder (Hamilton) method over the host quality
+    signal — the crawl-planning step between host_quality (which hosts
+    deserve fetches) and crawl_frontier (which urls, in what order):
+    w = quality-passing pages, base = floor(budget * w / W),
+    the leftover budget - sum(base) seats go to the largest remainders
+    (rem DESC, host ASC tie order). EXACT integer arithmetic end to
+    end, and the output provably sums to ``budget`` (sum of fractional
+    parts is an integer); a zero-remainder host can never win a seat
+    (extra < count(rem > 0)), so zero-weight hosts always get 0.
+
+    Engine shape: one host-keyed aggregation (host_quality), two
+    provably driver-sized scalar folds (W, sum(base) — the
+    quality_hosts collect precedent), one codegen projection, and one
+    rank window over the HOST table — corpus-sublinear; a 10^8-host
+    frontier takes the build_vocab two-level-rank discipline with
+    rem-range buckets. w * budget stays far inside int64 for any
+    real corpus (pages <= 10^12, budget <= 10^6)."""
+    hq = host_quality(pages).select("host", F.col("n_pass").alias("w"))
+    tw = int(hq.agg(F.sum("w")).collect()[0][0] or 0)
+    if tw == 0:
+        z = F.lit(0).cast("long")
+        return hq.select(
+            "host", "w", z.alias("base"), z.alias("rem"), z.alias("budget")
+        )
+    scored = hq.select(
+        "host",
+        "w",
+        F.expr(f"CAST((w * {budget}) DIV {tw} AS BIGINT)").alias("base"),
+        F.expr(f"CAST((w * {budget}) % {tw} AS BIGINT)").alias("rem"),
+    )
+    extra = budget - int(scored.agg(F.sum("base")).collect()[0][0] or 0)
+    rk = F.row_number().over(Window.orderBy(F.desc("rem"), F.asc("host")))
+    return scored.withColumn("_rk", rk).select(
+        "host",
+        "w",
+        "base",
+        "rem",
+        (F.col("base") + (F.col("_rk") <= extra).cast("long")).alias("budget"),
+    )

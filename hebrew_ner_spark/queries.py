@@ -456,7 +456,11 @@ _WINDOW = [
 #   as out-of-window kg_infobox_triples (closed-form oracle from doc_id
 #   arithmetic); handwritten markup, malformed-row drop and
 #   header-only/absent-table cases pytest-pinned; rides
-#   CORRECTNESS_FULL.
+#   CORRECTNESS_FULL;
+# * web_crawl_budget — largest-remainder apportionment over in-window-
+#   family host_quality weights; exact-sum + zero-weight + remainder
+#   tie-order invariants pytest-pinned closed-form and the oracle
+#   replays the identical integer arithmetic; rides CORRECTNESS_FULL.
 
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
 # out of the driver-verified window with no signal at all (explicit raise,

@@ -428,3 +428,36 @@ def web_url_canon(spark, sf_dir):
     return weblinks.url_canonicalize(
         weblinks.synth_messy_urls(load_table(spark, sf_dir, "documents"))
     )
+
+
+_CB_B = weblinks.CRAWL_BUDGET
+
+
+@query(
+    "web_crawl_budget",
+    oracle=f"""
+    WITH {_HOST_Q_CTE},
+    cbw AS (SELECT host, n_pass AS w FROM hq),
+    cbt AS (SELECT sum(w) AS tw FROM cbw),
+    cbb AS (SELECT host, w,
+                   CAST((w * {_CB_B}) // tw AS BIGINT) AS base,
+                   CAST((w * {_CB_B}) % tw AS BIGINT) AS rem
+            FROM cbw, cbt),
+    cbe AS (SELECT {_CB_B} - sum(base) AS extra FROM cbb),
+    cbr AS (SELECT host, w, base, rem,
+                   row_number() OVER (ORDER BY rem DESC, host ASC) AS rk
+            FROM cbb)
+    SELECT host, w, base, rem,
+           CAST(base + CASE WHEN rk <= (SELECT extra FROM cbe)
+                            THEN 1 ELSE 0 END AS BIGINT) AS budget
+    FROM cbr
+    """,
+)
+def web_crawl_budget(spark, sf_dir):
+    """Largest-remainder (Hamilton) crawl-budget apportionment over the
+    per-host quality weights (operators/weblinks.py crawl_budget):
+    floors + ranked remainders, exact integers, output sums to the
+    budget by construction. The oracle replays the identical
+    arithmetic with DuckDB scalar subqueries — agreement gates the
+    floor/mod split, the remainder tie order, and the scalar folds."""
+    return weblinks.crawl_budget(_pages(spark, sf_dir))

@@ -253,3 +253,48 @@ class TestUrlCanonicalize:
         )
         got2 = {r.doc_id: r.canon for r in url_canonicalize(df2).collect()}
         assert got2 == got
+
+
+class TestCrawlBudget:
+    def _pages(self, spark, rows):
+        # (url, text) pages; quality predicate sees text only
+        return spark.createDataFrame(rows, "url string, text string")
+
+    def test_sums_exactly_and_remainder_tie_order(self, spark):
+        from hebrew_ner_spark.operators import weblinks
+
+        # hand-computed: weights from n_pass per host; force known
+        # weights by bypassing host_quality via monkey-free direct call —
+        # use pages whose quality outcomes we control is brittle, so
+        # instead check the algebraic invariants on the sf corpus shape
+        # with a tiny synthetic: 3 hosts x distinct page counts.
+        good = ("the quick brown fox jumps over the lazy dog and then "
+                "keeps going with enough distinct words to pass quality "
+                "checks for this corpus easily right here today now")
+        rows = [(f"https://h{i}.ex/p/{j}", good) for i, n in ((0, 1), (1, 2), (2, 4)) for j in range(n)]
+        out = weblinks.crawl_budget(self._pages(spark, rows), budget=10)
+        got = {r.host: (r.w, r.base, r.rem, r.budget) for r in out.collect()}
+        assert sum(v[3] for v in got.values()) == 10
+        # W=7: base = floor(10w/7) -> h0:1 rem 3, h1:2 rem 6, h2:5 rem 5
+        # extra = 10-8 = 2 -> seats to h1 (rem 6) and h2 (rem 5)
+        assert got["h0.ex"] == (1, 1, 3, 1)
+        assert got["h1.ex"] == (2, 2, 6, 3)
+        assert got["h2.ex"] == (4, 5, 5, 6)
+
+    def test_zero_weight_host_gets_zero(self, spark):
+        from hebrew_ner_spark.operators import weblinks
+
+        good = ("the quick brown fox jumps over the lazy dog and then "
+                "keeps going with enough distinct words to pass quality "
+                "checks for this corpus easily right here today now")
+        rows = [("https://ok.ex/p/1", good), ("https://junk.ex/p/1", "x x x")]
+        out = weblinks.crawl_budget(self._pages(spark, rows), budget=7)
+        got = {r.host: r.budget for r in out.collect()}
+        assert got["junk.ex"] == 0 and got["ok.ex"] == 7
+
+    def test_all_zero_weights_all_zero(self, spark):
+        from hebrew_ner_spark.operators import weblinks
+
+        rows = [("https://a.ex/p/1", "x"), ("https://b.ex/p/1", "y")]
+        out = weblinks.crawl_budget(self._pages(spark, rows), budget=5)
+        assert all(r.budget == 0 for r in out.collect())
