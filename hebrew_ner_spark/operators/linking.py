@@ -434,3 +434,65 @@ def sorted_neighborhood_pairs(
         F.col("gap").cast("long").alias("gap"),
         F.levenshtein("a", F.col("_nm")).cast("long").alias("dist"),
     )
+
+
+DISAMB_CAND_K = 8
+
+
+def disambiguate_mentions(
+    docs: DataFrame, candidates: DataFrame, cand_k: int = DISAMB_CAND_K
+) -> DataFrame:
+    """(doc_id, alias, canon, n, host_support): anchor-commonness +
+    document-coherence entity disambiguation — the wikification step
+    between the alias dictionary (which keeps only each alias's DOMINANT
+    target) and the graph: ambiguous aliases resolve to the candidate
+    whose HOST carries the most candidate evidence within the same
+    document (pages cohere around a site), ties -> higher commonness
+    ``n`` -> canon ASC. ``candidates`` is the full anchor-evidence table
+    (canon, anchor_text, n) — weblinks.anchor_evidence — NOT the
+    top-1-filtered dictionary.
+
+    Engine shape at 10^12 docs: candidates are first TRIMMED to the
+    top ``cand_k`` per alias by commonness (the classic wikifier
+    commonness cut — one window over the dictionary-sized table), so
+    the mention fan-out is bounded at k. Then: one broadcast equi-join
+    (mentions x trimmed dict), one (doc, host) map-side-combinable
+    aggregate, one host-support join back, and one per-(doc, alias)
+    argmax window whose partitions are <= k rows. The corpus shuffles
+    once, keyed by doc — alias skew ("data" everywhere) stays harmless
+    because the dictionary side is broadcast and the windows are
+    per-document."""
+    from hebrew_ner_spark.operators.weblinks import host_of
+
+    trim_w = Window.partitionBy("alias").orderBy(F.desc("n"), F.asc("canon"))
+    cand = (
+        candidates.select(
+            F.col("anchor_text").alias("alias"),
+            "canon",
+            F.col("n").cast("long").alias("n"),
+        )
+        .withColumn("_tr", F.row_number().over(trim_w))
+        .where(F.col("_tr") <= cand_k)
+        .select("alias", "canon", "n", host_of(F.col("canon")).alias("_host"))
+    )
+    mentions = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("alias"))
+        .distinct()
+    )
+    cm = mentions.join(F.broadcast(cand), "alias")
+    hs = cm.groupBy("doc_id", "_host").agg(F.sum("n").cast("long").alias("hsup"))
+    pick_w = Window.partitionBy("doc_id", "alias").orderBy(
+        F.desc("hsup"), F.desc("n"), F.asc("canon")
+    )
+    return (
+        cm.join(hs, ["doc_id", "_host"])
+        .withColumn("_r", F.row_number().over(pick_w))
+        .where(F.col("_r") == 1)
+        .select(
+            "doc_id",
+            "alias",
+            "canon",
+            "n",
+            F.col("hsup").alias("host_support"),
+        )
+    )

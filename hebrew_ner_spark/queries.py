@@ -460,7 +460,11 @@ _WINDOW = [
 # * web_crawl_budget — largest-remainder apportionment over in-window-
 #   family host_quality weights; exact-sum + zero-weight + remainder
 #   tie-order invariants pytest-pinned closed-form and the oracle
-#   replays the identical integer arithmetic; rides CORRECTNESS_FULL.
+#   replays the identical integer arithmetic; rides CORRECTNESS_FULL;
+# * link_disambiguate — composes the judge-verified anchor-evidence
+#   chain with two windows + one coherence aggregate whose tie orders
+#   are pytest-pinned (coherence-overrides-commonness, trim cut,
+#   no-context fallback); rides CORRECTNESS_FULL.
 
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
 # out of the driver-verified window with no signal at all (explicit raise,

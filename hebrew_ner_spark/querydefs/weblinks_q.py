@@ -461,3 +461,56 @@ def web_crawl_budget(spark, sf_dir):
     arithmetic with DuckDB scalar subqueries — agreement gates the
     floor/mod split, the remainder tie order, and the scalar folds."""
     return weblinks.crawl_budget(_pages(spark, sf_dir))
+
+
+from hebrew_ner_spark.operators import linking as linking_ops  # noqa: E402
+
+_DS_K = linking_ops.DISAMB_CAND_K
+
+
+@query(
+    "link_disambiguate",
+    oracle=f"""
+    WITH {_LINKS_CTE},
+    dsev AS (
+      SELECT 'https://' || dst_host || '/p/' || CAST(t AS VARCHAR) AS canon,
+             ({_TERMS_SQL})[CAST((t + k) % {len(weblinks.ANCHOR_TERMS)} AS INT) + 1]
+               AS alias,
+             CAST(count(*) AS BIGINT) AS n,
+             dst_host AS host
+      FROM cn GROUP BY 1, 2, 4),
+    dsc AS (
+      SELECT alias, canon, n, host FROM (
+        SELECT alias, canon, n, host,
+               row_number() OVER (PARTITION BY alias
+                                  ORDER BY n DESC, canon) AS tr
+        FROM dsev) WHERE tr <= {_DS_K}),
+    dsm AS (
+      SELECT DISTINCT doc_id, alias FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS alias
+        FROM documents)),
+    dscm AS (
+      SELECT m.doc_id, m.alias, c.canon, c.n, c.host
+      FROM dsm m JOIN dsc c USING (alias)),
+    dshs AS (SELECT doc_id, host, sum(n) AS hsup FROM dscm GROUP BY 1, 2),
+    dsr AS (
+      SELECT m.doc_id, m.alias, m.canon, m.n, h.hsup,
+             row_number() OVER (PARTITION BY m.doc_id, m.alias
+                                ORDER BY h.hsup DESC, m.n DESC, m.canon) AS r
+      FROM dscm m JOIN dshs h USING (doc_id, host))
+    SELECT doc_id, alias, canon, n, CAST(hsup AS BIGINT) AS host_support
+    FROM dsr WHERE r = 1
+    """,
+)
+def link_disambiguate(spark, sf_dir):
+    """Anchor-commonness + document-host-coherence disambiguation
+    (operators/linking.py disambiguate_mentions): candidates trimmed to
+    the top-k commonness cut per alias, then each in-document mention
+    resolves to the candidate whose host carries the most candidate
+    evidence within that document (ties -> commonness -> canon). The
+    oracle replays the trim window, the coherence aggregate and the
+    argmax — agreement gates the full two-stage cascade including both
+    pinned tie orders."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = weblinks.anchor_evidence(weblinks.synth_linked_pages(docs))
+    return linking_ops.disambiguate_mentions(docs, cands)

@@ -317,3 +317,42 @@ class TestSortedNeighborhood:
         # two-level rank must pair across 2-char prefix buckets
         got = self._pairs(spark, ["aa1", "ab1", "ac1"], w=1)
         assert got == [("aa1", "ab1", 1, 1), ("ab1", "ac1", 1, 1)]
+
+
+class TestDisambiguate:
+    def _run(self, spark, docs_rows, cand_rows, **kw):
+        from hebrew_ner_spark.operators import linking
+
+        docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+        cands = spark.createDataFrame(
+            cand_rows, "canon string, anchor_text string, n long"
+        )
+        out = linking.disambiguate_mentions(docs, cands, **kw)
+        return {(r.doc_id, r.alias): (r.canon, r.n, r.host_support) for r in out.collect()}
+
+    CANDS = [
+        ("https://a.ex/p/1", "paris", 6),
+        ("https://b.ex/p/2", "paris", 3),
+        ("https://b.ex/p/9", "texas", 5),
+    ]
+
+    def test_coherence_overrides_commonness(self, spark):
+        # doc 0 mentions texas too: host b.ex support 3+5=8 beats a.ex 6,
+        # so 'paris' resolves against its commonness to the b.ex canon.
+        got = self._run(spark, [(0, "paris texas")], self.CANDS)
+        assert got[(0, "paris")] == ("https://b.ex/p/2", 3, 8)
+        assert got[(0, "texas")] == ("https://b.ex/p/9", 5, 8)
+
+    def test_commonness_wins_without_context(self, spark):
+        got = self._run(spark, [(1, "paris")], self.CANDS)
+        assert got[(1, "paris")] == ("https://a.ex/p/1", 6, 6)
+
+    def test_commonness_trim_bounds_candidates(self, spark):
+        # cand_k=1 trims 'paris' to its dominant a.ex candidate, so the
+        # coherent b.ex target can no longer be chosen.
+        got = self._run(spark, [(0, "paris texas")], self.CANDS, cand_k=1)
+        assert got[(0, "paris")][0] == "https://a.ex/p/1"
+
+    def test_unknown_tokens_contribute_nothing(self, spark):
+        got = self._run(spark, [(2, "zzz qqq")], self.CANDS)
+        assert got == {}
