@@ -197,3 +197,95 @@ def ssjoin_pairs(
             ).alias("jaccard_1e6"),
         )
     )
+
+
+CONT_NUM = 9    # containment threshold 9/10 = 0.9
+CONT_DEN = 10
+
+
+def containment_pairs(
+    docs: DataFrame,
+    num: int = CONT_NUM,
+    den: int = CONT_DEN,
+    cap: int = SSJ_CAP,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """(doc_a, doc_b, s_a, s_b, n_inter, cont_1e6): DIRECTED
+    near-superset detection — every ordered pair with shingle
+    containment C(a->b) = |A∩B| / |A| >= num/den. The asymmetric
+    complement to the Jaccard joins: a short quote inside a long page
+    has high containment but LOW Jaccard, so both the LSH tier and
+    ssjoin_pairs miss it BY DESIGN; this operator is how a pipeline
+    finds subsumed documents (quotes, partial mirrors, stale supersets)
+    for supersede decisions.
+
+    Prefix filter, containment form: order shingles globally
+    (df ASC, shingle ASC); the CONTAINED side keeps its standard
+    prefix of s - ceil(t*s) + 1 (if C >= t and the prefix misses B,
+    the >= ceil(t*s) common shingles must all sit in a suffix of
+    length ceil(t*s) - 1 — contradiction), while the CONTAINER side
+    must index its FULL set (no size filter either — any size ratio
+    is admissible, which is the point). Shingles shared by more than
+    ``cap`` docs are excluded from the index and surfaced count-only
+    by ``containment_overflow`` — loud, never silent. Verification
+    touches candidates only; the keep decision den*n_inter >= num*s_a
+    is exact integer."""
+    sh = _sh_distinct(docs, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("s"))
+    safe = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") <= cap)
+        .select("shingle")
+    )
+    pref = prefix_shingles(docs, num, den, k)
+    cand = (
+        pref.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"), "shingle")
+        .join(
+            sh.join(safe, "shingle").select(
+                F.col("doc_id").alias("doc_b"), "shingle"
+            ),
+            "shingle",
+        )
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b", "s_a")
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b", "s_a")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    return (
+        inter.where(F.expr(f"{den} * n_inter >= {num} * s_a"))
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "s_a",
+            "s_b",
+            "n_inter",
+            F.expr(
+                "CAST((2 * n_inter * 1000000 + s_a) DIV (2 * s_a) AS BIGINT)"
+            ).alias("cont_1e6"),
+        )
+    )
+
+
+def containment_overflow(
+    docs: DataFrame, cap: int = SSJ_CAP, k: int = SHINGLE_K
+) -> DataFrame:
+    """(shingle, n_docs) for shingles above the container-index cap —
+    the documents whose containment contract the cap suspended."""
+    sh = _sh_distinct(docs, k)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .where(F.col("n_docs") > cap)
+    )

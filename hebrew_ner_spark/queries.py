@@ -464,7 +464,12 @@ _WINDOW = [
 # * link_disambiguate — composes the judge-verified anchor-evidence
 #   chain with two windows + one coherence aggregate whose tie orders
 #   are pytest-pinned (coherence-overrides-commonness, trim cut,
-#   no-context fallback); rides CORRECTNESS_FULL.
+#   no-context fallback); rides CORRECTNESS_FULL;
+# * dedup_containment — the directed sibling of out-of-window
+#   dedup_ssjoin_exact (same prefix+verify oracle replay class); the
+#   asymmetric semantics (subset found where Jaccard join is empty,
+#   exact 9/10 boundary, overflow surfacing) are pytest-pinned; rides
+#   CORRECTNESS_FULL.
 
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
 # out of the driver-verified window with no signal at all (explicit raise,

@@ -442,3 +442,54 @@ def dedup_ssjoin_exact(spark, sf_dir):
     keeps boilerplate shingles out of the candidate index, cap overflow
     is surfaced not swallowed."""
     return _ssj.ssjoin_pairs(_docs(spark, sf_dir))
+
+
+_CNT_PREF_LEN = f"s - (({_ssj.CONT_NUM} * s + {_ssj.CONT_DEN} - 1) // {_ssj.CONT_DEN}) + 1"
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH cnt_tok AS (
+      SELECT doc_id, unnest({shingles_duck('toks', K)}) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+    cnt_df AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df
+               FROM cnt_tok GROUP BY shingle),
+    cnt_sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS s
+               FROM cnt_tok GROUP BY doc_id),
+    cnt_ord AS (
+      SELECT t.doc_id, t.shingle, z.s,
+             row_number() OVER (PARTITION BY t.doc_id
+                                ORDER BY d.df, t.shingle) AS rn
+      FROM cnt_tok t JOIN cnt_df d USING (shingle)
+      JOIN cnt_sz z USING (doc_id)),
+    cnt_pref AS (
+      SELECT doc_id, shingle, s FROM cnt_ord WHERE rn <= {_CNT_PREF_LEN}),
+    cnt_safe AS (SELECT shingle FROM cnt_df WHERE df <= {_ssj.SSJ_CAP}),
+    cnt_cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, a.s AS s_a, b.doc_id AS doc_b
+      FROM cnt_pref a
+      JOIN cnt_safe USING (shingle)
+      JOIN cnt_tok b ON b.shingle = a.shingle AND a.doc_id <> b.doc_id),
+    cnt_int AS (
+      SELECT c.doc_a, c.doc_b, c.s_a, CAST(count(*) AS BIGINT) AS n_inter
+      FROM cnt_cand c
+      JOIN cnt_tok ta ON ta.doc_id = c.doc_a
+      JOIN cnt_tok tb ON tb.doc_id = c.doc_b AND tb.shingle = ta.shingle
+      GROUP BY c.doc_a, c.doc_b, c.s_a)
+    SELECT i.doc_a, i.doc_b, i.s_a, sb.s AS s_b, n_inter,
+           CAST((2 * n_inter * 1000000 + i.s_a) // (2 * i.s_a) AS BIGINT)
+             AS cont_1e6
+    FROM cnt_int i JOIN cnt_sz sb ON sb.doc_id = i.doc_b
+    WHERE {_ssj.CONT_DEN} * n_inter >= {_ssj.CONT_NUM} * i.s_a
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """Directed shingle-containment join (quotes / partial mirrors /
+    subsumed pages at C(a->b) >= 0.9 — pairs the symmetric Jaccard
+    joins miss BY DESIGN when sizes diverge): contained-side prefix
+    filter + full container index, capped with a loud overflow channel,
+    exact-integer keep decision (operators/ssjoin.py
+    containment_pairs). The oracle replays the entire prefix + verify
+    cascade."""
+    return _ssj.containment_pairs(_docs(spark, sf_dir))

@@ -109,3 +109,69 @@ class TestSsjoinCap:
         )
         assert ssjoin.ssjoin_pairs(docs, cap=6).count() == 15  # C(6,2)
         assert ssjoin.ssjoin_overflow(docs, cap=6).count() == 0
+
+
+class TestContainmentPairs:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    @staticmethod
+    def _toks(n, off=0):
+        return " ".join(f"w{i + off}" for i in range(n))
+
+    def test_directed_subset_and_identical(self, spark):
+        from hebrew_ner_spark.operators import ssjoin
+
+        docs = self._docs(
+            spark,
+            [
+                (0, self._toks(30)),        # container
+                (1, self._toks(12)),        # prefix of 0: contained
+                (2, self._toks(30, 100)),   # disjoint control
+                (3, self._toks(30)),        # identical to 0
+            ],
+        )
+        got = {
+            (r.doc_a, r.doc_b): r.cont_1e6
+            for r in ssjoin.containment_pairs(docs).collect()
+        }
+        assert got == {
+            (1, 0): 1000000,
+            (1, 3): 1000000,
+            (0, 3): 1000000,
+            (3, 0): 1000000,
+        }
+
+    def test_low_jaccard_high_containment_found(self, spark):
+        # the pair ssjoin_pairs misses by design: J = 10/28 < 0.5 but
+        # C(1->0) = 1.0
+        from hebrew_ner_spark.operators import ssjoin
+
+        docs = self._docs(spark, [(0, self._toks(30)), (1, self._toks(12))])
+        jac = ssjoin.ssjoin_pairs(docs).collect()
+        cont = ssjoin.containment_pairs(docs).collect()
+        assert jac == []
+        assert [(r.doc_a, r.doc_b) for r in cont] == [(1, 0)]
+
+    def test_threshold_boundary_exact(self, spark):
+        from hebrew_ner_spark.operators import ssjoin
+
+        # A has 10 shingles (12 tokens, k=3), 9 shared with B -> C = 0.9
+        # exactly at 9/10: kept. 8 shared -> 0.8: dropped.
+        base = [f"w{i}" for i in range(12)]  # shingles w0w1w2..w9w10w11
+        b_txt = " ".join(base[:11]) + " zz"  # shares first 9 shingles
+        docs = self._docs(spark, [(0, " ".join(base)), (1, b_txt + " more pad tokens here")])
+        got = ssjoin.containment_pairs(docs).collect()
+        pairs = {(r.doc_a, r.doc_b): (r.n_inter, r.s_a) for r in got}
+        assert pairs.get((0, 1)) == (9, 10)
+
+    def test_cap_overflow_surfaced_not_silent(self, spark):
+        from hebrew_ner_spark.operators import ssjoin
+
+        # 5 docs sharing one shingle; cap=4 excludes it from the index
+        shared = "a b c"
+        docs = self._docs(
+            spark, [(i, shared + f" t{i} u{i} v{i}") for i in range(5)]
+        )
+        ov = ssjoin.containment_overflow(docs, cap=4).collect()
+        assert [(r.shingle, r.n_docs) for r in ov] == [("a b c", 5)]
