@@ -130,3 +130,36 @@ def source_reliability(
     """(host, n_facts, rel_1e6) — fused per-host source reliability."""
     _, rel = _fusion(assertions, iters, reliable)
     return rel.select("host", "n_facts", F.col("v").alias("rel_1e6"))
+
+
+def fact_source_diversity(assertions: DataFrame) -> DataFrame:
+    """(subj, pred, obj, n_pages, n_hosts, n_tlds, herf_1e6): source
+    diversity per fact — the independence signal fact fusion's
+    vote-dedup only approximates: a claim on 40 pages of ONE host is
+    one voice, the same claim across 40 hosts and 5 TLDs is forty.
+    herf_1e6 is the exact Herfindahl concentration of the fact's
+    host-evidence shares (sum over hosts of (n_h/n)^2, micro-units,
+    round-half-up): 1e6 = single-source, ->0 = maximally dispersed.
+
+    ``assertions`` is evidence-grain (host, subj, pred, obj). Engine
+    shape: one (fact, host) pre-aggregate (map-side combinable — the
+    same two-level move that bounds mega-fact skew everywhere else),
+    then one fact-keyed aggregate; no joins, no windows. The squared
+    terms go through DECIMAL(38,0) (DuckDB HUGEINT on the oracle side)
+    so a mega-fact's sum(nh^2) cannot overflow int64 — exact at any
+    evidence count a 10^12-page corpus can produce."""
+    per_host = (
+        assertions.groupBy("subj", "pred", "obj", "host")
+        .agg(F.count("*").cast("long").alias("nh"))
+        .withColumn("_tld", F.expr("element_at(split(host, '\\\\.'), -1)"))
+    )
+    return per_host.groupBy("subj", "pred", "obj").agg(
+        F.sum("nh").cast("long").alias("n_pages"),
+        F.count("*").cast("long").alias("n_hosts"),
+        F.count_distinct("_tld").cast("long").alias("n_tlds"),
+        F.expr(
+            "CAST((2 * 1000000 * sum(CAST(nh AS DECIMAL(38,0)) * nh)"
+            " + CAST(sum(nh) AS DECIMAL(38,0)) * sum(nh))"
+            " DIV (2 * CAST(sum(nh) AS DECIMAL(38,0)) * sum(nh)) AS BIGINT)"
+        ).alias("herf_1e6"),
+    )

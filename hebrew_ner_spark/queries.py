@@ -199,7 +199,13 @@ _WINDOW = [
     # while fusion is a brand-new unrolled-iteration integer recurrence
     # (the riskiest cross-engine class)
     "kg_fact_fusion",
-    "kg_source_reliability",
+    # kg_source_reliability rotated out late-r3 (the host side of the
+    # SAME unrolled recurrence as in-window kg_fact_fusion — any
+    # recurrence drift surfaces there — and the replay is pytest-pinned)
+    # for kg_fact_diversity: the evidence-grain Herfindahl is a
+    # brand-new cross-engine shape (DECIMAL(38,0)/HUGEINT squared-sum,
+    # half-up micro-units, list[-1] TLD parity) with no driver history
+    "kg_fact_diversity",
     # kg_ntriples_lines rotated out late-r3 (pure serialization, pytest
     # round-trip, gate-green in every full-registry run) for
     # maint_compaction_plan — its cumsum was REWRITTEN two-level

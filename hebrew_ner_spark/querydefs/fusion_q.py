@@ -119,3 +119,78 @@ def kg_fact_fusion(spark, sf_dir):
 def kg_source_reliability(spark, sf_dir):
     """Fused per-host source reliabilities (same rounds, host side)."""
     return fusion.source_reliability(_assertions(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# fact source diversity (evidence grain — no vote dedup)
+# ---------------------------------------------------------------------------
+
+# Evidence-grain assertions: every (doc, position) pattern match is one
+# page-evidence row (no DISTINCT — diversity measures raw evidence mass).
+# Hosts are sharded doc_id % 6 with a doc_id % 3 TLD so n_tlds is
+# non-vacuous (6 hosts over 3 TLDs).
+N_DIVERSITY_HOSTS = 6
+
+_EVIDENCE_CTE = f"""
+    fsd_toks AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS word_index,
+             unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    fsd_w AS (
+      SELECT doc_id, token,
+             lag(token)  OVER (PARTITION BY doc_id ORDER BY word_index) AS subj,
+             lead(token) OVER (PARTITION BY doc_id ORDER BY word_index) AS obj
+      FROM fsd_toks
+    ),
+    fsd_a AS MATERIALIZED (
+      SELECT 'ex' || CAST(doc_id % {N_DIVERSITY_HOSTS} AS VARCHAR)
+               || '.example.'
+               || (CASE CAST(doc_id % 3 AS INTEGER)
+                   WHEN 0 THEN 'net' WHEN 1 THEN 'org' ELSE 'io' END) AS host,
+             subj, token AS pred, obj
+      FROM fsd_w
+      WHERE token IN {_PREDS_SQL} AND subj IN {_ENTS_SQL} AND obj IN {_ENTS_SQL}
+    ),
+    fsd_h AS (
+      SELECT subj, pred, obj, host, CAST(COUNT(*) AS BIGINT) AS nh
+      FROM fsd_a GROUP BY 1, 2, 3, 4
+    )
+"""
+
+_DIVERSITY_SQL = f"""
+WITH {_EVIDENCE_CTE}
+SELECT subj, pred, obj,
+       CAST(SUM(nh) AS BIGINT) AS n_pages,
+       CAST(COUNT(*) AS BIGINT) AS n_hosts,
+       CAST(COUNT(DISTINCT string_split(host, '.')[-1]) AS BIGINT) AS n_tlds,
+       CAST((2 * 1000000 * SUM(CAST(nh AS HUGEINT) * nh)
+             + CAST(SUM(nh) AS HUGEINT) * SUM(nh))
+            // (2 * CAST(SUM(nh) AS HUGEINT) * SUM(nh)) AS BIGINT) AS herf_1e6
+FROM fsd_h GROUP BY 1, 2, 3
+"""
+
+
+def _evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return kg.doc_triples(docs).select(
+        F.concat(
+            F.lit("ex"),
+            (F.col("doc_id") % N_DIVERSITY_HOSTS).cast("string"),
+            F.lit(".example."),
+            F.element_at(
+                F.array(F.lit("net"), F.lit("org"), F.lit("io")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ),
+        ).alias("host"),
+        "subj",
+        "pred",
+        "obj",
+    )
+
+
+@query("kg_fact_diversity", oracle=_DIVERSITY_SQL)
+def kg_fact_diversity(spark, sf_dir):
+    """Per-fact source diversity (pages/hosts/TLDs + host Herfindahl)."""
+    return fusion.fact_source_diversity(_evidence(spark, sf_dir))

@@ -89,3 +89,26 @@ def test_duplicate_assertions_vote_once(spark):
     key = lambda rows: sorted((r.subj, r.pred, r.obj, r.n_hosts, r.conf_1e6) for r in rows)  # noqa: E731
     assert key(base_f) == key(spam_f)
 
+
+
+def test_source_diversity_closed_form(spark):
+    from hebrew_ner_spark.operators.fusion import fact_source_diversity
+
+    # fact X: h1(.net) x3 pages + h2(.org) x1 -> herf = 1e6*(9+1)/16
+    # fact Y: one host, one page -> herf = 1e6 exactly
+    # fact Z: nh=(1,2) same tld -> (2*5e6+9)//18 = 555556 (half-up)
+    rows = (
+        [("a.net", "x", "p", "y")] * 3
+        + [("b.org", "x", "p", "y")]
+        + [("a.net", "s", "p", "t")]
+        + [("a.net", "u", "p", "v"), ("c.net", "u", "p", "v"), ("c.net", "u", "p", "v")]
+    )
+    got = {
+        (r.subj, r.obj): (r.n_pages, r.n_hosts, r.n_tlds, r.herf_1e6)
+        for r in fact_source_diversity(_assertions(spark, rows)).collect()
+    }
+    assert got == {
+        ("x", "y"): (4, 2, 2, 625000),
+        ("s", "t"): (1, 1, 1, 1000000),
+        ("u", "v"): (3, 2, 1, 555556),
+    }
