@@ -459,6 +459,63 @@ def rule_confidence(
     )
 
 
+def rule_inference(
+    docs: DataFrame,
+    body: list[tuple[str, str, str]] | None = None,
+    head: tuple[str, str, str] | None = None,
+) -> DataFrame:
+    """(subj, pred, obj, n_paths) — NEW head triples implied by body
+    matches but absent from the KG: the completion step that closes the
+    AMIE loop (``rule_confidence`` scores the rule; this materializes
+    what it predicts, the "inference back into construction" step of
+    Galárraga et al.). ``n_paths`` counts the distinct body bindings
+    supporting each inferred triple — evidence strength downstream
+    fusion can consume like any other assertion count.
+
+    Plan shape: body legs join as DISTINCT pairs on shared variables
+    (vocabulary grain, never evidence rows — the rule_confidence /
+    bgp_match discipline), one head-vars aggregate, then a LEFT ANTI
+    join against the existing head-pred pairs. The aggregate and the
+    anti join share the (head-subj, head-obj) key, so AQE reuses one
+    shuffle partitioning; every leg is broadcastable when small. At
+    10^12 docs the distinct leg tables are corpus-sublinear (bounded by
+    per-predicate vocab pairs), so the whole inference never touches
+    evidence-grain rows.
+    """
+    if body is None:
+        body = [("x", "join", "y"), ("y", "merge", "z")]
+    if head is None:
+        head = ("x", "scan", "z")
+    t = doc_triples(docs).select("subj", "pred", "obj")
+    out = None
+    for sv, pred, ov in body:
+        leg = (
+            t.where(F.col("pred") == pred)
+            .select(F.col("subj").alias(sv), F.col("obj").alias(ov))
+            .distinct()
+        )
+        if out is None:
+            out = leg
+        else:
+            shared = [c for c in (sv, ov) if c in out.columns]
+            out = out.join(leg, shared) if shared else out.crossJoin(leg)
+    hs, hp, ho = head
+    known = t.where(F.col("pred") == hp).select(
+        F.col("subj").alias(hs), F.col("obj").alias(ho)
+    )
+    return (
+        out.groupBy(hs, ho)
+        .agg(F.count("*").cast("long").alias("n_paths"))
+        .join(known, [hs, ho], "left_anti")
+        .select(
+            F.col(hs).alias("subj"),
+            F.lit(hp).alias("pred"),
+            F.col(ho).alias("obj"),
+            "n_paths",
+        )
+    )
+
+
 def entity_summary(docs: DataFrame, k: int = 3) -> DataFrame:
     """(subj, rk, pred, obj, n_evidence) — the top-``k`` facts per entity
     by evidence weight, ties broken (pred, obj) ascending: the "entity

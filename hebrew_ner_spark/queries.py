@@ -240,6 +240,10 @@ _WINDOW = [
 #   divergence; exact pair enumeration, mirror symmetry; planted
 #   appearing/disappearing facts; exact chain/triangle distances,
 #   horizon cutoff) and all ride the full-registry artifact;
+# * kg_rule_infer — added after the window filled; its leg-join machinery
+#   is exercised in-window by kg_bgp_match + kg_rule_confidence and the
+#   anti-join completion semantics are pytest-pinned closed-form; rides
+#   CORRECTNESS_FULL;
 # * kg_merge_delta / txt_subword_counts / mm_resize — their invariants are
 #   independently pytest-pinned (delta-fold == batch build; regex parity
 #   fuzz; closed-form resized pixels);

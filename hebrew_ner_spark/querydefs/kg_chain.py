@@ -192,6 +192,26 @@ def kg_rule_confidence(spark, sf_dir):
 
 
 @query(
+    "kg_rule_infer",
+    oracle=f"""
+    WITH t AS ({_TRIPLES_ORACLE}),
+    ri_l0 AS (SELECT DISTINCT subj AS x, obj AS y FROM t WHERE pred = 'join'),
+    ri_l1 AS (SELECT DISTINCT subj AS y, obj AS z FROM t WHERE pred = 'merge'),
+    ri_hp AS (SELECT DISTINCT subj AS x, obj AS z FROM t WHERE pred = 'scan'),
+    ri_b AS (SELECT ri_l0.x, ri_l1.z, CAST(count(*) AS BIGINT) AS n_paths
+             FROM ri_l0 JOIN ri_l1 USING (y) GROUP BY 1, 2)
+    SELECT b.x AS subj, 'scan' AS pred, b.z AS obj, b.n_paths
+    FROM ri_b b LEFT JOIN ri_hp hp ON hp.x = b.x AND hp.z = b.z
+    WHERE hp.x IS NULL
+    """,
+)
+def kg_rule_infer(spark, sf_dir):
+    """Rule application / KG completion: head triples the default horn
+    rule implies that are NOT yet in the KG, with body-binding support."""
+    return kg.rule_inference(_docs(spark, sf_dir))
+
+
+@query(
     "kg_predicate_stats",
     oracle=f"""
     WITH t AS ({_TRIPLES_ORACLE}),

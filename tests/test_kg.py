@@ -346,3 +346,24 @@ def test_functional_conflicts_keeper_tie_order(spark):
     )
     r = kgo.functional_conflicts(facts).collect()[0]
     assert r.keep_obj == "alpha" and r.n_keep == 3
+
+
+def test_rule_inference_completion(spark):
+    # body: (?x join ?y)(?y merge ?z) => head (?x scan ?z)
+    # x=key: join->{table,group}; table merge data, group merge data,
+    # table merge hash => implied (key,scan,data) n_paths=2 (via table, group)
+    # and (key,scan,hash) n_paths=1; (key,scan,hash) already in KG -> dropped.
+    docs = spark.createDataFrame(
+        [
+            (0, "key join table fast table merge data"),
+            (1, "key join group fast group merge data"),
+            (2, "table merge hash fast key scan hash"),
+            (3, "key join table"),  # duplicate leg: distinct binding grain
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.subj, r.pred, r.obj, r.n_paths)
+        for r in kg.rule_inference(docs).collect()
+    )
+    assert got == [("key", "scan", "data", 2)]
