@@ -602,6 +602,62 @@ def subsumption_candidates(
     )
 
 
+def pred_paraphrase(docs: DataFrame) -> DataFrame:
+    """(pred_a, pred_b, c_a, c_b, c_both, jac_1e6) — DIRT-style predicate
+    paraphrase candidates (Lin & Pantel, KDD 2002, specialised to shared
+    argument PAIRS): two predicates are paraphrase candidates when their
+    distinct (subj, obj) argument-pair sets overlap; jac_1e6 is the exact
+    round-half-up Jaccard of the two pair sets in micro-units. Only
+    co-occurring pairs are emitted (sparse grain — zero-overlap predicate
+    pairs carry no signal and would be |P|^2 rows at web scale).
+
+    Plan shape: one distinct over (pred, subj, obj) — vocabulary grain,
+    never evidence rows — then a self equi-join keyed on the argument
+    pair with ``pred_a < pred_b`` dedup, one pair-keyed aggregate, and
+    two broadcast joins against the per-predicate pair counts (the
+    per-pred table is bounded by the predicate vocabulary). A hub
+    argument pair asserted under k predicates expands to k(k-1)/2 rows —
+    bounded by vocab, not corpus; the join key equals the distinct's
+    grouping key so the shuffle partitioning is reused.
+    """
+    tp = doc_triples(docs).select("pred", "subj", "obj").distinct()
+    c = tp.groupBy("pred").agg(F.count("*").cast("long").alias("c"))
+    a, b = tp.alias("a"), tp.alias("b")
+    both = (
+        a.join(
+            b,
+            (F.col("a.subj") == F.col("b.subj"))
+            & (F.col("a.obj") == F.col("b.obj"))
+            & (F.col("a.pred") < F.col("b.pred")),
+        )
+        .groupBy(
+            F.col("a.pred").alias("pred_a"), F.col("b.pred").alias("pred_b")
+        )
+        .agg(F.count("*").cast("long").alias("c_both"))
+    )
+    return (
+        both.join(
+            F.broadcast(c.select(F.col("pred").alias("pred_a"), F.col("c").alias("c_a"))),
+            "pred_a",
+        )
+        .join(
+            F.broadcast(c.select(F.col("pred").alias("pred_b"), F.col("c").alias("c_b"))),
+            "pred_b",
+        )
+        .select(
+            "pred_a",
+            "pred_b",
+            "c_a",
+            "c_b",
+            "c_both",
+            F.expr(
+                "CAST((2000000 * c_both + (c_a + c_b - c_both))"
+                " DIV (2 * (c_a + c_b - c_both)) AS BIGINT)"
+            ).alias("jac_1e6"),
+        )
+    )
+
+
 def entity_nodes(docs: DataFrame) -> DataFrame:
     """(entity, n_mentions, n_docs) node table for graph materialization."""
     labels = doc_token_labels(docs).where(F.col("label") != "O")

@@ -240,6 +240,9 @@ _WINDOW = [
 #   divergence; exact pair enumeration, mirror symmetry; planted
 #   appearing/disappearing facts; exact chain/triangle distances,
 #   horizon cutoff) and all ride the full-registry artifact;
+# * kg_pred_paraphrase — added after the window filled; pair-set Jaccard
+#   arithmetic pytest-pinned closed-form and the self-join shape is the
+#   in-window dedup-pair family; rides CORRECTNESS_FULL;
 # * kg_rule_infer — added after the window filled; its leg-join machinery
 #   is exercised in-window by kg_bgp_match + kg_rule_confidence and the
 #   anti-join completion semantics are pytest-pinned closed-form; rides

@@ -212,6 +212,31 @@ def kg_rule_infer(spark, sf_dir):
 
 
 @query(
+    "kg_pred_paraphrase",
+    oracle=f"""
+    WITH t AS ({_TRIPLES_ORACLE}),
+    pp_tp AS (SELECT DISTINCT pred, subj, obj FROM t),
+    pp_c AS (SELECT pred, CAST(count(*) AS BIGINT) AS c FROM pp_tp GROUP BY 1),
+    pp_b AS (SELECT a.pred AS pred_a, b.pred AS pred_b,
+                    CAST(count(*) AS BIGINT) AS c_both
+             FROM pp_tp a JOIN pp_tp b
+               ON a.subj = b.subj AND a.obj = b.obj AND a.pred < b.pred
+             GROUP BY 1, 2)
+    SELECT pred_a, pred_b, ca.c AS c_a, cb.c AS c_b, c_both,
+           CAST((2000000 * c_both + (ca.c + cb.c - c_both))
+                // (2 * (ca.c + cb.c - c_both)) AS BIGINT) AS jac_1e6
+    FROM pp_b
+    JOIN pp_c ca ON ca.pred = pp_b.pred_a
+    JOIN pp_c cb ON cb.pred = pp_b.pred_b
+    """,
+)
+def kg_pred_paraphrase(spark, sf_dir):
+    """DIRT-style predicate paraphrase: argument-pair-set Jaccard over
+    co-occurring predicate pairs."""
+    return kg.pred_paraphrase(_docs(spark, sf_dir))
+
+
+@query(
     "kg_predicate_stats",
     oracle=f"""
     WITH t AS ({_TRIPLES_ORACLE}),

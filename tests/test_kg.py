@@ -367,3 +367,27 @@ def test_rule_inference_completion(spark):
         for r in kg.rule_inference(docs).collect()
     )
     assert got == [("key", "scan", "data", 2)]
+
+
+def test_pred_paraphrase_jaccard(spark):
+    # join pairs: {(key,table),(key,group)}; merge pairs: {(key,table),
+    # (table,data)}; scan pairs: {(key,table)} (duplicated evidence -> one
+    # distinct pair). join~merge: inter=1, union=3 -> 333333;
+    # join~scan: inter=1, union=2 -> 500000; merge~scan: 1/2 -> 500000.
+    docs = spark.createDataFrame(
+        [
+            (0, "key join table fast key join group"),
+            (1, "key merge table fast table merge data"),
+            (2, "key scan table fast key scan table"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.pred_a, r.pred_b, r.c_a, r.c_b, r.c_both, r.jac_1e6)
+        for r in kg.pred_paraphrase(docs).collect()
+    )
+    assert got == [
+        ("join", "merge", 2, 2, 1, 333333),
+        ("join", "scan", 2, 1, 1, 500000),
+        ("merge", "scan", 2, 1, 1, 500000),
+    ]
