@@ -602,6 +602,58 @@ def subsumption_candidates(
     )
 
 
+# Per-extractor precision priors in micro-units (Knowledge-Vault-style
+# calibration constants: the adjacency SVO pattern is high-precision, the
+# gapped variants and the unlexicalized appos/has_attr patterns lower).
+# Deterministic constants — the gate arithmetic is exact at any corpus.
+EXTRACTOR_PRIOR_1E6: dict[str, int] = {
+    "svo": 900_000,
+    "svo_gap_subj": 700_000,
+    "svo_gap_obj": 700_000,
+    "appos": 500_000,
+    "has_attr": 600_000,
+}
+
+
+def extractor_noisy_or(docs: DataFrame) -> DataFrame:
+    """(subj, pred, obj, n_patterns, conf_1e6) — Knowledge-Vault-style
+    noisy-OR fusion of the five dependency-pattern extractors (Dong et
+    al., KDD 2014): a triple's confidence is 1 - prod(1 - p_i) over the
+    patterns that extracted it anywhere in the corpus, with fixed
+    per-extractor precision priors. The product folds in FIXED-POINT
+    micro-units (each step ``(acc * q_i) DIV 1e6``, deterministic
+    pattern order), so every intermediate fits int64 and both engines
+    truncate identically — no floats, no overflow at any corpus size.
+
+    Plan shape: one (subj, pred, obj) aggregate with per-pattern
+    conditional-max flags (map-side combinable — a mega-fact's evidence
+    combines inside input partitions), then a codegen CASE cascade.
+    Zero joins; skew is the triple_counts salted_agg case.
+    """
+    t = doc_triples_patterns(docs).select("pattern", "subj", "pred", "obj")
+    flags = t.groupBy("subj", "pred", "obj").agg(
+        *[
+            F.max(F.when(F.col("pattern") == k, 1).otherwise(0)).alias(f"f_{k}")
+            for k in EXTRACTOR_PRIOR_1E6
+        ]
+    )
+    acc = None
+    for k, prior in EXTRACTOR_PRIOR_1E6.items():
+        miss = (
+            f"CAST(CASE WHEN f_{k} = 1 THEN {1_000_000 - prior}"
+            " ELSE 1000000 END AS BIGINT)"
+        )
+        acc = miss if acc is None else f"(({acc}) * ({miss})) DIV 1000000"
+    n_pat = " + ".join(f"f_{k}" for k in EXTRACTOR_PRIOR_1E6)
+    return flags.select(
+        "subj",
+        "pred",
+        "obj",
+        F.expr(f"CAST({n_pat} AS BIGINT)").alias("n_patterns"),
+        F.expr(f"CAST(1000000 - ({acc}) AS BIGINT)").alias("conf_1e6"),
+    )
+
+
 def pred_paraphrase(docs: DataFrame) -> DataFrame:
     """(pred_a, pred_b, c_a, c_b, c_both, jac_1e6) — DIRT-style predicate
     paraphrase candidates (Lin & Pantel, KDD 2002, specialised to shared

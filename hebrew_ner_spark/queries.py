@@ -240,6 +240,9 @@ _WINDOW = [
 #   divergence; exact pair enumeration, mirror symmetry; planted
 #   appearing/disappearing facts; exact chain/triangle distances,
 #   horizon cutoff) and all ride the full-registry artifact;
+# * kg_extractor_noisy_or — added after the window filled; fixed-point
+#   noisy-OR fold pytest-pinned closed-form over the in-window
+#   kg_triples_deppat extraction; rides CORRECTNESS_FULL;
 # * kg_pred_paraphrase — added after the window filled; pair-set Jaccard
 #   arithmetic pytest-pinned closed-form and the self-join shape is the
 #   in-window dedup-pair family; rides CORRECTNESS_FULL;

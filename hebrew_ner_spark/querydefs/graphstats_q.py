@@ -119,6 +119,42 @@ def kg_edges_typed_salted(spark, sf_dir):
     return kg.typed_edge_counts(_docs(spark, sf_dir), salt_buckets=8)
 
 
+def _noisy_or_oracle() -> str:
+    from hebrew_ner_spark.operators.kg import EXTRACTOR_PRIOR_1E6
+
+    flags = ",\n             ".join(
+        f"MAX(CASE WHEN pattern = '{k}' THEN 1 ELSE 0 END) AS f_{k}"
+        for k in EXTRACTOR_PRIOR_1E6
+    )
+    acc = None
+    for k, prior in EXTRACTOR_PRIOR_1E6.items():
+        miss = (
+            f"CAST(CASE WHEN f_{k} = 1 THEN {1_000_000 - prior}"
+            " ELSE 1000000 END AS BIGINT)"
+        )
+        acc = miss if acc is None else f"(({acc}) * ({miss})) // 1000000"
+    n_pat = " + ".join(f"f_{k}" for k in EXTRACTOR_PRIOR_1E6)
+    return f"""
+    WITH nor_t AS ({_DEPPAT_ORACLE}),
+    nor_f AS (
+      SELECT subj, pred, obj,
+             {flags}
+      FROM nor_t GROUP BY 1, 2, 3
+    )
+    SELECT subj, pred, obj,
+           CAST({n_pat} AS BIGINT) AS n_patterns,
+           CAST(1000000 - ({acc}) AS BIGINT) AS conf_1e6
+    FROM nor_f
+    """
+
+
+@query("kg_extractor_noisy_or", oracle=_noisy_or_oracle())
+def kg_extractor_noisy_or(spark, sf_dir):
+    """Knowledge-Vault noisy-OR fusion of the five pattern extractors:
+    fixed-point 1 - prod(1 - p_i) over firing patterns per triple."""
+    return kg.extractor_noisy_or(_docs(spark, sf_dir))
+
+
 @query(
     "kg_cooc_lift",
     oracle=f"""

@@ -391,3 +391,29 @@ def test_pred_paraphrase_jaccard(spark):
         ("join", "scan", 2, 1, 1, 500000),
         ("merge", "scan", 2, 1, 1, 500000),
     ]
+
+
+def test_extractor_noisy_or_fixed_point(spark):
+    # "key join table" fires svo only -> conf = prior(svo) = 900000.
+    # "key join x table" (filler) fires svo_gap_obj only -> 700000.
+    # both contexts for the same triple -> noisy-OR:
+    #   acc = 100000 * 1e6/1e6 ... fold order svo, gap_subj, gap_obj:
+    #   (100000 * 300000) // 1e6 = 30000 -> conf = 970000.
+    docs = spark.createDataFrame(
+        [
+            (0, "key join table"),
+            (1, "key join the table"),
+            (2, "group merge data"),
+            (3, "key group"),     # appos -> 500000
+            (4, "fast group"),    # has_attr -> 600000
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.subj, r.pred, r.obj): (r.n_patterns, r.conf_1e6)
+        for r in kg.extractor_noisy_or(docs).collect()
+    }
+    assert got[("key", "join", "table")] == (2, 970000)
+    assert got[("group", "merge", "data")] == (1, 900000)
+    assert got[("key", "appos", "group")] == (1, 500000)
+    assert got[("group", "has_attr", "fast")] == (1, 600000)
