@@ -1267,3 +1267,91 @@ def functional_conflicts(
             "n_total",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal fact validity intervals (SCD-2 over crawl snapshots)
+# ---------------------------------------------------------------------------
+
+SNAPSHOT_VERSIONS = 4
+
+
+def synth_fact_snapshots(docs: DataFrame) -> DataFrame:
+    """(v, subj, pred, obj) — DISTINCT fact presence per crawl snapshot.
+
+    Deterministic snapshot membership so oracles replay it closed-form
+    (the planting idiom shared with graph_diff / functional_conflicts):
+    crawl ``v`` contains document ``d`` iff ``(d + v) % 3 != 0`` — every
+    doc drops out of exactly one or two of the 4 crawls, so facts with a
+    single asserting doc exhibit PRESENCE GAPS (doc d≡1 mod 3 is in
+    crawls {0,1,3}; d≡2 in {0,2,3}) while multi-doc facts whose doc set
+    covers the gaps stay continuously valid — both interval shapes exist
+    at every scale factor.
+
+    The extraction runs ONCE (the zero-shuffle doc_triples stage); the
+    per-crawl axis is a 4-way `explode(sequence(...))` over the already
+    doc-deduped fact rows, never a re-scan per crawl. One shuffle total:
+    the (fact, v) DISTINCT.
+    """
+    per_doc = (
+        doc_triples(docs)
+        .select("doc_id", "subj", "pred", "obj")
+        .dropDuplicates(["doc_id", "subj", "pred", "obj"])
+    )
+    v = F.explode(F.sequence(F.lit(0), F.lit(SNAPSHOT_VERSIONS - 1))).alias("v")
+    return (
+        per_doc.select("doc_id", "subj", "pred", "obj", v)
+        .where((F.col("doc_id") + F.col("v")) % 3 != 0)
+        .select(F.col("v").cast("long").alias("v"), "subj", "pred", "obj")
+        .distinct()
+    )
+
+
+def fact_intervals(
+    snap_facts: DataFrame, n_versions: int = SNAPSHOT_VERSIONS
+) -> DataFrame:
+    """(subj, pred, obj, v_from, v_to, n_snaps, is_current) — SCD-2
+    validity intervals per fact from its per-crawl presence set.
+
+    The reference's single-request pipeline (ner_app.py:125-194) has no
+    time axis; a 10^12-page KG build over repeated Common-Crawl snapshots
+    does, and the canonical history representation is the slowly-changing-
+    dimension type-2 interval: maximal runs of consecutive crawls in which
+    the fact was asserted (YAGO2's occursSince/occursUntil grain). Facts
+    that vanish and re-appear get multiple rows; ``is_current`` (BIGINT
+    0/1 — output contract bans booleans) marks intervals open at the
+    newest crawl, i.e. the live fact set.
+
+    Gaps-and-islands: island id = v - row_number() over the per-fact
+    version order (consecutive versions share it), then min/max/count per
+    (fact, island). Scale shape: the window shuffles once on the fact key
+    with per-fact groups bounded by the crawl count (~100 in production —
+    no skew possible regardless of fact popularity); the follow-up groupBy
+    adds (island) to the same leading keys, so partial aggregation
+    collapses each group map-side and the second exchange moves one row
+    per interval. No joins, no driver state.
+    """
+    w = Window.partitionBy("subj", "pred", "obj").orderBy("v")
+    islands = snap_facts.withColumn(
+        "_island", F.col("v") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("subj", "pred", "obj", "_island")
+        .agg(
+            F.min("v").alias("v_from"),
+            F.max("v").alias("v_to"),
+            F.count("*").cast("long").alias("n_snaps"),
+        )
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            "v_from",
+            "v_to",
+            "n_snaps",
+            F.when(F.col("v_to") == n_versions - 1, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("is_current"),
+        )
+    )

@@ -807,3 +807,42 @@ def kg_functional_conflicts(spark, sf_dir):
         "pred", "subj", "obj"
     ).agg(F.sum("n_evidence").cast("long").alias("n_evidence"))
     return kg.functional_conflicts(facts)
+
+
+# ---------------------------------------------------------------------------
+# Temporal fact validity intervals (kg.fact_intervals)
+# ---------------------------------------------------------------------------
+
+_FACT_SNAPS = f"""
+    fi_t AS ({_TRIPLES_ORACLE}),
+    fi_d AS (SELECT DISTINCT doc_id, subj, pred, obj FROM fi_t),
+    fi_s AS (
+      SELECT DISTINCT vv.v, subj, pred, obj
+      FROM fi_d, (SELECT unnest(range(4)) AS v) vv
+      WHERE (doc_id + vv.v) % 3 <> 0
+    )
+"""
+
+
+@query(
+    "kg_fact_intervals",
+    oracle=f"""
+    WITH {_FACT_SNAPS},
+    fi_i AS (
+      SELECT *, v - row_number()
+                 OVER (PARTITION BY subj, pred, obj ORDER BY v) AS island
+      FROM fi_s
+    )
+    SELECT subj, pred, obj,
+           min(v) AS v_from, max(v) AS v_to,
+           CAST(count(*) AS BIGINT) AS n_snaps,
+           CAST(CASE WHEN max(v) = 3 THEN 1 ELSE 0 END AS BIGINT) AS is_current
+    FROM fi_i GROUP BY subj, pred, obj, island
+    """,
+)
+def kg_fact_intervals(spark, sf_dir):
+    """SCD-2 temporal validity intervals per fact across 4 deterministic
+    crawl snapshots: maximal runs of consecutive crawls asserting the
+    fact (gaps-and-islands), with the open-at-latest flag. Facts with a
+    presence gap yield multiple interval rows."""
+    return kg.fact_intervals(kg.synth_fact_snapshots(_docs(spark, sf_dir)))

@@ -417,3 +417,42 @@ def test_extractor_noisy_or_fixed_point(spark):
     assert got[("group", "merge", "data")] == (1, 900000)
     assert got[("key", "appos", "group")] == (1, 500000)
     assert got[("group", "has_attr", "fast")] == (1, 600000)
+
+
+def test_fact_intervals_gaps_and_islands(spark, tiny):
+    # doc 4 (≡1 mod 3) is in crawls {0,1,3}: its unique fact gets a gap
+    # (two intervals); docs 0/3 (≡0 mod 3) are in crawls {1,2}: one run.
+    docs = tiny.union(
+        spark.createDataFrame([(4, "data merge group")], "doc_id long, text string")
+    )
+    got = rows(
+        kg.fact_intervals(kg.synth_fact_snapshots(docs)),
+        "subj", "pred", "obj", "v_from", "v_to", "n_snaps", "is_current",
+    )
+    assert got == [
+        ("data", "merge", "group", 0, 1, 2, 0),
+        ("data", "merge", "group", 3, 3, 1, 1),
+        ("key", "join", "order", 1, 2, 2, 0),
+        ("order", "sort", "table", 1, 2, 2, 0),
+    ]
+
+
+def test_fact_intervals_union_covers_gap(spark):
+    # The same fact from docs ≡1 and ≡2 mod 3 has union presence
+    # {0,1,3} ∪ {0,2,3} = all four crawls -> one continuous interval.
+    docs = spark.createDataFrame(
+        [(1, "data merge group"), (2, "data merge group")],
+        "doc_id long, text string",
+    )
+    got = rows(
+        kg.fact_intervals(kg.synth_fact_snapshots(docs)),
+        "subj", "pred", "obj", "v_from", "v_to", "n_snaps", "is_current",
+    )
+    assert got == [("data", "merge", "group", 0, 3, 4, 1)]
+
+
+def test_fact_intervals_plan_is_join_free(tiny):
+    plan = kg.fact_intervals(
+        kg.synth_fact_snapshots(tiny)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # window + agg only: shuffles keyed by fact
