@@ -240,6 +240,10 @@ _WINDOW = [
 #   divergence; exact pair enumeration, mirror symmetry; planted
 #   appearing/disappearing facts; exact chain/triangle distances,
 #   horizon cutoff) and all ride the full-registry artifact;
+# * kg_fact_intervals — added after the window filled; gaps-and-islands
+#   window+agg pytest-pinned closed-form (gap, union-coverage, plan
+#   assert) over the in-window kg_triples extraction; rides
+#   CORRECTNESS_FULL;
 # * kg_extractor_noisy_or — added after the window filled; fixed-point
 #   noisy-OR fold pytest-pinned closed-form over the in-window
 #   kg_triples_deppat extraction; rides CORRECTNESS_FULL;
@@ -485,6 +489,19 @@ _WINDOW = [
 #   dedup_ssjoin_exact (same prefix+verify oracle replay class); the
 #   asymmetric semantics (subset found where Jaccard join is empty,
 #   exact 9/10 boundary, overflow surfacing) are pytest-pinned; rides
+#   CORRECTNESS_FULL;
+# * web_host_scc / web_bowtie — added after the window filled; the
+#   peeling SCC algorithm is proven by pytest against hand-built
+#   digraphs (condensation chains, multi-peel shadowing, peel-cap
+#   raise, DAG/cycle extremes) and both oracles compute EXACT mutual
+#   reachability via recursive CTEs — two opposite algorithms must
+#   agree; the iterative-fixpoint gate class has in-window history via
+#   kg_bounded_reach/kg_ktruss; ride CORRECTNESS_FULL;
+# * web_hyperball / web_neighborhood_fn — added after the window filled;
+#   the register fold is pytest-pinned against exact-set estimates
+#   (chain growth, cycle saturation) and both oracles push TRUE
+#   recursive-CTE balls through the identical integer HLL registers +
+#   estimator (the sk_hll family has in-window history); ride
 #   CORRECTNESS_FULL.
 
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
