@@ -343,3 +343,119 @@ def bowtie_parts(
             .alias("part"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Luby-style maximal independent set (deterministic hash priorities)
+# ---------------------------------------------------------------------------
+
+MIS_SEED = 113
+MIS_MAX_ROUNDS = 20
+
+
+def host_mis(
+    edges: DataFrame,
+    max_rounds: int = MIS_MAX_ROUNDS,
+    reliable: bool | None = None,
+) -> DataFrame:
+    """(host, priority, in_mis) — maximal independent set over the
+    UNDIRECTED host graph, in_mis a BIGINT 0/1 flag.
+
+    A crawl scheduler wants conflict-free batches (no two hosts sharing
+    an edge fetched by the same worker wave); the classic distributed
+    primitive is Luby's algorithm. Randomness is replaced by the
+    deterministic 60-bit portable hash as priority — the parallel
+    local-minima rounds then compute EXACTLY the sequential greedy MIS
+    over the (priority, host) order, independent of round structure,
+    which is what makes the result oracle-checkable.
+
+    Per round: undecided vertices that beat every undecided neighbour
+    on (priority, host) — the tuple compare makes hash collisions
+    harmless — join the MIS; they and their neighbours leave the
+    working set. With random-like priorities the expected round count
+    is O(log n); the cap RAISES rather than returning a non-maximal
+    set. Scale shape: one neighbour-min aggregate + two anti-joins per
+    round, every table vertex-grain; the working set shrinks by a
+    constant factor per round in expectation.
+    """
+    from hebrew_ner_spark.functions.hashing import phash_col
+
+    _break = _lineage_breaker(edges, reliable)
+    sym = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .union(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            ).where(F.col("src") != F.col("dst"))
+        )
+        .distinct()
+    )
+    sym = _break(sym)
+    all_nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst")))
+        .distinct()
+        .select("host", phash_col(F.col("host"), MIS_SEED).alias("priority"))
+    )
+    und = _break(all_nodes)
+    mis: DataFrame | None = None
+    for _ in range(max_rounds):
+        if und.isEmpty():
+            break
+        nbr = und.select(
+            F.col("host").alias("_w"), F.col("priority").alias("_wp")
+        )
+        live = sym.join(nbr, sym["dst"] == nbr["_w"]).select(
+            "src", "_wp", F.col("_w").alias("_wh")
+        )
+        nbr_min = live.groupBy(F.col("src").alias("_v")).agg(
+            F.min(F.struct(F.col("_wp").alias("p"), F.col("_wh").alias("h"))).alias(
+                "_m"
+            )
+        )
+        winners = (
+            und.join(nbr_min, und["host"] == nbr_min["_v"], "left")
+            .where(
+                F.col("_m").isNull()
+                | (
+                    F.struct(
+                        F.col("priority").alias("p"), F.col("host").alias("h")
+                    )
+                    < F.col("_m")
+                )
+            )
+            .select("host", "priority")
+        )
+        winners = _break(winners)
+        mis = winners if mis is None else _break(mis.unionByName(winners))
+        wkeys = winners.select(F.col("host").alias("_k"))
+        gone = (
+            sym.join(wkeys, sym["src"] == F.col("_k"))
+            .select(F.col("dst").alias("_k"))
+            .union(wkeys.select(F.col("_k")))
+            .distinct()
+        )
+        und = _break(
+            und.join(gone, und["host"] == gone["_k"], "left_anti")
+        )
+    if not und.isEmpty():
+        raise RuntimeError(
+            f"host_mis did not converge within {max_rounds} rounds — a "
+            "partial set would not be maximal"
+        )
+    mis_keys = (
+        mis.select(F.col("host").alias("_mh"))
+        if mis is not None
+        else all_nodes.sparkSession.createDataFrame([], "_mh string")
+    )
+    return all_nodes.join(
+        mis_keys, all_nodes["host"] == F.col("_mh"), "left"
+    ).select(
+        "host",
+        "priority",
+        F.when(F.col("_mh").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("in_mis"),
+    )

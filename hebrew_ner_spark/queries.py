@@ -502,7 +502,11 @@ _WINDOW = [
 #   (chain growth, cycle saturation) and both oracles push TRUE
 #   recursive-CTE balls through the identical integer HLL registers +
 #   estimator (the sk_hll family has in-window history); ride
-#   CORRECTNESS_FULL.
+#   CORRECTNESS_FULL;
+# * web_host_mis — added after the window filled; pytest-pinned equal to
+#   an independent python sequential greedy plus independence/maximality
+#   invariants, and the oracle is the opposite (sequential recursive-CTE)
+#   construction; rides CORRECTNESS_FULL.
 
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
 # out of the driver-verified window with no signal at all (explicit raise,

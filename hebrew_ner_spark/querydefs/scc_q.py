@@ -189,3 +189,65 @@ def web_neighborhood_fn(spark, sf_dir):
     """Neighborhood function nf(t) = sum of ball estimates, with the
     exact-integer 90%-of-horizon effective-diameter indicator."""
     return hyperball.neighborhood_function(scc.synth_host_edges(_docs(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# Luby MIS: parallel local-minima rounds vs SEQUENTIAL greedy oracle
+# ---------------------------------------------------------------------------
+
+from hebrew_ner_spark.functions.hashing import phash_duck  # noqa: E402
+
+_MIS_P = phash_duck("host", scc.MIS_SEED)
+
+# the parallel rounds provably compute the greedy-by-(priority, host)
+# MIS, so the oracle runs the OPPOSITE construction: a one-node-per-step
+# sequential greedy along the priority order, carrying the accepted set
+# as a list through a recursive CTE (vocabulary-grain — 16 hosts).
+_MIS_CTES = f"""
+mis_sym AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM scc_edges WHERE src <> dst
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM scc_edges WHERE src <> dst
+  )
+),
+mis_ord AS (
+  -- explicit DISTINCT: under WITH RECURSIVE this DuckDB version drops
+  -- the dedup of a plain top-level UNION in non-recursive CTEs, so
+  -- scc_nodes can carry duplicate vertices
+  SELECT host, p, row_number() OVER (ORDER BY p, host) AS rn
+  FROM (SELECT DISTINCT v AS host, {_MIS_P} AS p FROM scc_nodes)
+),
+mis_greedy(rn, mis) AS (
+  SELECT 0, CAST([] AS VARCHAR[])
+  UNION ALL
+  SELECT g.rn + 1,
+         CASE WHEN NOT EXISTS (
+                SELECT 1 FROM mis_sym e
+                WHERE e.src = (SELECT host FROM mis_ord WHERE rn = g.rn + 1)
+                  AND list_contains(g.mis, e.dst))
+              THEN list_append(
+                g.mis, (SELECT host FROM mis_ord WHERE rn = g.rn + 1))
+              ELSE g.mis END
+  FROM mis_greedy g WHERE g.rn < (SELECT max(rn) FROM mis_ord)
+),
+mis_final AS (SELECT mis FROM mis_greedy ORDER BY rn DESC LIMIT 1)
+"""
+
+
+@query(
+    "web_host_mis",
+    oracle=f"""
+    WITH RECURSIVE {_SCC_CTES},
+    {_MIS_CTES}
+    SELECT o.host, o.p AS priority,
+           CAST(CASE WHEN list_contains((SELECT mis FROM mis_final), o.host)
+                THEN 1 ELSE 0 END AS BIGINT) AS in_mis
+    FROM mis_ord o
+    """,
+)
+def web_host_mis(spark, sf_dir):
+    """Luby-style MIS with deterministic hash priorities (conflict-free
+    crawl batches): parallel local-minima rounds on Spark vs the
+    sequential greedy the rounds provably equal, replayed in DuckDB."""
+    return scc.host_mis(scc.synth_host_edges(_docs(spark, sf_dir)))

@@ -129,3 +129,68 @@ def test_synth_host_edges_structure(spark):
     assert parts["ex13.example.net"] == "OUT"    # global sink
     assert parts["ex14.example.net"] == "OTHER"  # disconnected 2-SCC
     assert parts["ex15.example.net"] == "OTHER"
+
+
+# ---------------------------------------------------------------------------
+# Luby MIS
+# ---------------------------------------------------------------------------
+
+def _py_phash(s, seed):
+    import hashlib
+
+    return int(hashlib.md5(f"{s}:{seed}".encode()).hexdigest()[:15], 16)
+
+
+def _py_greedy_mis(pairs, seed):
+    nodes = sorted({v for p in pairs for v in p})
+    adj = {v: set() for v in nodes}
+    for s, d in pairs:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    mis = set()
+    for v in sorted(nodes, key=lambda v: (_py_phash(v, seed), v)):
+        if not adj[v] & mis:
+            mis.add(v)
+    return mis
+
+
+def test_mis_matches_sequential_greedy(spark):
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
+             ("c", "e"), ("e", "f"), ("g", "g")]
+    got = {
+        r[0]: r[2]
+        for r in rows(scc.host_mis(edges_df(spark, pairs)), "host", "priority", "in_mis")
+    }
+    want = _py_greedy_mis(pairs, scc.MIS_SEED)
+    assert {h for h, f in got.items() if f == 1} == want
+
+
+def test_mis_independent_and_maximal_on_synth(spark):
+    docs = spark.range(0, 70).withColumnRenamed("id", "doc_id")
+    e = scc.synth_host_edges(docs)
+    flags = {
+        r[0]: r[2] for r in rows(scc.host_mis(e), "host", "priority", "in_mis")
+    }
+    pairs = [(r["src"], r["dst"]) for r in e.collect()]
+    mis = {h for h, f in flags.items() if f == 1}
+    for s, d in pairs:
+        if s != d:
+            assert not (s in mis and d in mis)          # independent
+    adj = {v: set() for v in flags}
+    for s, d in pairs:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    for v, f in flags.items():
+        if f == 0:
+            assert adj[v] & mis                          # maximal
+    assert mis                                           # non-vacuous
+
+
+def test_mis_raises_on_round_cap(spark):
+    e = edges_df(spark, [("a", "b"), ("b", "c")])
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="rounds"):
+        scc.host_mis(e, max_rounds=0)
