@@ -457,3 +457,72 @@ def feature_hash(docs: DataFrame, n_buckets: int = FEATURE_BUCKETS) -> DataFrame
         .groupBy("doc_id", "bucket")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle (per-epoch corpus permutation)
+# ---------------------------------------------------------------------------
+
+SHUFFLE_SEED = 977
+SHUFFLE_BUCKETS = 1 << 10  # top 10 hash bits; scale ~ corpus/1e6 in prod
+
+
+def global_shuffle(
+    docs: DataFrame,
+    epoch: int = 0,
+    n_shards: int = 8,
+    n_buckets: int = SHUFFLE_BUCKETS,
+) -> DataFrame:
+    """(doc_id, pos, shard) — a deterministic pseudo-random PERMUTATION
+    of the whole corpus for training epoch ``epoch``, without a global
+    sort.
+
+    Every LM training run shuffles its corpus once per epoch; at 10^12
+    documents a ``orderBy(rand())`` is a full-corpus total sort through
+    one range partitioner and is neither resumable nor reproducible.
+    Here the shuffle key is the portable 60-bit hash of
+    (epoch, doc_id) — a different permutation every epoch, identical on
+    every rerun/resume — and the global position comes from the
+    package's two-level rank: bucket = top hash bits (so bucket-major
+    order IS key order), row_number within each bucket, plus broadcast
+    cumulative bucket offsets. The only unpartitioned window runs over
+    the ``n_buckets``-row count table; everything else is map-side.
+    ``shard = pos % n_shards`` deals positions round-robin so shards are
+    balanced to within one row with no total-count action. Ties are
+    impossible: (hash, doc_id) ordering makes collisions harmless.
+    """
+    key = phash_col(
+        F.concat(
+            F.lit(f"shuf|{epoch}|"), F.col("doc_id").cast("string")
+        ),
+        SHUFFLE_SEED,
+    )
+    shift = 60 - int(n_buckets).bit_length() + 1  # top log2(n_buckets) bits
+    keyed = docs.select(
+        "doc_id", key.alias("k")
+    ).withColumn("bkt", F.shiftright(F.col("k"), shift))
+    local = keyed.withColumn(
+        "local_rank",
+        F.row_number().over(Window.partitionBy("bkt").orderBy("k", "doc_id")),
+    )
+    offsets = (
+        keyed.groupBy("bkt")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("n").over(
+                    Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bkt", "off")
+    )
+    return local.join(F.broadcast(offsets), "bkt").select(
+        "doc_id",
+        (F.col("off") + F.col("local_rank") - 1).cast("long").alias("pos"),
+        ((F.col("off") + F.col("local_rank") - 1) % n_shards)
+        .cast("long")
+        .alias("shard"),
+    )

@@ -506,7 +506,11 @@ _WINDOW = [
 # * web_host_mis — added after the window filled; pytest-pinned equal to
 #   an independent python sequential greedy plus independence/maximality
 #   invariants, and the oracle is the opposite (sequential recursive-CTE)
-#   construction; rides CORRECTNESS_FULL.
+#   construction; rides CORRECTNESS_FULL;
+# * trn_global_shuffle — added after the window filled; permutation /
+#   epoch-divergence / python-hash-rank equality pytest-pinned, same
+#   two-level-rank machinery as in-window-family link_blocking_sn;
+#   rides CORRECTNESS_FULL.
 
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
 # out of the driver-verified window with no signal at all (explicit raise,

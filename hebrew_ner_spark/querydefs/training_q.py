@@ -286,3 +286,31 @@ def trn_feature_hash(spark, sf_dir):
     """Hashing-trick document vectors: vocabulary-free fixed-width
     features via the portable hash, folded map-side."""
     return training.feature_hash(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle
+# ---------------------------------------------------------------------------
+
+_SHUF_K = phash_duck(
+    f"'shuf|0|' || CAST(doc_id AS VARCHAR)", training.SHUFFLE_SEED
+)
+
+
+@query(
+    "trn_global_shuffle",
+    oracle=f"""
+    WITH gs_k AS (SELECT doc_id, {_SHUF_K} AS k FROM documents),
+    gs_r AS (SELECT doc_id,
+                    CAST(row_number() OVER (ORDER BY k, doc_id) - 1 AS BIGINT)
+                      AS pos
+             FROM gs_k)
+    SELECT doc_id, pos, CAST(pos % 8 AS BIGINT) AS shard FROM gs_r
+    """,
+)
+def trn_global_shuffle(spark, sf_dir):
+    """Epoch-0 deterministic corpus permutation (two-level rank over the
+    hash order, no global sort) — vs DuckDB's one-window total order."""
+    return training.global_shuffle(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )

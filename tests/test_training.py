@@ -242,3 +242,41 @@ def test_feature_hash_folds_and_preserves_mass(spark):
     assert got == want
     assert sum(got.values()) == 4  # token mass preserved through the fold
     assert all(0 <= b < FEATURE_BUCKETS for _, b in got)
+
+
+def test_global_shuffle_is_permutation(spark):
+    docs = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    out = training.global_shuffle(docs, epoch=0, n_shards=8).collect()
+    assert sorted(r["pos"] for r in out) == list(range(500))
+    assert len({r["doc_id"] for r in out}) == 500
+    # round-robin shards balanced to within one row
+    from collections import Counter
+
+    c = Counter(r["shard"] for r in out)
+    assert max(c.values()) - min(c.values()) <= 1 and len(c) == 8
+
+
+def test_global_shuffle_epochs_differ_and_are_stable(spark):
+    docs = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    e0 = {r["doc_id"]: r["pos"] for r in training.global_shuffle(docs, epoch=0).collect()}
+    e0b = {r["doc_id"]: r["pos"] for r in training.global_shuffle(docs, epoch=0).collect()}
+    e1 = {r["doc_id"]: r["pos"] for r in training.global_shuffle(docs, epoch=1).collect()}
+    assert e0 == e0b                      # rerun-identical (resumable)
+    assert e0 != e1                       # fresh permutation per epoch
+    assert sorted(e1.values()) == list(range(300))
+
+
+def test_global_shuffle_not_identity_and_bucket_major(spark):
+    # bucket-major order == hash order: positions must follow the
+    # python-recomputed hash rank exactly
+    import hashlib
+
+    docs = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    got = {r["doc_id"]: r["pos"] for r in training.global_shuffle(docs).collect()}
+    keys = {
+        d: int(hashlib.md5(f"shuf|0|{d}:977".encode()).hexdigest()[:15], 16)
+        for d in range(200)
+    }
+    want = {d: i for i, d in enumerate(sorted(keys, key=lambda d: (keys[d], d)))}
+    assert got == want
+    assert any(got[d] != d for d in range(200))
