@@ -107,3 +107,99 @@ def zorder_keys(df: DataFrame, xcol: str, ycol: str, bits: int = Z_BITS) -> Data
     shift/mask terms stay inside whole-stage codegen."""
     expr = f"CAST({_interleave(xcol, 0, bits)} + {_interleave(ycol, 1, bits)} AS BIGINT)"
     return df.withColumn("zkey", F.expr(expr))
+
+
+# ---------------------------------------------------------------------------
+# Manifest-level scan pruning (Iceberg metadata plane)
+# ---------------------------------------------------------------------------
+
+PRUNE_LO = 200
+PRUNE_HI = 400
+PRUNE_PART = 7  # partition transform: day = min_v DIV 100 -> days 0..9
+
+
+def synth_file_stats(docs: DataFrame) -> DataFrame:
+    """(file_id, part_day, min_v, max_v, bytes) — a manifest of
+    per-file column statistics, planted closed-form from doc_id.
+
+    min_v spreads over [0, 1000); max_v = min_v + width, CLAMPED to the
+    partition's last value — in Iceberg a data file belongs to exactly
+    one partition value, so its stats can never cross the partition
+    boundary (files span a narrow range when written clustered). Every
+    17th file has NULL min/max (stats dropped — e.g. a legacy writer),
+    the case a pruner must treat as scan-always; the PARTITION value is
+    physical layout and is always present.
+    """
+    min_v = (F.col("doc_id") * 37) % 1000
+    day = (min_v / 100).cast("long")
+    has = (F.col("doc_id") % 17) != 0
+    return docs.select(
+        F.col("doc_id").alias("file_id"),
+        day.alias("part_day"),
+        F.when(has, min_v).cast("long").alias("min_v"),
+        F.when(has, F.least(min_v + F.col("doc_id") % 50, day * 100 + 99))
+        .cast("long")
+        .alias("max_v"),
+        F.expr(
+            "CAST(1000 + (doc_id * doc_id * 2654435761) % 399000 AS BIGINT)"
+        ).alias("bytes"),
+    )
+
+
+def manifest_prune(
+    stats: DataFrame, lo: int = PRUNE_LO, hi: int = PRUNE_HI
+) -> DataFrame:
+    """(file_id, part_kept, stats_kept, scan) — per-file scan decision
+    for the predicate ``v BETWEEN lo AND hi``, the two-level pruning a
+    lakehouse scan planner runs BEFORE any executor touches data.
+
+    Level 1 (partition pruning): the truncate transform bounds every
+    value in the file to [part_day*100, part_day*100+99] — a guarantee
+    of the LAYOUT, valid even for files with dropped stats — so
+    partitions whose interval misses [lo, hi] are discarded without
+    reading file stats at all (whole manifest branches skipped).
+    Level 2 (file stats): three-valued logic — a surviving file is
+    scanned iff its [min_v, max_v] overlaps [lo, hi]; NULL stats scan
+    ALWAYS (pruning on missing evidence is a wrong-results bug, not an
+    optimization). ``scan = part_kept AND stats_kept``. All flags
+    BIGINT 0/1; a pure codegen projection over metadata rows (10^8
+    rows for a 10^12-row table — itself a Spark job, which is the
+    point of doing the planning engine-side).
+    """
+    part_kept = (F.col("part_day") * 100 <= F.lit(hi)) & (
+        F.col("part_day") * 100 + 99 >= F.lit(lo)
+    )
+    stats_kept = (
+        F.col("min_v").isNull()
+        | ~((F.col("max_v") < F.lit(lo)) | (F.col("min_v") > F.lit(hi)))
+    )
+    b = lambda c: F.when(c, F.lit(1)).otherwise(F.lit(0)).cast("long")  # noqa: E731
+    return stats.select(
+        "file_id",
+        b(part_kept).alias("part_kept"),
+        b(stats_kept).alias("stats_kept"),
+        b(part_kept & stats_kept).alias("scan"),
+        "bytes",
+    )
+
+
+def prune_summary(decisions: DataFrame) -> DataFrame:
+    """(n_files, n_scanned, bytes_total, bytes_scanned, skip_share_1e6)
+    — the planner's headline: how much of the table the predicate
+    never touches. One map-side-combinable aggregate; the share is
+    half-up integer micro-units."""
+    return decisions.agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("scan").cast("long").alias("n_scanned"),
+        F.sum("bytes").cast("long").alias("bytes_total"),
+        F.sum(F.col("bytes") * F.col("scan")).cast("long").alias("bytes_scanned"),
+    ).select(
+        "n_files",
+        "n_scanned",
+        "bytes_total",
+        "bytes_scanned",
+        F.expr(
+            "CAST((2 * (bytes_total - bytes_scanned) * 1000000 + bytes_total)"
+            " DIV (2 * bytes_total) AS BIGINT)"
+        ).alias("skip_share_1e6"),
+    )

@@ -510,7 +510,12 @@ _WINDOW = [
 # * trn_global_shuffle — added after the window filled; permutation /
 #   epoch-divergence / python-hash-rank equality pytest-pinned, same
 #   two-level-rank machinery as in-window-family link_blocking_sn;
-#   rides CORRECTNESS_FULL.
+#   rides CORRECTNESS_FULL;
+# * maint_manifest_prune / maint_prune_summary — added after the window
+#   filled; losslessness (overlapping file always scanned) and the
+#   closed-form summary are pytest-pinned; metadata-plane CASE algebra,
+#   the same class as in-window maint_compaction_plan; ride
+#   CORRECTNESS_FULL.
 
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
 # out of the driver-verified window with no signal at all (explicit raise,

@@ -71,3 +71,84 @@ def maint_zorder_keys(spark, sf_dir):
         (F.col("n_chars") % 65536).alias("_zy"),
     )
     return maintenance.zorder_keys(docs, "_zx", "_zy").select("doc_id", "zkey")
+
+
+# ---------------------------------------------------------------------------
+# Manifest-level scan pruning
+# ---------------------------------------------------------------------------
+
+_LO = maintenance.PRUNE_LO
+_HI = maintenance.PRUNE_HI
+
+_MNT_STATS = """
+mntstats AS (
+  SELECT doc_id AS file_id,
+         ((doc_id * 37) % 1000) // 100 AS part_day,
+         CASE WHEN doc_id % 17 <> 0 THEN (doc_id * 37) % 1000 END AS min_v,
+         CASE WHEN doc_id % 17 <> 0 THEN
+           least((doc_id * 37) % 1000 + doc_id % 50,
+                 (((doc_id * 37) % 1000) // 100) * 100 + 99) END AS max_v,
+         CAST(1000 + (doc_id * doc_id * 2654435761) % 399000 AS BIGINT) AS bytes
+  FROM documents
+)
+"""
+
+_MNT_DECIDE = f"""
+mntdec AS (
+  SELECT file_id,
+         CAST(CASE WHEN part_day * 100 <= {_HI}
+                    AND part_day * 100 + 99 >= {_LO} THEN 1 ELSE 0 END
+              AS BIGINT) AS part_kept,
+         CAST(CASE WHEN min_v IS NULL
+                    OR NOT (max_v < {_LO} OR min_v > {_HI}) THEN 1 ELSE 0 END
+              AS BIGINT) AS stats_kept,
+         bytes
+  FROM mntstats
+)
+"""
+
+
+@query(
+    "maint_manifest_prune",
+    oracle=f"""
+    WITH {_MNT_STATS},
+    {_MNT_DECIDE}
+    SELECT file_id, part_kept, stats_kept,
+           CAST(part_kept * stats_kept AS BIGINT) AS scan, bytes
+    FROM mntdec
+    """,
+)
+def maint_manifest_prune(spark, sf_dir):
+    """Two-level Iceberg scan planning: partition-transform pruning,
+    then min/max file-stats pruning with NULL-stats conservatism."""
+    return maintenance.manifest_prune(
+        maintenance.synth_file_stats(_docs(spark, sf_dir))
+    )
+
+
+@query(
+    "maint_prune_summary",
+    oracle=f"""
+    WITH {_MNT_STATS},
+    {_MNT_DECIDE},
+    mntsum AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_files,
+             CAST(sum(part_kept * stats_kept) AS BIGINT) AS n_scanned,
+             CAST(sum(bytes) AS BIGINT) AS bytes_total,
+             CAST(sum(bytes * part_kept * stats_kept) AS BIGINT) AS bytes_scanned
+      FROM mntdec
+    )
+    SELECT n_files, n_scanned, bytes_total, bytes_scanned,
+           CAST((2 * (bytes_total - bytes_scanned) * 1000000 + bytes_total)
+                // (2 * bytes_total) AS BIGINT) AS skip_share_1e6
+    FROM mntsum
+    """,
+)
+def maint_prune_summary(spark, sf_dir):
+    """Planner headline: files/bytes the predicate never touches
+    (half-up micro-unit skip share)."""
+    return maintenance.prune_summary(
+        maintenance.manifest_prune(
+            maintenance.synth_file_stats(_docs(spark, sf_dir))
+        )
+    )

@@ -80,3 +80,57 @@ def test_zorder_locality(spark):
     far = z[(3, 3)]
     assert max(block) - min(block) == 3          # 2x2 block is 4 consecutive codes
     assert far - max(block) > 10
+
+
+def test_manifest_prune_decisions(spark):
+    docs = spark.range(0, 400).withColumnRenamed("id", "doc_id")
+    out = maintenance.manifest_prune(maintenance.synth_file_stats(docs)).collect()
+    lo, hi = maintenance.PRUNE_LO, maintenance.PRUNE_HI
+    n_part_skip = n_stat_skip = n_scan = 0
+    for r in out:
+        d = (r["file_id"] * 37) % 1000 // 100
+        part_overlap = d * 100 <= hi and d * 100 + 99 >= lo
+        assert r["part_kept"] == int(part_overlap)
+        if r["file_id"] % 17 == 0:
+            # NULL stats: never pruned at the stats level
+            assert r["stats_kept"] == 1
+        else:
+            mn = (r["file_id"] * 37) % 1000
+            mx = min(mn + r["file_id"] % 50, d * 100 + 99)
+            assert r["stats_kept"] == int(not (mx < lo or mn > hi))
+        assert r["scan"] == r["part_kept"] * r["stats_kept"]
+        n_part_skip += 1 - r["part_kept"]
+        n_stat_skip += r["part_kept"] * (1 - r["stats_kept"])
+        n_scan += r["scan"]
+    # non-vacuous at every level
+    assert n_part_skip > 0 and n_stat_skip > 0 and n_scan > 0
+
+
+def test_manifest_prune_never_drops_overlapping_file(spark):
+    # losslessness: a file whose true stats range overlaps the predicate
+    # is ALWAYS scanned (stats range is inside the partition interval by
+    # construction, so partition pruning cannot drop it either)
+    docs = spark.range(0, 800).withColumnRenamed("id", "doc_id")
+    lo, hi = maintenance.PRUNE_LO, maintenance.PRUNE_HI
+    for r in maintenance.manifest_prune(maintenance.synth_file_stats(docs)).collect():
+        if r["file_id"] % 17 == 0:
+            continue
+        mn = (r["file_id"] * 37) % 1000
+        mx = min(mn + r["file_id"] % 50, (mn // 100) * 100 + 99)
+        if not (mx < lo or mn > hi):
+            assert r["scan"] == 1, r
+
+
+def test_prune_summary_closed_form(spark):
+    rows = [  # (file_id, part_day, min_v, max_v, bytes)
+        (1, 2, 250, 260, 100),   # scanned
+        (2, 8, 850, 860, 300),   # partition-pruned
+        (3, 2, 210, 215, 600),   # scanned
+    ]
+    df = spark.createDataFrame(
+        rows, "file_id long, part_day long, min_v long, max_v long, bytes long"
+    )
+    got = maintenance.prune_summary(maintenance.manifest_prune(df)).collect()[0]
+    assert (got["n_files"], got["n_scanned"]) == (3, 2)
+    assert (got["bytes_total"], got["bytes_scanned"]) == (1000, 700)
+    assert got["skip_share_1e6"] == 300000
