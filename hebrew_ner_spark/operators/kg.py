@@ -1355,3 +1355,72 @@ def fact_intervals(
             .alias("is_current"),
         )
     )
+
+
+def facts_asof(snap_facts: DataFrame, at_version: int) -> DataFrame:
+    """(subj, pred, obj, v_from, v_to) — the KG as of crawl
+    ``at_version``: the validity interval (fact_intervals) covering it.
+
+    The SCD-2 point-in-time read every downstream consumer of a
+    versioned KG issues ("what did we believe at crawl 2?"): one
+    interval-containment filter over the gaps-and-islands output.
+    Because intervals per fact are disjoint by construction, at most
+    one row per fact survives — no dedup needed. The filter is a
+    codegen predicate evaluated AFTER the interval aggregate, but
+    Catalyst pushes nothing here by design: intervals are the
+    materialized asset (built once, queried per-version many times),
+    so in production this reads the interval table, not the snapshots.
+    """
+    return (
+        fact_intervals(snap_facts)
+        .where(
+            (F.col("v_from") <= F.lit(at_version))
+            & (F.col("v_to") >= F.lit(at_version))
+        )
+        .select("subj", "pred", "obj", "v_from", "v_to")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deletion propagation (right-to-be-forgotten tombstones)
+# ---------------------------------------------------------------------------
+
+
+def retract_on_delete(docs: DataFrame) -> DataFrame:
+    """(subj, pred, obj, n_before, n_after, retracted) — per-fact
+    evidence counts before/after honoring deletion requests, with
+    ``retracted`` (BIGINT 0/1) marking facts whose EVERY asserting
+    document is deleted.
+
+    A web-scale KG must propagate source deletions (GDPR / takedown):
+    dropping the page is not enough — derived facts whose only
+    provenance is deleted pages must be retracted, while facts with
+    surviving independent evidence stay (with their support counts
+    corrected). The deletion set is planted deterministically
+    (doc_id % 23 == 0) so oracles replay it; in production it is a
+    broadcast- or bucket-joined tombstone table keyed by url.
+
+    Scale shape: extraction runs once (zero-shuffle doc_triples), the
+    deleted flag is a map-side codegen predicate, and the whole
+    decision is ONE fact-keyed aggregate with map-side partial sums —
+    no joins, no second pass over the corpus. The output is exactly
+    the delta a maintenance job applies to the materialized edge
+    table (retracted -> delete, else overwrite support).
+    """
+    per_doc = (
+        doc_triples(docs)
+        .select("doc_id", "subj", "pred", "obj")
+        .dropDuplicates(["doc_id", "subj", "pred", "obj"])
+        .withColumn(
+            "_kept",
+            F.when(F.col("doc_id") % 23 == 0, F.lit(0)).otherwise(F.lit(1)),
+        )
+    )
+    return per_doc.groupBy("subj", "pred", "obj").agg(
+        F.count("*").cast("long").alias("n_before"),
+        F.sum("_kept").cast("long").alias("n_after"),
+        F.when(F.sum("_kept") == 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("retracted"),
+    )

@@ -515,7 +515,11 @@ _WINDOW = [
 #   filled; losslessness (overlapping file always scanned) and the
 #   closed-form summary are pytest-pinned; metadata-plane CASE algebra,
 #   the same class as in-window maint_compaction_plan; ride
-#   CORRECTNESS_FULL.
+#   CORRECTNESS_FULL;
+# * kg_facts_asof / kg_retract_on_delete — added after the window
+#   filled; gap-version absence, covering-interval pick, sole-evidence
+#   retraction and no-deletion identity pytest-pinned closed-form over
+#   the in-window kg_triples extraction; ride CORRECTNESS_FULL.
 
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
 # out of the driver-verified window with no signal at all (explicit raise,

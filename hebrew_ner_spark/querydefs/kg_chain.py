@@ -846,3 +846,46 @@ def kg_fact_intervals(spark, sf_dir):
     fact (gaps-and-islands), with the open-at-latest flag. Facts with a
     presence gap yield multiple interval rows."""
     return kg.fact_intervals(kg.synth_fact_snapshots(_docs(spark, sf_dir)))
+
+
+@query(
+    "kg_facts_asof",
+    oracle=f"""
+    WITH {_FACT_SNAPS},
+    fa_i AS (
+      SELECT *, v - row_number()
+                 OVER (PARTITION BY subj, pred, obj ORDER BY v) AS island
+      FROM fi_s
+    ),
+    fa_iv AS (
+      SELECT subj, pred, obj, min(v) AS v_from, max(v) AS v_to
+      FROM fa_i GROUP BY subj, pred, obj, island
+    )
+    SELECT subj, pred, obj, v_from, v_to
+    FROM fa_iv WHERE v_from <= 2 AND v_to >= 2
+    """,
+)
+def kg_facts_asof(spark, sf_dir):
+    """Point-in-time KG read at crawl 2: the validity interval covering
+    the version — at most one row per fact (intervals are disjoint)."""
+    return kg.facts_asof(kg.synth_fact_snapshots(_docs(spark, sf_dir)), 2)
+
+
+@query(
+    "kg_retract_on_delete",
+    oracle=f"""
+    WITH rd_t AS ({_TRIPLES_ORACLE}),
+    rd_d AS (SELECT DISTINCT doc_id, subj, pred, obj FROM rd_t)
+    SELECT subj, pred, obj,
+           CAST(count(*) AS BIGINT) AS n_before,
+           CAST(sum(CASE WHEN doc_id % 23 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_after,
+           CAST(CASE WHEN sum(CASE WHEN doc_id % 23 = 0 THEN 0 ELSE 1 END) = 0
+                THEN 1 ELSE 0 END AS BIGINT) AS retracted
+    FROM rd_d GROUP BY subj, pred, obj
+    """,
+)
+def kg_retract_on_delete(spark, sf_dir):
+    """Deletion-request propagation: per-fact evidence before/after the
+    planted tombstone set; facts with zero surviving evidence retract."""
+    return kg.retract_on_delete(_docs(spark, sf_dir))

@@ -456,3 +456,49 @@ def test_fact_intervals_plan_is_join_free(tiny):
         kg.synth_fact_snapshots(tiny)
     )._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan  # window + agg only: shuffles keyed by fact
+
+
+def test_facts_asof_picks_covering_interval(spark):
+    # doc 4 fact present in crawls {0,1,3}: intervals [0,1] and [3,3];
+    # crawl 2 covers NEITHER -> absent. Docs 0/3 facts live in {1,2}.
+    docs = spark.createDataFrame(
+        [(3, "key join order sort table"), (4, "data merge group")],
+        "doc_id long, text string",
+    )
+    got = rows(
+        kg.facts_asof(kg.synth_fact_snapshots(docs), 2),
+        "subj", "pred", "obj", "v_from", "v_to",
+    )
+    assert got == [
+        ("key", "join", "order", 1, 2),
+        ("order", "sort", "table", 1, 2),
+    ]
+    got3 = rows(
+        kg.facts_asof(kg.synth_fact_snapshots(docs), 3),
+        "subj", "pred", "obj", "v_from", "v_to",
+    )
+    assert ("data", "merge", "group", 3, 3) in got3
+
+
+def test_retract_on_delete_counts(spark):
+    # doc 23 is deleted (23 % 23 == 0); doc 3 is kept. The shared fact
+    # loses one voice; the doc-23-only fact retracts.
+    docs = spark.createDataFrame(
+        [(3, "key join order"), (23, "key join order"), (23, "data merge group")],
+        "doc_id long, text string",
+    )
+    got = rows(
+        kg.retract_on_delete(docs),
+        "subj", "pred", "obj", "n_before", "n_after", "retracted",
+    )
+    assert ("key", "join", "order", 2, 1, 0) in got
+    assert ("data", "merge", "group", 1, 0, 1) in got
+
+
+def test_retract_on_delete_no_deletions_is_identity(spark):
+    docs = spark.createDataFrame(
+        [(1, "key join order"), (2, "key join order")],
+        "doc_id long, text string",
+    )
+    for r in kg.retract_on_delete(docs).collect():
+        assert r["n_before"] == r["n_after"] and r["retracted"] == 0
