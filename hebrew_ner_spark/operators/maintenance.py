@@ -203,3 +203,56 @@ def prune_summary(decisions: DataFrame) -> DataFrame:
             " DIV (2 * bytes_total) AS BIGINT)"
         ).alias("skip_share_1e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot expiry + orphan-file GC
+# ---------------------------------------------------------------------------
+
+N_SNAPSHOTS = 4
+KEEP_FROM = 2  # retention: expire snapshots < 2
+
+
+def synth_snapshot_refs(docs: DataFrame) -> DataFrame:
+    """(snap, file_id) — which snapshot references which data file,
+    planted closed-form: file doc_id enters at snapshot a = doc_id % 4
+    and stays for 1 + doc_id % 3 snapshots (clamped to the horizon), the
+    add-then-replace lifecycle compaction and CDC rewrites leave. Files
+    whose whole lifetime precedes the retention floor become GC
+    candidates at every scale factor.
+    """
+    a = F.col("doc_id") % N_SNAPSHOTS
+    last = F.least(a + F.col("doc_id") % 3, F.lit(N_SNAPSHOTS - 1))
+    s = F.explode(F.sequence(a, last)).alias("snap")
+    return docs.select(F.col("doc_id").alias("file_id"), s).select(
+        F.col("snap").cast("long").alias("snap"), "file_id"
+    )
+
+
+def expire_snapshots(refs: DataFrame, keep_from: int = KEEP_FROM) -> DataFrame:
+    """(file_id, n_refs, n_kept, orphan) — per-file GC decision when
+    snapshots below ``keep_from`` expire.
+
+    Iceberg's expire-snapshots + remove-orphan-files maintenance pass,
+    engine-side: a data file may be referenced by MANY snapshots, and it
+    is deletable iff NO retained snapshot references it — deleting a
+    file any kept snapshot still needs corrupts time travel, so the
+    reference count must be computed over the full membership table,
+    never per-manifest. One file-keyed aggregate with map-side partial
+    sums (the membership table is metadata: |snapshots| x |files| upper
+    bound, snapshots a small constant). ``orphan`` rows are the delete
+    manifest the GC job executes; flags BIGINT 0/1.
+    """
+    return refs.groupBy("file_id").agg(
+        F.count("*").cast("long").alias("n_refs"),
+        F.sum(F.when(F.col("snap") >= keep_from, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.when(
+            F.sum(F.when(F.col("snap") >= keep_from, 1).otherwise(0)) == 0,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("orphan"),
+    )

@@ -519,7 +519,10 @@ _WINDOW = [
 # * kg_facts_asof / kg_retract_on_delete — added after the window
 #   filled; gap-version absence, covering-interval pick, sole-evidence
 #   retraction and no-deletion identity pytest-pinned closed-form over
-#   the in-window kg_triples extraction; ride CORRECTNESS_FULL.
+#   the in-window kg_triples extraction; ride CORRECTNESS_FULL;
+# * maint_expire_orphans — added after the window filled; lifecycle
+#   replay + GC-candidate non-vacuity pytest-pinned; the aggregate
+#   shape twins kg_retract_on_delete; rides CORRECTNESS_FULL.
 
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
 # out of the driver-verified window with no signal at all (explicit raise,

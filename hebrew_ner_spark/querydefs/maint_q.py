@@ -152,3 +152,31 @@ def maint_prune_summary(spark, sf_dir):
             maintenance.synth_file_stats(_docs(spark, sf_dir))
         )
     )
+
+
+@query(
+    "maint_expire_orphans",
+    oracle=f"""
+    WITH mntrefs AS (
+      SELECT s.v AS snap, doc_id AS file_id
+      FROM documents, (SELECT unnest(range({maintenance.N_SNAPSHOTS})) AS v) s
+      WHERE s.v >= doc_id % {maintenance.N_SNAPSHOTS}
+        AND s.v <= least(doc_id % {maintenance.N_SNAPSHOTS} + doc_id % 3,
+                         {maintenance.N_SNAPSHOTS - 1})
+    )
+    SELECT file_id,
+           CAST(count(*) AS BIGINT) AS n_refs,
+           CAST(sum(CASE WHEN snap >= {maintenance.KEEP_FROM} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(CASE WHEN sum(CASE WHEN snap >= {maintenance.KEEP_FROM}
+                              THEN 1 ELSE 0 END) = 0
+                THEN 1 ELSE 0 END AS BIGINT) AS orphan
+    FROM mntrefs GROUP BY file_id
+    """,
+)
+def maint_expire_orphans(spark, sf_dir):
+    """Snapshot expiry GC: per-file reference counts over the planted
+    snapshot membership; orphan = referenced by no retained snapshot."""
+    return maintenance.expire_snapshots(
+        maintenance.synth_snapshot_refs(_docs(spark, sf_dir))
+    )

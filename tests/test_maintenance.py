@@ -134,3 +134,35 @@ def test_prune_summary_closed_form(spark):
     assert (got["n_files"], got["n_scanned"]) == (3, 2)
     assert (got["bytes_total"], got["bytes_scanned"]) == (1000, 700)
     assert got["skip_share_1e6"] == 300000
+
+
+def test_expire_snapshots_closed_form(spark):
+    refs = spark.createDataFrame(
+        [(0, 10), (1, 10),            # file 10: expired snaps only -> orphan
+         (0, 11), (2, 11),            # file 11: one kept ref
+         (3, 12)],                    # file 12: kept only
+        "snap long, file_id long",
+    )
+    got = sorted(
+        tuple(r)
+        for r in maintenance.expire_snapshots(refs, keep_from=2)
+        .select("file_id", "n_refs", "n_kept", "orphan")
+        .collect()
+    )
+    assert got == [(10, 2, 0, 1), (11, 2, 1, 0), (12, 1, 1, 0)]
+
+
+def test_expire_snapshots_synth_nonvacuous_and_consistent(spark):
+    docs = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    out = maintenance.expire_snapshots(
+        maintenance.synth_snapshot_refs(docs)
+    ).collect()
+    assert any(r["orphan"] == 1 for r in out)
+    assert any(r["orphan"] == 0 and r["n_kept"] < r["n_refs"] for r in out)
+    for r in out:
+        # python replay of the planted lifecycle
+        a = r["file_id"] % 4
+        last = min(a + r["file_id"] % 3, 3)
+        assert r["n_refs"] == last - a + 1
+        assert r["n_kept"] == max(0, last - max(a, 2) + 1)
+        assert r["orphan"] == int(r["n_kept"] == 0)
