@@ -146,3 +146,95 @@ def asof_join(
         ],
     )
     return carried.where(F.col("_is_probe") == 1).drop("_is_probe")
+
+
+# ---------------------------------------------------------------------------
+# Sitemap ingestion + recrawl scheduling
+# ---------------------------------------------------------------------------
+
+SITEMAP_HOSTS = 20
+
+
+def synth_sitemaps(docs: DataFrame) -> DataFrame:
+    """(host, xml) — one sitemap-protocol XML document per host,
+    deterministic: every document contributes a ``<url>`` entry
+    (loc = https://h{doc_id%20}.example.org/p/{doc_id},
+    lastmod day = 1 + doc_id % 28) to its host's sitemap, entries in
+    doc_id order. The synthesis->parse round trip is the gated claim
+    (the jsonld/infobox/webtable class): oracles replay the closed
+    form, Spark must recover it from the XML it built.
+    """
+    entry = F.concat(
+        F.lit("<url><loc>https://h"),
+        (F.col("doc_id") % SITEMAP_HOSTS).cast("string"),
+        F.lit(".example.org/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit("</loc><lastmod>2026-08-"),
+        F.lpad((1 + F.col("doc_id") % 28).cast("string"), 2, "0"),
+        F.lit("</lastmod></url>"),
+    )
+    per_host = docs.select(
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % SITEMAP_HOSTS).cast("string"),
+            F.lit(".example.org"),
+        ).alias("host"),
+        F.struct(F.col("doc_id").alias("d"), entry.alias("e")).alias("_ent"),
+    )
+    return per_host.groupBy("host").agg(
+        F.concat(
+            F.lit('<?xml version="1.0"?><urlset>'),
+            F.array_join(F.transform(F.array_sort(F.collect_list("_ent")), lambda s: s["e"]), ""),
+            F.lit("</urlset>"),
+        ).alias("xml")
+    )
+
+
+def sitemap_urls(sitemaps: DataFrame) -> DataFrame:
+    """(host, url, lastmod_day) — the parsed sitemap entries.
+
+    Pure JVM-side parse: two aligned ``regexp_extract_all`` arrays
+    (sitemap entries carry exactly one loc and one lastmod each, per
+    the protocol) zipped positionally and exploded — zero UDFs, zero
+    shuffles beyond the upstream build; at production scale sitemaps
+    arrive one-XML-per-fetch and this is a flatMap-shaped projection.
+    The day is parsed back to an integer so downstream comparisons are
+    exact.
+    """
+    locs = F.expr("regexp_extract_all(xml, '<loc>([^<]+)</loc>', 1)")
+    mods = F.expr(
+        "regexp_extract_all(xml, '<lastmod>2026-08-([0-9]{2})</lastmod>', 1)"
+    )
+    z = sitemaps.select("host", F.explode(F.arrays_zip(locs.alias("u"), mods.alias("m"))).alias("z"))
+    return z.select(
+        "host",
+        F.col("z.u").alias("url"),
+        F.col("z.m").cast("long").alias("lastmod_day"),
+    )
+
+
+def recrawl_decisions(entries: DataFrame) -> DataFrame:
+    """(url, lastmod_day, last_fetch_day, fetch) — which sitemap entries
+    the scheduler fetches this cycle.
+
+    Policy (the sitemap-protocol contract crawlers actually run):
+    fetch a url iff we never fetched it, OR its advertised lastmod is
+    newer than our last fetch. The fetch ledger is planted closed-form
+    (every 13th url unseen; last_fetch_day = 1 + (doc_id * 3) % 28) so
+    oracles replay it; in production it is the frontier table
+    (crawl_frontier) bucket-joined on url — same plan shape, one keyed
+    join. ``fetch`` is BIGINT 0/1; NULL last_fetch_day means unseen.
+    """
+    d = F.element_at(F.split("url", "/"), -1).cast("long")
+    seen = (d % 13) != 0
+    last = F.when(seen, 1 + (d * 3) % 28).cast("long")
+    return entries.select(
+        "url",
+        "lastmod_day",
+        last.alias("last_fetch_day"),
+        F.when(
+            last.isNull() | (F.col("lastmod_day") > last), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("fetch"),
+    )

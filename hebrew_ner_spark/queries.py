@@ -522,7 +522,11 @@ _WINDOW = [
 #   the in-window kg_triples extraction; ride CORRECTNESS_FULL;
 # * maint_expire_orphans — added after the window filled; lifecycle
 #   replay + GC-candidate non-vacuity pytest-pinned; the aggregate
-#   shape twins kg_retract_on_delete; rides CORRECTNESS_FULL.
+#   shape twins kg_retract_on_delete; rides CORRECTNESS_FULL;
+# * web_sitemap_urls / web_sitemap_recrawl — added after the window
+#   filled; the synthesis->parse round trip is the same gate class as
+#   out-of-window kg_jsonld_triples/kg_infobox_triples and the policy
+#   cases (unseen/stale/fresh) are pytest-pinned; ride CORRECTNESS_FULL.
 
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
 # out of the driver-verified window with no signal at all (explicit raise,

@@ -317,3 +317,53 @@ def kg_fact_decay(spark, sf_dir):
         ).alias("text"),
     )
     return _kg.fact_decay(snaps)
+
+
+# ---------------------------------------------------------------------------
+# Sitemap ingestion + recrawl scheduling
+# ---------------------------------------------------------------------------
+
+_SM_ENTRIES = """
+sm_e AS (
+  SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) || '.example.org' AS host,
+         'https://h' || CAST(doc_id % 20 AS VARCHAR) || '.example.org/p/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         CAST(1 + doc_id % 28 AS BIGINT) AS lastmod_day,
+         doc_id
+  FROM documents
+)
+"""
+
+
+@query(
+    "web_sitemap_urls",
+    oracle=f"""
+    WITH {_SM_ENTRIES}
+    SELECT host, url, lastmod_day FROM sm_e
+    """,
+)
+def web_sitemap_urls(spark, sf_dir):
+    """Sitemap synthesis -> XML parse round trip: the parsed (host, url,
+    lastmod) entries must equal the closed form the XML encodes."""
+    return crawl.sitemap_urls(crawl.synth_sitemaps(_docs(spark, sf_dir)))
+
+
+@query(
+    "web_sitemap_recrawl",
+    oracle=f"""
+    WITH {_SM_ENTRIES}
+    SELECT url, lastmod_day,
+           CASE WHEN doc_id % 13 <> 0
+                THEN CAST(1 + (doc_id * 3) % 28 AS BIGINT) END AS last_fetch_day,
+           CAST(CASE WHEN doc_id % 13 = 0
+                      OR 1 + doc_id % 28 > 1 + (doc_id * 3) % 28
+                THEN 1 ELSE 0 END AS BIGINT) AS fetch
+    FROM sm_e
+    """,
+)
+def web_sitemap_recrawl(spark, sf_dir):
+    """Sitemap-driven recrawl policy: fetch unseen urls and urls whose
+    advertised lastmod is newer than the planted fetch ledger."""
+    return crawl.recrawl_decisions(
+        crawl.sitemap_urls(crawl.synth_sitemaps(_docs(spark, sf_dir)))
+    )

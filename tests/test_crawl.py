@@ -111,3 +111,35 @@ class TestAsofJoinContract:
         pr = _probes(spark, [("u", _ts("2024-01-02T00:00:00"))])
         out = crawl.asof_join(pr, ev, key="url", payload=[])
         assert "text" not in out.columns and "warc_ts" in out.columns
+
+
+def test_sitemap_roundtrip_and_order(spark):
+    docs = spark.createDataFrame(
+        [(0,), (20,), (40,), (1,)], "doc_id long"
+    )
+    xmls = {r["host"]: r["xml"] for r in crawl.synth_sitemaps(docs).collect()}
+    # one sitemap per host, entries in doc_id order
+    assert set(xmls) == {"h0.example.org", "h1.example.org"}
+    x0 = xmls["h0.example.org"]
+    assert x0.index("/p/0<") < x0.index("/p/20<") < x0.index("/p/40<")
+    got = sorted(
+        tuple(r)
+        for r in crawl.sitemap_urls(crawl.synth_sitemaps(docs)).collect()
+    )
+    assert ("h0.example.org", "https://h0.example.org/p/20", 21) in got
+    assert len(got) == 4
+
+
+def test_recrawl_policy(spark):
+    docs = spark.createDataFrame([(13,), (2,), (10,)], "doc_id long")
+    got = {
+        r["url"].rsplit("/", 1)[-1]: (r["last_fetch_day"], r["fetch"])
+        for r in crawl.recrawl_decisions(
+            crawl.sitemap_urls(crawl.synth_sitemaps(docs))
+        ).collect()
+    }
+    assert got["13"] == (None, 1)          # never fetched -> fetch
+    # doc 2: lastmod 3, last_fetch 1 + 6 = 7 -> up to date
+    assert got["2"] == (7, 0)
+    # doc 10: lastmod 11, last_fetch 1 + 30 % 28 = 3 -> stale -> fetch
+    assert got["10"] == (3, 1)
