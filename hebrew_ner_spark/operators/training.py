@@ -526,3 +526,75 @@ def global_shuffle(
         .cast("long")
         .alias("shard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed-feature linear quality scorer (fastText-style filter inference)
+# ---------------------------------------------------------------------------
+
+LR_SEED = 41
+LR_THRESHOLD_1E6 = 0  # keep iff mean feature weight > 0
+
+
+def lr_weights_expr(bucket_col: str) -> "F.Column":
+    """Integer micro-unit weight of a feature bucket: a deterministic
+    seeded projection of the bucket id into [-500000, 500000) — the
+    stand-in for trained classifier weights (no training labels exist
+    in the sandbox; the INFERENCE plan is the deliverable). Pure
+    codegen, replayable in DuckDB."""
+    from hebrew_ner_spark.functions.hashing import phash_sql_expr
+
+    h = phash_sql_expr(f"CAST({bucket_col} AS STRING)", LR_SEED)
+    return F.expr(f"CAST({h} % 1000000 - 500000 AS BIGINT)")
+
+
+def quality_lr_scores(docs: DataFrame, n_buckets: int = FEATURE_BUCKETS) -> DataFrame:
+    """(doc_id, n_tokens, score_1e6, keep) — the linear text-quality
+    classifier every big-corpus curation stack runs (CCNet's fastText
+    LM filter, Gopher/RefinedWeb quality models), as pure Spark
+    inference: score = (sum over tokens of w[h(token) % B]) / n_tokens
+    in exact half-up micro-units.
+
+    The weight table is a FUNCTION of the bucket id (seeded projection),
+    not a lookup: the model applies map-side with zero joins and zero
+    broadcast state — at 10^12 documents the scorer is one posexplode +
+    one doc-keyed map-side-combinable aggregate, the same shape as
+    feature_hash. A real trained model swaps lr_weights_expr for a
+    broadcast of its B weights (B is fixed and small by construction —
+    the entire point of the hashing trick). ``keep`` is BIGINT 0/1 on
+    the integer threshold, so the filter composes with the curation
+    pipeline's other exact predicates.
+    """
+    from hebrew_ner_spark.functions.hashing import phash_sql_expr
+
+    h = phash_sql_expr("token", 0)
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).where(F.col("token") != "")
+    w = lr_weights_expr(f"CAST({h} % {n_buckets} AS BIGINT)")
+    scored = (
+        toks.select("doc_id", w.alias("_w"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("_w").cast("long").alias("_sw"),
+        )
+    )
+    # half-up integer mean (matches the house rounding idiom for
+    # possibly-negative numerators: floor((2a + b) / (2b)) is half-up
+    # for both signs when b > 0)
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(
+            "CAST(FLOOR((2 * _sw + n_tokens) / (2 * n_tokens)) AS BIGINT)"
+        ).alias("score_1e6"),
+        F.when(
+            F.expr("FLOOR((2 * _sw + n_tokens) / (2 * n_tokens))")
+            > F.lit(LR_THRESHOLD_1E6),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("keep"),
+    )

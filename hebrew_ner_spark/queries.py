@@ -526,7 +526,11 @@ _WINDOW = [
 # * web_sitemap_urls / web_sitemap_recrawl — added after the window
 #   filled; the synthesis->parse round trip is the same gate class as
 #   out-of-window kg_jsonld_triples/kg_infobox_triples and the policy
-#   cases (unseen/stale/fresh) are pytest-pinned; ride CORRECTNESS_FULL.
+#   cases (unseen/stale/fresh) are pytest-pinned; ride CORRECTNESS_FULL;
+# * trn_quality_lr — added after the window filled; independent python
+#   replay pytest-pinned with both keep classes planted; the explode+agg
+#   shape twins in-window-family trn_feature_hash; rides
+#   CORRECTNESS_FULL.
 
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
 # out of the driver-verified window with no signal at all (explicit raise,

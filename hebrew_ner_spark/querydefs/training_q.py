@@ -314,3 +314,43 @@ def trn_global_shuffle(spark, sf_dir):
     return training.global_shuffle(
         load_table(spark, sf_dir, "documents").select("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed-feature linear quality scorer
+# ---------------------------------------------------------------------------
+
+_LRB = training.FEATURE_BUCKETS
+_LR_H = phash_duck("t.token", 0)
+_LR_W = phash_duck(
+    f"CAST({_LR_H} % {_LRB} AS VARCHAR)", training.LR_SEED
+)
+
+
+@query(
+    "trn_quality_lr",
+    oracle=f"""
+    WITH lr_t AS (
+      SELECT doc_id, {_LR_W} % 1000000 - 500000 AS w
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(text, ' ')) AS token) t
+      WHERE t.token <> ''
+    ),
+    lr_s AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(w) AS BIGINT) AS sw
+      FROM lr_t GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           CAST(FLOOR((2 * sw + n_tokens) / (2.0 * n_tokens)) AS BIGINT)
+             AS score_1e6,
+           CAST(CASE WHEN FLOOR((2 * sw + n_tokens) / (2.0 * n_tokens))
+                          > {training.LR_THRESHOLD_1E6}
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM lr_s
+    """,
+)
+def trn_quality_lr(spark, sf_dir):
+    """fastText-style linear quality-filter inference: per-token hashed
+    feature weights, doc-mean score in half-up micro-units, keep flag."""
+    return training.quality_lr_scores(load_table(spark, sf_dir, "documents"))

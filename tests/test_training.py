@@ -280,3 +280,35 @@ def test_global_shuffle_not_identity_and_bucket_major(spark):
     want = {d: i for i, d in enumerate(sorted(keys, key=lambda d: (keys[d], d)))}
     assert got == want
     assert any(got[d] != d for d in range(200))
+
+
+def test_quality_lr_python_replay(spark):
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, "theta zeta"), (3, "alpha alpha alpha alpha")],
+        "doc_id long, text string",
+    )
+
+    def ph(s, seed):
+        return int(hashlib.md5(f"{s}:{seed}".encode()).hexdigest()[:15], 16)
+
+    def w(tok):
+        b = ph(tok, 0) % training.FEATURE_BUCKETS
+        return ph(str(b), training.LR_SEED) % 1000000 - 500000
+
+    import math
+
+    want = {}
+    for d, text in [(1, "alpha beta beta"), (2, "theta zeta"), (3, "alpha alpha alpha alpha")]:
+        toks = text.split()
+        sw, n = sum(w(t) for t in toks), len(toks)
+        score = math.floor((2 * sw + n) / (2 * n))
+        want[d] = (n, score, int(score > training.LR_THRESHOLD_1E6))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["score_1e6"], r["keep"])
+        for r in training.quality_lr_scores(docs).collect()
+    }
+    assert got == want
+    # both classes present in this fixture (planted, not assumed)
+    assert {v[2] for v in got.values()} == {0, 1}
