@@ -1424,3 +1424,58 @@ def retract_on_delete(docs: DataFrame) -> DataFrame:
         .cast("long")
         .alias("retracted"),
     )
+
+
+def fact_intervals_delta(
+    prev_intervals: DataFrame, new_facts: DataFrame, new_version: int
+) -> DataFrame:
+    """The SCD-2 interval table after folding ONE new crawl in, without
+    re-scanning history — the maintenance mode a 100-crawl corpus must
+    run in (recomputing intervals from all crawls every time is a full
+    history scan per ingest).
+
+    Merge rule (exact, by the gaps-and-islands definition):
+    * a fact asserted at ``new_version`` whose previous interval ends at
+      ``new_version - 1`` EXTENDS it (v_to := new_version, n_snaps + 1);
+    * a fact asserted at ``new_version`` with no such open interval
+      OPENS a new one [v, v] (brand-new fact, or re-appearing after a
+      gap — the old closed intervals pass through untouched);
+    * every other interval is unchanged; ``is_current`` is recomputed
+      against the new horizon everywhere.
+
+    One full-outer join keyed by (fact) between the OPEN intervals
+    (v_to = new_version - 1 — a small slice of the table) and the new
+    crawl's fact set, plus a union of the untouched rows: delta-sized
+    work, history never re-read. The gate proves incremental == the
+    full recompute (the DuckDB oracle recomputes from scratch — two
+    opposite constructions).
+    """
+    key = ["subj", "pred", "obj"]
+    open_prev = prev_intervals.where(F.col("v_to") == new_version - 1)
+    closed_prev = prev_intervals.where(F.col("v_to") != new_version - 1).select(
+        *key,
+        "v_from",
+        "v_to",
+        "n_snaps",
+        F.lit(0).cast("long").alias("is_current"),
+    )
+    nf = new_facts.select(*key).distinct().withColumn("_new", F.lit(1))
+    merged = open_prev.join(nf, key, "full_outer").select(
+        *key,
+        F.coalesce("v_from", F.lit(new_version)).cast("long").alias("v_from"),
+        F.when(F.col("_new").isNotNull(), F.lit(new_version))
+        .otherwise(F.col("v_to"))
+        .cast("long")
+        .alias("v_to"),
+        (
+            F.coalesce("n_snaps", F.lit(0))
+            + F.when(F.col("_new").isNotNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_snaps"),
+        F.when(F.col("_new").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_current"),
+    )
+    return merged.unionByName(closed_prev)

@@ -530,7 +530,10 @@ _WINDOW = [
 # * trn_quality_lr — added after the window filled; independent python
 #   replay pytest-pinned with both keep classes planted; the explode+agg
 #   shape twins in-window-family trn_feature_hash; rides
-#   CORRECTNESS_FULL.
+#   CORRECTNESS_FULL;
+# * kg_interval_delta — added after the window filled; incremental ==
+#   full-recompute equality pytest-pinned at case and corpus grain (the
+#   kg_merge_delta gate class); rides CORRECTNESS_FULL.
 
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
 # out of the driver-verified window with no signal at all (explicit raise,

@@ -889,3 +889,31 @@ def kg_retract_on_delete(spark, sf_dir):
     """Deletion-request propagation: per-fact evidence before/after the
     planted tombstone set; facts with zero surviving evidence retract."""
     return kg.retract_on_delete(_docs(spark, sf_dir))
+
+
+@query(
+    "kg_interval_delta",
+    # the FULL recompute over all 4 crawls — the incremental fold must
+    # reproduce it exactly (opposite constructions)
+    oracle=f"""
+    WITH {_FACT_SNAPS},
+    fd_i AS (
+      SELECT *, v - row_number()
+                 OVER (PARTITION BY subj, pred, obj ORDER BY v) AS island
+      FROM fi_s
+    )
+    SELECT subj, pred, obj,
+           min(v) AS v_from, max(v) AS v_to,
+           CAST(count(*) AS BIGINT) AS n_snaps,
+           CAST(CASE WHEN max(v) = 3 THEN 1 ELSE 0 END AS BIGINT) AS is_current
+    FROM fd_i GROUP BY subj, pred, obj, island
+    """,
+)
+def kg_interval_delta(spark, sf_dir):
+    """Incremental SCD-2 maintenance: intervals over crawls 0..2 plus a
+    delta fold of crawl 3 — gated equal to the from-scratch recompute."""
+    from pyspark.sql import functions as F
+
+    snaps = kg.synth_fact_snapshots(_docs(spark, sf_dir))
+    prev = kg.fact_intervals(snaps.where(F.col("v") < 3), n_versions=4)
+    return kg.fact_intervals_delta(prev, snaps.where(F.col("v") == 3), 3)

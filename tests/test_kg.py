@@ -502,3 +502,52 @@ def test_retract_on_delete_no_deletions_is_identity(spark):
     )
     for r in kg.retract_on_delete(docs).collect():
         assert r["n_before"] == r["n_after"] and r["retracted"] == 0
+
+
+def test_interval_delta_extends_opens_and_passes_through(spark):
+    from pyspark.sql import functions as F
+
+    # doc 4's fact: crawls {0,1,3} -> prev intervals [0,1] (closed);
+    # crawl 3 re-opens a NEW interval [3,3]. Docs 0/3 facts: crawls
+    # {1,2} -> open at v_to=2 but NOT asserted at 3 -> unchanged, not
+    # current. A fact in {2,3} extends.
+    docs = spark.createDataFrame(
+        [(3, "key join order sort table"), (4, "data merge group"),
+         (1, "alpha beta gamma")],  # no triples -> irrelevant
+        "doc_id long, text string",
+    )
+    snaps = kg.synth_fact_snapshots(docs)
+    prev = kg.fact_intervals(snaps.where(F.col("v") < 3), n_versions=4)
+    got = rows(
+        kg.fact_intervals_delta(prev, snaps.where(F.col("v") == 3), 3),
+        "subj", "pred", "obj", "v_from", "v_to", "n_snaps", "is_current",
+    )
+    full = rows(
+        kg.fact_intervals(snaps),
+        "subj", "pred", "obj", "v_from", "v_to", "n_snaps", "is_current",
+    )
+    assert got == full
+    assert ("data", "merge", "group", 3, 3, 1, 1) in got     # re-opened
+    assert ("data", "merge", "group", 0, 1, 2, 0) in got     # closed kept
+    assert ("key", "join", "order", 1, 2, 2, 0) in got       # open, stale
+
+
+def test_interval_delta_equals_full_recompute_on_corpus(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.range(0, 200).selectExpr(
+        "id AS doc_id",
+        "CASE CAST(id % 3 AS INT) WHEN 0 THEN 'key join order' "
+        "WHEN 1 THEN 'data merge group' ELSE 'order sort table key' END AS text",
+    )
+    snaps = kg.synth_fact_snapshots(docs)
+    prev = kg.fact_intervals(snaps.where(F.col("v") < 3), n_versions=4)
+    inc = rows(
+        kg.fact_intervals_delta(prev, snaps.where(F.col("v") == 3), 3),
+        "subj", "pred", "obj", "v_from", "v_to", "n_snaps", "is_current",
+    )
+    full = rows(
+        kg.fact_intervals(snaps),
+        "subj", "pred", "obj", "v_from", "v_to", "n_snaps", "is_current",
+    )
+    assert inc == full
