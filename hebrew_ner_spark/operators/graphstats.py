@@ -1194,3 +1194,77 @@ def bounded_reach(edges: DataFrame, max_hops: int = REACH_MAX_HOPS) -> DataFrame
             .where(F.col("min_hops") <= max_hops)
         )
     return r
+
+
+# ---------------------------------------------------------------------------
+# Graph partition quality (edge cut + load balance)
+# ---------------------------------------------------------------------------
+
+PARTITION_KS = (8, 32)
+PART_SEED = 53
+
+
+def partition_quality(edges: DataFrame, ks=PARTITION_KS) -> DataFrame:
+    """(k, n_edges, n_cut, cut_share_1e6, max_load, balance_1e6) — the
+    two numbers that decide a graph-stage partitioner: what share of
+    edges cross partitions (each cut edge is one shuffled message per
+    round in ANY iterative stage — PageRank, CC, SCC, LPA all pay it),
+    and how unbalanced the per-partition EDGE load is — edges live with
+    their source vertex's partition — (the straggler bound: wall time
+    follows max_load, not mean).
+
+    Evaluated for hash partitioning by the portable 60-bit hash at each
+    k in ``ks``: cut = hash(src) % k != hash(dst) % k, a pure codegen
+    flag folded by one aggregate per k; load = one (k, part) count with
+    a broadcast-joined scalar mean. balance_1e6 = max_load / mean_load
+    in half-up micro-units (1.0e6 = perfect). No joins on the edge
+    table itself — measuring a 10^11-edge graph costs one scan per k
+    (or one scan total with a small literal explode, as here).
+
+    The metric table is what you consult BEFORE picking bucketing for
+    the materialized edge table: if cut_share barely drops from k=8 to
+    k=32 the graph has no hash-exploitable locality and iterative
+    stages should co-partition by vertex instead.
+    """
+    from hebrew_ner_spark.functions.hashing import phash_col
+
+    ke = F.explode(F.array(*[F.lit(k) for k in ks])).alias("k")
+    e = edges.select(
+        F.col("src").cast("string").alias("_s"),
+        F.col("dst").cast("string").alias("_d"),
+    ).select("_s", "_d", ke)
+    hs = phash_col(F.col("_s"), PART_SEED) % F.col("k")
+    hd = phash_col(F.col("_d"), PART_SEED) % F.col("k")
+    cut = (
+        e.select(
+            "k",
+            F.when(hs != hd, F.lit(1)).otherwise(F.lit(0)).alias("_cut"),
+            hs.alias("_part"),
+        )
+    )
+    per_k = cut.groupBy("k").agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.sum("_cut").cast("long").alias("n_cut"),
+    )
+    loads = (
+        cut.groupBy("k", "_part")
+        .agg(F.count("*").alias("_n"))
+        .groupBy("k")
+        .agg(F.max("_n").cast("long").alias("max_load"))
+    )
+    return (
+        per_k.join(loads, "k")
+        .select(
+            F.col("k").cast("long").alias("k"),
+            "n_edges",
+            "n_cut",
+            F.expr(
+                "CAST((2 * n_cut * 1000000 + n_edges) DIV (2 * n_edges) AS BIGINT)"
+            ).alias("cut_share_1e6"),
+            "max_load",
+            F.expr(
+                "CAST((2 * max_load * k * 1000000 + n_edges)"
+                " DIV (2 * n_edges) AS BIGINT)"
+            ).alias("balance_1e6"),
+        )
+    )

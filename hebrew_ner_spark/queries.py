@@ -533,7 +533,10 @@ _WINDOW = [
 #   CORRECTNESS_FULL;
 # * kg_interval_delta — added after the window filled; incremental ==
 #   full-recompute equality pytest-pinned at case and corpus grain (the
-#   kg_merge_delta gate class); rides CORRECTNESS_FULL.
+#   kg_merge_delta gate class); rides CORRECTNESS_FULL;
+# * kg_partition_quality — added after the window filled; python hash
+#   replay pytest-pinned; pure codegen flags over the in-window-family
+#   kg_edges output; rides CORRECTNESS_FULL.
 
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
 # out of the driver-verified window with no signal at all (explicit raise,

@@ -627,3 +627,54 @@ def kg_bounded_reach(spark, sf_dir):
     return graphstats.bounded_reach(
         graphstats.synth_sparse_edges(_docs(spark, sf_dir))
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph partition quality
+# ---------------------------------------------------------------------------
+
+from hebrew_ner_spark.functions.hashing import phash_duck as _pq_phash  # noqa: E402
+from hebrew_ner_spark.operators import linking as _pq_linking  # noqa: E402
+from hebrew_ner_spark.querydefs.graph_q import _dim_values as _pq_dim  # noqa: E402
+from hebrew_ner_spark.querydefs.graph_q import _edges_ctes as _pq_edges  # noqa: E402
+
+_PQ_HS = _pq_phash("CAST(src AS VARCHAR)", graphstats.PART_SEED)
+_PQ_HD = _pq_phash("CAST(dst AS VARCHAR)", graphstats.PART_SEED)
+
+
+@query(
+    "kg_partition_quality",
+    oracle=f"""
+    WITH {_pq_dim()},
+    {_pq_edges("pq")},
+    pq_e AS (SELECT subj_id AS src, obj_id AS dst FROM pqe),
+    pq_f AS (
+      SELECT kk.k,
+             CASE WHEN {_PQ_HS} % kk.k <> {_PQ_HD} % kk.k THEN 1 ELSE 0 END AS cut,
+             {_PQ_HS} % kk.k AS part
+      FROM pq_e, (SELECT unnest([8, 32]) AS k) kk
+    ),
+    pq_k AS (SELECT k, CAST(count(*) AS BIGINT) AS n_edges,
+                    CAST(sum(cut) AS BIGINT) AS n_cut
+             FROM pq_f GROUP BY k),
+    pq_l AS (SELECT k, CAST(max(n) AS BIGINT) AS max_load
+             FROM (SELECT k, part, count(*) AS n FROM pq_f GROUP BY k, part)
+             GROUP BY k)
+    SELECT CAST(pq_k.k AS BIGINT) AS k, n_edges, n_cut,
+           CAST((2 * n_cut * 1000000 + n_edges) // (2 * n_edges) AS BIGINT)
+             AS cut_share_1e6,
+           max_load,
+           CAST((2 * max_load * pq_k.k * 1000000 + n_edges)
+                // (2 * n_edges) AS BIGINT) AS balance_1e6
+    FROM pq_k JOIN pq_l ON pq_k.k = pq_l.k
+    """,
+)
+def kg_partition_quality(spark, sf_dir):
+    """Edge-cut share + straggler load of hash partitioning at k=8/32
+    over the materialized edge table — the pre-bucketing design metric."""
+    from pyspark.sql import functions as F
+
+    e = _pq_linking.kg_edges(_docs(spark, sf_dir)).select(
+        F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
+    )
+    return graphstats.partition_quality(e)

@@ -676,3 +676,35 @@ class TestBoundedReach:
         # 64-node order: every endpoint is n0..n63
         nodes = {r.src for r in e.select("src").distinct().collect()}
         assert nodes <= {f"n{i}" for i in range(64)}
+
+
+def test_partition_quality_python_replay(spark):
+    import hashlib
+
+    def ph(s, seed):
+        return int(hashlib.md5(f"{s}:{seed}".encode()).hexdigest()[:15], 16)
+
+    pairs = [(1, 2), (2, 3), (3, 1), (4, 4), (5, 1), (6, 7)]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r["k"]: (r["n_edges"], r["n_cut"], r["cut_share_1e6"],
+                 r["max_load"], r["balance_1e6"])
+        for r in graphstats.partition_quality(e).collect()
+    }
+    for k in (8, 32):
+        cuts = sum(
+            1 for s, d in pairs
+            if ph(str(s), 53) % k != ph(str(d), 53) % k
+        )
+        from collections import Counter
+
+        loads = Counter(ph(str(s), 53) % k for s, _ in pairs)
+        n, ml = len(pairs), max(loads.values())
+        assert got[k] == (
+            n, cuts,
+            (2 * cuts * 1000000 + n) // (2 * n),
+            ml,
+            (2 * ml * k * 1000000 + n) // (2 * n),
+        )
+    # self-loop (4,4) is never cut at any k
+    assert all(got[k][1] < len(pairs) for k in (8, 32))
