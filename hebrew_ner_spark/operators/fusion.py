@@ -163,3 +163,44 @@ def fact_source_diversity(assertions: DataFrame) -> DataFrame:
             " DIV (2 * CAST(sum(nh) AS DECIMAL(38,0)) * sum(nh)) AS BIGINT)"
         ).alias("herf_1e6"),
     )
+
+
+def resolve_facts(
+    assertions: DataFrame, iters: int = FUSION_ITERS, reliable: bool | None = None
+) -> DataFrame:
+    """(subj, pred, obj, conf_1e6, n_alternatives) — truth discovery's
+    last step: ONE winning object per (subject, predicate) slot, chosen
+    by fused confidence with a total deterministic tie order
+    (conf desc, n_hosts desc, obj desc).
+
+    The web asserts contradictory values for functional slots (different
+    birthplaces, capitals, parents); fusion scores each candidate, and
+    resolution picks the argmax per slot — the row the serving KG
+    actually stores. One slot-keyed aggregate over the fact-grain
+    confidence table: max(struct(conf, n_hosts, obj)) is a map-side-
+    combinable argmax (no window sort, no per-slot row explosion —
+    mega-slots with thousands of candidate objects fold partially on
+    every partition). ``n_alternatives`` keeps the contradiction mass
+    visible for the review queue.
+    """
+    conf = fact_confidences(assertions, iters, reliable)
+    return (
+        conf.groupBy("subj", "pred")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("conf_1e6").alias("c"),
+                    F.col("n_hosts").alias("h"),
+                    F.col("obj").alias("o"),
+                )
+            ).alias("_w"),
+            F.count("*").cast("long").alias("n_alternatives"),
+        )
+        .select(
+            "subj",
+            "pred",
+            F.col("_w.o").alias("obj"),
+            F.col("_w.c").cast("long").alias("conf_1e6"),
+            "n_alternatives",
+        )
+    )

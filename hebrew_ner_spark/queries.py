@@ -536,7 +536,11 @@ _WINDOW = [
 #   kg_merge_delta gate class); rides CORRECTNESS_FULL;
 # * kg_partition_quality — added after the window filled; python hash
 #   replay pytest-pinned; pure codegen flags over the in-window-family
-#   kg_edges output; rides CORRECTNESS_FULL.
+#   kg_edges output; rides CORRECTNESS_FULL;
+# * kg_resolved_facts — added after the window filled; winner/tie-order/
+#   alternatives pytest-pinned over the in-window kg_fact_fusion
+#   recurrence (any confidence drift surfaces there); rides
+#   CORRECTNESS_FULL.
 
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
 # out of the driver-verified window with no signal at all (explicit raise,

@@ -87,11 +87,19 @@ def _fusion_oracle(iters: int, out: str) -> str:
       FROM r{k}r)"""
         )
         prev_rel = f"r{k}"
-    tail = (
-        f"SELECT subj, pred, obj, n_hosts, v AS conf_1e6 FROM c{iters}"
-        if out == "facts"
-        else f"SELECT host, n_facts, v AS rel_1e6 FROM r{iters}"
-    )
+    if out == "facts":
+        tail = f"SELECT subj, pred, obj, n_hosts, v AS conf_1e6 FROM c{iters}"
+    elif out == "resolved":
+        tail = f"""SELECT subj, pred, obj, conf_1e6, n_alternatives FROM (
+          SELECT subj, pred, obj, v AS conf_1e6,
+                 row_number() OVER (PARTITION BY subj, pred
+                                    ORDER BY v DESC, n_hosts DESC, obj DESC)
+                   AS rn,
+                 CAST(count(*) OVER (PARTITION BY subj, pred) AS BIGINT)
+                   AS n_alternatives
+          FROM c{iters}) WHERE rn = 1"""
+    else:
+        tail = f"SELECT host, n_facts, v AS rel_1e6 FROM r{iters}"
     return f"WITH {_ASSERTIONS_CTE}, {','.join(rounds)}\n    {tail}"
 
 
@@ -194,3 +202,11 @@ def _evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
 def kg_fact_diversity(spark, sf_dir):
     """Per-fact source diversity (pages/hosts/TLDs + host Herfindahl)."""
     return fusion.fact_source_diversity(_evidence(spark, sf_dir))
+
+
+@query("kg_resolved_facts", oracle=_fusion_oracle(FUSION_ITERS, "resolved"))
+def kg_resolved_facts(spark, sf_dir):
+    """Truth-discovery resolution: the argmax object per (subj, pred)
+    slot under fused confidence, deterministic tie order, with the
+    contradiction count retained."""
+    return fusion.resolve_facts(_assertions(spark, sf_dir))

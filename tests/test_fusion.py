@@ -112,3 +112,36 @@ def test_source_diversity_closed_form(spark):
         ("s", "t"): (1, 1, 1, 1000000),
         ("u", "v"): (3, 2, 1, 555556),
     }
+
+
+def test_resolve_facts_argmax_and_alternatives(spark):
+    from hebrew_ner_spark.operators import fusion
+    # slot (a, born_in): obj x asserted by 3 hosts, obj y by 1 ->
+    # x wins with 2 alternatives recorded; slot (b, born_in) unanimous.
+    rows_ = [
+        ("h1", "a", "born_in", "x"), ("h2", "a", "born_in", "x"),
+        ("h3", "a", "born_in", "x"), ("h4", "a", "born_in", "y"),
+        ("h1", "b", "born_in", "z"),
+    ]
+    a = spark.createDataFrame(rows_, "host string, subj string, pred string, obj string")
+    got = {
+        (r["subj"], r["pred"]): (r["obj"], r["n_alternatives"])
+        for r in fusion.resolve_facts(a).collect()
+    }
+    assert got[("a", "born_in")] == ("x", 2)
+    assert got[("b", "born_in")] == ("z", 1)
+    # winner's confidence dominates: replay via fact_confidences
+    conf = {
+        (r["subj"], r["pred"], r["obj"]): r["conf_1e6"]
+        for r in fusion.fact_confidences(a).collect()
+    }
+    assert conf[("a", "born_in", "x")] > conf[("a", "born_in", "y")]
+
+
+def test_resolve_facts_tie_breaks_deterministically(spark):
+    from hebrew_ner_spark.operators import fusion
+    # two objs with identical evidence: max obj string wins (pinned)
+    rows_ = [("h1", "s", "p", "alpha"), ("h2", "s", "p", "beta")]
+    a = spark.createDataFrame(rows_, "host string, subj string, pred string, obj string")
+    got = fusion.resolve_facts(a).collect()
+    assert len(got) == 1 and got[0]["obj"] == "beta"
