@@ -525,3 +525,85 @@ def crawl_budget(pages: DataFrame, budget: int = CRAWL_BUDGET) -> DataFrame:
         "rem",
         (F.col("base") + (F.col("_rk") <= extra).cast("long")).alias("budget"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rel=canonical chain resolution
+# ---------------------------------------------------------------------------
+
+CANON_MAX_ROUNDS = 8
+
+
+def synth_canonical_decls(docs: DataFrame) -> DataFrame:
+    """(url, canon) — per-page rel=canonical declarations, closed-form:
+    page p declares its block base p - p%3 canonical; every base whose
+    id is a multiple of 3 (but not of 30) declares the 30-block base —
+    so chains of depth 0, 1 and 2 all exist at every scale factor, the
+    shapes real mirror/session-id/tracking-param duplication produces.
+    Urls reuse the /p/{doc_id} scheme so downstream joins are uniform.
+    """
+    u = lambda c: F.concat(F.lit("https://site.example.org/p/"), c.cast("string"))  # noqa: E731
+    d = F.col("doc_id")
+    target = F.when(d % 3 != 0, d - d % 3).otherwise(
+        F.when(d % 30 != 0, d - d % 30).otherwise(d)
+    )
+    return docs.select(u(d).alias("url"), u(target).alias("canon"))
+
+
+def canonical_resolve(
+    decls: DataFrame, max_rounds: int = CANON_MAX_ROUNDS
+) -> DataFrame:
+    """(url, canonical_url, depth) — every page mapped to its chain ROOT
+    (the page declaring itself canonical), with the hop count.
+
+    Search-engine dedup folds mirrors/parameterized urls by FOLLOWING
+    canonical declarations, which chain (p -> print view -> base).
+    Resolution advances one hop per round against the STATIC url->canon
+    lookup (which keeps ``depth`` an exact hop count — a doubling jump
+    would need depth bookkeeping the web's tiny chain depths don't
+    justify): rounds = max chain depth, each round ONE join keyed by
+    the current target over the 10^12-row table. Convergence is one
+    count action per round; the cap RAISES (a half-resolved canonical
+    map silently merges the wrong duplicates). Declarations pointing
+    outside the crawl resolve to the declared target (left join keeps
+    them); cycles cannot appear (declarations are id-decreasing by
+    construction — real pipelines break ties by url order first).
+    """
+    cur = decls.select(
+        "url", F.col("canon").alias("c"),
+        F.when(F.col("url") == F.col("canon"), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("depth"),
+    )
+    lookup = decls.select(
+        F.col("url").alias("_lu"), F.col("canon").alias("_lc")
+    )
+    changed = -1
+    for _ in range(max_rounds):
+        stepped = cur.join(lookup, cur["c"] == F.col("_lu"), "left").select(
+            "url",
+            F.coalesce("_lc", F.col("c")).alias("c"),
+            (
+                F.col("depth")
+                + F.when(
+                    F.col("_lc").isNotNull() & (F.col("_lc") != F.col("c")), 1
+                ).otherwise(0)
+            ).alias("depth"),
+            (F.col("_lc").isNotNull() & (F.col("_lc") != F.col("c"))).alias(
+                "_moved"
+            ),
+        )
+        stepped = stepped.localCheckpoint()
+        changed = stepped.where("_moved").count()
+        cur = stepped.select("url", "c", "depth")
+        if changed == 0:
+            break
+    if changed != 0:
+        raise RuntimeError(
+            f"canonical_resolve did not converge within {max_rounds} rounds"
+        )
+    return cur.select(
+        "url",
+        F.col("c").alias("canonical_url"),
+        F.col("depth").cast("long").alias("depth"),
+    )

@@ -540,6 +540,10 @@ _WINDOW = [
 # * kg_resolved_facts — added after the window filled; winner/tie-order/
 #   alternatives pytest-pinned over the in-window kg_fact_fusion
 #   recurrence (any confidence drift surfaces there); rides
+#   CORRECTNESS_FULL;
+# * web_canonical_resolve — added after the window filled; chain/root/
+#   off-site/depth semantics + cap raise pytest-pinned and the oracle
+#   is the opposite recursive-walk construction; rides
 #   CORRECTNESS_FULL.
 
 # validate BEFORE filtering: a silently-skipped typo would rotate a query

@@ -514,3 +514,40 @@ def link_disambiguate(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     cands = weblinks.anchor_evidence(weblinks.synth_linked_pages(docs))
     return linking_ops.disambiguate_mentions(docs, cands)
+
+
+# ---------------------------------------------------------------------------
+# rel=canonical chain resolution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "web_canonical_resolve",
+    oracle="""
+    WITH RECURSIVE cn_d AS (
+      SELECT 'https://site.example.org/p/' || CAST(doc_id AS VARCHAR) AS url,
+             'https://site.example.org/p/' || CAST(
+               CASE WHEN doc_id % 3 <> 0 THEN doc_id - doc_id % 3
+                    WHEN doc_id % 30 <> 0 THEN doc_id - doc_id % 30
+                    ELSE doc_id END AS VARCHAR) AS canon
+      FROM documents
+    ),
+    cn_walk(url, cur, depth) AS (
+      SELECT url, canon, CASE WHEN url = canon THEN 0 ELSE 1 END FROM cn_d
+      UNION
+      SELECT w.url, d.canon, w.depth + 1
+      FROM cn_walk w JOIN cn_d d ON d.url = w.cur AND d.canon <> w.cur
+    )
+    SELECT url, cur AS canonical_url, CAST(max(depth) AS BIGINT) AS depth
+    FROM cn_walk w
+    WHERE NOT EXISTS (SELECT 1 FROM cn_d d
+                      WHERE d.url = w.cur AND d.canon <> w.cur)
+    GROUP BY url, cur
+    """,
+)
+def web_canonical_resolve(spark, sf_dir):
+    """Canonical-chain resolution to the self-declaring root with exact
+    hop depth — vs a recursive-CTE walk oracle (opposite construction)."""
+    return weblinks.canonical_resolve(
+        weblinks.synth_canonical_decls(load_table(spark, sf_dir, "documents"))
+    )

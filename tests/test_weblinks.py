@@ -298,3 +298,46 @@ class TestCrawlBudget:
         rows = [("https://a.ex/p/1", "x"), ("https://b.ex/p/1", "y")]
         out = weblinks.crawl_budget(self._pages(spark, rows), budget=5)
         assert all(r.budget == 0 for r in out.collect())
+
+
+def test_canonical_resolve_chains(spark):
+    decls = spark.createDataFrame(
+        [("p1", "base"), ("p2", "base"), ("base", "root"),
+         ("root", "root"), ("lone", "lone"), ("ext", "offsite")],
+        "url string, canon string",
+    )
+    got = {
+        r["url"]: (r["canonical_url"], r["depth"])
+        for r in weblinks.canonical_resolve(decls).collect()
+    }
+    assert got["p1"] == ("root", 2)       # chain p1 -> base -> root
+    assert got["base"] == ("root", 1)
+    assert got["root"] == ("root", 0)
+    assert got["lone"] == ("lone", 0)
+    assert got["ext"] == ("offsite", 1)   # target outside the crawl kept
+
+
+def test_canonical_resolve_raises_on_cap(spark):
+    decls = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "d")],
+        "url string, canon string",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="converge"):
+        weblinks.canonical_resolve(decls, max_rounds=1)
+
+
+def test_synth_canonical_depths(spark):
+    docs = spark.range(0, 120).withColumnRenamed("id", "doc_id")
+    got = {
+        r["url"].rsplit("/", 1)[-1]: (r["canonical_url"].rsplit("/", 1)[-1], r["depth"])
+        for r in weblinks.canonical_resolve(
+            weblinks.synth_canonical_decls(docs)
+        ).collect()
+    }
+    assert got["31"] == ("30", 1)     # page -> block base (root, %30==0)
+    assert got["34"] == ("30", 2)     # page -> base 33 -> 30
+    assert got["33"] == ("30", 1)
+    assert got["30"] == ("30", 0)
+    assert got["0"] == ("0", 0)
