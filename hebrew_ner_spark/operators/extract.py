@@ -357,3 +357,75 @@ def webtable_triples(pages: DataFrame) -> DataFrame:
         F.col("t.pred").alias("pred"),
         F.col("t.obj").alias("obj"),
     )
+
+
+# ---------------------------------------------------------------------------
+# <head> metadata extraction (description, og:title, robots noindex)
+# ---------------------------------------------------------------------------
+
+
+def synth_html_meta(docs: DataFrame) -> DataFrame:
+    """(doc_id, html binary) — the page skeleton with a meta block:
+    description = first three body tokens, og:title = 'doc {id}', and a
+    robots meta on every 7th page alternating noindex / index-follow on
+    parity of doc_id DIV 7 — both honoured and ignored robots values
+    exist at every scale factor. Attribute order varies between the two
+    robots forms (name-first vs content-first) so the extractor cannot
+    assume a fixed layout."""
+    desc = F.expr("array_join(slice(split(text, ' '), 1, 3), ' ')")
+    robots = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.when(
+            (F.col("doc_id") / 7).cast("long") % 2 == 0,
+            F.lit('<meta name="robots" content="noindex,nofollow">'),
+        ).otherwise(F.lit('<meta content="index,follow" name="robots">')),
+    ).otherwise(F.lit(""))
+    page = F.concat(
+        F.lit("<html><head><title>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit('</title><meta name="description" content="'),
+        desc,
+        F.lit('"><meta property="og:title" content="doc '),
+        F.col("doc_id").cast("string"),
+        F.lit('">'),
+        robots,
+        F.lit("</head><body><p>"),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    return docs.select("doc_id", F.encode(page, "UTF-8").alias("html"))
+
+
+def meta_tags(pages: DataFrame) -> DataFrame:
+    """(doc_id, meta_desc, og_title, noindex) — head metadata pulled
+    with anchored regexps over the decoded page, zero UDFs.
+
+    The description/og:title feed snippet generation and entity naming
+    evidence; ``noindex`` (BIGINT 0/1) is the page-level exclusion flag
+    an index build MUST honour (serving a noindex page is a compliance
+    bug, the robots.txt analogue at page grain). The robots match is
+    attribute-order-insensitive: it keys on the content attribute of
+    the tag that carries name="robots" anywhere within the same tag.
+    Scale shape: three regexp_extracts in one codegen projection over
+    the ingestion scan — no shuffle, no second pass.
+    """
+    h = F.decode(F.col("html"), "UTF-8")
+    robots_tag = F.regexp_extract(h, r'<meta\s+[^>]*name="robots"[^>]*>', 0)
+    return pages.select(
+        "doc_id",
+        F.regexp_extract(
+            h, r'<meta name="description" content="([^"]*)"', 1
+        ).alias("meta_desc"),
+        F.regexp_extract(
+            h, r'<meta property="og:title" content="([^"]*)"', 1
+        ).alias("og_title"),
+        F.when(
+            F.regexp_extract(robots_tag, r'content="([^"]*)"', 1).contains(
+                "noindex"
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("noindex"),
+    )

@@ -544,7 +544,10 @@ _WINDOW = [
 # * web_canonical_resolve — added after the window filled; chain/root/
 #   off-site/depth semantics + cap raise pytest-pinned and the oracle
 #   is the opposite recursive-walk construction; rides
-#   CORRECTNESS_FULL.
+#   CORRECTNESS_FULL;
+# * ext_meta_tags — added after the window filled; the synthesis->parse
+#   round trip is the in-window ext_* family's gate class and the
+#   robots-variant cases are pytest-pinned; rides CORRECTNESS_FULL.
 
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
 # out of the driver-verified window with no signal at all (explicit raise,

@@ -212,3 +212,25 @@ def kg_webtable_triples(spark, sf_dir):
     one codegen stage, zero shuffles, zero Python)."""
     docs = load_table(spark, sf_dir, "documents")
     return extract.webtable_triples(extract.synth_html_webtable(docs))
+
+
+@query(
+    "ext_meta_tags",
+    oracle="""
+    SELECT doc_id,
+           array_to_string(string_split(text, ' ')[1:3], ' ') AS meta_desc,
+           'doc ' || CAST(doc_id AS VARCHAR) AS og_title,
+           CAST(CASE WHEN doc_id % 7 = 0 AND (doc_id // 7) % 2 = 0
+                THEN 1 ELSE 0 END AS BIGINT) AS noindex
+    FROM documents
+    """,
+)
+def ext_meta_tags(spark, sf_dir):
+    """Head-metadata extraction round trip: description, og:title and
+    the attribute-order-insensitive robots noindex flag, vs the closed
+    form the synthetic pages encode."""
+    from hebrew_ner_spark.sources.catalog import load_table as _lt
+
+    return extract.meta_tags(
+        extract.synth_html_meta(_lt(spark, sf_dir, "documents"))
+    )

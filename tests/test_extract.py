@@ -333,3 +333,19 @@ class TestWebtableTriples:
     def _rows(self, spark, docs):
         df = extract.webtable_triples(extract.synth_html_webtable(docs))
         return sorted((r.doc_id, r.subj, r.pred, r.obj) for r in df.collect())
+
+
+def test_meta_tags_cases(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"),   # 0%7==0, 0//7 even -> noindex
+         (7, "one two"),                   # 7%7==0, 7//7 odd -> index,follow
+         (5, "x y z")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["meta_desc"], r["og_title"], r["noindex"])
+        for r in extract.meta_tags(extract.synth_html_meta(docs)).collect()
+    }
+    assert got[0] == ("alpha beta gamma", "doc 0", 1)
+    assert got[7] == ("one two", "doc 7", 0)   # attribute-order-swapped tag
+    assert got[5] == ("x y z", "doc 5", 0)     # no robots tag at all
