@@ -304,3 +304,68 @@ def json_prop_stats(events: DataFrame) -> DataFrame:
         F.sum("k").cast("long").alias("sum_k"),
         F.max("k").cast("long").alias("max_k"),
     )
+
+
+def _per_key_median(df: DataFrame, key: str, val: str, out: str) -> DataFrame:
+    """(key, out) — exact percentile_disc(0.5) per key: the smallest v
+    with 2 * cum(v) >= total, via a value histogram + cumulative window
+    (at most |distinct values| rows per key cross the window, never the
+    raw series)."""
+    hist = df.groupBy(key, val).agg(F.count("*").alias("_c"))
+    w = (
+        Window.partitionBy(key)
+        .orderBy(val)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        key,
+        F.col(val).alias("_v"),
+        F.sum("_c").over(w).alias("_cum"),
+        F.sum("_c").over(Window.partitionBy(key)).alias("_tot"),
+    )
+    return (
+        cum.where(2 * F.col("_cum") >= F.col("_tot"))
+        .groupBy(key)
+        .agg(F.min("_v").cast("long").alias(out))
+    )
+
+
+def event_count_anomalies(events: DataFrame, k: int = 3) -> DataFrame:
+    """(event_type, hour_ms, n_events, med, mad, anomaly) — robust
+    outlier flags over the hourly ingest series, the monitoring table a
+    resumable 10^12-row pipeline keeps next to its data (BASELINE's
+    "metrics tables"): hours whose count deviates from the per-type
+    median by more than k MADs. Median/MAD instead of mean/stddev
+    because ingest series have heavy tails — one crawler burst poisons
+    a mean forever but moves a median not at all; and both are EXACT
+    integers here (percentile_disc via histogram + cumulative window),
+    so the flag is reproducible across engines bit-for-bit, unlike any
+    float zscore. MAD = 0 (constant series) flags any deviation.
+
+    Scale shape: two median passes over per-(type, value) HISTOGRAMS —
+    the windows never see the raw hourly series, only its distinct
+    counts — plus two broadcast joins (|event types| rows). anomaly is
+    BIGINT 0/1.
+    """
+    counts = hourly_event_counts(events).select(
+        "event_type", "hour_ms", F.col("n_events").cast("long").alias("n_events")
+    )
+    med = _per_key_median(counts, "event_type", "n_events", "med")
+    with_med = counts.join(F.broadcast(med), "event_type").withColumn(
+        "_dev", F.abs(F.col("n_events") - F.col("med"))
+    )
+    mad = _per_key_median(with_med, "event_type", "_dev", "mad")
+    return (
+        with_med.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "hour_ms",
+            "n_events",
+            "med",
+            "mad",
+            F.when(F.col("_dev") > k * F.col("mad"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("anomaly"),
+        )
+    )

@@ -547,7 +547,11 @@ _WINDOW = [
 #   CORRECTNESS_FULL;
 # * ext_meta_tags — added after the window filled; the synthesis->parse
 #   round trip is the in-window ext_* family's gate class and the
-#   robots-variant cases are pytest-pinned; rides CORRECTNESS_FULL.
+#   robots-variant cases are pytest-pinned; rides CORRECTNESS_FULL;
+# * evt_count_anomalies — added after the window filled; closed-form
+#   burst fixtures (incl. MAD=0) pytest-pinned; composes the in-window-
+#   family evt_hourly_counts + the sk_len_quantiles percentile idiom;
+#   rides CORRECTNESS_FULL.
 
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
 # out of the driver-verified window with no signal at all (explicit raise,

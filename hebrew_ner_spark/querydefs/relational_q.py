@@ -281,3 +281,44 @@ def evt_json_stats(spark, sf_dir):
     aggregated per event type (operators/relational.py
     json_prop_stats)."""
     return relational.json_prop_stats(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "evt_count_anomalies",
+    oracle="""
+    WITH an_c AS (
+      SELECT event_type, epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    an_h AS (SELECT event_type, n_events AS v, count(*) AS c
+             FROM an_c GROUP BY 1, 2),
+    an_m AS (
+      SELECT event_type, CAST(min(v) AS BIGINT) AS med FROM (
+        SELECT event_type, v,
+               sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+               sum(c) OVER (PARTITION BY event_type) AS tot
+        FROM an_h) WHERE 2 * cum >= tot GROUP BY event_type
+    ),
+    an_d AS (
+      SELECT an_c.*, med, abs(n_events - med) AS dev
+      FROM an_c JOIN an_m USING (event_type)
+    ),
+    an_dh AS (SELECT event_type, dev AS v, count(*) AS c
+              FROM an_d GROUP BY 1, 2),
+    an_mad AS (
+      SELECT event_type, CAST(min(v) AS BIGINT) AS mad FROM (
+        SELECT event_type, v,
+               sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+               sum(c) OVER (PARTITION BY event_type) AS tot
+        FROM an_dh) WHERE 2 * cum >= tot GROUP BY event_type
+    )
+    SELECT event_type, hour_ms, n_events, med, mad,
+           CAST(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+    FROM an_d JOIN an_mad USING (event_type)
+    """,
+)
+def evt_count_anomalies(spark, sf_dir):
+    """Robust (median/MAD, exact-integer) outlier flags over the hourly
+    ingest series — the pipeline's monitoring table."""
+    return relational.event_count_anomalies(load_table(spark, sf_dir, "events"))
