@@ -1479,3 +1479,36 @@ def fact_intervals_delta(
         .alias("is_current"),
     )
     return merged.unionByName(closed_prev)
+
+
+def subclass_cycles(docs: DataFrame) -> DataFrame:
+    """(entity, cycle_id, cycle_size) — entities caught in subsumption
+    CYCLES: members of strongly connected components of size > 1 in the
+    induced hypo -> hyper graph.
+
+    A taxonomy must be a DAG; statistical subsumption mining
+    (subsumption_candidates) emits a cycle whenever two terms' document
+    sets mutually contain each other (near-synonyms, or entities that
+    only ever co-occur) — applying the closure over such edges would
+    collapse the ontology (every cycle member inherits everything). The
+    audit runs the distributed SCC machinery (operators/scc.py: forward
+    min-coloring with pointer jumps + same-color backward mark, peeled)
+    over the candidate edges and reports non-singleton components — the
+    review queue an ontology induction pipeline must drain before
+    publishing. Edge table is vocabulary-grain (pairs of entity TYPES,
+    not mentions), so the iteration cost is independent of corpus size.
+    """
+    from hebrew_ner_spark.operators.scc import scc_components
+
+    edges = subsumption_candidates(docs).select(
+        F.col("hypo").alias("src"), F.col("hyper").alias("dst")
+    )
+    return (
+        scc_components(edges)
+        .where(F.col("scc_size") > 1)
+        .select(
+            F.col("host").alias("entity"),
+            F.col("scc_id").alias("cycle_id"),
+            F.col("scc_size").alias("cycle_size"),
+        )
+    )

@@ -551,7 +551,11 @@ _WINDOW = [
 # * evt_count_anomalies — added after the window filled; closed-form
 #   burst fixtures (incl. MAD=0) pytest-pinned; composes the in-window-
 #   family evt_hourly_counts + the sk_len_quantiles percentile idiom;
-#   rides CORRECTNESS_FULL.
+#   rides CORRECTNESS_FULL;
+# * kg_subclass_cycles — added after the window filled; planted-cycle +
+#   DAG-emptiness pytest-pinned; composes the pytest-proven SCC peeling
+#   with the in-window kg_subsumption mining against the exact closure
+#   oracle; rides CORRECTNESS_FULL.
 
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
 # out of the driver-verified window with no signal at all (explicit raise,

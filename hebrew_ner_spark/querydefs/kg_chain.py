@@ -917,3 +917,46 @@ def kg_interval_delta(spark, sf_dir):
     snaps = kg.synth_fact_snapshots(_docs(spark, sf_dir))
     prev = kg.fact_intervals(snaps.where(F.col("v") < 3), n_versions=4)
     return kg.fact_intervals_delta(prev, snaps.where(F.col("v") == 3), 3)
+
+
+@query(
+    "kg_subclass_cycles",
+    oracle=f"""
+    WITH RECURSIVE {_TOKS_CTE},
+    cyc_de AS (SELECT DISTINCT doc_id, token FROM toks
+               WHERE token IN {_ENTS_SQL}),
+    cyc_f AS (SELECT token, count(*) AS c FROM cyc_de GROUP BY 1),
+    cyc_p AS (SELECT x.token AS hyper, y.token AS hypo, count(*) AS c_both
+              FROM cyc_de x JOIN cyc_de y
+                ON x.doc_id = y.doc_id AND x.token <> y.token
+              GROUP BY 1, 2),
+    cyc_e AS (
+      SELECT p.hypo AS src, p.hyper AS dst
+      FROM cyc_p p JOIN cyc_f fb ON p.hypo = fb.token
+      WHERE fb.c >= 3
+        AND (2000000 * p.c_both + fb.c) // (2 * fb.c) >= 800000
+    ),
+    cyc_n AS (SELECT DISTINCT v FROM
+              (SELECT src AS v FROM cyc_e UNION ALL SELECT dst FROM cyc_e)),
+    cyc_r(a, b) AS (
+      SELECT src, dst FROM cyc_e
+      UNION
+      SELECT r.a, e.dst FROM cyc_r r JOIN cyc_e e ON r.b = e.src
+    ),
+    cyc_m AS (
+      SELECT r1.a AS u, r1.b AS w FROM cyc_r r1
+      JOIN cyc_r r2 ON r1.a = r2.b AND r1.b = r2.a
+      UNION SELECT v, v FROM cyc_n
+    ),
+    cyc_l AS (SELECT u AS entity, min(w) AS cycle_id FROM cyc_m GROUP BY u)
+    SELECT entity, cycle_id,
+           CAST(count(*) OVER (PARTITION BY cycle_id) AS BIGINT) AS cycle_size
+    FROM cyc_l
+    QUALIFY count(*) OVER (PARTITION BY cycle_id) > 1
+    """,
+)
+def kg_subclass_cycles(spark, sf_dir):
+    """Ontology-consistency audit: subsumption-candidate SCCs of size >
+    1 (taxonomy cycles) via the distributed peeling SCC, vs the exact
+    mutual-reachability closure."""
+    return kg.subclass_cycles(_docs(spark, sf_dir))

@@ -551,3 +551,24 @@ def test_interval_delta_equals_full_recompute_on_corpus(spark):
         "subj", "pred", "obj", "v_from", "v_to", "n_snaps", "is_current",
     )
     assert inc == full
+
+
+def test_subclass_cycles_planted(spark):
+    # 'key' and 'order' always co-occur (mutual containment -> 2-cycle);
+    # 'table' appears with them in only 1/4 of docs (one-way, no cycle).
+    docs = spark.createDataFrame(
+        [(i, "key order" + (" table" if i == 0 else "")) for i in range(4)],
+        "doc_id long, text string",
+    )
+    got = rows(kg.subclass_cycles(docs), "entity", "cycle_id", "cycle_size")
+    assert got == [("key", "key", 2), ("order", "key", 2)]
+
+
+def test_subclass_cycles_dag_is_empty(spark):
+    # 'customer' ⊂ 'table' strictly one-way: table appears alone too.
+    docs = spark.createDataFrame(
+        [(0, "customer table"), (1, "customer table"), (2, "customer table"),
+         (3, "table"), (4, "table"), (5, "table")],
+        "doc_id long, text string",
+    )
+    assert kg.subclass_cycles(docs).count() == 0
