@@ -555,7 +555,11 @@ _WINDOW = [
 # * kg_subclass_cycles — added after the window filled; planted-cycle +
 #   DAG-emptiness pytest-pinned; composes the pytest-proven SCC peeling
 #   with the in-window kg_subsumption mining against the exact closure
-#   oracle; rides CORRECTNESS_FULL.
+#   oracle; rides CORRECTNESS_FULL;
+# * ext_wet_roundtrip — added after the window filled; multibyte
+#   framing, embedded-separator payload and truncation detection are
+#   pytest-pinned; serialize->parse round trip, the in-window ext_*
+#   family's gate class; rides CORRECTNESS_FULL.
 
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
 # out of the driver-verified window with no signal at all (explicit raise,

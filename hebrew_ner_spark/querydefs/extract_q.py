@@ -234,3 +234,37 @@ def ext_meta_tags(spark, sf_dir):
     return extract.meta_tags(
         extract.synth_html_meta(_lt(spark, sf_dir, "documents"))
     )
+
+
+@query(
+    "ext_wet_roundtrip",
+    oracle="""
+    SELECT 'https://example.org/' || lang || '/doc/' || CAST(doc_id AS VARCHAR)
+             AS url,
+           epoch_ms(TIMESTAMP '2024-01-01 00:00:00'
+                    + doc_id * INTERVAL 1 SECOND) AS warc_ms,
+           lang,
+           CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+           text,
+           CAST(1 AS BIGINT) AS length_ok
+    FROM documents
+    """,
+)
+def ext_wet_roundtrip(spark, sf_dir):
+    """WET archive round trip: serialize the CC-style page table into
+    WARC/1.0 conversion records and parse them back — url, timestamp,
+    language, framed Content-Length and payload must all survive, and
+    every record must pass the byte-length integrity check."""
+    from pyspark.sql import functions as F
+
+    from hebrew_ner_spark.sources.catalog import parse_wet_records, wet_records
+
+    pages = extract.synth_webpages(load_table(spark, sf_dir, "documents"))
+    return parse_wet_records(wet_records(pages).select("record")).select(
+        "url",
+        F.unix_millis("warc_ts").alias("warc_ms"),
+        "lang",
+        "content_length",
+        "text",
+        "length_ok",
+    )

@@ -349,3 +349,43 @@ def test_meta_tags_cases(spark):
     assert got[0] == ("alpha beta gamma", "doc 0", 1)
     assert got[7] == ("one two", "doc 7", 0)   # attribute-order-swapped tag
     assert got[5] == ("x y z", "doc 5", 0)     # no robots tag at all
+
+
+def test_wet_roundtrip_multibyte_and_crlf(spark):
+    import datetime as dt
+
+    from hebrew_ner_spark.sources.catalog import parse_wet_records, wet_records
+
+    pages = spark.createDataFrame(
+        [("u1", dt.datetime(2024, 1, 1), "שלום עולם", "he"),      # multibyte
+         ("u2", dt.datetime(2024, 1, 2), "line1\r\n\r\nline2", "en")],  # CRLF in payload
+        "url string, warc_ts timestamp, text string, lang string",
+    )
+    got = {
+        r["url"]: r
+        for r in parse_wet_records(wet_records(pages).select("record")).collect()
+    }
+    # multibyte: Content-Length counts BYTES (9 chars -> 17 bytes)
+    assert got["u1"]["content_length"] == len("שלום עולם".encode()) 
+    assert got["u1"]["text"] == "שלום עולם" and got["u1"]["length_ok"] == 1
+    # payload CRLFCRLF must NOT re-split the record (limit-2 split)
+    assert got["u2"]["text"] == "line1\r\n\r\nline2"
+    assert got["u2"]["length_ok"] == 1
+    assert got["u2"]["lang"] == "en"
+
+
+def test_wet_integrity_flags_truncation(spark):
+    from pyspark.sql import functions as F
+
+    from hebrew_ner_spark.sources.catalog import parse_wet_records, wet_records
+    import datetime as dt
+
+    pages = spark.createDataFrame(
+        [("u1", dt.datetime(2024, 1, 1), "full payload text", "en")],
+        "url string, warc_ts timestamp, text string, lang string",
+    )
+    recs = wet_records(pages).select(
+        F.expr("substring(record, 1, length(record) - 4)").alias("record")
+    )
+    got = parse_wet_records(recs).collect()[0]
+    assert got["length_ok"] == 0           # truncated fetch detected
