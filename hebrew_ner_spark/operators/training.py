@@ -598,3 +598,59 @@ def quality_lr_scores(docs: DataFrame, n_buckets: int = FEATURE_BUCKETS) -> Data
         .cast("long")
         .alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering (difficulty-bucket-major, shuffled within bucket)
+# ---------------------------------------------------------------------------
+
+
+def curriculum_order(docs: DataFrame, epoch: int = 0) -> DataFrame:
+    """(doc_id, diff_bucket, pos) — the curriculum permutation: documents
+    ordered by a difficulty bucket (log2 token-count — short-first, the
+    standard length curriculum), pseudo-randomly shuffled WITHIN each
+    bucket by the epoch-keyed hash.
+
+    Same two-level-rank engine shape as global_shuffle — the composite
+    sort key (diff_bucket, hash, doc_id) maps to a composite rank bucket
+    (diff_bucket * 2^10 + top hash bits), which is monotone in the sort
+    key by construction, so bucket-major concatenation IS the curriculum
+    order and the only unpartitioned window sees the bucket-count table.
+    Deterministic, rerun-identical, fresh within-bucket order per epoch.
+    """
+    k = phash_col(
+        F.concat(F.lit(f"curr|{epoch}|"), F.col("doc_id").cast("string")),
+        SHUFFLE_SEED,
+    )
+    n_tok = F.size(F.split("text", " "))
+    diff = F.when(n_tok <= 0, F.lit(0)).otherwise(
+        F.length(F.expr("bin(size(split(text, ' ')))"))
+    ).cast("long")
+    keyed = docs.select(
+        "doc_id", diff.alias("diff_bucket"), k.alias("k")
+    ).withColumn(
+        "bkt", F.col("diff_bucket") * 1024 + F.shiftright(F.col("k"), 50)
+    )
+    local = keyed.withColumn(
+        "local_rank",
+        F.row_number().over(Window.partitionBy("bkt").orderBy("k", "doc_id")),
+    )
+    offsets = (
+        keyed.groupBy("bkt")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("n").over(
+                    Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bkt", "off")
+    )
+    return local.join(F.broadcast(offsets), "bkt").select(
+        "doc_id",
+        "diff_bucket",
+        (F.col("off") + F.col("local_rank") - 1).cast("long").alias("pos"),
+    )

@@ -559,7 +559,10 @@ _WINDOW = [
 # * ext_wet_roundtrip — added after the window filled; multibyte
 #   framing, embedded-separator payload and truncation detection are
 #   pytest-pinned; serialize->parse round trip, the in-window ext_*
-#   family's gate class; rides CORRECTNESS_FULL.
+#   family's gate class; rides CORRECTNESS_FULL;
+# * trn_curriculum_order — added after the window filled; permutation /
+#   bucket-monotonicity / log2-boundary pytest-pinned; the two-level
+#   rank twins trn_global_shuffle; rides CORRECTNESS_FULL.
 
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
 # out of the driver-verified window with no signal at all (explicit raise,

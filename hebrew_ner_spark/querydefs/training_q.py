@@ -354,3 +354,38 @@ def trn_quality_lr(spark, sf_dir):
     """fastText-style linear quality-filter inference: per-token hashed
     feature weights, doc-mean score in half-up micro-units, keep flag."""
     return training.quality_lr_scores(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering
+# ---------------------------------------------------------------------------
+
+_CURR_K = phash_duck(
+    "'curr|0|' || CAST(doc_id AS VARCHAR)", training.SHUFFLE_SEED
+)
+
+
+@query(
+    "trn_curriculum_order",
+    oracle=f"""
+    WITH co_k AS (
+      SELECT doc_id,
+             CAST(CASE WHEN len(string_split(text, ' ')) <= 0 THEN 0
+                  ELSE length(bin(len(string_split(text, ' ')))) END
+                  AS BIGINT) AS diff_bucket,
+             {_CURR_K} AS k
+      FROM documents
+    )
+    SELECT doc_id, diff_bucket,
+           CAST(row_number() OVER (ORDER BY diff_bucket, k, doc_id) - 1
+                AS BIGINT) AS pos
+    FROM co_k
+    """,
+)
+def trn_curriculum_order(spark, sf_dir):
+    """Length-curriculum permutation: log2-token difficulty buckets in
+    order, epoch-hash shuffle within each — two-level rank, no global
+    sort."""
+    return training.curriculum_order(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )

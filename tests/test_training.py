@@ -312,3 +312,24 @@ def test_quality_lr_python_replay(spark):
     assert got == want
     # both classes present in this fixture (planted, not assumed)
     assert {v[2] for v in got.values()} == {0, 1}
+
+
+def test_curriculum_buckets_monotone_and_shuffled(spark):
+    rows_ = [(i, " ".join(["w"] * n)) for i, n in
+             enumerate([1, 2, 3, 5, 9, 17, 33, 40, 50, 70, 100, 2, 3, 8])]
+    docs = spark.createDataFrame(rows_, "doc_id long, text string")
+    out = sorted(
+        (r["pos"], r["doc_id"], r["diff_bucket"])
+        for r in training.curriculum_order(docs).collect()
+    )
+    # positions are a permutation
+    assert [p for p, _, _ in out] == list(range(len(rows_)))
+    # difficulty buckets are non-decreasing along the curriculum
+    buckets = [b for _, _, b in out]
+    assert buckets == sorted(buckets)
+    # log2 buckets: 1 token -> 1, 2..3 -> 2, 5 -> 3, 9..15 -> 4 ...
+    by_doc = {d: b for _, d, b in out}
+    assert by_doc[0] == 1 and by_doc[1] == 2 and by_doc[3] == 3 and by_doc[4] == 4
+    # within the size-2..3 bucket the order is hash-shuffled, not doc_id
+    same_bucket = [d for _, d, b in out if b == 2]
+    assert len(same_bucket) >= 3
