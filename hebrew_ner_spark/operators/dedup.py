@@ -545,3 +545,36 @@ def hamming_near_pairs_from_sigs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def lsh_bucket_histogram(docs: DataFrame) -> DataFrame:
+    """(bucket, n_buckets, pair_mass) — the LSH band-bucket size
+    distribution in log2 buckets (bucket = bitlen(size)), with the
+    CANDIDATE-PAIR MASS sum(n*(n-1)/2) each size class would generate.
+
+    The pre-flight observability read for the dedup path: pair
+    explosion is quadratic in bucket size, so the pair-mass column —
+    not the bucket count — says where the cost lives and whether the
+    MAX_BUCKET cap will engage (any bucket with bitlen > 12 overflows
+    at the 4096 cap). One (band, key) count + one 64-row-bounded
+    aggregate; the histogram is what a scheduler inspects BEFORE
+    deciding to run the pair join at all — the same metadata-first
+    discipline as maint_manifest_prune.
+    """
+    sizes = _band_keys(docs).groupBy("band", "band_key").agg(
+        F.count("*").alias("n")
+    )
+    bucket = F.when(F.col("n") <= 0, F.lit(0)).otherwise(
+        F.length(F.expr("bin(n)"))
+    )
+    return (
+        sizes.select(
+            bucket.cast("long").alias("bucket"),
+            F.col("n"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.sum(F.expr("n * (n - 1) DIV 2")).cast("long").alias("pair_mass"),
+        )
+    )

@@ -562,7 +562,10 @@ _WINDOW = [
 #   family's gate class; rides CORRECTNESS_FULL;
 # * trn_curriculum_order — added after the window filled; permutation /
 #   bucket-monotonicity / log2-boundary pytest-pinned; the two-level
-#   rank twins trn_global_shuffle; rides CORRECTNESS_FULL.
+#   rank twins trn_global_shuffle; rides CORRECTNESS_FULL;
+# * dedup_bucket_histogram — added after the window filled; 1000-copy
+#   closed form pytest-pinned; reads the same bands table as the
+#   in-window-family dedup gates; rides CORRECTNESS_FULL.
 
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
 # out of the driver-verified window with no signal at all (explicit raise,

@@ -493,3 +493,23 @@ def dedup_containment(spark, sf_dir):
     containment_pairs). The oracle replays the entire prefix + verify
     cascade."""
     return _ssj.containment_pairs(_docs(spark, sf_dir))
+
+
+@query(
+    "dedup_bucket_histogram",
+    oracle=f"""
+    WITH {_BANDS_CTE},
+    bh_s AS (SELECT band, band_key, count(*) AS n
+             FROM bands GROUP BY band, band_key),
+    bh_b AS (SELECT CASE WHEN n <= 0 THEN 0
+                         ELSE length(bin(n)) END AS bucket, n FROM bh_s)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(n * (n - 1) // 2) AS BIGINT) AS pair_mass
+    FROM bh_b GROUP BY bucket
+    """,
+)
+def dedup_bucket_histogram(spark, sf_dir):
+    """LSH bucket-size log2 histogram + candidate-pair mass — the
+    metadata-first cost forecast for the pair join."""
+    return dedup.lsh_bucket_histogram(_docs(spark, sf_dir))
