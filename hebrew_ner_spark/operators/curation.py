@@ -805,3 +805,46 @@ def pred_dup_evidence(docs: DataFrame, L: int = DUP_SPAN_L) -> DataFrame:
             ).alias("dup_share_1e6"),
         )
     )
+
+
+def dedup_quality_priority(docs: DataFrame) -> DataFrame:
+    """(component_id, keep_doc_id, keep_score_1e6, n_members) —
+    canonical-copy selection by QUALITY score instead of raw length:
+    among near-duplicate cluster members the highest quality_lr score
+    survives (score desc, doc_id asc ties). Longest-copy selection
+    (dedup_canonical) keeps boilerplate-padded mirrors; quality-priority
+    keeps the cleanest rendering of the same content — the survivor rule
+    modern curation stacks (RefinedWeb/FineWeb) actually use.
+
+    Plan shape mirrors dedup_canonical: the component table joins the
+    (doc_id, score) pair at doc grain — text never shuffles — and
+    max(struct(score, -doc_id, doc_id)) is the map-side-combinable
+    argmax, so no window sort over cluster members at all (an
+    improvement over the row_number form: mega-clusters fold partially
+    per partition).
+    """
+    from hebrew_ner_spark.operators import canonicalize, dedup
+    from hebrew_ner_spark.operators.training import quality_lr_scores
+
+    comp = canonicalize.dedup_components(dedup.near_dup_pairs_all(docs))
+    scores = quality_lr_scores(docs).select("doc_id", "score_1e6")
+    j = comp.join(scores, "doc_id")
+    return (
+        j.groupBy("component_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("score_1e6").alias("s"),
+                    (-F.col("doc_id")).alias("negid"),
+                    F.col("doc_id").alias("d"),
+                )
+            ).alias("_w"),
+            F.count("*").cast("long").alias("n_members"),
+        )
+        .select(
+            "component_id",
+            F.col("_w.d").alias("keep_doc_id"),
+            F.col("_w.s").cast("long").alias("keep_score_1e6"),
+            "n_members",
+        )
+    )

@@ -565,7 +565,11 @@ _WINDOW = [
 #   rank twins trn_global_shuffle; rides CORRECTNESS_FULL;
 # * dedup_bucket_histogram — added after the window filled; 1000-copy
 #   closed form pytest-pinned; reads the same bands table as the
-#   in-window-family dedup gates; rides CORRECTNESS_FULL.
+#   in-window-family dedup gates; rides CORRECTNESS_FULL;
+# * cur_dedup_quality — added after the window filled; dirty-longer vs
+#   clean-shorter survivor pytest-pinned; composes the CC closure oracle
+#   (cur_dedup_canonical's class) with the trn_quality_lr replay; rides
+#   CORRECTNESS_FULL.
 
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
 # out of the driver-verified window with no signal at all (explicit raise,

@@ -677,3 +677,58 @@ def kg_pred_dup_share(spark, sf_dir):
     """Per-predicate duplicated-evidence share in micro-units — the
     fact-fusion discount table."""
     return curation.pred_dup_evidence(_docs(spark, sf_dir))
+
+
+@query(
+    "cur_dedup_quality",
+    oracle=None,  # set below: CC closure CTEs + the quality-LR replay
+)
+def cur_dedup_quality(spark, sf_dir):
+    """Quality-priority survivor selection: the cluster member with the
+    highest quality_lr score survives (argmax fold, no window sort)."""
+    from hebrew_ner_spark.querydefs.graph_q import _assert_no_overflow
+
+    d = load_table(spark, sf_dir, "documents")
+    _assert_no_overflow(d, sf_dir)
+    return curation.dedup_quality_priority(d)
+
+
+from hebrew_ner_spark.functions.hashing import phash_duck as _dq_phash  # noqa: E402
+from hebrew_ner_spark.operators import training as _dq_training  # noqa: E402
+
+_DQ_H = _dq_phash("t.token", 0)
+_DQ_W = _dq_phash(
+    f"CAST({_DQ_H} % {_dq_training.FEATURE_BUCKETS} AS VARCHAR)",
+    _dq_training.LR_SEED,
+)
+
+ORACLES["cur_dedup_quality"] = f"""
+    WITH RECURSIVE {_CC_CTES},
+    dq_t AS (
+      SELECT doc_id, {_DQ_W} % 1000000 - 500000 AS w
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(text, ' ')) AS token) t
+      WHERE t.token <> ''
+    ),
+    dq_s AS (
+      SELECT doc_id,
+             CAST(FLOOR((2 * sum(w) + count(*)) / (2.0 * count(*))) AS BIGINT)
+               AS score_1e6
+      FROM dq_t GROUP BY doc_id
+    ),
+    dq_j AS (
+      SELECT c.component_id, c.doc_id, s.score_1e6
+      FROM comp c JOIN dq_s s USING (doc_id)
+    ),
+    dq_r AS (
+      SELECT component_id, doc_id, score_1e6,
+             row_number() OVER (PARTITION BY component_id
+                                ORDER BY score_1e6 DESC, doc_id) AS rk,
+             count(*) OVER (PARTITION BY component_id) AS n_members
+      FROM dq_j
+    )
+    SELECT component_id, doc_id AS keep_doc_id,
+           CAST(score_1e6 AS BIGINT) AS keep_score_1e6,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM dq_r WHERE rk = 1
+    """

@@ -478,3 +478,35 @@ def test_triples_in_dup_spans_planted(spark):
     by_pred = {r.pred: (r.n_occ, r.n_dup, r.dup_share_1e6) for r in share}
     assert by_pred["join"] == (2, 2, 1_000_000)
     assert by_pred["filter"] == (1, 0, 0)
+
+
+def test_dedup_quality_priority_survivor(spark):
+    from hebrew_ner_spark.operators import curation
+    from hebrew_ner_spark.operators.training import quality_lr_scores
+
+    # two exact near-dup clusters planted: identical long texts with a
+    # one-token quality twist (clean copy vs copy padded with a
+    # negative-weight token 'theta' x3 — same shingle set is not needed,
+    # identical text IS a near-dup cluster; the padded variant differs
+    # only in trailing tokens so Jaccard stays >= threshold)
+    base = "the key join order sort table customer supplier part region " * 4
+    rows_ = [
+        (1, base.strip()),
+        (2, (base + "theta theta theta").strip()),   # dirtier, longer
+        (3, base.strip() + " extra"),
+        (10, "entirely different unrelated content words here"),
+    ]
+    docs = spark.createDataFrame(rows_, "doc_id long, text string")
+    out = {r["component_id"]: (r["keep_doc_id"], r["n_members"])
+           for r in curation.dedup_quality_priority(docs).collect()}
+    # cluster of {1, 2, 3}: quality-priority must NOT keep the longest
+    # (2, theta-padded) if its score is lower — verify against scores
+    scores = {r["doc_id"]: r["score_1e6"]
+              for r in quality_lr_scores(docs).collect()}
+    assert len(out) == 1
+    comp_id, (keep, n) = next(iter(out.items()))
+    members = [1, 2, 3]
+    assert n == 3
+    best = max(members, key=lambda d: (scores[d], -d))
+    assert keep == best
+    assert scores[2] < scores[1]   # the padded copy scored worse
