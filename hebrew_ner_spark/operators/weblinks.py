@@ -551,7 +551,9 @@ def synth_canonical_decls(docs: DataFrame) -> DataFrame:
 
 
 def canonical_resolve(
-    decls: DataFrame, max_rounds: int = CANON_MAX_ROUNDS
+    decls: DataFrame,
+    max_rounds: int = CANON_MAX_ROUNDS,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """(url, canonical_url, depth) — every page mapped to its chain ROOT
     (the page declaring itself canonical), with the hop count.
@@ -564,11 +566,17 @@ def canonical_resolve(
     justify): rounds = max chain depth, each round ONE join keyed by
     the current target over the 10^12-row table. Convergence is one
     count action per round; the cap RAISES (a half-resolved canonical
-    map silently merges the wrong duplicates). Declarations pointing
+    map silently merges the wrong duplicates); rounds break lineage via
+    the shared ``_lineage_breaker`` (reliable round tables under
+    spark.graft.cc.reliable — executor loss mid-fold on a real cluster
+    must not orphan the lineage). Declarations pointing
     outside the crawl resolve to the declared target (left join keeps
     them); cycles cannot appear (declarations are id-decreasing by
     construction — real pipelines break ties by url order first).
     """
+    from hebrew_ner_spark.operators.canonicalize import _lineage_breaker
+
+    _break = _lineage_breaker(decls, reliable)
     cur = decls.select(
         "url", F.col("canon").alias("c"),
         F.when(F.col("url") == F.col("canon"), F.lit(0))
@@ -593,7 +601,7 @@ def canonical_resolve(
                 "_moved"
             ),
         )
-        stepped = stepped.localCheckpoint()
+        stepped = _break(stepped)
         changed = stepped.where("_moved").count()
         cur = stepped.select("url", "c", "depth")
         if changed == 0:
