@@ -100,3 +100,69 @@ def dedup_bcubed_assign(docs: DataFrame, components: DataFrame) -> DataFrame:
             F.col("gold").cast("long").alias("gold"),
         )
     )
+
+
+def filter_agreement_kappa(flags: DataFrame) -> DataFrame:
+    """(lang, n_docs, n_both_keep, n_rule_only, n_lr_only, n_both_drop,
+    po_1e6, pe_1e6, kappa_1e6) — Cohen's kappa between two keep/drop
+    raters per language stratum.
+
+    ``flags`` needs (lang, rk, lk): BIGINT 0/1 keep decisions from the
+    two raters for the same document. Chance-corrected agreement is the
+    standard check before trusting a cheap filter as a proxy for an
+    expensive one (or before ensembling them): raw agreement po is
+    inflated whenever both raters mostly keep (or mostly drop).
+
+    Exact integer arithmetic over the 2x2 contingency:
+      po = (a + d) / n,  pe = ((a+b)(a+c) + (c+d)(b+d)) / n^2,
+      kappa = (n(a+d) - E) / (n^2 - E)  with E = (a+b)(a+c)+(c+d)(b+d).
+    kappa can be negative (worse-than-chance), so rounding is symmetric
+    half-up-by-magnitude — spelled identically on both engines instead
+    of leaning on either engine's integer-division sign convention. The
+    pe == 1 degenerate stratum (all mass in one cell) reports kappa =
+    po (1e6): agreement is total and chance correction is undefined.
+
+    Scale shape: ONE map-side-combinable groupBy over lang (bounded key
+    space, partial aggregation absorbs any per-lang skew); the four
+    cells are conditional sums in the same pass, and everything after
+    is per-row arithmetic on the tiny per-lang table.
+    """
+    cells = flags.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.expr("rk * lk")).cast("long").alias("n_both_keep"),
+        F.sum(F.expr("rk * (1 - lk)")).cast("long").alias("n_rule_only"),
+        F.sum(F.expr("(1 - rk) * lk")).cast("long").alias("n_lr_only"),
+        F.sum(F.expr("(1 - rk) * (1 - lk)")).cast("long").alias("n_both_drop"),
+    )
+    e = (
+        "((n_both_keep + n_rule_only) * (n_both_keep + n_lr_only)"
+        " + (n_lr_only + n_both_drop) * (n_rule_only + n_both_drop))"
+    )
+    num = f"(n_docs * (n_both_keep + n_both_drop) - {e})"
+    den = f"(n_docs * n_docs - {e})"
+    return cells.select(
+        "lang",
+        "n_docs",
+        "n_both_keep",
+        "n_rule_only",
+        "n_lr_only",
+        "n_both_drop",
+        F.expr(
+            f"CAST((2 * (n_both_keep + n_both_drop) * {M} + n_docs)"
+            f" DIV (2 * n_docs) AS BIGINT)"
+        ).alias("po_1e6"),
+        F.expr(
+            f"CAST((2 * {e} * {M} + n_docs * n_docs)"
+            f" DIV (2 * n_docs * n_docs) AS BIGINT)"
+        ).alias("pe_1e6"),
+        F.expr(
+            f"""
+            CAST(CASE
+              WHEN {den} = 0 THEN {M}
+              WHEN {num} >= 0
+                THEN (2 * {num} * {M} + {den}) DIV (2 * {den})
+              ELSE -((2 * -{num} * {M} + {den}) DIV (2 * {den}))
+            END AS BIGINT)
+            """
+        ).alias("kappa_1e6"),
+    )

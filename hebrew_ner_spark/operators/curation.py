@@ -848,3 +848,61 @@ def dedup_quality_priority(docs: DataFrame) -> DataFrame:
             "n_members",
         )
     )
+
+
+PARETO_BKT = 1000  # score-bucket width for the two-level prefix max
+
+
+def pareto_frontier(scored: DataFrame) -> DataFrame:
+    """(doc_id, score_1e6, n_tokens) — the Pareto skyline of the corpus
+    under (maximize quality score, maximize length): documents no other
+    document beats-or-ties on both axes with at least one strict win.
+    The classic skyline operator (Borzsony/Kossmann/Stocker, ICDE'01),
+    which curation uses to pick showcase/eval documents that trade
+    quality against length without a hand-tuned scalarization.
+
+    Scale shape — the naive skyline is an all-pairs anti-join; this is
+    three bounded aggregates instead:
+
+    1. collapse to score grain: ``max(n_tokens)`` per distinct
+       ``score_1e6`` (map-side combinable; <= 1e6 rows by construction
+       since scores are integer micro-units of a mean in [-0.5, 0.5)).
+    2. strict-prefix max over descending score = the dominating length
+       threshold H(score). Resolved two-level like token_budget_sample:
+       an unkeyed window ONLY over the <= 1000-row bucket table, plus a
+       keyed window within each bucket (partitions <= PARETO_BKT rows).
+       No window ever sees document grain.
+    3. a score-grain row survives iff smax > H(score) (strictly — an
+       equal-length higher-score doc dominates); doc rows re-attach by
+       broadcast equi-join on (score_1e6, n_tokens == smax). Ties on
+       both axes all survive (neither dominates).
+    """
+    s = scored.select("doc_id", "score_1e6", "n_tokens")
+    g = s.groupBy("score_1e6").agg(F.max("n_tokens").alias("smax"))
+    g = g.withColumn("bkt", F.expr(f"(score_1e6 + 500000) DIV {PARETO_BKT}"))
+    b = g.groupBy("bkt").agg(F.max("smax").alias("bmax"))
+    w_b = (
+        Window.orderBy(F.col("bkt").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hb = b.select("bkt", F.max("bmax").over(w_b).alias("hb"))
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy(F.col("score_1e6").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sky = (
+        g.withColumn("hw", F.max("smax").over(w_in))
+        .join(F.broadcast(hb), "bkt")
+        .where(
+            F.col("smax")
+            > F.greatest(
+                F.coalesce(F.col("hb"), F.lit(-1)),
+                F.coalesce(F.col("hw"), F.lit(-1)),
+            )
+        )
+        .select("score_1e6", F.col("smax").alias("n_tokens"))
+    )
+    return s.join(F.broadcast(sky), ["score_1e6", "n_tokens"]).select(
+        "doc_id", "score_1e6", "n_tokens"
+    )

@@ -204,3 +204,74 @@ def resolve_facts(
             "n_alternatives",
         )
     )
+
+
+N_CALIBRATION_BINS = 10
+
+
+def fusion_calibration(
+    assertions: DataFrame, iters: int = FUSION_ITERS, reliable: bool | None = None
+) -> DataFrame:
+    """(bin, n_facts, sum_conf_1e6, n_correct, mean_conf_1e6, acc_1e6,
+    gap_1e6) — the reliability diagram for the fused confidences: does a
+    fact scored 0.9 actually win its slot ~90% of the time?
+
+    "Correct" = the fact is its (subj, pred) slot's truth-discovery
+    winner (the same total tie order resolve_facts uses), so the
+    calibration target is self-contained — no external gold needed.
+    Downstream consumers threshold on conf_1e6 when loading the serving
+    KG; an uncalibrated score makes that threshold meaningless, which is
+    why Knowledge Vault reports exactly this curve (Dong et al. 2014).
+
+    Scale shape: the winner table is ONE slot-keyed map-side-combinable
+    argmax over the fact-grain confidences (no window), the label join
+    is fact-keyed, and the final rollup has <= N_CALIBRATION_BINS groups
+    — partial aggregation makes the tiny key space a non-issue. gap_1e6
+    is computed on the exact rationals (|n_correct*1e6 - sum_conf| / n,
+    half-up) so no double rounding; ECE = sum(n_facts * gap_1e6) /
+    sum(n_facts) is one more fold the caller can do on the 10 rows.
+    """
+    conf = fact_confidences(assertions, iters, reliable)
+    winners = (
+        conf.groupBy("subj", "pred")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("conf_1e6").alias("c"),
+                    F.col("n_hosts").alias("h"),
+                    F.col("obj").alias("o"),
+                )
+            ).alias("_w")
+        )
+        .select("subj", "pred", F.col("_w.o").alias("obj"), F.lit(1).alias("_win"))
+    )
+    # conf_1e6 is non-negative so the DIV-based bin is floor == trunc.
+    labeled = conf.join(winners, ["subj", "pred", "obj"], "left").select(
+        F.least(
+            F.expr(f"conf_1e6 DIV {FUSION_SCALE // N_CALIBRATION_BINS}"),
+            F.lit(N_CALIBRATION_BINS - 1).cast("long"),
+        ).alias("bin"),
+        F.col("conf_1e6"),
+        F.coalesce(F.col("_win"), F.lit(0)).cast("long").alias("correct"),
+    )
+    agg = labeled.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_facts"),
+        F.sum("conf_1e6").cast("long").alias("sum_conf_1e6"),
+        F.sum("correct").cast("long").alias("n_correct"),
+    )
+    return agg.select(
+        "bin",
+        "n_facts",
+        "sum_conf_1e6",
+        "n_correct",
+        F.expr("(2 * sum_conf_1e6 + n_facts) DIV (2 * n_facts)").alias(
+            "mean_conf_1e6"
+        ),
+        F.expr("(2 * n_correct * 1000000 + n_facts) DIV (2 * n_facts)").alias(
+            "acc_1e6"
+        ),
+        F.expr(
+            "(2 * abs(n_correct * 1000000 - sum_conf_1e6) + n_facts)"
+            " DIV (2 * n_facts)"
+        ).alias("gap_1e6"),
+    )

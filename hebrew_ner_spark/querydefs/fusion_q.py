@@ -98,6 +98,27 @@ def _fusion_oracle(iters: int, out: str) -> str:
                  CAST(count(*) OVER (PARTITION BY subj, pred) AS BIGINT)
                    AS n_alternatives
           FROM c{iters}) WHERE rn = 1"""
+    elif out == "calibration":
+        bin_w = fusion.FUSION_SCALE // fusion.N_CALIBRATION_BINS
+        tail = f"""SELECT CAST(bin AS BIGINT) AS bin, n_facts, sum_conf_1e6,
+                 n_correct,
+                 CAST((2 * sum_conf_1e6 + n_facts) // (2 * n_facts) AS BIGINT)
+                   AS mean_conf_1e6,
+                 CAST((2 * n_correct * 1000000 + n_facts) // (2 * n_facts)
+                      AS BIGINT) AS acc_1e6,
+                 CAST((2 * ABS(n_correct * 1000000 - sum_conf_1e6) + n_facts)
+                      // (2 * n_facts) AS BIGINT) AS gap_1e6
+          FROM (
+            SELECT LEAST(c.v // {bin_w}, {fusion.N_CALIBRATION_BINS - 1}) AS bin,
+                   CAST(count(*) AS BIGINT) AS n_facts,
+                   CAST(sum(c.v) AS BIGINT) AS sum_conf_1e6,
+                   CAST(sum(CASE WHEN c.rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_correct
+            FROM (
+              SELECT v, row_number() OVER (PARTITION BY subj, pred
+                         ORDER BY v DESC, n_hosts DESC, obj DESC) AS rn
+              FROM c{iters}) c
+            GROUP BY 1)"""
     else:
         tail = f"SELECT host, n_facts, v AS rel_1e6 FROM r{iters}"
     return f"WITH {_ASSERTIONS_CTE}, {','.join(rounds)}\n    {tail}"
@@ -127,6 +148,17 @@ def kg_fact_fusion(spark, sf_dir):
 def kg_source_reliability(spark, sf_dir):
     """Fused per-host source reliabilities (same rounds, host side)."""
     return fusion.source_reliability(_assertions(spark, sf_dir))
+
+
+@query("kg_fusion_calibration", oracle=_fusion_oracle(FUSION_ITERS, "calibration"))
+def kg_fusion_calibration(spark, sf_dir):
+    """Reliability-diagram bins for the fused confidences: per decile
+    bin, fact count, exact sum of conf, slot-winner count, and the
+    half-up |accuracy - mean confidence| gap (the ECE integrand).
+    Slot-keyed argmax + fact-keyed label join + a <=10-group rollup —
+    every aggregate map-side combinable (operators/fusion.py
+    fusion_calibration; Knowledge Vault's calibration curve)."""
+    return fusion.fusion_calibration(_assertions(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

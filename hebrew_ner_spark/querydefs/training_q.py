@@ -389,3 +389,131 @@ def trn_curriculum_order(spark, sf_dir):
     return training.curriculum_order(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rule-filter vs LR-filter agreement (Cohen's kappa)
+# ---------------------------------------------------------------------------
+
+from hebrew_ner_spark.operators import clustereval as _clustereval  # noqa: E402
+from hebrew_ner_spark.operators.textstats import quality_pass_expr  # noqa: E402
+
+
+@query(
+    "eval_filter_kappa",
+    oracle=f"""
+    WITH fk_rule AS (
+      SELECT doc_id, lang,
+             CAST({quality_pass_sql("string_split(text, ' ')")} AS BIGINT)
+               AS rk
+      FROM documents
+    ),
+    fk_lr_t AS (
+      SELECT doc_id, {_LR_W} % 1000000 - 500000 AS w
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(text, ' ')) AS token) t
+      WHERE t.token <> ''
+    ),
+    fk_lr AS (
+      SELECT doc_id,
+             CAST(CASE WHEN FLOOR((2 * sum(w) + count(*)) / (2.0 * count(*)))
+                            > {training.LR_THRESHOLD_1E6}
+                  THEN 1 ELSE 0 END AS BIGINT) AS lk
+      FROM fk_lr_t GROUP BY doc_id
+    ),
+    fk_cells AS (
+      SELECT r.lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(r.rk * coalesce(l.lk, 0)) AS BIGINT) AS a,
+             CAST(sum(r.rk * (1 - coalesce(l.lk, 0))) AS BIGINT) AS b,
+             CAST(sum((1 - r.rk) * coalesce(l.lk, 0)) AS BIGINT) AS c,
+             CAST(sum((1 - r.rk) * (1 - coalesce(l.lk, 0))) AS BIGINT) AS d
+      FROM fk_rule r LEFT JOIN fk_lr l USING (doc_id)
+      GROUP BY r.lang
+    )
+    SELECT lang, n_docs,
+           a AS n_both_keep, b AS n_rule_only, c AS n_lr_only,
+           d AS n_both_drop,
+           CAST((2 * (a + d) * 1000000 + n_docs) // (2 * n_docs) AS BIGINT)
+             AS po_1e6,
+           CAST((2 * ((a+b)*(a+c) + (c+d)*(b+d)) * 1000000 + n_docs * n_docs)
+                // (2 * n_docs * n_docs) AS BIGINT) AS pe_1e6,
+           CAST(CASE
+             WHEN n_docs * n_docs - ((a+b)*(a+c) + (c+d)*(b+d)) = 0
+               THEN 1000000
+             WHEN n_docs * (a + d) - ((a+b)*(a+c) + (c+d)*(b+d)) >= 0
+               THEN (2 * (n_docs * (a + d) - ((a+b)*(a+c) + (c+d)*(b+d)))
+                       * 1000000
+                     + (n_docs * n_docs - ((a+b)*(a+c) + (c+d)*(b+d))))
+                    // (2 * (n_docs * n_docs - ((a+b)*(a+c) + (c+d)*(b+d))))
+             ELSE -((2 * -(n_docs * (a + d) - ((a+b)*(a+c) + (c+d)*(b+d)))
+                       * 1000000
+                     + (n_docs * n_docs - ((a+b)*(a+c) + (c+d)*(b+d))))
+                    // (2 * (n_docs * n_docs - ((a+b)*(a+c) + (c+d)*(b+d)))))
+           END AS BIGINT) AS kappa_1e6
+    FROM fk_cells
+    """,
+)
+def eval_filter_kappa(spark, sf_dir):
+    """Cohen's kappa per language between the rule quality gate
+    (textstats.quality_pass_expr — the txt_quality_filter predicate) and
+    the hashed-feature LR filter (training.quality_lr_scores.keep) on
+    identical documents: the chance-corrected agreement check a
+    pipeline runs before swapping a cheap filter in for an expensive
+    one. Doc-keyed left join (LR drops empty-token docs -> keep 0) +
+    one lang-keyed map-side-combinable contingency rollup
+    (operators/clustereval.py filter_agreement_kappa)."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    rule = docs.select(
+        "doc_id",
+        "lang",
+        F.when(quality_pass_expr("split(text, ' ')"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rk"),
+    )
+    lr = training.quality_lr_scores(docs).select(
+        "doc_id", F.col("keep").alias("lk")
+    )
+    flags = rule.join(lr, "doc_id", "left").select(
+        "lang", "rk", F.coalesce("lk", F.lit(0)).cast("long").alias("lk")
+    )
+    return _clustereval.filter_agreement_kappa(flags)
+
+
+@query(
+    "cur_pareto_docs",
+    oracle=f"""
+    WITH pd_t AS (
+      SELECT doc_id, {_LR_W} % 1000000 - 500000 AS w
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(text, ' ')) AS token) t
+      WHERE t.token <> ''
+    ),
+    pd_s AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(FLOOR((2 * sum(w) + count(*)) / (2.0 * count(*))) AS BIGINT)
+               AS score_1e6
+      FROM pd_t GROUP BY doc_id
+    )
+    SELECT r.doc_id, r.score_1e6, r.n_tokens
+    FROM pd_s r
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pd_s q
+      WHERE q.score_1e6 >= r.score_1e6 AND q.n_tokens >= r.n_tokens
+        AND (q.score_1e6 > r.score_1e6 OR q.n_tokens > r.n_tokens))
+    """,
+)
+def cur_pareto_docs(spark, sf_dir):
+    """Pareto skyline of (LR quality score, length): the documents no
+    other document dominates. The oracle is the definition itself (an
+    all-pairs NOT EXISTS — fine at sf0.01); the Spark plan is the
+    scale shape: score-grain collapse + two-level strict-prefix max +
+    broadcast re-attach, no quadratic step anywhere
+    (operators/curation.py pareto_frontier)."""
+    scored = training.quality_lr_scores(_docs(spark, sf_dir)).select(
+        "doc_id", "score_1e6", "n_tokens"
+    )
+    return _curation.pareto_frontier(scored)
