@@ -225,3 +225,125 @@ def _rescaled(nodes: DataFrame, raw: DataFrame) -> DataFrame:
             F.expr(f"CAST((coalesce(r, 0L) * {HITS_SCALE}) DIV mx AS BIGINT)").alias("v"),
         )
     )
+
+
+# --- TrustRank & spam mass -----------------------------------------------------
+
+_LAST_TRUST = None
+
+
+def trust_and_spam(
+    edges: DataFrame, seeds: DataFrame, iters: int = PAGERANK_ITERS
+) -> DataFrame:
+    """(entity_id, pr_1e6, tr_1e6, spam_mass_1e6) — TrustRank (Gyongyi,
+    Garcia-Molina & Pedersen, VLDB'04) next to plain PageRank, plus the
+    relative spam mass each node carries.
+
+    ``seeds`` is a one-column (entity_id) DataFrame of trusted nodes
+    (the quality-host keep-list here). Trust teleports ONLY to seeds
+    (the PPR base-vector convention seed_mod already uses); PageRank
+    teleports everywhere. A node whose authority (pr) is not matched by
+    trust flowing from the seed set earned that authority from
+    unendorsed regions of the graph — spam_mass = max(pr - tr, 0) / pr
+    is the standard link-spam demotion signal a crawler applies before
+    believing host PageRank.
+
+    Scale shape: ONE power loop carries BOTH vectors as two columns of
+    the same rank table — the contribution join and the per-node
+    aggregate are shared, so TrustRank costs zero additional shuffles
+    over PageRank alone. Seeds attach by one node-keyed left join at
+    setup (never broadcast-assumed: at web scale the seed list is
+    host-sized). Same per-round eager materialization + lineage cut as
+    entity_pagerank; exact integer micro-units throughout, spam mass
+    half-up.
+    """
+    global _LAST_TRUST
+    if _LAST_TRUST is not None:
+        try:
+            _LAST_TRUST.unpersist()
+        except Exception:
+            pass
+    wm = edges.groupBy("subj_id", "obj_id").agg(
+        F.sum("n_evidence").cast("long").alias("ew")
+    )
+    ow = wm.groupBy("subj_id").agg(F.sum("ew").cast("long").alias("ow"))
+    wmat = wm.join(ow, "subj_id").persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    nodes = (
+        wm.select(F.col("subj_id").alias("entity_id"))
+        .unionByName(wm.select(F.col("obj_id").alias("entity_id")))
+        .distinct()
+    )
+    seeded = (
+        nodes.join(
+            seeds.select(F.col(seeds.columns[0]).alias("entity_id")).withColumn(
+                "_s", F.lit(1)
+            ),
+            "entity_id",
+            "left",
+        )
+        .select(
+            "entity_id",
+            F.lit(PR_BASE).cast("long").alias("base_pr"),
+            F.when(F.col("_s").isNotNull(), PR_BASE)
+            .otherwise(0)
+            .cast("long")
+            .alias("base_tr"),
+            F.lit(PR_SCALE).cast("long").alias("pr0"),
+            F.when(F.col("_s").isNotNull(), PR_SCALE)
+            .otherwise(0)
+            .cast("long")
+            .alias("tr0"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    )
+    st = seeded.select(
+        "entity_id", F.col("pr0").alias("pr"), F.col("tr0").alias("tr")
+    )
+    for k in range(iters):
+        prev = st
+        contrib = (
+            wmat.join(st.withColumnRenamed("entity_id", "subj_id"), "subj_id")
+            .select(
+                F.col("obj_id").alias("entity_id"),
+                F.expr("(pr * ew) DIV ow").alias("cp"),
+                F.expr("(tr * ew) DIV ow").alias("ct"),
+            )
+            .groupBy("entity_id")
+            .agg(
+                F.sum("cp").cast("long").alias("sp"),
+                F.sum("ct").cast("long").alias("st"),
+            )
+        )
+        st = (
+            seeded.join(contrib, "entity_id", "left")
+            .select(
+                "entity_id",
+                F.expr(
+                    f"CAST(base_pr + ({PR_DAMP_NUM} * coalesce(sp, 0L)) DIV 100"
+                    " AS BIGINT)"
+                ).alias("pr"),
+                F.expr(
+                    f"CAST(base_tr + ({PR_DAMP_NUM} * coalesce(st, 0L)) DIV 100"
+                    " AS BIGINT)"
+                ).alias("tr"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+        )
+        st.count()
+        if k > 0:
+            prev.unpersist()
+    wmat.unpersist()
+    seeded.unpersist()
+    _LAST_TRUST = st
+    return st.select(
+        "entity_id",
+        F.col("pr").alias("pr_1e6"),
+        F.col("tr").alias("tr_1e6"),
+        F.expr(
+            """
+            CAST(CASE WHEN pr <= 0 THEN 0
+                 ELSE (2 * greatest(pr - tr, 0L) * 1000000 + pr) DIV (2 * pr)
+                 END AS BIGINT)
+            """
+        ).alias("spam_mass_1e6"),
+    )

@@ -551,3 +551,92 @@ def web_canonical_resolve(spark, sf_dir):
     return weblinks.canonical_resolve(
         weblinks.synth_canonical_decls(load_table(spark, sf_dir, "documents"))
     )
+
+
+# ---------------------------------------------------------------------------
+# TrustRank + spam mass (quality hosts as the trusted seed set)
+# ---------------------------------------------------------------------------
+
+
+def _trust_ctes(iters: int) -> str:
+    """Unrolled two-vector power iterations over ``e`` with trust seeded
+    at ``tseed`` ids: the _pagerank_ctes discipline with (pr, tr) side
+    by side, every sum cast back to BIGINT."""
+    from hebrew_ner_spark.operators.pagerank import PR_BASE, PR_DAMP_NUM, PR_SCALE
+
+    parts = [
+        "twm AS (SELECT subj_id, obj_id, CAST(sum(n_evidence) AS BIGINT) AS ew"
+        " FROM e GROUP BY 1, 2)",
+        "tow AS (SELECT subj_id, CAST(sum(ew) AS BIGINT) AS ow FROM twm GROUP BY 1)",
+        "tnodes AS (SELECT subj_id AS id FROM twm UNION SELECT obj_id FROM twm)",
+        f"""tb AS (
+      SELECT n.id,
+             CAST({PR_BASE} AS BIGINT) AS base_pr,
+             CAST(CASE WHEN s.id IS NOT NULL THEN {PR_BASE} ELSE 0 END
+                  AS BIGINT) AS base_tr,
+             CAST({PR_SCALE} AS BIGINT) AS pr0,
+             CAST(CASE WHEN s.id IS NOT NULL THEN {PR_SCALE} ELSE 0 END
+                  AS BIGINT) AS tr0
+      FROM tnodes n LEFT JOIN tseed s ON s.id = n.id
+    )""",
+        "t0 AS (SELECT id, pr0 AS pr, tr0 AS tr FROM tb)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""tc{k} AS (
+      SELECT twm.obj_id AS id,
+             CAST(sum((p.pr * twm.ew) // tow.ow) AS BIGINT) AS sp,
+             CAST(sum((p.tr * twm.ew) // tow.ow) AS BIGINT) AS st
+      FROM twm JOIN tow USING (subj_id) JOIN t{k - 1} p ON p.id = twm.subj_id
+      GROUP BY twm.obj_id
+    )"""
+        )
+        parts.append(
+            f"""t{k} AS (
+      SELECT b.id,
+             CAST(b.base_pr + ({PR_DAMP_NUM} * coalesce(c.sp, 0)) // 100
+                  AS BIGINT) AS pr,
+             CAST(b.base_tr + ({PR_DAMP_NUM} * coalesce(c.st, 0)) // 100
+                  AS BIGINT) AS tr
+      FROM tb b LEFT JOIN tc{k} c ON c.id = b.id
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+@query(
+    "web_spam_mass",
+    oracle=f"""
+    WITH {_LINKS_CTE},
+    {_HOST_Q_CTE},
+    tot AS (SELECT sum(n_pages) AS tp, sum(n_pass) AS ts FROM hq),
+    tseed AS (SELECT host AS id FROM hq, tot WHERE n_pass * tp > ts * n_pages),
+    e AS (SELECT src_host AS subj_id, dst_host AS obj_id,
+                 n_links AS n_evidence FROM lg),
+    {_trust_ctes(PAGERANK_ITERS)}
+    SELECT id AS host, pr AS pr_1e6, tr AS tr_1e6,
+           CAST(CASE WHEN pr <= 0 THEN 0
+                ELSE (2 * greatest(pr - tr, 0) * 1000000 + pr) // (2 * pr)
+                END AS BIGINT) AS spam_mass_1e6
+    FROM t{PAGERANK_ITERS}
+    """,
+)
+def web_spam_mass(spark, sf_dir):
+    """TrustRank seeded at the above-mean quality hosts, next to plain
+    host PageRank, plus relative spam mass — both vectors carried as two
+    columns of ONE power loop (zero extra shuffles over PageRank;
+    operators/pagerank.py trust_and_spam vs the same rounds unrolled as
+    two-vector DuckDB CTEs)."""
+    from hebrew_ner_spark.operators import pagerank
+
+    pages = _pages(spark, sf_dir)
+    edges = weblinks.link_edges(pages).select(
+        F.col("src_host").alias("subj_id"),
+        F.col("dst_host").alias("obj_id"),
+        F.col("n_links").alias("n_evidence"),
+    )
+    seeds = weblinks.quality_hosts(pages)
+    out = pagerank.trust_and_spam(edges, seeds)
+    return out.select(
+        F.col("entity_id").alias("host"), "pr_1e6", "tr_1e6", "spam_mass_1e6"
+    )
