@@ -1512,3 +1512,71 @@ def subclass_cycles(docs: DataFrame) -> DataFrame:
             F.col("scc_size").alias("cycle_size"),
         )
     )
+
+
+OVERLAP_BIN_W = 2  # version-axis bin width for the overlap equi-join
+
+
+def interval_overlap_join(
+    intervals: DataFrame, windows: DataFrame, bin_w: int = OVERLAP_BIN_W
+) -> DataFrame:
+    """(w_id, subj, pred, obj, v_from, v_to, ov_from, ov_to, ov_len) —
+    every (validity interval, query window) pair that overlaps, with the
+    exact overlap span. The temporal question a versioned KG serves
+    constantly: "which facts were believed at any point during window
+    W?" — an INTERVAL OVERLAP join, not the as-of point lookup
+    (facts_asof) and not an equi-join.
+
+    Spark has no native range join, and the naive theta-join is a
+    broadcast-nested-loop (quadratic at 10^12 facts). Scale shape: bin
+    the time axis at width ``bin_w``; each interval and each window
+    explodes to the bins it touches; overlapping pairs meet in a plain
+    shuffled EQUI-join on the bin key. Two overlapping spans always
+    share the bin containing max(v_from, w_from), so emitting a pair
+    ONLY from that bin (``bin == greatest(v_from, w_from) DIV bin_w``)
+    yields each pair exactly once — no distinct pass, no dedup shuffle.
+    Fan-out is span_len/bin_w per row (bounded: validity spans are
+    bounded by the crawl count); a hot bin is just a bigger join
+    partition, which AQE skew-split handles. The exact inequality
+    predicate is re-checked post-join, so bin width only affects cost,
+    never results.
+    """
+    ib = intervals.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"v_from DIV {bin_w}"), F.expr(f"v_to DIV {bin_w}")
+            )
+        ),
+    )
+    wb = windows.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"w_from DIV {bin_w}"), F.expr(f"w_to DIV {bin_w}")
+            )
+        ),
+    )
+    return (
+        ib.join(wb, "bin")
+        .where(
+            (F.col("v_from") <= F.col("w_to"))
+            & (F.col("w_from") <= F.col("v_to"))
+            & (F.col("bin") == F.expr(f"greatest(v_from, w_from) DIV {bin_w}"))
+        )
+        .select(
+            "w_id",
+            "subj",
+            "pred",
+            "obj",
+            "v_from",
+            "v_to",
+            F.greatest("v_from", "w_from").cast("long").alias("ov_from"),
+            F.least("v_to", "w_to").cast("long").alias("ov_to"),
+            (
+                F.least("v_to", "w_to") - F.greatest("v_from", "w_from") + 1
+            )
+            .cast("long")
+            .alias("ov_len"),
+        )
+    )

@@ -960,3 +960,51 @@ def kg_subclass_cycles(spark, sf_dir):
     1 (taxonomy cycles) via the distributed peeling SCC, vs the exact
     mutual-reachability closure."""
     return kg.subclass_cycles(_docs(spark, sf_dir))
+
+
+# Query windows for the interval-overlap join: two unit windows, one
+# point window, one full-range window (the full-range row exercises the
+# first-overlap-bin dedup — it shares BOTH bins with long intervals).
+_OVERLAP_WINDOWS = [(0, 0, 1), (1, 1, 2), (2, 3, 3), (3, 0, 3)]
+_OVERLAP_WIN_SQL = ", ".join(f"({i}, {lo}, {hi})" for i, lo, hi in _OVERLAP_WINDOWS)
+
+
+@query(
+    "kg_interval_overlap",
+    oracle=f"""
+    WITH {_FACT_SNAPS},
+    io_i AS (
+      SELECT *, v - row_number()
+                 OVER (PARTITION BY subj, pred, obj ORDER BY v) AS island
+      FROM fi_s
+    ),
+    io_iv AS (
+      SELECT subj, pred, obj,
+             CAST(min(v) AS BIGINT) AS v_from, CAST(max(v) AS BIGINT) AS v_to
+      FROM io_i GROUP BY subj, pred, obj, island
+    ),
+    io_w(w_id, w_from, w_to) AS (VALUES {_OVERLAP_WIN_SQL})
+    SELECT CAST(w_id AS BIGINT) AS w_id, subj, pred, obj, v_from, v_to,
+           CAST(greatest(v_from, w_from) AS BIGINT) AS ov_from,
+           CAST(least(v_to, w_to) AS BIGINT) AS ov_to,
+           CAST(least(v_to, w_to) - greatest(v_from, w_from) + 1 AS BIGINT)
+             AS ov_len
+    FROM io_iv JOIN io_w ON v_from <= w_to AND w_from <= v_to
+    """,
+)
+def kg_interval_overlap(spark, sf_dir):
+    """Interval-overlap join (validity intervals x query windows) via
+    time-axis binning + first-overlap-bin emission: overlapping pairs
+    meet in a plain bin-keyed EQUI-join and each pair is emitted from
+    exactly one bin — no theta-join, no distinct pass. The oracle is
+    the definitional inequality join (operators/kg.py
+    interval_overlap_join)."""
+    from pyspark.sql import functions as F
+
+    iv = kg.fact_intervals(kg.synth_fact_snapshots(_docs(spark, sf_dir))).select(
+        "subj", "pred", "obj", F.col("v_from").cast("long"), F.col("v_to").cast("long")
+    )
+    win = spark.createDataFrame(
+        _OVERLAP_WINDOWS, "w_id long, w_from long, w_to long"
+    )
+    return kg.interval_overlap_join(iv, win)
