@@ -615,3 +615,69 @@ def canonical_resolve(
         F.col("c").alias("canonical_url"),
         F.col("depth").cast("long").alias("depth"),
     )
+
+
+# --- mirror-host detection ------------------------------------------------------
+
+MIRROR_THRESHOLD_1E6 = 900_000  # host-level shingle Jaccard >= 0.9 = mirror
+
+
+def mirror_host_pairs(
+    pages: DataFrame, threshold_1e6: int = MIRROR_THRESHOLD_1E6
+) -> DataFrame:
+    """(host_a, host_b, n_a, n_b, n_inter, jaccard_1e6, is_mirror) —
+    candidate mirror-host pairs with exact host-level shingle Jaccard.
+
+    Mirrors (the same site served under several hosts) are a fixture of
+    web crawls; URL-level dedup misses them (different URLs) and
+    doc-level near-dup finds the pages but not the HOST decision a
+    crawler needs ("stop fetching this host entirely"). The trick that
+    makes host grain tractable: a MinHash signature COMPOSES — the
+    min over a host's shingle union equals the min over its documents'
+    rows — so the existing one-pass signature aggregation runs
+    unchanged with the host as the key; no per-host shingle-set
+    materialization, no host x host comparison. LSH banding then
+    produces candidate pairs only for hosts sharing a band (same caps /
+    overflow discipline as document LSH — `dedup._bucket_pairs`), and
+    only those pairs pay the exact set-intersection verify, whose cost
+    is bounded by the candidates. At 10^8 hosts this is the same plan;
+    only the key changed.
+    """
+    from hebrew_ner_spark.operators import dedup
+
+    hp = pages.select(host_of(F.col("url")).alias("doc_id"), "text")
+    keyed = dedup.band_keys_from_shingles(dedup._shingle_rows(hp))
+    pairs = dedup._bucket_pairs(keyed, ["band", "band_key"]).select(
+        F.col("doc_a").alias("host_a"), F.col("doc_b").alias("host_b")
+    )
+    sh = dedup._shingle_rows(hp).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("host_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("host_b"), "shingle")
+    inter = (
+        pairs.join(a, "host_a")
+        .join(b, ["host_b", "shingle"])
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("host_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("host_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(na, "host_a")
+        .join(nb, "host_b")
+        .select(
+            "host_a",
+            "host_b",
+            "n_a",
+            "n_b",
+            "n_inter",
+            F.expr(
+                "CAST((2 * n_inter * 1000000 + (n_a + n_b - n_inter))"
+                " DIV (2 * (n_a + n_b - n_inter)) AS BIGINT)"
+            ).alias("jaccard_1e6"),
+        )
+        .withColumn(
+            "is_mirror",
+            (F.col("jaccard_1e6") >= threshold_1e6).cast("long"),
+        )
+    )

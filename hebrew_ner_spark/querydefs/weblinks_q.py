@@ -640,3 +640,85 @@ def web_spam_mass(spark, sf_dir):
     return out.select(
         F.col("entity_id").alias("host"), "pr_1e6", "tr_1e6", "spam_mass_1e6"
     )
+
+
+# ---------------------------------------------------------------------------
+# Mirror-host detection (host-grain MinHash-LSH + exact Jaccard verify)
+# ---------------------------------------------------------------------------
+
+from hebrew_ner_spark.querydefs.dedup_q import (  # noqa: E402
+    _PAIRS_SQL as _MIRROR_PAIRS_SQL,
+    _bands_cte as _mirror_bands_cte,
+)
+
+
+def _docs_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# Host-keyed (doc_id = host) page text, with a planted full mirror of the
+# ex0 shard under mirror.example.net: organic inter-shard host Jaccard is
+# ~0.13 at sf0.01 (below any band-collision odds), so the plant is what
+# makes the LSH candidate step non-vacuous — and its Jaccard is exactly
+# 1e6, while any organic candidate lands far below the 0.9 mirror bar.
+_MIRROR_SRC = (
+    "(SELECT 'ex' || CAST(doc_id % 4 AS VARCHAR) || '.example.net' AS doc_id,"
+    " text FROM documents"
+    " UNION ALL"
+    " SELECT 'mirror.example.net' AS doc_id, text FROM documents"
+    " WHERE doc_id % 4 = 0)"
+)
+
+
+@query(
+    "web_mirror_hosts",
+    oracle=f"""
+    WITH {_mirror_bands_cte(_MIRROR_SRC)},
+    mh_cand AS ({_MIRROR_PAIRS_SQL}),
+    mh_sh AS (SELECT DISTINCT doc_id AS h, shingle FROM sh),
+    mh_sz AS (SELECT h, CAST(count(*) AS BIGINT) AS n FROM mh_sh GROUP BY 1),
+    mh_i AS (
+      SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_inter
+      FROM mh_cand c
+      JOIN mh_sh a ON a.h = c.doc_a
+      JOIN mh_sh b ON b.h = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a AS host_a, i.doc_b AS host_b,
+           sa.n AS n_a, sb.n AS n_b, i.n_inter,
+           CAST((2 * i.n_inter * 1000000 + (sa.n + sb.n - i.n_inter))
+                // (2 * (sa.n + sb.n - i.n_inter)) AS BIGINT) AS jaccard_1e6,
+           CAST(CASE WHEN (2 * i.n_inter * 1000000 + (sa.n + sb.n - i.n_inter))
+                          // (2 * (sa.n + sb.n - i.n_inter))
+                          >= {weblinks.MIRROR_THRESHOLD_1E6}
+                THEN 1 ELSE 0 END AS BIGINT) AS is_mirror
+    FROM mh_i i
+    JOIN mh_sz sa ON sa.h = i.doc_a
+    JOIN mh_sz sb ON sb.h = i.doc_b
+    """,
+)
+def web_mirror_hosts(spark, sf_dir):
+    """Mirror-host pairs: host-grain MinHash (signatures COMPOSE — the
+    host min is the min over its docs' shingle rows, so the one-pass
+    signature aggregation just re-keys), LSH banding for candidates,
+    exact set Jaccard verify bounded to candidates. A full mirror of
+    the ex0 shard is planted under mirror.example.net
+    (operators/weblinks.py mirror_host_pairs)."""
+    docs = _docs_w(spark, sf_dir)
+    base = docs.select(
+        F.concat(
+            F.lit("https://ex"),
+            (F.col("doc_id") % 4).cast("string"),
+            F.lit(".example.net/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    mirror = docs.where(F.col("doc_id") % 4 == 0).select(
+        F.concat(
+            F.lit("https://mirror.example.net/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    return weblinks.mirror_host_pairs(base.unionByName(mirror))

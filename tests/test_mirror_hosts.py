@@ -1,0 +1,53 @@
+"""Closed-form fixtures for host-grain mirror detection."""
+
+from __future__ import annotations
+
+from hebrew_ner_spark.operators.weblinks import mirror_host_pairs
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "url string, text string")
+
+
+def test_full_mirror_found(spark):
+    texts = [
+        "alpha beta gamma delta epsilon zeta",
+        "one two three four five six seven",
+        "red green blue yellow purple orange",
+    ]
+    rows = []
+    for i, t in enumerate(texts):
+        rows.append((f"https://a.example.net/p/{i}", t))
+        rows.append((f"https://b.example.net/p/{i}", t))  # full mirror of a
+    # c shares nothing with a/b
+    rows.append(("https://c.example.net/p/0", "lorem ipsum dolor sit amet ok"))
+    out = mirror_host_pairs(_pages(spark, rows)).collect()
+    pairs = {(r["host_a"], r["host_b"]): r for r in out}
+    assert ("a.example.net", "b.example.net") in pairs
+    m = pairs[("a.example.net", "b.example.net")]
+    assert m["jaccard_1e6"] == 1_000_000 and m["is_mirror"] == 1
+    # c never collides with a/b on any band (disjoint shingles ->
+    # disjoint signatures)
+    assert all("c.example.net" not in k for k in pairs)
+
+
+def test_partial_overlap_below_threshold(spark):
+    # b mirrors only one of a's three docs but shares all bands for it?
+    # No: signatures are over the host UNION, so a's extra docs change
+    # the mins — craft instead: identical hosts plus one doc extra.
+    base = [
+        "alpha beta gamma delta epsilon zeta",
+        "one two three four five six seven",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((f"https://a.example.net/p/{i}", t))
+        rows.append((f"https://b.example.net/p/{i}", t))
+    rows.append(("https://b.example.net/x", "brand new unseen tail content here"))
+    out = mirror_host_pairs(_pages(spark, rows)).collect()
+    # the pair may or may not survive LSH banding depending on whether
+    # b's extra shingles capture a band min; if reported, jaccard must
+    # be exact: |A| / |A u extra|
+    for r in out:
+        assert 0 < r["jaccard_1e6"] <= 1_000_000
+        assert r["n_inter"] == min(r["n_a"], r["n_b"])  # subset case
