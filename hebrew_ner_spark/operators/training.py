@@ -654,3 +654,46 @@ def curriculum_order(docs: DataFrame, epoch: int = 0) -> DataFrame:
         "diff_bucket",
         (F.col("off") + F.col("local_rank") - 1).cast("long").alias("pos"),
     )
+
+
+WSAMPLE_QUOTA = 50
+WSAMPLE_SEED = 11
+
+
+def weighted_sample(docs: DataFrame, quota: int = WSAMPLE_QUOTA) -> DataFrame:
+    """(doc_id, lang, n_tokens, priority, pick_rank) — deterministic
+    length-weighted sample: ``quota`` docs per language, preferring long
+    documents, without ever being a fixed top-k by length (which would
+    pick the same giant pages every run and starve the middle mass).
+
+    Priority-order sampling (Duffield-Lund-Thorup '07): priority =
+    u / w with u uniform; take the k smallest. Here u is the portable
+    60-bit hash of the doc id (a pure function of identity — membership
+    is stable under corpus growth, the eval_sample property) and the
+    division is integer (u DIV w): w <= ~1e4 tokens against a 2^60
+    numerator leaves ~46 bits of priority resolution, and the
+    quantization is identical on both engines — which float u/w would
+    not be. Inclusion odds scale ~linearly with w.
+
+    Scale shape: rank <= k over (lang) windows = WindowGroupLimit
+    partial top-k before the exchange (the eval_sample plan); the
+    shuffle carries O(strata x quota x tasks) rows, never the corpus.
+    """
+    u = phash_col(
+        F.concat(F.lit("wsmp|"), F.col("doc_id").cast("string")), WSAMPLE_SEED
+    )
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        u.alias("_u"),
+    ).withColumn(
+        "priority",
+        F.expr("_u DIV greatest(n_tokens, 1L)").cast("long"),
+    )
+    w = Window.partitionBy("lang").orderBy("priority", "doc_id")
+    return (
+        scored.withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("pick_rank") <= quota)
+        .select("doc_id", "lang", "n_tokens", "priority", "pick_rank")
+    )

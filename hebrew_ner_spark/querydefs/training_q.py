@@ -517,3 +517,37 @@ def cur_pareto_docs(spark, sf_dir):
         "doc_id", "score_1e6", "n_tokens"
     )
     return _curation.pareto_frontier(scored)
+
+
+_WS_HASH = phash_duck(
+    "'wsmp|' || CAST(doc_id AS VARCHAR)", training.WSAMPLE_SEED
+)
+
+
+@query(
+    "cur_weighted_sample",
+    oracle=f"""
+    WITH ws_d AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST({_WS_HASH} // greatest(len(string_split(text, ' ')), 1)
+                  AS BIGINT) AS priority
+      FROM documents
+    ),
+    ws_r AS (
+      SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY priority, doc_id) AS pick_rank
+      FROM ws_d
+    )
+    SELECT doc_id, lang, n_tokens, priority,
+           CAST(pick_rank AS BIGINT) AS pick_rank
+    FROM ws_r WHERE pick_rank <= {training.WSAMPLE_QUOTA}
+    """,
+)
+def cur_weighted_sample(spark, sf_dir):
+    """Deterministic length-weighted priority sample (u DIV w priority
+    order, k smallest per language): inclusion odds scale with document
+    length but membership is a pure function of identity — stable under
+    corpus growth. WindowGroupLimit partial top-k, the exchange never
+    carries the corpus (operators/training.py weighted_sample)."""
+    return training.weighted_sample(_docs(spark, sf_dir))
