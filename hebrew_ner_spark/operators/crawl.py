@@ -238,3 +238,46 @@ def recrawl_decisions(entries: DataFrame) -> DataFrame:
         .cast("long")
         .alias("fetch"),
     )
+
+
+def novelty_share(hist: DataFrame, k: int = 3) -> DataFrame:
+    """(v, n_shingles, n_new, new_share_1e6) — per crawl snapshot, how
+    much of its DISTINCT shingle mass is genuinely new (never seen in
+    any earlier crawl). The freshness dashboard a recurring-crawl
+    pipeline watches: a snapshot whose novelty share collapses is
+    re-fetching the same web; one that spikes signals either real churn
+    or an extraction regression.
+
+    Scale shape: distinct (v, shingle) first (map-side partial), then
+    ONE shingle-keyed min-aggregate pins each shingle's first version,
+    and a self-attach by shingle + a per-v rollup finish it. Nothing is
+    quadratic in versions; the shingle key is high-cardinality and
+    skew-free. Exact half-up micro-units.
+    """
+    from hebrew_ner_spark.functions.hashing import shingles_col
+
+    sh = (
+        hist.withColumn("toks", F.split("text", " "))
+        .select("v", F.explode(shingles_col("toks", k)).alias("shingle"))
+        .distinct()
+    )
+    first = sh.groupBy("shingle").agg(F.min("v").alias("_first_v"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy("v")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum((F.col("_first_v") == F.col("v")).cast("long"))
+            .cast("long")
+            .alias("n_new"),
+        )
+        .select(
+            "v",
+            "n_shingles",
+            "n_new",
+            F.expr(
+                "CAST((2 * n_new * 1000000 + n_shingles)"
+                " DIV (2 * n_shingles) AS BIGINT)"
+            ).alias("new_share_1e6"),
+        )
+    )

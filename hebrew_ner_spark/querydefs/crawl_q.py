@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hebrew_ner_spark.functions.hashing import shingles_duck
 from hebrew_ner_spark.operators import crawl, linking
 from hebrew_ner_spark.operators.crawl import CRAWL_VERSIONS
 from hebrew_ner_spark.registry import query
@@ -367,3 +368,31 @@ def web_sitemap_recrawl(spark, sf_dir):
     return crawl.recrawl_decisions(
         crawl.sitemap_urls(crawl.synth_sitemaps(_docs(spark, sf_dir)))
     )
+
+
+@query(
+    "web_novelty_share",
+    oracle=f"""
+    WITH {_HIST_CTE},
+    nv_sh AS (
+      SELECT DISTINCT v,
+             unnest({shingles_duck("string_split(text, ' ')", 3)}) AS shingle
+      FROM hist
+    ),
+    nv_first AS (SELECT shingle, min(v) AS first_v FROM nv_sh GROUP BY 1)
+    SELECT s.v,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_v = s.v THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST((2 * sum(CASE WHEN f.first_v = s.v THEN 1 ELSE 0 END) * 1000000
+                 + count(*)) // (2 * count(*)) AS BIGINT) AS new_share_1e6
+    FROM nv_sh s JOIN nv_first f USING (shingle)
+    GROUP BY s.v
+    """,
+)
+def web_novelty_share(spark, sf_dir):
+    """Per-snapshot novel-shingle share across the crawl history: one
+    shingle-keyed min-aggregate pins each shingle's first version; v0
+    is 1e6 by construction, later crawls only add trailing-'dup' mass
+    (operators/crawl.py novelty_share)."""
+    return crawl.novelty_share(_hist(spark, sf_dir))
