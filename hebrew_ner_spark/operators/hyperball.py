@@ -119,3 +119,44 @@ def neighborhood_function(
         .cast("long")
         .alias("ge90"),
     )
+
+
+def harmonic_centrality(
+    edges: DataFrame, radius: int = HYPERBALL_RADIUS
+) -> DataFrame:
+    """(host, harmonic_1e6) — HyperBall harmonic centrality (Boldi &
+    Vigna's headline application, "Axioms for centrality" 2014):
+    H(v) = sum over t >= 1 of (|B(v,t)| - |B(v,t-1)|) / t, i.e. every
+    reachable node contributes 1/dist. Rewards nodes close to
+    everything, is finite under disconnection (unlike closeness), and
+    at bounded radius prices exactly the web's four-degrees regime.
+
+    Each per-distance shell term is rounded half-up to micro-units
+    before summing (deterministic on both engines; error <= 5e-7 per
+    shell, radius shells total). The shell delta is clamped at 0: the
+    HLL estimate is non-decreasing in the registers, but the
+    linear-counting/LUT switchover can dip an estimate by a count or
+    two between consecutive t — a negative shell is estimator noise,
+    not a real negative shell. One keyed window over (host) with
+    radius+1 rows per partition — bounded by construction — then a
+    host-keyed rollup; the expensive part remains the shared ball
+    folding in hyperball_estimates.
+    """
+    from pyspark.sql import Window
+
+    est = hyperball_estimates(edges, radius)
+    w = Window.partitionBy("host").orderBy("t")
+    shells = est.withColumn(
+        "_prev", F.lag("est_ball").over(w)
+    ).where(F.col("t") >= 1)
+    return (
+        shells.select(
+            "host",
+            F.expr(
+                "(2 * greatest(est_ball - _prev, 0L) * 1000000 + t)"
+                " DIV (2 * t)"
+            ).alias("_term"),
+        )
+        .groupBy("host")
+        .agg(F.sum("_term").cast("long").alias("harmonic_1e6"))
+    )

@@ -251,3 +251,29 @@ def web_host_mis(spark, sf_dir):
     crawl batches): parallel local-minima rounds on Spark vs the
     sequential greedy the rounds provably equal, replayed in DuckDB."""
     return scc.host_mis(scc.synth_host_edges(_docs(spark, sf_dir)))
+
+
+@query(
+    "web_harmonic_centrality",
+    oracle=f"""
+    WITH RECURSIVE {_SCC_CTES},
+    {_HB_CTES},
+    hb_h AS (
+      SELECT host, t, est_ball,
+             lag(est_ball) OVER (PARTITION BY host ORDER BY t) AS prev
+      FROM hb_est
+    )
+    SELECT host,
+           CAST(sum((2 * greatest(est_ball - prev, 0) * 1000000 + t)
+                    // (2 * t)) AS BIGINT) AS harmonic_1e6
+    FROM hb_h WHERE t >= 1 GROUP BY host
+    """,
+)
+def web_harmonic_centrality(spark, sf_dir):
+    """HyperBall harmonic centrality per host: per-distance shell
+    deltas of the ball estimates priced at 1/t, half-up micro-units,
+    shells clamped at 0 against LUT-switchover dips
+    (operators/hyperball.py harmonic_centrality)."""
+    return hyperball.harmonic_centrality(
+        scc.synth_host_edges(_docs(spark, sf_dir))
+    )
