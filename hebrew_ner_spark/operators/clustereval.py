@@ -166,3 +166,52 @@ def filter_agreement_kappa(flags: DataFrame) -> DataFrame:
             """
         ).alias("kappa_1e6"),
     )
+
+
+def blocking_quality(
+    candidates: DataFrame, gold_pairs: DataFrame, corpus: DataFrame
+) -> DataFrame:
+    """(n_docs, n_cand, n_gold, n_hit, pair_completeness_1e6,
+    reduction_ratio_1e6) — the two numbers every ER blocking scheme is
+    judged by (Christen's survey): pair completeness = share of gold
+    duplicate pairs the blocker's candidate set retains (recall of the
+    blocking stage — what it silently loses), and reduction ratio =
+    1 - |candidates| / C(n, 2) (how much of the quadratic comparison
+    space it avoids). A blocker is only as good as BOTH: all-pairs has
+    PC = 1 and RR = 0; a degenerate blocker has RR ~ 1 and PC ~ 0.
+
+    Inputs are ordered (doc_a < doc_b) distinct pair tables. The hit
+    count is one pair-keyed join; n is one count — no pair
+    materialization of the C(n, 2) denominator, which exists only as
+    arithmetic. Exact half-up micro-units; PC of an empty gold set is
+    defined as 1e6 (nothing to lose).
+    """
+    hits = candidates.join(gold_pairs, ["doc_a", "doc_b"], "left_semi")
+    counts = (
+        corpus.agg(F.count("*").cast("long").alias("n_docs"))
+        .crossJoin(candidates.agg(F.count("*").cast("long").alias("n_cand")))
+        .crossJoin(gold_pairs.agg(F.count("*").cast("long").alias("n_gold")))
+        .crossJoin(hits.agg(F.count("*").cast("long").alias("n_hit")))
+    )
+    return counts.select(
+        "n_docs",
+        "n_cand",
+        "n_gold",
+        "n_hit",
+        F.expr(
+            f"""
+            CAST(CASE WHEN n_gold = 0 THEN {M}
+                 ELSE (2 * n_hit * {M} + n_gold) DIV (2 * n_gold)
+                 END AS BIGINT)
+            """
+        ).alias("pair_completeness_1e6"),
+        F.expr(
+            f"""
+            CAST(CASE WHEN n_docs < 2 THEN {M}
+                 ELSE (2 * (n_docs * (n_docs - 1) DIV 2 - n_cand) * {M}
+                       + n_docs * (n_docs - 1) DIV 2)
+                      DIV (2 * (n_docs * (n_docs - 1) DIV 2))
+                 END AS BIGINT)
+            """
+        ).alias("reduction_ratio_1e6"),
+    )

@@ -513,3 +513,59 @@ def dedup_bucket_histogram(spark, sf_dir):
     """LSH bucket-size log2 histogram + candidate-pair mass — the
     metadata-first cost forecast for the pair join."""
     return dedup.lsh_bucket_histogram(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Blocking quality: pair completeness + reduction ratio of the LSH blocker
+# ---------------------------------------------------------------------------
+
+from hebrew_ner_spark.operators import clustereval as _clustereval  # noqa: E402
+
+
+@query(
+    "eval_blocking_quality",
+    oracle=f"""
+    WITH {_PLANT_CTE},
+    {_bands_cte("docs2")},
+    bq_cand AS ({_PAIRS_SQL}),
+    bq_gold AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM docs2 a JOIN docs2 b
+        ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+    ),
+    bq_c AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM docs2) AS n_docs,
+             (SELECT CAST(count(*) AS BIGINT) FROM bq_cand) AS n_cand,
+             (SELECT CAST(count(*) AS BIGINT) FROM bq_gold) AS n_gold,
+             (SELECT CAST(count(*) AS BIGINT) FROM bq_gold g
+              WHERE EXISTS (SELECT 1 FROM bq_cand c
+                            WHERE c.doc_a = g.doc_a AND c.doc_b = g.doc_b))
+               AS n_hit
+    )
+    SELECT n_docs, n_cand, n_gold, n_hit,
+           CAST(CASE WHEN n_gold = 0 THEN 1000000
+                ELSE (2 * n_hit * 1000000 + n_gold) // (2 * n_gold)
+                END AS BIGINT) AS pair_completeness_1e6,
+           CAST(CASE WHEN n_docs < 2 THEN 1000000
+                ELSE (2 * (n_docs * (n_docs - 1) // 2 - n_cand) * 1000000
+                      + n_docs * (n_docs - 1) // 2)
+                     // (2 * (n_docs * (n_docs - 1) // 2))
+                END AS BIGINT) AS reduction_ratio_1e6
+    FROM bq_c
+    """,
+)
+def eval_blocking_quality(spark, sf_dir):
+    """Pair completeness + reduction ratio of the LSH band blocker vs
+    byte-identical gold pairs on the planted corpus: PC must hold 1e6
+    (identical texts share every band) while RR prices the avoided
+    C(n,2) mass — the two-sided check that catches both a blocker that
+    drops duplicates and one that blocks nothing
+    (operators/clustereval.py blocking_quality)."""
+    from pyspark.sql import functions as F
+
+    docs = _planted_docs(spark, sf_dir)
+    cand = dedup.lsh_candidate_pairs(docs)
+    gold = dedup._bucket_pairs(
+        docs.select("doc_id", F.md5("text").alias("text_md5")), ["text_md5"]
+    )
+    return _clustereval.blocking_quality(cand, gold, docs)
