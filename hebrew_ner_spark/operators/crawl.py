@@ -281,3 +281,79 @@ def novelty_share(hist: DataFrame, k: int = 3) -> DataFrame:
             ).alias("new_share_1e6"),
         )
     )
+
+
+N_FETCH_SHARDS = 8
+HRW_SEED = 17
+
+
+def _hrw_weight(url_col, shard_col):
+    from hebrew_ner_spark.functions.hashing import phash_col
+
+    return phash_col(
+        F.concat(url_col, F.lit("|"), shard_col.cast("string")), HRW_SEED
+    )
+
+
+def shard_assignment(
+    pages: DataFrame, n_shards: int = N_FETCH_SHARDS
+) -> DataFrame:
+    """(url, shard) — rendezvous (highest-random-weight) assignment of
+    fetch work to ``n_shards`` crawler shards: shard = argmax over s of
+    hash(url | s). The fleet-sharding discipline a distributed crawler
+    needs and mod-hashing cannot give: when a shard leaves, ONLY its
+    keys move (each survivor's winning weight is unchanged), instead of
+    (n-1)/n of the corpus reshuffling as with ``hash % n``.
+
+    Scale shape: an n_shards-way explode + one url-keyed
+    map-side-combinable argmax (max(struct(w, shard)) — no window, no
+    shuffle beyond the keyed agg); n_shards is a fleet-sized constant,
+    so the fan-out is bounded and the whole thing is one narrow stage +
+    one aggregate. Ties (2^-60 odds) pin to the larger shard id on both
+    engines.
+    """
+    s = F.explode(F.sequence(F.lit(0), F.lit(n_shards - 1))).alias("shard")
+    w = pages.select("url", s).withColumn(
+        "_w", _hrw_weight(F.col("url"), F.col("shard"))
+    )
+    return (
+        w.groupBy("url")
+        .agg(F.max(F.struct(F.col("_w"), F.col("shard").alias("s"))).alias("_m"))
+        .select("url", F.col("_m.s").cast("long").alias("shard"))
+    )
+
+
+def shard_rebalance(
+    pages: DataFrame, removed: int, n_shards: int = N_FETCH_SHARDS
+) -> DataFrame:
+    """(url, old_shard, new_shard, moved) — the reassignment after shard
+    ``removed`` leaves the fleet. Rendezvous hashing's contract, made
+    checkable: moved = 1 exactly for urls whose old winner was the
+    removed shard (everyone else's argmax is untouched — their winning
+    weight is still present). One shared weight explode feeds both
+    argmaxes; the join is url-keyed.
+    """
+    s = F.explode(F.sequence(F.lit(0), F.lit(n_shards - 1))).alias("shard")
+    w = pages.select("url", s).withColumn(
+        "_w", _hrw_weight(F.col("url"), F.col("shard"))
+    )
+    old = (
+        w.groupBy("url")
+        .agg(F.max(F.struct("_w", F.col("shard").alias("s"))).alias("_m"))
+        .select("url", F.col("_m.s").cast("long").alias("old_shard"))
+    )
+    new = (
+        w.where(F.col("shard") != removed)
+        .groupBy("url")
+        .agg(F.max(F.struct("_w", F.col("shard").alias("s"))).alias("_m"))
+        .select("url", F.col("_m.s").cast("long").alias("new_shard"))
+    )
+    return (
+        old.join(new, "url")
+        .select(
+            "url",
+            "old_shard",
+            "new_shard",
+            (F.col("old_shard") != F.col("new_shard")).cast("long").alias("moved"),
+        )
+    )

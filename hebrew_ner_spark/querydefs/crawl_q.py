@@ -396,3 +396,91 @@ def web_novelty_share(spark, sf_dir):
     is 1e6 by construction, later crawls only add trailing-'dup' mass
     (operators/crawl.py novelty_share)."""
     return crawl.novelty_share(_hist(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (HRW) fetch-shard assignment + minimal-disruption rebalance
+# ---------------------------------------------------------------------------
+
+from hebrew_ner_spark.functions.hashing import phash_duck  # noqa: E402
+
+_HRW_REMOVED = 3  # the shard the rebalance gate takes out of the fleet
+_HRW_W = phash_duck(
+    "url || '|' || CAST(s.shard AS VARCHAR)", crawl.HRW_SEED
+)
+_HRW_URLS = (
+    "SELECT 'https://example.org/' || lang || '/doc/'"
+    " || CAST(doc_id AS VARCHAR) AS url FROM documents"
+)
+_HRW_W_CTE = f"""
+sa_u AS ({_HRW_URLS}),
+sa_w AS (
+  SELECT url, s.shard, {_HRW_W} AS w
+  FROM sa_u, (SELECT unnest(range({crawl.N_FETCH_SHARDS})) AS shard) s
+)
+"""
+
+
+def _hrw_pages(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        F.concat(
+            F.lit("https://example.org/"),
+            F.col("lang"),
+            F.lit("/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+
+
+@query(
+    "web_shard_assign",
+    oracle=f"""
+    WITH {_HRW_W_CTE},
+    sa_r AS (
+      SELECT url, shard,
+             row_number() OVER (PARTITION BY url ORDER BY w DESC, shard DESC)
+               AS rn
+      FROM sa_w
+    )
+    SELECT url, CAST(shard AS BIGINT) AS shard FROM sa_r WHERE rn = 1
+    """,
+)
+def web_shard_assign(spark, sf_dir):
+    """Rendezvous-hash fetch-shard assignment: shard = argmax over s of
+    hash(url | s) — bounded n_shards explode + one url-keyed map-side
+    argmax, no window (operators/crawl.py shard_assignment)."""
+    return crawl.shard_assignment(_hrw_pages(spark, sf_dir))
+
+
+@query(
+    "web_shard_rebalance",
+    oracle=f"""
+    WITH {_HRW_W_CTE},
+    sr_old AS (
+      SELECT url, shard FROM (
+        SELECT url, shard,
+               row_number() OVER (PARTITION BY url ORDER BY w DESC, shard DESC)
+                 AS rn
+        FROM sa_w) WHERE rn = 1
+    ),
+    sr_new AS (
+      SELECT url, shard FROM (
+        SELECT url, shard,
+               row_number() OVER (PARTITION BY url ORDER BY w DESC, shard DESC)
+                 AS rn
+        FROM sa_w WHERE shard <> {_HRW_REMOVED}) WHERE rn = 1
+    )
+    SELECT o.url, CAST(o.shard AS BIGINT) AS old_shard,
+           CAST(n.shard AS BIGINT) AS new_shard,
+           CAST(CASE WHEN o.shard <> n.shard THEN 1 ELSE 0 END AS BIGINT)
+             AS moved
+    FROM sr_old o JOIN sr_new n USING (url)
+    """,
+)
+def web_shard_rebalance(spark, sf_dir):
+    """Rendezvous hashing's minimal-disruption contract, checkable:
+    after shard {removed} leaves, moved = 1 exactly for its former urls
+    — every survivor's argmax is untouched (operators/crawl.py
+    shard_rebalance)."""
+    return crawl.shard_rebalance(_hrw_pages(spark, sf_dir), _HRW_REMOVED)

@@ -1,0 +1,41 @@
+"""Rendezvous sharding: balance + minimal-disruption contract."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from hebrew_ner_spark.operators.crawl import shard_assignment, shard_rebalance
+
+
+def _urls(spark, n):
+    return spark.createDataFrame(
+        [(f"https://h{i % 7}.example.net/p/{i}",) for i in range(n)],
+        "url string",
+    )
+
+
+def test_assignment_total_and_roughly_balanced(spark):
+    n = 800
+    out = shard_assignment(_urls(spark, n), 8).collect()
+    assert len(out) == n
+    per = {}
+    for r in out:
+        assert 0 <= r["shard"] < 8
+        per[r["shard"]] = per.get(r["shard"], 0) + 1
+    # uniform hash: no shard should be empty or hold > 2.5x its share
+    assert len(per) == 8
+    assert max(per.values()) < 2.5 * n / 8
+
+
+def test_minimal_disruption(spark):
+    urls = _urls(spark, 500)
+    old = {r["url"]: r["shard"] for r in shard_assignment(urls, 8).collect()}
+    reb = shard_rebalance(urls, removed=3, n_shards=8).collect()
+    for r in reb:
+        assert r["old_shard"] == old[r["url"]]
+        if r["old_shard"] == 3:
+            assert r["moved"] == 1 and r["new_shard"] != 3
+        else:
+            # rendezvous contract: survivors never move
+            assert r["moved"] == 0 and r["new_shard"] == r["old_shard"]
+    assert sum(r["moved"] for r in reb) == sum(1 for s in old.values() if s == 3)
