@@ -55,3 +55,47 @@ def salted_agg(
     salt = F.pmod(F.xxhash64(*[F.col(k) for k in df.columns]), F.lit(buckets))
     partial = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*partial_aggs)
     return partial.groupBy(*keys).agg(*final_aggs)
+
+
+SKEW_TARGET_ROWS = 4096  # rows a single reduce task should own per key
+
+
+def skew_audit(
+    rows: DataFrame, key: str, target: int = SKEW_TARGET_ROWS
+) -> DataFrame:
+    """(n_rows, n_keys, max_key_rows, max_key, mean_key_rows_1e6,
+    skew_ratio_1e6, salt_factor) — one row: the pre-flight skew audit a
+    pipeline runs BEFORE keying an aggregation on ``key``, and the salt
+    fan-out it should use.
+
+    skew_ratio = max_key_rows / mean_key_rows (1e6 half-up): ~1e6 means
+    uniform keys, orders of magnitude more means a mega-key that will
+    pin one reducer. salt_factor = ceil(max_key_rows / target) — the B
+    that bounds every phase-1 partial at ~target rows (1 = no salting
+    needed). The audit itself is skew-proof: one map-side-combinable
+    count per key, then a single argmax fold over the key-count table;
+    the hot key is never materialized wider than its count.
+    """
+    per = rows.groupBy(key).agg(F.count("*").cast("long").alias("_c"))
+    return per.agg(
+        F.sum("_c").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("_c").cast("long").alias("max_key_rows"),
+        F.max(F.struct(F.col("_c"), F.col(key).alias("k")))["k"]
+        .cast("string")
+        .alias("max_key"),
+    ).select(
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        "max_key",
+        F.expr("(2 * n_rows * 1000000 + n_keys) DIV (2 * n_keys)").alias(
+            "mean_key_rows_1e6"
+        ),
+        F.expr(
+            "(2 * max_key_rows * n_keys * 1000000 + n_rows) DIV (2 * n_rows)"
+        ).alias("skew_ratio_1e6"),
+        F.expr(f"(max_key_rows + {target} - 1) DIV {target}")
+        .cast("long")
+        .alias("salt_factor"),
+    )

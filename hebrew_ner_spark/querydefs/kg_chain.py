@@ -1008,3 +1008,40 @@ def kg_interval_overlap(spark, sf_dir):
         _OVERLAP_WINDOWS, "w_id long, w_from long, w_to long"
     )
     return kg.interval_overlap_join(iv, win)
+
+
+_SKEW_T = 64  # gate-scale target rows/key (production default is 4096)
+
+
+@query(
+    "kg_skew_audit",
+    oracle=f"""
+    WITH sk_t AS ({_TRIPLES_ORACLE}),
+    sk_per AS (SELECT subj, CAST(count(*) AS BIGINT) AS c FROM sk_t GROUP BY 1),
+    sk_agg AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(max(c) AS BIGINT) AS max_key_rows
+      FROM sk_per
+    )
+    SELECT n_rows, n_keys, max_key_rows,
+           (SELECT subj FROM sk_per ORDER BY c DESC, subj DESC LIMIT 1)
+             AS max_key,
+           CAST((2 * n_rows * 1000000 + n_keys) // (2 * n_keys) AS BIGINT)
+             AS mean_key_rows_1e6,
+           CAST((2 * max_key_rows * n_keys * 1000000 + n_rows) // (2 * n_rows)
+                AS BIGINT) AS skew_ratio_1e6,
+           CAST((max_key_rows + {_SKEW_T} - 1) // {_SKEW_T} AS BIGINT)
+             AS salt_factor
+    FROM sk_agg
+    """,
+)
+def kg_skew_audit(spark, sf_dir):
+    """Pre-flight skew audit of the triple stream's subject key: max/mean
+    key mass, exact skew ratio, and the salt fan-out that bounds every
+    phase-1 partial at the target (plans/skew.py skew_audit — the same
+    module whose salted_count the kg_*_salted gates exercise). The audit
+    itself is one count-per-key plus a single argmax fold."""
+    from hebrew_ner_spark.plans.skew import skew_audit
+
+    return skew_audit(kg.doc_triples(_docs(spark, sf_dir)), "subj", _SKEW_T)

@@ -551,3 +551,62 @@ def cur_weighted_sample(spark, sf_dir):
     corpus growth. WindowGroupLimit partial top-k, the exchange never
     carries the corpus (operators/training.py weighted_sample)."""
     return training.weighted_sample(_docs(spark, sf_dir))
+
+
+@query(
+    "trn_split_balance",
+    oracle=f"""
+    WITH {_SPLIT_CTE},
+    sb_n AS (
+      SELECT d.lang, sp.split, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents d JOIN sp USING (doc_id)
+      GROUP BY 1, 2
+    ),
+    sb_l AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS n_lang
+             FROM sb_n GROUP BY 1)
+    SELECT n.lang, n.split, n.n_docs, l.n_lang,
+           CAST((2 * n.n_docs * 1000000 + l.n_lang) // (2 * l.n_lang)
+                AS BIGINT) AS share_1e6,
+           CAST(abs((2 * n.n_docs * 1000000 + l.n_lang) // (2 * l.n_lang)
+                    - (CASE n.split WHEN 'train' THEN {TRAIN_PCT}
+                                    WHEN 'val' THEN {VAL_PCT}
+                                    ELSE {100 - TRAIN_PCT - VAL_PCT} END)
+                      * 10000) AS BIGINT) AS drift_1e6
+    FROM sb_n n JOIN sb_l l USING (lang)
+    """,
+)
+def trn_split_balance(spark, sf_dir):
+    """Split-balance audit per language: realized split shares vs the
+    hash contract's nominal 80/10/10, exact half-up micro-units — the
+    drift check a pipeline alarms on when a stratum is too small for
+    the hash to average out. Two map-side-combinable rollups over the
+    inline-recomputed split (no join back through doc_splits)."""
+    from pyspark.sql import functions as F
+
+    d = training.doc_splits(_docs(spark, sf_dir)).join(
+        _docs(spark, sf_dir).select("doc_id", "lang"), "doc_id"
+    )
+    n = d.groupBy("lang", "split").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    l = n.groupBy("lang").agg(F.sum("n_docs").cast("long").alias("n_lang"))
+    pct = (
+        f"CASE split WHEN 'train' THEN {training.TRAIN_PCT}"
+        f" WHEN 'val' THEN {training.VAL_PCT}"
+        f" ELSE {100 - training.TRAIN_PCT - training.VAL_PCT} END"
+    )
+    return n.join(l, "lang").select(
+        "lang",
+        "split",
+        "n_docs",
+        "n_lang",
+        F.expr("(2 * n_docs * 1000000 + n_lang) DIV (2 * n_lang)").alias(
+            "share_1e6"
+        ),
+        F.expr(
+            f"abs((2 * n_docs * 1000000 + n_lang) DIV (2 * n_lang)"
+            f" - ({pct}) * 10000)"
+        )
+        .cast("long")
+        .alias("drift_1e6"),
+    )
