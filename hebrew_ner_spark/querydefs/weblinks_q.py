@@ -722,3 +722,79 @@ def web_mirror_hosts(spark, sf_dir):
         "text",
     )
     return weblinks.mirror_host_pairs(base.unionByName(mirror))
+
+
+# ---------------------------------------------------------------------------
+# Fetch plan: the crawl loop's output table (robots x authority x shard)
+# ---------------------------------------------------------------------------
+
+from hebrew_ner_spark.functions.hashing import phash_duck  # noqa: E402
+from hebrew_ner_spark.operators import crawl as _crawl  # noqa: E402
+from hebrew_ner_spark.operators import robots as _robots  # noqa: E402
+from hebrew_ner_spark.querydefs.robots_q import _ROB_CTES  # noqa: E402
+
+_FP_HRW = phash_duck(
+    "url || '|' || CAST(s.shard AS VARCHAR)", _crawl.HRW_SEED
+)
+
+
+@query(
+    "web_fetch_plan",
+    oracle=f"""
+    WITH {_ROB_CTES},
+    {_LINKS_CTE},
+    e AS (SELECT src_host AS subj_id, dst_host AS obj_id,
+                 n_links AS n_evidence FROM lg),
+    {_pagerank_ctes(PAGERANK_ITERS)},
+    fp_w AS (
+      SELECT url, s.shard, {_FP_HRW} AS w
+      FROM robd, (SELECT unnest(range({_crawl.N_FETCH_SHARDS})) AS shard) s
+    ),
+    fp_a AS (
+      SELECT url, shard FROM (
+        SELECT url, shard,
+               row_number() OVER (PARTITION BY url ORDER BY w DESC, shard DESC)
+                 AS rn
+        FROM fp_w) WHERE rn = 1
+    )
+    SELECT d.url, d.host, d.allowed,
+           CAST(coalesce(p.pr, 0) AS BIGINT) AS pr_1e6,
+           CAST(a.shard AS BIGINT) AS shard
+    FROM robd d
+    LEFT JOIN p{PAGERANK_ITERS} p ON p.id = d.host
+    JOIN fp_a a ON a.url = d.url
+    """,
+)
+def web_fetch_plan(spark, sf_dir):
+    """The crawl loop's closing table — one row per frontier url with
+    its REP verdict (robots longest-match), its host's fused authority
+    (PageRank over the link graph), and its rendezvous fetch shard:
+    what a fetcher fleet actually consumes. Three url/host-keyed joins
+    over components each oracle-gated on their own; the lifecycle gate
+    pins the composition."""
+    docs = _docs_w(spark, sf_dir)
+    dec = _robots.robots_decisions(
+        _robots.synth_probe_urls(docs), _robots.synth_robots_rules(docs)
+    )
+    from hebrew_ner_spark.operators import pagerank as _pr
+
+    edges = weblinks.link_edges(_pages(spark, sf_dir)).select(
+        F.col("src_host").alias("subj_id"),
+        F.col("dst_host").alias("obj_id"),
+        F.col("n_links").alias("n_evidence"),
+    )
+    pr = _pr.entity_pagerank(edges).select(
+        F.col("entity_id").alias("host"), "pr_1e6"
+    )
+    shard = _crawl.shard_assignment(dec.select("url"))
+    return (
+        dec.join(pr, "host", "left")
+        .join(shard, "url")
+        .select(
+            "url",
+            "host",
+            "allowed",
+            F.coalesce("pr_1e6", F.lit(0)).cast("long").alias("pr_1e6"),
+            "shard",
+        )
+    )
