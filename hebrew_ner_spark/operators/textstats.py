@@ -477,3 +477,65 @@ def bigram_score(docs: DataFrame, lm_docs: DataFrame | None = None) -> DataFrame
             ).alias("mean_bits_1e6"),
         )
     )
+
+
+def token_drift_tv(hist: DataFrame, v_a: int, v_b: int) -> DataFrame:
+    """(n_tokens_a, n_tokens_b, n_types, tv_1e6) — total-variation
+    distance between two crawl snapshots' token distributions:
+    TV = (1/2) * sum over types of |p_a(t) - p_b(t)|. THE drift alarm a
+    recurring-ingest pipeline puts on its tokenizer/extractor: TV ~ 0
+    means the new crawl speaks the same language as the old one; a jump
+    means either the web moved or the pipeline broke.
+
+    Exactness: |c_a/N_a - c_b/N_b| cross-multiplies to
+    |c_a*N_b - c_b*N_a| / (N_a*N_b) — summed in integers (one HUGEINT-
+    safe BIGINT sum; counts and totals are bounded by corpus size) and
+    divided once at the end, half-up. No per-type rounding at all, so
+    the result is the mathematically exact TV at micro precision.
+
+    Scale shape: one token-keyed count aggregate per side (map-side
+    combinable), a full-outer join on token (missing side = 0), then a
+    scalar fold. The totals ride as two broadcast-sized one-row tables
+    crossJoined in (the kmeans-scalar precedent), never collected.
+    """
+    def side(v: int, name: str) -> DataFrame:
+        toks = (
+            hist.where(F.col("v") == v)
+            .select(F.explode(F.split("text", " ")).alias("token"))
+            .where(F.col("token") != "")
+        )
+        return toks.groupBy("token").agg(
+            F.count("*").cast("long").alias(name)
+        )
+    a = side(v_a, "c_a")
+    b = side(v_b, "c_b")
+    j = a.join(b, "token", "full_outer").select(
+        F.coalesce("c_a", F.lit(0)).cast("long").alias("c_a"),
+        F.coalesce("c_b", F.lit(0)).cast("long").alias("c_b"),
+    )
+    tot = (
+        j.agg(
+            F.sum("c_a").cast("long").alias("n_a"),
+            F.sum("c_b").cast("long").alias("n_b"),
+        )
+    )
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n_a").cast("long").alias("n_tokens_a"),
+            F.max("n_b").cast("long").alias("n_tokens_b"),
+            F.count("*").cast("long").alias("n_types"),
+            F.sum(F.expr("abs(c_a * n_b - c_b * n_a)"))
+            .cast("long")
+            .alias("_num"),
+        )
+        .select(
+            "n_tokens_a",
+            "n_tokens_b",
+            "n_types",
+            F.expr(
+                "CAST((2 * _num * 1000000 + 2 * n_tokens_a * n_tokens_b)"
+                " DIV (2 * 2 * n_tokens_a * n_tokens_b) AS BIGINT)"
+            ).alias("tv_1e6"),
+        )
+    )

@@ -484,3 +484,49 @@ def web_shard_rebalance(spark, sf_dir):
     — every survivor's argmax is untouched (operators/crawl.py
     shard_rebalance)."""
     return crawl.shard_rebalance(_hrw_pages(spark, sf_dir), _HRW_REMOVED)
+
+
+@query(
+    "txt_drift_tv",
+    oracle=f"""
+    WITH {_HIST_CTE},
+    tv_a AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS token
+            FROM hist WHERE v = 0)
+      WHERE token <> '' GROUP BY 1
+    ),
+    tv_b AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS token
+            FROM hist WHERE v = 2)
+      WHERE token <> '' GROUP BY 1
+    ),
+    tv_j AS (
+      SELECT coalesce(a.c, 0) AS ca, coalesce(b.c, 0) AS cb
+      FROM tv_a a FULL OUTER JOIN tv_b b USING (token)
+    ),
+    tv_t AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+             CAST(count(*) AS BIGINT) AS nt
+      FROM tv_j
+    ),
+    tv_s AS (
+      SELECT CAST(sum(abs(ca * nb - cb * na)) AS BIGINT) AS num
+      FROM tv_j, tv_t
+    )
+    SELECT na AS n_tokens_a, nb AS n_tokens_b, nt AS n_types,
+           CAST((2 * num * 1000000 + 2 * na * nb)
+                // (2 * 2 * na * nb) AS BIGINT) AS tv_1e6
+    FROM tv_t, tv_s
+    """,
+)
+def txt_drift_tv(spark, sf_dir):
+    """Exact total-variation distance between crawl v0 and v2 token
+    distributions: per-type rounding never happens — one integer
+    cross-multiplied sum, divided once at the end. Token-keyed
+    full-outer join + scalar fold (operators/textstats.py
+    token_drift_tv)."""
+    from hebrew_ner_spark.operators.textstats import token_drift_tv
+
+    return token_drift_tv(_hist(spark, sf_dir), 0, 2)

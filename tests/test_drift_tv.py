@@ -1,0 +1,26 @@
+"""Exact TV-distance closed-form fixtures."""
+
+from __future__ import annotations
+
+from hebrew_ner_spark.operators.textstats import token_drift_tv
+
+
+def _hist(spark, rows):
+    return spark.createDataFrame(rows, "v long, text string")
+
+
+def test_tv_closed_form(spark):
+    # v0: a a b  (p = 2/3, 1/3) ; v1: a b b  (p = 1/3, 2/3)
+    # TV = 1/2 (|2/3-1/3| + |1/3-2/3|) = 1/3
+    out = token_drift_tv(_hist(spark, [(0, "a a b"), (1, "a b b")]), 0, 1)
+    r = out.collect()[0]
+    assert r["n_tokens_a"] == 3 and r["n_tokens_b"] == 3
+    assert r["n_types"] == 2
+    assert r["tv_1e6"] == 333_333  # half-up of 1/3
+
+
+def test_tv_identical_and_disjoint(spark):
+    same = token_drift_tv(_hist(spark, [(0, "x y z"), (1, "x y z")]), 0, 1)
+    assert same.collect()[0]["tv_1e6"] == 0
+    disj = token_drift_tv(_hist(spark, [(0, "x y"), (1, "p q")]), 0, 1)
+    assert disj.collect()[0]["tv_1e6"] == 1_000_000
