@@ -94,3 +94,54 @@ def log2_histogram(df: DataFrame, stratum: str, value_col) -> DataFrame:
         .groupBy(stratum, "bucket")
         .agg(F.count("*").alias("n"))
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    stratum: str,
+    value_col,
+    weight_col,
+    qs: list[int] = QUANTILES,
+) -> DataFrame:
+    """(stratum, q, v) — weighted percentile_disc per stratum: the
+    smallest v whose cumulative WEIGHT reaches q% of the stratum's
+    total weight. The planner question exact_quantiles cannot answer:
+    "below what document length does half the stratum's TOKEN MASS
+    sit?" — which is what sizes batches and shards, because cost
+    follows tokens, not document counts (one 50k-token page outweighs
+    a thousand stubs).
+
+    Same scale discipline as exact_quantiles: collapse to (stratum, v)
+    grain first (weights SUM map-side), so the per-stratum window walks
+    distinct values, not rows; 100 * cum >= q * total keeps the test in
+    exact integers on both engines.
+    """
+    hist = (
+        df.select(
+            F.col(stratum),
+            value_col.cast("long").alias("v"),
+            weight_col.cast("long").alias("_w"),
+        )
+        .groupBy(stratum, "v")
+        .agg(F.sum("_w").alias("wsum"))
+    )
+    w = (
+        Window.partitionBy(stratum)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        stratum,
+        "v",
+        F.sum("wsum").over(w).alias("cum"),
+        F.sum("wsum").over(Window.partitionBy(stratum)).alias("total"),
+    )
+    q_df = cum.sparkSession.createDataFrame([(q,) for q in qs], "q long")
+    return (
+        cum.join(
+            F.broadcast(q_df),
+            F.lit(100) * F.col("cum") >= F.col("q") * F.col("total"),
+        )
+        .groupBy(stratum, "q")
+        .agg(F.min("v").alias("v"))
+    )
