@@ -539,3 +539,59 @@ def token_drift_tv(hist: DataFrame, v_a: int, v_b: int) -> DataFrame:
             ).alias("tv_1e6"),
         )
     )
+
+
+DRIFT_TOP_K = 20
+
+
+def token_drift_heavy(
+    hist: DataFrame, v_a: int, v_b: int, k: int = DRIFT_TOP_K
+) -> DataFrame:
+    """(token, c_a, c_b, delta_x, rank) — the k tokens driving the
+    distributional drift between two snapshots, ranked by the exact
+    cross-multiplied mass |c_a*N_b - c_b*N_a| (the same integer the TV
+    distance sums, so "top drift tokens" and "total drift" are the same
+    currency). The triage view behind the txt_drift_tv alarm: WHAT
+    moved — a vocabulary shift, one template exploding, a tokenizer
+    regression on punctuation.
+
+    Scale shape: same count-aggregate + full-outer join as the TV fold,
+    then rank <= k over ONE unkeyed window — but ordered on a value
+    computed AT the (token) grain, so Spark's WindowGroupLimit partial
+    top-k bounds every map task's exchange contribution at k rows; the
+    single reducer sees tasks*k rows, never the vocabulary.
+    """
+    from pyspark.sql import Window
+
+    def side(v: int, name: str) -> DataFrame:
+        return (
+            hist.where(F.col("v") == v)
+            .select(F.explode(F.split("text", " ")).alias("token"))
+            .where(F.col("token") != "")
+            .groupBy("token")
+            .agg(F.count("*").cast("long").alias(name))
+        )
+
+    j = side(v_a, "c_a").join(side(v_b, "c_b"), "token", "full_outer").select(
+        "token",
+        F.coalesce("c_a", F.lit(0)).cast("long").alias("c_a"),
+        F.coalesce("c_b", F.lit(0)).cast("long").alias("c_b"),
+    )
+    tot = j.agg(
+        F.sum("c_a").cast("long").alias("n_a"),
+        F.sum("c_b").cast("long").alias("n_b"),
+    )
+    scored = j.crossJoin(F.broadcast(tot)).select(
+        "token",
+        "c_a",
+        "c_b",
+        F.expr("abs(c_a * n_b - c_b * n_a)").cast("long").alias("delta_x"),
+    )
+    # global top-k as orderBy + limit -> TakeOrderedAndProject: each task
+    # forwards its local k, the driver merges tasks*k rows. An UNKEYED
+    # rank<=k window does NOT get the WindowGroupLimit rewrite here, so
+    # it would sort the whole vocabulary through one task; the rank is
+    # attached afterwards by a window over the k survivors only.
+    top = scored.orderBy(F.col("delta_x").desc(), F.col("token")).limit(k)
+    w = Window.orderBy(F.col("delta_x").desc(), F.col("token"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

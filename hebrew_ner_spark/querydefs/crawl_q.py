@@ -530,3 +530,47 @@ def txt_drift_tv(spark, sf_dir):
     from hebrew_ner_spark.operators.textstats import token_drift_tv
 
     return token_drift_tv(_hist(spark, sf_dir), 0, 2)
+
+
+@query(
+    "txt_drift_heavy",
+    oracle=f"""
+    WITH {_HIST_CTE},
+    dh_a AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS token
+            FROM hist WHERE v = 0)
+      WHERE token <> '' GROUP BY 1
+    ),
+    dh_b AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS token
+            FROM hist WHERE v = 2)
+      WHERE token <> '' GROUP BY 1
+    ),
+    dh_j AS (
+      SELECT coalesce(a.token, b.token) AS token,
+             coalesce(a.c, 0) AS c_a, coalesce(b.c, 0) AS c_b
+      FROM dh_a a FULL OUTER JOIN dh_b b USING (token)
+    ),
+    dh_t AS (SELECT CAST(sum(c_a) AS BIGINT) AS na,
+                    CAST(sum(c_b) AS BIGINT) AS nb FROM dh_j),
+    dh_r AS (
+      SELECT token, c_a, c_b,
+             CAST(abs(c_a * nb - c_b * na) AS BIGINT) AS delta_x,
+             row_number() OVER (ORDER BY abs(c_a * nb - c_b * na) DESC, token)
+               AS rank
+      FROM dh_j, dh_t
+    )
+    SELECT token, c_a, c_b, delta_x, CAST(rank AS BIGINT) AS rank
+    FROM dh_r WHERE rank <= {20}
+    """,
+)
+def txt_drift_heavy(spark, sf_dir):
+    """The 20 tokens driving the v0 -> v2 drift, ranked by the exact
+    cross-multiplied mass the TV distance sums — WindowGroupLimit
+    partial top-k so the vocabulary never funnels through one task
+    (operators/textstats.py token_drift_heavy)."""
+    from hebrew_ner_spark.operators.textstats import token_drift_heavy
+
+    return token_drift_heavy(_hist(spark, sf_dir), 0, 2)

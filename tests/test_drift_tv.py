@@ -24,3 +24,15 @@ def test_tv_identical_and_disjoint(spark):
     assert same.collect()[0]["tv_1e6"] == 0
     disj = token_drift_tv(_hist(spark, [(0, "x y"), (1, "p q")]), 0, 1)
     assert disj.collect()[0]["tv_1e6"] == 1_000_000
+
+
+def test_drift_heavy_ranks_the_mover(spark):
+    from hebrew_ner_spark.operators.textstats import token_drift_heavy
+
+    # 'boom' goes 0 -> 50 while everything else is stable
+    rows = [(0, "a b c d e"), (1, "a b c d e " + "boom " * 50)]
+    out = token_drift_heavy(_hist(spark, rows), 0, 1, 3).collect()
+    by_rank = sorted(out, key=lambda r: r["rank"])
+    assert by_rank[0]["token"] == "boom"
+    assert by_rank[0]["c_a"] == 0 and by_rank[0]["c_b"] == 50
+    assert len(out) == 3

@@ -75,3 +75,30 @@ def test_udf_wrapped_filter_defeats_pushdown_counterexample(spark):
     plan = _plan(df)
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert pushed and "GreaterThan" not in pushed[0]
+
+
+def test_interval_overlap_is_equi_join(spark):
+    # the range join must compile to a hash/sort-merge EQUI-join on the
+    # bin key, never a broadcast nested loop over the theta predicate
+    from hebrew_ner_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["kg_interval_overlap"](spark, SF))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Join [bin" in plan or "join [bin" in plan.lower()
+
+
+def test_drift_heavy_uses_take_ordered(spark):
+    # the global top-k over the vocabulary must be TakeOrdered (each
+    # task forwards its local k), not a full sort through one task;
+    # the rank window then runs over the k survivors only
+    from hebrew_ner_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["txt_drift_heavy"](spark, SF))
+    assert "TakeOrdered" in plan
+
+
+def test_weighted_sample_uses_window_group_limit(spark):
+    from hebrew_ner_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["cur_weighted_sample"](spark, SF))
+    assert "WindowGroupLimit" in plan
