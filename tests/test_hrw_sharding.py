@@ -39,3 +39,16 @@ def test_minimal_disruption(spark):
             # rendezvous contract: survivors never move
             assert r["moved"] == 0 and r["new_shard"] == r["old_shard"]
     assert sum(r["moved"] for r in reb) == sum(1 for s in old.values() if s == 3)
+
+
+def test_assignment_stable_under_corpus_growth(spark):
+    # rendezvous assignment is a pure function of the url: adding new
+    # urls must not move ANY existing url's shard (the property mod-N
+    # bucketing lacks only on fleet change, but hash%N also holds here;
+    # the rendezvous property matters on fleet change, tested above)
+    small = _urls(spark, 200)
+    big = _urls(spark, 400)  # superset: same construction, more urls
+    a = {r["url"]: r["shard"] for r in shard_assignment(small, 8).collect()}
+    b = {r["url"]: r["shard"] for r in shard_assignment(big, 8).collect()}
+    for url, s in a.items():
+        assert b[url] == s

@@ -66,3 +66,30 @@ def test_disjoint_pairs_absent(spark):
     assert (
         interval_overlap_join(_iv(spark, ivs), _win(spark, wins), 2).count() == 0
     )
+
+
+def test_randomized_brute_force_sweep(spark):
+    # deterministic LCG cloud over a wider axis, multiple bin widths
+    x = 424242
+    ivs, wins = [], []
+    for i in range(120):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        lo = x % 50
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        ln = x % 12
+        ivs.append((f"s{i}", "p", f"o{i}", lo, lo + ln))
+    for w in range(15):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        lo = x % 55
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        wins.append((w, lo, lo + x % 9))
+    expect = _brute(ivs, wins)
+    for bw in (1, 2, 5, 16):
+        got = {
+            (r["w_id"], r["subj"], r["pred"], r["obj"], r["v_from"],
+             r["v_to"], r["ov_from"], r["ov_to"])
+            for r in interval_overlap_join(
+                _iv(spark, ivs), _win(spark, wins), bw
+            ).collect()
+        }
+        assert got == expect, f"bin width {bw}"

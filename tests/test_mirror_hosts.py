@@ -51,3 +51,31 @@ def test_partial_overlap_below_threshold(spark):
     for r in out:
         assert 0 < r["jaccard_1e6"] <= 1_000_000
         assert r["n_inter"] == min(r["n_a"], r["n_b"])  # subset case
+
+
+def test_host_signature_composes_from_doc_signatures(spark):
+    # the claim mirror detection rests on: the host-grain minhash equals
+    # the min over its documents' signatures (min of mins over the union)
+    import pyspark.sql.functions as F
+    from hebrew_ner_spark.operators import dedup
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon"),
+        (1, "one two three four five six"),
+        (2, "red green blue yellow purple"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    per_doc = dedup.minhash_signatures(docs)  # (doc_id, seed, minhash)
+    folded = (
+        per_doc.groupBy("seed")
+        .agg(F.min("minhash").alias("minhash"))
+        .orderBy("seed")
+        .collect()
+    )
+    host = docs.select(F.lit("h").alias("doc_id"), "text")
+    direct = (
+        dedup._minhash_wide(dedup._shingle_rows(host), dedup.NUM_HASHES)
+        .collect()[0]
+    )
+    for r in folded:
+        assert direct[f"h{r['seed']}"] == r["minhash"]
