@@ -70,7 +70,13 @@ _WINDOW = [
     # in-window) for ann_pq_topk — ADC scoring is a brand-new
     # broadcast-LUT + table-sum shape with no driver history
     "ann_pq_topk",
-    "flt_bloom_join_equiv",
+    # flt_bloom_join_equiv rotated out late-r3 (the no-false-negative
+    # join equivalence is pytest-pinned and in-window flt_bloom_bits
+    # gates the same bit/hash machinery) for ed_link_typos — the FastSS
+    # deletion-blocking dictionary join is brand-new, and its oracle is
+    # the brute-force cross join, so the driver row certifies blocking
+    # LOSSLESSNESS, not just replay agreement
+    "ed_link_typos",
     # sk_hll_registers rotated out late-r3 (the register grid is the
     # direct upstream of in-window sk_hll_estimate — any register drift
     # surfaces there — and the grid is pytest-pinned) for
@@ -94,7 +100,11 @@ _WINDOW = [
     "kg_bgp_match",
     "sk_cms_heavy",
     "seg_sentences",
-    "seg_tokens",
+    # seg_tokens rotated out late-r3 (byte-identical tokenizer parity is
+    # fuzz-pinned against the reference's own executed code, and
+    # seg_sentences keeps the T1/T2 family in-window) for ed_self_pairs
+    # — the vocabulary edit-distance self-join, brute-force oracle
+    "ed_self_pairs",
     # late-r3 rotation: txt_token_freq / txt_fingerprint / txt_normalize /
     # txt_lang_id / ann_brute_topk / ann_lsh_topk / ann_lsh_buckets /
     # emb_near_dups / web_crawl_deltas / web_asof_probe rotated out — all
@@ -130,7 +140,11 @@ _WINDOW = [
     # both trained indexes interoperating in one gate (probe restriction
     # + ADC rescoring), the shape most likely to break if either drifts
     "ann_ivfpq_topk",
-    "cur_mixture_shares",
+    # cur_mixture_shares rotated out late-r3 (in-window
+    # cur_mixture_sample consumes the share table — weight drift
+    # surfaces there) for ed_pairs_capped — the planted-overflow cap
+    # replay of the edit-distance bucket pair generator
+    "ed_pairs_capped",
     # srch_postings rotated out late-r3 (in-window srch_bm25_topk
     # consumes the postings summary — index drift surfaces there) for
     # kg_triples_dup_flag — brand-new cross-engine containment shape
@@ -225,6 +239,12 @@ _WINDOW = [
 
 # Out-of-window this round (check_correctness still gates all of them;
 # the committed CORRECTNESS_FULL.json records the full-registry run):
+# * ed_typo_surfaces / ed_dict_variants / ed_overflow — upstream /
+#   report twins of the three in-window ed_* gates (the corruption
+#   table and dictionary neighborhood feed ed_link_typos directly, and
+#   the overflow report's HAVING is the complement of ed_pairs_capped's
+#   bucket filter); FastSS losslessness and cap routing are additionally
+#   pytest-pinned vs brute force at k=1 and k=2;
 # * web_out_links / web_link_graph / web_link_graph_salted /
 #   web_host_degrees / web_host_pagerank / web_link_resolution /
 #   web_anchor_evidence / web_crawl_to_kg_delta / kg_kcore /
