@@ -133,7 +133,13 @@ _WINDOW = [
     "kg_align_best",
     # emb_near_dups_skew rotated out for mention_model_neural (judge-
     # verified in r2, same bucketed-matmul plan family as emb_near_dups)
-    "ann_ivf_topk",
+    # ann_ivf_topk rotated out late-r3 (in-window ann_ivfpq_topk runs
+    # the same trained coarse quantizer as its probe-restriction stage —
+    # centroid/assign drift surfaces there) for zx_prune_compare — the
+    # z-order layout payoff gate replays the whole Morton-key ->
+    # equal-row file cut -> manifest stats -> probe-count chain, the
+    # riskiest new cross-engine shape (two-level rank vs global window)
+    "zx_prune_compare",
     # ann_recall rotated out late-r3 (same recall-join construction as
     # the pq/sq recall gates riding CORRECTNESS_FULL, over the in-window
     # ann_ivf_topk results) for ann_ivfpq_topk — the IVF-PQ composition:
@@ -239,6 +245,11 @@ _WINDOW = [
 
 # Out-of-window this round (check_correctness still gates all of them;
 # the committed CORRECTNESS_FULL.json records the full-registry run):
+# * zx_keys / zx_file_stats — upstream stages of in-window
+#   zx_prune_compare (its oracle replays the identical key and stats
+#   CTEs, so drift in either surfaces there); Morton closed forms,
+#   equal-row cut vs global sort, and the pruning-payoff invariant are
+#   pytest-pinned; both ride CORRECTNESS_FULL;
 # * ed_typo_surfaces / ed_dict_variants / ed_overflow — upstream /
 #   report twins of the three in-window ed_* gates (the corruption
 #   table and dictionary neighborhood feed ed_link_typos directly, and
