@@ -164,9 +164,13 @@ _WINDOW = [
     "mm_decode",
     "ann_kmeans_cells",
     # link_fuzzy_minhash rotated out (its MinHash tier is exercised as a
-    # stage of in-window link_full_tiered) for kg_entity_summary — the
-    # new WindowGroupLimit per-entity top-k shape
-    "kg_entity_summary",
+    # stage of in-window link_full_tiered) for kg_entity_summary; then
+    # kg_entity_summary rotated out late-r3 (ranked top-k with pinned
+    # tie order — the lowest-risk cross-engine class, pytest-pinned)
+    # for burst_path — the one-HOF Viterbi burst decode, whose oracle
+    # is exhaustive 2^16 path enumeration with matched (cost, path) tie
+    # order: the riskiest new cross-engine shape of the late round
+    "burst_path",
     "link_full_tiered",
     "kg_pagerank",
     # mm_features rotated out (channel means over the same decode kernel
@@ -245,6 +249,12 @@ _WINDOW = [
 
 # Out-of-window this round (check_correctness still gates all of them;
 # the committed CORRECTNESS_FULL.json records the full-registry run):
+# * burst_bins / burst_costs / burst_states / burst_intervals —
+#   upstream cells and downstream unpacks of in-window burst_path (the
+#   enumeration oracle replays the identical bin/cost CTEs, and states/
+#   intervals are bit extractions of the gated path id); the DP is
+#   additionally pytest-pinned vs Python brute force with hysteresis
+#   and tie-order cases; all ride CORRECTNESS_FULL;
 # * zx_keys / zx_file_stats — upstream stages of in-window
 #   zx_prune_compare (its oracle replays the identical key and stats
 #   CTEs, so drift in either surfaces there); Morton closed forms,
