@@ -249,6 +249,11 @@ _WINDOW = [
 
 # Out-of-window this round (check_correctness still gates all of them;
 # the committed CORRECTNESS_FULL.json records the full-registry run):
+# * kg_simrank / kg_simrank_overflow — added after the window filled;
+#   the unrolled-round oracle is a replay, but the pytest surface is an
+#   INDEPENDENT pure-Python SimRank compared pair-for-pair on the full
+#   gated graph (plus Jeh-Widom closed forms, hub-cap exclusion, and
+#   the source-only-diagonal case); both ride CORRECTNESS_FULL;
 # * burst_bins / burst_costs / burst_states / burst_intervals —
 #   upstream cells and downstream unpacks of in-window burst_path (the
 #   enumeration oracle replays the identical bin/cost CTEs, and states/
