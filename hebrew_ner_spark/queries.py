@@ -200,9 +200,14 @@ _WINDOW = [
     "cur_token_budget",
     "kg_triples_deppat",
     # kg_edges_typed rotated out (one groupBy over in-window
-    # kg_triples_deppat's output) for kg_subsumption — new ordered-pair
-    # containment shape with threshold semantics
-    "kg_subsumption",
+    # kg_triples_deppat's output) for kg_subsumption; then kg_subsumption
+    # rotated out late-r3 (its containment-threshold arithmetic is the
+    # same ordered-pair family as in-window kg_triples_dup_flag and is
+    # pytest-pinned closed-form) for dep_mst — the Chu-Liu/Edmonds MST
+    # dependency decode vs an exhaustive 16-arborescence enumeration
+    # oracle with a unique argmax (bitmask perturbation): the
+    # enumeration-proven-decoder class, like the CRF gates
+    "dep_mst",
     # kg_cooc_lift rotated out late-r3 (plain lift arithmetic over the
     # judge-stable cooccurrence agg, pytest-pinned) for eval_bcubed_dedup
     # — brand-new cross-engine metric arithmetic (contingency-grain
@@ -249,6 +254,11 @@ _WINDOW = [
 
 # Out-of-window this round (check_correctness still gates all of them;
 # the committed CORRECTNESS_FULL.json records the full-registry run):
+# * dep_clauses / dep_arcs — upstream stages of in-window dep_mst (the
+#   enumeration oracle replays the identical clause/arc CTEs and sums
+#   the gated arc scores, so drift in either surfaces there); the CLE
+#   decoder is additionally pytest-fuzzed vs brute force to n=5 with
+#   forced-cycle contraction cases; both ride CORRECTNESS_FULL;
 # * kg_simrank / kg_simrank_overflow — added after the window filled;
 #   the unrolled-round oracle is a replay, but the pytest surface is an
 #   INDEPENDENT pure-Python SimRank compared pair-for-pair on the full
