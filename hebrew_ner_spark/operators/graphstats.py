@@ -1196,6 +1196,70 @@ def bounded_reach(edges: DataFrame, max_hops: int = REACH_MAX_HOPS) -> DataFrame
     return r
 
 
+# --- weighted bounded shortest paths (the Dijkstra-class twin) -------------
+
+WREACH_HORIZON = 8   # power of two: ceil(log2) min-plus squarings are EXACT
+WREACH_SEED = 47
+WREACH_W_MOD = 90    # weights in [10, 99] — two digits, varied routes
+
+
+def weighted_sr_edges(docs: DataFrame) -> DataFrame:
+    """(src, dst, w) — the SimRank sparse graph (shared parents -> real
+    alternative routes, unlike the permutation graph whose paths are
+    unique) with deterministic integer weights w = h60(src|dst) % 90 + 10
+    both engines derive identically."""
+    from hebrew_ner_spark.functions.hashing import phash_col
+    from hebrew_ner_spark.operators.simrank import synth_sr_edges
+
+    e = synth_sr_edges(docs)
+    return e.select(
+        "src",
+        "dst",
+        (
+            phash_col(F.concat_ws("|", "src", "dst"), WREACH_SEED)
+            % WREACH_W_MOD
+            + 10
+        ).alias("w"),
+    )
+
+
+def weighted_reach(edges: DataFrame, horizon: int = WREACH_HORIZON) -> DataFrame:
+    """(src, dst, min_w): minimum total edge weight over any walk of at
+    most ``horizon`` hops (nonnegative weights, so the min is attained
+    by a simple path; cycle returns src == dst included, as in
+    ``bounded_reach``) — min-plus MATRIX SQUARING: round k holds the
+    exact min weight over <= 2^k hops, because any such walk splits at
+    its midpoint into two <= 2^(k-1)-hop halves and nonnegative weights
+    compose under min. ceil(log2 horizon) relay-keyed self-joins + min
+    aggregates, the Dijkstra-class answer in the bounded_reach shape —
+    no priority queue to distribute, no per-hop sequential frontier.
+
+    Oracle-proven against the opposite construction (one-hop-at-a-time
+    recursive CTE accumulating walk weights, min at the end)."""
+    assert horizon & (horizon - 1) == 0, "horizon must be a power of two"
+    r = (
+        edges.select("src", "dst", F.col("w").cast("long").alias("min_w"))
+        .groupBy("src", "dst")
+        .agg(F.min("min_w").alias("min_w"))
+    )
+    for _ in range(horizon.bit_length() - 1):
+        a = r.select(
+            "src", F.col("dst").alias("_via"), F.col("min_w").alias("_wa")
+        )
+        b = r.select(
+            F.col("src").alias("_via"), "dst", F.col("min_w").alias("_wb")
+        )
+        step = a.join(b, "_via").select(
+            "src", "dst", (F.col("_wa") + F.col("_wb")).alias("min_w")
+        )
+        r = (
+            r.unionByName(step)
+            .groupBy("src", "dst")
+            .agg(F.min("min_w").cast("long").alias("min_w"))
+        )
+    return r
+
+
 # ---------------------------------------------------------------------------
 # Graph partition quality (edge cut + load balance)
 # ---------------------------------------------------------------------------

@@ -254,6 +254,12 @@ _WINDOW = [
 
 # Out-of-window this round (check_correctness still gates all of them;
 # the committed CORRECTNESS_FULL.json records the full-registry run):
+# * kg_weighted_reach — added after the window filled; the SAME
+#   opposite-construction oracle class as in-window kg_bounded_reach
+#   (min-plus squaring vs depth-bounded recursive CTE), now with weight
+#   accumulation; pytest pins lighter-longer-path, horizon cutoff,
+#   cycle returns, and an independent bounded Bellman-Ford parity on
+#   the full gated graph; rides CORRECTNESS_FULL;
 # * dep_clauses / dep_arcs — upstream stages of in-window dep_mst (the
 #   enumeration oracle replays the identical clause/arc CTEs and sums
 #   the gated arc scores, so drift in either surfaces there); the CLE

@@ -629,6 +629,49 @@ def kg_bounded_reach(spark, sf_dir):
     )
 
 
+# weighted twin: min TOTAL WEIGHT over <= horizon hops, min-plus matrix
+# squaring vs the opposite construction (hop-at-a-time recursive CTE
+# accumulating walk weights, min at the end). Runs on the SimRank sparse
+# graph (shared parents -> genuinely alternative routes) with portable
+# hash weights. The horizon is imported so retuning cannot desync.
+from hebrew_ner_spark.functions.hashing import phash_duck as _wr_phash  # noqa: E402
+from hebrew_ner_spark.operators.graphstats import (  # noqa: E402
+    WREACH_HORIZON as _WR_H,
+    WREACH_SEED as _WR_SEED,
+    WREACH_W_MOD as _WR_MOD,
+)
+from hebrew_ner_spark.querydefs.simrank_q import _SRE as _WR_SRE  # noqa: E402
+
+_WREACH_ORACLE = f"""
+    WITH RECURSIVE {_WR_SRE},
+    wre AS (
+      SELECT src, dst,
+             CAST(({_wr_phash("src || '|' || dst", _WR_SEED)})
+                  % {_WR_MOD} + 10 AS BIGINT) AS w
+      FROM sre
+    ),
+    wrp AS (
+      SELECT src, dst, w, 1 AS hops FROM wre
+      UNION
+      SELECT p.src, e.dst, p.w + e.w, p.hops + 1
+      FROM wrp p JOIN wre e ON e.src = p.dst
+      WHERE p.hops < {_WR_H}
+    )
+    SELECT src, dst, CAST(min(w) AS BIGINT) AS min_w
+    FROM wrp GROUP BY 1, 2
+"""
+
+
+@query("kg_weighted_reach", oracle=_WREACH_ORACLE)
+def kg_weighted_reach(spark, sf_dir):
+    """Bounded-horizon weighted shortest paths (the Dijkstra-class
+    capability): min-plus squaring vs the recursive-CTE walk oracle —
+    exact because any <= 2^k-hop walk splits at its midpoint."""
+    return graphstats.weighted_reach(
+        graphstats.weighted_sr_edges(_docs(spark, sf_dir))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Graph partition quality
 # ---------------------------------------------------------------------------

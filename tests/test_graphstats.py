@@ -708,3 +708,71 @@ def test_partition_quality_python_replay(spark):
         )
     # self-loop (4,4) is never cut at any k
     assert all(got[k][1] < len(pairs) for k in (8, 32))
+
+
+class TestWeightedReach:
+    def _run(self, spark, rows, horizon=8):
+        df = spark.createDataFrame(rows, ["src", "dst", "w"])
+        return {
+            (r.src, r.dst): r.min_w
+            for r in graphstats.weighted_reach(df, horizon).collect()
+        }
+
+    def test_lighter_longer_path_wins(self, spark):
+        # direct a->d costs 100; the 3-hop detour costs 30
+        rows = [("a", "d", 100), ("a", "b", 10), ("b", "c", 10), ("c", "d", 10)]
+        got = self._run(spark, rows)
+        assert got[("a", "d")] == 30
+
+    def test_horizon_cutoff(self, spark):
+        # a 3-hop chain is invisible at horizon 2
+        rows = [("a", "b", 1), ("b", "c", 1), ("c", "d", 1)]
+        got = self._run(spark, rows, horizon=2)
+        assert ("a", "d") not in got and got[("a", "c")] == 2
+
+    def test_parallel_edge_min(self, spark):
+        rows = [("a", "b", 9), ("a", "b", 3)]
+        assert self._run(spark, rows)[("a", "b")] == 3
+
+    def test_cycle_return_included(self, spark):
+        rows = [("a", "b", 5), ("b", "a", 7)]
+        got = self._run(spark, rows)
+        assert got[("a", "a")] == 12 and got[("b", "b")] == 12
+
+    def test_corpus_parity_vs_bellman_ford(self, spark, sf_dir):
+        from collections import defaultdict
+
+        from hebrew_ner_spark.sources.catalog import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        e = graphstats.weighted_sr_edges(docs)
+        edges = [(r.src, r.dst, r.w) for r in e.collect()]
+        got = {
+            (r.src, r.dst): r.min_w
+            for r in graphstats.weighted_reach(e).collect()
+        }
+        # independent bounded Bellman-Ford over walks
+        best = defaultdict(dict)  # src -> dst -> w
+        cur = defaultdict(dict)
+        for s, d, w in edges:
+            cur[s][d] = min(cur[s].get(d, 1 << 60), w)
+        for s in cur:
+            best[s].update(cur[s])
+        for _ in range(graphstats.WREACH_HORIZON - 1):
+            nxt = defaultdict(dict)
+            adj = defaultdict(list)
+            for s, d, w in edges:
+                adj[s].append((d, w))
+            for s in cur:
+                for mid, w1 in cur[s].items():
+                    for d, w2 in adj.get(mid, []):
+                        v = w1 + w2
+                        if v < nxt[s].get(d, 1 << 60):
+                            nxt[s][d] = v
+            for s in nxt:
+                for d, v in nxt[s].items():
+                    if v < best[s].get(d, 1 << 60):
+                        best[s][d] = v
+            cur = nxt
+        want = {(s, d): v for s in best for d, v in best[s].items()}
+        assert got == want
