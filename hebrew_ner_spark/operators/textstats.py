@@ -15,7 +15,7 @@ scale-pipeline generalization (training-data curation over 10^12 docs).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hebrew_ner_spark.functions.hashing import phash_sql_expr, shingles_col
@@ -595,3 +595,96 @@ def token_drift_heavy(
     top = scored.orderBy(F.col("delta_x").desc(), F.col("token")).limit(k)
     w = Window.orderBy(F.col("delta_x").desc(), F.col("token"))
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+# --- Heaps-law vocabulary growth (corpus-size planning) ---------------------
+#
+# V(n) = distinct word-k-shingle types among the first n token positions
+# of the corpus (deterministic doc_id order). The curve that answers "how
+# much NEW vocabulary does the next crawl slice buy" — dataset-scaling
+# planning reads its slope (Heaps' law V ~ K*n^beta) directly. Exact at
+# power-of-two checkpoints; no sampling, no floats.
+
+HEAPS_K = 3          # shingle width (token types saturate the closed vocab)
+HEAPS_OFF_SPAN = 1024  # docs per offset bucket (two-level cumsum grain)
+
+
+def shingle_first_pos(docs: DataFrame, k: int = HEAPS_K) -> DataFrame:
+    """(sh, first_pos) — each distinct word-k-shingle's first global
+    token position (position = tokens before this doc + in-doc index,
+    doc_id order).
+
+    Doc offsets resolve two-level (the build_vocab / compaction-cumsum
+    discipline): within-bucket window + one window over the bucket-total
+    table (doc_count / SPAN rows), so no doc-grain data funnels through
+    a single task. Shingle indexing is one codegen transform; the first
+    position is one min aggregate."""
+    lens = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n"),
+        (F.col("doc_id") / HEAPS_OFF_SPAN).cast("long").alias("bkt"),
+    )
+    local = lens.withColumn(
+        "loc",
+        F.coalesce(
+            F.sum("n").over(
+                Window.partitionBy("bkt")
+                .orderBy("doc_id")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    btot = lens.groupBy("bkt").agg(F.sum("n").alias("bn"))
+    boff = btot.withColumn(
+        "boff",
+        F.coalesce(
+            F.sum("bn").over(
+                Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("bkt", "boff")
+    offs = local.join(F.broadcast(boff), "bkt").select(
+        "doc_id", (F.col("loc") + F.col("boff")).cast("long").alias("off")
+    )
+    sh = docs.select("doc_id", F.split("text", " ").alias("t")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(t) < {k} THEN array() "
+                f"ELSE transform(sequence(0, size(t) - {k}), i -> "
+                f"named_struct('i', CAST(i AS BIGINT), "
+                f"'sh', concat_ws(' ', slice(t, i + 1, {k})))) END"
+            )
+        ).alias("e"),
+    )
+    return (
+        sh.join(offs, "doc_id")
+        .select("e.sh", (F.col("off") + F.col("e.i")).alias("p"))
+        .groupBy("sh")
+        .agg(F.min("p").cast("long").alias("first_pos"))
+    )
+
+
+def heaps_curve(docs: DataFrame, k: int = HEAPS_K) -> DataFrame:
+    """(kbit, checkpoint, new_types, vocab_size) — vocabulary growth at
+    power-of-two prefixes: bucket kbit = bitlen(first_pos + 1), so
+    ``vocab_size`` at checkpoint 2^kbit - 1 tokens is the cumulative
+    type count (exact: first_pos <= 2^kbit - 2 <=> the shingle starts
+    inside the prefix). The cumsum window runs over <= 62 bucket rows."""
+    fp = shingle_first_pos(docs, k)
+    buckets = (
+        fp.select(F.expr("length(bin(first_pos + 1))").cast("long").alias("kbit"))
+        .groupBy("kbit")
+        .agg(F.count("*").alias("new_types"))
+    )
+    w = Window.orderBy("kbit").rowsBetween(Window.unboundedPreceding, 0)
+    return buckets.select(
+        "kbit",
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(kbit AS INT)) - 1").alias(
+            "checkpoint"
+        ),
+        "new_types",
+        F.sum("new_types").over(w).cast("long").alias("vocab_size"),
+    )

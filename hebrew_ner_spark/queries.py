@@ -254,6 +254,12 @@ _WINDOW = [
 
 # Out-of-window this round (check_correctness still gates all of them;
 # the committed CORRECTNESS_FULL.json records the full-registry run):
+# * txt_shingle_first / txt_heaps_curve — added after the window
+#   filled; the two-level offset cumsum is the build_vocab/compaction
+#   discipline already driver-verified through maint_compaction_plan
+#   (in-window), and the oracle is a single-global-window opposite
+#   construction; closed-form positions pytest-pinned; ride
+#   CORRECTNESS_FULL;
 # * kg_weighted_reach — added after the window filled; the SAME
 #   opposite-construction oracle class as in-window kg_bounded_reach
 #   (min-plus squaring vs depth-bounded recursive CTE), now with weight

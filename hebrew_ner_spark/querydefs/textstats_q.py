@@ -413,3 +413,54 @@ def txt_winnow(spark, sf_dir):
     pos) per gram window, deduped — position-robust near-dup evidence
     with the shared-run guarantee (pytest-pinned on planted documents)."""
     return textstats.winnow_fingerprints(_docs(spark, sf_dir))
+
+
+# --- Heaps-law vocabulary growth --------------------------------------------
+
+_HK = textstats.HEAPS_K
+
+_HFP = f"""
+ht AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+hl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM ht),
+ho AS (SELECT doc_id,
+              CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS off
+       FROM hl),
+hsh AS (SELECT ht.doc_id, CAST(ix.i AS BIGINT) AS i,
+               array_to_string(t[ix.i + 1:ix.i + {_HK}], ' ') AS sh
+        FROM ht, LATERAL (SELECT unnest(range(greatest(len(t) - {_HK} + 1, 0))) AS i) ix),
+hfp AS (SELECT sh, CAST(min(ho.off + hsh.i) AS BIGINT) AS first_pos
+        FROM hsh JOIN ho ON hsh.doc_id = ho.doc_id
+        GROUP BY sh)
+"""
+
+
+@query(
+    "txt_shingle_first",
+    oracle=f"WITH {_HFP} SELECT sh, first_pos FROM hfp",
+)
+def txt_shingle_first(spark, sf_dir):
+    """First global position of every shingle type — the two-level
+    offset cumsum must agree with the oracle's single global window."""
+    return textstats.shingle_first_pos(_docs(spark, sf_dir))
+
+
+@query(
+    "txt_heaps_curve",
+    oracle=f"""
+    WITH {_HFP},
+    hb AS (SELECT CAST(length(bin(first_pos + 1)) AS BIGINT) AS kbit,
+                  count(*) AS new_types
+           FROM hfp GROUP BY 1)
+    SELECT kbit, CAST((1 << kbit) - 1 AS BIGINT) AS checkpoint, new_types,
+           CAST(sum(new_types) OVER (ORDER BY kbit
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS vocab_size
+    FROM hb
+    """,
+)
+def txt_heaps_curve(spark, sf_dir):
+    """Vocabulary growth at power-of-two token-prefix checkpoints (the
+    Heaps-law curve corpus-scaling plans read)."""
+    return textstats.heaps_curve(_docs(spark, sf_dir))

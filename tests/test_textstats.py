@@ -125,3 +125,49 @@ def test_winnow_guarantee_and_edges(spark):
     n_grams0 = len(toks0) - FINGERPRINT_K + 1
     assert 1 <= len(by_doc[0]) < n_grams0
     assert WINNOW_W > 1
+
+
+class TestHeapsCurve:
+    def test_first_positions_closed_form(self, spark):
+        from hebrew_ner_spark.operators import textstats
+
+        docs = spark.createDataFrame(
+            [(0, "a b c a b c"), (1, "a b c d e f")], ["doc_id", "text"]
+        )
+        got = {
+            r.sh: r.first_pos
+            for r in textstats.shingle_first_pos(docs).collect()
+        }
+        # doc 0 positions 0..3; doc 1 offset 6, positions 6..9
+        assert got == {
+            "a b c": 0, "b c a": 1, "c a b": 2,
+            "b c d": 7, "c d e": 8, "d e f": 9,
+        }
+
+    def test_curve_monotone_and_total(self, spark, sf_dir):
+        from hebrew_ner_spark.operators import textstats
+        from hebrew_ner_spark.sources.catalog import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        rows = sorted(
+            textstats.heaps_curve(docs).collect(), key=lambda r: r.kbit
+        )
+        assert rows
+        assert all(r.checkpoint == (1 << r.kbit) - 1 for r in rows)
+        v = [r.vocab_size for r in rows]
+        assert v == sorted(v)
+        assert v[-1] == textstats.shingle_first_pos(docs).count()
+
+    def test_short_docs_skipped(self, spark):
+        from hebrew_ner_spark.operators import textstats
+
+        docs = spark.createDataFrame(
+            [(0, "a b"), (1, "x y z")], ["doc_id", "text"]
+        )
+        got = {
+            r.sh: r.first_pos
+            for r in textstats.shingle_first_pos(docs).collect()
+        }
+        # doc 0 is shorter than k=3: contributes positions (offset 2) but
+        # no shingles
+        assert got == {"x y z": 2}
