@@ -215,9 +215,13 @@ _WINDOW = [
     "eval_bcubed_dedup",
     # kg_triangles rotated out late-r3 (its wedge enumeration is
     # exercised in-window by kg_ktruss's triangle-support peel) for
-    # sk_kmv_jaccard — brand-new cross-engine shape (merged bottom-k
-    # membership flags + micro-unit overlap)
-    "sk_kmv_jaccard",
+    # sk_kmv_jaccard; then sk_kmv_jaccard rotated out (the sk family
+    # keeps three in-window rows — hll/cms/quantiles — and the bottom-k
+    # membership arithmetic is pytest-pinned) for er_pair_scores — the
+    # Fellegi-Sunter classification chain (histogram u, gold-group m,
+    # smoothed bitlen log-odds, LSH-candidate scoring) is the largest
+    # new cross-engine composition of the late round
+    "er_pair_scores",
     # kg_snapshot_timetravel rotated out late-r3 (snapshot-filter
     # semantics pytest-pinned, gate-green in every full-registry run)
     # for web_robots_decisions — brand-new cross-engine precedence
@@ -254,6 +258,10 @@ _WINDOW = [
 
 # Out-of-window this round (check_correctness still gates all of them;
 # the committed CORRECTNESS_FULL.json records the full-registry run):
+# * er_field_stats — the weight table in-window er_pair_scores consumes
+#   wholesale (any m/u/weight drift breaks the scoring gate); smoothing
+#   edge cases and closed-form weights pytest-pinned; rides
+#   CORRECTNESS_FULL;
 # * txt_shingle_first / txt_heaps_curve — added after the window
 #   filled; the two-level offset cumsum is the build_vocab/compaction
 #   discipline already driver-verified through maint_compaction_plan
