@@ -256,3 +256,139 @@ def expire_snapshots(refs: DataFrame, keep_from: int = KEEP_FROM) -> DataFrame:
         .cast("long")
         .alias("orphan"),
     )
+
+
+# --- merge-on-read delete files (Iceberg v2 row-level deletes) --------------
+#
+# The READ side of row-level deletes: a MoR table's scan must fold two
+# delete-file kinds into every data-file read, each with its own
+# sequence-number scoping rule (Iceberg spec #position-delete-files /
+# #equality-delete-files):
+#
+#   position deletes (file_id, pos) apply to data files whose data
+#     sequence number is <= the delete file's sequence number;
+#   equality deletes (column = value) apply to data files whose data
+#     sequence number is STRICTLY LESS than the delete file's — a row
+#     written in the same commit as an equality delete is NOT deleted
+#     by it (that asymmetry is the spec's concurrency contract, and the
+#     planted fixtures exercise the boundary on purpose).
+#
+# Both folds are anti-join shapes: at 10^12 rows the delete files are
+# metadata-scale next to the data (and broadcast), so MoR reads cost
+# one scan + two broadcast anti-joins — which is exactly why engines
+# prefer MoR over copy-on-write for delete-heavy tables.
+
+MOR_FILE_ROWS = 100   # rows per synthetic data file
+MOR_POS_SEED = 59
+MOR_EQ_LANG_MOD = 7   # equality-delete target derived per doc
+
+
+def synth_mor_rows(docs: DataFrame) -> DataFrame:
+    """(file_id, pos, doc_id, lang, data_seq) — the data-file layout:
+    doc_id DIV 100 is the file, doc_id % 100 the row position, and the
+    file's data sequence number cycles 1..3 (so every scoping rule has
+    rows on both sides of its boundary at every scale factor)."""
+    return docs.select(
+        (F.col("doc_id") / MOR_FILE_ROWS).cast("long").alias("file_id"),
+        (F.col("doc_id") % MOR_FILE_ROWS).cast("long").alias("pos"),
+        "doc_id",
+        "lang",
+    ).withColumn("data_seq", (F.col("file_id") % 3 + 1).cast("long"))
+
+
+def synth_pos_deletes(docs: DataFrame) -> DataFrame:
+    """(file_id, pos, seq) — planted position-delete rows: every doc
+    with h60(doc_id) % 5 == 0 is targeted, with the delete's sequence
+    number alternating 1 and 3 (so against data_seq 1..3 some deletes
+    are too OLD to apply — the <= rule has real work)."""
+    from hebrew_ner_spark.functions.hashing import phash_col
+
+    h = phash_col(F.col("doc_id").cast("string"), MOR_POS_SEED)
+    return (
+        docs.where(h % 5 == 0)
+        .select(
+            (F.col("doc_id") / MOR_FILE_ROWS).cast("long").alias("file_id"),
+            (F.col("doc_id") % MOR_FILE_ROWS).cast("long").alias("pos"),
+            F.when((h % 2) == 0, F.lit(3)).otherwise(F.lit(1))
+            .cast("long")
+            .alias("seq"),
+        )
+    )
+
+
+def synth_eq_deletes(spark) -> DataFrame:
+    """(lang, seq) — two planted equality deletes: lang 'he' at seq 2
+    (applies only to data_seq-1 files: strict rule) and lang 'en' at
+    seq 4 (applies to every file)."""
+    return spark.createDataFrame(
+        [("he", 2), ("en", 4)], "lang string, seq long"
+    )
+
+
+def mor_read(
+    rows: DataFrame, pos_del: DataFrame, eq_del: DataFrame
+) -> DataFrame:
+    """(file_id, pos, doc_id, lang, data_seq) — the merged (live) rows:
+    one scan + two broadcast anti-joins carrying each rule's sequence
+    predicate inside the join condition."""
+    p = pos_del.select(
+        F.col("file_id").alias("_pf"),
+        F.col("pos").alias("_pp"),
+        F.col("seq").alias("_ps"),
+    )
+    e = eq_del.select(F.col("lang").alias("_el"), F.col("seq").alias("_es"))
+    live = rows.join(
+        F.broadcast(p),
+        (F.col("file_id") == F.col("_pf"))
+        & (F.col("pos") == F.col("_pp"))
+        & (F.col("data_seq") <= F.col("_ps")),
+        "left_anti",
+    )
+    return live.join(
+        F.broadcast(e),
+        (F.col("lang") == F.col("_el")) & (F.col("data_seq") < F.col("_es")),
+        "left_anti",
+    )
+
+
+def mor_file_stats(
+    rows: DataFrame, pos_del: DataFrame, eq_del: DataFrame
+) -> DataFrame:
+    """(file_id, n_rows, n_pos_deleted, n_eq_deleted, n_live) — the
+    per-file delete audit a compaction planner reads (files with high
+    delete ratios are rewrite candidates). A row deleted by BOTH kinds
+    counts as position-deleted (positions bind tighter than predicates
+    — same precedence the live-read anti-join order implies)."""
+    p = pos_del.select(
+        F.col("file_id").alias("_pf"),
+        F.col("pos").alias("_pp"),
+        F.col("seq").alias("_ps"),
+    )
+    e = eq_del.select(F.col("lang").alias("_el"), F.col("seq").alias("_es"))
+    flagged = (
+        rows.join(
+            F.broadcast(p),
+            (F.col("file_id") == F.col("_pf"))
+            & (F.col("pos") == F.col("_pp"))
+            & (F.col("data_seq") <= F.col("_ps")),
+            "left",
+        )
+        .withColumn("posdel", F.col("_pf").isNotNull().cast("long"))
+        .join(
+            F.broadcast(e),
+            (F.col("lang") == F.col("_el")) & (F.col("data_seq") < F.col("_es")),
+            "left",
+        )
+        .withColumn(
+            "eqdel",
+            ((F.col("posdel") == 0) & F.col("_el").isNotNull()).cast("long"),
+        )
+    )
+    return flagged.groupBy("file_id").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("posdel").cast("long").alias("n_pos_deleted"),
+        F.sum("eqdel").cast("long").alias("n_eq_deleted"),
+        (F.count("*") - F.sum("posdel") - F.sum("eqdel"))
+        .cast("long")
+        .alias("n_live"),
+    )

@@ -258,6 +258,12 @@ _WINDOW = [
 
 # Out-of-window this round (check_correctness still gates all of them;
 # the committed CORRECTNESS_FULL.json records the full-registry run):
+# * maint_mor_read / maint_mor_stats — added after the window filled;
+#   both sequence-scoping boundaries (pos <=, eq <) are planted so a
+#   rule mixup flips the hash, and the asymmetry/precedence semantics
+#   are pytest-pinned on constructed fixtures; the anti-join shape is
+#   the in-window family of kg_rule_infer/trn_decontaminate; ride
+#   CORRECTNESS_FULL;
 # * er_field_stats — the weight table in-window er_pair_scores consumes
 #   wholesale (any m/u/weight drift breaks the scoring gate); smoothing
 #   edge cases and closed-form weights pytest-pinned; rides

@@ -180,3 +180,90 @@ def maint_expire_orphans(spark, sf_dir):
     return maintenance.expire_snapshots(
         maintenance.synth_snapshot_refs(_docs(spark, sf_dir))
     )
+
+
+# --- merge-on-read row-level deletes -----------------------------------------
+
+from hebrew_ner_spark.functions.hashing import phash_duck as _mor_phash  # noqa: E402
+
+_MOR = f"""
+mrr AS (
+  SELECT CAST(doc_id // {maintenance.MOR_FILE_ROWS} AS BIGINT) AS file_id,
+         CAST(doc_id % {maintenance.MOR_FILE_ROWS} AS BIGINT) AS pos,
+         doc_id, lang,
+         CAST((doc_id // {maintenance.MOR_FILE_ROWS}) % 3 + 1 AS BIGINT)
+           AS data_seq
+  FROM documents
+),
+mpd AS (
+  SELECT CAST(doc_id // {maintenance.MOR_FILE_ROWS} AS BIGINT) AS file_id,
+         CAST(doc_id % {maintenance.MOR_FILE_ROWS} AS BIGINT) AS pos,
+         CAST(CASE WHEN h % 2 = 0 THEN 3 ELSE 1 END AS BIGINT) AS seq
+  FROM (SELECT doc_id,
+               {_mor_phash('CAST(doc_id AS VARCHAR)', maintenance.MOR_POS_SEED)} AS h
+        FROM documents)
+  WHERE h % 5 = 0
+),
+med(dlang, dseq) AS (VALUES ('he', CAST(2 AS BIGINT)), ('en', CAST(4 AS BIGINT)))
+"""
+
+
+@query(
+    "maint_mor_read",
+    oracle=f"""
+    WITH {_MOR}
+    SELECT file_id, pos, doc_id, lang, data_seq FROM mrr r
+    WHERE NOT EXISTS (SELECT 1 FROM mpd p
+                      WHERE p.file_id = r.file_id AND p.pos = r.pos
+                        AND r.data_seq <= p.seq)
+      AND NOT EXISTS (SELECT 1 FROM med e
+                      WHERE e.dlang = r.lang AND r.data_seq < e.dseq)
+    """,
+)
+def maint_mor_read(spark, sf_dir):
+    """Iceberg v2 merge-on-read scan: position deletes (data_seq <=
+    delete seq) and equality deletes (data_seq STRICTLY < delete seq)
+    folded as broadcast anti-joins — the boundary rows on both rules
+    are planted, so a <= / < mixup flips the hash."""
+    docs = _docs(spark, sf_dir)
+    return maintenance.mor_read(
+        maintenance.synth_mor_rows(docs),
+        maintenance.synth_pos_deletes(docs),
+        maintenance.synth_eq_deletes(spark),
+    )
+
+
+@query(
+    "maint_mor_stats",
+    oracle=f"""
+    WITH {_MOR},
+    mfl AS (
+      SELECT r.file_id,
+             CASE WHEN EXISTS (SELECT 1 FROM mpd p
+                               WHERE p.file_id = r.file_id AND p.pos = r.pos
+                                 AND r.data_seq <= p.seq)
+                  THEN 1 ELSE 0 END AS posdel,
+             CASE WHEN NOT EXISTS (SELECT 1 FROM mpd p
+                                   WHERE p.file_id = r.file_id AND p.pos = r.pos
+                                     AND r.data_seq <= p.seq)
+                   AND EXISTS (SELECT 1 FROM med e
+                               WHERE e.dlang = r.lang AND r.data_seq < e.dseq)
+                  THEN 1 ELSE 0 END AS eqdel
+      FROM mrr r
+    )
+    SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(posdel) AS BIGINT) AS n_pos_deleted,
+           CAST(sum(eqdel) AS BIGINT) AS n_eq_deleted,
+           CAST(count(*) - sum(posdel) - sum(eqdel) AS BIGINT) AS n_live
+    FROM mfl GROUP BY file_id
+    """,
+)
+def maint_mor_stats(spark, sf_dir):
+    """Per-file delete audit (the compaction planner's rewrite-candidate
+    input); position deletes bind tighter than equality predicates."""
+    docs = _docs(spark, sf_dir)
+    return maintenance.mor_file_stats(
+        maintenance.synth_mor_rows(docs),
+        maintenance.synth_pos_deletes(docs),
+        maintenance.synth_eq_deletes(spark),
+    )

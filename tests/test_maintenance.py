@@ -166,3 +166,74 @@ def test_expire_snapshots_synth_nonvacuous_and_consistent(spark):
         assert r["n_refs"] == last - a + 1
         assert r["n_kept"] == max(0, last - max(a, 2) + 1)
         assert r["orphan"] == int(r["n_kept"] == 0)
+
+
+class TestMergeOnRead:
+    def _dfs(self, spark, rows, pos, eq):
+        r = spark.createDataFrame(
+            rows, "file_id long, pos long, doc_id long, lang string, data_seq long"
+        )
+        p = spark.createDataFrame(pos, "file_id long, pos long, seq long")
+        e = spark.createDataFrame(eq, "lang string, seq long")
+        return r, p, e
+
+    def test_sequence_boundary_asymmetry(self, spark):
+        # position delete at seq 2: applies to data_seq <= 2 (BOTH rows);
+        # equality delete at seq 2: applies to data_seq < 2 (first only)
+        rows = [
+            (0, 0, 0, "he", 1),
+            (1, 0, 100, "he", 2),
+        ]
+        r, p, e = self._dfs(
+            spark, rows, [(0, 0, 2), (1, 0, 2)], [("he", 2)]
+        )
+        from hebrew_ner_spark.operators import maintenance as mnt
+
+        # position deletes alone kill both
+        live_pos = mnt.mor_read(r, p, e.limit(0)).collect()
+        assert live_pos == []
+        # equality delete alone kills only the data_seq-1 row
+        live_eq = {
+            x.doc_id for x in mnt.mor_read(r, p.limit(0), e).collect()
+        }
+        assert live_eq == {100}
+
+    def test_old_position_delete_does_not_apply(self, spark):
+        from hebrew_ner_spark.operators import maintenance as mnt
+
+        rows = [(0, 0, 0, "xx", 3)]
+        r, p, e = self._dfs(spark, rows, [(0, 0, 1)], [])
+        assert len(mnt.mor_read(r, p, e).collect()) == 1
+
+    def test_stats_precedence_and_totals(self, spark):
+        from hebrew_ner_spark.operators import maintenance as mnt
+
+        # row 0: both rules hit -> counts as position-deleted only
+        rows = [(0, 0, 0, "he", 1), (0, 1, 1, "he", 1), (0, 2, 2, "xx", 1)]
+        r, p, e = self._dfs(spark, rows, [(0, 0, 3)], [("he", 4)])
+        st = mnt.mor_file_stats(r, p, e).collect()[0]
+        assert (st.n_rows, st.n_pos_deleted, st.n_eq_deleted, st.n_live) == (
+            3, 1, 1, 1,
+        )
+        live = {x.doc_id for x in mnt.mor_read(r, p, e).collect()}
+        assert live == {2} and len(live) == st.n_live
+
+    def test_deletes_broadcast(self, spark, sf_dir):
+        from hebrew_ner_spark.operators import maintenance as mnt
+        from hebrew_ner_spark.sources.catalog import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        plan = (
+            mnt.mor_read(
+                mnt.synth_mor_rows(docs),
+                mnt.synth_pos_deletes(docs),
+                mnt.synth_eq_deletes(spark),
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("BroadcastHashJoin") + plan.count(
+            "BroadcastNestedLoopJoin"
+        ) >= 2
+        assert "SortMergeJoin" not in plan
