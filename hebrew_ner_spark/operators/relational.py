@@ -369,3 +369,38 @@ def event_count_anomalies(events: DataFrame, k: int = 3) -> DataFrame:
             .alias("anomaly"),
         )
     )
+
+
+def session_windows_native(
+    events: DataFrame, gap_min: int = SESSION_GAP_MIN
+) -> DataFrame:
+    """(user_id, sess_start_ms, sess_end_ms, n_events, value_cents) —
+    sessionization through Spark's NATIVE ``session_window`` aggregate
+    (the merging-session-state operator Structured Streaming uses),
+    cross-validated against the manual gaps-and-islands construction.
+
+    Semantics pinned: session windows are half-open — an event exactly
+    ``gap`` after the previous one starts a NEW session (the manual
+    ``sessionize`` uses strict >; the synthetic micro-precision
+    timestamps never land on the boundary, and the oracle states the
+    native >= rule, so the gate is exact and the difference documented).
+    ``sess_end_ms`` is last event + gap, the spec's window end."""
+    sw = F.session_window(
+        F.col("ts").cast("timestamp"), f"{gap_min} minutes"
+    )
+    return (
+        events.groupBy("user_id", sw.alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(
+                "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
+            ).alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            F.unix_millis("w.start").alias("sess_start_ms"),
+            F.unix_millis("w.end").alias("sess_end_ms"),
+            "n_events",
+            "value_cents",
+        )
+    )

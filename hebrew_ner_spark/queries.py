@@ -258,6 +258,11 @@ _WINDOW = [
 
 # Out-of-window this round (check_correctness still gates all of them;
 # the committed CORRECTNESS_FULL.json records the full-registry run):
+# * evt_session_window_native — added after the window filled; the
+#   native session_window aggregate vs the gaps-and-islands oracle
+#   pins the half-open boundary semantics; the manual construction's
+#   gate (evt_sessionize) has two rounds of green history; rides
+#   CORRECTNESS_FULL;
 # * maint_mor_read / maint_mor_stats — added after the window filled;
 #   both sequence-scoping boundaries (pos <=, eq <) are planted so a
 #   rule mixup flips the hash, and the asymmetry/precedence semantics

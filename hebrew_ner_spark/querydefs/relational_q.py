@@ -322,3 +322,32 @@ def evt_count_anomalies(spark, sf_dir):
     """Robust (median/MAD, exact-integer) outlier flags over the hourly
     ingest series — the pipeline's monitoring table."""
     return relational.event_count_anomalies(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "evt_session_window_native",
+    oracle=f"""
+    WITH t AS (SELECT user_id, ts, epoch_us(ts) AS tu,
+                      CAST(round(value * 100) AS BIGINT) AS vc
+               FROM events),
+    g AS (SELECT *, CASE WHEN tu - lag(tu) OVER w
+                              >= {relational.SESSION_GAP_MIN} * 60000000
+                         THEN 1 ELSE 0 END AS brk
+          FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tu)),
+    s AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY tu)
+                         AS BIGINT) AS sid
+          FROM g)
+    SELECT user_id,
+           CAST(min(tu) // 1000 AS BIGINT) AS sess_start_ms,
+           CAST(max(tu) // 1000 + {relational.SESSION_GAP_MIN} * 60000
+                AS BIGINT) AS sess_end_ms,
+           count(*) AS n_events,
+           CAST(sum(vc) AS BIGINT) AS value_cents
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def evt_session_window_native(spark, sf_dir):
+    """Spark's native session_window vs the gaps-and-islands oracle —
+    the two constructions agree only if the merging-window semantics
+    (half-open gap boundary, end = last + gap) are exactly right."""
+    return relational.session_windows_native(load_table(spark, sf_dir, "events"))
