@@ -65,12 +65,14 @@ def field_stats(docs: DataFrame) -> DataFrame:
     """(field, m_num, m_den, u_num, u_den, w_agree, w_disagree) — the
     smoothed Fellegi-Sunter weight table (three rows; ordered-pair
     counts so the /2 cancels)."""
-    f = doc_fields(docs).persist()
+    from hebrew_ner_spark.operators.graphstats import _evict, _persist
+
+    _evict("er_field_stats")
+    f = _persist("er_field_stats", doc_fields(docs))
     n = f.select(F.count("*").alias("n"))
-    gold = (
-        docs.select(F.md5("text").alias("g"), "doc_id")
-        .join(f, "doc_id")
-        .persist()
+    gold = _persist(
+        "er_field_stats",
+        docs.select(F.md5("text").alias("g"), "doc_id").join(f, "doc_id"),
     )
     out = []
     for field in ER_FIELDS:

@@ -362,3 +362,76 @@ def read_postings(spark: SparkSession, out_dir: str) -> DataFrame:
         F.sum("df").cast("long").alias("df"),
         F.sum("cf").cast("long").alias("cf"),
     )
+
+
+def run_attribution_join(
+    spark: SparkSession,
+    clicks_dir: str,
+    views_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window_min: int = 10,
+) -> None:
+    """Stream-STREAM interval join (the ad-attribution canonical form):
+    each click joins the same user's views from the preceding
+    ``window_min`` minutes. Both sides carry 1-hour event-time
+    watermarks, so Spark bounds the view-side join state — views older
+    than watermark - window are evicted instead of buffered forever,
+    which is the entire point of watermarked stream-stream joins at
+    10^12-event scale (unbounded state is the naive join's failure
+    mode). Append output; availableNow drains.
+
+    Cross-batch correctness contract (pytest-pinned): a click arriving
+    in a later micro-batch still finds views from earlier batches while
+    they are inside the watermark horizon — state lives across
+    triggers, and time-ordered file landings (the ingest reality) keep
+    every in-window pair alive until matched.
+    """
+    clicks = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(clicks_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").cast("timestamp").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    views = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(views_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").cast("timestamp").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    joined = clicks.join(
+        views,
+        (clicks.user_id == views.user_id)
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("click_ts") - F.expr(f"INTERVAL {window_min} MINUTES")
+        ),
+    ).select(
+        "click_id",
+        "view_id",
+        clicks.user_id.alias("user_id"),
+        F.unix_millis("click_ts").alias("click_ms"),
+        F.unix_millis("view_ts").alias("view_ms"),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -279,3 +279,59 @@ def test_incremental_postings_fold_equals_batch(spark, tmp_path):
 def test_read_postings_empty_drain(spark, tmp_path):
     out = str(tmp_path / "out")
     assert incremental.read_postings(spark, out).count() == 0
+
+
+def test_stream_stream_attribution_join(spark, tmp_path):
+    """Stream-stream interval join == the batch join, across micro-batch
+    boundaries: time-ordered landings, clicks in the second batch must
+    still find first-batch views inside the watermark horizon."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    clicks_dir = str(tmp_path / "clicks")
+    views_dir = str(tmp_path / "views")
+    os.makedirs(clicks_dir)
+    os.makedirs(views_dir)
+
+    mid = ev.selectExpr(
+        "timestamp_micros(CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY unix_micros(CAST(ts AS TIMESTAMP))) AS BIGINT)) AS m"
+    ).collect()[0][0]
+
+    def land(df, tmp_dir, dest_dir, name):
+        df.coalesce(1).write.parquet(tmp_dir)
+        part = [f for f in os.listdir(tmp_dir) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(tmp_dir, part), os.path.join(dest_dir, name))
+
+    # chronological two-file landings per side (the ingest reality)
+    for side, d in (("click", clicks_dir), ("view", views_dir)):
+        sub = ev.where(F.col("event_type") == side)
+        land(sub.where(F.col("ts") <= mid), str(tmp_path / f"{side}1"), d, "f1.parquet")
+        land(sub.where(F.col("ts") > mid), str(tmp_path / f"{side}2"), d, "f2.parquet")
+
+    out = str(tmp_path / "out")
+    incremental.run_attribution_join(
+        spark, clicks_dir, views_dir, out, str(tmp_path / "ckpt")
+    )
+    got = {
+        (r.click_id, r.view_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    c = ev.where("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").cast("timestamp").alias("cts"),
+    )
+    v = ev.where("event_type = 'view'").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("vu"),
+        F.col("ts").cast("timestamp").alias("vts"),
+    )
+    want = {
+        (r.click_id, r.view_id)
+        for r in c.join(
+            v,
+            (F.col("cu") == F.col("vu"))
+            & (F.col("vts") <= F.col("cts"))
+            & (F.col("vts") >= F.col("cts") - F.expr("INTERVAL 10 MINUTES")),
+        ).collect()
+    }
+    assert want, "the batch join must be non-empty for the test to bite"
+    assert got == want
