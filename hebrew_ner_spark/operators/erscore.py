@@ -178,3 +178,39 @@ def pair_scores(docs: DataFrame, thresh: int = ER_THRESH) -> DataFrame:
         "score",
         (F.col("score") >= thresh).cast("long").alias("is_match"),
     )
+
+
+def resolution_pipeline(docs: DataFrame, thresh: int = ER_THRESH) -> DataFrame:
+    """(doc_id, component, is_canonical) — the COMPOSED entity-resolution
+    lifecycle: LSH blocking -> Fellegi-Sunter scoring -> threshold ->
+    connected-components clustering -> canonical selection. Every stage
+    is its own gated operator; this gate pins the composition (the
+    pipeline a production linker actually runs).
+
+    component = min doc_id reachable through match edges (the CC
+    contract), so canonical selection is the zero-cost identity
+    ``is_canonical = (doc_id == component)`` — no extra pass. Singletons
+    (never blocked or never matched) are their own canonical cluster.
+    """
+    from hebrew_ner_spark.operators.canonicalize import connected_components
+
+    matches = pair_scores(docs, thresh).where(F.col("is_match") == 1)
+    comp = connected_components(
+        matches.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ),
+        "src",
+        "dst",
+    )
+    return (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("vertex", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").cast("long").alias("component"),
+        )
+        .withColumn(
+            "is_canonical",
+            (F.col("doc_id") == F.col("component")).cast("long"),
+        )
+    )

@@ -269,6 +269,11 @@ _WINDOW = [
 #   are pytest-pinned on constructed fixtures; the anti-join shape is
 #   the in-window family of kg_rule_infer/trn_decontaminate; ride
 #   CORRECTNESS_FULL;
+# * er_resolution — the composed ER lifecycle (block -> score -> CC ->
+#   canonical); its match edges are exactly in-window er_pair_scores'
+#   output and the closure oracle is the cc_dedup_components exact
+#   pattern; cluster/canonical invariants pytest-pinned; rides
+#   CORRECTNESS_FULL;
 # * er_field_stats — the weight table in-window er_pair_scores consumes
 #   wholesale (any m/u/weight drift breaks the scoring gate); smoothing
 #   edge cases and closed-form weights pytest-pinned; rides

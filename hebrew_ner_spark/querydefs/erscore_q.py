@@ -168,3 +168,63 @@ def er_pair_scores(spark, sf_dir):
     the planted corpus — gold clusters must classify as matches, and the
     flipped-lang copies survive on the strength of the other fields."""
     return erscore.pair_scores(_er_docs(spark, sf_dir))
+
+
+@query(
+    "er_resolution",
+    oracle=f"""
+    WITH RECURSIVE {_ER_DOCS}, {_ER_FIELDS}, {_bands_cte('docs2')},
+    erst AS (
+      SELECT * FROM ({_stats_sql('fp')})
+      UNION ALL SELECT * FROM ({_stats_sql('lang')})
+      UNION ALL SELECT * FROM ({_stats_sql('lb')})
+    ),
+    erw AS (
+      SELECT max(CASE WHEN field = 'fp' THEN w_agree END) AS fp_wa,
+             max(CASE WHEN field = 'fp' THEN w_disagree END) AS fp_wd,
+             max(CASE WHEN field = 'lang' THEN w_agree END) AS lang_wa,
+             max(CASE WHEN field = 'lang' THEN w_disagree END) AS lang_wd,
+             max(CASE WHEN field = 'lb' THEN w_agree END) AS lb_wa,
+             max(CASE WHEN field = 'lb' THEN w_disagree END) AS lb_wd
+      FROM erst
+    ),
+    erc AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM bands l
+      JOIN (SELECT band, band_key FROM bands
+            GROUP BY band, band_key
+            HAVING count(DISTINCT doc_id) <= {dedup.MAX_BUCKET}) ok
+        ON ok.band = l.band AND ok.band_key = l.band_key
+      JOIN bands r
+        ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+    ),
+    erm AS (
+      SELECT c.doc_a, c.doc_b
+      FROM erc c
+      JOIN erf a ON a.doc_id = c.doc_a
+      JOIN erf b ON b.doc_id = c.doc_b
+      CROSS JOIN erw w
+      WHERE (CASE WHEN a.fp = b.fp THEN w.fp_wa ELSE w.fp_wd END)
+            + (CASE WHEN a.lang = b.lang THEN w.lang_wa ELSE w.lang_wd END)
+            + (CASE WHEN a.lb = b.lb THEN w.lb_wa ELSE w.lb_wd END)
+            >= {erscore.ER_THRESH}
+    ),
+    eru AS (SELECT doc_a AS a, doc_b AS b FROM erm
+            UNION SELECT doc_b, doc_a FROM erm),
+    errch AS (
+      SELECT doc_id AS v, doc_id AS r FROM docs2
+      UNION
+      SELECT rc.v, e.b FROM errch rc JOIN eru e ON e.a = rc.r
+    )
+    SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS component,
+           CAST(CASE WHEN v = min(r) THEN 1 ELSE 0 END AS BIGINT)
+             AS is_canonical
+    FROM errch GROUP BY v
+    """,
+)
+def er_resolution(spark, sf_dir):
+    """The composed ER lifecycle (block -> score -> threshold -> CC ->
+    canonical pick) vs an exact recursive transitive closure of the
+    oracle-replayed match edges — the gate a production linker's output
+    contract corresponds to."""
+    return erscore.resolution_pipeline(_er_docs(spark, sf_dir))

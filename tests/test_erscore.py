@@ -77,3 +77,28 @@ class TestClassification:
         }
         assert (1, 2) in sc and (3, 4) in sc
         assert sc[(1, 2)] > sc[(3, 4)]
+
+
+class TestResolutionPipeline:
+    def test_clusters_and_canonicals(self, spark, sf_dir):
+        from hebrew_ner_spark.querydefs.erscore_q import _er_docs
+
+        res = {
+            r.doc_id: (r.component, r.is_canonical)
+            for r in erscore.resolution_pipeline(_er_docs(spark, sf_dir)).collect()
+        }
+        # every planted copy clusters with its source doc
+        for k in (0, 1, 2):
+            src_comp = res[k][0]
+            for r in range(4):
+                assert res[2_000_000 + k * 100 + r][0] == src_comp
+        # exactly one canonical per component, and it IS the component id
+        comps = {}
+        for doc, (comp, can) in res.items():
+            comps.setdefault(comp, []).append((doc, can))
+        for comp, members in comps.items():
+            cans = [d for d, c in members if c == 1]
+            assert cans == [comp]
+        # singletons are their own canonical
+        singles = [m for m in comps.values() if len(m) == 1]
+        assert singles and all(m[0][1] == 1 for m in singles)
