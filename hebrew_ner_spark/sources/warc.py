@@ -72,44 +72,47 @@ def synth_warc_segments(docs: DataFrame, per_segment: int = PAGES_PER_SEGMENT) -
     )
 
 
-def parse_warc_segments(segments: DataFrame) -> DataFrame:
-    """(segment_id, url, warc_date, text): every record of every segment.
+def walk_warc_bytes(seg_id: int, buf: bytes) -> list[tuple[int, str, str, str]]:
+    """The length-framed record walk over one segment's raw bytes (never
+    a delimiter split); raises on a malformed header rather than
+    resynchronizing silently — a corrupt segment must surface, not
+    truncate. Shared by the mapInPandas parser AND the custom Python
+    DataSource (sources/warc_datasource.py): one framing kernel, two
+    ingestion surfaces."""
+    out: list[tuple[int, str, str, str]] = []
+    pos = 0
+    while pos < len(buf):
+        hdr_end = buf.index(b"\r\n\r\n", pos)
+        header = buf[pos:hdr_end].decode("utf-8")
+        fields = dict(
+            line.split(": ", 1)
+            for line in header.split("\r\n")[1:]  # skip WARC/1.0
+        )
+        n = int(fields["Content-Length"])
+        body_start = hdr_end + 4
+        if body_start + n > len(buf):
+            raise ValueError(
+                f"truncated WARC segment {seg_id}: record at byte "
+                f"{pos} declares {n} payload bytes, "
+                f"{len(buf) - body_start} remain"
+            )
+        payload = buf[body_start : body_start + n].decode("utf-8")
+        out.append(
+            (int(seg_id), fields["WARC-Target-URI"], fields["WARC-Date"], payload)
+        )
+        pos = body_start + n + 4  # record separator \r\n\r\n
+    return out
 
-    Length-framed walk over the raw bytes (never a delimiter split);
-    raises on a malformed header rather than resynchronizing silently —
-    a corrupt segment must surface, not truncate."""
+
+def parse_warc_segments(segments: DataFrame) -> DataFrame:
+    """(segment_id, url, warc_date, text): every record of every segment,
+    via the shared framing kernel over segment-blob rows."""
 
     def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: list[tuple[int, str, str, str]] = []
             for seg_id, blob in zip(pdf["segment_id"], pdf["data"]):
-                buf = bytes(blob)
-                pos = 0
-                while pos < len(buf):
-                    hdr_end = buf.index(b"\r\n\r\n", pos)
-                    header = buf[pos:hdr_end].decode("utf-8")
-                    fields = dict(
-                        line.split(": ", 1)
-                        for line in header.split("\r\n")[1:]  # skip WARC/1.0
-                    )
-                    n = int(fields["Content-Length"])
-                    body_start = hdr_end + 4
-                    if body_start + n > len(buf):
-                        raise ValueError(
-                            f"truncated WARC segment {seg_id}: record at byte "
-                            f"{pos} declares {n} payload bytes, "
-                            f"{len(buf) - body_start} remain"
-                        )
-                    payload = buf[body_start : body_start + n].decode("utf-8")
-                    out.append(
-                        (
-                            int(seg_id),
-                            fields["WARC-Target-URI"],
-                            fields["WARC-Date"],
-                            payload,
-                        )
-                    )
-                    pos = body_start + n + 4  # record separator \r\n\r\n
+                out.extend(walk_warc_bytes(int(seg_id), bytes(blob)))
             yield pd.DataFrame(
                 out, columns=["segment_id", "url", "warc_date", "text"]
             )
