@@ -1332,3 +1332,88 @@ def partition_quality(edges: DataFrame, ks=PARTITION_KS) -> DataFrame:
             ).alias("balance_1e6"),
         )
     )
+
+
+# --- Weisfeiler-Lehman (1-WL) color refinement ------------------------------
+
+WL_ROUNDS = 3
+WL_INIT = "wl0"  # uniform initial color label
+
+
+def wl_colors(edges: DataFrame, rounds: int = WL_ROUNDS) -> DataFrame:
+    """(node, color) — directed 1-WL color refinement after ``rounds``:
+    color'(v) = h60(color(v) | sorted in-neighbor colors | sorted
+    out-neighbor colors). The canonical structural-role partition
+    (Weisfeiler-Leman 1968; the GNN-expressiveness yardstick): nodes
+    share a final color iff 1-WL cannot tell their neighborhoods apart
+    — the exact counterpart to the SRP role SIGNATURES (approximate)
+    and SimRank (similarity-valued) already shipped.
+
+    Engine shape per round: one groupBy per direction building the
+    sorted neighbor-color list (edge-keyed, map-side combined) + one
+    hash projection — colors stay 60-bit ints, the multiset is
+    canonicalized by array_sort + concat_ws, and the DuckDB oracle
+    replays the identical string both engines hash. Rounds needed in
+    practice <= graph diameter; 3 is the gated setting and the
+    refinement-monotonicity invariant is pytest-pinned."""
+    from hebrew_ner_spark.functions.hashing import phash_col
+
+    e = edges.select("src", "dst").distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    colors = nodes.withColumn(
+        "color", phash_col(F.lit(WL_INIT), 0)
+    )
+    for _ in range(rounds):
+        c_src = colors.select(
+            F.col("node").alias("src"), F.col("color").alias("c_src")
+        )
+        c_dst = colors.select(
+            F.col("node").alias("dst"), F.col("color").alias("c_dst")
+        )
+        ec = e.join(c_src, "src").join(c_dst, "dst")
+        ins = (
+            ec.groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.expr(
+                    "concat_ws(',', array_sort(collect_list(CAST(c_src AS STRING))))"
+                ).alias("in_sig")
+            )
+        )
+        outs = (
+            ec.groupBy(F.col("src").alias("node"))
+            .agg(
+                F.expr(
+                    "concat_ws(',', array_sort(collect_list(CAST(c_dst AS STRING))))"
+                ).alias("out_sig")
+            )
+        )
+        colors = (
+            colors.join(ins, "node", "left")
+            .join(outs, "node", "left")
+            .select(
+                "node",
+                phash_col(
+                    F.concat_ws(
+                        "|",
+                        F.col("color").cast("string"),
+                        F.coalesce("in_sig", F.lit("")),
+                        F.coalesce("out_sig", F.lit("")),
+                    ),
+                    0,
+                ).alias("color"),
+            )
+        )
+    return colors
+
+
+def wl_partition(edges: DataFrame, rounds: int = WL_ROUNDS) -> DataFrame:
+    """(color, n_nodes) — the refined structural-class histogram."""
+    return (
+        wl_colors(edges, rounds)
+        .groupBy("color")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+    )

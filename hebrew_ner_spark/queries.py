@@ -295,6 +295,12 @@ _WINDOW = [
 #   the gated arc scores, so drift in either surfaces there); the CLE
 #   decoder is additionally pytest-fuzzed vs brute force to n=5 with
 #   forced-cycle contraction cases; both ride CORRECTNESS_FULL;
+# * kg_wl_colors / kg_wl_partition — added after the window filled; the
+#   unrolled-round replay is the in-window iterative family
+#   (kg_ktruss/kg_fact_fusion) and the refinement is pytest-pinned by an
+#   INDEPENDENT pure-Python 1-WL compared node-for-node on the gated
+#   graph, plus automorphism/monotonicity invariants; ride
+#   CORRECTNESS_FULL;
 # * kg_simrank / kg_simrank_overflow — added after the window filled;
 #   the unrolled-round oracle is a replay, but the pytest surface is an
 #   INDEPENDENT pure-Python SimRank compared pair-for-pair on the full

@@ -721,3 +721,69 @@ def kg_partition_quality(spark, sf_dir):
         F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
     )
     return graphstats.partition_quality(e)
+
+
+# --- 1-WL color refinement ----------------------------------------------------
+
+from hebrew_ner_spark.operators.graphstats import WL_INIT as _WL_INIT  # noqa: E402
+from hebrew_ner_spark.operators.graphstats import WL_ROUNDS as _WL_R  # noqa: E402
+from hebrew_ner_spark.operators.simrank import synth_sr_edges as _wl_edges  # noqa: E402
+
+
+def _wl_round_ctes(k: int) -> str:
+    prev = f"wc{k - 1}"
+    return f"""
+wi{k} AS (
+  SELECT e.dst AS node,
+         string_agg(CAST(c.color AS VARCHAR), ','
+                    ORDER BY CAST(c.color AS VARCHAR)) AS in_sig
+  FROM sre e JOIN {prev} c ON c.node = e.src GROUP BY e.dst
+),
+wo{k} AS (
+  SELECT e.src AS node,
+         string_agg(CAST(c.color AS VARCHAR), ','
+                    ORDER BY CAST(c.color AS VARCHAR)) AS out_sig
+  FROM sre e JOIN {prev} c ON c.node = e.dst GROUP BY e.src
+),
+wc{k} AS (
+  SELECT c.node,
+         {_wr_phash(
+             "CAST(c.color AS VARCHAR) || '|' || coalesce(i.in_sig, '')"
+             " || '|' || coalesce(o.out_sig, '')", 0)} AS color
+  FROM {prev} c
+  LEFT JOIN wi{k} i ON i.node = c.node
+  LEFT JOIN wo{k} o ON o.node = c.node
+)"""
+
+
+_WL_BASE = (
+    f"{_WR_SRE},\n"
+    "wn AS (SELECT src AS node FROM sre UNION SELECT dst FROM sre),\n"
+    f"wc0 AS (SELECT node, {_wr_phash(chr(39) + _WL_INIT + chr(39), 0)} AS color FROM wn)"
+    + ",".join([""] + [_wl_round_ctes(k) for k in range(1, _WL_R + 1)])
+)
+
+
+@query(
+    "kg_wl_colors",
+    oracle=f"WITH {_WL_BASE} SELECT node, color FROM wc{_WL_R}",
+)
+def kg_wl_colors(spark, sf_dir):
+    """Directed 1-WL color refinement after 3 rounds — the canonical
+    structural-role partition, unrolled-round replay (sorted neighbor
+    multisets canonicalized to the identical string both engines hash)."""
+    return graphstats.wl_colors(_wl_edges(_docs(spark, sf_dir)))
+
+
+@query(
+    "kg_wl_partition",
+    oracle=f"""
+    WITH {_WL_BASE}
+    SELECT color, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM wc{_WL_R} GROUP BY color
+    """,
+)
+def kg_wl_partition(spark, sf_dir):
+    """The structural-class histogram (how many WL-indistinguishable
+    role groups the graph carries)."""
+    return graphstats.wl_partition(_wl_edges(_docs(spark, sf_dir)))

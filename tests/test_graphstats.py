@@ -776,3 +776,82 @@ class TestWeightedReach:
             cur = nxt
         want = {(s, d): v for s in best for d, v in best[s].items()}
         assert got == want
+
+
+class TestWLRefinement:
+    def _colors(self, spark, edges, rounds):
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        return {
+            r.node: r.color
+            for r in graphstats.wl_colors(df, rounds).collect()
+        }
+
+    def test_automorphic_nodes_share_colors(self, spark):
+        # two disjoint directed 3-cycles: all six nodes are automorphic
+        edges = [("a", "b"), ("b", "c"), ("c", "a"),
+                 ("x", "y"), ("y", "z"), ("z", "x")]
+        got = self._colors(spark, edges, 3)
+        assert len(set(got.values())) == 1
+
+    def test_path_graph_classes(self, spark):
+        # directed path a->b->c->d->e: positions are pairwise
+        # distinguishable after enough rounds (ends differ from middles
+        # at round 1; full separation by round 2)
+        edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+        got = self._colors(spark, edges, 3)
+        assert len(set(got.values())) == 5
+
+    def test_refinement_is_monotone(self, spark, sf_dir):
+        """Classes never merge: the round-k partition refines round k-1
+        (nodes with equal colors at k had equal colors at k-1)."""
+        from collections import defaultdict
+
+        from hebrew_ner_spark.operators.simrank import synth_sr_edges
+        from hebrew_ner_spark.sources.catalog import load_table
+
+        e = synth_sr_edges(load_table(spark, sf_dir, "documents"))
+        parts = []
+        for k in range(0, 4):
+            cols = {
+                r.node: r.color for r in graphstats.wl_colors(e, k).collect()
+            }
+            groups = defaultdict(set)
+            for n, c in cols.items():
+                groups[c].add(n)
+            parts.append(sorted(map(frozenset, groups.values()), key=min))
+        for prev, cur in zip(parts, parts[1:]):
+            assert len(cur) >= len(prev)
+            for cls in cur:
+                assert any(cls <= p for p in prev)
+
+    def test_python_reference_parity(self, spark, sf_dir):
+        from collections import defaultdict
+
+        from hebrew_ner_spark.functions.hashing import phash_py
+        from hebrew_ner_spark.operators.simrank import synth_sr_edges
+        from hebrew_ner_spark.sources.catalog import load_table
+
+        e = synth_sr_edges(load_table(spark, sf_dir, "documents"))
+        edges = {(r.src, r.dst) for r in e.collect()}
+        nodes = sorted({x for p in edges for x in p})
+        inn, out = defaultdict(list), defaultdict(list)
+        for s, d in edges:
+            inn[d].append(s)
+            out[s].append(d)
+        col = {n: phash_py("wl0", 0) for n in nodes}
+        for _ in range(graphstats.WL_ROUNDS):
+            col = {
+                n: phash_py(
+                    f"{col[n]}|"
+                    + ",".join(sorted(str(col[p]) for p in inn[n]))
+                    + "|"
+                    + ",".join(sorted(str(col[c]) for c in out[n])),
+                    0,
+                )
+                for n in nodes
+            }
+        got = {
+            r.node: r.color
+            for r in graphstats.wl_colors(e).collect()
+        }
+        assert got == col
