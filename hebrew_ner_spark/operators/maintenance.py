@@ -392,3 +392,115 @@ def mor_file_stats(
         .cast("long")
         .alias("n_live"),
     )
+
+
+# --- partition-spec evolution (Iceberg versioned partition transforms) ------
+#
+# Iceberg tables EVOLVE their partition spec without rewriting data:
+# files written under the old spec keep it forever, and the scan
+# planner evaluates each file's partition tuple UNDER ITS OWN SPEC.
+# The planted table has two spec generations over the same value
+# domain: spec 1 partitions by truncate(100) (the coarse early layout),
+# spec 2 by truncate(10) (the refined later one). A range probe prunes
+# spec-2 files ~10x more precisely — which is exactly why specs evolve
+# — while spec-1 files still prune correctly at their own grain.
+
+SPEC1_WIDTH = 100
+SPEC2_WIDTH = 10
+
+
+def synth_evolved_stats(docs: DataFrame) -> DataFrame:
+    """(file_id, spec_v, part_val, min_v, max_v, bytes) — a manifest
+    whose first half (even doc_id) was written under spec 1 and second
+    half under spec 2; each file's values span a narrow slice bounded
+    by its own spec's partition interval."""
+    min_v = (F.col("doc_id") * 37) % 1000
+    spec_v = (F.col("doc_id") % 2 + 1).cast("long")
+    width = F.when(spec_v == 1, F.lit(SPEC1_WIDTH)).otherwise(F.lit(SPEC2_WIDTH))
+    part_val = F.expr(
+        f"CASE WHEN (doc_id % 2 + 1) = 1 THEN ((doc_id * 37) % 1000) DIV {SPEC1_WIDTH} "
+        f"ELSE ((doc_id * 37) % 1000) DIV {SPEC2_WIDTH} END"
+    )
+    max_v = F.least(min_v + F.col("doc_id") % 50, (part_val + 1) * width - 1)
+    return docs.select(
+        F.col("doc_id").alias("file_id"),
+        spec_v.alias("spec_v"),
+        part_val.cast("long").alias("part_val"),
+        min_v.cast("long").alias("min_v"),
+        max_v.cast("long").alias("max_v"),
+        F.expr("CAST(1000 + (doc_id * doc_id * 2654435761) % 399000 AS BIGINT)").alias(
+            "bytes"
+        ),
+    )
+
+
+def evolved_prune(
+    stats: DataFrame, lo: int = PRUNE_LO, hi: int = PRUNE_HI
+) -> DataFrame:
+    """(file_id, spec_v, part_kept, stats_kept, scan, bytes) — the scan
+    decision with the partition interval computed PER FILE under its
+    own spec version (the multi-spec manifest evaluation Iceberg scan
+    planning does); stats pruning is spec-independent."""
+    width = F.when(F.col("spec_v") == 1, F.lit(SPEC1_WIDTH)).otherwise(
+        F.lit(SPEC2_WIDTH)
+    )
+    p_lo = F.col("part_val") * width
+    p_hi = (F.col("part_val") + 1) * width - 1
+    part_kept = (p_lo <= F.lit(hi)) & (p_hi >= F.lit(lo))
+    stats_kept = ~((F.col("max_v") < F.lit(lo)) | (F.col("min_v") > F.lit(hi)))
+    b = lambda c: F.when(c, F.lit(1)).otherwise(F.lit(0)).cast("long")  # noqa: E731
+    return stats.select(
+        "file_id",
+        "spec_v",
+        b(part_kept).alias("part_kept"),
+        b(stats_kept).alias("stats_kept"),
+        b(part_kept & stats_kept).alias("scan"),
+        "bytes",
+    )
+
+
+def evolved_prune_summary(decisions: DataFrame) -> DataFrame:
+    """(spec_v, n_files, n_part_kept, n_scanned, skip_share_1e6) — the
+    payoff per spec generation: the refined spec's partition pruning
+    alone discards ~10x more files for the same probe (the reason
+    partition specs evolve), exact half-up micro-units."""
+    return decisions.groupBy("spec_v").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("part_kept").cast("long").alias("n_part_kept"),
+        F.sum("scan").cast("long").alias("n_scanned"),
+        F.expr(
+            "CAST((2 * (count(*) - sum(scan)) * 1000000 + count(*))"
+            " DIV (2 * count(*)) AS BIGINT)"
+        ).alias("skip_share_1e6"),
+    )
+
+
+# --- schema evolution (field-id column mapping) ------------------------------
+
+
+def evolved_schema_read(v1: DataFrame, v2: DataFrame) -> DataFrame:
+    """Unified read over two physical schema generations by FIELD ID
+    (the Iceberg name-mapping contract: renames are metadata-only,
+    added columns NULL-fill in older files, readers never match by
+    physical name):
+
+        v1 physical (c_id, c_body)            field ids {1, 2}
+        v2 physical (ident, content, score)   field ids {1, 2, 3}
+        logical schema: 1 -> id, 2 -> body, 3 -> score
+
+    Output (id, body, score, schema_v). A name-based reader would lose
+    field 2 across the rename; the gate's planted rename makes that
+    failure mode a hash flip."""
+    a = v1.select(
+        F.col("c_id").cast("long").alias("id"),
+        F.col("c_body").alias("body"),
+        F.lit(None).cast("long").alias("score"),
+        F.lit(1).cast("long").alias("schema_v"),
+    )
+    b = v2.select(
+        F.col("ident").cast("long").alias("id"),
+        F.col("content").alias("body"),
+        F.col("score").cast("long").alias("score"),
+        F.lit(2).cast("long").alias("schema_v"),
+    )
+    return a.unionByName(b)

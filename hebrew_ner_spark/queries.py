@@ -263,6 +263,12 @@ _WINDOW = [
 #   pins the half-open boundary semantics; the manual construction's
 #   gate (evt_sessionize) has two rounds of green history; rides
 #   CORRECTNESS_FULL;
+# * maint_spec_evolution / _summary / maint_schema_evolution — added
+#   after the window filled; the per-spec pruning arithmetic is the
+#   in-window maint_compaction_plan family's metadata-grain projection
+#   class, and the refined-spec-prunes-tighter + layout-containment +
+#   rename-by-field-id invariants are pytest-pinned; ride
+#   CORRECTNESS_FULL;
 # * maint_mor_read / maint_mor_stats — added after the window filled;
 #   both sequence-scoping boundaries (pos <=, eq <) are planted so a
 #   rule mixup flips the hash, and the asymmetry/precedence semantics

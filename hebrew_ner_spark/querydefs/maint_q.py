@@ -267,3 +267,110 @@ def maint_mor_stats(spark, sf_dir):
         maintenance.synth_pos_deletes(docs),
         maintenance.synth_eq_deletes(spark),
     )
+
+
+# --- partition-spec + schema evolution ---------------------------------------
+
+_EVOLVED = f"""
+mev AS (
+  SELECT doc_id AS file_id,
+         CAST(doc_id % 2 + 1 AS BIGINT) AS spec_v,
+         CAST(CASE WHEN doc_id % 2 + 1 = 1
+                   THEN ((doc_id * 37) % 1000) // {maintenance.SPEC1_WIDTH}
+                   ELSE ((doc_id * 37) % 1000) // {maintenance.SPEC2_WIDTH}
+              END AS BIGINT) AS part_val,
+         CAST((doc_id * 37) % 1000 AS BIGINT) AS min_v,
+         CAST(CASE WHEN doc_id % 2 + 1 = 1 THEN {maintenance.SPEC1_WIDTH}
+                   ELSE {maintenance.SPEC2_WIDTH} END AS BIGINT) AS width,
+         CAST(1000 + (doc_id * doc_id * 2654435761) % 399000 AS BIGINT) AS bytes
+  FROM documents
+),
+mev2 AS (
+  SELECT file_id, spec_v, part_val, min_v,
+         least(min_v + file_id % 50, (part_val + 1) * width - 1) AS max_v,
+         width, bytes
+  FROM mev
+),
+mevd AS (
+  SELECT file_id, spec_v,
+         CAST(CASE WHEN part_val * width <= {maintenance.PRUNE_HI}
+                    AND (part_val + 1) * width - 1 >= {maintenance.PRUNE_LO}
+              THEN 1 ELSE 0 END AS BIGINT) AS part_kept,
+         CAST(CASE WHEN max_v < {maintenance.PRUNE_LO}
+                     OR min_v > {maintenance.PRUNE_HI}
+              THEN 0 ELSE 1 END AS BIGINT) AS stats_kept,
+         bytes
+  FROM mev2
+)
+"""
+
+
+@query(
+    "maint_spec_evolution",
+    oracle=f"""
+    WITH {_EVOLVED}
+    SELECT file_id, spec_v, part_kept, stats_kept,
+           CAST(part_kept * stats_kept AS BIGINT) AS scan, bytes
+    FROM mevd
+    """,
+)
+def maint_spec_evolution(spark, sf_dir):
+    """Multi-spec manifest pruning: each file's partition interval is
+    evaluated under ITS OWN spec version (coarse truncate(100) early
+    files, refined truncate(10) later ones) — the Iceberg
+    partition-evolution read contract."""
+    return maintenance.evolved_prune(
+        maintenance.synth_evolved_stats(_docs(spark, sf_dir))
+    )
+
+
+@query(
+    "maint_spec_evolution_summary",
+    oracle=f"""
+    WITH {_EVOLVED}
+    SELECT spec_v, CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(part_kept) AS BIGINT) AS n_part_kept,
+           CAST(sum(part_kept * stats_kept) AS BIGINT) AS n_scanned,
+           CAST((2 * (count(*) - sum(part_kept * stats_kept)) * 1000000
+                 + count(*)) // (2 * count(*)) AS BIGINT) AS skip_share_1e6
+    FROM mevd GROUP BY spec_v
+    """,
+)
+def maint_spec_evolution_summary(spark, sf_dir):
+    """The payoff per spec generation: the refined spec's partition
+    pruning discards ~10x more files for the same probe."""
+    return maintenance.evolved_prune_summary(
+        maintenance.evolved_prune(
+            maintenance.synth_evolved_stats(_docs(spark, sf_dir))
+        )
+    )
+
+
+@query(
+    "maint_schema_evolution",
+    oracle="""
+    SELECT doc_id AS id, text AS body, CAST(NULL AS BIGINT) AS score,
+           CAST(1 AS BIGINT) AS schema_v
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, text, CAST(n_chars AS BIGINT), CAST(2 AS BIGINT)
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+)
+def maint_schema_evolution(spark, sf_dir):
+    """Field-id column mapping across a rename + an added column: v1
+    files (c_id, c_body) and v2 files (ident, content, score) read as
+    one logical (id, body, score) — matching by physical NAME instead
+    of field id would lose the renamed column and flip the hash."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    v1 = docs.where(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("c_id"), F.col("text").alias("c_body")
+    )
+    v2 = docs.where(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("ident"),
+        F.col("text").alias("content"),
+        F.col("n_chars").alias("score"),
+    )
+    return maintenance.evolved_schema_read(v1, v2)
