@@ -1,0 +1,118 @@
+"""Data-quality validation suite (expectations/constraint checks — the
+Deequ/Great-Expectations capability): uniqueness, not-null, range,
+value-set, and referential-integrity rules evaluated as exact counts,
+reported long-form per rule.
+
+Why this is engine work: at 10^12 rows validation IS a Spark job —
+every rule is one aggregate or one anti-join over the table, and the
+report (a handful of rows) is what gates the pipeline stage (publish /
+quarantine). The synthetic tables are constraint-clean by construction,
+so the gate runs the suite twice: once over the clean table (every rule
+passes — the zero-violation contract is itself checked) and once over a
+deterministically corrupted twin whose planted violation counts both
+engines derive from the portable hash.
+
+Corruption precedence (a row's hash can select several corruptions;
+the CASE chain pins one deterministic outcome both engines replay):
+NULL custkey > orphan custkey; the other rules touch disjoint columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hebrew_ner_spark.functions.hashing import phash_col
+
+DQ_SEED = 83
+ORDER_STATUSES = ("F", "O", "P")
+
+
+def corrupt_orders(orders: DataFrame) -> DataFrame:
+    """The planted-violation twin: hash-selected rows get a NULL
+    custkey (h%97), an orphan custkey (h%79), a negated total (h%89),
+    an out-of-set status (h%101); rows with h%103 == 0 are DUPLICATED
+    (unique-key violations)."""
+    h = phash_col(F.col("o_orderkey").cast("string"), DQ_SEED)
+    base = orders.select(
+        "o_orderkey",
+        F.when(h % 97 == 0, F.lit(None).cast("long"))
+        .when(h % 79 == 0, F.col("o_custkey") + 1_000_000)
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        F.when(h % 89 == 0, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(h % 101 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+    )
+    dups = base.where(h % 103 == 0)
+    return base.unionByName(dups)
+
+
+def _rule_row(name: str, column: str, viol, total):
+    return F.struct(
+        F.lit(name).alias("rule"),
+        F.lit(column).alias("column"),
+        viol.cast("long").alias("n_violations"),
+        total.cast("long").alias("n_rows"),
+        F.when(viol == 0, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("ok"),
+    )
+
+
+def orders_quality_report(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """(rule, column, n_violations, n_rows, ok) — the five-rule suite:
+
+    * unique(o_orderkey)            duplicate-occurrence count
+    * not_null(o_custkey)           NULL count
+    * range(o_totalprice > 0)       non-positive count
+    * in_set(o_orderstatus)         out-of-vocabulary count
+    * fk(o_custkey -> customer)     orphan count (NULLs exempt — the
+                                    not-null rule owns those)
+
+    Each rule is one aggregate (uniqueness via a grouped count) or one
+    broadcast anti-join; the report is rule-grain, never row-grain.
+    """
+    total = orders.agg(F.count("*").alias("n")).collect()[0]["n"]
+    n = F.lit(int(total))
+    dup = orders.groupBy("o_orderkey").agg(F.count("*").alias("c")).agg(
+        F.coalesce(F.sum(F.expr("CASE WHEN c > 1 THEN c ELSE 0 END")), F.lit(0)).alias(
+            "v"
+        )
+    )
+    nul = orders.agg(
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("v")
+    )
+    rng = orders.agg(
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("v")
+    )
+    st_set = ", ".join(f"'{s}'" for s in ORDER_STATUSES)
+    enm = orders.agg(
+        F.sum(
+            F.expr(f"CASE WHEN o_orderstatus IN ({st_set}) THEN 0 ELSE 1 END")
+        ).alias("v")
+    )
+    fk = (
+        orders.where(F.col("o_custkey").isNotNull())
+        .join(
+            F.broadcast(customer.select(F.col("c_custkey").alias("o_custkey"))),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count("*").alias("v"))
+    )
+    rows = [
+        ("unique", "o_orderkey", dup),
+        ("not_null", "o_custkey", nul),
+        ("range_positive", "o_totalprice", rng),
+        ("in_set", "o_orderstatus", enm),
+        ("fk_customer", "o_custkey", fk),
+    ]
+    out = None
+    for name, col, df in rows:
+        r = df.select(
+            _rule_row(name, col, F.col("v"), n).alias("r")
+        ).select("r.*")
+        out = r if out is None else out.unionByName(r)
+    return out

@@ -263,6 +263,13 @@ _WINDOW = [
 #   pins the half-open boundary semantics; the manual construction's
 #   gate (evt_sessionize) has two rounds of green history; rides
 #   CORRECTNESS_FULL;
+# * kg_clustering_coeff — one corner-explode fold over the in-window
+#   kg_ktruss cohort's triangle machinery; K3-plus-pendant closed forms
+#   pytest-pinned; rides CORRECTNESS_FULL;
+# * dq_orders_clean / dq_orders_corrupted — the validation suite is
+#   five independent aggregates/anti-joins with constructed-fixture
+#   rule counts and precedence pytest-pinned; the corrupted twin's
+#   planted counts replay from the portable hash; ride CORRECTNESS_FULL;
 # * maint_spec_evolution / _summary / maint_schema_evolution — added
 #   after the window filled; the per-spec pruning arithmetic is the
 #   in-window maint_compaction_plan family's metadata-grain projection

@@ -1,0 +1,104 @@
+"""Gates for the data-quality validation suite (operators/dataquality.py).
+
+Two runs of the same five-rule suite: the clean table (every rule must
+report zero violations — the all-pass contract is itself gated) and the
+hash-corrupted twin (each planted violation class surfaces with its
+exact count). CTE names dq-prefixed."""
+
+from __future__ import annotations
+
+from hebrew_ner_spark.functions.hashing import phash_duck
+from hebrew_ner_spark.operators import dataquality
+from hebrew_ner_spark.registry import query
+from hebrew_ner_spark.sources.catalog import load_table
+
+_ST = ", ".join(f"'{s}'" for s in dataquality.ORDER_STATUSES)
+
+_H = phash_duck("CAST(o_orderkey AS VARCHAR)", dataquality.DQ_SEED)
+
+_CORRUPT = f"""
+dqh AS (SELECT *, {_H} AS h FROM orders),
+dqb AS (
+  SELECT o_orderkey,
+         CASE WHEN h % 97 = 0 THEN NULL
+              WHEN h % 79 = 0 THEN o_custkey + 1000000
+              ELSE o_custkey END AS o_custkey,
+         CASE WHEN h % 89 = 0 THEN -o_totalprice
+              ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN h % 101 = 0 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus,
+         h
+  FROM dqh
+),
+dqc AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM dqb
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM dqb
+  WHERE h % 103 = 0
+)
+"""
+
+
+def _report_sql(src: str) -> str:
+    return f"""
+    dqn AS (SELECT count(*) AS n FROM {src}),
+    dqdup AS (
+      SELECT CAST(coalesce(sum(CASE WHEN c > 1 THEN c ELSE 0 END), 0) AS BIGINT) AS v
+      FROM (SELECT o_orderkey, count(*) AS c FROM {src} GROUP BY o_orderkey)
+    ),
+    dqnul AS (SELECT CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS v FROM {src}),
+    dqrng AS (SELECT CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS v FROM {src}),
+    dqenm AS (SELECT CAST(sum(CASE WHEN o_orderstatus IN ({_ST}) THEN 0
+                               ELSE 1 END) AS BIGINT) AS v FROM {src}),
+    dqfk AS (
+      SELECT CAST(count(*) AS BIGINT) AS v FROM {src} o
+      WHERE o.o_custkey IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM customer c
+                        WHERE c.c_custkey = o.o_custkey)
+    ),
+    dqr AS (
+      SELECT 'unique' AS rule, 'o_orderkey' AS "column", v FROM dqdup
+      UNION ALL SELECT 'not_null', 'o_custkey', v FROM dqnul
+      UNION ALL SELECT 'range_positive', 'o_totalprice', v FROM dqrng
+      UNION ALL SELECT 'in_set', 'o_orderstatus', v FROM dqenm
+      UNION ALL SELECT 'fk_customer', 'o_custkey', v FROM dqfk
+    )
+    SELECT rule, "column", v AS n_violations,
+           CAST((SELECT n FROM dqn) AS BIGINT) AS n_rows,
+           CAST(CASE WHEN v = 0 THEN 1 ELSE 0 END AS BIGINT) AS ok
+    FROM dqr
+    """
+
+
+def _tables(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+@query(
+    "dq_orders_clean",
+    oracle=f"WITH {_report_sql('orders')}",
+)
+def dq_orders_clean(spark, sf_dir):
+    """The suite over the clean table: five rules, zero violations —
+    the publish-gate all-pass contract, verified as values."""
+    orders, customer = _tables(spark, sf_dir)
+    return dataquality.orders_quality_report(orders, customer)
+
+
+@query(
+    "dq_orders_corrupted",
+    oracle=f"WITH {_CORRUPT}, {_report_sql('dqc')}",
+)
+def dq_orders_corrupted(spark, sf_dir):
+    """The suite over the hash-corrupted twin: every planted violation
+    class (duplicates, NULL keys, orphan FKs, negated totals, bad
+    statuses) surfaces with its exact count."""
+    orders, customer = _tables(spark, sf_dir)
+    return dataquality.orders_quality_report(
+        dataquality.corrupt_orders(orders), customer
+    )
