@@ -504,3 +504,87 @@ def evolved_schema_read(v1: DataFrame, v2: DataFrame) -> DataFrame:
         F.lit(2).cast("long").alias("schema_v"),
     )
     return a.unionByName(b)
+
+
+# --- MERGE INTO (three-clause upsert) ----------------------------------------
+
+MERGE_SEED = 101
+
+
+def synth_order_changes(orders: DataFrame) -> DataFrame:
+    """(o_orderkey, op, o_custkey, o_totalprice, o_orderstatus) — a
+    deterministic CDC batch over the orders table: hash-selected keys
+    update (status -> 'P', custkey shifted), a disjoint set deletes,
+    and fresh keys (beyond the key domain) insert."""
+    from hebrew_ner_spark.functions.hashing import phash_col
+
+    h = phash_col(F.col("o_orderkey").cast("string"), MERGE_SEED)
+    upd = orders.where((h % 11 == 0) & (h % 13 != 0)).select(
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        (F.col("o_custkey") + 7).alias("o_custkey"),
+        "o_totalprice",
+        F.lit("P").alias("o_orderstatus"),
+    )
+    dels = orders.where(h % 13 == 0).select(
+        "o_orderkey",
+        F.lit("D").alias("op"),
+        "o_custkey",
+        "o_totalprice",
+        "o_orderstatus",
+    )
+    ins = orders.where(h % 17 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.lit("I").alias("op"),
+        "o_custkey",
+        "o_totalprice",
+        F.lit("O").alias("o_orderstatus"),
+    )
+    return upd.unionByName(dels).unionByName(ins)
+
+
+def merge_upsert(target: DataFrame, changes: DataFrame) -> DataFrame:
+    """Three-clause MERGE INTO semantics over (key = o_orderkey):
+
+        WHEN MATCHED AND op = 'D' THEN DELETE
+        WHEN MATCHED               THEN UPDATE (take change values)
+        WHEN NOT MATCHED AND op <> 'D' THEN INSERT
+
+    One full-outer join on the key + a CASE projection — the Iceberg
+    copy-on-write MERGE's logical plan (the MoR twin would emit the
+    matched keys as delete files instead; `mor_read` gates that read
+    path). Exactly-one-change-per-key is the CDC batch contract the
+    synth honors (real MERGE raises on cardinality violations)."""
+    t = target.select(
+        F.col("o_orderkey"),
+        F.col("o_custkey").alias("t_ck"),
+        F.col("o_totalprice").alias("t_tp"),
+        F.col("o_orderstatus").alias("t_st"),
+    )
+    c = changes.select(
+        F.col("o_orderkey"),
+        "op",
+        F.col("o_custkey").alias("c_ck"),
+        F.col("o_totalprice").alias("c_tp"),
+        F.col("o_orderstatus").alias("c_st"),
+    )
+    j = t.join(c, "o_orderkey", "full_outer")
+    return (
+        j.where(
+            ~(F.col("op").isNotNull() & F.col("t_ck").isNotNull() & (F.col("op") == "D"))
+            & ~(F.col("t_ck").isNull() & (F.col("op") == "D"))
+        )
+        .select(
+            "o_orderkey",
+            F.when(F.col("op").isNotNull(), F.col("c_ck"))
+            .otherwise(F.col("t_ck"))
+            .cast("long")
+            .alias("o_custkey"),
+            F.when(F.col("op").isNotNull(), F.col("c_tp"))
+            .otherwise(F.col("t_tp"))
+            .alias("o_totalprice"),
+            F.when(F.col("op").isNotNull(), F.col("c_st"))
+            .otherwise(F.col("t_st"))
+            .alias("o_orderstatus"),
+        )
+    )

@@ -374,3 +374,48 @@ def maint_schema_evolution(spark, sf_dir):
         F.col("n_chars").alias("score"),
     )
     return maintenance.evolved_schema_read(v1, v2)
+
+
+# --- MERGE INTO upsert --------------------------------------------------------
+
+_MRG_H = _mor_phash("CAST(o_orderkey AS VARCHAR)", maintenance.MERGE_SEED)
+
+_MRG_CHANGES = f"""
+mgh AS (SELECT *, {_MRG_H} AS h FROM orders),
+mgc AS (
+  SELECT o_orderkey, 'U' AS op, o_custkey + 7 AS o_custkey,
+         o_totalprice, 'P' AS o_orderstatus
+  FROM mgh WHERE h % 11 = 0 AND h % 13 <> 0
+  UNION ALL
+  SELECT o_orderkey, 'D', o_custkey, o_totalprice, o_orderstatus
+  FROM mgh WHERE h % 13 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, 'I', o_custkey, o_totalprice, 'O'
+  FROM mgh WHERE h % 17 = 0
+)
+"""
+
+
+@query(
+    "maint_merge_upsert",
+    oracle=f"""
+    WITH {_MRG_CHANGES}
+    SELECT coalesce(t.o_orderkey, c.o_orderkey) AS o_orderkey,
+           CAST(CASE WHEN c.op IS NOT NULL THEN c.o_custkey
+                ELSE t.o_custkey END AS BIGINT) AS o_custkey,
+           CASE WHEN c.op IS NOT NULL THEN c.o_totalprice
+                ELSE t.o_totalprice END AS o_totalprice,
+           CASE WHEN c.op IS NOT NULL THEN c.o_orderstatus
+                ELSE t.o_orderstatus END AS o_orderstatus
+    FROM orders t FULL OUTER JOIN mgc c ON t.o_orderkey = c.o_orderkey
+    WHERE NOT coalesce(c.op = 'D', FALSE)
+    """,
+)
+def maint_merge_upsert(spark, sf_dir):
+    """Three-clause MERGE (matched-delete / matched-update /
+    not-matched-insert) over a deterministic CDC batch — one full-outer
+    join + CASE projection, the copy-on-write MERGE logical plan."""
+    orders = load_table(spark, sf_dir, "orders")
+    return maintenance.merge_upsert(
+        orders, maintenance.synth_order_changes(orders)
+    )

@@ -280,3 +280,43 @@ class TestSchemaEvolution:
         rows = {r.id: (r.body, r.score, r.schema_v)
                 for r in mnt.evolved_schema_read(v1, v2).collect()}
         assert rows == {1: ("old", None, 1), 2: ("new", 9, 2)}
+
+
+class TestMergeUpsert:
+    def test_three_clause_semantics(self, spark):
+        from hebrew_ner_spark.operators import maintenance as mnt
+
+        target = spark.createDataFrame(
+            [(1, 10, 5.0, "F"), (2, 20, 6.0, "O"), (3, 30, 7.0, "P")],
+            "o_orderkey long, o_custkey long, o_totalprice double, o_orderstatus string",
+        )
+        changes = spark.createDataFrame(
+            [
+                (1, "U", 11, 5.5, "P"),   # matched update
+                (2, "D", 20, 6.0, "O"),   # matched delete
+                (9, "I", 90, 9.0, "O"),   # not-matched insert
+                (8, "D", 80, 8.0, "F"),   # not-matched delete: no-op
+            ],
+            "o_orderkey long, op string, o_custkey long, o_totalprice double, o_orderstatus string",
+        )
+        got = {
+            r.o_orderkey: (r.o_custkey, r.o_totalprice, r.o_orderstatus)
+            for r in mnt.merge_upsert(target, changes).collect()
+        }
+        assert got == {
+            1: (11, 5.5, "P"),
+            3: (30, 7.0, "P"),
+            9: (90, 9.0, "O"),
+        }
+
+    def test_cdc_batch_is_disjoint_per_key(self, spark, sf_dir):
+        from hebrew_ner_spark.operators import maintenance as mnt
+        from hebrew_ner_spark.sources.catalog import load_table
+
+        orders = load_table(spark, sf_dir, "orders")
+        ch = mnt.synth_order_changes(orders)
+        from pyspark.sql import functions as F
+
+        assert ch.groupBy("o_orderkey").count().where("count > 1").count() == 0
+        ops = {r.op for r in ch.select("op").distinct().collect()}
+        assert ops == {"U", "D", "I"}
