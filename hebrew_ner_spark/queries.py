@@ -263,6 +263,10 @@ _WINDOW = [
 #   pins the half-open boundary semantics; the manual construction's
 #   gate (evt_sessionize) has two rounds of green history; rides
 #   CORRECTNESS_FULL;
+# * maint_merge_upsert — one full-outer join + CASE projection (the
+#   clause semantics are pytest-pinned on a four-case fixture and the
+#   CDC batch is hash-derived, per-key disjoint); rides
+#   CORRECTNESS_FULL;
 # * kg_clustering_coeff — one corner-explode fold over the in-window
 #   kg_ktruss cohort's triangle machinery; K3-plus-pendant closed forms
 #   pytest-pinned; rides CORRECTNESS_FULL;
