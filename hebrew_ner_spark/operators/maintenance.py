@@ -580,9 +580,12 @@ def merge_upsert(target: DataFrame, changes: DataFrame) -> DataFrame:
             .otherwise(F.col("t_ck"))
             .cast("long")
             .alias("o_custkey"),
-            F.when(F.col("op").isNotNull(), F.col("c_tp"))
-            .otherwise(F.col("t_tp"))
-            .alias("o_totalprice"),
+            # the money column rides as exact integer cents (the repo's
+            # hash-stable output contract: no raw double in a gated column)
+            F.expr(
+                "CAST(round((CASE WHEN op IS NOT NULL THEN c_tp ELSE t_tp END)"
+                " * 100) AS BIGINT)"
+            ).alias("o_total_cents"),
             F.when(F.col("op").isNotNull(), F.col("c_st"))
             .otherwise(F.col("t_st"))
             .alias("o_orderstatus"),

@@ -403,8 +403,8 @@ mgc AS (
     SELECT coalesce(t.o_orderkey, c.o_orderkey) AS o_orderkey,
            CAST(CASE WHEN c.op IS NOT NULL THEN c.o_custkey
                 ELSE t.o_custkey END AS BIGINT) AS o_custkey,
-           CASE WHEN c.op IS NOT NULL THEN c.o_totalprice
-                ELSE t.o_totalprice END AS o_totalprice,
+           CAST(round((CASE WHEN c.op IS NOT NULL THEN c.o_totalprice
+                ELSE t.o_totalprice END) * 100) AS BIGINT) AS o_total_cents,
            CASE WHEN c.op IS NOT NULL THEN c.o_orderstatus
                 ELSE t.o_orderstatus END AS o_orderstatus
     FROM orders t FULL OUTER JOIN mgc c ON t.o_orderkey = c.o_orderkey

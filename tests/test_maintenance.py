@@ -300,13 +300,13 @@ class TestMergeUpsert:
             "o_orderkey long, op string, o_custkey long, o_totalprice double, o_orderstatus string",
         )
         got = {
-            r.o_orderkey: (r.o_custkey, r.o_totalprice, r.o_orderstatus)
+            r.o_orderkey: (r.o_custkey, r.o_total_cents, r.o_orderstatus)
             for r in mnt.merge_upsert(target, changes).collect()
         }
         assert got == {
-            1: (11, 5.5, "P"),
-            3: (30, 7.0, "P"),
-            9: (90, 9.0, "O"),
+            1: (11, 550, "P"),
+            3: (30, 700, "P"),
+            9: (90, 900, "O"),
         }
 
     def test_cdc_batch_is_disjoint_per_key(self, spark, sf_dir):
