@@ -1417,43 +1417,3 @@ def wl_partition(edges: DataFrame, rounds: int = WL_ROUNDS) -> DataFrame:
         .groupBy("color")
         .agg(F.count("*").cast("long").alias("n_nodes"))
     )
-
-
-def clustering_coefficient(docs: DataFrame) -> DataFrame:
-    """(node, deg, n_tri, lcc_1e6) — exact local clustering coefficient
-    over the sparsified entity graph: lcc = 2*T(v) / (deg*(deg-1)) in
-    half-up micro-units (0 when deg < 2). T(v) comes from the
-    node-iterator++ triangle table (each triangle credits its three
-    corners — one explode + one count, never a wedge re-enumeration);
-    the KG-quality signal: a high-lcc entity sits in a tight clique
-    (coherent neighborhood), a low-lcc hub spans unrelated contexts —
-    the classic disambiguation trigger."""
-    und = above_mean_edges(docs).select("a", "b")
-    deg = (
-        und.select(F.col("a").alias("node"))
-        .unionAll(und.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").cast("long").alias("deg"))
-    )
-    tri = triangles(docs)
-    corners = (
-        tri.select(F.explode(F.array("ea", "eb", "ec")).alias("node"))
-        .groupBy("node")
-        .agg(F.count("*").cast("long").alias("n_tri"))
-    )
-    return (
-        deg.join(corners, "node", "left")
-        .select(
-            "node",
-            "deg",
-            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
-        )
-        .withColumn(
-            "lcc_1e6",
-            F.expr(
-                "CASE WHEN deg < 2 THEN CAST(0 AS BIGINT) "
-                "ELSE CAST((2 * (2 * n_tri) * 1000000 + deg * (deg - 1)) "
-                "DIV (2 * deg * (deg - 1)) AS BIGINT) END"
-            ),
-        )
-    )

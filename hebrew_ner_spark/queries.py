@@ -267,9 +267,6 @@ _WINDOW = [
 #   clause semantics are pytest-pinned on a four-case fixture and the
 #   CDC batch is hash-derived, per-key disjoint); rides
 #   CORRECTNESS_FULL;
-# * kg_clustering_coeff — one corner-explode fold over the in-window
-#   kg_ktruss cohort's triangle machinery; K3-plus-pendant closed forms
-#   pytest-pinned; rides CORRECTNESS_FULL;
 # * dq_orders_clean / dq_orders_corrupted — the validation suite is
 #   five independent aggregates/anti-joins with constructed-fixture
 #   rule counts and precedence pytest-pinned; the corrupted twin's

@@ -787,41 +787,3 @@ def kg_wl_partition(spark, sf_dir):
     """The structural-class histogram (how many WL-indistinguishable
     role groups the graph carries)."""
     return graphstats.wl_partition(_wl_edges(_docs(spark, sf_dir)))
-
-
-@query(
-    "kg_clustering_coeff",
-    oracle=f"""
-    WITH {_EDGES_CTE},
-    {_SPARSE_EW},
-    e AS (SELECT a, b FROM ews),
-    ctri AS (
-      SELECT e1.a AS ea, e1.b AS eb, e2.b AS ec
-      FROM e e1
-      JOIN e e2 ON e2.a = e1.b
-      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
-    ),
-    cdeg AS (
-      SELECT node, CAST(count(*) AS BIGINT) AS deg
-      FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
-      GROUP BY node
-    ),
-    ccor AS (
-      SELECT node, CAST(count(*) AS BIGINT) AS n_tri
-      FROM (SELECT ea AS node FROM ctri
-            UNION ALL SELECT eb FROM ctri
-            UNION ALL SELECT ec FROM ctri)
-      GROUP BY node
-    )
-    SELECT d.node, d.deg, CAST(coalesce(c.n_tri, 0) AS BIGINT) AS n_tri,
-           CAST(CASE WHEN d.deg < 2 THEN 0
-                ELSE (2 * (2 * coalesce(c.n_tri, 0)) * 1000000
-                      + d.deg * (d.deg - 1))
-                     // (2 * d.deg * (d.deg - 1)) END AS BIGINT) AS lcc_1e6
-    FROM cdeg d LEFT JOIN ccor c ON d.node = c.node
-    """,
-)
-def kg_clustering_coeff(spark, sf_dir):
-    """Exact per-node clustering coefficient over the sparsified entity
-    graph — the coherent-clique vs spanning-hub disambiguation signal."""
-    return graphstats.clustering_coefficient(_docs(spark, sf_dir))

@@ -855,24 +855,3 @@ class TestWLRefinement:
             for r in graphstats.wl_colors(e).collect()
         }
         assert got == col
-
-
-class TestClusteringCoefficient:
-    def test_closed_forms(self, spark):
-        # K3 plus a pendant (weight 7 each) + below-mean noise edges
-        # (weight 1, pruned by the strict above-mean sparsifier):
-        # lcc(part)=lcc(key)=1.0, lcc(row)=2*1/(3*2)=1/3, pendant 0
-        heavy = [("part", "key"), ("key", "row"), ("part", "row"), ("row", "data")]
-        noise = [("batch", "hash"), ("line", "value"), ("group", "query"),
-                 ("spark", "table")]
-        rows = [f"{s} join {o}" for s, o in heavy for _ in range(7)]
-        rows += [f"{s} join {o}" for s, o in noise]
-        docs = spark.createDataFrame(
-            [(i, t) for i, t in enumerate(rows)], ["doc_id", "text"]
-        )
-        got = {r.node: (r.deg, r.n_tri, r.lcc_1e6)
-               for r in graphstats.clustering_coefficient(docs).collect()}
-        assert got["part"] == (2, 1, 1_000_000)
-        assert got["key"] == (2, 1, 1_000_000)
-        assert got["row"] == (3, 1, 333_333)
-        assert got["data"] == (1, 0, 0)
