@@ -263,6 +263,10 @@ _WINDOW = [
 #   pins the half-open boundary semantics; the manual construction's
 #   gate (evt_sessionize) has two rounds of green history; rides
 #   CORRECTNESS_FULL;
+# * maint_commit_conflicts — the serialized per-table fold is
+#   pytest-pinned with hand-computed verdicts incl. the failure
+#   cascade, and the oracle is the unrolled opposite construction;
+#   rides CORRECTNESS_FULL;
 # * maint_merge_upsert — one full-outer join + CASE projection (the
 #   clause semantics are pytest-pinned on a four-case fixture and the
 #   CDC batch is hash-derived, per-key disjoint); rides

@@ -419,3 +419,84 @@ def maint_merge_upsert(spark, sf_dir):
     return maintenance.merge_upsert(
         orders, maintenance.synth_order_changes(orders)
     )
+
+
+# --- optimistic-concurrency commit validation ---------------------------------
+
+from hebrew_ner_spark.operators import commitlog as _cl  # noqa: E402
+
+_CL_H = _mor_phash("CAST(doc_id AS VARCHAR)", _cl.CL_SEED)
+
+_CL_LOG = f"""
+clb AS (
+  SELECT CAST(doc_id // {_cl.COMMITS_PER_TABLE} AS BIGINT) AS table_id,
+         CAST(doc_id % {_cl.COMMITS_PER_TABLE} AS BIGINT) AS seq,
+         CAST(greatest(-1, (doc_id % {_cl.COMMITS_PER_TABLE}) - 1 - (h % 3))
+              AS BIGINT) AS base
+  FROM (SELECT doc_id, {_CL_H} AS h FROM documents)
+),
+cld AS (
+  SELECT table_id, seq, base,
+         'f' || CAST((seq * 5 + ks.k * 3 + table_id) % 8 AS VARCHAR) AS file_id,
+         'del' AS action
+  FROM clb, (SELECT unnest(range({_cl.FILES_PER_COMMIT})) AS k) ks
+),
+cla AS (
+  SELECT table_id, seq, base, 'new' || CAST(seq AS VARCHAR) AS file_id,
+         'add' AS action
+  FROM clb
+),
+cl AS (SELECT * FROM cld UNION ALL SELECT * FROM cla),
+cb AS (SELECT DISTINCT table_id, seq, base FROM cl)
+"""
+
+
+def _cl_steps() -> str:
+    parts = [
+        "ok0 AS (SELECT table_id, CAST(0 AS BIGINT) AS seq,"
+        " CAST(1 AS BIGINT) AS ok FROM cb WHERE seq = 0)"
+    ]
+    acc = "ok0"
+    for k in range(1, _cl.COMMITS_PER_TABLE):
+        prev = acc
+        parts.append(f"""
+okp{k} AS (SELECT * FROM {prev}),
+ok{k} AS (
+  SELECT b.table_id, CAST({k} AS BIGINT) AS seq,
+         CAST(CASE WHEN EXISTS (
+            SELECT 1 FROM cl m
+            JOIN cl d ON d.table_id = m.table_id AND d.action = 'del'
+                     AND d.file_id = m.file_id
+            JOIN okp{k} u ON u.table_id = d.table_id AND u.seq = d.seq
+                         AND u.ok = 1
+            WHERE m.table_id = b.table_id AND m.seq = {k}
+              AND m.action = 'del'
+              AND d.seq > b.base AND d.seq < {k}
+         ) THEN 0 ELSE 1 END AS BIGINT) AS ok
+  FROM cb b WHERE b.seq = {k}
+),
+oka{k} AS (SELECT * FROM okp{k} UNION ALL SELECT * FROM ok{k})""")
+        acc = f"oka{k}"
+    return ",".join(parts), acc
+
+
+_CL_STEPS, _CL_FINAL = _cl_steps()
+
+
+@query(
+    "maint_commit_conflicts",
+    oracle=f"""
+    WITH {_CL_LOG},
+    {_CL_STEPS}
+    SELECT table_id, seq, ok FROM {_CL_FINAL}
+    """,
+)
+def maint_commit_conflicts(spark, sf_dir):
+    """Optimistic-concurrency validation of a contended multi-table
+    commit log: a commit fails iff a SUCCESSFUL commit it did not see
+    (base < seq' < seq) already deleted a file it deletes; failures
+    cascade (a failed commit blocks nobody). Grouped sequential fold
+    per table vs the oracle's unrolled per-step decisions."""
+    return _cl.validate_commits(
+        _cl.synth_commit_log(_docs(spark, sf_dir).select("doc_id"))
+    )
