@@ -103,3 +103,104 @@ def bloom_member_duck(key_expr: str, bits_cte: str, m: int = BLOOM_M,
         f"(SELECT bit FROM {bits_cte})"
         for i in range(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-file Bloom skipping (point-lookup file pruning)
+# ---------------------------------------------------------------------------
+#
+# The join-pruning filters above are ONE bitset for a whole build side.
+# A lakehouse scan planner also keeps one small Bloom blob PER DATA FILE
+# over a high-cardinality column (Parquet bloom_filter pages; Iceberg
+# puffin blobs) so that a point lookup ``WHERE url = X`` opens only the
+# files whose blob passes — min/max stats are useless for such a column
+# (every file's [min,max] spans the whole hash space). The layout below
+# is write-order clustered (each file holds a contiguous crawl window,
+# the natural shape of an append-only CC-style ingest), so the lookup
+# key ``url`` is decorrelated from the layout and Bloom skipping is the
+# ONLY thing standing between a point lookup and a full-table scan.
+#
+# Scale shape: the blob table is metadata-grain (n_files x <= m rows —
+# ~10^8 files for a 10^12-row table, itself a Spark job, which is the
+# point of planning engine-side). The lookup-key side is tiny and is
+# BROADCAST onto the blob table, so the manifest plane never shuffles;
+# file decisions are a map-side join + one keyed aggregate.
+
+FILE_BLOOM_M = 512     # bits per file blob (gate-sized; production 2^20)
+FILE_BLOOM_SEED = 977  # distinct seed base from the join filters
+FILE_CHUNK = 64        # docs per data file (write-order clustering)
+
+
+def _file_hashes(col, m: int, k: int):
+    return F.array(*[
+        (phash_col(col.cast("string"), FILE_BLOOM_SEED + i) % m)
+        for i in range(k)
+    ])
+
+
+def file_blooms(pages: DataFrame, key_col: str = "url",
+                file_col: str = "file_id", m: int = FILE_BLOOM_M,
+                k: int = BLOOM_K) -> DataFrame:
+    """(file_id, bit) — per-file Bloom blobs over ``key_col``: the
+    distinct set-bit positions of each file's filter. <= m rows per
+    file by construction; the distinct's shuffle is metadata-grain and
+    map-side-combined."""
+    return pages.select(
+        F.col(file_col),
+        F.explode(_file_hashes(F.col(key_col), m, k)).alias("bit"),
+    ).distinct()
+
+
+def bloom_point_lookup(blooms: DataFrame, keys: DataFrame,
+                       key_col: str = "k", m: int = FILE_BLOOM_M,
+                       k: int = BLOOM_K) -> DataFrame:
+    """(k, file_id) — the files a point lookup on each key must scan:
+    exactly those whose blob has ALL k bits of the key set.
+
+    The key side is exploded to its distinct bit positions (two hash
+    seeds may collide on one bit, so the required count is the key's
+    DISTINCT bit count, not k) and broadcast onto the blob table — the
+    manifest plane is pruned map-side, no blob shuffle. No false
+    negatives ever: a file containing the key has all its bits set, so
+    the (key, file) pair always survives; false positives only cost
+    wasted file opens, bounded by (1 - e^(-k*n/m))^k per file."""
+    key_bits = keys.select(
+        F.col(key_col).alias("k"),
+        F.explode(_file_hashes(F.col(key_col), m, k)).alias("bit"),
+    ).distinct()
+    need = key_bits.groupBy("k").agg(F.count("*").alias("need"))
+    got = (
+        blooms.join(F.broadcast(key_bits), "bit")
+        .groupBy("k", "file_id")
+        .agg(F.count("*").alias("got"))
+    )
+    return (
+        got.join(F.broadcast(need), "k")
+        .filter(F.col("got") == F.col("need"))
+        .select("k", "file_id")
+    )
+
+
+def file_blooms_duck(pages_sql: str, key_expr: str = "url",
+                     file_expr: str = "file_id", m: int = FILE_BLOOM_M,
+                     k: int = BLOOM_K) -> str:
+    """DuckDB fragment replaying file_blooms bit-for-bit."""
+    arms = " UNION ALL ".join(
+        f"SELECT {file_expr} AS file_id, "
+        f"{phash_duck(key_expr, FILE_BLOOM_SEED + i)} % {m} AS bit "
+        f"FROM ({pages_sql})"
+        for i in range(k)
+    )
+    return f"SELECT DISTINCT file_id, bit FROM ({arms})"
+
+
+def key_bits_duck(keys_sql: str, key_expr: str = "k",
+                  m: int = FILE_BLOOM_M, k: int = BLOOM_K) -> str:
+    """DuckDB fragment replaying the lookup side's distinct bit set."""
+    arms = " UNION ALL ".join(
+        f"SELECT {key_expr} AS k, "
+        f"{phash_duck(key_expr, FILE_BLOOM_SEED + i)} % {m} AS bit "
+        f"FROM ({keys_sql})"
+        for i in range(k)
+    )
+    return f"SELECT DISTINCT k, bit FROM ({arms})"

@@ -63,7 +63,13 @@ _WINDOW = [
     # r2 verdict (and ride CORRECTNESS_FULL), while the bloom family is
     # brand-new cross-engine hashing + the no-false-negative join
     # equivalence — the riskiest relational rows this round
-    "flt_bloom_bits",
+    # flt_bloom_bits rotated out end-r3 (two-seed bitset replay is
+    # pytest-pinned and the identical phash machinery is exercised by
+    # the replacement) for flt_file_bloom_scan — the per-file Bloom
+    # point-lookup plane is brand-new: per-file blobs, distinct-bit
+    # need/got counting and the truth flag all have no driver history
+    # (its payoff summary flt_file_bloom_payoff rides CORRECTNESS_FULL)
+    "flt_file_bloom_scan",
     # flt_bloom_fp rotated out late-r3 (measured fp-rate over the same
     # bit/hash machinery as in-window flt_bloom_bits, closed-form
     # pytest-pinned; the no-false-negative join equivalence stays

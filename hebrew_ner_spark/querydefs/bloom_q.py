@@ -125,3 +125,170 @@ def flt_bloom_join_equiv(spark, sf_dir):
             F.count("*").alias("n_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-file Bloom skipping (point-lookup file pruning)
+# ---------------------------------------------------------------------------
+
+_PAGES_FILES = f"""
+    SELECT 'https://example.org/' || lang || '/doc/' || CAST(doc_id AS VARCHAR)
+             AS url,
+           doc_id // {bf.FILE_CHUNK} AS file_id
+    FROM documents
+"""
+
+_LOOKUP_KEYS = """
+    SELECT 'https://example.org/' || lang || '/doc/' || CAST(doc_id AS VARCHAR)
+             AS k
+    FROM documents WHERE doc_id % 13 = 0
+    UNION ALL
+    SELECT 'https://example.org/xx/doc/' || CAST(doc_id AS VARCHAR)
+    FROM documents WHERE doc_id % 13 = 0
+"""
+
+
+def _pages_files(spark, sf_dir):
+    """The input_hint table laid out write-order clustered: each data
+    file holds a contiguous crawl window (FILE_CHUNK docs), so the
+    lookup key ``url`` is decorrelated from the layout."""
+    from hebrew_ner_spark.operators.extract import synth_webpages
+
+    docs = load_table(spark, sf_dir, "documents")
+    pages = synth_webpages(docs)
+    return pages.withColumn(
+        "file_id",
+        F.expr(f"CAST(regexp_extract(url, '/doc/([0-9]+)$', 1) AS BIGINT)"
+               f" DIV {bf.FILE_CHUNK}"),
+    )
+
+
+def _lookup_keys(spark, sf_dir):
+    """Half present urls (every 13th doc), half provably-absent urls
+    (same doc ids under a lang prefix no page has) — so the gate pins
+    both the hit path and the skip path."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 13 == 0
+    )
+    present = docs.select(
+        F.concat(
+            F.lit("https://example.org/"), F.col("lang"),
+            F.lit("/doc/"), F.col("doc_id").cast("string"),
+        ).alias("k")
+    )
+    absent = docs.select(
+        F.concat(
+            F.lit("https://example.org/xx/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("k")
+    )
+    return present.unionAll(absent)
+
+
+@query(
+    "flt_file_bloom_scan",
+    oracle=f"""
+    WITH pages AS ({_PAGES_FILES}),
+    keys AS ({_LOOKUP_KEYS}),
+    blooms AS ({bf.file_blooms_duck("SELECT * FROM pages")}),
+    key_bits AS ({bf.key_bits_duck("SELECT * FROM keys")}),
+    need AS (SELECT k, count(*) AS need FROM key_bits GROUP BY k),
+    got AS (
+      SELECT kb.k, b.file_id, count(*) AS got
+      FROM key_bits kb JOIN blooms b USING (bit)
+      GROUP BY kb.k, b.file_id
+    ),
+    scan AS (
+      SELECT got.k, got.file_id FROM got
+      JOIN need ON got.k = need.k WHERE got.got = need.need
+    ),
+    truth AS (SELECT url AS k, file_id FROM pages
+              WHERE url IN (SELECT k FROM keys))
+    SELECT s.k, s.file_id,
+           CAST(t.k IS NOT NULL AS BIGINT) AS truth
+    FROM scan s
+    LEFT JOIN truth t ON s.k = t.k AND s.file_id = t.file_id
+    """,
+)
+def flt_file_bloom_scan(spark, sf_dir):
+    """Per-(lookup-key, file) scan decisions from the per-file Bloom
+    blobs, flagged with ground truth (the file really contains the
+    key). truth=0 rows are the deterministic false positives (wasted
+    file opens); every truth pair is present by Bloom construction —
+    the no-false-negative invariant pytest pins structurally."""
+    pages = _pages_files(spark, sf_dir)
+    blooms = bf.file_blooms(pages)
+    scan = bf.bloom_point_lookup(blooms, _lookup_keys(spark, sf_dir))
+    truth = pages.select(F.col("url").alias("k"), "file_id").join(
+        F.broadcast(_lookup_keys(spark, sf_dir).distinct()), "k", "left_semi"
+    ).withColumn("hit", F.lit(1).cast("long"))
+    return (
+        scan.join(truth, ["k", "file_id"], "left")
+        .select("k", "file_id", F.coalesce("hit", F.lit(0)).cast("long").alias("truth"))
+    )
+
+
+@query(
+    "flt_file_bloom_payoff",
+    oracle=f"""
+    WITH pages AS ({_PAGES_FILES}),
+    keys AS ({_LOOKUP_KEYS}),
+    blooms AS ({bf.file_blooms_duck("SELECT * FROM pages")}),
+    key_bits AS ({bf.key_bits_duck("SELECT * FROM keys")}),
+    need AS (SELECT k, count(*) AS need FROM key_bits GROUP BY k),
+    got AS (
+      SELECT kb.k, b.file_id, count(*) AS got
+      FROM key_bits kb JOIN blooms b USING (bit)
+      GROUP BY kb.k, b.file_id
+    ),
+    scan AS (
+      SELECT got.k, got.file_id FROM got
+      JOIN need ON got.k = need.k WHERE got.got = need.need
+    ),
+    truth AS (SELECT url AS k, file_id FROM pages
+              WHERE url IN (SELECT k FROM keys))
+    SELECT (SELECT count(*) FROM keys) AS n_keys,
+           (SELECT count(DISTINCT file_id) FROM pages) AS n_files,
+           (SELECT count(*) FROM scan) AS pairs_scanned,
+           (SELECT count(*) FROM truth) AS pairs_hit,
+           (SELECT count(*) FROM scan) - (SELECT count(*) FROM truth)
+             AS false_positives,
+           CAST((2 * ((SELECT count(*) FROM keys)
+                       * (SELECT count(DISTINCT file_id) FROM pages)
+                       - (SELECT count(*) FROM scan)) * 1000000
+                 + (SELECT count(*) FROM keys)
+                   * (SELECT count(DISTINCT file_id) FROM pages))
+               // (2 * (SELECT count(*) FROM keys)
+                     * (SELECT count(DISTINCT file_id) FROM pages))
+               AS BIGINT) AS skip_share_1e6
+    """,
+)
+def flt_file_bloom_payoff(spark, sf_dir):
+    """The planner's headline for the point-lookup plane: of
+    n_keys x n_files candidate file opens, how many the blobs skip.
+    skip_share is half-up integer micro-units; false_positives =
+    scanned minus true hits (absent keys' survivals + present keys'
+    extra files)."""
+    pages = _pages_files(spark, sf_dir)
+    keys = _lookup_keys(spark, sf_dir)
+    blooms = bf.file_blooms(pages)
+    scan = bf.bloom_point_lookup(blooms, keys)
+    truth = pages.select(F.col("url").alias("k"), "file_id").join(
+        F.broadcast(keys.distinct()), "k", "left_semi"
+    )
+    counts = (
+        keys.agg(F.count("*").alias("n_keys"))
+        .crossJoin(pages.agg(F.countDistinct("file_id").alias("n_files")))
+        .crossJoin(scan.agg(F.count("*").alias("pairs_scanned")))
+        .crossJoin(truth.agg(F.count("*").alias("pairs_hit")))
+    )
+    out = counts.select(
+        "n_keys", "n_files", "pairs_scanned", "pairs_hit",
+        (F.col("pairs_scanned") - F.col("pairs_hit")).alias("false_positives"),
+        F.expr(
+            "CAST((2 * (n_keys * n_files - pairs_scanned) * 1000000"
+            " + n_keys * n_files)"
+            " DIV (2 * n_keys * n_files) AS BIGINT)"
+        ).alias("skip_share_1e6"),
+    )
+    return out

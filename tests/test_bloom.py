@@ -94,3 +94,85 @@ def test_prune_plan_has_no_probe_shuffle(spark):
     n_probe = li.count()
     n_pruned = pruned.count()
     assert n_pruned < n_probe * 0.5
+
+
+# ---------------------------------------------------------------------------
+# Per-file Bloom skipping (point-lookup file pruning)
+# ---------------------------------------------------------------------------
+
+
+def _pages(spark, n=200):
+    """Tiny write-order-clustered layout: FILE_CHUNK urls per file."""
+    return spark.range(n).select(
+        F.concat(F.lit("https://t/doc/"), F.col("id").cast("string")).alias("url"),
+        (F.col("id") / bf.FILE_CHUNK).cast("long").alias("file_id"),
+    )
+
+
+def test_file_bloom_no_false_negatives_and_fps_exist(spark):
+    """Every file that truly contains a lookup key must be scanned
+    (structural Bloom guarantee), and at the gate's m the decision set
+    must contain false positives so the skip path is non-vacuous."""
+    pages = _pages(spark)
+    blooms = bf.file_blooms(pages)
+    keys = spark.range(0, 200, 7).select(
+        F.concat(F.lit("https://t/doc/"), F.col("id").cast("string")).alias("k")
+    ).union(
+        spark.range(0, 200, 7).select(
+            F.concat(F.lit("https://t/absent/"), F.col("id").cast("string"))
+        )
+    )
+    scan = {
+        (r.k, r.file_id)
+        for r in bf.bloom_point_lookup(blooms, keys, m=64).collect()
+    }
+    # rebuild the decision set against a pure-python model at the same m
+    blob = {}
+    for i in range(200):
+        fid = i // bf.FILE_CHUNK
+        for s in range(bf.BLOOM_K):
+            blob.setdefault(fid, set()).add(
+                phash_py(f"https://t/doc/{i}", bf.FILE_BLOOM_SEED + s) % 64
+            )
+    model = set()
+    for r in keys.collect():
+        kb = {
+            phash_py(r.k, bf.FILE_BLOOM_SEED + s) % 64
+            for s in range(bf.BLOOM_K)
+        }
+        for fid, bits in blob.items():
+            if kb <= bits:
+                model.add((r.k, fid))
+    # note: bloom_point_lookup at m=64 must rebuild blooms at m=64 too
+    scan64 = {
+        (r.k, r.file_id)
+        for r in bf.bloom_point_lookup(
+            bf.file_blooms(pages, m=64), keys, m=64
+        ).collect()
+    }
+    assert scan64 == model
+    truth = {
+        (f"https://t/doc/{i}", i // bf.FILE_CHUNK) for i in range(0, 200, 7)
+    }
+    assert truth <= scan64, "false negative: a file holding the key was skipped"
+    assert scan64 - truth, "m=64 chosen to force false positives; none appeared"
+
+
+def test_file_bloom_blob_bounded_and_plan_broadcast_only(spark):
+    """Blob table is <= m rows per file, and the lookup join broadcasts
+    only the tiny key side — the manifest plane itself never shuffles
+    through a SortMergeJoin."""
+    pages = _pages(spark, 300)
+    blooms = bf.file_blooms(pages)
+    per_file = blooms.groupBy("file_id").count().collect()
+    assert all(r["count"] <= bf.FILE_BLOOM_M for r in per_file)
+
+    keys = spark.range(0, 300, 11).select(
+        F.concat(F.lit("https://t/doc/"), F.col("id").cast("string")).alias("k")
+    )
+    plan = (
+        bf.bloom_point_lookup(blooms, keys)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
