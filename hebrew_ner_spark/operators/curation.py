@@ -906,3 +906,131 @@ def pareto_frontier(scored: DataFrame) -> DataFrame:
     return s.join(F.broadcast(sky), ["score_1e6", "n_tokens"]).select(
         "doc_id", "score_1e6", "n_tokens"
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling")
+# ---------------------------------------------------------------------------
+#
+# Select web documents that LOOK like a small high-quality target domain
+# by importance weight under hashed n-gram bag-of-words models:
+#   log w(x) = sum_f count_f(x) * (log p_f - log q_f)
+# with p the target-slice feature distribution and q the raw-corpus one,
+# both add-one smoothed over B hashed buckets. The log is the repo's
+# exact-integer bit-length gap (textstats.unigram_surprisal idiom), so
+# every weight is a deterministic integer the DuckDB oracle replays.
+#
+# Scale shape (the reason DSIR is THE importance-sampling method that
+# survives 10^12 docs): both distributions live in ONE B-row LUT —
+# B = 256 here, 10^4-10^5 in production, either way broadcastable —
+# so scoring the whole corpus is explode -> hash -> one (doc_id, f)
+# aggregate -> broadcast-join the LUT -> one doc-grain aggregate.
+# No shuffle ever carries more than the tokenized corpus itself, and
+# the quantile threshold is the sort-free histogram percentile
+# (operators/quantiles.py), not a global sort.
+
+DSIR_B = 256          # hashed feature buckets (production: 10^4-10^5)
+DSIR_SEED = 421
+DSIR_TARGET_SRC = ("src0", "src1", "src2", "src3")  # target-domain slice
+DSIR_KEEP_Q = 75      # resample the top quartile by mean importance
+
+
+def _dsir_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, f, c) — hashed unigram+bigram bucket counts per doc.
+    Bigrams are space-joined so they can never collide with a unigram
+    string before hashing."""
+    toks = docs.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.concat(F.col("toks"), _grams("toks", 2))
+        ).alias("gram"),
+    )
+    return (
+        grams.select(
+            "doc_id",
+            (phash_col(F.col("gram"), DSIR_SEED) % DSIR_B).alias("f"),
+        )
+        .groupBy("doc_id", "f")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def dsir_scores(docs: DataFrame) -> DataFrame:
+    """(f, tp, tq, score_bits) — the B-row importance LUT:
+    tp = 1 + target-slice count of bucket f, tq = 1 + corpus count
+    (add-one smoothing keeps every bucket finite in both models);
+    score_bits = (bitlen(tp) - bitlen(Tp)) - (bitlen(tq) - bitlen(Tq)),
+    the integer log2(p_f / q_f) up to the idiom's +-1 bit."""
+    feats = _dsir_features(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    lut = feats.groupBy("f").agg(
+        (F.lit(1) + F.coalesce(
+            F.sum(F.when(F.col("source").isin(*DSIR_TARGET_SRC), F.col("c"))),
+            F.lit(0),
+        )).cast("long").alias("tp"),
+        (F.lit(1) + F.sum("c")).cast("long").alias("tq"),
+    )
+    tot = lut.agg(
+        F.sum("tp").cast("long").alias("_tp"),
+        F.sum("tq").cast("long").alias("_tq"),
+    )
+    bl = lambda c: F.length(F.bin(c))  # noqa: E731
+    return (
+        lut.crossJoin(F.broadcast(tot))
+        .select(
+            "f", "tp", "tq",
+            (
+                (bl(F.col("tp")) - bl(F.col("_tp")))
+                - (bl(F.col("tq")) - bl(F.col("_tq")))
+            ).cast("long").alias("score_bits"),
+        )
+    )
+
+
+def dsir_weights(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_feats, weight_bits, mean_wbits_1e6) — per-doc DSIR
+    importance: weight_bits = sum_f c_f * score_bits(f); the mean is
+    half-up integer micro-bits per feature occurrence, the
+    length-debiased measure the sampler thresholds on."""
+    feats = _dsir_features(docs)
+    scores = dsir_scores(docs).select("f", "score_bits")
+    return (
+        feats.join(F.broadcast(scores), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_feats"),
+            F.sum(F.col("c") * F.col("score_bits")).cast("long")
+            .alias("weight_bits"),
+        )
+        .select(
+            "doc_id", "n_feats", "weight_bits",
+            F.expr(
+                "CAST((2 * weight_bits * 1000000"
+                " + CASE WHEN weight_bits >= 0 THEN n_feats ELSE -n_feats END)"
+                " DIV (2 * n_feats) AS BIGINT)"
+            ).alias("mean_wbits_1e6"),
+        )
+    )
+
+
+def dsir_sample(docs: DataFrame) -> DataFrame:
+    """(doc_id, mean_wbits_1e6, keep) — keep every doc whose mean
+    importance clears the exact corpus-wide percentile_disc(KEEP_Q)
+    threshold (ties INCLUDED — deterministic, so the kept share can
+    exceed 25% exactly when weights tie at the boundary)."""
+    from hebrew_ner_spark.operators.quantiles import exact_quantiles
+
+    w = dsir_weights(docs).withColumn("_all", F.lit("all"))
+    th = (
+        exact_quantiles(w, "_all", F.col("mean_wbits_1e6"), [DSIR_KEEP_Q])
+        .select(F.col("v").alias("_th"))
+    )
+    return w.crossJoin(F.broadcast(th)).select(
+        "doc_id", "mean_wbits_1e6",
+        (F.col("mean_wbits_1e6") >= F.col("_th")).cast("long").alias("keep"),
+    )

@@ -45,7 +45,17 @@ _WINDOW = [
     # keeps in-window coverage via mm_decode / mm_features; the sk_len_*
     # rows are new cross-engine shapes (integer percentile_disc, bitlen
     # buckets) with no driver history
-    "sk_len_quantiles",
+    # sk_len_quantiles rotated out end-r3 (the sort-free histogram
+    # percentile it gates is pytest-pinned and reused verbatim INSIDE
+    # the replacement's threshold step, so any quantile drift still
+    # surfaces in-window) for cur_dsir_sample — DSIR importance
+    # resampling is brand-new arithmetic with a genuinely new
+    # cross-engine hazard class: NEGATIVE integer weights under
+    # half-away-from-zero rounding (Spark DIV vs DuckDB // both
+    # truncate toward zero — gated here so a regression in either
+    # engine's semantics fails loudly); its LUT twin cur_dsir_lut
+    # rides CORRECTNESS_FULL
+    "cur_dsir_sample",
     # sk_len_log2_hist rotated out late-r3 (bitlen-bucket arithmetic is
     # closed-form pytest-pinned and the integer percentile gate keeps the
     # sketch-length family in-window) for ann_sq_topk — the int8

@@ -732,3 +732,97 @@ ORACLES["cur_dedup_quality"] = f"""
            CAST(n_members AS BIGINT) AS n_members
     FROM dq_r WHERE rk = 1
     """
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (operators/curation.py dsir_*)
+# ---------------------------------------------------------------------------
+
+_DSIR_TGT = ", ".join(f"'{s}'" for s in curation.DSIR_TARGET_SRC)
+
+# hashed unigram+bigram bucket counts per doc — the shared feature CTE
+_DSIR_FEATS = f"""
+    SELECT doc_id,
+           {phash_duck("gram", curation.DSIR_SEED)} % {curation.DSIR_B} AS f,
+           CAST(count(*) AS BIGINT) AS c
+    FROM (
+      SELECT doc_id, unnest(toks) AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      UNION ALL
+      SELECT doc_id, toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           unnest(range(1, len(toks))) AS u(i)
+    )
+    GROUP BY 1, 2
+"""
+
+_DSIR_LUT = f"""
+    SELECT f,
+           CAST(1 + coalesce(sum(CASE WHEN source IN ({_DSIR_TGT})
+                                      THEN c END), 0) AS BIGINT) AS tp,
+           CAST(1 + sum(c) AS BIGINT) AS tq
+    FROM feats JOIN documents USING (doc_id)
+    GROUP BY f
+"""
+
+_DSIR_SCORES = """
+    SELECT f, tp, tq,
+           CAST((length(bin(tp)) - length(bin(_tp)))
+                - (length(bin(tq)) - length(bin(_tq))) AS BIGINT) AS score_bits
+    FROM lut CROSS JOIN
+         (SELECT CAST(sum(tp) AS BIGINT) AS _tp,
+                 CAST(sum(tq) AS BIGINT) AS _tq FROM lut) tot
+"""
+
+_DSIR_WEIGHTS = """
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_feats,
+           CAST(sum(c * score_bits) AS BIGINT) AS weight_bits
+    FROM feats JOIN scores USING (f)
+    GROUP BY doc_id
+"""
+
+
+@query(
+    "cur_dsir_lut",
+    oracle=f"""
+    WITH feats AS ({_DSIR_FEATS}),
+    lut AS ({_DSIR_LUT})
+    {_DSIR_SCORES}
+    """,
+)
+def cur_dsir_lut(spark, sf_dir):
+    """The B-row hashed-ngram importance LUT (target vs corpus counts +
+    integer log2-ratio score) — the entire model state DSIR broadcasts
+    to score 10^12 docs."""
+    return curation.dsir_scores(_docs(spark, sf_dir))
+
+
+@query(
+    "cur_dsir_sample",
+    oracle=f"""
+    WITH feats AS ({_DSIR_FEATS}),
+    lut AS ({_DSIR_LUT}),
+    scores AS ({_DSIR_SCORES}),
+    w AS ({_DSIR_WEIGHTS}),
+    mw AS (
+      SELECT doc_id,
+             (2 * weight_bits * 1000000
+              + CASE WHEN weight_bits >= 0 THEN n_feats ELSE -n_feats END)
+             // (2 * n_feats) AS mean_wbits_1e6
+      FROM w),
+    hist AS (SELECT mean_wbits_1e6 AS v, count(*) AS cnt FROM mw GROUP BY 1),
+    cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum,
+                   sum(cnt) OVER () AS total FROM hist),
+    th AS (SELECT min(v) AS _th FROM cum
+           WHERE 100 * cum >= {curation.DSIR_KEEP_Q} * total)
+    SELECT doc_id, CAST(mean_wbits_1e6 AS BIGINT) AS mean_wbits_1e6,
+           CAST(mean_wbits_1e6 >= _th AS BIGINT) AS keep
+    FROM mw CROSS JOIN th
+    """,
+)
+def cur_dsir_sample(spark, sf_dir):
+    """Per-doc DSIR keep decision: mean importance micro-bits vs the
+    exact corpus percentile_disc(75) threshold. keep=1 rows are the
+    target-domain-like quartile the resampler retains."""
+    return curation.dsir_sample(_docs(spark, sf_dir))

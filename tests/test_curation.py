@@ -510,3 +510,80 @@ def test_dedup_quality_priority_survivor(spark):
     best = max(members, key=lambda d: (scores[d], -d))
     assert keep == best
     assert scores[2] < scores[1]   # the padded copy scored worse
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_weights_match_python_model(spark):
+    """Hand-built corpus: target docs (source in DSIR_TARGET_SRC) repeat
+    a marker phrase; the DSIR weight of a fresh marker-heavy doc must
+    exceed a filler doc's, and every weight must equal an independent
+    pure-python replay of the hashed-LUT arithmetic."""
+    from hebrew_ner_spark.functions.hashing import phash_py
+
+    tgt_src = curation.DSIR_TARGET_SRC[0]
+    rows_ = []
+    for i in range(8):
+        rows_.append((i, "alpha beta alpha beta gamma", tgt_src))
+    for i in range(8, 24):
+        rows_.append((i, f"filler{i} junk{i} noise{i} blob{i}", "srcZ"))
+    rows_.append((24, "alpha beta gamma alpha", "srcZ"))      # target-like
+    rows_.append((25, "zzz yyy xxx www", "srcZ"))             # corpus-like
+    docs = spark.createDataFrame(rows_, "doc_id long, text string, source string")
+
+    w = {r.doc_id: (r.n_feats, r.weight_bits)
+         for r in curation.dsir_weights(docs).collect()}
+
+    # independent python model
+    def feats(text):
+        toks = text.split(" ")
+        grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        out = {}
+        for g in grams:
+            f = phash_py(g, curation.DSIR_SEED) % curation.DSIR_B
+            out[f] = out.get(f, 0) + 1
+        return out
+
+    tp, tq = {}, {}
+    for _id, text, src in rows_:
+        for f, c in feats(text).items():
+            tq[f] = tq.get(f, 0) + c
+            if src in curation.DSIR_TARGET_SRC:
+                tp[f] = tp.get(f, 0) + c
+    buckets = sorted(tq)
+    TP = sum(1 + tp.get(f, 0) for f in buckets)
+    TQ = sum(1 + tq[f] for f in buckets)
+    score = {
+        f: ((1 + tp.get(f, 0)).bit_length() - TP.bit_length())
+           - ((1 + tq[f]).bit_length() - TQ.bit_length())
+        for f in buckets
+    }
+    for _id, text, _src in rows_:
+        fs = feats(text)
+        exp_w = sum(c * score[f] for f, c in fs.items())
+        assert w[_id] == (sum(fs.values()), exp_w), f"doc {_id}"
+
+    # the marker-heavy doc outranks the filler doc per mean bits
+    n24, w24 = w[24]
+    n25, w25 = w[25]
+    assert w24 * n25 > w25 * n24
+
+
+def test_dsir_sample_threshold_and_tie_inclusion(spark):
+    """keep=1 iff mean micro-bits >= the exact percentile_disc(75); all
+    boundary ties are kept (deterministic inclusion)."""
+    tgt = curation.DSIR_TARGET_SRC[0]
+    rows_ = [(i, "alpha beta gamma", tgt) if i % 4 == 0
+             else (i, f"x{i} y{i} z{i}", "srcZ") for i in range(40)]
+    docs = spark.createDataFrame(rows_, "doc_id long, text string, source string")
+    out = curation.dsir_sample(docs).collect()
+    vals = sorted(r.mean_wbits_1e6 for r in out)
+    import math
+    th = vals[math.ceil(curation.DSIR_KEEP_Q / 100 * len(vals)) - 1]
+    for r in out:
+        assert r.keep == (1 if r.mean_wbits_1e6 >= th else 0)
+    kept = [r for r in out if r.keep]
+    assert kept and len(kept) < len(out)
