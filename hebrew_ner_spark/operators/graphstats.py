@@ -1417,3 +1417,91 @@ def wl_partition(edges: DataFrame, rounds: int = WL_ROUNDS) -> DataFrame:
         .groupBy("color")
         .agg(F.count("*").cast("long").alias("n_nodes"))
     )
+
+
+# --- densest subgraph (Bahmani et al. 2012 batch peeling) ---------------------
+
+# Round budget shared with the unrolled oracle; the operator raises if the
+# graph hasn't emptied inside it (the kcore_peel loud-failure discipline).
+DSG_ORACLE_ROUNDS = 5
+
+
+def densest_peel(
+    und_edges: DataFrame,
+    max_rounds: int = DSG_ORACLE_ROUNDS,
+    reliable: bool | None = None,
+) -> DataFrame:
+    """(node, peel_round, in_densest) — batch-peel densest-subgraph
+    extraction (Bahmani, Kumar, Vassilvitskii, VLDB 2012 — the MapReduce
+    densest-subgraph algorithm) at epsilon=0: each round removes every
+    node whose degree is <= the current average (exact integer compare
+    ``deg * n <= e2`` where e2 = 2|E|), and the answer is the surviving
+    snapshot with maximum density |E|/|V| (exact Fraction argmax over
+    the O(rounds) collected scalars; earliest round wins ties).
+
+    The min-degree node always satisfies deg <= avg, so every round
+    peels >= 1 node and the trace provably empties; the best snapshot's
+    density is a 2-approximation of the optimum. Per round: one degree
+    aggregate, ONE scalar action (n, e2 — also the fixpoint/progress
+    test), two anti-joins (AQE broadcasts the drop set), and the shared
+    per-round lineage break. in_densest = peel_round >= best_round,
+    because peeling is monotone (alive at round r <=> peels at >= r).
+
+    Input: distinct undirected (a, b) pairs, one row per edge.
+    """
+    from fractions import Fraction
+
+    from hebrew_ner_spark.operators.canonicalize import _lineage_breaker
+
+    _evict("densest")
+    und = _persist("densest", und_edges.select("a", "b"))
+    brk = _lineage_breaker(und_edges, reliable)
+    edges = brk(
+        und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    )
+    nodes = edges.select(F.col("a").alias("node")).distinct()
+    snaps: list[tuple[int, int]] = []  # (n, e2) per surviving round
+    peels: list[DataFrame] = []
+    for rnd in range(max_rounds + 1):
+        m = edges.groupBy("a").agg(F.count("*").alias("_d"))
+        row = m.agg(
+            F.count("*").alias("n"), F.sum("_d").alias("e2")
+        ).collect()[0]
+        n, e2 = int(row.n), int(row.e2 or 0)
+        if n == 0:
+            break
+        snaps.append((n, e2))
+        drop = m.where(F.col("_d") * F.lit(n) <= F.lit(e2)).select("a")
+        pruned = brk(
+            edges.join(drop, "a", "left_anti")
+            .join(drop.withColumnRenamed("a", "b"), "b", "left_anti")
+            .select("a", "b")
+        )
+        peels.append(
+            edges.select(F.col("a").alias("node"))
+            .distinct()
+            .join(
+                pruned.select(F.col("a").alias("node")).distinct(),
+                "node",
+                "left_anti",
+            )
+            .select("node", F.lit(rnd).cast("long").alias("peel_round"))
+        )
+        edges = pruned
+    else:
+        raise RuntimeError(
+            f"densest_peel: graph not empty within {max_rounds} rounds — "
+            "raise DSG_ORACLE_ROUNDS (and regenerate the oracle) for this graph"
+        )
+    best = max(
+        range(len(snaps)),
+        key=lambda i: (Fraction(snaps[i][1], snaps[i][0]), -i),
+    )
+    peeled = peels[0]
+    for p in peels[1:]:
+        peeled = peeled.unionByName(p)
+    return nodes.join(peeled, "node").select(
+        "node",
+        "peel_round",
+        (F.col("peel_round") >= F.lit(best)).cast("long").alias("in_densest"),
+    )

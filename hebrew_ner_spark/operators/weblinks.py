@@ -681,3 +681,40 @@ def mirror_host_pairs(
             (F.col("jaccard_1e6") >= threshold_1e6).cast("long"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Link-farm detection via densest subgraph
+# ---------------------------------------------------------------------------
+
+FARM_HOSTS = 64     # host universe (doc_id % FARM_HOSTS covers it at all sfs)
+FARM_LO = 56        # hosts [FARM_LO, FARM_HOSTS) form the planted farm
+
+
+def synth_farm_host_edges(docs: DataFrame) -> DataFrame:
+    """(a, b) a < b — an undirected host graph with a PLANTED link farm
+    (the repo's planted-group pattern, cf. dedup_exact): a sparse
+    deterministic background (two affine-map neighbors per host) plus a
+    complete subgraph on hosts [FARM_LO, FARM_HOSTS) — the mutual-
+    admiration clique a spam farm's cross-linking produces (Gibson,
+    Kumar & Tomkins 2005 find exactly these as dense subgraphs). The
+    host universe derives from doc_id so no external data is involved;
+    background density ~2.3 vs farm density 3.5, so the densest-subgraph
+    peel must recover the farm EXACTLY — the gate is structurally
+    non-vacuous."""
+    hosts = docs.select((F.col("doc_id") % FARM_HOSTS).alias("h")).distinct()
+    bg = None
+    for mul, add in ((17, 3), (29, 11)):
+        j = (F.col("h") * mul + add) % FARM_HOSTS
+        e = hosts.where(F.col("h") != j).select(
+            F.least(F.col("h"), j).alias("a"),
+            F.greatest(F.col("h"), j).alias("b"),
+        )
+        bg = e if bg is None else bg.unionAll(e)
+    farm_hosts = hosts.where(F.col("h") >= FARM_LO)
+    farm = (
+        farm_hosts.select(F.col("h").alias("a"))
+        .crossJoin(farm_hosts.select(F.col("h").alias("b")))
+        .where(F.col("a") < F.col("b"))
+    )
+    return bg.unionAll(farm).distinct()

@@ -248,7 +248,15 @@ _WINDOW = [
     # kg_pra_features is pytest-pinned) for kg_ktruss — an unrolled
     # iterative MATERIALIZED oracle (the riskiest cross-engine class)
     # with a 4-round peel trace at the gated scale
-    "kg_ktruss",
+    # kg_ktruss rotated out end-r3 for web_link_farm: both are unrolled
+    # peel traces, but the window already carries that class via
+    # kg_kcore-family machinery elsewhere in CORRECTNESS_FULL history,
+    # while web_link_farm adds two shapes no other gate drives — the
+    # exact cross-multiplied density ARGMAX across rounds and
+    # best-snapshot membership — plus the planted-clique recovery
+    # (ktruss's support-count peel is pytest-pinned and rides
+    # CORRECTNESS_FULL)
+    "web_link_farm",
     "kg_communities_lpa",
     # web_crawl_history / web_latest_crawl rotated out for the fusion
     # gates: both are single-window/max_by shapes pytest-pinned and

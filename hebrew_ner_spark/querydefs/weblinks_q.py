@@ -798,3 +798,88 @@ def web_fetch_plan(spark, sf_dir):
             "shard",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Link-farm detection via densest-subgraph batch peeling
+# ---------------------------------------------------------------------------
+
+from hebrew_ner_spark.operators import graphstats as _gs  # noqa: E402
+
+
+def _densest_oracle(rounds: int) -> str:
+    """Unrolled Bahmani epsilon=0 peel over the planted host graph:
+    each round drops nodes with deg * n <= e2 (e2 = symmetrized edge
+    count = 2|E|); best round by exact cross-multiplied density argmax
+    (earliest round wins ties). MATERIALIZED for the kcore-oracle
+    reason: each round is referenced several times."""
+    fh = weblinks.FARM_HOSTS
+    parts = [
+        f"""hs AS (SELECT DISTINCT doc_id % {fh} AS h FROM documents),
+    bg AS (
+      SELECT least(h, (h * 17 + 3) % {fh}) AS a,
+             greatest(h, (h * 17 + 3) % {fh}) AS b
+      FROM hs WHERE h <> (h * 17 + 3) % {fh}
+      UNION
+      SELECT least(h, (h * 29 + 11) % {fh}), greatest(h, (h * 29 + 11) % {fh})
+      FROM hs WHERE h <> (h * 29 + 11) % {fh}
+    ),
+    farm AS (SELECT x.h AS a, y.h AS b FROM hs x, hs y
+             WHERE x.h >= {weblinks.FARM_LO} AND y.h >= {weblinks.FARM_LO}
+               AND x.h < y.h),
+    und AS (SELECT a, b FROM bg UNION SELECT a, b FROM farm),
+    s0 AS MATERIALIZED (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+    m0 AS MATERIALIZED (SELECT count(DISTINCT a) AS n, count(*) AS e2 FROM s0)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""
+    d{i} AS MATERIALIZED (
+      SELECT a FROM (SELECT a, count(*) AS c FROM s{i - 1} GROUP BY a), m{i - 1}
+      WHERE c * n <= e2
+    ),
+    s{i} AS MATERIALIZED (
+      SELECT s.a, s.b FROM s{i - 1} s
+      WHERE NOT EXISTS (SELECT 1 FROM d{i} x WHERE x.a = s.a)
+        AND NOT EXISTS (SELECT 1 FROM d{i} x WHERE x.a = s.b)
+    ),
+    m{i} AS MATERIALIZED (SELECT count(DISTINCT a) AS n, count(*) AS e2 FROM s{i}),
+    p{i} AS MATERIALIZED (
+      SELECT DISTINCT a AS node, CAST({i - 1} AS BIGINT) AS peel_round
+      FROM s{i - 1} WHERE a NOT IN (SELECT a FROM s{i})
+    )"""
+        )
+    rounds_union = " UNION ALL ".join(
+        f"SELECT {i} AS rnd, n, e2 FROM m{i}" for i in range(rounds + 1)
+    )
+    peel_union = " UNION ALL ".join(
+        f"SELECT node, peel_round FROM p{i}" for i in range(1, rounds + 1)
+    )
+    return f"""
+    WITH {",".join(parts)},
+    rounds AS (SELECT * FROM ({rounds_union}) WHERE n > 0),
+    best AS (
+      SELECT r.rnd AS b FROM rounds r
+      WHERE NOT EXISTS (
+        SELECT 1 FROM rounds q
+        WHERE q.e2 * r.n > r.e2 * q.n
+           OR (q.e2 * r.n = r.e2 * q.n AND q.rnd < r.rnd))
+    ),
+    peeled AS ({peel_union})
+    SELECT p.node, p.peel_round,
+           CAST(p.peel_round >= best.b AS BIGINT) AS in_densest
+    FROM peeled p CROSS JOIN best
+    """
+
+
+@query("web_link_farm", oracle=_densest_oracle(_gs.DSG_ORACLE_ROUNDS))
+def web_link_farm(spark, sf_dir):
+    """Link-farm detection: densest-subgraph batch peel (Bahmani et al.
+    2012, epsilon=0) over the planted host graph. in_densest=1 must be
+    exactly the planted clique [FARM_LO, FARM_HOSTS) — pytest pins that
+    recovery; the oracle unrolls the same rounds and replays the exact
+    integer threshold and density argmax."""
+    edges = weblinks.synth_farm_host_edges(
+        load_table(spark, sf_dir, "documents")
+    )
+    return _gs.densest_peel(edges)

@@ -855,3 +855,54 @@ class TestWLRefinement:
             for r in graphstats.wl_colors(e).collect()
         }
         assert got == col
+
+
+# ---------------------------------------------------------------------------
+# Densest-subgraph batch peeling
+# ---------------------------------------------------------------------------
+
+
+def test_densest_peel_recovers_planted_clique(spark):
+    """Sparse background + planted K6: the best snapshot must be exactly
+    the clique, and every node's peel round must match a pure-python
+    replay of the epsilon=0 batch peel."""
+    import collections
+    from fractions import Fraction
+
+    bg = [(i, (i + 1) % 12) for i in range(12)]          # 12-cycle, deg 2
+    clique = [(a, b) for a in range(12, 18) for b in range(12, 18) if a < b]
+    bridge = [(0, 12)]                                    # connect the two
+    edges = sorted({(min(a, b), max(a, b)) for a, b in bg + clique + bridge})
+    df = spark.createDataFrame(edges, "a long, b long")
+    out = {r.node: (r.peel_round, r.in_densest)
+           for r in graphstats.densest_peel(df, max_rounds=8).collect()}
+
+    sym = edges + [(b, a) for a, b in edges]
+    snaps, peel_of, rnd = [], {}, 0
+    while sym:
+        deg = collections.Counter(a for a, b in sym)
+        n, e2 = len(deg), len(sym)
+        snaps.append((n, e2))
+        drop = {a for a, d in deg.items() if d * n <= e2}
+        nxt = [(a, b) for a, b in sym if a not in drop and b not in drop]
+        gone = set(deg) - {a for a, b in nxt}
+        for v in gone:
+            peel_of[v] = rnd
+        sym, rnd = nxt, rnd + 1
+    best = max(range(len(snaps)),
+               key=lambda i: (Fraction(snaps[i][1], snaps[i][0]), -i))
+    assert out == {
+        v: (r, 1 if r >= best else 0) for v, r in peel_of.items()
+    }
+    assert {v for v, (r, d) in out.items() if d} == set(range(12, 18))
+
+
+def test_densest_peel_raises_past_round_budget(spark):
+    """A graph that cannot empty inside the budget must raise loudly
+    (plan/oracle can never silently diverge on a deeper-peeling corpus)."""
+    import pytest
+
+    edges = [(a, b) for a in range(8) for b in range(8) if a < b]
+    df = spark.createDataFrame(edges, "a long, b long")
+    with pytest.raises(RuntimeError, match="densest_peel"):
+        graphstats.densest_peel(df, max_rounds=0)
