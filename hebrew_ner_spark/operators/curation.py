@@ -959,15 +959,10 @@ def _dsir_features(docs: DataFrame) -> DataFrame:
     )
 
 
-def dsir_scores(docs: DataFrame) -> DataFrame:
-    """(f, tp, tq, score_bits) — the B-row importance LUT:
-    tp = 1 + target-slice count of bucket f, tq = 1 + corpus count
-    (add-one smoothing keeps every bucket finite in both models);
-    score_bits = (bitlen(tp) - bitlen(Tp)) - (bitlen(tq) - bitlen(Tq)),
-    the integer log2(p_f / q_f) up to the idiom's +-1 bit."""
-    feats = _dsir_features(docs).join(
-        docs.select("doc_id", "source"), "doc_id"
-    )
+def _dsir_scores_from(feats: DataFrame, docs: DataFrame) -> DataFrame:
+    """LUT from an (optionally persisted) shared feature table — so the
+    weights path tokenizes the corpus ONCE, not once per distribution."""
+    feats = feats.join(docs.select("doc_id", "source"), "doc_id")
     lut = feats.groupBy("f").agg(
         (F.lit(1) + F.coalesce(
             F.sum(F.when(F.col("source").isin(*DSIR_TARGET_SRC), F.col("c"))),
@@ -992,13 +987,25 @@ def dsir_scores(docs: DataFrame) -> DataFrame:
     )
 
 
+def dsir_scores(docs: DataFrame) -> DataFrame:
+    """(f, tp, tq, score_bits) — the B-row importance LUT:
+    tp = 1 + target-slice count of bucket f, tq = 1 + corpus count
+    (add-one smoothing keeps every bucket finite in both models);
+    score_bits = (bitlen(tp) - bitlen(Tp)) - (bitlen(tq) - bitlen(Tq)),
+    the integer log2(p_f / q_f) up to the idiom's +-1 bit."""
+    return _dsir_scores_from(_dsir_features(docs), docs)
+
+
 def dsir_weights(docs: DataFrame) -> DataFrame:
     """(doc_id, n_feats, weight_bits, mean_wbits_1e6) — per-doc DSIR
     importance: weight_bits = sum_f c_f * score_bits(f); the mean is
     half-up integer micro-bits per feature occurrence, the
     length-debiased measure the sampler thresholds on."""
-    feats = _dsir_features(docs)
-    scores = dsir_scores(docs).select("f", "score_bits")
+    from hebrew_ner_spark.operators.graphstats import _evict, _persist
+
+    _evict("dsir")
+    feats = _persist("dsir", _dsir_features(docs))
+    scores = _dsir_scores_from(feats, docs).select("f", "score_bits")
     return (
         feats.join(F.broadcast(scores), "f")
         .groupBy("doc_id")
