@@ -289,3 +289,74 @@ def prune_compare(events: DataFrame, files: int = Z_FILES) -> DataFrame:
     for df in out[1:]:
         res = res.unionByName(df)
     return res
+
+
+# ---------------------------------------------------------------------------
+# Graph-layout compressibility audit (WebGraph/BV gap coding)
+# ---------------------------------------------------------------------------
+#
+# The zx_* gates audit what a LAYOUT buys multi-dimensional scans; this
+# one audits what a NODE ORDERING buys adjacency-list storage — the
+# Boldi-Vigna WebGraph observation that a good relabeling (hubs first,
+# similar lists adjacent) shrinks the Elias-gamma-coded destination
+# gaps. At 10^12 edges the serialized graph IS a storage line item, and
+# the orderings' costs are pure integer arithmetic both engines replay:
+# gamma(x) = 2*bitlen(x) - 1 bits; a sorted adjacency list costs
+# gamma(first+1) + sum gamma(d_i - d_{i-1}).
+
+
+def gamma_code_cost(und_edges: DataFrame) -> DataFrame:
+    """(ordering, n_nodes, n_edges, total_bits, bits_per_edge_1e6) —
+    Elias-gamma adjacency-coding cost of the symmetrized graph under
+    two labelings: 'natural' (raw node ids) and 'degree'
+    (rank by degree desc, id asc — the WebGraph-style hubs-first
+    relabel). The label table is node-grain metadata (its rank window
+    is a single tiny partition here; swap in the two-level rank of
+    operators/labels.py for a 10^9-node corpus); the per-source gap
+    windows partition by src — fully distributed. bits_per_edge is
+    half-up integer micro-bits."""
+    und = und_edges.select("a", "b")
+    sym = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy("a").agg(F.count("*").alias("_d"))
+    lab = deg.select(
+        F.col("a").alias("node"),
+        (
+            F.row_number().over(Window.orderBy(F.desc("_d"), F.asc("a"))) - 1
+        ).cast("long").alias("dlab"),
+    )
+
+    def cost(adj: DataFrame, name: str) -> DataFrame:
+        w = Window.partitionBy("src").orderBy("dst")
+        g = adj.select(
+            "src", "dst", F.lag("dst").over(w).alias("_prev")
+        ).select(
+            (
+                2 * F.length(F.bin(
+                    F.when(F.col("_prev").isNull(), F.col("dst") + 1)
+                    .otherwise(F.col("dst") - F.col("_prev"))
+                )) - 1
+            ).cast("long").alias("bits")
+        )
+        return g.agg(
+            F.lit(name).alias("ordering"),
+            F.count("*").cast("long").alias("n_edges"),
+            F.sum("bits").cast("long").alias("total_bits"),
+        )
+
+    natural = sym.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    degree = (
+        sym.join(lab, sym.a == lab.node).select(
+            F.col("dlab").alias("src"), F.col("b")
+        )
+        .join(lab, F.col("b") == lab.node)
+        .select("src", F.col("dlab").alias("dst"))
+    )
+    nn = deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    out = cost(natural, "natural").unionByName(cost(degree, "degree"))
+    return out.crossJoin(F.broadcast(nn)).select(
+        "ordering", "n_nodes", "n_edges", "total_bits",
+        F.expr(
+            "CAST((2 * total_bits * 1000000 + n_edges) DIV (2 * n_edges)"
+            " AS BIGINT)"
+        ).alias("bits_per_edge_1e6"),
+    )

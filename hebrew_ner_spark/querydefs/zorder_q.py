@@ -137,3 +137,72 @@ def zx_prune_compare(spark, sf_dir):
     multi-dim claim is in the numbers: by_user collapses from the
     linear layout's every-file worst case, by_ts stays sub-linear."""
     return zorder.prune_compare(_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Graph-layout compressibility (Elias-gamma gap coding under orderings)
+# ---------------------------------------------------------------------------
+
+from hebrew_ner_spark.operators import weblinks as _wl  # noqa: E402
+
+_GAMMA_GRAPH = f"""
+    hs AS (SELECT DISTINCT doc_id % {_wl.FARM_HOSTS} AS h FROM documents),
+    bg AS (
+      SELECT least(h, (h * 17 + 3) % {_wl.FARM_HOSTS}) AS a,
+             greatest(h, (h * 17 + 3) % {_wl.FARM_HOSTS}) AS b
+      FROM hs WHERE h <> (h * 17 + 3) % {_wl.FARM_HOSTS}
+      UNION
+      SELECT least(h, (h * 29 + 11) % {_wl.FARM_HOSTS}),
+             greatest(h, (h * 29 + 11) % {_wl.FARM_HOSTS})
+      FROM hs WHERE h <> (h * 29 + 11) % {_wl.FARM_HOSTS}
+    ),
+    farm AS (SELECT x.h AS a, y.h AS b FROM hs x, hs y
+             WHERE x.h >= {_wl.FARM_LO} AND y.h >= {_wl.FARM_LO}
+               AND x.h < y.h),
+    und AS (SELECT a, b FROM bg UNION SELECT a, b FROM farm),
+    sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+    deg AS (SELECT a, count(*) AS d FROM sym GROUP BY a),
+    lab AS (SELECT a AS node,
+                   row_number() OVER (ORDER BY d DESC, a) - 1 AS dlab
+            FROM deg),
+    nat AS (SELECT a AS src, b AS dst FROM sym),
+    dgr AS (SELECT la.dlab AS src, lb.dlab AS dst
+            FROM sym JOIN lab la ON la.node = sym.a
+                     JOIN lab lb ON lb.node = sym.b),
+    nn AS (SELECT count(*) AS n_nodes FROM deg)
+"""
+
+_GAMMA_COST = """
+    SELECT '{name}' AS ordering,
+           CAST(count(*) AS BIGINT) AS n_edges,
+           CAST(sum(2 * length(bin(CASE WHEN prev IS NULL THEN dst + 1
+                                        ELSE dst - prev END)) - 1) AS BIGINT)
+             AS total_bits
+    FROM (SELECT src, dst,
+                 lag(dst) OVER (PARTITION BY src ORDER BY dst) AS prev
+          FROM {rel})
+"""
+
+
+@query(
+    "zx_graph_gamma",
+    oracle=f"""
+    WITH {_GAMMA_GRAPH},
+    costs AS ({_GAMMA_COST.format(name="natural", rel="nat")}
+              UNION ALL
+              {_GAMMA_COST.format(name="degree", rel="dgr")})
+    SELECT ordering, CAST(n_nodes AS BIGINT) AS n_nodes, n_edges, total_bits,
+           (2 * total_bits * 1000000 + n_edges) // (2 * n_edges)
+             AS bits_per_edge_1e6
+    FROM costs CROSS JOIN nn
+    """,
+)
+def zx_graph_gamma(spark, sf_dir):
+    """WebGraph-style storage audit of the planted host graph: total
+    Elias-gamma bits of the sorted adjacency gaps under the natural and
+    the hubs-first (degree desc) labelings. The degree ordering must
+    cost fewer bits here (pytest-pinned), the Boldi-Vigna effect the
+    relabel exists for."""
+    return zorder.gamma_code_cost(
+        _wl.synth_farm_host_edges(load_table(spark, sf_dir, "documents"))
+    )

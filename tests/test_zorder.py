@@ -116,3 +116,43 @@ class TestPruningPayoff:
         assert zt.files_touched < zt.n_probes * zt.n_files
         # while linear_ts is near-perfect on its own sort dimension
         assert lt.files_touched <= zt.files_touched
+
+
+def test_gamma_cost_matches_python_and_degree_wins(spark):
+    """Gamma coding cost equals a pure-python replay on a fixed graph,
+    and the hubs-first relabel strictly beats the natural order on the
+    planted-farm graph (the Boldi-Vigna effect the gate exists for)."""
+    import collections
+
+    from hebrew_ner_spark.operators.weblinks import synth_farm_host_edges
+    from hebrew_ner_spark.operators.zorder import gamma_code_cost
+
+    docs = spark.range(500).select(F.col("id").alias("doc_id"))
+    edges = synth_farm_host_edges(docs)
+    out = {r.ordering: (r.n_nodes, r.n_edges, r.total_bits)
+           for r in gamma_code_cost(edges).collect()}
+
+    pairs = [(r.a, r.b) for r in edges.collect()]
+    sym = pairs + [(b, a) for a, b in pairs]
+    deg = collections.Counter(a for a, b in sym)
+    order = sorted(deg, key=lambda v: (-deg[v], v))
+    lab = {v: i for i, v in enumerate(order)}
+
+    def gamma(x):
+        return 2 * x.bit_length() - 1
+
+    def cost(f):
+        adj = collections.defaultdict(list)
+        for a, b in sym:
+            adj[f(a)].append(f(b))
+        tot = 0
+        for s in adj:
+            prev = None
+            for d in sorted(adj[s]):
+                tot += gamma(d + 1 if prev is None else d - prev)
+                prev = d
+        return tot
+
+    assert out["natural"] == (len(deg), len(sym), cost(lambda v: v))
+    assert out["degree"] == (len(deg), len(sym), cost(lambda v: lab[v]))
+    assert out["degree"][2] < out["natural"][2]
