@@ -100,7 +100,13 @@ _WINDOW = [
     # brand-new cross-engine shape (array algebra vs IGNORE NULLS
     # windows) with no driver history
     "kg_coref_triples",
-    "sk_hll_estimate",
+    # sk_hll_estimate rotated out end-r3 (register grid + LUT correction
+    # are pytest-pinned and the CMS family keeps sketches in-window) for
+    # stream_triples_drain — the FIRST streaming query with a full
+    # value-hash oracle: availableNow drain through the idempotent
+    # batch-keyed sink must equal the batch SQL bit for bit, a class the
+    # driver has never certified (streaming paths were pytest-only)
+    "stream_triples_drain",
     # sk_hll_merge rotated out (merge==direct is also pytest-pinned and
     # algebraically tied to the two in-window HLL gates) for
     # kg_predicate_stats — a brand-new multi-countDistinct expand shape

@@ -1,0 +1,50 @@
+"""Structured-Streaming drain gate + DuckDB oracle.
+
+The streaming surface (streaming/incremental.py) was previously
+pytest-only; this gate gives it a HARD driver row: stage the sf corpus
+as a 3-file directory, drain it through the availableNow incremental
+triple-extraction pipeline (maxFilesPerTrigger=1 -> 3 micro-batches,
+exactly-once idempotent per-batch sink, fresh checkpoint per run), read
+the parquet sink back and hand the ROWS to the driver's value-hash
+compare against the BATCH SQL oracle — streaming == batch, bit for bit.
+That is the strongest statement available for a streaming path: the
+oracle never mentions streaming at all.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from hebrew_ner_spark.querydefs.kg_chain import _TRIPLES_ORACLE
+from hebrew_ner_spark.registry import query
+from hebrew_ner_spark.sources.catalog import load_table
+
+
+@query("stream_triples_drain", oracle=_TRIPLES_ORACLE)
+def stream_triples_drain(spark, sf_dir):
+    """Stage -> stream-drain -> read back. The work dir is wiped first
+    so every run is a fresh checkpoint lifetime (batch numbering starts
+    at 0 and the sink's batch-keyed overwrite directories can never pair
+    with a stale previous life)."""
+    from hebrew_ner_spark.streaming.incremental import run_incremental_triples
+
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"stream_gate_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    src = os.path.join(work, "src")
+    out = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    load_table(spark, sf_dir, "documents").repartitionByRange(
+        3, "doc_id"
+    ).write.parquet(src)
+    n_batches = run_incremental_triples(spark, src, out, ckpt)
+    assert n_batches >= 3, f"expected >=3 micro-batches, got {n_batches}"
+    return spark.read.parquet(os.path.join(out, "triples")).select(
+        "doc_id", "word_index", "subj", "pred", "obj"
+    )
