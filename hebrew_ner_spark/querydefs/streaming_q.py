@@ -32,9 +32,12 @@ def stream_triples_drain(spark, sf_dir):
     with a stale previous life)."""
     from hebrew_ner_spark.streaming.incremental import run_incremental_triples
 
+    # keyed by applicationId so concurrent processes (driver + a local
+    # check) can never wipe each other's staging mid-drain
     work = os.path.join(
         tempfile.gettempdir(),
-        f"stream_gate_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"stream_gate_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
     )
     shutil.rmtree(work, ignore_errors=True)
     src = os.path.join(work, "src")
