@@ -1580,3 +1580,80 @@ def interval_overlap_join(
             .alias("ov_len"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KB-completeness estimation (capture-recapture)
+# ---------------------------------------------------------------------------
+#
+# How many facts does the corpus HOLD that extraction hasn't seen yet?
+# The KB-completeness literature answers with capture-recapture: treat
+# two disjoint corpus slices as independent captures of the same
+# underlying fact population; the overlap calibrates the estimate
+# N-hat = n1*n2/m (Lincoln-Petersen) / Chapman's bias-corrected
+# (n1+1)(n2+1)/(m+1) - 1. Estimates ABOVE the observed distinct count
+# signal unseen mass (heterogeneous catchability inflates them — worth
+# reporting, which is why the observed truth rides in the same row).
+# Facts partition by predicate, so the '<all>' row is the exact sum of
+# the per-predicate rows and both grains share one plan.
+
+CAPTURE_ALL = "<all>"
+
+
+def completeness_capture(docs: DataFrame) -> DataFrame:
+    """(pred, n1, n2, n_both, n_observed, est_lp, est_chapman) — one row
+    per predicate plus the '<all>' total. Capture 1 = distinct facts in
+    even doc_ids, capture 2 = odd; n_both their overlap; est_lp = 0
+    when the overlap is empty (no information). All half-up integers.
+
+    Plan: the triple extraction's zero-shuffle chain, two distinct
+    aggregates + one equi-join at fact grain (skew-free keys), then
+    predicate-grain aggregates — metadata-sized output."""
+    t = doc_triples(docs).select("doc_id", "subj", "pred", "obj")
+    a = t.where(F.col("doc_id") % 2 == 0).select("subj", "pred", "obj").distinct()
+    b = t.where(F.col("doc_id") % 2 == 1).select("subj", "pred", "obj").distinct()
+    n1 = a.groupBy("pred").agg(F.count("*").cast("long").alias("n1"))
+    n2 = b.groupBy("pred").agg(F.count("*").cast("long").alias("n2"))
+    m = (
+        a.join(b, ["subj", "pred", "obj"])
+        .groupBy("pred")
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    obs = (
+        t.select("subj", "pred", "obj").distinct()
+        .groupBy("pred")
+        .agg(F.count("*").cast("long").alias("n_observed"))
+    )
+    per = (
+        obs.join(n1, "pred", "left")
+        .join(n2, "pred", "left")
+        .join(m, "pred", "left")
+        .select(
+            "pred",
+            *[
+                F.coalesce(c, F.lit(0)).cast("long").alias(c)
+                for c in ("n1", "n2", "n_both")
+            ],
+            "n_observed",
+        )
+    )
+    allr = per.agg(
+        F.lit(CAPTURE_ALL).alias("pred"),
+        F.sum("n1").cast("long").alias("n1"),
+        F.sum("n2").cast("long").alias("n2"),
+        F.sum("n_both").cast("long").alias("n_both"),
+        F.sum("n_observed").cast("long").alias("n_observed"),
+    )
+    est = [
+        F.expr(
+            "CASE WHEN n_both = 0 THEN CAST(0 AS BIGINT) ELSE "
+            "CAST((2 * n1 * n2 + n_both) DIV (2 * n_both) AS BIGINT) END"
+        ).alias("est_lp"),
+        F.expr(
+            "CAST((2 * (n1 + 1) * (n2 + 1) + (n_both + 1))"
+            " DIV (2 * (n_both + 1)) - 1 AS BIGINT)"
+        ).alias("est_chapman"),
+    ]
+    return per.unionByName(allr).select(
+        "pred", "n1", "n2", "n_both", "n_observed", *est
+    )

@@ -1045,3 +1045,49 @@ def kg_skew_audit(spark, sf_dir):
     from hebrew_ner_spark.plans.skew import skew_audit
 
     return skew_audit(kg.doc_triples(_docs(spark, sf_dir)), "subj", _SKEW_T)
+
+
+@query(
+    "kg_completeness_capture",
+    oracle=f"""
+    WITH t0 AS ({_TRIPLES_ORACLE}),
+    a AS (SELECT DISTINCT subj, pred, obj FROM t0 WHERE doc_id % 2 = 0),
+    b AS (SELECT DISTINCT subj, pred, obj FROM t0 WHERE doc_id % 2 = 1),
+    n1 AS (SELECT pred, count(*) AS n1 FROM a GROUP BY pred),
+    n2 AS (SELECT pred, count(*) AS n2 FROM b GROUP BY pred),
+    m AS (SELECT pred, count(*) AS n_both
+          FROM a JOIN b USING (subj, pred, obj) GROUP BY pred),
+    obs AS (SELECT pred, count(*) AS n_observed
+            FROM (SELECT DISTINCT subj, pred, obj FROM t0) GROUP BY pred),
+    per AS (
+      SELECT obs.pred,
+             CAST(coalesce(n1.n1, 0) AS BIGINT) AS n1,
+             CAST(coalesce(n2.n2, 0) AS BIGINT) AS n2,
+             CAST(coalesce(m.n_both, 0) AS BIGINT) AS n_both,
+             CAST(obs.n_observed AS BIGINT) AS n_observed
+      FROM obs
+      LEFT JOIN n1 USING (pred) LEFT JOIN n2 USING (pred)
+      LEFT JOIN m USING (pred)
+    ),
+    tot AS (
+      SELECT * FROM per
+      UNION ALL
+      SELECT '{kg.CAPTURE_ALL}', CAST(sum(n1) AS BIGINT),
+             CAST(sum(n2) AS BIGINT), CAST(sum(n_both) AS BIGINT),
+             CAST(sum(n_observed) AS BIGINT)
+      FROM per
+    )
+    SELECT pred, n1, n2, n_both, n_observed,
+           CASE WHEN n_both = 0 THEN CAST(0 AS BIGINT)
+                ELSE (2 * n1 * n2 + n_both) // (2 * n_both) END AS est_lp,
+           (2 * (n1 + 1) * (n2 + 1) + (n_both + 1)) // (2 * (n_both + 1)) - 1
+             AS est_chapman
+    FROM tot
+    """,
+)
+def kg_completeness_capture(spark, sf_dir):
+    """KB-completeness via capture-recapture over disjoint corpus
+    slices: Lincoln-Petersen and Chapman estimates of the extractable
+    fact population next to the observed distinct count, per predicate
+    + '<all>'. Estimates above n_observed quantify unseen mass."""
+    return kg.completeness_capture(_docs(spark, sf_dir))

@@ -572,3 +572,35 @@ def test_subclass_cycles_dag_is_empty(spark):
         "doc_id long, text string",
     )
     assert kg.subclass_cycles(docs).count() == 0
+
+
+def test_completeness_capture_closed_form(spark):
+    """Hand-built corpus with known capture structure: facts f1 (both
+    halves), f2 (even only), f3 (odd only) — Lincoln-Petersen and
+    Chapman must hit their closed forms, and the '<all>' row must be
+    the exact per-predicate sum."""
+    rows = [
+        (0, "batch join column"),   # f1 in even
+        (1, "batch join column"),   # f1 in odd
+        (2, "batch join data"),     # f2 even only
+        (3, "column join data"),    # f3 odd only
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.pred: r.asDict() for r in kg.completeness_capture(docs).collect()}
+    j = out["join"]
+    assert (j["n1"], j["n2"], j["n_both"], j["n_observed"]) == (2, 2, 1, 3)
+    assert j["est_lp"] == 4                      # 2*2/1
+    assert j["est_chapman"] == (2 * 3 * 3 + 2) // (2 * 2) - 1  # 3*3/2 -1 = 4 (half-up 4.5->5-1)
+    a = out[kg.CAPTURE_ALL]
+    assert (a["n1"], a["n2"], a["n_both"], a["n_observed"]) == (2, 2, 1, 3)
+
+
+def test_completeness_capture_zero_overlap_guard(spark):
+    """Disjoint captures: est_lp collapses to the 0 sentinel while
+    Chapman stays finite — the cross-engine guard the gate exists for."""
+    rows = [(0, "batch join column"), (1, "batch join data")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.pred: r.asDict() for r in kg.completeness_capture(docs).collect()}
+    j = out["join"]
+    assert j["n_both"] == 0 and j["est_lp"] == 0
+    assert j["est_chapman"] == (2 * 2 * 2 + 1) // 2 - 1  # (1+1)(1+1)/1 - 1 = 3
