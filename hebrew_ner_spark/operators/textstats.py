@@ -688,3 +688,63 @@ def heaps_curve(docs: DataFrame, k: int = HEAPS_K) -> DataFrame:
         "new_types",
         F.sum("new_types").over(w).cast("long").alias("vocab_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unseen-vocabulary mass (Chao1 + Good-Turing)
+# ---------------------------------------------------------------------------
+
+
+def vocab_richness(docs: DataFrame) -> DataFrame:
+    """(lang, n_tokens, n_types, f1, f2, chao1, unseen_p_1e6) — how much
+    vocabulary the corpus has NOT yet shown, per language, at the word-
+    TRIGRAM grain (the closed synthetic unigram vocabulary saturates —
+    31 types, zero hapaxes — which would make the gate vacuous; the
+    trigram species space is open, the same reason heaps_curve counts
+    3-shingles): Chao1
+    species-richness (S + f1^2 / (2*f2), the abundance-based lower
+    bound) and the Good-Turing unseen-probability mass f1/N, both from
+    the hapax (f1) and doubleton (f2) counts. The companion to the
+    Heaps curve (heaps_curve): that one says how fast types arrive,
+    this one says how many remain. All half-up integers; f2 = 0 uses
+    the bias-corrected Chao1 form f1*(f1-1)/2 (+S), finite on both
+    engines.
+
+    Plan: one (lang, token) count aggregate (map-side combined,
+    skew-free high-cardinality keys), one (lang, count) frequency-of-
+    frequencies aggregate (metadata-grain), one final per-lang
+    projection — no sorts, no windows."""
+    tok = docs.select(
+        "lang",
+        F.explode(
+            F.expr(
+                """
+                CASE WHEN size(split(text, ' ')) < 3 THEN array()
+                     ELSE transform(sequence(0, size(split(text, ' ')) - 3),
+                                    i -> concat_ws(' ',
+                                                   slice(split(text, ' '),
+                                                         i + 1, 3)))
+                END
+                """
+            )
+        ).alias("token"),
+    )
+    cnt = tok.groupBy("lang", "token").agg(F.count("*").alias("c"))
+    fof = cnt.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long").alias("f2"),
+    )
+    return fof.select(
+        "lang", "n_tokens", "n_types", "f1", "f2",
+        F.expr(
+            "CAST(CASE WHEN f2 > 0 THEN n_types + (2 * f1 * f1 + 2 * f2)"
+            " DIV (4 * f2) ELSE n_types + (f1 * (f1 - 1)) DIV 2 END"
+            " AS BIGINT)"
+        ).alias("chao1"),
+        F.expr(
+            "CAST((2 * f1 * 1000000 + n_tokens) DIV (2 * n_tokens)"
+            " AS BIGINT)"
+        ).alias("unseen_p_1e6"),
+    )

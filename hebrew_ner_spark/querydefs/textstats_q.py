@@ -464,3 +464,37 @@ def txt_heaps_curve(spark, sf_dir):
     """Vocabulary growth at power-of-two token-prefix checkpoints (the
     Heaps-law curve corpus-scaling plans read)."""
     return textstats.heaps_curve(_docs(spark, sf_dir))
+
+
+@query(
+    "txt_vocab_richness",
+    oracle="""
+    WITH tk AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+    tok AS (
+      SELECT lang,
+             toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]
+               || ' ' || toks[CAST(i AS INT) + 2] AS token
+      FROM tk, unnest(range(1, len(toks) - 1)) AS u(i)
+    ),
+    cnt AS (SELECT lang, token, count(*) AS c FROM tok GROUP BY 1, 2),
+    fof AS (
+      SELECT lang,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      FROM cnt GROUP BY lang
+    )
+    SELECT lang, n_tokens, n_types, f1, f2,
+           CAST(CASE WHEN f2 > 0
+                     THEN n_types + (2 * f1 * f1 + 2 * f2) // (4 * f2)
+                     ELSE n_types + (f1 * (f1 - 1)) // 2 END AS BIGINT)
+             AS chao1,
+           (2 * f1 * 1000000 + n_tokens) // (2 * n_tokens) AS unseen_p_1e6
+    FROM fof
+    """,
+)
+def txt_vocab_richness(spark, sf_dir):
+    """Chao1 + Good-Turing unseen-vocabulary mass per language
+    (operators/textstats.vocab_richness)."""
+    return textstats.vocab_richness(_docs(spark, sf_dir))

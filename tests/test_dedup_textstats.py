@@ -219,3 +219,29 @@ class TestLshProbeDelta:
         # cross (base x delta) and intra (delta x delta) pairs both present
         assert (0, 1) in probe and (1, 2) in probe   # cross
         assert (3, 7) in probe                        # intra
+
+
+def test_vocab_richness_closed_form(spark):
+    """Constructed corpus: trigram abundances {t1: 1, t2: 2, t3: 3} per
+    the sliding window — Chao1 and Good-Turing must hit closed forms,
+    including the bias-corrected f2=0 branch."""
+    from hebrew_ner_spark.operators.textstats import vocab_richness
+
+    # 'a b c b c d' -> trigrams: 'a b c','b c b','c b c','b c d' (all 1x)
+    docs = spark.createDataFrame(
+        [(1, "a b c b c d", "xx")], "doc_id long, text string, lang string"
+    )
+    r = vocab_richness(docs).collect()[0]
+    assert (r.n_tokens, r.n_types, r.f1, r.f2) == (4, 4, 4, 0)
+    assert r.chao1 == 4 + (4 * 3) // 2           # f2=0 branch: S + f1(f1-1)/2
+    assert r.unseen_p_1e6 == 1_000_000           # all hapax
+
+    # duplicated doc -> every trigram count 2: f1=0, f2=4, chao1=S
+    docs2 = spark.createDataFrame(
+        [(1, "a b c b c d", "yy"), (2, "a b c b c d", "yy")],
+        "doc_id long, text string, lang string",
+    )
+    r2 = [x for x in vocab_richness(docs2).collect() if x.lang == "yy"][0]
+    assert (r2.n_tokens, r2.n_types, r2.f1, r2.f2) == (8, 4, 0, 4)
+    assert r2.chao1 == 4 + (2 * 0 * 0 + 2 * 4) // (4 * 4)  # = S (+0 half-up)
+    assert r2.unseen_p_1e6 == 0
