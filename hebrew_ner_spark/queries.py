@@ -725,6 +725,20 @@ _WINDOW = [
 #   (cur_dedup_canonical's class) with the trn_quality_lr replay; rides
 #   CORRECTNESS_FULL.
 
+# * flt_file_bloom_payoff / cur_dsir_lut — added end-r3 after the window
+#   filled; each is the metadata-grain summary/LUT twin of an in-window
+#   gate (flt_file_bloom_scan, cur_dsir_sample) so any drift surfaces
+#   there; ride CORRECTNESS_FULL;
+# * zx_graph_gamma — added end-r3; pure-python coding replay +
+#   degree-beats-natural are pytest-pinned and the window-lag shape twins
+#   the in-window quantile/window gates; rides CORRECTNESS_FULL;
+# * kg_completeness_capture — added end-r3; Lincoln-Petersen/Chapman
+#   closed forms incl. the zero-overlap sentinel are pytest-pinned over
+#   the in-window kg_triples extraction; rides CORRECTNESS_FULL;
+# * txt_vocab_richness — added end-r3; both Chao1 branches pytest-pinned
+#   closed-form; the frequency-of-frequencies aggregate twins the
+#   in-window txt/sk histogram gates; rides CORRECTNESS_FULL.
+
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
 # out of the driver-verified window with no signal at all (explicit raise,
 # not assert — asserts vanish under python -O)
