@@ -739,6 +739,12 @@ _WINDOW = [
 #   closed-form; the frequency-of-frequencies aggregate twins the
 #   in-window txt/sk histogram gates; rides CORRECTNESS_FULL.
 
+# * stream_event_windows — added end-r3; the availableNow drain class is
+#   certified in-window by stream_triples_drain, and the watermark
+#   finalization rule (window_end <= max_ts - delay) is pinned both by
+#   the oracle's explicit restriction and by test_streaming's
+#   drain/restart coverage; rides CORRECTNESS_FULL.
+
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
 # out of the driver-verified window with no signal at all (explicit raise,
 # not assert — asserts vanish under python -O)

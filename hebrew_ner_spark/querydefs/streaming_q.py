@@ -51,3 +51,49 @@ def stream_triples_drain(spark, sf_dir):
     return spark.read.parquet(os.path.join(out, "triples")).select(
         "doc_id", "word_index", "subj", "pred", "obj"
     )
+
+
+@query(
+    "stream_event_windows",
+    oracle="""
+    WITH ev AS (SELECT ts, event_type FROM events),
+    mx AS (SELECT max(ts) AS m FROM ev),
+    win AS (
+      SELECT date_trunc('hour', ts) AS ws, event_type,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM ev GROUP BY 1, 2
+    )
+    SELECT CAST(epoch_ms(ws) AS BIGINT) AS hour_ms, event_type, n_events
+    FROM win, mx
+    WHERE ws + INTERVAL 1 HOUR <= m - INTERVAL 2 HOUR
+    """,
+)
+def stream_event_windows(spark, sf_dir):
+    """Event-time tumbling windows through the WATERMARK path: drain the
+    events table with the shipped availableNow windowed aggregate
+    (1h windows, 2h watermark, append mode) and hand the emitted rows to
+    the value-hash compare. Append mode only FINALIZES a window once the
+    watermark passes its end, so the oracle is the batch aggregate
+    RESTRICTED to window_end <= max(ts) - 2h — the trailing unemitted
+    windows are part of the gated semantics, not a fudge: a <= / <
+    boundary mixup or a watermark-delay drift flips the row set.
+    (Session timezone is pinned UTC in session.py, so unix_millis on the
+    Spark side and epoch_ms on naive timestamps in DuckDB agree.)"""
+    from hebrew_ner_spark.streaming.incremental import (
+        run_windowed_event_counts,
+    )
+
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"stream_win_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    src = os.path.join(work, "src")
+    out = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    load_table(spark, sf_dir, "events").repartitionByRange(
+        3, "event_id"
+    ).write.parquet(src)
+    run_windowed_event_counts(spark, src, out, ckpt)
+    return spark.read.parquet(out).select("hour_ms", "event_type", "n_events")
