@@ -745,6 +745,12 @@ _WINDOW = [
 #   the oracle's explicit restriction and by test_streaming's
 #   drain/restart coverage; rides CORRECTNESS_FULL.
 
+# * stream_stateful_totals — added end-r3; the applyInPandasWithState
+#   running totals reduced by max(total) must equal the plain batch
+#   count (state-store arithmetic end to end); the drain class is
+#   in-window via stream_triples_drain and the state-restore semantics
+#   are pytest-pinned in test_streaming; rides CORRECTNESS_FULL.
+
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
 # out of the driver-verified window with no signal at all (explicit raise,
 # not assert — asserts vanish under python -O)

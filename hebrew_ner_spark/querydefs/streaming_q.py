@@ -97,3 +97,52 @@ def stream_event_windows(spark, sf_dir):
     ).write.parquet(src)
     run_windowed_event_counts(spark, src, out, ckpt)
     return spark.read.parquet(out).select("hour_ms", "event_type", "n_events")
+
+
+from hebrew_ner_spark.resources import ENTITY_TERMS  # noqa: E402
+
+_ENTS_SQL = "(" + ", ".join(f"'{t}'" for t in ENTITY_TERMS) + ")"
+
+
+@query(
+    "stream_stateful_totals",
+    oracle=f"""
+    WITH toks AS (
+      SELECT t.token FROM documents,
+      LATERAL (SELECT unnest(string_split(text, ' ')) AS token) t
+    )
+    SELECT token AS entity, CAST(count(*) AS BIGINT) AS total
+    FROM toks WHERE token IN {_ENTS_SQL}
+    GROUP BY token
+    """,
+)
+def stream_stateful_totals(spark, sf_dir):
+    """The custom stateful operator's hard gate: drain the corpus
+    through applyInPandasWithState cumulative per-entity totals
+    (update mode, 3 micro-batches), then reduce the per-batch update
+    rows with max(total) — running totals are nondecreasing, so the max
+    IS the final state — and value-hash against the plain batch count.
+    Certifies the state-store arithmetic end to end: a dropped batch,
+    a state reset, or double-counted replay all flip the totals."""
+    from hebrew_ner_spark.streaming.incremental import (
+        run_stateful_entity_totals,
+    )
+
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"stream_state_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    src = os.path.join(work, "src")
+    out = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    load_table(spark, sf_dir, "documents").repartitionByRange(
+        3, "doc_id"
+    ).write.parquet(src)
+    run_stateful_entity_totals(spark, src, out, ckpt)
+    return (
+        spark.read.parquet(os.path.join(out, "entity_totals"))
+        .groupBy("entity")
+        .agg(F.max("total").cast("long").alias("total"))
+    )
