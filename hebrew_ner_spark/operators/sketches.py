@@ -456,3 +456,90 @@ def cms_join_size(a_items: DataFrame, b_items: DataFrame, item: str) -> DataFram
         .agg(F.coalesce(F.sum(F.col("_fa") * F.col("_fb")), F.lit(0)).cast("long").alias("true_pairs"))
     )
     return true.crossJoin(est)
+
+
+# ---------------------------------------------------------------------------
+# AMS F2 sketch (Alon-Matias-Szegedy second frequency moment)
+# ---------------------------------------------------------------------------
+#
+# F2 = sum_t c_t^2 is the exact self-join size on a key — the quantity
+# a join planner wants BEFORE shuffling 10^12 rows. The AMS tug-of-war
+# sketch estimates it from K counters: X_i = sum_t sign_i(t) * c_t with
+# 4-wise-independent-ish signs (portable-hash parity here), E[X_i^2] =
+# F2. Median-of-means over G groups bounds the error; everything is
+# exact integer arithmetic both engines replay (the estimate is
+# deterministic given the seed family, so the gate pins the SKETCH, and
+# the exact F2 rides in the same row to keep the error visible).
+#
+# Scale shape: one (token) count aggregate, then a K-way explode of the
+# VOCABULARY-grain counts (never the corpus), K partial sums = one tiny
+# aggregate; the sketch is K longs, mergeable across shards by addition.
+
+AMS_K = 16      # counters
+AMS_G = 4       # median-of-means groups (K/G counters per group)
+AMS_SEED = 877
+
+
+def ams_counters(items: DataFrame, item: str) -> DataFrame:
+    """(i, x) — the K tug-of-war counters over the item multiset:
+    x_i = sum_t sign_i(t) * c_t, sign_i(t) = 1 - 2*(phash(t, seed+i)%2).
+    One portable hash per (vocab item, counter)."""
+    cnt = items.groupBy(item).agg(F.count("*").alias("c"))
+    fanned = cnt.select(
+        F.col(item).alias("_t"), "c",
+        F.explode(F.array(*[F.lit(i) for i in range(AMS_K)])).alias("i"),
+    )
+    sign = F.lit(1) - 2 * (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("_t"),
+                                  (F.lit(AMS_SEED) + F.col("i")).cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long") % 2
+    )
+    return (
+        fanned.select(F.col("i").cast("long").alias("i"),
+                      (sign * F.col("c")).alias("sx"))
+        .groupBy("i")
+        .agg(F.sum("sx").cast("long").alias("x"))
+    )
+
+
+def ams_f2_estimate(items: DataFrame, item: str) -> DataFrame:
+    """(f2_exact, f2_ams, rel_err_1e6) — median-of-means AMS estimate
+    next to the exact second moment. Group means over K/G counters,
+    median of the G means = mean of the two middle order statistics
+    (G = 4, pinned), all half-up integers."""
+    cnt = items.groupBy(item).agg(F.count("*").alias("c"))
+    exact = cnt.agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("f2_exact"))
+    per_g = AMS_K // AMS_G
+    grp = (
+        ams_counters(items, item)
+        .select((F.col("i") % AMS_G).alias("g"), (F.col("x") * F.col("x")).alias("x2"))
+        .groupBy("g")
+        .agg(
+            F.expr(f"CAST((2 * sum(x2) + {per_g}) DIV (2 * {per_g}) AS BIGINT)")
+            .alias("m")
+        )
+    )
+    # median of the 4 group means = mean of the two middle order stats
+    from pyspark.sql import Window
+
+    ranked = grp.select(
+        "m", F.row_number().over(Window.orderBy("m", "g")).alias("rnk")
+    )
+    med = ranked.agg(
+        F.expr(
+            "CAST((2 * (sum(CASE WHEN rnk IN (2, 3) THEN m ELSE 0 END)) + 2)"
+            " DIV 4 AS BIGINT)"
+        ).alias("f2_ams")
+    )
+    return exact.crossJoin(med).select(
+        "f2_exact", "f2_ams",
+        F.expr(
+            "CAST((2 * abs(f2_ams - f2_exact) * 1000000 + f2_exact)"
+            " DIV (2 * f2_exact) AS BIGINT)"
+        ).alias("rel_err_1e6"),
+    )

@@ -751,6 +751,11 @@ _WINDOW = [
 #   in-window via stream_triples_drain and the state-restore semantics
 #   are pytest-pinned in test_streaming; rides CORRECTNESS_FULL.
 
+# * sk_ams_counters / sk_ams_f2 — added end-r3; tug-of-war counters are
+#   pytest-pinned against a pure-python replay (plus mergeability by
+#   addition), and the sign-hash family is the in-window phash machinery;
+#   ride CORRECTNESS_FULL.
+
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
 # out of the driver-verified window with no signal at all (explicit raise,
 # not assert — asserts vanish under python -O)

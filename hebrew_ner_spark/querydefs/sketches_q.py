@@ -337,3 +337,70 @@ def sk_cms_join_est(spark, sf_dir):
     a = toks.where(F.col("doc_id") % 2 == 0).select("token")
     b = toks.where(F.col("doc_id") % 2 == 1).select("token")
     return sketches.cms_join_size(a, b, "token")
+
+
+# ---------------------------------------------------------------------------
+# AMS F2 (tug-of-war second-moment / self-join-size estimate)
+# ---------------------------------------------------------------------------
+
+_AMS_CNT = f"""
+    SELECT token, CAST(count(*) AS BIGINT) AS c FROM ({_TOKS}) GROUP BY token
+"""
+
+_AMS_X = f"""
+    SELECT CAST(i AS BIGINT) AS i, CAST(sum((1 - 2 * (CAST(concat('0x',
+                 substr(md5(token || ':' || CAST({sketches.AMS_SEED} + i
+                                               AS VARCHAR)), 1, 15))
+               AS BIGINT) % 2)) * c) AS BIGINT) AS x
+    FROM cnt, unnest(range(0, {sketches.AMS_K})) AS u(i)
+    GROUP BY i
+"""
+
+
+@query(
+    "sk_ams_counters",
+    oracle=f"""
+    WITH cnt AS ({_AMS_CNT})
+    {_AMS_X}
+    """,
+)
+def sk_ams_counters(spark, sf_dir):
+    """The K tug-of-war counters — the entire mergeable sketch state
+    (K longs; shard sketches merge by addition)."""
+    return sketches.ams_counters(
+        sketches.doc_tokens(_docs(spark, sf_dir)), "token"
+    )
+
+
+@query(
+    "sk_ams_f2",
+    oracle=f"""
+    WITH cnt AS ({_AMS_CNT}),
+    xs AS ({_AMS_X}),
+    grp AS (
+      SELECT i % {sketches.AMS_G} AS g,
+             (2 * sum(x * x) + {sketches.AMS_K // sketches.AMS_G})
+               // (2 * {sketches.AMS_K // sketches.AMS_G}) AS m
+      FROM xs GROUP BY 1
+    ),
+    rk AS (SELECT m, row_number() OVER (ORDER BY m, g) AS rnk FROM grp),
+    med AS (
+      SELECT CAST((2 * sum(CASE WHEN rnk IN (2, 3) THEN m ELSE 0 END) + 2)
+                  // 4 AS BIGINT) AS f2_ams
+      FROM rk
+    ),
+    ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS f2_exact FROM cnt)
+    SELECT f2_exact, f2_ams,
+           CAST((2 * abs(f2_ams - f2_exact) * 1000000 + f2_exact)
+                // (2 * f2_exact) AS BIGINT) AS rel_err_1e6
+    FROM ex, med
+    """,
+)
+def sk_ams_f2(spark, sf_dir):
+    """Median-of-means AMS estimate of the token self-join size next to
+    the exact F2 — the join-size planning sketch; the estimate is
+    deterministic under the seed family so the gate pins the sketch
+    arithmetic and the error stays visible in-row."""
+    return sketches.ams_f2_estimate(
+        sketches.doc_tokens(_docs(spark, sf_dir)), "token"
+    )

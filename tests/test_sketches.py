@@ -156,3 +156,42 @@ def test_cms_join_est_skewed_key_dominates(spark):
     r = sk.cms_join_size(a, b, "token").collect()[0]
     assert r.true_pairs == 1200
     assert r.est_pairs >= 1200
+
+
+def test_ams_counters_match_python_and_merge_by_addition(spark):
+    """AMS counters equal a pure-python replay, and shard sketches merge
+    by addition (the mergeability contract)."""
+    from hebrew_ner_spark.functions.hashing import phash_py
+    from hebrew_ner_spark.operators.sketches import (
+        AMS_K,
+        AMS_SEED,
+        ams_counters,
+        ams_f2_estimate,
+    )
+
+    words = [f"w{j % 7}" for j in range(50)]   # skewed multiset
+    items = spark.createDataFrame([(w,) for w in words], "token string")
+    got = {r.i: r.x for r in ams_counters(items, "token").collect()}
+
+    from collections import Counter
+    cnt = Counter(words)
+    for i in range(AMS_K):
+        exp = sum(
+            (1 - 2 * (phash_py(t, AMS_SEED + i) % 2)) * c
+            for t, c in cnt.items()
+        )
+        assert got[i] == exp
+
+    # merge: union of two shards == sum of their counters
+    a = spark.createDataFrame([(w,) for w in words[:30]], "token string")
+    b = spark.createDataFrame([(w,) for w in words[30:]], "token string")
+    ca = {r.i: r.x for r in ams_counters(a, "token").collect()}
+    cb = {r.i: r.x for r in ams_counters(b, "token").collect()}
+    assert {i: ca[i] + cb[i] for i in ca} == got
+
+    # the estimate is within 3x of exact F2 on this multiset (sanity;
+    # the deterministic value is pinned by the oracle gate)
+    r = ams_f2_estimate(items, "token").collect()[0]
+    f2 = sum(c * c for c in cnt.values())
+    assert r.f2_exact == f2
+    assert 0 < r.f2_ams < 3 * f2
