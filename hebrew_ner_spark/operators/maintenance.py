@@ -591,3 +591,106 @@ def merge_upsert(target: DataFrame, changes: DataFrame) -> DataFrame:
             .alias("o_orderstatus"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-strategy advisor (CBO arithmetic, oracle-checkable)
+# ---------------------------------------------------------------------------
+#
+# The decision Catalyst's CBO makes from catalog statistics, made
+# explicit and deterministic: estimate each table's in-memory bytes
+# from exact row counts and column-width arithmetic (fixed widths per
+# type + exact mean string lengths — the same model
+# spark.sql.statistics uses), then advise per join pair:
+#   * BROADCAST  if the smaller side fits the broadcast threshold
+#   * BUCKET     if both sides exceed the shuffle-pain threshold
+#                (fact-fact: write-time co-location beats repeated SMJ)
+#   * SHUFFLE    otherwise (plain sort-merge)
+# Thresholds are exact integers, so the advice table is value-hashable
+# cross-engine; at a real 10^12-row catalog the same arithmetic runs
+# over the Iceberg stats files instead of the data.
+
+ADV_NUM_W = 8        # bytes per numeric/timestamp column
+ADV_STR_OVERHEAD = 4  # per-string overhead added to the mean length
+# Gate-scaled thresholds chosen so ALL THREE strategies fire on the sf
+# catalog (production: 10 MiB autoBroadcastJoinThreshold, ~1 GiB bucket
+# pain point — same arithmetic, bigger constants):
+ADV_BROADCAST = 50_000    # broadcast the smaller side below this
+ADV_BUCKET = 500_000      # both sides above this => bucket advice
+
+# (table, [numeric+ts cols], [string cols]) — the catalog's width model
+ADV_SCHEMAS = {
+    "region": (["r_regionkey"], ["r_name"]),
+    "nation": (["n_nationkey", "n_regionkey"], ["n_name"]),
+    "customer": (["c_custkey", "c_nationkey", "c_acctbal"],
+                 ["c_name", "c_mktsegment"]),
+    "orders": (["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+               ["o_orderstatus", "o_orderpriority"]),
+    "lineitem": (["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                  "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                  "l_shipdate"],
+                 ["l_returnflag", "l_linestatus"]),
+}
+
+ADV_PAIRS = [
+    ("region", "nation"),
+    ("nation", "customer"),
+    ("customer", "orders"),
+    ("orders", "lineitem"),
+]
+
+
+def table_size_stats(tables: dict) -> DataFrame:
+    """(tbl, n_rows, est_bytes) — exact-integer size model per table:
+    n_rows * (8 * n_numeric + sum(mean_len + 4 per string col)), mean
+    string length as the half-up integer of the exact sums."""
+    out = None
+    for tbl, (nums, strs) in ADV_SCHEMAS.items():
+        df = tables[tbl]
+        aggs = [F.count("*").cast("long").alias("n_rows")]
+        for c in strs:
+            aggs.append(F.sum(F.length(c)).cast("long").alias(f"_len_{c}"))
+        row = df.agg(*aggs)
+        width = F.lit(ADV_NUM_W * len(nums))
+        for c in strs:
+            width = width + F.expr(
+                f"CAST((2 * _len_{c} + n_rows) DIV (2 * n_rows) AS BIGINT)"
+                f" + {ADV_STR_OVERHEAD}"
+            )
+        stat = row.select(
+            F.lit(tbl).alias("tbl"),
+            "n_rows",
+            (F.col("n_rows") * width).cast("long").alias("est_bytes"),
+        )
+        out = stat if out is None else out.unionByName(stat)
+    return out
+
+
+def join_advice(stats: DataFrame) -> DataFrame:
+    """(left_tbl, right_tbl, l_bytes, r_bytes, strategy) — the advisor's
+    verdict per canonical join pair over the size-stat table (a
+    metadata-grain self-join)."""
+    pairs = stats.sparkSession.createDataFrame(
+        ADV_PAIRS, "left_tbl string, right_tbl string"
+    )
+    l = stats.select(F.col("tbl").alias("left_tbl"),
+                     F.col("est_bytes").alias("l_bytes"))
+    r = stats.select(F.col("tbl").alias("right_tbl"),
+                     F.col("est_bytes").alias("r_bytes"))
+    return (
+        pairs.join(F.broadcast(l), "left_tbl")
+        .join(F.broadcast(r), "right_tbl")
+        .select(
+            "left_tbl", "right_tbl", "l_bytes", "r_bytes",
+            F.when(
+                F.least("l_bytes", "r_bytes") <= ADV_BROADCAST,
+                F.lit("BROADCAST"),
+            )
+            .when(
+                (F.col("l_bytes") > ADV_BUCKET) & (F.col("r_bytes") > ADV_BUCKET),
+                F.lit("BUCKET"),
+            )
+            .otherwise(F.lit("SHUFFLE"))
+            .alias("strategy"),
+        )
+    )

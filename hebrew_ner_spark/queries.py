@@ -756,6 +756,11 @@ _WINDOW = [
 #   addition), and the sign-hash family is the in-window phash machinery;
 #   ride CORRECTNESS_FULL.
 
+# * maint_join_advisor — added end-r3; the CBO size-model arithmetic is
+#   pytest-pinned (hand-computed fixture + all-three-verdicts spread)
+#   and the CASE algebra twins the in-window maint metadata gates;
+#   rides CORRECTNESS_FULL.
+
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
 # out of the driver-verified window with no signal at all (explicit raise,
 # not assert — asserts vanish under python -O)

@@ -500,3 +500,53 @@ def maint_commit_conflicts(spark, sf_dir):
     return _cl.validate_commits(
         _cl.synth_commit_log(_docs(spark, sf_dir).select("doc_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-strategy advisor (CBO arithmetic over catalog statistics)
+# ---------------------------------------------------------------------------
+
+
+def _advisor_oracle() -> str:
+    stats_arms = []
+    for tbl, (nums, strs) in maintenance.ADV_SCHEMAS.items():
+        width = f"{maintenance.ADV_NUM_W * len(nums)}"
+        for c in strs:
+            width += (
+                f" + ((2 * sum(length({c})) + count(*)) // (2 * count(*))"
+                f" + {maintenance.ADV_STR_OVERHEAD})"
+            )
+        stats_arms.append(
+            f"SELECT '{tbl}' AS tbl, "
+            f"CAST(count(*) * ({width}) AS BIGINT) AS est_bytes FROM {tbl}"
+        )
+    stats_sql = " UNION ALL ".join(stats_arms)
+    pairs_vals = ", ".join(
+        f"('{l}', '{r}')" for l, r in maintenance.ADV_PAIRS
+    )
+    return f"""
+    WITH stats AS ({stats_sql}),
+    pairs(left_tbl, right_tbl) AS (VALUES {pairs_vals})
+    SELECT p.left_tbl, p.right_tbl,
+           l.est_bytes AS l_bytes, r.est_bytes AS r_bytes,
+           CASE WHEN least(l.est_bytes, r.est_bytes)
+                     <= {maintenance.ADV_BROADCAST} THEN 'BROADCAST'
+                WHEN l.est_bytes > {maintenance.ADV_BUCKET}
+                     AND r.est_bytes > {maintenance.ADV_BUCKET} THEN 'BUCKET'
+                ELSE 'SHUFFLE' END AS strategy
+    FROM pairs p
+    JOIN stats l ON l.tbl = p.left_tbl
+    JOIN stats r ON r.tbl = p.right_tbl
+    """
+
+
+@query("maint_join_advisor", oracle=_advisor_oracle())
+def maint_join_advisor(spark, sf_dir):
+    """The CBO's join-strategy decision as an oracle-checkable table:
+    exact-integer size model (row counts x type widths + exact mean
+    string lengths) -> BROADCAST / SHUFFLE / BUCKET per canonical pair.
+    Thresholds are gate-scaled so all three verdicts fire (pytest pins
+    that spread); at 10^12 rows the identical arithmetic runs over
+    Iceberg stats files instead of the data."""
+    tables = {t: load_table(spark, sf_dir, t) for t in maintenance.ADV_SCHEMAS}
+    return maintenance.join_advice(maintenance.table_size_stats(tables))

@@ -320,3 +320,33 @@ class TestMergeUpsert:
         assert ch.groupBy("o_orderkey").count().where("count > 1").count() == 0
         ops = {r.op for r in ch.select("op").distinct().collect()}
         assert ops == {"U", "D", "I"}
+
+
+def test_join_advisor_all_three_strategies_fire(spark):
+    """The gate-scaled thresholds must keep all three verdict branches
+    live on the sf catalog (an all-BROADCAST table proves nothing), and
+    the size model must match a hand computation on a fixture."""
+    from hebrew_ner_spark.operators.maintenance import (
+        ADV_NUM_W,
+        ADV_SCHEMAS,
+        ADV_STR_OVERHEAD,
+        join_advice,
+        table_size_stats,
+    )
+    from hebrew_ner_spark.sources.catalog import load_table
+
+    tables = {t: load_table(spark, "/root/testdata/sf0.01", t)
+              for t in ADV_SCHEMAS}
+    stats = table_size_stats(tables)
+    out = join_advice(stats).collect()
+    verdicts = {r.strategy for r in out}
+    assert verdicts == {"BROADCAST", "SHUFFLE", "BUCKET"}
+
+    # size model spot check: region = n_rows * (8*1 + mean_len(r_name)+4)
+    reg = tables["region"]
+    n = reg.count()
+    tot_len = reg.agg(F.sum(F.length("r_name"))).collect()[0][0]
+    mean_len = (2 * tot_len + n) // (2 * n)
+    exp = n * (ADV_NUM_W + mean_len + ADV_STR_OVERHEAD)
+    got = {r.tbl: r.est_bytes for r in stats.collect()}["region"]
+    assert got == exp
