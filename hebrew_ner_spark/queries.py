@@ -761,6 +761,11 @@ _WINDOW = [
 #   and the CASE algebra twins the in-window maint metadata gates;
 #   rides CORRECTNESS_FULL.
 
+# * dq_benford — added end-r3; the pinned Benford constants (exact-sum
+#   1e6) and half-up share arithmetic are pytest-pinned closed-form;
+#   the aggregate shape twins the in-window-family dq gates; rides
+#   CORRECTNESS_FULL.
+
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
 # out of the driver-verified window with no signal at all (explicit raise,
 # not assert — asserts vanish under python -O)

@@ -102,3 +102,33 @@ def dq_orders_corrupted(spark, sf_dir):
     return dataquality.orders_quality_report(
         dataquality.corrupt_orders(orders), customer
     )
+
+
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {v}" for d, v in dataquality.BENFORD_1E6.items()
+) + " END"
+
+
+@query(
+    "dq_benford",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0
+    ),
+    cnt AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY digit),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS _t FROM cnt)
+    SELECT digit, n,
+           (2 * n * 1000000 + _t) // (2 * _t) AS share_1e6,
+           CAST({_BENFORD_CASE} AS BIGINT) AS benford_1e6,
+           abs((2 * n * 1000000 + _t) // (2 * _t) - ({_BENFORD_CASE}))
+             AS dev_1e6
+    FROM cnt, tot
+    """,
+)
+def dq_benford(spark, sf_dir):
+    """Benford first-digit screen over order totals (integer cents) —
+    observed vs expected shares in exact micro-units, per digit."""
+    orders, _ = _tables(spark, sf_dir)
+    return dataquality.benford_audit(orders, "o_totalprice")

@@ -67,3 +67,21 @@ class TestPlantedCorruption:
             for r in dq.orders_quality_report(orders, customer).collect()
         }
         assert all(v == 1 for v in clean.values())
+
+
+def test_benford_audit_closed_form(spark):
+    """Constructed amounts with known first digits: counts, half-up
+    shares and the pinned Benford constants (which sum to exactly 1e6)
+    must all match."""
+    from hebrew_ner_spark.operators.dataquality import BENFORD_1E6, benford_audit
+
+    assert sum(BENFORD_1E6.values()) == 1_000_000
+    amounts = [1.23, 19.99, 100.0, 2.5, 25.0, 3.0, 0.0, -5.0]
+    # cents: 123, 1999, 10000, 250, 2500, 300 -> digits 1,1,1,2,2,3
+    df = spark.createDataFrame([(a,) for a in amounts], "amt double")
+    out = {r.digit: r for r in benford_audit(df, "amt").collect()}
+    assert {d: out[d].n for d in out} == {1: 3, 2: 2, 3: 1}
+    assert out[1].share_1e6 == 500_000
+    assert out[2].share_1e6 == (2 * 2 * 1_000_000 + 6) // 12
+    assert out[1].benford_1e6 == 301_030
+    assert out[1].dev_1e6 == 500_000 - 301_030
