@@ -748,3 +748,52 @@ def vocab_richness(docs: DataFrame) -> DataFrame:
             " AS BIGINT)"
         ).alias("unseen_p_1e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency audit (bitlen buckets, no floats)
+# ---------------------------------------------------------------------------
+
+
+def zipf_buckets(docs: DataFrame) -> DataFrame:
+    """(rank_kbit, n_types, min_freq, max_freq, mean_freq_bits_1e6) —
+    the Zipf diagnostic with zero floats: frequency-rank tokens
+    (count desc, token asc — total order, resume-stable), bucket by
+    bitlen(rank), report each bucket's mean frequency BIT LENGTH in
+    micro-bits. Under Zipf's law freq ~ C/rank, so mean_freq_bits falls
+    by ~1 per rank_kbit step — the slope the audit reads; a corpus of
+    duplicated boilerplate flattens it.
+
+    Plan note: the rank is a window over the VOCABULARY-grain count
+    table ordered by (count, token) — for a 10^9-type web vocabulary
+    swap in the two-level rank (operators/labels.py); the bucket
+    aggregate is <= 62 rows."""
+    from pyspark.sql import Window
+
+    cnt = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+    ranked = cnt.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.asc("token")))
+        .cast("long")
+        .alias("rank"),
+    )
+    b = ranked.select(
+        F.length(F.bin(F.col("rank"))).cast("long").alias("rank_kbit"),
+        "c",
+        (F.length(F.bin(F.col("c")))).cast("long").alias("fbits"),
+    )
+    return b.groupBy("rank_kbit").agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.min("c").cast("long").alias("min_freq"),
+        F.max("c").cast("long").alias("max_freq"),
+        F.expr(
+            "CAST((2 * sum(fbits) * 1000000 + count(*))"
+            " DIV (2 * count(*)) AS BIGINT)"
+        ).alias("mean_freq_bits_1e6"),
+    )

@@ -766,6 +766,12 @@ _WINDOW = [
 #   the aggregate shape twins the in-window-family dq gates; rides
 #   CORRECTNESS_FULL.
 
+# * txt_zipf_buckets — added end-r3; python-replay + strict-slope on a
+#   constructed Zipfian corpus are pytest-pinned (the sf corpus's flat
+#   reading IS the diagnostic: closed boilerplate-like vocabulary); the
+#   bitlen-bucket shape twins the in-window sk/txt histogram gates;
+#   rides CORRECTNESS_FULL.
+
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
 # out of the driver-verified window with no signal at all (explicit raise,
 # not assert — asserts vanish under python -O)

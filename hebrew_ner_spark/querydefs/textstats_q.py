@@ -498,3 +498,30 @@ def txt_vocab_richness(spark, sf_dir):
     """Chao1 + Good-Turing unseen-vocabulary mass per language
     (operators/textstats.vocab_richness)."""
     return textstats.vocab_richness(_docs(spark, sf_dir))
+
+
+@query(
+    "txt_zipf_buckets",
+    oracle="""
+    WITH tok AS (
+      SELECT t.token FROM documents,
+      LATERAL (SELECT unnest(string_split(text, ' ')) AS token) t
+      WHERE t.token <> ''
+    ),
+    cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY token),
+    rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, token) AS rank FROM cnt),
+    b AS (SELECT CAST(length(bin(rank)) AS BIGINT) AS rank_kbit, c,
+                 CAST(length(bin(c)) AS BIGINT) AS fbits FROM rk)
+    SELECT rank_kbit,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(min(c) AS BIGINT) AS min_freq,
+           CAST(max(c) AS BIGINT) AS max_freq,
+           CAST((2 * sum(fbits) * 1000000 + count(*)) // (2 * count(*))
+                AS BIGINT) AS mean_freq_bits_1e6
+    FROM b GROUP BY rank_kbit
+    """,
+)
+def txt_zipf_buckets(spark, sf_dir):
+    """Zipf rank-frequency audit in bitlen buckets (zero floats) —
+    operators/textstats.zipf_buckets."""
+    return textstats.zipf_buckets(_docs(spark, sf_dir))

@@ -245,3 +245,37 @@ def test_vocab_richness_closed_form(spark):
     assert (r2.n_tokens, r2.n_types, r2.f1, r2.f2) == (8, 4, 0, 4)
     assert r2.chao1 == 4 + (2 * 0 * 0 + 2 * 4) // (4 * 4)  # = S (+0 half-up)
     assert r2.unseen_p_1e6 == 0
+
+
+def test_zipf_buckets_slope_on_zipfian_and_flat_corpora(spark):
+    """A constructed Zipfian corpus (freq = 64 >> rank_kbit) must show
+    mean frequency bits falling ~1 per rank-bitlen bucket; the synthetic
+    sf corpus's closed vocabulary reads flat — both behaviors are the
+    audit's point. Values checked against a python replay."""
+    from hebrew_ner_spark.operators.textstats import zipf_buckets
+
+    words = []
+    for r in range(1, 32):                 # freq(r) = 2^(6 - bitlen(r))
+        words += [f"w{r:02d}"] * (1 << (6 - r.bit_length()))
+    docs = spark.createDataFrame(
+        [(1, " ".join(words), "xx")], "doc_id long, text string, lang string"
+    )
+    out = {r.rank_kbit: r for r in zipf_buckets(docs).collect()}
+
+    import collections
+    cnt = collections.Counter(words)
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    buckets = collections.defaultdict(list)
+    for i, (_, c) in enumerate(ranked, start=1):
+        buckets[i.bit_length()].append(c)
+    for kb, cs in buckets.items():
+        r = out[kb]
+        assert (r.n_types, r.min_freq, r.max_freq) == (
+            len(cs), min(cs), max(cs))
+        exp = (2 * sum(c.bit_length() for c in cs) * 1_000_000 + len(cs)) // (
+            2 * len(cs))
+        assert r.mean_freq_bits_1e6 == exp
+    # slope: each bucket's mean bits strictly below the previous
+    kbs = sorted(buckets)
+    means = [out[k].mean_freq_bits_1e6 for k in kbs]
+    assert all(a > b for a, b in zip(means, means[1:]))
