@@ -694,3 +694,95 @@ def join_advice(stats: DataFrame) -> DataFrame:
             .alias("strategy"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Materialized-view rewrite + incremental view maintenance (IVM)
+# ---------------------------------------------------------------------------
+
+MV_BUCKETS = 8
+
+
+def _cents(col: str):
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def orders_mv(orders: DataFrame) -> DataFrame:
+    """(o_orderstatus, bucket, revenue_cents, n_orders) — the
+    materialized summary at a grain FINER than the queries it serves
+    (bucket = o_orderkey % MV_BUCKETS), so rollup-rewrite and IVM both
+    have room to act. At 10^12 rows this table is what the warehouse
+    scans instead of the facts."""
+    return (
+        orders.groupBy(
+            "o_orderstatus",
+            (F.col("o_orderkey") % MV_BUCKETS).cast("long").alias("bucket"),
+        )
+        .agg(
+            F.sum(_cents("o_totalprice")).cast("long").alias("revenue_cents"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+    )
+
+
+def mv_rollup(mv: DataFrame) -> DataFrame:
+    """(o_orderstatus, revenue_cents, n_orders) answered FROM the MV —
+    the classic aggregate-rewrite (sum of sums / sum of counts); the
+    gate's oracle computes the same answer from the BASE table, so the
+    row set certifies the rewrite's correctness."""
+    return mv.groupBy("o_orderstatus").agg(
+        F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+        F.sum("n_orders").cast("long").alias("n_orders"),
+    )
+
+
+def mv_incremental(orders: DataFrame, changes: DataFrame) -> DataFrame:
+    """The MV maintained INCREMENTALLY under the CDC batch — additive
+    deltas only, never a base-table rescan: matched rows retract their
+    old contribution (old status read via a key join against the base),
+    updates/inserts add the new one; groups whose count reaches zero
+    vanish (exactly what a recompute would produce — the gate's oracle
+    IS that recompute over the merged base). Delta grain is
+    (status, bucket): metadata-sized, broadcast-merged onto the MV."""
+    key_bucket = (F.col("o_orderkey") % MV_BUCKETS).cast("long")
+    old = (
+        changes.where(F.col("op").isin("U", "D"))
+        .select("o_orderkey")
+        .join(orders, "o_orderkey")
+        .select(
+            "o_orderstatus",
+            key_bucket.alias("bucket"),
+            (-_cents("o_totalprice")).alias("d_cents"),
+            F.lit(-1).cast("long").alias("d_n"),
+        )
+    )
+    new = changes.where(F.col("op").isin("U", "I")).select(
+        "o_orderstatus",
+        key_bucket.alias("bucket"),
+        _cents("o_totalprice").alias("d_cents"),
+        F.lit(1).cast("long").alias("d_n"),
+    )
+    delta = (
+        old.unionByName(new)
+        .groupBy("o_orderstatus", "bucket")
+        .agg(
+            F.sum("d_cents").cast("long").alias("d_cents"),
+            F.sum("d_n").cast("long").alias("d_n"),
+        )
+    )
+    return (
+        orders_mv(orders)
+        .join(delta, ["o_orderstatus", "bucket"], "full_outer")
+        .select(
+            "o_orderstatus",
+            "bucket",
+            (
+                F.coalesce("revenue_cents", F.lit(0))
+                + F.coalesce("d_cents", F.lit(0))
+            ).cast("long").alias("revenue_cents"),
+            (
+                F.coalesce("n_orders", F.lit(0)) + F.coalesce("d_n", F.lit(0))
+            ).cast("long").alias("n_orders"),
+        )
+        .where(F.col("n_orders") > 0)
+    )

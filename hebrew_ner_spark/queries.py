@@ -772,6 +772,12 @@ _WINDOW = [
 #   bitlen-bucket shape twins the in-window sk/txt histogram gates;
 #   rides CORRECTNESS_FULL.
 
+# * rel_mv_rewrite / rel_mv_incremental — added end-r3; rewrite
+#   correctness is gated against the BASE table (the oracle never sees
+#   the MV) and IVM == recompute over the merged base (missed
+#   retraction / double-apply / surviving empty group all flip the
+#   hash); constructed-case pytest; both ride CORRECTNESS_FULL.
+
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
 # out of the driver-verified window with no signal at all (explicit raise,
 # not assert — asserts vanish under python -O)

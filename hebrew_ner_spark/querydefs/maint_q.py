@@ -550,3 +550,64 @@ def maint_join_advisor(spark, sf_dir):
     Iceberg stats files instead of the data."""
     tables = {t: load_table(spark, sf_dir, t) for t in maintenance.ADV_SCHEMAS}
     return maintenance.join_advice(maintenance.table_size_stats(tables))
+
+
+# ---------------------------------------------------------------------------
+# Materialized-view rewrite + incremental view maintenance
+# ---------------------------------------------------------------------------
+
+_MERGED_BASE = f"""
+    {_MRG_CHANGES},
+    merged AS (
+      SELECT coalesce(t.o_orderkey, c.o_orderkey) AS o_orderkey,
+             CAST(round((CASE WHEN c.op IS NOT NULL THEN c.o_totalprice
+                  ELSE t.o_totalprice END) * 100) AS BIGINT) AS cents,
+             CASE WHEN c.op IS NOT NULL THEN c.o_orderstatus
+                  ELSE t.o_orderstatus END AS o_orderstatus
+      FROM orders t FULL OUTER JOIN mgc c ON t.o_orderkey = c.o_orderkey
+      WHERE NOT coalesce(c.op = 'D', FALSE)
+    )
+"""
+
+
+@query(
+    "rel_mv_rewrite",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def rel_mv_rewrite(spark, sf_dir):
+    """Aggregate-rewrite correctness: the per-status revenue answered
+    from the finer-grain MV (sum of sums) must equal the base-table
+    aggregate — the oracle never sees the MV."""
+    return maintenance.mv_rollup(
+        maintenance.orders_mv(load_table(spark, sf_dir, "orders"))
+    )
+
+
+@query(
+    "rel_mv_incremental",
+    oracle=f"""
+    WITH {_MERGED_BASE}
+    SELECT o_orderstatus,
+           CAST(o_orderkey % {maintenance.MV_BUCKETS} AS BIGINT) AS bucket,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents,
+           count(*) AS n_orders
+    FROM merged GROUP BY 1, 2
+    """,
+)
+def rel_mv_incremental(spark, sf_dir):
+    """IVM == recompute: the MV maintained additively under the CDC
+    batch (retract old contributions via a key join, add new ones, drop
+    zeroed groups) must equal the MV recomputed over the merged base —
+    the oracle IS that recompute, so a missed retraction, a
+    double-applied update or a surviving empty group all flip the
+    hash."""
+    orders = load_table(spark, sf_dir, "orders")
+    return maintenance.mv_incremental(
+        orders, maintenance.synth_order_changes(orders)
+    )

@@ -350,3 +350,51 @@ def test_join_advisor_all_three_strategies_fire(spark):
     exp = n * (ADV_NUM_W + mean_len + ADV_STR_OVERHEAD)
     got = {r.tbl: r.est_bytes for r in stats.collect()}["region"]
     assert got == exp
+
+
+def test_mv_incremental_equals_recompute_and_drops_empty_groups(spark):
+    """Constructed base + CDC: the maintained MV equals a recompute over
+    the merged base, and a fully-deleted group vanishes."""
+    from hebrew_ner_spark.operators.maintenance import (
+        merge_upsert,
+        mv_incremental,
+    )
+
+    base = spark.createDataFrame(
+        [
+            (8, 100, 10.0, "F"),    # bucket 0, lone member -> deleted
+            (1, 101, 20.0, "O"),
+            (9, 102, 30.0, "O"),    # bucket 1 with key 1
+            (2, 103, 40.0, "F"),    # updated -> status P
+        ],
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderstatus string",
+    )
+    changes = spark.createDataFrame(
+        [
+            (8, "D", 100, 10.0, "F"),
+            (2, "U", 110, 45.0, "P"),
+            (12, "I", 120, 5.0, "O"),   # bucket 4
+        ],
+        "o_orderkey long, op string, o_custkey long, o_totalprice double, o_orderstatus string",
+    )
+    maintained = {
+        (r.o_orderstatus, r.bucket): (r.revenue_cents, r.n_orders)
+        for r in mv_incremental(base, changes).collect()
+    }
+    merged = merge_upsert(base, changes)   # carries o_total_cents
+    recomputed = {
+        (r.o_orderstatus, r.bucket): (r.revenue_cents, r.n_orders)
+        for r in merged.groupBy(
+            "o_orderstatus",
+            (F.col("o_orderkey") % 8).cast("long").alias("bucket"),
+        )
+        .agg(
+            F.sum("o_total_cents").cast("long").alias("revenue_cents"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+        .collect()
+    }
+    assert maintained == recomputed
+    assert ("F", 0) not in maintained            # deleted group vanished
+    assert maintained[("P", 2)] == (4500, 1)     # update retract+add
+    assert maintained[("O", 4)] == (500, 1)      # insert
