@@ -404,3 +404,44 @@ def session_windows_native(
             "value_cents",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap index (popcount counting at metadata grain)
+# ---------------------------------------------------------------------------
+#
+# The low-cardinality-predicate index a warehouse keeps next to the
+# data: one bit per row per predicate value, packed into 32-bit words
+# keyed by (file, word) — counting rows matching `status = X` becomes a
+# popcount SUM over the index words, never a fact scan. Rows map to
+# fixed positions (o_orderkey), each key sets exactly one bit, so the
+# per-word SUM of distinct powers IS the bitwise OR; both engines
+# evaluate bit_count identically on the packed longs.
+
+BM_WORD = 32  # bits per index word (keys are unique -> sum == OR)
+
+
+def orders_status_bitmap(orders: DataFrame) -> DataFrame:
+    """(o_orderstatus, word_id, bits) — the packed bitmap index."""
+    return (
+        orders.select(
+            "o_orderstatus",
+            (F.col("o_orderkey") / BM_WORD).cast("long").alias("word_id"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT),"
+                f" CAST(o_orderkey % {BM_WORD} AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("o_orderstatus", "word_id")
+        .agg(F.sum("bit").cast("long").alias("bits"))
+    )
+
+
+def bitmap_status_counts(bitmap: DataFrame) -> DataFrame:
+    """(o_orderstatus, n_orders) answered from the INDEX: popcount sum
+    over the words — the gate's oracle counts the base table directly,
+    so a double-set bit, a dropped word or a packing overflow flips the
+    hash."""
+    return bitmap.groupBy("o_orderstatus").agg(
+        F.sum(F.bit_count(F.col("bits"))).cast("long").alias("n_orders")
+    )

@@ -778,6 +778,12 @@ _WINDOW = [
 #   retraction / double-apply / surviving empty group all flip the
 #   hash); constructed-case pytest; both ride CORRECTNESS_FULL.
 
+# * rel_bitmap_words / rel_bitmap_count — added end-r3; word packing
+#   (incl. bit-31 boundary) and popcount counting are pytest-pinned on
+#   a constructed fixture, and the count gate's oracle is the BASE
+#   table (index round-trip certified end to end); ride
+#   CORRECTNESS_FULL.
+
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
 # out of the driver-verified window with no signal at all (explicit raise,
 # not assert — asserts vanish under python -O)

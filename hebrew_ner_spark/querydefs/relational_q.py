@@ -351,3 +351,35 @@ def evt_session_window_native(spark, sf_dir):
     the two constructions agree only if the merging-window semantics
     (half-open gap boundary, end = last + gap) are exactly right."""
     return relational.session_windows_native(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "rel_bitmap_words",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(o_orderkey // {relational.BM_WORD} AS BIGINT) AS word_id,
+           CAST(sum(CAST(1 AS BIGINT) << (o_orderkey % {relational.BM_WORD}))
+                AS BIGINT) AS bits
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def rel_bitmap_words(spark, sf_dir):
+    """The packed 32-bit-word bitmap index over order status — keys are
+    unique so the per-word sum of distinct powers IS the bitwise OR."""
+    return relational.orders_status_bitmap(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "rel_bitmap_count",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def rel_bitmap_count(spark, sf_dir):
+    """Predicate counting answered from the bitmap index via popcount —
+    the oracle counts the BASE table, so the index round-trip
+    (pack -> popcount) is certified end to end."""
+    return relational.bitmap_status_counts(
+        relational.orders_status_bitmap(load_table(spark, sf_dir, "orders"))
+    )

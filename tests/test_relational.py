@@ -29,3 +29,27 @@ def test_event_count_anomalies_closed_form(spark):
     assert got[("B", 1)] == (2, 1, 0)
     assert got[("B", 2)] == (2, 1, 0)
     assert got[("B", 9)] == (2, 1, 1)
+
+
+def test_bitmap_index_packing_and_popcount(spark):
+    """Constructed keys spanning word boundaries (incl. bit 31): packed
+    words match hand-computed ORs and popcount counting equals the base
+    count."""
+    from hebrew_ner_spark.operators.relational import (
+        bitmap_status_counts,
+        orders_status_bitmap,
+    )
+
+    keys = [0, 1, 31, 32, 63, 64, 95]
+    rows = [(k, "F" if k % 2 == 0 else "O") for k in keys]
+    df = spark.createDataFrame(rows, "o_orderkey long, o_orderstatus string")
+    words = {(r.o_orderstatus, r.word_id): r.bits
+             for r in orders_status_bitmap(df).collect()}
+    exp = {}
+    for k, st in rows:
+        w, b = k // 32, k % 32
+        exp[(st, w)] = exp.get((st, w), 0) | (1 << b)
+    assert words == exp
+    counts = {r.o_orderstatus: r.n_orders
+              for r in bitmap_status_counts(orders_status_bitmap(df)).collect()}
+    assert counts == {"F": 3, "O": 4}
