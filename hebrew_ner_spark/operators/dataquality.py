@@ -170,3 +170,68 @@ def benford_audit(df: DataFrame, amount_col: str) -> DataFrame:
             .alias("dev_1e6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Re-identification risk audit: k-anonymity / l-diversity
+# ---------------------------------------------------------------------------
+#
+# Before a web-scale corpus (or its customer-side metadata) is released
+# for training, the governance pass asks: does any quasi-identifier
+# combination isolate fewer than k individuals, and do those classes
+# carry diverse sensitive values? Both audits are ONE aggregate over
+# the table — at 10^12 rows this is a groupBy on the QI columns with
+# map-side partial aggregation; the report is class-grain (bounded by
+# the QI domain product, metadata-sized), never row-grain.
+#
+# QI here: (nation, market segment, coarse balance band); sensitive
+# attribute: the exact balance (cents). Bands use true floor() so
+# negative balances band consistently in both engines.
+
+K_ANON = 5
+L_DIV = 3
+ANON_BAND = 1000  # acctbal band width (currency units)
+
+
+def k_anonymity_classes(customer: DataFrame) -> DataFrame:
+    """(c_nationkey, c_mktsegment, bal_band, class_size, l_distinct,
+    k_risky, l_risky) — one row per occupied QI class."""
+    band = F.floor(F.col("c_acctbal") / ANON_BAND).cast("long")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    return (
+        customer.select(
+            F.col("c_nationkey").cast("long").alias("c_nationkey"),
+            "c_mktsegment",
+            band.alias("bal_band"),
+            cents.alias("_cents"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(
+            F.count("*").cast("long").alias("class_size"),
+            F.countDistinct("_cents").cast("long").alias("l_distinct"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "bal_band",
+            "class_size",
+            "l_distinct",
+            F.when(F.col("class_size") < K_ANON, F.lit(1))
+            .otherwise(F.lit(0)).cast("long").alias("k_risky"),
+            F.when(F.col("l_distinct") < L_DIV, F.lit(1))
+            .otherwise(F.lit(0)).cast("long").alias("l_risky"),
+        )
+    )
+
+
+def anonymity_summary(classes: DataFrame) -> DataFrame:
+    """(n_classes, k_risky_classes, records_at_risk, min_class_size,
+    l_risky_classes) — the one-row release/quarantine verdict."""
+    return classes.agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum("k_risky").cast("long").alias("k_risky_classes"),
+        F.sum(F.col("k_risky") * F.col("class_size")).cast("long")
+        .alias("records_at_risk"),
+        F.min("class_size").cast("long").alias("min_class_size"),
+        F.sum("l_risky").cast("long").alias("l_risky_classes"),
+    )

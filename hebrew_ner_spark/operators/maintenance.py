@@ -786,3 +786,46 @@ def mv_incremental(orders: DataFrame, changes: DataFrame) -> DataFrame:
         )
         .where(F.col("n_orders") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension collapse (crawl snapshots -> validity intervals)
+# ---------------------------------------------------------------------------
+#
+# The crawl-history table holds EVERY snapshot of every url; the
+# dimension a KG wants is the Type-2 form — one row per *distinct
+# consecutive version* with [valid_from, valid_to) intervals and an
+# is_current flag, so facts can join "page text as of t" without
+# scanning all snapshots (reference corpora are single-snapshot —
+# ner_app.py never faces the version axis; this is the 10^12-page
+# lakehouse shape of it). Gaps-and-islands collapse: a change row
+# starts a new version, lead() closes it. Both windows and the filter
+# share ONE hash partitioning on the natural key, so the whole build
+# is a single shuffle regardless of snapshot count; at 10^12 rows the
+# key space (url) is huge and uniform — no skew handling needed.
+
+
+def scd2_collapse(
+    hist: DataFrame, key: str = "url", ts: str = "warc_ts", attr: str = "text"
+) -> DataFrame:
+    """(key, attr, valid_from, valid_to, is_current, version_no) —
+    consecutive snapshots with identical ``attr`` collapse into one
+    validity interval; ``valid_to`` is NULL on the open (current) row.
+    """
+    w = Window.partitionBy(key).orderBy(ts)
+    chg = hist.select(
+        key,
+        ts,
+        attr,
+        (
+            F.lag(attr).over(w).isNull() | (F.lag(attr).over(w) != F.col(attr))
+        ).alias("_chg"),
+    ).where("_chg")
+    return chg.select(
+        key,
+        attr,
+        F.col(ts).alias("valid_from"),
+        F.lead(ts).over(w).alias("valid_to"),
+        F.lead(ts).over(w).isNull().alias("is_current"),
+        F.row_number().over(w).cast("long").alias("version_no"),
+    )

@@ -60,8 +60,8 @@ _WINDOW = [
     # closed-form pytest-pinned and the integer percentile gate keeps the
     # sketch-length family in-window) for ann_sq_topk — the int8
     # quantize + telescoped code-space distance is a brand-new
-    # cross-engine shape (half-up quantizer, trunc DIV rescale)
-    "ann_sq_topk",
+    # cross-engine shape (half-up quantizer, trunc DIV rescale);
+    # itself rotated out r4 — see the web_scd2_dim entry below
     # rel_pricing_summary / rel_revenue_by_nation / rel_order_rollup /
     # rel_topk_customers / evt_hourly_counts rotated out for the sketch
     # family: they are plain aggregations whose plans are unchanged since
@@ -180,7 +180,7 @@ _WINDOW = [
     "kg_triples_dup_flag",
     "srch_bm25_topk",
     "txt_bpe_encode",
-    "txt_quality_filter",
+    # txt_quality_filter rotated out r4 — see the dq_k_anonymity entry
     # -- new or semantically changed in round 3 --
     "mention_model_neural",
     "mm_decode",
@@ -284,6 +284,21 @@ _WINDOW = [
     # so the changed plan earns the driver slot per the window policy
     "maint_compaction_plan",
     "trn_eval_sample",
+    # ann_sq_topk rotated out r4 (the int8 quantizer + telescoped
+    # code-space distance is pytest-pinned and the trained-code-table
+    # class keeps two in-window rows via ann_pq_topk/ann_ivfpq_topk)
+    # for web_scd2_dim — the SCD Type-2 gaps-and-islands collapse is a
+    # brand-new cross-engine shape (change-row filter + lead-close vs
+    # windowed SQL) with no driver history
+    "web_scd2_dim",
+    # txt_quality_filter rotated out r4 (judge-verified by name in r2,
+    # exact-integer thresholds, and its predicate family stays
+    # exercised through the curation gates) for dq_k_anonymity — the
+    # re-identification audit (floor-banded QI classes + distinct-
+    # sensitive counting) is brand-new with no driver history; its
+    # one-row verdict dq_anon_summary reads the same class table
+    # (drift surfaces in-window) and rides CORRECTNESS_FULL
+    "dq_k_anonymity",
 ]
 
 # Out-of-window this round (check_correctness still gates all of them;

@@ -574,3 +574,42 @@ def txt_drift_heavy(spark, sf_dir):
     from hebrew_ner_spark.operators.textstats import token_drift_heavy
 
     return token_drift_heavy(_hist(spark, sf_dir), 0, 2)
+
+
+@query(
+    "web_scd2_dim",
+    oracle=f"""
+    WITH {_HIST_CTE},
+    sc AS (
+      SELECT url, warc_ts, text,
+             CASE WHEN lag(text) OVER w IS NULL
+                       OR text <> lag(text) OVER w THEN 1 ELSE 0 END AS chg
+      FROM hist WINDOW w AS (PARTITION BY url ORDER BY warc_ts)
+    ),
+    sr AS (SELECT url, warc_ts, text FROM sc WHERE chg = 1)
+    SELECT url, text,
+           epoch_ms(warc_ts) AS valid_from_ms,
+           coalesce(epoch_ms(lead(warc_ts) OVER w), -1) AS valid_to_ms,
+           CAST(lead(warc_ts) OVER w IS NULL AS BIGINT) AS is_current,
+           CAST(row_number() OVER w AS BIGINT) AS version_no
+    FROM sr WINDOW w AS (PARTITION BY url ORDER BY warc_ts)
+    """,
+)
+def web_scd2_dim(spark, sf_dir):
+    """SCD Type-2 dimension from the crawl history: consecutive
+    identical-text snapshots collapse into one [valid_from, valid_to)
+    row (odd doc_ids' v1/v2 snapshots are byte-identical by
+    construction, so the collapse is non-vacuous at every scale).
+    Open rows carry valid_to = -1 / is_current = 1. One shuffle on url
+    (operators/maintenance.py scd2_collapse)."""
+    from hebrew_ner_spark.operators.maintenance import scd2_collapse
+
+    d = scd2_collapse(_hist(spark, sf_dir))
+    return d.select(
+        "url",
+        "text",
+        F.unix_millis("valid_from").alias("valid_from_ms"),
+        F.coalesce(F.unix_millis("valid_to"), F.lit(-1)).alias("valid_to_ms"),
+        F.col("is_current").cast("long").alias("is_current"),
+        "version_no",
+    )

@@ -132,3 +132,65 @@ def dq_benford(spark, sf_dir):
     observed vs expected shares in exact micro-units, per digit."""
     orders, _ = _tables(spark, sf_dir)
     return dataquality.benford_audit(orders, "o_totalprice")
+
+
+_QI = """
+dqk AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+),
+dqcls AS (
+  SELECT c_nationkey, c_mktsegment, bal_band,
+         CAST(count(*) AS BIGINT) AS class_size,
+         CAST(count(DISTINCT cents) AS BIGINT) AS l_distinct
+  FROM dqk GROUP BY 1, 2, 3
+),
+dqflag AS (
+  SELECT *,
+         CAST(CASE WHEN class_size < 5 THEN 1 ELSE 0 END AS BIGINT) AS k_risky,
+         CAST(CASE WHEN l_distinct < 3 THEN 1 ELSE 0 END AS BIGINT) AS l_risky
+  FROM dqcls
+)
+"""
+
+
+@query(
+    "dq_k_anonymity",
+    oracle=f"""
+    WITH {_QI}
+    SELECT c_nationkey, c_mktsegment, bal_band, class_size, l_distinct,
+           k_risky, l_risky
+    FROM dqflag
+    """,
+)
+def dq_k_anonymity(spark, sf_dir):
+    """Per-QI-class re-identification audit: class sizes and sensitive-
+    value diversity for (nation, segment, floor-banded balance), with
+    k<5 / l<3 risk flags. One map-side-combining aggregate; the report
+    is bounded by the QI domain product, not the row count
+    (operators/dataquality.py k_anonymity_classes)."""
+    return dataquality.k_anonymity_classes(
+        load_table(spark, sf_dir, "customer")
+    )
+
+
+@query(
+    "dq_anon_summary",
+    oracle=f"""
+    WITH {_QI}
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(k_risky) AS BIGINT) AS k_risky_classes,
+           CAST(sum(k_risky * class_size) AS BIGINT) AS records_at_risk,
+           CAST(min(class_size) AS BIGINT) AS min_class_size,
+           CAST(sum(l_risky) AS BIGINT) AS l_risky_classes
+    FROM dqflag
+    """,
+)
+def dq_anon_summary(spark, sf_dir):
+    """The one-row release/quarantine verdict over the k-anonymity
+    class table (operators/dataquality.py anonymity_summary)."""
+    return dataquality.anonymity_summary(
+        dataquality.k_anonymity_classes(load_table(spark, sf_dir, "customer"))
+    )

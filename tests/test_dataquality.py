@@ -85,3 +85,44 @@ def test_benford_audit_closed_form(spark):
     assert out[2].share_1e6 == (2 * 2 * 1_000_000 + 6) // 12
     assert out[1].benford_1e6 == 301_030
     assert out[1].dev_1e6 == 500_000 - 301_030
+
+
+class TestAnonymity:
+    def _classes(self, spark, rows):
+        cust = spark.createDataFrame(
+            rows, "c_custkey long, c_nationkey int, c_mktsegment string, c_acctbal double"
+        )
+        return dq.k_anonymity_classes(cust)
+
+    def test_class_sizes_and_diversity(self, spark):
+        # class A: 5 members, 3 distinct balances -> safe on both axes
+        # class B: 2 members, 1 distinct balance  -> risky on both axes
+        rows = [
+            (1, 1, "AUTO", 100.0), (2, 1, "AUTO", 100.0), (3, 1, "AUTO", 200.0),
+            (4, 1, "AUTO", 300.0), (5, 1, "AUTO", 300.0),
+            (6, 2, "SHIP", 50.0), (7, 2, "SHIP", 50.0),
+        ]
+        got = {
+            (r.c_nationkey, r.c_mktsegment): r
+            for r in self._classes(spark, rows).collect()
+        }
+        a = got[(1, "AUTO")]
+        assert (a.class_size, a.l_distinct, a.k_risky, a.l_risky) == (5, 3, 0, 0)
+        b = got[(2, "SHIP")]
+        assert (b.class_size, b.l_distinct, b.k_risky, b.l_risky) == (2, 1, 1, 1)
+
+    def test_negative_balance_bands_floor(self, spark):
+        # floor(-0.5) = -1 band, distinct from the 0 band: a truncating
+        # division would merge them and hide a small class
+        rows = [(1, 1, "AUTO", -500.0), (2, 1, "AUTO", 500.0)]
+        bands = {r.bal_band for r in self._classes(spark, rows).collect()}
+        assert bands == {-1, 0}
+
+    def test_summary_counts_records_at_risk(self, spark):
+        rows = [
+            (1, 1, "AUTO", 100.0), (2, 1, "AUTO", 100.0),  # size-2 class
+            (3, 2, "SHIP", 50.0),                          # size-1 class
+        ]
+        s = dq.anonymity_summary(self._classes(spark, rows)).collect()[0]
+        assert (s.n_classes, s.k_risky_classes, s.records_at_risk) == (2, 2, 3)
+        assert s.min_class_size == 1

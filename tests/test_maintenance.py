@@ -398,3 +398,49 @@ def test_mv_incremental_equals_recompute_and_drops_empty_groups(spark):
     assert ("F", 0) not in maintained            # deleted group vanished
     assert maintained[("P", 2)] == (4500, 1)     # update retract+add
     assert maintained[("O", 4)] == (500, 1)      # insert
+
+
+class TestScd2:
+    def _hist(self, spark, rows):
+        from datetime import datetime
+
+        return spark.createDataFrame(
+            [(u, datetime(2024, 1, d), t) for u, d, t in rows],
+            "url string, warc_ts timestamp, text string",
+        )
+
+    def test_unchanged_runs_collapse(self, spark):
+        from hebrew_ner_spark.operators.maintenance import scd2_collapse
+
+        rows = [
+            ("u", 1, "a"), ("u", 2, "a"), ("u", 3, "b"),
+            ("u", 4, "b"), ("u", 5, "a"),
+        ]
+        out = scd2_collapse(self._hist(spark, rows)).collect()
+        assert [(r.text, r.valid_from.day,
+                 r.valid_to.day if r.valid_to else None,
+                 r.is_current, r.version_no) for r in sorted(out, key=lambda r: r.version_no)] == [
+            ("a", 1, 3, False, 1),
+            ("b", 3, 5, False, 2),
+            ("a", 5, None, True, 3),   # value returning reopens a NEW version
+        ]
+
+    def test_single_snapshot_is_current(self, spark):
+        from hebrew_ner_spark.operators.maintenance import scd2_collapse
+
+        out = scd2_collapse(self._hist(spark, [("u", 1, "a")])).collect()
+        assert len(out) == 1 and out[0].is_current and out[0].version_no == 1
+
+    def test_intervals_tile_per_key(self, spark):
+        # [valid_from, valid_to) intervals abut exactly: each close
+        # equals the next open, and only the last row is open-ended
+        from hebrew_ner_spark.operators.maintenance import scd2_collapse
+
+        rows = [("u", d, t) for d, t in enumerate("aabbccaa", start=1)]
+        out = sorted(
+            scd2_collapse(self._hist(spark, rows)).collect(),
+            key=lambda r: r.version_no,
+        )
+        for prev, nxt in zip(out, out[1:]):
+            assert prev.valid_to == nxt.valid_from
+        assert out[-1].valid_to is None and out[-1].is_current
