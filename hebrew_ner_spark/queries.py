@@ -194,7 +194,15 @@ _WINDOW = [
     # order: the riskiest new cross-engine shape of the late round
     "burst_path",
     "link_full_tiered",
-    "kg_pagerank",
+    # kg_pagerank rotated out r4 (driver-green in r3, pytest-pinned, and
+    # the unrolled-integer-iteration class keeps four in-window rows via
+    # web_link_farm / kg_communities_lpa / kg_fact_fusion / burst_path)
+    # for stream_click_attribution — the stream-STREAM watermarked
+    # interval join is the one streaming class with no driver row at
+    # all (the three r3 streaming gates cover drain/window/stateful but
+    # not dual-stream join state), and its streaming==batch equality is
+    # the strongest available statement for it
+    "stream_click_attribution",
     # mm_features rotated out (channel means over the same decode kernel
     # as in-window mm_decode, pytest-pinned closed form) for
     # kg_rule_confidence — new multi-left-join scalar-aggregate shape

@@ -146,3 +146,64 @@ def stream_stateful_totals(spark, sf_dir):
         .groupBy("entity")
         .agg(F.max("total").cast("long").alias("total"))
     )
+
+
+def _stage_time_ordered(df, src: str) -> None:
+    """Stage a table as 3 event-time-range files whose MOD TIMES ascend
+    in range order. The file source orders micro-batches by mod time,
+    and a single write stamps every part identically — listing ties then
+    break nondeterministically, and a latest-range file draining first
+    makes the watermark jump, evicting join state before its matches
+    arrive. repartitionByRange names parts in range order, so stamping
+    strictly increasing mtimes pins arrival = event-time order (the
+    replayed-log ingest reality the streaming jobs assume)."""
+    df.repartitionByRange(3, "ts").write.parquet(src)
+    parts = sorted(p for p in os.listdir(src) if p.startswith("part-"))
+    base = int(os.path.getmtime(src))
+    for i, p in enumerate(parts):
+        os.utime(os.path.join(src, p), (base + 10 * i, base + 10 * i))
+
+
+@query(
+    "stream_click_attribution",
+    oracle="""
+    SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+           CAST(epoch_ms(c.ts) AS BIGINT) AS click_ms,
+           CAST(epoch_ms(v.ts) AS BIGINT) AS view_ms
+    FROM events c JOIN events v ON c.user_id = v.user_id
+    WHERE c.event_type = 'click' AND v.event_type = 'view'
+      AND v.ts <= c.ts
+      AND v.ts >= c.ts - INTERVAL 10 MINUTE
+    """,
+)
+def stream_click_attribution(spark, sf_dir):
+    """HARD driver gate for the stream-STREAM interval join (previously
+    pytest-only): stage clicks and views as separate time-ordered
+    3-file streams, drain the watermarked attribution join
+    (streaming/incremental.py run_attribution_join), and value-hash the
+    emitted rows against the plain batch join. Inner stream-stream
+    joins emit on match, and the watermark delay (1 h) exceeds the join
+    window (10 min), so with in-order arrival nothing is evicted before
+    its last possible match — streaming == batch exactly; a
+    watermark/eviction bug or a boundary (<= vs <) drift flips the
+    row set."""
+    from hebrew_ner_spark.streaming.incremental import run_attribution_join
+
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"stream_attr_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events")
+    clicks_dir = os.path.join(work, "clicks")
+    views_dir = os.path.join(work, "views")
+    _stage_time_ordered(ev.where(F.col("event_type") == "click"), clicks_dir)
+    _stage_time_ordered(ev.where(F.col("event_type") == "view"), views_dir)
+    out = os.path.join(work, "out")
+    run_attribution_join(
+        spark, clicks_dir, views_dir, out, os.path.join(work, "ckpt")
+    )
+    return spark.read.parquet(out).select(
+        "click_id", "view_id", "user_id", "click_ms", "view_ms"
+    )

@@ -435,3 +435,4 @@ def run_attribution_join(
         .start()
     )
     q.awaitTermination()
+
