@@ -829,3 +829,174 @@ def scd2_collapse(
         F.lead(ts).over(w).isNull().alias("is_current"),
         F.row_number().over(w).cast("long").alias("version_no"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram + range-selectivity estimation (the CBO's stats
+# plane: what ANALYZE TABLE materializes and the optimizer consults)
+# ---------------------------------------------------------------------------
+#
+# join_advice (above) prices joins from row counts; range predicates
+# need value DISTRIBUTION. The classic answer is the equi-depth
+# histogram: B buckets of equal row count along the sort order, each
+# carrying [lo, hi] bounds. Build discipline at 10^12 rows: NO global
+# window — a monotone composite key (cents, orderkey) gets the same
+# two-level global rank as the z-order layout (range-slice buckets,
+# window inside slices, broadcast offsets), then the ntile bucket is
+# closed-form arithmetic on the rank. The gate's oracle uses DuckDB's
+# NATIVE ntile over a single window — two independent algorithms, same
+# bucket assignment.
+#
+# Estimation replays the optimizer's continuous-uniform interpolation
+# per bucket, in exact integers (DECIMAL(38,0) intermediate — row count
+# x cent width x 1e6 overflows int64 at warehouse scale): micro-rows =
+# n * overlap * 1e6 DIV width. Every predicate's estimate sits next to
+# the ACTUAL count, so the report certifies estimator error, not just
+# replay agreement.
+
+HIST_BUCKETS = 16
+# inclusive [lo, hi] cent ranges: broad band, mid band, narrow point
+# band, upper tail reaching past max(o_totalprice)
+SEL_PREDICATES = [
+    (0, 10_000_000),
+    (10_000_000, 20_000_000),
+    (3_000_000, 3_050_000),
+    (40_000_000, 60_000_000),
+]
+
+
+def equi_depth_histogram(
+    orders: DataFrame, buckets: int = HIST_BUCKETS, slices: int = 64
+) -> DataFrame:
+    """(bucket, lo_cents, hi_cents, n_rows) — ntile(buckets) over
+    (cents, o_orderkey) without a global window."""
+    k = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        F.col("o_orderkey").alias("okey"),
+    ).withColumn(
+        # monotone composite: orderkey < 1e8 by contract, so the
+        # composite preserves (c, okey) lexicographic order in one long
+        "ok",
+        F.expr("c * 100000000 + okey"),
+    )
+    bounds = k.agg(
+        F.min("ok").alias("_mn"), F.max("ok").alias("_mx"),
+        F.count("*").alias("_n"),
+    )
+    b = k.crossJoin(F.broadcast(bounds)).withColumn(
+        "_bkt",
+        F.expr(
+            f"CASE WHEN _mx = _mn THEN CAST(0 AS BIGINT) "
+            f"ELSE CAST((ok - _mn) * {slices - 1} AS BIGINT) DIV (_mx - _mn) END"
+        ),
+    )
+    local = b.withColumn(
+        "_lr",
+        F.row_number().over(Window.partitionBy("_bkt").orderBy("ok")),
+    )
+    offsets = (
+        b.groupBy("_bkt")
+        .agg(F.count("*").alias("_cnt"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    Window.orderBy("_bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_bkt", "_off")
+    )
+    ranked = local.join(F.broadcast(offsets), "_bkt").withColumn(
+        "_r", F.col("_off") + F.col("_lr")
+    )
+    # ntile from the 1-based global rank: the first (_n % B) buckets
+    # hold q+1 rows, the rest q (greatest() guards the q=0 DIV)
+    q = f"(_n DIV {buckets})"
+    rem = f"(_n % {buckets})"
+    tiled = ranked.withColumn(
+        "bucket",
+        F.expr(
+            f"CASE WHEN _r <= ({q} + 1) * {rem} "
+            f"THEN (_r - 1) DIV ({q} + 1) "
+            f"ELSE {rem} + (_r - {rem} * ({q} + 1) - 1) DIV greatest({q}, 1) "
+            f"END + 1"
+        ).cast("long"),
+    )
+    return tiled.groupBy("bucket").agg(
+        F.min("c").alias("lo_cents"),
+        F.max("c").alias("hi_cents"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+
+
+def selectivity_report(
+    orders: DataFrame,
+    buckets: int = HIST_BUCKETS,
+    predicates: list = None,
+) -> DataFrame:
+    """(pred_id, lo_cents, hi_cents, est_micro, actual_rows, err_micro)
+    — per-bucket uniform interpolation summed in exact micro-rows next
+    to the true count of each inclusive [lo, hi] range."""
+    preds = predicates if predicates is not None else SEL_PREDICATES
+    spark = orders.sparkSession
+    pdf = spark.createDataFrame(
+        [(i, lo, hi) for i, (lo, hi) in enumerate(preds)],
+        "pred_id long, lo_cents long, hi_cents long",
+    )
+    hist = equi_depth_histogram(orders, buckets)
+    # rename the bucket bounds first: pdf carries lo/hi_cents too
+    h = hist.select(
+        F.col("bucket"),
+        F.col("lo_cents").alias("blo"),
+        F.col("hi_cents").alias("bhi"),
+        F.col("n_rows").alias("bn"),
+    )
+    j = h.crossJoin(F.broadcast(pdf)).select(
+        "pred_id",
+        "lo_cents",
+        "hi_cents",
+        F.greatest("lo_cents", "blo").alias("ovlo"),
+        F.least("hi_cents", "bhi").alias("ovhi"),
+        "blo",
+        "bhi",
+        "bn",
+    )
+    contrib = j.withColumn(
+        "c_micro",
+        F.expr(
+            "CASE WHEN ovhi < ovlo THEN CAST(0 AS BIGINT) "
+            "WHEN bhi = blo THEN bn * CAST(1000000 AS BIGINT) "
+            "ELSE CAST(CAST(bn AS DECIMAL(38,0)) * (ovhi - ovlo) * 1000000 "
+            "DIV (bhi - blo) AS BIGINT) END"
+        ),
+    )
+    est = contrib.groupBy("pred_id", "lo_cents", "hi_cents").agg(
+        F.sum("c_micro").cast("long").alias("est_micro")
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    actual = (
+        orders.select(cents.alias("c"))
+        .crossJoin(F.broadcast(pdf))
+        .where((F.col("c") >= F.col("lo_cents")) & (F.col("c") <= F.col("hi_cents")))
+        .groupBy("pred_id")
+        .agg(F.count("*").cast("long").alias("actual_rows"))
+    )
+    return (
+        est.join(actual, "pred_id", "left")
+        .select(
+            "pred_id",
+            "lo_cents",
+            "hi_cents",
+            "est_micro",
+            F.coalesce("actual_rows", F.lit(0)).cast("long")
+            .alias("actual_rows"),
+            F.abs(
+                F.col("est_micro")
+                - F.coalesce("actual_rows", F.lit(0)) * 1_000_000
+            ).cast("long").alias("err_micro"),
+        )
+    )

@@ -84,8 +84,17 @@ _WINDOW = [
     # bit/hash machinery as in-window flt_bloom_bits, closed-form
     # pytest-pinned; the no-false-negative join equivalence stays
     # in-window) for ann_pq_topk — ADC scoring is a brand-new
-    # broadcast-LUT + table-sum shape with no driver history
-    "ann_pq_topk",
+    # broadcast-LUT + table-sum shape with no driver history;
+    # ann_pq_topk itself rotated out r4 (in-window ann_ivfpq_topk
+    # composes the SAME ADC broadcast-LUT scoring over trained code
+    # tables — drift surfaces there) for maint_selectivity_est — the
+    # histogram-interpolation estimator is a brand-new cross-engine
+    # shape (DECIMAL(38,0)/HUGEINT micro-row arithmetic, inclusive-
+    # boundary overlap clamps, point-bucket guard) with no driver
+    # history; its upstream maint_eqdepth_hist (two-level rank vs
+    # native ntile) feeds it directly, so bucket drift surfaces
+    # in-window too, and the histogram gate rides CORRECTNESS_FULL
+    "maint_selectivity_est",
     # flt_bloom_join_equiv rotated out late-r3 (the no-false-negative
     # join equivalence is pytest-pinned and in-window flt_bloom_bits
     # gates the same bit/hash machinery) for ed_link_typos — the FastSS

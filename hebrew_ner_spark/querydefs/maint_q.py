@@ -611,3 +611,92 @@ def rel_mv_incremental(spark, sf_dir):
     return maintenance.mv_incremental(
         orders, maintenance.synth_order_changes(orders)
     )
+
+
+_HB = maintenance.HIST_BUCKETS
+
+_HIST_SQL = f"""
+mh AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+         ntile({_HB}) OVER (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+                                     o_orderkey) AS bucket
+  FROM orders
+),
+mhist AS (
+  SELECT CAST(bucket AS BIGINT) AS bucket,
+         CAST(min(c) AS BIGINT) AS lo_cents,
+         CAST(max(c) AS BIGINT) AS hi_cents,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM mh GROUP BY bucket
+)
+"""
+
+_PRED_SQL = "(VALUES " + ", ".join(
+    f"({i}, {lo}, {hi})" for i, (lo, hi) in enumerate(maintenance.SEL_PREDICATES)
+) + ") AS p(pred_id, plo, phi)"
+
+
+@query(
+    "maint_eqdepth_hist",
+    oracle=f"WITH {_HIST_SQL} SELECT * FROM mhist",
+)
+def maint_eqdepth_hist(spark, sf_dir):
+    """The ANALYZE-style equi-depth histogram over order totals: the
+    Spark side assigns ntile buckets via the two-level global rank (no
+    single-partition window), the oracle via DuckDB's NATIVE ntile —
+    two independent algorithms must produce identical bucket bounds
+    and counts (operators/maintenance.py equi_depth_histogram)."""
+    return maintenance.equi_depth_histogram(
+        load_table(spark, sf_dir, "orders")
+    )
+
+
+@query(
+    "maint_selectivity_est",
+    oracle=f"""
+    WITH {_HIST_SQL},
+    mj AS (
+      SELECT CAST(p.pred_id AS BIGINT) AS pred_id,
+             CAST(p.plo AS BIGINT) AS lo_cents,
+             CAST(p.phi AS BIGINT) AS hi_cents,
+             greatest(p.plo, h.lo_cents) AS ovlo,
+             least(p.phi, h.hi_cents) AS ovhi,
+             h.lo_cents AS blo, h.hi_cents AS bhi, h.n_rows AS bn
+      FROM mhist h, {_PRED_SQL}
+    ),
+    mc AS (
+      SELECT pred_id, lo_cents, hi_cents,
+             CASE WHEN ovhi < ovlo THEN CAST(0 AS BIGINT)
+                  WHEN bhi = blo THEN bn * CAST(1000000 AS BIGINT)
+                  ELSE CAST(CAST(bn AS HUGEINT) * (ovhi - ovlo) * 1000000
+                            // (bhi - blo) AS BIGINT) END AS c_micro
+      FROM mj
+    ),
+    mest AS (
+      SELECT pred_id, lo_cents, hi_cents,
+             CAST(sum(c_micro) AS BIGINT) AS est_micro
+      FROM mc GROUP BY 1, 2, 3
+    ),
+    mact AS (
+      SELECT CAST(p.pred_id AS BIGINT) AS pred_id,
+             CAST(count(*) AS BIGINT) AS actual_rows
+      FROM orders o, {_PRED_SQL}
+      WHERE CAST(round(o.o_totalprice * 100) AS BIGINT) BETWEEN p.plo AND p.phi
+      GROUP BY p.pred_id
+    )
+    SELECT e.pred_id, e.lo_cents, e.hi_cents, e.est_micro,
+           CAST(coalesce(a.actual_rows, 0) AS BIGINT) AS actual_rows,
+           CAST(abs(e.est_micro - coalesce(a.actual_rows, 0) * 1000000)
+                AS BIGINT) AS err_micro
+    FROM mest e LEFT JOIN mact a USING (pred_id)
+    """,
+)
+def maint_selectivity_est(spark, sf_dir):
+    """Range-predicate cardinality estimates from the histogram
+    (continuous-uniform interpolation, exact micro-row integers with a
+    DECIMAL(38,0)/HUGEINT intermediate) reported NEXT TO the actual
+    counts — the gate certifies both the estimator arithmetic and its
+    observable error (operators/maintenance.py selectivity_report)."""
+    return maintenance.selectivity_report(
+        load_table(spark, sf_dir, "orders")
+    )

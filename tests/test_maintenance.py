@@ -444,3 +444,57 @@ class TestScd2:
         for prev, nxt in zip(out, out[1:]):
             assert prev.valid_to == nxt.valid_from
         assert out[-1].valid_to is None and out[-1].is_current
+
+
+class TestEqDepthHistogram:
+    def _orders(self, spark, prices):
+        return spark.createDataFrame(
+            [(i, float(p)) for i, p in enumerate(prices)],
+            "o_orderkey long, o_totalprice double",
+        )
+
+    def test_uneven_split_front_loads_extra_rows(self, spark):
+        # 10 rows into 4 buckets: sizes 3,3,2,2 (ntile semantics)
+        h = maintenance.equi_depth_histogram(
+            self._orders(spark, range(1, 11)), buckets=4
+        )
+        sizes = {r.bucket: r.n_rows for r in h.collect()}
+        assert sizes == {1: 3, 2: 3, 3: 2, 4: 2}
+
+    def test_fewer_rows_than_buckets(self, spark):
+        h = maintenance.equi_depth_histogram(
+            self._orders(spark, [5, 9]), buckets=16
+        ).collect()
+        assert {r.bucket: r.n_rows for r in h} == {1: 1, 2: 1}
+
+    def test_bounds_follow_sort_order(self, spark):
+        h = sorted(
+            maintenance.equi_depth_histogram(
+                self._orders(spark, [40, 10, 30, 20]), buckets=2
+            ).collect(),
+            key=lambda r: r.bucket,
+        )
+        assert (h[0].lo_cents, h[0].hi_cents) == (1000, 2000)
+        assert (h[1].lo_cents, h[1].hi_cents) == (3000, 4000)
+
+    def test_selectivity_interpolation(self, spark):
+        # one bucket [1000, 2000] cents with 4 rows; predicate covering
+        # half the width estimates 2 rows (2e6 micro)
+        orders = self._orders(spark, [10, 13, 17, 20])
+        rep = maintenance.selectivity_report(
+            orders, buckets=1, predicates=[(1000, 1500), (5000, 6000)]
+        ).collect()
+        by_id = {r.pred_id: r for r in rep}
+        assert by_id[0].est_micro == 2_000_000
+        assert by_id[0].actual_rows == 2
+        assert by_id[0].err_micro == 0
+        # disjoint predicate: zero estimate, zero actual
+        assert by_id[1].est_micro == 0 and by_id[1].actual_rows == 0
+
+    def test_point_bucket_contributes_fully(self, spark):
+        # all-equal values -> bucket width 0 -> whole count, not DIV 0
+        rep = maintenance.selectivity_report(
+            self._orders(spark, [10, 10, 10]), buckets=1,
+            predicates=[(500, 1500)],
+        ).collect()[0]
+        assert rep.est_micro == 3_000_000 and rep.actual_rows == 3
