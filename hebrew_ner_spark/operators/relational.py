@@ -445,3 +445,113 @@ def bitmap_status_counts(bitmap: DataFrame) -> DataFrame:
     return bitmap.groupBy("o_orderstatus").agg(
         F.sum(F.bit_count(F.col("bits"))).cast("long").alias("n_orders")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence analytics: Markov transitions + Theil-Sen robust trend
+# ---------------------------------------------------------------------------
+
+
+def event_transitions(
+    events: DataFrame, gap_min: int = SESSION_GAP_MIN
+) -> DataFrame:
+    """(from_type, to_type, n, prob_1e6) — the first-order Markov
+    transition matrix of the event stream: consecutive same-user events
+    within the session gap, row-normalized per from_type with half-up
+    micro-unit shares. One window shuffle on user_id + one |types|^2
+    aggregate — the matrix is vocabulary-grain, never row-grain."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    pairs = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("to_type", F.lead("event_type").over(w))
+        .withColumn("_next_us", F.lead(us).over(w))
+        .where(
+            F.col("to_type").isNotNull()
+            & (F.col("_next_us") - us <= gap_min * 60_000_000)
+        )
+        .select(F.col("event_type").alias("from_type"), "to_type")
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("_tot"))
+    return (
+        counts.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("CAST((2 * n * 1000000 + _tot) DIV (2 * _tot) AS BIGINT)")
+            .alias("prob_1e6"),
+        )
+    )
+
+
+def theil_sen_trend(events: DataFrame) -> DataFrame:
+    """(event_type, n_hours, n_pairs, slope_1e6) — the Theil-Sen
+    estimator over each type's hourly-count series: the MEDIAN of all
+    pairwise slopes (dy/dx across hour pairs), the robust answer to "is
+    ingest drifting?" (one burst hour corrupts an OLS slope, but moves
+    the median of slopes barely at all).
+
+    Scale shape: the pair join is over the HOURLY AGGREGATE, so pair
+    count grows with the square of the time span, not the row count —
+    720 hours of 10^12 events is still only ~259k pairs/type. Slopes
+    order by their exact double ratio (small-integer dy/dx is IEEE-
+    identical across engines) with a (dy, dx) tiebreak; the reported
+    value is re-derived from the median pair in exact integers,
+    half-away-from-zero (sign-split — Spark DIV and DuckDB // both
+    truncate toward zero, so the negative branch negates a positive
+    division)."""
+    hc = (
+        hourly_event_counts(events)
+        .select(
+            "event_type",
+            F.expr("hour_ms DIV 3600000").alias("h"),
+            F.col("n_events").cast("long").alias("n"),
+        )
+    )
+    a = hc.select(
+        "event_type", F.col("h").alias("h1"), F.col("n").alias("n1")
+    )
+    b = hc.select(
+        "event_type", F.col("h").alias("h2"), F.col("n").alias("n2")
+    )
+    pairs = (
+        a.join(b, "event_type")
+        .where(F.col("h1") < F.col("h2"))
+        .select(
+            "event_type",
+            (F.col("n2") - F.col("n1")).alias("dy"),
+            (F.col("h2") - F.col("h1")).alias("dx"),
+        )
+        .withColumn("v", F.col("dy").cast("double") / F.col("dx"))
+        .withColumn(
+            "slope_1e6",
+            F.expr(
+                "CAST(CASE WHEN dy >= 0 "
+                "THEN (2 * dy * 1000000 + dx) DIV (2 * dx) "
+                "ELSE -((2 * -dy * 1000000 + dx) DIV (2 * dx)) "
+                "END AS BIGINT)"
+            ),
+        )
+    )
+    wo = Window.partitionBy("event_type").orderBy("v", "dy", "dx")
+    ranked = pairs.withColumn("_rn", F.row_number().over(wo))
+    stats = pairs.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+    hours = hc.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_hours")
+    )
+    med = (
+        ranked.join(F.broadcast(stats), "event_type")
+        .where(F.col("_rn") == F.expr("(n_pairs + 1) DIV 2"))
+        .select("event_type", "slope_1e6")
+    )
+    return (
+        hours.join(F.broadcast(stats), "event_type")
+        .join(med, "event_type")
+        .select("event_type", "n_hours", "n_pairs", "slope_1e6")
+    )

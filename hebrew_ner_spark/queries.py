@@ -193,7 +193,16 @@ _WINDOW = [
     # -- new or semantically changed in round 3 --
     "mention_model_neural",
     "mm_decode",
-    "ann_kmeans_cells",
+    # ann_kmeans_cells rotated out r4 (the trained coarse quantizer it
+    # gates is consumed wholesale by in-window ann_ivfpq_topk's probe
+    # restriction — centroid/assignment drift surfaces there; Lloyd
+    # rounds are pytest-pinned) for evt_trend_theilsen — the Theil-Sen
+    # median-of-slopes is a brand-new cross-engine class: exact-ratio
+    # double ordering with a pinned (dy, dx) tiebreak selecting a pair
+    # whose slope is re-derived in sign-split half-away-from-zero
+    # integers; its sibling evt_transitions (lag-window + half-up
+    # shares, a family with in-window history) rides CORRECTNESS_FULL
+    "evt_trend_theilsen",
     # link_fuzzy_minhash rotated out (its MinHash tier is exercised as a
     # stage of in-window link_full_tiered) for kg_entity_summary; then
     # kg_entity_summary rotated out late-r3 (ranked top-k with pinned

@@ -383,3 +383,75 @@ def rel_bitmap_count(spark, sf_dir):
     return relational.bitmap_status_counts(
         relational.orders_status_bitmap(load_table(spark, sf_dir, "orders"))
     )
+
+
+@query(
+    "evt_transitions",
+    oracle=f"""
+    WITH tr AS (
+      SELECT user_id, ts, event_id, event_type,
+             lead(event_type) OVER w AS to_type,
+             lead(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_us
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    trc AS (
+      SELECT event_type AS from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      FROM tr
+      WHERE to_type IS NOT NULL
+        AND gap_us <= {relational.SESSION_GAP_MIN} * 60000000
+      GROUP BY 1, 2
+    ),
+    trt AS (SELECT from_type, sum(n) AS tot FROM trc GROUP BY from_type)
+    SELECT from_type, to_type, n,
+           CAST((2 * n * 1000000 + tot) // (2 * tot) AS BIGINT) AS prob_1e6
+    FROM trc JOIN trt USING (from_type)
+    """,
+)
+def evt_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of the in-session event
+    stream, with exact half-up micro-unit row shares
+    (operators/relational.py event_transitions)."""
+    return relational.event_transitions(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "evt_trend_theilsen",
+    oracle="""
+    WITH th AS (
+      SELECT event_type, epoch_ms(date_trunc('hour', ts)) // 3600000 AS h,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tp AS (
+      SELECT a.event_type,
+             b.n - a.n AS dy, b.h - a.h AS dx,
+             CAST(b.n - a.n AS DOUBLE) / (b.h - a.h) AS v
+      FROM th a JOIN th b ON a.event_type = b.event_type AND a.h < b.h
+    ),
+    tps AS (
+      SELECT *, CAST(CASE WHEN dy >= 0
+                          THEN (2 * dy * 1000000 + dx) // (2 * dx)
+                          ELSE -((2 * -dy * 1000000 + dx) // (2 * dx))
+                     END AS BIGINT) AS slope_1e6,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY v, dy, dx) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS np
+      FROM tp
+    ),
+    tmed AS (
+      SELECT event_type, slope_1e6,
+             CAST(np AS BIGINT) AS n_pairs
+      FROM tps WHERE rn = (np + 1) // 2
+    ),
+    thh AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours
+            FROM th GROUP BY event_type)
+    SELECT event_type, n_hours, n_pairs, slope_1e6
+    FROM tmed JOIN thh USING (event_type)
+    """,
+)
+def evt_trend_theilsen(spark, sf_dir):
+    """Theil-Sen robust ingest-trend estimate per event type: median of
+    pairwise hourly-count slopes, selected by exact-ratio order with a
+    pinned (dy, dx) tiebreak and re-derived half-away-from-zero in
+    integers (operators/relational.py theil_sen_trend)."""
+    return relational.theil_sen_trend(load_table(spark, sf_dir, "events"))

@@ -53,3 +53,90 @@ def test_bitmap_index_packing_and_popcount(spark):
     counts = {r.o_orderstatus: r.n_orders
               for r in bitmap_status_counts(orders_status_bitmap(df)).collect()}
     assert counts == {"F": 3, "O": 4}
+
+
+def _events(spark, rows):
+    """rows: (event_id, user_id, minute_offset, event_type)."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [
+            (eid, base + timedelta(minutes=m), u, t, 0.0, "{}")
+            for eid, u, m, t in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_event_transitions_closed_form(spark):
+    from hebrew_ner_spark.operators.relational import event_transitions
+
+    ev = _events(spark, [
+        (1, 1, 0, "view"), (2, 1, 5, "click"), (3, 1, 10, "view"),
+        (4, 1, 100, "purchase"),          # gap > 30 min: no transition
+        (5, 2, 0, "view"), (6, 2, 1, "click"), (7, 2, 3, "purchase"),
+    ])
+    got = {
+        (r.from_type, r.to_type): (r.n, r.prob_1e6)
+        for r in event_transitions(ev).collect()
+    }
+    # view->click twice (all view exits), click splits 50/50 between
+    # view and purchase; the cross-gap pair is absent
+    assert got[("view", "click")] == (2, 1_000_000)
+    assert got[("click", "view")] == (1, 500_000)
+    assert got[("click", "purchase")] == (1, 500_000)
+    assert ("view", "purchase") not in got
+    assert sum(n for n, _ in got.values()) == 4
+
+
+def test_event_transitions_ts_tie_breaks_by_event_id(spark):
+    from hebrew_ner_spark.operators.relational import event_transitions
+
+    ev = _events(spark, [
+        (10, 1, 0, "a"), (11, 1, 0, "b"), (12, 1, 0, "c"),
+    ])
+    got = {(r.from_type, r.to_type) for r in event_transitions(ev).collect()}
+    assert got == {("a", "b"), ("b", "c")}
+
+
+class TestTheilSen:
+    def test_exact_linear_series(self, spark):
+        from hebrew_ner_spark.operators.relational import theil_sen_trend
+
+        # counts 2,4,6,8 per hour -> every pairwise slope is exactly 2
+        rows, eid = [], 0
+        for h, c in enumerate([2, 4, 6, 8]):
+            for _ in range(c):
+                eid += 1
+                rows.append((eid, 1, h * 60, "view"))
+        out = theil_sen_trend(_events(spark, rows)).collect()[0]
+        assert (out.n_hours, out.n_pairs, out.slope_1e6) == (4, 6, 2_000_000)
+
+    def test_burst_resistance_and_negative_slope(self, spark):
+        from hebrew_ner_spark.operators.relational import theil_sen_trend
+
+        # declining series 5,4,3,2 with one burst hour (100): the
+        # median slope stays negative; OLS would report a large
+        # positive slope from the single burst
+        counts = [5, 4, 3, 100, 2]
+        rows, eid = [], 0
+        for h, c in enumerate(counts):
+            for _ in range(c):
+                eid += 1
+                rows.append((eid, 1, h * 60, "view"))
+        out = theil_sen_trend(_events(spark, rows)).collect()[0]
+        assert out.slope_1e6 < 0
+
+    def test_half_away_from_zero_on_negative_median(self, spark):
+        from hebrew_ner_spark.operators.relational import theil_sen_trend
+
+        # two hours, counts 3 -> 0 over 2 hours: slope -3/2 = -1.5
+        # rounds away from zero to -1500000 ... use dx=2 by skipping an
+        # hour so the rational is non-integer
+        rows = [(1, 1, 0, "view"), (2, 1, 1, "view"), (3, 1, 2, "view"),
+                (4, 1, 120, "view")]
+        # hours: h0 count 3, h2 count 1 -> single pair slope -1.0
+        out = theil_sen_trend(_events(spark, rows)).collect()[0]
+        assert out.slope_1e6 == -1_000_000
