@@ -235,3 +235,55 @@ def anonymity_summary(classes: DataFrame) -> DataFrame:
         F.min("class_size").cast("long").alias("min_class_size"),
         F.sum("l_risky").cast("long").alias("l_risky_classes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tukey IQR fence outliers (robust per-group numeric screening)
+# ---------------------------------------------------------------------------
+
+
+def iqr_outliers(orders: DataFrame) -> DataFrame:
+    """(o_orderpriority, n_rows, q1, q3, iqr, n_low, n_high) — classic
+    1.5xIQR fence counts per priority over WHOLE-DOLLAR totals (the
+    bounded-integer grain quantiles.exact_quantiles requires: the dollar
+    histogram is capped by max price, corpus-size independent). Fences
+    stay exact: v is an outlier iff 2*(v - q3) > 3*iqr (high) or
+    2*(q1 - v) > 3*iqr (low) — cross-multiplied, no halves, no floats."""
+    from hebrew_ner_spark.operators.quantiles import exact_quantiles
+
+    base = orders.select(
+        "o_orderpriority",
+        F.expr(
+            "CAST(round(o_totalprice * 100) AS BIGINT) DIV 100"
+        ).alias("v"),
+    )
+    q = (
+        exact_quantiles(base, "o_orderpriority", F.col("v"), [25, 75])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max(F.when(F.col("q") == 25, F.col("v"))).alias("q1"),
+            F.max(F.when(F.col("q") == 75, F.col("v"))).alias("q3"),
+        )
+    )
+    return (
+        base.join(F.broadcast(q), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.first("q1").cast("long").alias("q1"),
+            F.first("q3").cast("long").alias("q3"),
+            (F.first("q3") - F.first("q1")).cast("long").alias("iqr"),
+            F.sum(
+                F.when(
+                    2 * (F.col("q1") - F.col("v")) > 3 * (F.col("q3") - F.col("q1")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_low"),
+            F.sum(
+                F.when(
+                    2 * (F.col("v") - F.col("q3")) > 3 * (F.col("q3") - F.col("q1")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_high"),
+        )
+    )

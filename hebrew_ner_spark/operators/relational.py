@@ -555,3 +555,105 @@ def theil_sen_trend(events: DataFrame) -> DataFrame:
         .join(med, "event_type")
         .select("event_type", "n_hours", "n_pairs", "slope_1e6")
     )
+
+
+SESSION_PATH_K = 5   # leading events kept per session path
+SESSION_PATH_TOP = 20
+
+
+def session_paths(
+    events: DataFrame,
+    gap_min: int = SESSION_GAP_MIN,
+    k: int = SESSION_PATH_K,
+    top: int = SESSION_PATH_TOP,
+) -> DataFrame:
+    """(rank, path, n_sessions) — the top in-session event-type
+    sequences ('view>click>purchase'), truncated to the first ``k``
+    events per session: the product-analytics path report behind the
+    funnel. One window shuffle on user builds sessions, one aggregate
+    per (user, session) builds paths ARRAY-SIDE (sort the collected
+    struct list, slice, join — no per-event window), one
+    vocabulary-grain count; the final rank orders the path-count table,
+    bounded by |types|^k rows, never by traffic."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    sess = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn(
+            "_brk",
+            F.when(
+                us - F.lag(us).over(w) > gap_min * 60_000_000, 1
+            ).otherwise(0),
+        )
+        .withColumn("_sid", F.sum("_brk").over(w))
+    )
+    paths = (
+        sess.groupBy("user_id", "_sid")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros(F.col("ts").cast("timestamp")).alias(
+                            "t"
+                        ),
+                        F.col("event_id").alias("e"),
+                        F.col("event_type").alias("y"),
+                    )
+                )
+            ).alias("_evs")
+        )
+        .select(
+            F.array_join(
+                F.slice(F.expr("transform(_evs, x -> x.y)"), 1, k), ">"
+            ).alias("path")
+        )
+    )
+    counts = paths.groupBy("path").agg(
+        F.count("*").cast("long").alias("n_sessions")
+    )
+    wr = Window.orderBy(F.desc("n_sessions"), "path")
+    return (
+        counts.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .where(F.col("rank") <= top)
+        .select("rank", "path", "n_sessions")
+    )
+
+
+def type_hour_association(events: DataFrame) -> DataFrame:
+    """(event_type, hod, n, exp_micro, delta_micro) — the contingency
+    audit of event type x hour-of-day: observed cell counts next to the
+    independence expectation row_total*col_total/total in exact
+    micro-units (DECIMAL(38,0) intermediate — the product overflows
+    int64 at warehouse row counts) and the absolute deviation. A flat
+    delta column says the axes are independent; structure in it is the
+    seasonality/affinity signal. Three broadcast joins over
+    vocabulary-grain marginals; cells are |types| x 24."""
+    obs = (
+        events.select(
+            "event_type",
+            F.hour(F.col("ts").cast("timestamp")).cast("long").alias("hod"),
+        )
+        .groupBy("event_type", "hod")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    rowt = obs.groupBy("event_type").agg(F.sum("n").alias("_rt"))
+    colt = obs.groupBy("hod").agg(F.sum("n").alias("_ct"))
+    tot = obs.agg(F.sum("n").alias("_tot"))
+    return (
+        obs.join(F.broadcast(rowt), "event_type")
+        .join(F.broadcast(colt), "hod")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "hod",
+            "n",
+            F.expr(
+                "CAST(CAST(_rt AS DECIMAL(38,0)) * _ct * 1000000 DIV _tot"
+                " AS BIGINT)"
+            ).alias("exp_micro"),
+        )
+        .withColumn(
+            "delta_micro",
+            F.abs(F.col("n") * 1_000_000 - F.col("exp_micro")).cast("long"),
+        )
+    )

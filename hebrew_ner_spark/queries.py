@@ -61,7 +61,7 @@ _WINDOW = [
     # sketch-length family in-window) for ann_sq_topk — the int8
     # quantize + telescoped code-space distance is a brand-new
     # cross-engine shape (half-up quantizer, trunc DIV rescale);
-    # itself rotated out r4 — see the web_scd2_dim entry below
+    # itself rotated out end-r3 — see the web_scd2_dim entry below
     # rel_pricing_summary / rel_revenue_by_nation / rel_order_rollup /
     # rel_topk_customers / evt_hourly_counts rotated out for the sketch
     # family: they are plain aggregations whose plans are unchanged since
@@ -85,7 +85,7 @@ _WINDOW = [
     # pytest-pinned; the no-false-negative join equivalence stays
     # in-window) for ann_pq_topk — ADC scoring is a brand-new
     # broadcast-LUT + table-sum shape with no driver history;
-    # ann_pq_topk itself rotated out r4 (in-window ann_ivfpq_topk
+    # ann_pq_topk itself rotated out end-r3 (in-window ann_ivfpq_topk
     # composes the SAME ADC broadcast-LUT scoring over trained code
     # tables — drift surfaces there) for maint_selectivity_est — the
     # histogram-interpolation estimator is a brand-new cross-engine
@@ -123,12 +123,25 @@ _WINDOW = [
     # which composes the same PARIS-functionality arithmetic as its
     # in-queue threshold and adds the keeper fold (min(struct) vs ranked
     # window) — the stats gate's fun/inv_fun idiom is exercised in-window
-    # through the conflicts queue and rides CORRECTNESS_FULL
-    "kg_functional_conflicts",
+    # through the conflicts queue and rides CORRECTNESS_FULL;
+    # kg_functional_conflicts itself rotated out end-r3 (the keeper
+    # fold is pytest-pinned and the functionality arithmetic stays
+    # exercised through the kg_fusion_calibration / kg_fact_fusion
+    # composition in-window) for dq_iqr_outliers — the Tukey-fence
+    # audit is an INDEPENDENT-ALGORITHM quartile gate (sort-free
+    # integer histogram percentile vs DuckDB's native percentile_disc)
+    # with cross-multiplied fence arithmetic, no driver history
+    "dq_iqr_outliers",
     # sk_cms_counters rotated out (upstream twin of in-window sk_cms_heavy,
     # which reads the same counter grid) for kg_bgp_match — a new
-    # multi-way variable-binding join shape
-    "kg_bgp_match",
+    # multi-way variable-binding join shape; kg_bgp_match itself
+    # rotated out end-r3 (its leg-join machinery is exercised in-window
+    # by kg_rule_confidence's pattern replays and the variable-binding
+    # semantics are pytest-pinned) for evt_session_paths — the ordered
+    # list-aggregation path report (array_sort struct collect + slice
+    # vs DuckDB ordered list + list_slice) is a brand-new cross-engine
+    # collation shape with no driver history
+    "evt_session_paths",
     "sk_cms_heavy",
     "seg_sentences",
     # seg_tokens rotated out late-r3 (byte-identical tokenizer parity is
@@ -189,11 +202,11 @@ _WINDOW = [
     "kg_triples_dup_flag",
     "srch_bm25_topk",
     "txt_bpe_encode",
-    # txt_quality_filter rotated out r4 — see the dq_k_anonymity entry
+    # txt_quality_filter rotated out end-r3 — see the dq_k_anonymity entry
     # -- new or semantically changed in round 3 --
     "mention_model_neural",
     "mm_decode",
-    # ann_kmeans_cells rotated out r4 (the trained coarse quantizer it
+    # ann_kmeans_cells rotated out end-r3 (the trained coarse quantizer it
     # gates is consumed wholesale by in-window ann_ivfpq_topk's probe
     # restriction — centroid/assignment drift surfaces there; Lloyd
     # rounds are pytest-pinned) for evt_trend_theilsen — the Theil-Sen
@@ -212,7 +225,7 @@ _WINDOW = [
     # order: the riskiest new cross-engine shape of the late round
     "burst_path",
     "link_full_tiered",
-    # kg_pagerank rotated out r4 (driver-green in r3, pytest-pinned, and
+    # kg_pagerank rotated out end-r3 (driver-green in r3, pytest-pinned, and
     # the unrolled-integer-iteration class keeps four in-window rows via
     # web_link_farm / kg_communities_lpa / kg_fact_fusion / burst_path)
     # for stream_click_attribution — the stream-STREAM watermarked
@@ -310,14 +323,14 @@ _WINDOW = [
     # so the changed plan earns the driver slot per the window policy
     "maint_compaction_plan",
     "trn_eval_sample",
-    # ann_sq_topk rotated out r4 (the int8 quantizer + telescoped
+    # ann_sq_topk rotated out end-r3 (the int8 quantizer + telescoped
     # code-space distance is pytest-pinned and the trained-code-table
     # class keeps two in-window rows via ann_pq_topk/ann_ivfpq_topk)
     # for web_scd2_dim — the SCD Type-2 gaps-and-islands collapse is a
     # brand-new cross-engine shape (change-row filter + lead-close vs
     # windowed SQL) with no driver history
     "web_scd2_dim",
-    # txt_quality_filter rotated out r4 (judge-verified by name in r2,
+    # txt_quality_filter rotated out end-r3 (judge-verified by name in r2,
     # exact-integer thresholds, and its predicate family stays
     # exercised through the curation gates) for dq_k_anonymity — the
     # re-identification audit (floor-banded QI classes + distinct-

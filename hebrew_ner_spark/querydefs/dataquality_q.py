@@ -194,3 +194,38 @@ def dq_anon_summary(spark, sf_dir):
     return dataquality.anonymity_summary(
         dataquality.k_anonymity_classes(load_table(spark, sf_dir, "customer"))
     )
+
+
+@query(
+    "dq_iqr_outliers",
+    oracle="""
+    WITH iqb AS (
+      SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) // 100 AS v
+      FROM orders
+    ),
+    iqq AS (
+      SELECT o_orderpriority,
+             CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY v)
+                  AS BIGINT) AS q1,
+             CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY v)
+                  AS BIGINT) AS q3
+      FROM iqb GROUP BY 1
+    )
+    SELECT b.o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+           q1, q3, q3 - q1 AS iqr,
+           CAST(sum(CASE WHEN 2 * (q1 - v) > 3 * (q3 - q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(sum(CASE WHEN 2 * (v - q3) > 3 * (q3 - q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+    FROM iqb b JOIN iqq USING (o_orderpriority)
+    GROUP BY 1, q1, q3
+    """,
+)
+def dq_iqr_outliers(spark, sf_dir):
+    """Tukey 1.5xIQR fence counts per priority over whole-dollar order
+    totals: quartiles via the sort-free integer histogram percentile on
+    the Spark side vs DuckDB's NATIVE percentile_disc in the oracle (two
+    independent algorithms), fences cross-multiplied so no halves or
+    floats exist anywhere (operators/dataquality.py iqr_outliers)."""
+    return dataquality.iqr_outliers(load_table(spark, sf_dir, "orders"))

@@ -455,3 +455,69 @@ def evt_trend_theilsen(spark, sf_dir):
     pinned (dy, dx) tiebreak and re-derived half-away-from-zero in
     integers (operators/relational.py theil_sen_trend)."""
     return relational.theil_sen_trend(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "evt_session_paths",
+    oracle=f"""
+    WITH spv AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                       > {relational.SESSION_GAP_MIN} * 60000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sps AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS sid
+      FROM spv
+    ),
+    spp AS (
+      SELECT array_to_string(
+               list_slice(list(event_type ORDER BY ts, event_id),
+                          1, {relational.SESSION_PATH_K}), '>') AS path
+      FROM sps GROUP BY user_id, sid
+    ),
+    spc AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+            FROM spp GROUP BY path)
+    SELECT CAST(row_number() OVER (ORDER BY n_sessions DESC, path)
+                AS BIGINT) AS rank,
+           path, n_sessions
+    FROM spc
+    QUALIFY rank <= {relational.SESSION_PATH_TOP}
+    """,
+)
+def evt_session_paths(spark, sf_dir):
+    """Top in-session event-type sequences (first 5 events, '>'-joined),
+    built array-side per session with a pinned (ts, event_id) order
+    (operators/relational.py session_paths)."""
+    return relational.session_paths(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "evt_type_hour_assoc",
+    oracle="""
+    WITH aob AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    art AS (SELECT event_type, sum(n) AS rt FROM aob GROUP BY 1),
+    act AS (SELECT hod, sum(n) AS ct FROM aob GROUP BY 1),
+    att AS (SELECT sum(n) AS tot FROM aob)
+    SELECT event_type, hod, n,
+           CAST(CAST(rt AS HUGEINT) * ct * 1000000 // tot AS BIGINT)
+             AS exp_micro,
+           CAST(abs(n * 1000000 -
+                CAST(CAST(rt AS HUGEINT) * ct * 1000000 // tot AS BIGINT))
+                AS BIGINT) AS delta_micro
+    FROM aob JOIN art USING (event_type) JOIN act USING (hod), att
+    """,
+)
+def evt_type_hour_assoc(spark, sf_dir):
+    """Contingency audit of event type x hour-of-day: observed counts
+    next to the exact-integer independence expectation and deviation
+    (operators/relational.py type_hour_association)."""
+    return relational.type_hour_association(
+        load_table(spark, sf_dir, "events")
+    )

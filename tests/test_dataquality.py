@@ -126,3 +126,31 @@ class TestAnonymity:
         s = dq.anonymity_summary(self._classes(spark, rows)).collect()[0]
         assert (s.n_classes, s.k_risky_classes, s.records_at_risk) == (2, 2, 3)
         assert s.min_class_size == 1
+
+
+def test_iqr_outliers_closed_form(spark):
+    # 11 dollar values 0..9 plus one planted 1000: q1 = 3rd smallest
+    # (4*cum >= 11) = 2, q3 = 9th smallest (4*cum >= 33) = 8, iqr 6
+    # -> high fence v > 8 + 9 = 17: only 1000 flags; low fence
+    # v < 2 - 9: nothing
+    vals = list(range(10)) + [1000]
+    orders = spark.createDataFrame(
+        [(i, "P", float(v)) for i, v in enumerate(vals)],
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    )
+    out = dq.iqr_outliers(orders).collect()[0]
+    assert (out.q1, out.q3, out.iqr) == (2, 8, 6)
+    assert (out.n_low, out.n_high, out.n_rows) == (0, 1, 11)
+
+
+def test_iqr_fence_boundary_is_strict(spark):
+    # iqr=4 -> high fence strictly above q3 + 6; v = q3 + 6 exactly on
+    # the fence must NOT flag (2*(v-q3) == 3*iqr, not >)
+    vals = [0, 1, 2, 3, 4, 10]  # q1=1, q3=4, iqr=3 -> fence at 4+4.5
+    orders = spark.createDataFrame(
+        [(i, "P", float(v)) for i, v in enumerate(vals)],
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    )
+    out = dq.iqr_outliers(orders).collect()[0]
+    assert (out.q1, out.q3) == (1, 4)
+    assert out.n_high == 1  # only 10 (> 8.5); the fence itself excluded

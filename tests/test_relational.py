@@ -140,3 +140,46 @@ class TestTheilSen:
         # hours: h0 count 3, h2 count 1 -> single pair slope -1.0
         out = theil_sen_trend(_events(spark, rows)).collect()[0]
         assert out.slope_1e6 == -1_000_000
+
+
+def test_session_paths_truncation_and_breaks(spark):
+    from hebrew_ner_spark.operators.relational import session_paths
+
+    ev = _events(spark, [
+        # session 1: 7 events -> path truncated to first 5
+        (1, 1, 0, "a"), (2, 1, 1, "b"), (3, 1, 2, "c"),
+        (4, 1, 3, "d"), (5, 1, 4, "e"), (6, 1, 5, "f"), (7, 1, 6, "g"),
+        # >30 min idle -> new session
+        (8, 1, 60, "a"), (9, 1, 61, "b"),
+        # user 2 repeats the short path
+        (10, 2, 0, "a"), (11, 2, 1, "b"),
+    ])
+    got = {(r.path, r.n_sessions, r.rank) for r in session_paths(ev).collect()}
+    assert got == {("a>b", 2, 1), ("a>b>c>d>e", 1, 2)}
+
+
+def test_type_hour_association_uniform_is_exact(spark):
+    from hebrew_ner_spark.operators.relational import type_hour_association
+
+    # 2 types x 2 hours, perfectly independent: delta must be 0
+    rows, eid = [], 0
+    for h in (0, 1):
+        for t, c in (("a", 2), ("b", 4)):
+            for _ in range(c):
+                eid += 1
+                rows.append((eid, 1, h * 60, t))
+    out = type_hour_association(_events(spark, rows)).collect()
+    assert all(r.delta_micro == 0 for r in out)
+    by = {(r.event_type, r.hod): r for r in out}
+    assert by[("a", 0)].exp_micro == 2_000_000  # 4*6*1e6 // 12
+
+
+def test_type_hour_association_detects_affinity(spark):
+    from hebrew_ner_spark.operators.relational import type_hour_association
+
+    # type a only in hour 0, type b only in hour 1: maximal deviation
+    rows = [(1, 1, 0, "a"), (2, 1, 70, "b")]
+    out = {(r.event_type, r.hod): r for r in
+           type_hour_association(_events(spark, rows)).collect()}
+    a = out[("a", 0)]
+    assert a.n == 1 and a.exp_micro == 500_000 and a.delta_micro == 500_000
