@@ -736,14 +736,12 @@ def mv_rollup(mv: DataFrame) -> DataFrame:
     )
 
 
-def mv_incremental(orders: DataFrame, changes: DataFrame) -> DataFrame:
-    """The MV maintained INCREMENTALLY under the CDC batch — additive
-    deltas only, never a base-table rescan: matched rows retract their
-    old contribution (old status read via a key join against the base),
-    updates/inserts add the new one; groups whose count reaches zero
-    vanish (exactly what a recompute would produce — the gate's oracle
-    IS that recompute over the merged base). Delta grain is
-    (status, bucket): metadata-sized, broadcast-merged onto the MV."""
+def mv_delta(orders: DataFrame, changes: DataFrame) -> DataFrame:
+    """(o_orderstatus, bucket, d_cents, d_n) — the ADDITIVE delta a CDC
+    batch induces on the MV: matched rows retract their old contribution
+    (old status read via a key join against the pre-image of the batch's
+    keys — the original base under the one-change-per-key CDC contract),
+    updates/inserts add the new one. Metadata-sized grain."""
     key_bucket = (F.col("o_orderkey") % MV_BUCKETS).cast("long")
     old = (
         changes.where(F.col("op").isin("U", "D"))
@@ -762,7 +760,7 @@ def mv_incremental(orders: DataFrame, changes: DataFrame) -> DataFrame:
         _cents("o_totalprice").alias("d_cents"),
         F.lit(1).cast("long").alias("d_n"),
     )
-    delta = (
+    return (
         old.unionByName(new)
         .groupBy("o_orderstatus", "bucket")
         .agg(
@@ -770,9 +768,14 @@ def mv_incremental(orders: DataFrame, changes: DataFrame) -> DataFrame:
             F.sum("d_n").cast("long").alias("d_n"),
         )
     )
+
+
+def apply_mv_delta(mv: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold an additive delta onto the MV: full-outer merge on the
+    group key, zeroed groups vanish (exactly what a recompute would
+    produce)."""
     return (
-        orders_mv(orders)
-        .join(delta, ["o_orderstatus", "bucket"], "full_outer")
+        mv.join(delta, ["o_orderstatus", "bucket"], "full_outer")
         .select(
             "o_orderstatus",
             "bucket",
@@ -786,6 +789,15 @@ def mv_incremental(orders: DataFrame, changes: DataFrame) -> DataFrame:
         )
         .where(F.col("n_orders") > 0)
     )
+
+
+def mv_incremental(orders: DataFrame, changes: DataFrame) -> DataFrame:
+    """The MV maintained INCREMENTALLY under the CDC batch — additive
+    deltas only, never a base-table rescan of the MV itself; the gate's
+    oracle IS the recompute over the merged base. Composition of
+    ``mv_delta`` + ``apply_mv_delta`` (the streaming IVM job folds the
+    same two kernels per micro-batch)."""
+    return apply_mv_delta(orders_mv(orders), mv_delta(orders, changes))
 
 
 # ---------------------------------------------------------------------------

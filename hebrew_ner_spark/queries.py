@@ -107,8 +107,16 @@ _WINDOW = [
     # surfaces there — and the grid is pytest-pinned) for
     # kg_coref_triples: sieve substitution + pattern replay is a
     # brand-new cross-engine shape (array algebra vs IGNORE NULLS
-    # windows) with no driver history
-    "kg_coref_triples",
+    # windows) with no driver history; kg_coref_triples itself rotated
+    # out end-r3 (in-window kg_coref_gain composes the SAME sieve
+    # substitution + pattern replay in its after-leg — drift surfaces
+    # there, and the resolution algebra is pytest-pinned closed-form)
+    # for stream_mv_incremental — streaming incremental view
+    # maintenance is a brand-new class: per-micro-batch additive MV
+    # folds over batch-versioned snapshots whose FINAL state must
+    # equal the batch recompute over the merged base (the oracle never
+    # mentions streaming or deltas at all)
+    "stream_mv_incremental",
     # sk_hll_estimate rotated out end-r3 (register grid + LUT correction
     # are pytest-pinned and the CMS family keeps sketches in-window) for
     # stream_triples_drain — the FIRST streaming query with a full

@@ -207,3 +207,58 @@ def stream_click_attribution(spark, sf_dir):
     return spark.read.parquet(out).select(
         "click_id", "view_id", "user_id", "click_ms", "view_ms"
     )
+
+
+from hebrew_ner_spark.querydefs.maint_q import _MRG_CHANGES  # noqa: E402
+
+
+@query(
+    "stream_mv_incremental",
+    oracle=f"""
+    WITH {_MRG_CHANGES},
+    smrg AS (
+      SELECT coalesce(t.o_orderkey, c.o_orderkey) AS o_orderkey,
+             CASE WHEN c.op IS NOT NULL THEN c.o_totalprice
+                  ELSE t.o_totalprice END AS price,
+             CASE WHEN c.op IS NOT NULL THEN c.o_orderstatus
+                  ELSE t.o_orderstatus END AS o_orderstatus
+      FROM orders t FULL OUTER JOIN mgc c ON t.o_orderkey = c.o_orderkey
+      WHERE NOT coalesce(c.op = 'D', FALSE)
+    )
+    SELECT o_orderstatus, CAST(o_orderkey % {8} AS BIGINT) AS bucket,
+           CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM smrg GROUP BY 1, 2
+    """,
+)
+def stream_mv_incremental(spark, sf_dir):
+    """Streaming IVM hard gate: the CDC change stream drains in 3
+    micro-batches, each folding its additive delta onto the
+    batch-versioned MV snapshot; the FINAL snapshot must equal the
+    batch recompute over the fully merged base — the oracle never
+    mentions streaming, deltas, or folding at all. A dropped batch, a
+    double-applied replay, a retraction against the wrong pre-image,
+    or a zeroed group that fails to vanish all flip the row set
+    (streaming/incremental.py run_streaming_mv)."""
+    from hebrew_ner_spark.operators.maintenance import synth_order_changes
+    from hebrew_ner_spark.streaming.incremental import run_streaming_mv
+
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"stream_mv_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    src = os.path.join(work, "src")
+    out = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    changes = synth_order_changes(load_table(spark, sf_dir, "orders"))
+    changes.repartitionByRange(3, "o_orderkey").write.parquet(src)
+    last = run_streaming_mv(
+        spark, os.path.join(sf_dir, "orders.parquet"), src, out, ckpt
+    )
+    assert last >= 2, f"expected >=3 micro-batches, got {last + 1}"
+    return spark.read.parquet(
+        os.path.join(out, "mv", f"batch_id={last}")
+    ).select("o_orderstatus", "bucket", "revenue_cents", "n_orders")

@@ -436,3 +436,74 @@ def run_attribution_join(
     )
     q.awaitTermination()
 
+
+
+CHANGES_SCHEMA = (
+    "o_orderkey long, op string, o_custkey long, o_totalprice double, "
+    "o_orderstatus string"
+)
+
+
+def run_streaming_mv(
+    spark: SparkSession, base_path: str, src_dir: str, out_dir: str,
+    checkpoint_dir: str
+) -> int:
+    """Streaming INCREMENTAL VIEW MAINTENANCE: drain CDC change files
+    and fold each micro-batch's additive delta onto the materialized
+    orders summary — the lakehouse pattern where the MV is maintained
+    by the change stream, never by rescanning the fact table.
+
+    Per batch N the sink reads the MV as of batch N-1 (an immutable
+    batch-versioned snapshot — exactly the Iceberg snapshot discipline),
+    applies ``maintenance.mv_delta(base, batch)`` via
+    ``apply_mv_delta``, and overwrites ``mv/batch_id=N`` with the FULL
+    post-batch MV. A replayed batch therefore rewrites its own version
+    from its immutable predecessor: exactly-once per checkpoint
+    lifetime, same contract as the other sinks here. Retraction
+    pre-images come from the original base under the CDC batch's
+    one-change-per-key contract (each key appears in at most one batch),
+    so no base-table versioning is needed in the fold.
+
+    Returns the last batch id (the current MV version).
+    """
+    import shutil
+
+    from hebrew_ner_spark.operators.maintenance import (
+        apply_mv_delta,
+        mv_delta,
+        orders_mv,
+    )
+
+    mv_dir = os.path.join(out_dir, "mv")
+    if not os.path.exists(checkpoint_dir) and os.path.exists(mv_dir):
+        shutil.rmtree(mv_dir)
+
+    stream = (
+        spark.readStream.schema(CHANGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    last = {"id": -1}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        base = spark.read.parquet(base_path)
+        if batch_id == 0:
+            prev = orders_mv(base)
+        else:
+            prev = spark.read.parquet(
+                os.path.join(mv_dir, f"batch_id={batch_id - 1}")
+            )
+        new = apply_mv_delta(prev, mv_delta(base, batch_df))
+        new.write.mode("overwrite").parquet(
+            os.path.join(mv_dir, f"batch_id={batch_id}")
+        )
+        last["id"] = batch_id
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return last["id"]

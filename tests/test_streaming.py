@@ -335,3 +335,47 @@ def test_stream_stream_attribution_join(spark, tmp_path):
     }
     assert want, "the batch join must be non-empty for the test to bite"
     assert got == want
+
+
+def test_streaming_mv_fold_equals_batch_ivm(spark, tmp_path):
+    """Streaming IVM: per-batch delta folds across BOTH micro-batches
+    and drains (state = the batch-versioned MV snapshot) must equal the
+    one-shot batch IVM over the full change set."""
+    from hebrew_ner_spark.operators import maintenance as mnt
+    from hebrew_ner_spark.streaming.incremental import run_streaming_mv
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    base_path = str(tmp_path / "base")
+    orders.write.parquet(base_path)
+    changes = mnt.synth_order_changes(orders)
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def land(df, tmp_dir, name):
+        df.coalesce(1).write.parquet(tmp_dir)
+        part = [f for f in os.listdir(tmp_dir) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(tmp_dir, part), os.path.join(src, name))
+
+    # first drain: half the CDC batch
+    land(changes.where("o_orderkey % 2 = 0"), str(tmp_path / "c1"), "f1.parquet")
+    last1 = run_streaming_mv(spark, base_path, src, out, ckpt)
+    assert last1 == 0
+
+    # second drain: the rest lands; the fold must CONTINUE from the
+    # checkpointed version, not restart from the base MV
+    land(changes.where("o_orderkey % 2 = 1"), str(tmp_path / "c2"), "f2.parquet")
+    last2 = run_streaming_mv(spark, base_path, src, out, ckpt)
+    assert last2 == 1
+
+    got = {
+        (r.o_orderstatus, r.bucket): (r.revenue_cents, r.n_orders)
+        for r in spark.read.parquet(f"{out}/mv/batch_id={last2}").collect()
+    }
+    want = {
+        (r.o_orderstatus, r.bucket): (r.revenue_cents, r.n_orders)
+        for r in mnt.mv_incremental(orders, changes).collect()
+    }
+    assert got == want and want
