@@ -1012,3 +1012,107 @@ def selectivity_report(
             ).cast("long").alias("err_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Selinger-style join-order enumeration (the CBO's ordering decision,
+# completing the stats plane: sizes -> selectivity -> join order)
+# ---------------------------------------------------------------------------
+#
+# Over the region-nation-customer-orders FK chain, enumerate every
+# LEFT-DEEP order whose prefixes stay connected (no cross products —
+# for a 4-node path that is the 8 interval extensions) and price each
+# with the textbook model: |I join T on k| = |I| * |T| DIV
+# max(ndv_I(k), ndv_T(k)), ndv preserved through joins, cost = C_out
+# (sum of intermediate join sizes). Everything is exact integers with
+# DECIMAL(38,0) intermediates (row-count products overflow int64 at
+# warehouse scale; the QUOTIENTS are row estimates and always fit).
+# The stats themselves are one aggregate per table — at 10^12 rows
+# they'd come from Iceberg NDV sketches, same arithmetic.
+
+JO_CHAIN = ["region", "nation", "customer", "orders"]
+# adjacency: (left table, right table) -> (left key col, right key col)
+JO_EDGES = {
+    ("region", "nation"): ("r_regionkey", "n_regionkey"),
+    ("nation", "customer"): ("n_nationkey", "c_nationkey"),
+    ("customer", "orders"): ("c_custkey", "o_custkey"),
+}
+
+
+def _left_deep_orders(chain: list) -> list:
+    """All connected-prefix permutations of a path graph (interval
+    extensions), in deterministic recursion order."""
+    n, res = len(chain), []
+
+    def rec(lo, hi, seq):
+        if len(seq) == n:
+            res.append(tuple(seq))
+            return
+        if lo > 0:
+            rec(lo - 1, hi, seq + [chain[lo - 1]])
+        if hi < n - 1:
+            rec(lo, hi + 1, seq + [chain[hi + 1]])
+
+    for i in range(n):
+        rec(i, i, [chain[i]])
+    return res
+
+
+def join_order_costs(tables: dict) -> DataFrame:
+    """(rank, plan, est_rows, cost) — every valid left-deep order of
+    the FK chain priced from per-table stats, ranked by (cost, plan).
+    One scalar-aggregate pass per table crossJoined into a single stats
+    row; the enumeration is a literal struct array over that row —
+    metadata-grain end to end, zero collect."""
+    stats = None
+    for t in JO_CHAIN:
+        keys = set()
+        for (a, b), (ka, kb) in JO_EDGES.items():
+            if a == t:
+                keys.add(ka)
+            if b == t:
+                keys.add(kb)
+        aggs = [F.count("*").cast("long").alias(f"n_{t}")] + [
+            F.countDistinct(k).cast("long").alias(f"ndv_{t}_{k}")
+            for k in sorted(keys)
+        ]
+        row = tables[t].agg(*aggs)
+        stats = row if stats is None else stats.crossJoin(row)
+
+    def edge_for(t, placed):
+        for (a, b), (ka, kb) in JO_EDGES.items():
+            if a == t and b in placed:
+                return b, kb, ka
+            if b == t and a in placed:
+                return a, ka, kb
+        raise ValueError(f"{t} not adjacent to {placed}")  # pragma: no cover
+
+    structs = []
+    for order in _left_deep_orders(JO_CHAIN):
+        placed = {order[0]}
+        est = f"CAST(n_{order[0]} AS DECIMAL(38,0))"
+        terms = []
+        for t in order[1:]:
+            s, sk, tk = edge_for(t, placed)
+            est = (
+                f"(({est}) * n_{t} DIV "
+                f"greatest(ndv_{s}_{sk}, ndv_{t}_{tk}))"
+            )
+            terms.append(est)
+            placed.add(t)
+        plan = ">".join(o[0].upper() for o in order)
+        structs.append(
+            f"named_struct('plan', '{plan}', "
+            f"'est_rows', CAST({terms[-1]} AS BIGINT), "
+            f"'cost', CAST({' + '.join(terms)} AS BIGINT))"
+        )
+    exploded = stats.select(
+        F.explode(F.expr("array(" + ", ".join(structs) + ")")).alias("p")
+    ).select("p.*")
+    wr = Window.orderBy("cost", "plan")
+    return exploded.select(
+        F.row_number().over(wr).cast("long").alias("rank"),
+        "plan",
+        "est_rows",
+        "cost",
+    )

@@ -330,7 +330,14 @@ _WINDOW = [
     # (per-bucket window + broadcast offsets) after the first full run,
     # so the changed plan earns the driver slot per the window policy
     "maint_compaction_plan",
-    "trn_eval_sample",
+    # trn_eval_sample rotated out end-r3 (part-wise agreement is
+    # pytest-pinned and the deterministic-sampling family keeps two
+    # in-window rows via cur_dsir_sample / cur_mixture_sample) for
+    # maint_join_order — the Selinger left-deep enumeration is a
+    # brand-new cross-engine shape: one-row stats crossJoin, literal
+    # plan-struct explode, DECIMAL(38,0)-vs-HUGEINT containment
+    # estimates, (cost, plan) rank — with no driver history
+    "maint_join_order",
     # ann_sq_topk rotated out end-r3 (the int8 quantizer + telescoped
     # code-space distance is pytest-pinned and the trained-code-table
     # class keeps two in-window rows via ann_pq_topk/ann_ivfpq_topk)

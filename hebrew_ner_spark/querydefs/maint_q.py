@@ -700,3 +700,75 @@ def maint_selectivity_est(spark, sf_dir):
     return maintenance.selectivity_report(
         load_table(spark, sf_dir, "orders")
     )
+
+
+def _jo_oracle() -> str:
+    """Build the join-order oracle from the SAME chain/edge constants
+    and enumeration the operator uses (retuning cannot desync plan and
+    oracle); the arithmetic replays in HUGEINT // instead of
+    DECIMAL(38,0) DIV."""
+    from hebrew_ner_spark.operators.maintenance import (
+        JO_CHAIN,
+        JO_EDGES,
+        _left_deep_orders,
+    )
+
+    scalars = []
+    for t in JO_CHAIN:
+        scalars.append(f"(SELECT count(*) FROM {t}) AS n_{t}")
+        for (a, b), (ka, kb) in JO_EDGES.items():
+            if a == t:
+                scalars.append(
+                    f"(SELECT count(DISTINCT {ka}) FROM {t}) AS ndv_{t}_{ka}"
+                )
+            if b == t:
+                scalars.append(
+                    f"(SELECT count(DISTINCT {kb}) FROM {t}) AS ndv_{t}_{kb}"
+                )
+
+    def edge_for(t, placed):
+        for (a, b), (ka, kb) in JO_EDGES.items():
+            if a == t and b in placed:
+                return b, kb, ka
+            if b == t and a in placed:
+                return a, ka, kb
+        raise ValueError(t)
+
+    rows = []
+    for order in _left_deep_orders(JO_CHAIN):
+        placed = {order[0]}
+        est = f"CAST(n_{order[0]} AS HUGEINT)"
+        terms = []
+        for t in order[1:]:
+            s, sk, tk = edge_for(t, placed)
+            est = (
+                f"(({est}) * n_{t} // "
+                f"greatest(ndv_{s}_{sk}, ndv_{t}_{tk}))"
+            )
+            terms.append(est)
+            placed.add(t)
+        plan = ">".join(o[0].upper() for o in order)
+        rows.append(
+            f"SELECT '{plan}' AS plan, "
+            f"CAST({terms[-1]} AS BIGINT) AS est_rows, "
+            f"CAST({' + '.join(terms)} AS BIGINT) AS cost FROM jos"
+        )
+    return f"""
+    WITH jos AS (SELECT {', '.join(scalars)}),
+    jop AS ({' UNION ALL '.join(rows)})
+    SELECT CAST(row_number() OVER (ORDER BY cost, plan) AS BIGINT) AS rank,
+           plan, est_rows, cost
+    FROM jop
+    """
+
+
+@query("maint_join_order", oracle=_jo_oracle())
+def maint_join_order(spark, sf_dir):
+    """Selinger-style left-deep join-order enumeration over the FK
+    chain, priced from per-table row counts + exact NDVs with the
+    textbook containment estimate and C_out cost — the ordering
+    decision next to the advisor's strategy decision
+    (operators/maintenance.py join_order_costs)."""
+    return maintenance.join_order_costs(
+        {t: load_table(spark, sf_dir, t) for t in maintenance.JO_CHAIN}
+    )

@@ -498,3 +498,65 @@ class TestEqDepthHistogram:
             predicates=[(500, 1500)],
         ).collect()[0]
         assert rep.est_micro == 3_000_000 and rep.actual_rows == 3
+
+
+class TestJoinOrder:
+    def test_left_deep_orders_are_interval_extensions(self):
+        from hebrew_ner_spark.operators.maintenance import (
+            JO_CHAIN,
+            _left_deep_orders,
+        )
+
+        orders = _left_deep_orders(JO_CHAIN)
+        assert len(orders) == 8  # 4 * 2^(4-2) interval extensions / 2
+        idx = {t: i for i, t in enumerate(JO_CHAIN)}
+        for o in orders:
+            # every prefix must occupy a contiguous chain interval
+            for k in range(1, len(o) + 1):
+                pos = sorted(idx[t] for t in o[:k])
+                assert pos == list(range(pos[0], pos[0] + k))
+        assert len(set(orders)) == 8
+
+    def test_costs_closed_form_and_fk_winner(self, spark):
+        from hebrew_ner_spark.operators.maintenance import join_order_costs
+
+        # |R|=2, |N|=4 (2 per region), |C|=8 (2 per nation),
+        # |O|=16 (2 per customer) — perfect FK chain, so every join
+        # keeps the bigger side's cardinality and the cheapest plans
+        # avoid touching orders until last
+        region = spark.createDataFrame(
+            [(r,) for r in range(2)], "r_regionkey long"
+        )
+        nation = spark.createDataFrame(
+            [(n, n % 2) for n in range(4)],
+            "n_nationkey long, n_regionkey long",
+        )
+        customer = spark.createDataFrame(
+            [(c, c % 4) for c in range(8)],
+            "c_custkey long, c_nationkey long",
+        )
+        orders_t = spark.createDataFrame(
+            [(o, o % 8) for o in range(16)],
+            "o_orderkey long, o_custkey long",
+        )
+        out = {
+            r.plan: (r.est_rows, r.cost, r.rank)
+            for r in join_order_costs(
+                {
+                    "region": region,
+                    "nation": nation,
+                    "customer": customer,
+                    "orders": orders_t,
+                }
+            ).collect()
+        }
+        assert len(out) == 8
+        # final estimate is |O| = 16 for EVERY order (FK chain)
+        assert all(v[0] == 16 for v in out.values())
+        # R>N>C>O: intermediates 4, 8, 16 -> cost 28; O-first pays 16
+        # at every step: 16+16+16 = 48
+        assert out["R>N>C>O"][1] == 28
+        assert out["O>C>N>R"][1] == 48
+        # the best rank belongs to a plan that defers orders to the end
+        best = min(out.values(), key=lambda v: v[2])
+        assert best[1] == min(v[1] for v in out.values())
