@@ -29,8 +29,14 @@ _WINDOW = [
     # name in the r2 verdict; the beam k-best decoder is pytest-pinned
     # against exhaustive enumeration and viterbi keeps the family
     # in-window) for web_spam_mass — the two-vector TrustRank power
-    # loop is the riskiest new iterative cross-engine shape this round
-    "web_spam_mass",
+    # loop is the riskiest new iterative cross-engine shape this round;
+    # web_spam_mass itself rotated out end-r3 (pytest-pinned, and the
+    # unrolled-iteration class keeps four in-window rows) for
+    # web_host_msf — the Borůvka minimum spanning forest vs the
+    # MINIMAX-distance characterization is a brand-new opposite-
+    # algorithm pair (per-component contraction rounds vs (min,max)-
+    # semiring doubling) with no driver history
+    "web_host_msf",
     # mention_model_viterbi_tensor rotated out late-r3 (judge re-ran it
     # green by name in the r2 verdict and the integer-weight decoder is
     # pytest-pinned against exhaustive enumeration; the viterbi + nbest
@@ -168,7 +174,14 @@ _WINDOW = [
     # and the stratified eval sample
     "cur_mixture_sample",
     "kg_link_pred",
-    "cur_passage_dedup",
+    # cur_passage_dedup rotated out end-r3 (its hash-grain dedup join
+    # is the cur_cdc_dedup plan-sibling riding CORRECTNESS_FULL, and
+    # the insert-resistance property is pytest-pinned) for
+    # cc_single_linkage — the SLINK ≡ MST equivalence gate: the Spark
+    # side CUTS the Borůvka forest at the threshold, the oracle closes
+    # over the thresholded ORIGINAL graph by recursive CTE; no other
+    # gate certifies a dendrogram-equivalence claim
+    "cc_single_linkage",
     "kg_pred_domains",
     # emb_near_dup_overflow rotated out (planted-overflow shape also
     # pytest-pinned, same plan family as emb_near_dups) and txt_doc_stats
