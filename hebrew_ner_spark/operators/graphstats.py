@@ -1505,3 +1505,34 @@ def densest_peel(
         "peel_round",
         (F.col("peel_round") >= F.lit(best)).cast("long").alias("in_densest"),
     )
+
+
+def bounded_reach_recursive(edges: DataFrame) -> DataFrame:
+    """(src, dst, min_hops) — the SAME bounded min-hop table as
+    ``bounded_reach``, computed through Spark 4's NATIVE recursive CTE
+    instead of min-plus doubling: the anchor is the edge list, each
+    recursion level extends every path one hop up to REACH_MAX_HOPS,
+    min per pair at the end. Exercises the engine's recursion surface
+    (the planner unions one materialized level per step).
+
+    Scale note: hop-at-a-time recursion materializes H levels and its
+    frontier is not deduplicated under UNION ALL — safe here because
+    the planted graph has out-degree 1 (paths never branch), and the
+    right shape for short horizons; the doubling twin
+    (``bounded_reach``, log2 H rounds with per-round dedup) remains the
+    10^12-edge path. Both must agree exactly — and both must agree
+    with the DuckDB recursive oracle, a three-way cross-check."""
+    edges.createOrReplaceTempView("gs_rcte_edges")
+    return edges.sparkSession.sql(
+        f"""
+        WITH RECURSIVE gsr AS (
+          SELECT src, dst, 1 AS hops FROM gs_rcte_edges
+          UNION ALL
+          SELECT p.src, e.dst, p.hops + 1
+          FROM gsr p JOIN gs_rcte_edges e ON e.src = p.dst
+          WHERE p.hops < {REACH_MAX_HOPS}
+        )
+        SELECT src, dst, CAST(min(hops) AS BIGINT) AS min_hops
+        FROM gsr GROUP BY src, dst
+        """
+    )

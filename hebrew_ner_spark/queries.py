@@ -161,8 +161,15 @@ _WINDOW = [
     # seg_tokens rotated out late-r3 (byte-identical tokenizer parity is
     # fuzz-pinned against the reference's own executed code, and
     # seg_sentences keeps the T1/T2 family in-window) for ed_self_pairs
-    # — the vocabulary edit-distance self-join, brute-force oracle
-    "ed_self_pairs",
+    # — the vocabulary edit-distance self-join, brute-force oracle;
+    # ed_self_pairs itself rotated out end-r3 (the ed_* family keeps
+    # two in-window rows via ed_link_typos / ed_pairs_capped, and the
+    # FastSS losslessness is pytest-pinned vs brute force) for
+    # kg_reach_recursive — Spark 4's NATIVE recursive CTE is a whole
+    # new execution surface with no driver history; the gate is a
+    # three-way agreement (Spark recursion vs DuckDB recursion vs the
+    # in-window-cohort min-plus doubling, pytest-pinned equal)
+    "kg_reach_recursive",
     # late-r3 rotation: txt_token_freq / txt_fingerprint / txt_normalize /
     # txt_lang_id / ann_brute_topk / ann_lsh_topk / ann_lsh_buckets /
     # emb_near_dups / web_crawl_deltas / web_asof_probe rotated out — all

@@ -787,3 +787,16 @@ def kg_wl_partition(spark, sf_dir):
     """The structural-class histogram (how many WL-indistinguishable
     role groups the graph carries)."""
     return graphstats.wl_partition(_wl_edges(_docs(spark, sf_dir)))
+
+
+@query("kg_reach_recursive", oracle=_BOUNDED_REACH_ORACLE)
+def kg_reach_recursive(spark, sf_dir):
+    """Native-recursion twin of kg_bounded_reach: Spark 4's WITH
+    RECURSIVE computes the bounded min-hop table (one materialized
+    level per step), against the same DuckDB recursive oracle — and,
+    transitively, against the min-plus doubling plan, a three-way
+    agreement across two recursion engines and one squaring algorithm
+    (operators/graphstats.py bounded_reach_recursive)."""
+    return graphstats.bounded_reach_recursive(
+        graphstats.synth_sparse_edges(_docs(spark, sf_dir))
+    )

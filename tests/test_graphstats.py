@@ -906,3 +906,16 @@ def test_densest_peel_raises_past_round_budget(spark):
     df = spark.createDataFrame(edges, "a long, b long")
     with pytest.raises(RuntimeError, match="densest_peel"):
         graphstats.densest_peel(df, max_rounds=0)
+
+
+def test_recursive_reach_equals_doubling(spark):
+    """Three-way: the native recursive-CTE plan must equal the min-plus
+    doubling plan row-for-row on the gated graph."""
+    from hebrew_ner_spark.operators import graphstats as gs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    e = gs.synth_sparse_edges(docs).persist()
+    a = {(r.src, r.dst, r.min_hops) for r in gs.bounded_reach(e).collect()}
+    b = {(r.src, r.dst, r.min_hops)
+         for r in gs.bounded_reach_recursive(e).collect()}
+    assert a == b and a
