@@ -1116,3 +1116,63 @@ def join_order_costs(tables: dict) -> DataFrame:
         "est_rows",
         "cost",
     )
+
+
+# ---------------------------------------------------------------------------
+# Change-data-feed generation (snapshot diff -> CDC ops), the inverse
+# of MERGE: cdc_diff(old, merge_upsert(old, changes)) == changes for
+# batches whose updates actually change a column (no-op updates are
+# invisible in state and correctly absent from the feed).
+# ---------------------------------------------------------------------------
+
+
+def cdc_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """(o_orderkey, op, o_custkey, o_total_cents, o_orderstatus) — the
+    change batch transforming ``old`` into ``new`` (both keyed by
+    o_orderkey, money already integer cents): keys only in old emit D
+    with the OLD row, keys only in new emit I, keys in both with any
+    column differing emit U with the NEW row. One full-outer join on
+    the key + a CASE projection — the read path of a changelog feed
+    (Delta CDF / Iceberg changelog) computed from two snapshots."""
+    o = old.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("o_ck"),
+        F.col("o_total_cents").alias("o_tc"),
+        F.col("o_orderstatus").alias("o_st"),
+        F.lit(1).alias("_in_old"),
+    )
+    n = new.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("n_ck"),
+        F.col("o_total_cents").alias("n_tc"),
+        F.col("o_orderstatus").alias("n_st"),
+        F.lit(1).alias("_in_new"),
+    )
+    j = o.join(n, "o_orderkey", "full_outer")
+    # null-safe inequality on every column: a NULL column value must
+    # compare as a difference, not vanish (<=> is null-safe equality)
+    changed = ~(
+        F.expr("o_ck <=> n_ck") & F.expr("o_tc <=> n_tc")
+        & F.expr("o_st <=> n_st")
+    )
+    in_old = F.col("_in_old").isNotNull()
+    in_new = F.col("_in_new").isNotNull()
+    return (
+        j.withColumn(
+            "op",
+            F.when(in_old & ~in_new, F.lit("D"))
+            .when(~in_old & in_new, F.lit("I"))
+            .when(changed, F.lit("U")),
+        )
+        .where(F.col("op").isNotNull())
+        .select(
+            "o_orderkey",
+            "op",
+            F.when(F.col("op") == "D", F.col("o_ck"))
+            .otherwise(F.col("n_ck")).cast("long").alias("o_custkey"),
+            F.when(F.col("op") == "D", F.col("o_tc"))
+            .otherwise(F.col("n_tc")).cast("long").alias("o_total_cents"),
+            F.when(F.col("op") == "D", F.col("o_st"))
+            .otherwise(F.col("n_st")).alias("o_orderstatus"),
+        )
+    )

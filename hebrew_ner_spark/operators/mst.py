@@ -104,6 +104,7 @@ def boruvka_msf(
                 ),
             )
         )
+    e.unpersist()
     raise RuntimeError(
         f"boruvka_msf did not converge in {max_rounds} rounds — raising "
         "rather than returning a partial forest"

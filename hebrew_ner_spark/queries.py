@@ -286,7 +286,14 @@ _WINDOW = [
     # budget sample; cur_repetition rides CORRECTNESS_FULL (same
     # gram/groupBy machinery as the in-window dedup shingle gates)
     "cur_pii_redact",
-    "cur_token_budget",
+    # cur_token_budget rotated out end-r3 (the two-level budget cumsum
+    # is the compaction-plan discipline with in-window history, and
+    # the boundary-doc semantics are pytest-pinned; the curation
+    # family keeps three in-window rows) for maint_cdc_diff — the
+    # MERGE/DIFF round trip is a brand-new ALGEBRAIC-INVERSE gate
+    # class: the changelog generator diffs the merged result against
+    # the base and must reproduce the closed-form CDC batch exactly
+    "maint_cdc_diff",
     "kg_triples_deppat",
     # kg_edges_typed rotated out (one groupBy over in-window
     # kg_triples_deppat's output) for kg_subsumption; then kg_subsumption

@@ -772,3 +772,38 @@ def maint_join_order(spark, sf_dir):
     return maintenance.join_order_costs(
         {t: load_table(spark, sf_dir, t) for t in maintenance.JO_CHAIN}
     )
+
+
+@query(
+    "maint_cdc_diff",
+    oracle=f"""
+    WITH {_MRG_CHANGES}
+    SELECT o_orderkey, op,
+           CAST(o_custkey AS BIGINT) AS o_custkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS o_total_cents,
+           o_orderstatus
+    FROM mgc
+    """,
+)
+def maint_cdc_diff(spark, sf_dir):
+    """Changelog-feed generation as the INVERSE of MERGE: diffing the
+    base against its merged result must reproduce the original CDC
+    batch exactly (D rows carry the old image, U/I the new) — the
+    oracle is the closed-form change batch itself, so the driver row
+    certifies the MERGE/DIFF round trip end to end
+    (operators/maintenance.py cdc_diff)."""
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import functions as F
+
+    old = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias(
+            "o_total_cents"
+        ),
+        "o_orderstatus",
+    )
+    merged = maintenance.merge_upsert(
+        orders, maintenance.synth_order_changes(orders)
+    )
+    return maintenance.cdc_diff(old, merged)

@@ -560,3 +560,69 @@ class TestJoinOrder:
         # the best rank belongs to a plan that defers orders to the end
         best = min(out.values(), key=lambda v: v[2])
         assert best[1] == min(v[1] for v in out.values())
+
+
+class TestCdcDiff:
+    def _t(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_total_cents long, "
+            "o_orderstatus string",
+        )
+
+    def test_diff_classifies_and_skips_noops(self, spark):
+        from hebrew_ner_spark.operators.maintenance import cdc_diff
+
+        old = self._t(spark, [
+            (1, 10, 100, "F"),   # unchanged -> absent from the feed
+            (2, 20, 200, "O"),   # updated
+            (3, 30, 300, "P"),   # deleted
+        ])
+        new = self._t(spark, [
+            (1, 10, 100, "F"),
+            (2, 21, 200, "P"),
+            (4, 40, 400, "O"),   # inserted
+        ])
+        got = {r.o_orderkey: (r.op, r.o_custkey, r.o_total_cents,
+                              r.o_orderstatus)
+               for r in cdc_diff(old, new).collect()}
+        assert got == {
+            2: ("U", 21, 200, "P"),   # new image
+            3: ("D", 30, 300, "P"),   # old image
+            4: ("I", 40, 400, "O"),
+        }
+
+    def test_merge_then_diff_round_trips(self, spark):
+        """cdc_diff(base, merge_upsert(base, changes)) == changes for a
+        batch whose updates genuinely change a column."""
+        from pyspark.sql import functions as F
+
+        from hebrew_ner_spark.operators.maintenance import (
+            cdc_diff,
+            merge_upsert,
+            synth_order_changes,
+        )
+
+        orders = spark.read.parquet(
+            "/root/testdata/sf0.001/orders.parquet"
+        )
+        changes = synth_order_changes(orders)
+        merged = merge_upsert(orders, changes)
+        old = orders.select(
+            "o_orderkey", "o_custkey",
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias(
+                "o_total_cents"
+            ),
+            "o_orderstatus",
+        )
+        got = {
+            (r.o_orderkey, r.op, r.o_custkey, r.o_total_cents,
+             r.o_orderstatus)
+            for r in cdc_diff(old, merged).collect()
+        }
+        want = {
+            (r.o_orderkey, r.op, r.o_custkey,
+             int(round(r.o_totalprice * 100)), r.o_orderstatus)
+            for r in changes.collect()
+        }
+        assert got == want and want
