@@ -355,8 +355,16 @@ _WINDOW = [
     # round-trip, gate-green in every full-registry run) for
     # maint_compaction_plan — its cumsum was REWRITTEN two-level
     # (per-bucket window + broadcast offsets) after the first full run,
-    # so the changed plan earns the driver slot per the window policy
-    "maint_compaction_plan",
+    # so the changed plan earns the driver slot per the window policy;
+    # maint_compaction_plan itself rotated out end-r3 (driver-green in
+    # r1 and r2 module order, and the two-level-rank discipline it was
+    # re-slotted for now has in-window coverage through
+    # maint_eqdepth_hist / maint_selectivity_est) for
+    # stream_dedup_bounded — dropDuplicatesWithinWatermark's
+    # bounded-state EVICTION semantics (near re-landings suppressed,
+    # far ones re-emitted after the two-batch watermark/eviction lag)
+    # are a streaming class no other gate certifies
+    "stream_dedup_bounded",
     # trn_eval_sample rotated out end-r3 (part-wise agreement is
     # pytest-pinned and the deterministic-sampling family keeps two
     # in-window rows via cur_dsir_sample / cur_mixture_sample) for

@@ -262,3 +262,84 @@ def stream_mv_incremental(spark, sf_dir):
     return spark.read.parquet(
         os.path.join(out, "mv", f"batch_id={last}")
     ).select("o_orderstatus", "bucket", "revenue_cents", "n_orders")
+
+
+@query(
+    "stream_dedup_bounded",
+    oracle="""
+    SELECT doc_id,
+           CAST(epoch_ms(TIMESTAMP '2024-01-01 00:00:00'
+                         + doc_id * INTERVAL 1 SECOND) AS BIGINT) AS ts_ms
+    FROM documents
+    UNION ALL
+    SELECT doc_id,
+           CAST(epoch_ms(TIMESTAMP '2024-01-04 00:00:00'
+                         + doc_id * INTERVAL 1 SECOND) AS BIGINT) AS ts_ms
+    FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT),
+           CAST(epoch_ms(TIMESTAMP '2024-01-02 00:00:00') AS BIGINT)
+    UNION ALL
+    SELECT CAST(-2 AS BIGINT),
+           CAST(epoch_ms(TIMESTAMP '2024-01-03 00:00:00') AS BIGINT)
+    """,
+)
+def stream_dedup_bounded(spark, sf_dir):
+    """The eviction semantics of bounded-state streaming dedup, pinned
+    end to end: every doc lands at day 0, re-lands 30 min later
+    (INSIDE the 1-hour horizon -> state suppresses it), and every 5th
+    doc re-lands at day 3 (the horizon long evicted -> deterministic
+    re-emission). Expected rows = first landings + far re-landings,
+    stated closed-form; a state leak (far dup suppressed) or an early
+    eviction (near dup emitted) flips the row set. Files are staged
+    with ascending mtimes so arrival order = event-time order
+    (streaming/incremental.py run_bounded_stream_dedup)."""
+    from hebrew_ner_spark.streaming.incremental import (
+        run_bounded_stream_dedup,
+    )
+
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"stream_bdd_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    src = os.path.join(work, "src")
+    out = os.path.join(work, "out")
+    os.makedirs(src)
+    docs = load_table(spark, sf_dir, "documents")
+    base = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    ts0 = F.expr(
+        "TIMESTAMP '2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id)"
+    )
+    def tick(key, day):
+        return spark.createDataFrame(
+            [(key, "tick", "en", "tick", 4)],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        ).withColumn("ts", F.expr(f"TIMESTAMP '2024-01-0{day} 00:00:00'"))
+
+    waves = [
+        docs.withColumn("ts", ts0),
+        docs.withColumn(
+            "ts", F.expr("TIMESTAMP '2024-01-01 00:30:00'"
+                         " + make_interval(0,0,0,0,0,0,doc_id)")
+        ),
+        tick(-1, 2),
+        tick(-2, 3),
+        docs.where("doc_id % 5 = 0").withColumn(
+            "ts", F.expr("TIMESTAMP '2024-01-04 00:00:00'"
+                         " + make_interval(0,0,0,0,0,0,doc_id)")
+        ),
+    ]
+    del base
+    mt = int(os.path.getmtime(work))
+    for i, w in enumerate(waves):
+        d = os.path.join(work, f"w{i}")
+        w.coalesce(1).write.parquet(d)
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"f{i}.parquet")
+        shutil.copy(os.path.join(d, part), dst)
+        os.utime(dst, (mt + 10 * i, mt + 10 * i))
+    run_bounded_stream_dedup(spark, src, out, os.path.join(work, "ckpt"))
+    return spark.read.parquet(out).select("doc_id", "ts_ms")

@@ -507,3 +507,38 @@ def run_streaming_mv(
     )
     q.awaitTermination()
     return last["id"]
+
+
+DEDUP_WM_DELAY = "1 hour"
+
+
+def run_bounded_stream_dedup(
+    spark: SparkSession, src_dir: str, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Bounded-state streaming dedup: ``dropDuplicatesWithinWatermark``
+    keyed on doc_id with a 1-hour event-time watermark — the 24/7
+    counterpart of ``run_incremental_unique_docs`` (whose keyed state
+    grows forever). State for a key is evicted once the watermark
+    passes its event time + delay, so memory is O(traffic in the
+    horizon) at any stream length; the price is that a re-landing
+    BEYOND the horizon re-emits — which is not a bug but the documented
+    contract, and exactly what the gate pins: near re-landings (within
+    the delay) are dropped, far ones (days later) re-emit, both
+    deterministically under in-order arrival."""
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA + ", ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .withWatermark("ts", DEDUP_WM_DELAY)
+        .dropDuplicatesWithinWatermark(["doc_id"])
+        .select("doc_id", F.unix_millis("ts").alias("ts_ms"))
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -379,3 +379,43 @@ def test_streaming_mv_fold_equals_batch_ivm(spark, tmp_path):
         for r in mnt.mv_incremental(orders, changes).collect()
     }
     assert got == want and want
+
+
+def test_bounded_dedup_eviction_lag(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a batch runs under the PREVIOUS
+    batch's watermark and evicts state only after its dedup check, so a
+    re-landing one batch after the clock advances is still suppressed,
+    while a re-landing two batches after re-emits."""
+    from hebrew_ner_spark.streaming.incremental import (
+        run_bounded_stream_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def wave(i, rows):
+        df = spark.createDataFrame(
+            [(k, "t", "en", "s", 1, ts) for k, ts in rows],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long, t string",
+        ).withColumn("ts", F.col("t").cast("timestamp")).drop("t")
+        d = str(tmp_path / f"w{i}")
+        df.coalesce(1).write.parquet(d)
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"f{i}.parquet")
+        shutil.copy(os.path.join(d, part), dst)
+        os.utime(dst, (1_700_000_000 + 10 * i,) * 2)
+
+    wave(0, [(1, "2024-01-01 00:00:00")])
+    wave(1, [(7, "2024-01-02 00:00:00")])   # tick: advances event clock
+    wave(2, [(1, "2024-01-02 00:30:00"),    # runs under tick watermark,
+             (8, "2024-01-03 00:00:00")])   # state evicted AFTER check
+    wave(3, [(1, "2024-01-04 00:00:00")])   # two batches later: re-emit
+    out = str(tmp_path / "out")
+    run_bounded_stream_dedup(spark, src, out, str(tmp_path / "ckpt"))
+    got = sorted(
+        (r.doc_id, r.ts_ms) for r in spark.read.parquet(out).collect()
+    )
+    ids = [d for d, _ in got]
+    assert ids == [1, 1, 7, 8]              # wave-2 re-landing suppressed
+    assert (1, 1704326400000) in got        # day-4 copy re-emitted
