@@ -130,6 +130,18 @@ _WINDOW = [
     # batch-keyed sink must equal the batch SQL bit for bit, a class the
     # driver has never certified (streaming paths were pytest-only)
     "stream_triples_drain",
+    # web_robots_decisions rotated out end-r3 (see its original entry
+    # below — the max(struct) precedence fold is pytest-pinned with
+    # planted longest-match cases, and the struct-fold class keeps
+    # in-window rows via burst_path / web_host_msf) for
+    # stream_stateful_sessions — the EVENT-TIME-TIMEOUT custom
+    # stateful operator: gap-closed vs timeout-closed vs trailing vs
+    # exact-boundary emissions all pinned against the batch
+    # gaps-and-islands oracle restricted by the probe-pinned strict
+    # watermark rule; no other gate certifies state timeouts (the
+    # NoTimeout sibling stream_stateful_totals rides CORRECTNESS_FULL
+    # with pytest state-restore coverage)
+    "stream_stateful_sessions",
     # sk_hll_merge rotated out (merge==direct is also pytest-pinned and
     # algebraically tied to the two in-window HLL gates) for
     # kg_predicate_stats — a brand-new multi-countDistinct expand shape
@@ -321,8 +333,9 @@ _WINDOW = [
     # kg_snapshot_timetravel rotated out late-r3 (snapshot-filter
     # semantics pytest-pinned, gate-green in every full-registry run)
     # for web_robots_decisions — brand-new cross-engine precedence
-    # shape (max(struct) longest-match fold vs ranked-window oracle)
-    "web_robots_decisions",
+    # shape (max(struct) longest-match fold vs ranked-window oracle);
+    # itself rotated out end-r3 for stream_stateful_sessions (above)
+    # web_robots_decisions
     # kg_paths_2hop rotated out late-r3 (its wedge-join machinery is
     # exercised in-window by kg_triangles + kg_bgp_match and typed-sibling
     # kg_pra_features is pytest-pinned) for kg_ktruss — an unrolled

@@ -343,3 +343,80 @@ def stream_dedup_bounded(spark, sf_dir):
         os.utime(dst, (mt + 10 * i, mt + 10 * i))
     run_bounded_stream_dedup(spark, src, out, os.path.join(work, "ckpt"))
     return spark.read.parquet(out).select("doc_id", "ts_ms")
+
+
+from hebrew_ner_spark.streaming.incremental import (  # noqa: E402
+    SESS_GAP_MIN as _SG,
+)
+
+_SESS_GAP_MS = _SG * 60_000
+_SESS_DELAY_MS = 600_000  # SESS_WM_DELAY
+
+
+@query(
+    "stream_stateful_sessions",
+    oracle=f"""
+    WITH sse AS (
+      SELECT user_id, ts, event_id, epoch_us(ts) // 1000 AS tm
+      FROM events
+    ),
+    ssmx AS (SELECT max(epoch_us(ts)) // 1000 AS mms FROM events),
+    ssg AS (
+      SELECT *, CASE WHEN tm - lag(tm) OVER w > {_SESS_GAP_MS}
+                     THEN 1 ELSE 0 END AS brk
+      FROM sse WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sss AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS sid
+      FROM ssg
+    ),
+    sssess AS (
+      SELECT user_id, sid,
+             CAST(min(tm) AS BIGINT) AS sess_start_ms,
+             CAST(max(tm) + {_SESS_GAP_MS} AS BIGINT) AS sess_end_ms,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(max(tm) AS BIGINT) AS last_ms
+      FROM sss GROUP BY user_id, sid
+    ),
+    sslast AS (SELECT user_id, max(sid) AS max_sid
+               FROM sssess GROUP BY user_id)
+    SELECT user_id, sess_start_ms, sess_end_ms, n_events
+    FROM sssess JOIN sslast USING (user_id), ssmx
+    WHERE sid < max_sid
+       OR last_ms + {_SESS_GAP_MS} < mms - {_SESS_DELAY_MS}
+    """,
+)
+def stream_stateful_sessions(spark, sf_dir):
+    """The applyInPandasWithState + EVENT-TIME-TIMEOUT flagship:
+    streaming sessionization where the state store holds each user's
+    open session and IDLE keys are closed by the state timeout when the
+    watermark passes last + gap (no per-key polling — the property that
+    makes the operator viable over 10^9 concurrent sessions). The
+    oracle is the batch gaps-and-islands sessionization on
+    millisecond-truncated event times, restricted by the exact emission
+    rule: every non-final session of a user emits (gap-closed by a
+    later event), and a user's FINAL session emits iff its timeout
+    timestamp is STRICTLY below the final watermark (max event ms -
+    delay; strictness probe-pinned — an == boundary does NOT fire).
+    Gap strictness (>), ms truncation (floor of epoch-us), and the
+    trailing-flush batch semantics all flip the row set if drifted
+    (streaming/incremental.py run_stateful_sessions)."""
+    from hebrew_ner_spark.streaming.incremental import (
+        run_stateful_sessions,
+    )
+
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"stream_sess_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    src = os.path.join(work, "src")
+    out = os.path.join(work, "out")
+    _stage_time_ordered(load_table(spark, sf_dir, "events"), src)
+    run_stateful_sessions(spark, src, out, os.path.join(work, "ckpt"))
+    spark.catalog.refreshByPath(out)
+    return spark.read.parquet(out).select(
+        "user_id", "sess_start_ms", "sess_end_ms", "n_events"
+    )

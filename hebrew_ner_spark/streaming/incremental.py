@@ -542,3 +542,93 @@ def run_bounded_stream_dedup(
         .start()
     )
     q.awaitTermination()
+
+
+SESS_GAP_MIN = 30      # session gap (matches the batch operator)
+SESS_WM_DELAY = "10 minutes"
+
+
+def run_stateful_sessions(
+    spark: SparkSession, src_dir: str, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Custom stateful SESSIONIZATION via ``applyInPandasWithState`` +
+    EVENT-TIME TIMEOUT — the flagship custom-operator pattern: the
+    state store carries each user's open session (start, last, count);
+    new batches fold their rows into it (splitting on in-batch and
+    cross-batch gaps — closed sessions emit immediately), and an IDLE
+    key's open session is closed by the state timeout when the
+    watermark (advanced by OTHER users' traffic) passes last + gap —
+    no per-key poll, which is what makes the operator viable over
+    10^9 concurrent sessions.
+
+    Emitted rows: (user_id, sess_start_ms, sess_end_ms, n_events) with
+    sess_end_ms = last event + gap (the session-window convention the
+    batch operator uses). Trailing sessions whose timeout the final
+    watermark never reaches stay in state, unemitted — part of the
+    gated semantics, exactly like the append-mode window gate.
+    """
+    from typing import Iterator, Tuple
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = SESS_GAP_MIN * 60_000
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", SESS_WM_DELAY)
+        .select("user_id", "ts")
+    )
+
+    def update(
+        key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        closed = []
+        if state.hasTimedOut:
+            start, last, n = state.get
+            closed.append((key[0], start, last + gap_ms, n))
+            state.remove()
+        else:
+            ts = pd.concat(list(pdfs))["ts"].sort_values()
+            ms = (ts.astype("int64") // 1_000_000).tolist()
+            if state.exists:
+                start, last, n = state.get
+            else:
+                start, last, n = ms[0], ms[0] - 1, 0  # sentinel: no row yet
+            for t in ms:
+                if n and t - last > gap_ms:
+                    closed.append((key[0], start, last + gap_ms, n))
+                    start, n = t, 0
+                last = t
+                n += 1
+            state.update((start, last, n))
+            state.setTimeoutTimestamp(last + gap_ms)
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "sess_start_ms", "sess_end_ms",
+                         "n_events"],
+            )
+
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, sess_start_ms long, sess_end_ms long, "
+            "n_events long"
+        ),
+        stateStructType="start long, last long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

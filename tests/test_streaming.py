@@ -419,3 +419,61 @@ def test_bounded_dedup_eviction_lag(spark, tmp_path):
     ids = [d for d, _ in got]
     assert ids == [1, 1, 7, 8]              # wave-2 re-landing suppressed
     assert (1, 1704326400000) in got        # day-4 copy re-emitted
+
+
+def test_stateful_sessions_gap_timeout_trailing_boundary(spark, tmp_path):
+    """The four emission classes of stateful sessionization: gap-closed
+    (emitted with full count), timeout-closed (idle key, watermark
+    advanced by other users), trailing (never emitted), and the exact
+    == watermark boundary (must NOT fire — strict inequality)."""
+    from hebrew_ner_spark.streaming.incremental import (
+        run_stateful_sessions,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def wave(i, rows):
+        df = spark.createDataFrame(
+            [(j, ts, u, "click", 0.0, "{}")
+             for j, (u, ts) in enumerate(rows)],
+            "event_id long, t string, user_id long, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.col("t").cast("timestamp")).drop("t")
+        d = str(tmp_path / f"w{i}")
+        df.select("event_id", "ts", "user_id", "event_type", "value",
+                  "props").coalesce(1).write.parquet(d)
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"f{i}.parquet")
+        shutil.copy(os.path.join(d, part), dst)
+        os.utime(dst, (1_700_000_000 + 10 * i,) * 2)
+
+    # user 1: two events 10 min apart, then a 2h-later event ->
+    #   session A gap-closes with n=2; session B times out
+    # user 2: single early event -> times out
+    # user 3: event at 13:29:59.999 -> timeout 13:59:59.999, final wm
+    #   14:00:00.000 (14:10 - 10min) STRICTLY above -> fires
+    # user 4: event at 13:30:00 -> timeout 14:00:00.000 == wm -> must
+    #   NOT fire (and stays unemitted: the boundary class)
+    # user 5: last event at 14:10 -> trailing, unemitted
+    wave(0, [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:10:00"),
+             (2, "2024-01-01 10:05:00")])
+    wave(1, [(1, "2024-01-01 12:00:00")])
+    wave(2, [(3, "2024-01-01 13:29:59.999"), (4, "2024-01-01 13:30:00")])
+    wave(3, [(5, "2024-01-01 14:10:00")])
+    out = str(tmp_path / "out")
+    run_stateful_sessions(spark, src, out, str(tmp_path / "ckpt"))
+    spark.catalog.refreshByPath(out)
+    got = sorted(
+        (r.user_id, r.sess_start_ms, r.sess_end_ms, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    )
+    h = 3_600_000
+    t0 = 1704103200000  # 2024-01-01 10:00:00 UTC in ms
+    assert got == [
+        (1, t0, t0 + 10 * 60_000 + 30 * 60_000, 2),       # gap-closed
+        (1, t0 + 2 * h, t0 + 2 * h + 30 * 60_000, 1),     # timeout
+        (2, t0 + 5 * 60_000, t0 + 35 * 60_000, 1),        # timeout
+        (3, t0 + 3 * h + 29 * 60_000 + 59_999,
+         t0 + 3 * h + 59 * 60_000 + 59_999, 1),           # just below wm
+    ]
