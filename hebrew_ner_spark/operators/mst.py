@@ -73,21 +73,23 @@ def boruvka_msf(
         ca = comp.select(F.col("vertex").alias("a"), F.col("component").alias("ca"))
         cb = comp.select(F.col("vertex").alias("b"), F.col("component").alias("cb"))
         crossing = e.join(ca, "a").join(cb, "b").where(F.col("ca") != F.col("cb"))
-        if crossing.limit(1).count() == 0:
-            e.unpersist()
-            return msf
         s = F.struct("wu", "a", "b", "ca", "cb").alias("s")
         cand = crossing.select(F.col("ca").alias("c"), s).union(
             crossing.select(F.col("cb").alias("c"), s)
         )
         # wu is globally unique, so min(struct) is a total order and the
-        # per-component pick is deterministic
-        sel = (
+        # per-component pick is deterministic. Materializing sel through
+        # the breaker doubles as the termination probe — no separate
+        # crossing-emptiness job per round.
+        sel = _break(
             cand.groupBy("c")
             .agg(F.min("s").alias("s"))
             .select("s.a", "s.b", "s.wu", "s.ca", "s.cb")
             .distinct()
         )
+        if not sel.head(1):
+            e.unpersist()
+            return msf
         msf = _break(msf.unionByName(sel.select("a", "b", "wu")))
         # contract: hook selected edges at COMPONENT grain (per-round
         # graph is component-count-sized, halving every round)
