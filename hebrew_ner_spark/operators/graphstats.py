@@ -30,6 +30,8 @@ is exact through ~1e9 docs.
 
 from __future__ import annotations
 
+from itertools import count as _it_count
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -37,6 +39,10 @@ from pyspark import StorageLevel
 
 from hebrew_ner_spark.operators.kg import _sql_terms, doc_triples, with_tokens
 from hebrew_ner_spark.resources import ENTITY_TERMS
+
+# per-call unique suffix for the recursive-CTE anchor view (purity: a
+# shared session must never see two calls clobber one catalog name)
+_RCTE_VIEW_SEQ = _it_count()
 
 # One eviction slot PER OPERATOR (a shared slot would let label_propagation
 # unpersist the edge list a still-lazy triangles() result references, and
@@ -1521,18 +1527,28 @@ def bounded_reach_recursive(edges: DataFrame) -> DataFrame:
     right shape for short horizons; the doubling twin
     (``bounded_reach``, log2 H rounds with per-round dedup) remains the
     10^12-edge path. Both must agree exactly — and both must agree
-    with the DuckDB recursive oracle, a three-way cross-check."""
-    edges.createOrReplaceTempView("gs_rcte_edges")
-    return edges.sparkSession.sql(
-        f"""
-        WITH RECURSIVE gsr AS (
-          SELECT src, dst, 1 AS hops FROM gs_rcte_edges
-          UNION ALL
-          SELECT p.src, e.dst, p.hops + 1
-          FROM gsr p JOIN gs_rcte_edges e ON e.src = p.dst
-          WHERE p.hops < {REACH_MAX_HOPS}
+    with the DuckDB recursive oracle, a three-way cross-check.
+
+    The recursive-CTE anchor needs a catalog name; to keep this a PURE
+    operator the view name is per-call unique (no clobbering another
+    caller's view, no cross-plan race in a shared session) and dropped
+    immediately after ``spark.sql`` analyzes the plan — the returned
+    DataFrame holds the resolved plan and survives the drop."""
+    view = f"gs_rcte_edges_{next(_RCTE_VIEW_SEQ)}"
+    edges.createOrReplaceTempView(view)
+    try:
+        return edges.sparkSession.sql(
+            f"""
+            WITH RECURSIVE gsr AS (
+              SELECT src, dst, 1 AS hops FROM {view}
+              UNION ALL
+              SELECT p.src, e.dst, p.hops + 1
+              FROM gsr p JOIN {view} e ON e.src = p.dst
+              WHERE p.hops < {REACH_MAX_HOPS}
+            )
+            SELECT src, dst, CAST(min(hops) AS BIGINT) AS min_hops
+            FROM gsr GROUP BY src, dst
+            """
         )
-        SELECT src, dst, CAST(min(hops) AS BIGINT) AS min_hops
-        FROM gsr GROUP BY src, dst
-        """
-    )
+    finally:
+        edges.sparkSession.catalog.dropTempView(view)

@@ -338,6 +338,33 @@ def predicate_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+BGP_CARTESIAN_MAX_PAIRS = 1_000_000
+
+
+def _chain_bgp_leg(out: DataFrame, leg: DataFrame, shared: list[str]) -> DataFrame:
+    """Join the next BGP leg onto the accumulated bindings. A leg that
+    shares no variable with the bindings so far forces a cartesian
+    product of pair VOCABULARIES — semantically required for a
+    disconnected pattern, but quadratic in the two vocab sizes, so a
+    user-supplied pattern over two hot predicates could blow up. Guard:
+    count both sides (vocabulary grain — two cheap scans vs the blow-up
+    they prevent; never triggered for connected patterns, which is every
+    gated default) and raise loudly when the product exceeds
+    ``BGP_CARTESIAN_MAX_PAIRS`` (read at call time so callers/tests can
+    tune it)."""
+    if shared:
+        return out.join(leg, shared)
+    n_out, n_leg = out.count(), leg.count()
+    if n_out * n_leg > BGP_CARTESIAN_MAX_PAIRS:
+        raise ValueError(
+            f"disconnected BGP pattern: cartesian product of {n_out} x {n_leg} "
+            f"variable-binding vocabularies exceeds BGP_CARTESIAN_MAX_PAIRS="
+            f"{BGP_CARTESIAN_MAX_PAIRS}; connect the legs with a shared "
+            "variable or raise the cap explicitly"
+        )
+    return out.crossJoin(leg)
+
+
 def bgp_match(
     docs: DataFrame, patterns: list[tuple[str, str, str]] | None = None
 ) -> DataFrame:
@@ -375,7 +402,7 @@ def bgp_match(
             out = leg
         else:
             shared = [c for c in (sv, ov) if c in out.columns]
-            out = out.join(leg, shared) if shared else out.crossJoin(leg)
+            out = _chain_bgp_leg(out, leg, shared)
     vars_ = sorted({v for s, _, o in patterns for v in (s, o)})
     witness = " * ".join(f"_w{i}" for i in range(len(patterns)))
     return out.select(*vars_, F.expr(f"CAST({witness} AS BIGINT)").alias("n_witness"))
@@ -425,7 +452,7 @@ def rule_confidence(
             out = leg
         else:
             shared = [c for c in (sv, ov) if c in out.columns]
-            out = out.join(leg, shared) if shared else out.crossJoin(leg)
+            out = _chain_bgp_leg(out, leg, shared)
     hs, hp, ho = head
     head_pairs = (
         t.where(F.col("pred") == hp)
@@ -498,7 +525,7 @@ def rule_inference(
             out = leg
         else:
             shared = [c for c in (sv, ov) if c in out.columns]
-            out = out.join(leg, shared) if shared else out.crossJoin(leg)
+            out = _chain_bgp_leg(out, leg, shared)
     hs, hp, ho = head
     known = t.where(F.col("pred") == hp).select(
         F.col("subj").alias(hs), F.col("obj").alias(ho)

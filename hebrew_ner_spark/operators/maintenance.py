@@ -515,7 +515,16 @@ def synth_order_changes(orders: DataFrame) -> DataFrame:
     """(o_orderkey, op, o_custkey, o_totalprice, o_orderstatus) — a
     deterministic CDC batch over the orders table: hash-selected keys
     update (status -> 'P', custkey shifted), a disjoint set deletes,
-    and fresh keys (beyond the key domain) insert."""
+    and fresh keys (beyond the key domain) insert.
+
+    The insert-key offset assumes max(o_orderkey) < 10M (true through
+    TPC-H sf~2); past that, insert keys would collide with base rows and
+    silently break the one-change-per-key / insert-disjointness contract
+    cdc_diff's round-trip and the streaming-MV retraction depend on. The
+    insert projection therefore folds max(o_orderkey) in via
+    broadcast-of-aggregate and ``raise_error``s at evaluation time if
+    the domain ever reaches the offset — loud, lazy, zero output change
+    while the contract holds."""
     from hebrew_ner_spark.functions.hashing import phash_col
 
     h = phash_col(F.col("o_orderkey").cast("string"), MERGE_SEED)
@@ -533,12 +542,23 @@ def synth_order_changes(orders: DataFrame) -> DataFrame:
         "o_totalprice",
         "o_orderstatus",
     )
-    ins = orders.where(h % 17 == 0).select(
-        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
-        F.lit("I").alias("op"),
-        "o_custkey",
-        "o_totalprice",
-        F.lit("O").alias("o_orderstatus"),
+    mx = orders.agg(F.max("o_orderkey").cast("long").alias("_mxkey"))
+    ins = (
+        orders.crossJoin(F.broadcast(mx))
+        .where(h % 17 == 0)
+        .select(
+            F.expr(
+                "CAST(IF(_mxkey < 10000000, o_orderkey + 10000000,"
+                " raise_error(concat('synth_order_changes: max(o_orderkey)=',"
+                " CAST(_mxkey AS STRING),"
+                " ' >= insert offset 10000000; key domains would collide')))"
+                " AS BIGINT)"
+            ).alias("o_orderkey"),
+            F.lit("I").alias("op"),
+            "o_custkey",
+            "o_totalprice",
+            F.lit("O").alias("o_orderstatus"),
+        )
     )
     return upd.unionByName(dels).unionByName(ins)
 
@@ -894,11 +914,19 @@ def equi_depth_histogram(
     bounds = k.agg(
         F.min("ok").alias("_mn"), F.max("ok").alias("_mx"),
         F.count("*").alias("_n"),
+        F.max("okey").alias("_mxo"),
     )
+    # the okey < 1e8 contract the composite depends on is ENFORCED, not
+    # assumed: the bounds aggregate carries max(okey) and the bucket
+    # expression raise_errors (lazily, zero cost while honored) instead
+    # of silently reordering rows past the domain bound
     b = k.crossJoin(F.broadcast(bounds)).withColumn(
         "_bkt",
         F.expr(
-            f"CASE WHEN _mx = _mn THEN CAST(0 AS BIGINT) "
+            f"CASE WHEN _mxo >= 100000000 THEN CAST(raise_error(concat("
+            f"'equi_depth_histogram: max(o_orderkey)=', CAST(_mxo AS STRING),"
+            f" ' >= 1e8; composite key (c, okey) would reorder')) AS BIGINT) "
+            f"WHEN _mx = _mn THEN CAST(0 AS BIGINT) "
             f"ELSE CAST((ok - _mn) * {slices - 1} AS BIGINT) DIV (_mx - _mn) END"
         ),
     )

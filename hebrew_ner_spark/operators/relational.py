@@ -490,10 +490,15 @@ def event_transitions(
 
 def theil_sen_trend(events: DataFrame) -> DataFrame:
     """(event_type, n_hours, n_pairs, slope_1e6) — the Theil-Sen
-    estimator over each type's hourly-count series: the MEDIAN of all
+    estimator over each type's hourly-count series: the median of all
     pairwise slopes (dy/dx across hour pairs), the robust answer to "is
     ingest drifting?" (one burst hour corrupts an OLS slope, but moves
-    the median of slopes barely at all).
+    the median of slopes barely at all). Median convention: for even
+    ``n_pairs`` this reports the LOWER middle slope (rank
+    ``(n_pairs + 1) DIV 2`` in the (v, dy, dx) order) rather than the
+    mean of the two middle slopes — a deliberate exact-integer
+    convention (averaging two ratios would force a rational mean), and
+    the oracle pins the identical rank.
 
     Scale shape: the pair join is over the HOURLY AGGREGATE, so pair
     count grows with the square of the time span, not the row count —

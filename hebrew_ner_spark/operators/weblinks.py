@@ -336,13 +336,17 @@ def quality_hosts(pages: DataFrame) -> DataFrame:
     """(host): hosts whose quality pass-ratio is ABOVE the corpus mean —
     scale-free (exact integer cross-multiplication, the above_mean_edges
     discipline), so no tuned threshold constant can go stale. The two
-    corpus totals are provably driver-sized scalars and are collected
-    (kmeans-centroid precedent) instead of crossJoined."""
+    corpus totals are folded back via broadcast-of-aggregate (the
+    crawl_frontier precedent) — no driver collect, one lazy plan."""
     hq = host_quality(pages)
-    tot = hq.agg(F.sum("n_pages").alias("tp"), F.sum("n_pass").alias("ts")).collect()[0]
-    tp, ts = int(tot.tp or 0), int(tot.ts or 0)  # both NULL on an empty corpus
-    return hq.where(F.col("n_pass") * F.lit(tp) > F.lit(ts) * F.col("n_pages")).select(
-        "host"
+    tot = hq.agg(
+        F.coalesce(F.sum("n_pages"), F.lit(0)).cast("long").alias("_tp"),
+        F.coalesce(F.sum("n_pass"), F.lit(0)).cast("long").alias("_ts"),
+    )
+    return (
+        hq.crossJoin(F.broadcast(tot))
+        .where(F.col("n_pass") * F.col("_tp") > F.col("_ts") * F.col("n_pages"))
+        .select("host")
     )
 
 
@@ -497,33 +501,45 @@ def crawl_budget(pages: DataFrame, budget: int = CRAWL_BUDGET) -> DataFrame:
     (extra < count(rem > 0)), so zero-weight hosts always get 0.
 
     Engine shape: one host-keyed aggregation (host_quality), two
-    provably driver-sized scalar folds (W, sum(base) — the
-    quality_hosts collect precedent), one codegen projection, and one
+    provably driver-sized scalar folds (W, sum(base)) — each folded
+    back via broadcast-of-aggregate (the crawl_frontier precedent;
+    no driver collect, one lazy plan), one codegen projection, and one
     rank window over the HOST table — corpus-sublinear; a 10^8-host
     frontier takes the build_vocab two-level-rank discipline with
     rem-range buckets. w * budget stays far inside int64 for any
-    real corpus (pages <= 10^12, budget <= 10^6)."""
+    real corpus (pages <= 10^12, budget <= 10^6). The W == 0 corpus
+    degenerates through IF-guarded arithmetic (everything 0), not a
+    driver branch."""
     hq = host_quality(pages).select("host", F.col("n_pass").alias("w"))
-    tw = int(hq.agg(F.sum("w")).collect()[0][0] or 0)
-    if tw == 0:
-        z = F.lit(0).cast("long")
-        return hq.select(
-            "host", "w", z.alias("base"), z.alias("rem"), z.alias("budget")
-        )
-    scored = hq.select(
+    tw = hq.agg(F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("_tw"))
+    scored = hq.crossJoin(F.broadcast(tw)).select(
         "host",
         "w",
-        F.expr(f"CAST((w * {budget}) DIV {tw} AS BIGINT)").alias("base"),
-        F.expr(f"CAST((w * {budget}) % {tw} AS BIGINT)").alias("rem"),
+        "_tw",
+        F.expr(f"CAST(IF(_tw = 0, 0, (w * {budget}) DIV _tw) AS BIGINT)").alias("base"),
+        F.expr(f"CAST(IF(_tw = 0, 0, (w * {budget}) % _tw) AS BIGINT)").alias("rem"),
     )
-    extra = budget - int(scored.agg(F.sum("base")).collect()[0][0] or 0)
+    sb = scored.agg(
+        F.coalesce(F.sum("base"), F.lit(0)).cast("long").alias("_sb"),
+        F.max((F.col("_tw") > 0).cast("long")).alias("_live"),
+    )
     rk = F.row_number().over(Window.orderBy(F.desc("rem"), F.asc("host")))
-    return scored.withColumn("_rk", rk).select(
-        "host",
-        "w",
-        "base",
-        "rem",
-        (F.col("base") + (F.col("_rk") <= extra).cast("long")).alias("budget"),
+    return (
+        scored.crossJoin(F.broadcast(sb))
+        .withColumn("_rk", rk)
+        .select(
+            "host",
+            "w",
+            "base",
+            "rem",
+            (
+                F.col("base")
+                + (
+                    (F.col("_live") == 1)
+                    & (F.col("_rk") <= F.lit(budget) - F.col("_sb"))
+                ).cast("long")
+            ).alias("budget"),
+        )
     )
 
 

@@ -287,13 +287,17 @@ def stream_mv_incremental(spark, sf_dir):
 def stream_dedup_bounded(spark, sf_dir):
     """The eviction semantics of bounded-state streaming dedup, pinned
     end to end: every doc lands at day 0, re-lands 30 min later
-    (INSIDE the 1-hour horizon -> state suppresses it), and every 5th
-    doc re-lands at day 3 (the horizon long evicted -> deterministic
-    re-emission). Expected rows = first landings + far re-landings,
-    stated closed-form; a state leak (far dup suppressed) or an early
-    eviction (near dup emitted) flips the row set. Files are staged
-    with ascending mtimes so arrival order = event-time order
-    (streaming/incremental.py run_bounded_stream_dedup)."""
+    (INSIDE the 1-hour horizon: suppressed — by dedup state for recent
+    doc_ids, and for early doc_ids — whose event times trail the
+    corpus-max watermark by more than the lag — by the engine's
+    late-record filter; either mechanism, same emitted rows), and
+    every 5th doc re-lands at day 3 (2024-01-04; the horizon long
+    evicted -> deterministic re-emission). Expected rows = first
+    landings + far re-landings, stated closed-form; a state leak (far
+    dup suppressed) or an early eviction (near dup emitted) flips the
+    row set. Files are staged with ascending mtimes so arrival order =
+    event-time order (streaming/incremental.py
+    run_bounded_stream_dedup)."""
     from hebrew_ner_spark.streaming.incremental import (
         run_bounded_stream_dedup,
     )
