@@ -302,6 +302,74 @@ def detect_mentions_neural(docs: DataFrame) -> DataFrame:
     )
 
 
+# --- value-bearing invariants for the neural decode (VERDICT r3 #2) --------
+#
+# No SQL replays a transformer, but the decode's OUTPUT is still a
+# deterministic function of the corpus — so the gate hashes a summary
+# that pins the exact per-row label assignment: per-label histogram,
+# BIOSE-legality violation count (must be 0 — the Viterbi's hard
+# constraint), mention-span count, and a positional md5 checksum over
+# (doc_id, word_index, label). Any single label flip anywhere moves the
+# checksum; the pinned golden is recomputed INDEPENDENTLY by the pytest
+# slow path (pure-python md5 over the per-sentence slow encoder).
+
+NEURAL_INV_MOD = 1_000_000_007
+NEURAL_INV_SEED = 97
+
+
+def neural_invariants(docs: DataFrame) -> DataFrame:
+    """(metric, value): 8-row invariant summary of the neural decode.
+
+    Scale shape: the decode stage stays the zero-shuffle mapInPandas;
+    on top sit one doc-keyed window (lag/lead for transition legality —
+    doc-grain partitions, never global) and one scalar aggregate with
+    map-side partials. Checksum arithmetic: per-row hash reduced mod
+    ~1e9 before summing, so the int64 running sum holds past 10^9
+    tokens per partial; the final mod is applied once."""
+    from pyspark.sql import Window
+
+    from hebrew_ner_spark.functions.hashing import phash_col
+
+    B, I, E, S = "B-TERM", "I-TERM", "E-TERM", "S-TERM"
+    out = detect_mentions_neural(docs)
+    w = Window.partitionBy("doc_id").orderBy("word_index")
+    lab = out.withColumn("_prev", F.lag("label").over(w)).withColumn(
+        "_next", F.lead("label").over(w)
+    )
+    ill = (
+        (F.col("_prev").isNull() & F.col("label").isin(I, E))
+        | (F.col("_prev").isin(B, I) & ~F.col("label").isin(I, E))
+        | (F.col("_prev").isin(E, S, "O") & F.col("label").isin(I, E))
+        | (F.col("_next").isNull() & F.col("label").isin(B, I))
+    )
+    h = (
+        phash_col(
+            F.concat_ws(":", "doc_id", "word_index", "label"), NEURAL_INV_SEED
+        )
+        % NEURAL_INV_MOD
+    )
+    z = F.lit(0).cast("long")
+    agg = lab.agg(
+        *[
+            F.coalesce(F.sum((F.col("label") == l).cast("long")), z).alias(
+                f"n_{l[0]}"
+            )
+            for l in LABELS
+        ],
+        F.coalesce(F.sum(ill.cast("long")), z).alias("n_illegal"),
+        F.coalesce(F.sum(F.col("label").isin(B, S).cast("long")), z).alias(
+            "n_spans"
+        ),
+        (F.coalesce(F.sum(h), z) % NEURAL_INV_MOD).alias("checksum"),
+    )
+    pairs = ", ".join(
+        f"'{m}', CAST({m} AS BIGINT)"
+        for m in [f"n_{l[0]}" for l in LABELS]
+        + ["n_illegal", "n_spans", "checksum"]
+    )
+    return agg.selectExpr(f"stack(8, {pairs}) AS (metric, value)")
+
+
 def detect_mentions_length_binned(docs: DataFrame) -> DataFrame:
     """Same stage with plan-level length binning (O1 at the physical
     level): repartitionByRange on token count co-locates similar lengths,

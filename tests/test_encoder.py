@@ -152,3 +152,52 @@ def test_detect_mentions_neural_end_to_end(spark, sf_dir):
     # zero shuffles: embarrassingly parallel stage
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan.replace("repartition", "")
+
+
+def test_neural_invariants_golden():
+    """Recompute NEURAL_GOLDEN_SF001 with NO Spark: per-sentence decodes
+    (batch-of-1 — proven equal to the batched path above) + pure-python
+    md5 checksum. If the encoder, the CRF seed, the tokenization, or the
+    checksum convention drifts, this fails before the pinned VALUES
+    oracle can go silently stale (VERDICT r3 #2)."""
+    import hashlib
+
+    import pandas as pd
+
+    from hebrew_ner_spark.operators import mentions
+    from hebrew_ner_spark.querydefs.mentions_q import NEURAL_GOLDEN_SF001
+
+    MOD, SEED = mentions.NEURAL_INV_MOD, mentions.NEURAL_INV_SEED
+    docs = pd.read_parquet("/root/testdata/sf0.01/documents.parquet")[
+        ["doc_id", "text"]
+    ]
+    model = mentions._get_neural_model()
+    B, I, E, S = "B-TERM", "I-TERM", "E-TERM", "S-TERM"
+    counts = {l[0]: 0 for l in mentions.LABELS}
+    n_ill = n_spans = chk = 0
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        toks = np.array(text.split(" "), dtype=object)
+        labels = list(mentions._label_batch([toks], model)[0])
+        for wi, lb in enumerate(labels):
+            counts[lb[0]] += 1
+            prev = labels[wi - 1] if wi > 0 else None
+            nxt = labels[wi + 1] if wi + 1 < len(labels) else None
+            n_ill += int(
+                (prev is None and lb in (I, E))
+                or (prev in (B, I) and lb not in (I, E))
+                or (prev in (E, S, "O") and lb in (I, E))
+                or (nxt is None and lb in (B, I))
+            )
+            n_spans += int(lb in (B, S))
+            chk += (
+                int(
+                    hashlib.md5(
+                        f"{doc_id}:{wi}:{lb}:{SEED}".encode()
+                    ).hexdigest()[:15],
+                    16,
+                )
+                % MOD
+            )
+    got = {f"n_{k}": v for k, v in counts.items()}
+    got.update(n_illegal=n_ill, n_spans=n_spans, checksum=chk % MOD)
+    assert got == NEURAL_GOLDEN_SF001

@@ -23,14 +23,12 @@ def test_all_query_outputs_are_hash_stable(spark):
     assert not bad, f"hash-fragile output columns: {bad}"
 
 
-# Queries the contract sanctions as rows-only (non-SQL-expressible ops):
-# each must carry pytest value-level guarantees instead of a DuckDB oracle.
-ROWS_ONLY = {
-    # numpy transformer encoder stack — no SQL replays attention; value
-    # guarantees live in tests/test_encoder.py (slow-path equivalence,
-    # batch/partition invariance, BIOSE legality).
-    "mention_model_neural",
-}
+# Queries the contract sanctions as rows-only (non-SQL-expressible ops).
+# Empty since r4: mention_model_neural — the last member — now gates a
+# value-bearing invariant summary (pinned-VALUES oracle whose golden is
+# independently recomputed by tests/test_encoder.py). Kept as a set so a
+# future genuinely-non-expressible op declares itself here explicitly.
+ROWS_ONLY: set[str] = set()
 
 
 def test_every_query_has_an_oracle(spark):
