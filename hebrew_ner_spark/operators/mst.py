@@ -13,9 +13,9 @@ aggregates:
 
     round: every component selects its minimum-weight outgoing edge
            (one groupBy-min over the crossing-edge list), the selected
-           edges join components (one connected-components pass over
-           the COMPONENT-grain graph — exponentially smaller each
-           round), labels update through one join.
+           edges are contracted by HOOK + POINTER-DOUBLING over the
+           selection's own functional graph (see below — exponentially
+           smaller each round), labels update through one join.
 
 Component count at least halves per round, so O(log |V|) rounds; each
 round's shuffles are keyed by vertex/component id. Rounds go through
@@ -23,6 +23,22 @@ the shared lineage breaker (localCheckpoint locally, reliable round
 tables under ``spark.graft.cc.reliable=true`` — the
 `operators/canonicalize.py` discipline), and exhausting the round
 budget RAISES rather than returning a partial forest.
+
+Selection contraction (VERDICT r3 #3 — replaces the general inner
+connected-components pass, which paid full min-label-propagation
+rounds per Borůvka round): the per-component selection ``c -> other(c)``
+is a FUNCTIONAL graph (out-degree exactly 1), and with UNIQUE edge
+weights every cycle in it has length exactly 2 — follow a would-be
+longer cycle and each step's selected weight is <= the previous step's
+(the edge entering c is itself a crossing edge of c), so around a
+cycle all weights are equal, which unique weights forbid unless both
+components selected the SAME edge. Contraction is therefore: (1) one
+self-join resolves 2-cycles (the min endpoint becomes a self-pointing
+root); (2) pointer doubling ``p <- p(p)`` — one self-join per
+iteration, no neighbour-min aggregation — flattens every selection
+tree onto its root in O(log depth) iterations (depth is the longest
+selection chain, typically ~2-4). Roughly a third of the inner jobs
+of the general CC per round, with the same hash-exact result.
 
 Determinism: edge weights must be UNIQUE (the gate's synthesis encodes
 the endpoint pair into the low bits, so uniqueness is closed-form).
@@ -49,6 +65,59 @@ from hebrew_ner_spark.operators.canonicalize import (
 )
 
 MST_MAX_ROUNDS = 12
+MST_MAX_JUMPS = 20  # pointer-doubling cap: handles chains up to 2^20 deep
+
+
+def _contract_selection(picked: DataFrame, _break) -> DataFrame:
+    """(vertex, component) for every component appearing in this round's
+    selection ``picked`` (columns c, other): hook + pointer-doubling
+    contraction of the selection's functional graph (module docstring).
+    Every ``other`` value is itself a component that selected an edge
+    (the shared crossing edge at least), so the self-joins always
+    resolve; the coalesce guards the invariant anyway."""
+    ptr0 = picked.select("c", F.col("other").alias("p"))
+    q = ptr0.select(F.col("c").alias("c2"), F.col("p").alias("p2"))
+    # hook: a 2-cycle member points to the min endpoint (roots self-point)
+    hooked = ptr0.join(q, ptr0["p"] == q["c2"], "left").select(
+        "c",
+        F.when(F.col("p2") == F.col("c"), F.least("c", "p"))
+        .otherwise(F.col("p"))
+        .alias("p"),
+    )
+    # first doubling pass chains INTO the hook's materialization (one
+    # job, one probe): typical selection chains are 1-2 deep, so most
+    # rounds finish contraction after this single fused pass
+    q1 = hooked.select(F.col("c").alias("c2"), F.col("p").alias("p2"))
+    fused = _break(
+        hooked.join(q1, hooked["p"] == q1["c2"], "left").select(
+            "c",
+            F.coalesce("p2", "p").alias("p"),
+            F.col("p").alias("_old"),
+        )
+    )
+    ptr = fused.select("c", "p")
+    if not fused.where(F.col("p") != F.col("_old")).head(1):
+        return ptr.select(
+            F.col("c").alias("vertex"), F.col("p").alias("component")
+        )
+    for _ in range(MST_MAX_JUMPS):
+        q = ptr.select(F.col("c").alias("c2"), F.col("p").alias("p2"))
+        nxt = _break(
+            ptr.join(q, ptr["p"] == q["c2"], "left").select(
+                "c",
+                F.coalesce("p2", "p").alias("p"),
+                F.col("p").alias("_old"),
+            )
+        )
+        ptr = nxt.select("c", "p")
+        if not nxt.where(F.col("p") != F.col("_old")).head(1):
+            return ptr.select(
+                F.col("c").alias("vertex"), F.col("p").alias("component")
+            )
+    raise RuntimeError(
+        f"_contract_selection did not flatten in {MST_MAX_JUMPS} doubling "
+        "passes — selection chains deeper than 2^20 components"
+    )
 
 
 def boruvka_msf(
@@ -78,24 +147,36 @@ def boruvka_msf(
             crossing.select(F.col("cb").alias("c"), s)
         )
         # wu is globally unique, so min(struct) is a total order and the
-        # per-component pick is deterministic. Materializing sel through
-        # the breaker doubles as the termination probe — no separate
-        # crossing-emptiness job per round.
-        sel = _break(
+        # per-component pick is deterministic. Materializing the picks
+        # through the breaker doubles as the termination probe — no
+        # separate crossing-emptiness job per round. The pick keeps its
+        # component key c (the contraction consumes c -> other); the
+        # edge set dedups inside the msf materialization (an edge picked
+        # by both endpoints appears twice here, and never again in a
+        # later round — once merged it stops crossing).
+        picked = _break(
             cand.groupBy("c")
             .agg(F.min("s").alias("s"))
-            .select("s.a", "s.b", "s.wu", "s.ca", "s.cb")
-            .distinct()
+            .select(
+                "c",
+                "s.a",
+                "s.b",
+                "s.wu",
+                F.when(F.col("s.ca") == F.col("c"), F.col("s.cb"))
+                .otherwise(F.col("s.ca"))
+                .alias("other"),
+            )
         )
-        if not sel.head(1):
+        if not picked.head(1):
             e.unpersist()
             return msf
-        msf = _break(msf.unionByName(sel.select("a", "b", "wu")))
-        # contract: hook selected edges at COMPONENT grain (per-round
-        # graph is component-count-sized, halving every round)
-        merged = connected_components(
-            sel.select("ca", "cb"), src="ca", dst="cb", reliable=reliable
+        msf = _break(
+            msf.unionByName(picked.select("a", "b", "wu").distinct())
         )
+        # contract at COMPONENT grain (per-round graph is component-
+        # count-sized, halving every round): hook + pointer doubling
+        # over the selection's functional graph, not a general CC pass
+        merged = _contract_selection(picked, _break)
         comp = _break(
             comp.join(
                 merged, comp["component"] == merged["vertex"], "left"
