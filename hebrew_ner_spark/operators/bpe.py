@@ -47,10 +47,22 @@ from pyspark.sql import DataFrame, Row
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from hebrew_ner_spark.operators.canonicalize import _lineage_breaker
 from hebrew_ner_spark.operators.graphstats import _evict, _persist
 from hebrew_ner_spark.operators.textstats import token_freq
 
 BPE_ROUNDS = 4  # default merge rounds for the gated training run
+
+# Plan-depth bound for the merge loop: every round stacks one narrow
+# `replace` projection onto the vocab plan, which is fine at gate-scale
+# round counts but grows the analyzer/optimizer input linearly — at a
+# real-vocab merge budget (~10k rounds) the plan itself becomes the
+# bottleneck. Every BPE_BREAK_EVERY rounds the segmented vocab goes
+# through the shared lineage breaker (localCheckpoint locally, reliable
+# round tables under spark.graft.cc.reliable=true — the canonicalize.py
+# discipline), so plan depth is bounded by the constant while normal
+# rounds stay zero-materialization.
+BPE_BREAK_EVERY = 32
 
 _MERGE_SCHEMA = T.StructType(
     [
@@ -99,7 +111,9 @@ def _train(docs: DataFrame, rounds: int) -> tuple[list[Row], DataFrame]:
     """Run the merge loop; returns (winner rows, final segmented vocab)."""
     _evict("bpe")
     w = _persist("bpe", _wrapped_vocab(docs))
+    _break = _lineage_breaker(w, None)
     winners: list[Row] = []
+    depth = 0
     for rnd in range(1, rounds + 1):
         top = (
             _pair_counts(w)
@@ -112,6 +126,10 @@ def _train(docs: DataFrame, rounds: int) -> tuple[list[Row], DataFrame]:
         l, r, cnt = top[0].l, top[0].r, top[0].cnt
         winners.append(Row(round=rnd, l=l, r=r, cnt=cnt))
         w = w.select(F.expr(_merge_expr(l, r)).alias("s"), "n")
+        depth += 1
+        if depth >= BPE_BREAK_EVERY:
+            w = _break(w)  # bound plan depth (module constant note)
+            depth = 0
     return winners, w
 
 

@@ -514,7 +514,7 @@ DEDUP_WM_DELAY = "1 hour"
 
 def run_bounded_stream_dedup(
     spark: SparkSession, src_dir: str, out_dir: str, checkpoint_dir: str
-) -> None:
+) -> list:
     """Bounded-state streaming dedup: ``dropDuplicatesWithinWatermark``
     keyed on doc_id with a 1-hour event-time watermark — the 24/7
     counterpart of ``run_incremental_unique_docs`` (whose keyed state
@@ -542,6 +542,10 @@ def run_bounded_stream_dedup(
         .start()
     )
     q.awaitTermination()
+    # recentProgress carries per-micro-batch stateOperators metrics
+    # (numRowsTotal etc.) — the soak test asserts bounded-state growth
+    # from these; gates ignore the return value
+    return list(q.recentProgress)
 
 
 SESS_GAP_MIN = 30      # session gap (matches the batch operator)
@@ -550,7 +554,7 @@ SESS_WM_DELAY = "10 minutes"
 
 def run_stateful_sessions(
     spark: SparkSession, src_dir: str, out_dir: str, checkpoint_dir: str
-) -> None:
+) -> list:
     """Custom stateful SESSIONIZATION via ``applyInPandasWithState`` +
     EVENT-TIME TIMEOUT — the flagship custom-operator pattern: the
     state store carries each user's open session (start, last, count);
@@ -632,3 +636,4 @@ def run_stateful_sessions(
         .start()
     )
     q.awaitTermination()
+    return list(q.recentProgress)

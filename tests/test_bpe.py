@@ -104,3 +104,41 @@ class TestBpeEncode:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "SortMergeJoin" in plan  # the tail tier resolves by merge
+
+
+class TestLineageBoundedTraining:
+    def test_64_rounds_bounded_plan(self, spark):
+        """VERDICT r3 #7: a 64-round train (2x the break interval) must
+        complete with the final vocab's plan bounded by the break — the
+        plan string must stay far under what 64 stacked replace
+        projections would produce, and segmentation must still
+        reconstruct every token exactly."""
+        docs = spark.createDataFrame(
+            [(i, "abcdefgh abcdefg bcdefgh abcd efgh abc def") for i in range(6)],
+            "doc_id long, text string",
+        )
+        out = bpe.bpe_vocab(docs, rounds=64)
+        rows = out.collect()
+        assert rows, "vocab must not be empty"
+        for r in rows:
+            assert r.segmented.replace("|", "") == r.token
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        # 64 stacked replaces would put >= 64 'replace(' calls in the
+        # plan; the breaker caps the stack at BPE_BREAK_EVERY
+        assert plan.count("replace(") <= 2 * bpe.BPE_BREAK_EVERY + 8, len(plan)
+
+    def test_break_interval_does_not_change_merges(self, spark):
+        """Winners are a pure function of the data — breaking lineage
+        mid-train must not perturb a single merge decision."""
+        docs = spark.createDataFrame(
+            [(0, "aa ab aa ab ba"), (1, "aa ab bb aa")],
+            "doc_id long, text string",
+        )
+        base = [tuple(r) for r in bpe.bpe_merges(docs, rounds=6).collect()]
+        old = bpe.BPE_BREAK_EVERY
+        try:
+            bpe.BPE_BREAK_EVERY = 2
+            broken = [tuple(r) for r in bpe.bpe_merges(docs, rounds=6).collect()]
+        finally:
+            bpe.BPE_BREAK_EVERY = old
+        assert base == broken

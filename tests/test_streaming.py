@@ -477,3 +477,95 @@ def test_stateful_sessions_gap_timeout_trailing_boundary(spark, tmp_path):
         (3, t0 + 3 * h + 29 * 60_000 + 59_999,
          t0 + 3 * h + 59 * 60_000 + 59_999, 1),           # just below wm
     ]
+
+
+def _stage_wave(spark, src, name, df, mtime):
+    """Write df as one parquet file into src with a pinned mtime
+    (arrival order = staging order; repartitionByRange files share one
+    mtime otherwise)."""
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+    dst = os.path.join(src, name)
+    shutil.copy(os.path.join(d, part), dst)
+    os.utime(dst, (mtime, mtime))
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bounded_dedup_state_plateaus_under_long_drain(spark, tmp_path):
+    """VERDICT r3 #8 soak: 55 micro-batches, event time advancing 2h per
+    batch against a 1h dedup horizon. Keyed state must PLATEAU once the
+    watermark moves (numRowsTotal stays within a few batches' key count)
+    instead of accumulating all 1100 keys — the 100x-scale failure mode
+    a 3-batch gate cannot see."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "in"); out = str(tmp_path / "out"); ck = str(tmp_path / "ck")
+    os.makedirs(src)
+    base = spark.range(20).select(
+        F.col("id").alias("k"), F.lit("t").alias("text"),
+        F.lit("en").alias("lang"), F.lit("s").alias("source"),
+        F.lit(1).cast("long").alias("n_chars"),
+    )
+    n_batches, keys_per_batch = 55, 20
+    for i in range(n_batches):
+        wave = base.select(
+            (F.col("k") + i * 1000).alias("doc_id"), "text", "lang", "source",
+            "n_chars",
+            F.expr(
+                f"TIMESTAMP '2024-01-01 00:00:00' + make_interval(0,0,0,0,{2*i},0,k)"
+            ).alias("ts"),
+        )
+        _stage_wave(spark, src, f"w{i:03d}.parquet", wave, 1_700_000_000 + 10 * i)
+    progress = incremental.run_bounded_stream_dedup(spark, src, out, ck)
+    totals = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in progress
+        if p.get("stateOperators")
+    ]
+    assert len(totals) >= 50, f"expected >=50 micro-batches, got {len(totals)}"
+    # steady state: at most ~2 batches of keys alive (current + not-yet-
+    # evicted previous); far below the 1100-key no-eviction trajectory
+    steady = totals[5:]
+    assert max(steady) <= 3 * keys_per_batch, (max(steady), totals)
+    # and the drain emitted every first landing exactly once
+    assert spark.read.parquet(out).count() == n_batches * keys_per_batch
+
+
+def test_stateful_sessions_state_plateaus_under_long_drain(spark, tmp_path):
+    """Soak twin for applyInPandasWithState sessionization: 55 batches of
+    the same 10 users, 2h apart (gap 30min, watermark 10min). Event-time
+    timeouts must close and EVICT each batch's sessions as the watermark
+    advances — open-session state stays ~|users|, not |users| x batches."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "in2"); out = str(tmp_path / "out2"); ck = str(tmp_path / "ck2")
+    os.makedirs(src)
+    n_batches, n_users = 55, 10
+    base = spark.range(n_users).select(F.col("id").alias("u"))
+    for i in range(n_batches):
+        wave = base.select(
+            (F.col("u") + i * 100).alias("event_id"),
+            F.expr(
+                f"TIMESTAMP '2024-01-01 00:00:00' + make_interval(0,0,0,0,{2*i},0,u)"
+            ).alias("ts"),
+            F.col("u").alias("user_id"),
+            F.lit("view").alias("event_type"),
+            F.lit(1.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        _stage_wave(spark, src, f"e{i:03d}.parquet", wave, 1_700_000_000 + 10 * i)
+    progress = incremental.run_stateful_sessions(spark, src, out, ck)
+    totals = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in progress
+        if p.get("stateOperators")
+    ]
+    assert len(totals) >= 50, f"expected >=50 micro-batches, got {len(totals)}"
+    steady = totals[5:]
+    assert max(steady) <= 2 * n_users, (max(steady), totals)
+    # every batch's 10 sessions except the final batch's close and emit
+    emitted = spark.read.parquet(out).count()
+    assert emitted == (n_batches - 1) * n_users, emitted
