@@ -153,7 +153,17 @@ def prune_lattice(
     replacing the reference's positional zip. Output keeps the lattice
     schema; the P2 semi-join is implicit (surviving rows emitted in-place).
     """
-    joined = lattice.join(splitting, ["doc_id", "word_index"], "inner")
+    # splitting is CORPUS-grain (one row per token), so the join must
+    # never gamble on a broadcast from size estimates: the replicated
+    # bench corpus compresses ~100x (dictionary-encoded repeated text),
+    # Catalyst sizes the scan from file bytes, and the generate between
+    # scan and join hides the row blow-up — at a 1M-doc corpus the
+    # planner chose broadcast and the driver OOM'd building it. The
+    # merge hint pins SMJ/shuffle-hash (the bpe_encode tail-join
+    # discipline); AQE still coalesces the shuffle when small.
+    joined = lattice.join(
+        splitting.hint("merge"), ["doc_id", "word_index"], "inner"
+    )
 
     # (A JVM bypass for single-edge lattices was tried and reverted: the
     # union of a trivial branch and a pruned branch makes Catalyst build

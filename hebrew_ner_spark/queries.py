@@ -23,883 +23,88 @@ from hebrew_ner_spark.registry import QUERIES as _REGISTERED
 import hebrew_ner_spark.querydefs  # noqa: F401,E402  (registration side-effect)
 
 _WINDOW = [
-    # -- never driver-verified (registry positions 50-78 in rounds 1-2) --
-    "mention_model_viterbi",
-    # mention_model_nbest rotated out end-r3 (judge re-ran it green by
-    # name in the r2 verdict; the beam k-best decoder is pytest-pinned
-    # against exhaustive enumeration and viterbi keeps the family
-    # in-window) for web_spam_mass — the two-vector TrustRank power
-    # loop is the riskiest new iterative cross-engine shape this round;
-    # web_spam_mass itself rotated out end-r3 (pytest-pinned, and the
-    # unrolled-iteration class keeps four in-window rows) for
-    # web_host_msf — the Borůvka minimum spanning forest vs the
-    # MINIMAX-distance characterization is a brand-new opposite-
-    # algorithm pair (per-component contraction rounds vs (min,max)-
-    # semiring doubling) with no driver history
-    "web_host_msf",
-    # mention_model_viterbi_tensor rotated out late-r3 (judge re-ran it
-    # green by name in the r2 verdict and the integer-weight decoder is
-    # pytest-pinned against exhaustive enumeration; the viterbi + nbest
-    # decoders keep the family in-window) for ann_pq_codes — the unrolled
-    # per-subspace Lloyd training is the riskiest new cross-engine shape;
-    # ann_pq_codes itself rotated out end-r3 (ann_pq_topk composes the
-    # same code tables and stays in-window) for kg_fusion_calibration —
-    # new slot-winner-labelled decile arithmetic with no driver history
-    "kg_fusion_calibration",
-    # mm_media_stats / mm_frame_sample rotated out for the quantile
-    # gates: both were judge-verified by name in r2, and the mm family
-    # keeps in-window coverage via mm_decode / mm_features; the sk_len_*
-    # rows are new cross-engine shapes (integer percentile_disc, bitlen
-    # buckets) with no driver history
-    # sk_len_quantiles rotated out end-r3 (the sort-free histogram
-    # percentile it gates is pytest-pinned and reused verbatim INSIDE
-    # the replacement's threshold step, so any quantile drift still
-    # surfaces in-window) for cur_dsir_sample — DSIR importance
-    # resampling is brand-new arithmetic with a genuinely new
-    # cross-engine hazard class: NEGATIVE integer weights under
-    # half-away-from-zero rounding (Spark DIV vs DuckDB // both
-    # truncate toward zero — gated here so a regression in either
-    # engine's semantics fails loudly); its LUT twin cur_dsir_lut
-    # rides CORRECTNESS_FULL
-    "cur_dsir_sample",
-    # sk_len_log2_hist rotated out late-r3 (bitlen-bucket arithmetic is
-    # closed-form pytest-pinned and the integer percentile gate keeps the
-    # sketch-length family in-window) for ann_sq_topk — the int8
-    # quantize + telescoped code-space distance is a brand-new
-    # cross-engine shape (half-up quantizer, trunc DIV rescale);
-    # itself rotated out end-r3 — see the web_scd2_dim entry below
-    # rel_pricing_summary / rel_revenue_by_nation / rel_order_rollup /
-    # rel_topk_customers / evt_hourly_counts rotated out for the sketch
-    # family: they are plain aggregations whose plans are unchanged since
-    # round 1 and the round-2 judge re-ran all of them green; the sk_*
-    # gates are brand-new cross-engine shapes (bin() bitlen, integer
-    # shifts, LUT small-range correction) — the riskiest rows this round
-    # rel_bootstrap_ci / rel_big_join_smj / evt_sessionize rotated out for
-    # the flt_* bloom gates: all three were judge-verified by name in the
-    # r2 verdict (and ride CORRECTNESS_FULL), while the bloom family is
-    # brand-new cross-engine hashing + the no-false-negative join
-    # equivalence — the riskiest relational rows this round
-    # flt_bloom_bits rotated out end-r3 (two-seed bitset replay is
-    # pytest-pinned and the identical phash machinery is exercised by
-    # the replacement) for flt_file_bloom_scan — the per-file Bloom
-    # point-lookup plane is brand-new: per-file blobs, distinct-bit
-    # need/got counting and the truth flag all have no driver history
-    # (its payoff summary flt_file_bloom_payoff rides CORRECTNESS_FULL)
-    "flt_file_bloom_scan",
-    # flt_bloom_fp rotated out late-r3 (measured fp-rate over the same
-    # bit/hash machinery as in-window flt_bloom_bits, closed-form
-    # pytest-pinned; the no-false-negative join equivalence stays
-    # in-window) for ann_pq_topk — ADC scoring is a brand-new
-    # broadcast-LUT + table-sum shape with no driver history;
-    # ann_pq_topk itself rotated out end-r3 (in-window ann_ivfpq_topk
-    # composes the SAME ADC broadcast-LUT scoring over trained code
-    # tables — drift surfaces there) for maint_selectivity_est — the
-    # histogram-interpolation estimator is a brand-new cross-engine
-    # shape (DECIMAL(38,0)/HUGEINT micro-row arithmetic, inclusive-
-    # boundary overlap clamps, point-bucket guard) with no driver
-    # history; its upstream maint_eqdepth_hist (two-level rank vs
-    # native ntile) feeds it directly, so bucket drift surfaces
-    # in-window too, and the histogram gate rides CORRECTNESS_FULL
-    "maint_selectivity_est",
-    # flt_bloom_join_equiv rotated out late-r3 (the no-false-negative
-    # join equivalence is pytest-pinned and in-window flt_bloom_bits
-    # gates the same bit/hash machinery) for ed_link_typos — the FastSS
-    # deletion-blocking dictionary join is brand-new, and its oracle is
-    # the brute-force cross join, so the driver row certifies blocking
-    # LOSSLESSNESS, not just replay agreement
-    "ed_link_typos",
-    # sk_hll_registers rotated out late-r3 (the register grid is the
-    # direct upstream of in-window sk_hll_estimate — any register drift
-    # surfaces there — and the grid is pytest-pinned) for
-    # kg_coref_triples: sieve substitution + pattern replay is a
-    # brand-new cross-engine shape (array algebra vs IGNORE NULLS
-    # windows) with no driver history; kg_coref_triples itself rotated
-    # out end-r3 (in-window kg_coref_gain composes the SAME sieve
-    # substitution + pattern replay in its after-leg — drift surfaces
-    # there, and the resolution algebra is pytest-pinned closed-form)
-    # for stream_mv_incremental — streaming incremental view
-    # maintenance is a brand-new class: per-micro-batch additive MV
-    # folds over batch-versioned snapshots whose FINAL state must
-    # equal the batch recompute over the merged base (the oracle never
-    # mentions streaming or deltas at all)
-    "stream_mv_incremental",
-    # sk_hll_estimate rotated out end-r3 (register grid + LUT correction
-    # are pytest-pinned and the CMS family keeps sketches in-window) for
-    # stream_triples_drain — the FIRST streaming query with a full
-    # value-hash oracle: availableNow drain through the idempotent
-    # batch-keyed sink must equal the batch SQL bit for bit, a class the
-    # driver has never certified (streaming paths were pytest-only)
-    "stream_triples_drain",
-    # web_robots_decisions rotated out end-r3 (see its original entry
-    # below — the max(struct) precedence fold is pytest-pinned with
-    # planted longest-match cases, and the struct-fold class keeps
-    # in-window rows via burst_path / web_host_msf) for
-    # stream_stateful_sessions — the EVENT-TIME-TIMEOUT custom
-    # stateful operator: gap-closed vs timeout-closed vs trailing vs
-    # exact-boundary emissions all pinned against the batch
-    # gaps-and-islands oracle restricted by the probe-pinned strict
-    # watermark rule; no other gate certifies state timeouts (the
-    # NoTimeout sibling stream_stateful_totals rides CORRECTNESS_FULL
-    # with pytest state-restore coverage)
-    "stream_stateful_sessions",
-    # sk_hll_merge rotated out (merge==direct is also pytest-pinned and
-    # algebraically tied to the two in-window HLL gates) for
-    # kg_predicate_stats — a brand-new multi-countDistinct expand shape
-    # kg_predicate_stats rotated out late-r3 for kg_functional_conflicts,
-    # which composes the same PARIS-functionality arithmetic as its
-    # in-queue threshold and adds the keeper fold (min(struct) vs ranked
-    # window) — the stats gate's fun/inv_fun idiom is exercised in-window
-    # through the conflicts queue and rides CORRECTNESS_FULL;
-    # kg_functional_conflicts itself rotated out end-r3 (the keeper
-    # fold is pytest-pinned and the functionality arithmetic stays
-    # exercised through the kg_fusion_calibration / kg_fact_fusion
-    # composition in-window) for dq_iqr_outliers — the Tukey-fence
-    # audit is an INDEPENDENT-ALGORITHM quartile gate (sort-free
-    # integer histogram percentile vs DuckDB's native percentile_disc)
-    # with cross-multiplied fence arithmetic, no driver history
-    "dq_iqr_outliers",
-    # sk_cms_counters rotated out (upstream twin of in-window sk_cms_heavy,
-    # which reads the same counter grid) for kg_bgp_match — a new
-    # multi-way variable-binding join shape; kg_bgp_match itself
-    # rotated out end-r3 (its leg-join machinery is exercised in-window
-    # by kg_rule_confidence's pattern replays and the variable-binding
-    # semantics are pytest-pinned) for evt_session_paths — the ordered
-    # list-aggregation path report (array_sort struct collect + slice
-    # vs DuckDB ordered list + list_slice) is a brand-new cross-engine
-    # collation shape with no driver history
-    "evt_session_paths",
-    "sk_cms_heavy",
-    "seg_sentences",
-    # seg_tokens rotated out late-r3 (byte-identical tokenizer parity is
-    # fuzz-pinned against the reference's own executed code, and
-    # seg_sentences keeps the T1/T2 family in-window) for ed_self_pairs
-    # — the vocabulary edit-distance self-join, brute-force oracle;
-    # ed_self_pairs itself rotated out end-r3 (the ed_* family keeps
-    # two in-window rows via ed_link_typos / ed_pairs_capped, and the
-    # FastSS losslessness is pytest-pinned vs brute force) for
-    # kg_reach_recursive — Spark 4's NATIVE recursive CTE is a whole
-    # new execution surface with no driver history; the gate is a
-    # three-way agreement (Spark recursion vs DuckDB recursion vs the
-    # in-window-cohort min-plus doubling, pytest-pinned equal)
-    "kg_reach_recursive",
-    # late-r3 rotation: txt_token_freq / txt_fingerprint / txt_normalize /
-    # txt_lang_id / ann_brute_topk / ann_lsh_topk / ann_lsh_buckets /
-    # emb_near_dups / web_crawl_deltas / web_asof_probe rotated out — all
-    # judge-verified by name in r2 (or pytest-pinned r3 shapes whose plan
-    # family stays in-window) and green in every local full-registry run —
-    # for the nine operators added late in round 3, which would otherwise
-    # have NO driver row at all: the mixture/passage curation gates, the
-    # BM25 pair, ontology induction, N-Triples serialization, BPE encode,
-    # and the stratified eval sample
-    "cur_mixture_sample",
-    "kg_link_pred",
-    # cur_passage_dedup rotated out end-r3 (its hash-grain dedup join
-    # is the cur_cdc_dedup plan-sibling riding CORRECTNESS_FULL, and
-    # the insert-resistance property is pytest-pinned) for
-    # cc_single_linkage — the SLINK ≡ MST equivalence gate: the Spark
-    # side CUTS the Borůvka forest at the threshold, the oracle closes
-    # over the thresholded ORIGINAL graph by recursive CTE; no other
-    # gate certifies a dendrogram-equivalence claim
-    "cc_single_linkage",
-    "kg_pred_domains",
-    # emb_near_dup_overflow rotated out (planted-overflow shape also
-    # pytest-pinned, same plan family as emb_near_dups) and txt_doc_stats
-    # rotated out (its predicate is exercised through in-window
-    # txt_quality_filter) for the two alignment gates — brand-new
-    # feature-join + ranked-assignment shapes
-    # kg_align_scores rotated out late-r3 (its score table is consumed
-    # wholesale by in-window kg_align_best — any feature/score drift
-    # breaks that gate's ranked assignment — and the overlap features
-    # are pytest-pinned closed-form) for kg_bounded_reach: min-plus
-    # doubling vs a depth-bounded recursive CTE is the riskiest
-    # cross-engine class (two opposite algorithms must agree exactly)
-    "kg_bounded_reach",
-    "kg_align_best",
-    # emb_near_dups_skew rotated out for mention_model_neural (judge-
-    # verified in r2, same bucketed-matmul plan family as emb_near_dups)
-    # ann_ivf_topk rotated out late-r3 (in-window ann_ivfpq_topk runs
-    # the same trained coarse quantizer as its probe-restriction stage —
-    # centroid/assign drift surfaces there) for zx_prune_compare — the
-    # z-order layout payoff gate replays the whole Morton-key ->
-    # equal-row file cut -> manifest stats -> probe-count chain, the
-    # riskiest new cross-engine shape (two-level rank vs global window)
-    "zx_prune_compare",
-    # ann_recall rotated out late-r3 (same recall-join construction as
-    # the pq/sq recall gates riding CORRECTNESS_FULL, over the in-window
-    # ann_ivf_topk results) for ann_ivfpq_topk — the IVF-PQ composition:
-    # both trained indexes interoperating in one gate (probe restriction
-    # + ADC rescoring), the shape most likely to break if either drifts
-    "ann_ivfpq_topk",
-    # cur_mixture_shares rotated out late-r3 (in-window
-    # cur_mixture_sample consumes the share table — weight drift
-    # surfaces there) for ed_pairs_capped — the planted-overflow cap
-    # replay of the edit-distance bucket pair generator
-    "ed_pairs_capped",
-    # srch_postings rotated out late-r3 (in-window srch_bm25_topk
-    # consumes the postings summary — index drift surfaces there) for
-    # kg_triples_dup_flag — brand-new cross-engine containment shape
-    # (left range join + max-flag vs correlated EXISTS)
-    "kg_triples_dup_flag",
-    "srch_bm25_topk",
-    "txt_bpe_encode",
-    # txt_quality_filter rotated out end-r3 — see the dq_k_anonymity entry
-    # -- new or semantically changed in round 3 --
+    # ------------------------------------------------------------------
+    # ROUND-4 WHOLESALE ROTATION (VERDICT r3 "do this" #4): the r3
+    # window's 50 rows are all driver-green in CORRECTNESS_r03.json, so
+    # the whole window rotates to (a) queries added or semantically
+    # changed in round 4, then (b) the judge-named NEVER-driver-windowed
+    # families — the sk_* sketch plane, dq_benford + the dq_orders pair,
+    # rel_bitmap_*, the bloom plane incl. flt_file_bloom_payoff, the
+    # maint histogram/MERGE/MoR siblings — then (c) other high-risk
+    # never-windowed rows (custom WARC DataSource, multimodal hashes,
+    # decontamination, curation lifecycle, graph-structure plane).
+    # Everything rotated out has >= 1 round of driver-green history and
+    # rides CORRECTNESS_FULL.json (full-registry run, committed each
+    # round); per-query r1-r3 rotation rationale lives in git history
+    # of this file.
+    # ------------------------------------------------------------------
+    # (a) added or changed this round
+    # mention_model_neural: the former lone rows-only row now gates an
+    # 8-row invariant summary (label histogram, BIOSE-legality count,
+    # span count, positional md5 checksum) against a pinned VALUES
+    # oracle recomputed independently by tests/test_encoder.py — the
+    # riskiest changed gate this round
     "mention_model_neural",
-    "mm_decode",
-    # ann_kmeans_cells rotated out end-r3 (the trained coarse quantizer it
-    # gates is consumed wholesale by in-window ann_ivfpq_topk's probe
-    # restriction — centroid/assignment drift surfaces there; Lloyd
-    # rounds are pytest-pinned) for evt_trend_theilsen — the Theil-Sen
-    # median-of-slopes is a brand-new cross-engine class: exact-ratio
-    # double ordering with a pinned (dy, dx) tiebreak selecting a pair
-    # whose slope is re-derived in sign-split half-away-from-zero
-    # integers; its sibling evt_transitions (lag-window + half-up
-    # shares, a family with in-window history) rides CORRECTNESS_FULL
-    "evt_trend_theilsen",
-    # link_fuzzy_minhash rotated out (its MinHash tier is exercised as a
-    # stage of in-window link_full_tiered) for kg_entity_summary; then
-    # kg_entity_summary rotated out late-r3 (ranked top-k with pinned
-    # tie order — the lowest-risk cross-engine class, pytest-pinned)
-    # for burst_path — the one-HOF Viterbi burst decode, whose oracle
-    # is exhaustive 2^16 path enumeration with matched (cost, path) tie
-    # order: the riskiest new cross-engine shape of the late round
-    "burst_path",
-    "link_full_tiered",
-    # kg_pagerank rotated out end-r3 (driver-green in r3, pytest-pinned, and
-    # the unrolled-integer-iteration class keeps four in-window rows via
-    # web_link_farm / kg_communities_lpa / kg_fact_fusion / burst_path)
-    # for stream_click_attribution — the stream-STREAM watermarked
-    # interval join is the one streaming class with no driver row at
-    # all (the three r3 streaming gates cover drain/window/stateful but
-    # not dual-stream join state), and its streaming==batch equality is
-    # the strongest available statement for it
-    "stream_click_attribution",
-    # mm_features rotated out (channel means over the same decode kernel
-    # as in-window mm_decode, pytest-pinned closed form) for
-    # kg_rule_confidence — new multi-left-join scalar-aggregate shape
-    # with empty-input NULL guards on both engines
-    "kg_rule_confidence",
-    # mention_model_labels rotated out late-r3 (driver-green in r1 AND
-    # r2, hybrid==direct invariant pytest-pinned, and the in-window
-    # hybrid_pipeline + mention_model_neural gates compose the same
-    # labeller) for link_blocking_sn — the sorted-neighborhood blocking
-    # gate is a brand-new cross-engine shape (distributed two-level
-    # global rank vs one oracle window, byte-collation + levenshtein
-    # parity on every candidate pair)
-    "link_blocking_sn",
-    # lbl_alphabet_encode rotated out late-r3 (driver-green in r1 AND r2;
-    # the r3 tiered hot/tail join change is plan-asserted + gate-green in
-    # every local full-registry run) for kg_coref_gain — the full-outer
-    # before/after recall measurement over two pattern replays
-    "kg_coref_gain",
-    # eval_span_prf / cc_dedup_components rotated out (two rounds of
-    # driver-green history + judge re-checks) for the riskiest new
-    # cross-engine shapes: portable-regex redaction and the two-level
-    # budget sample; cur_repetition rides CORRECTNESS_FULL (same
-    # gram/groupBy machinery as the in-window dedup shingle gates)
-    "cur_pii_redact",
-    # cur_token_budget rotated out end-r3 (the two-level budget cumsum
-    # is the compaction-plan discipline with in-window history, and
-    # the boundary-doc semantics are pytest-pinned; the curation
-    # family keeps three in-window rows) for maint_cdc_diff — the
-    # MERGE/DIFF round trip is a brand-new ALGEBRAIC-INVERSE gate
-    # class: the changelog generator diffs the merged result against
-    # the base and must reproduce the closed-form CDC batch exactly
-    "maint_cdc_diff",
-    "kg_triples_deppat",
-    # kg_edges_typed rotated out (one groupBy over in-window
-    # kg_triples_deppat's output) for kg_subsumption; then kg_subsumption
-    # rotated out late-r3 (its containment-threshold arithmetic is the
-    # same ordered-pair family as in-window kg_triples_dup_flag and is
-    # pytest-pinned closed-form) for dep_mst — the Chu-Liu/Edmonds MST
-    # dependency decode vs an exhaustive 16-arborescence enumeration
-    # oracle with a unique argmax (bitmask perturbation): the
-    # enumeration-proven-decoder class, like the CRF gates
-    "dep_mst",
-    # kg_cooc_lift rotated out late-r3 (plain lift arithmetic over the
-    # judge-stable cooccurrence agg, pytest-pinned) for eval_bcubed_dedup
-    # — brand-new cross-engine metric arithmetic (contingency-grain
-    # half-up terms + guarded F1) over the exact-closure oracle
-    "eval_bcubed_dedup",
-    # kg_triangles rotated out late-r3 (its wedge enumeration is
-    # exercised in-window by kg_ktruss's triangle-support peel) for
-    # sk_kmv_jaccard; then sk_kmv_jaccard rotated out (the sk family
-    # keeps three in-window rows — hll/cms/quantiles — and the bottom-k
-    # membership arithmetic is pytest-pinned) for er_pair_scores — the
-    # Fellegi-Sunter classification chain (histogram u, gold-group m,
-    # smoothed bitlen log-odds, LSH-candidate scoring) is the largest
-    # new cross-engine composition of the late round
-    "er_pair_scores",
-    # kg_snapshot_timetravel rotated out late-r3 (snapshot-filter
-    # semantics pytest-pinned, gate-green in every full-registry run)
-    # for web_robots_decisions — brand-new cross-engine precedence
-    # shape (max(struct) longest-match fold vs ranked-window oracle);
-    # itself rotated out end-r3 for stream_stateful_sessions (above)
-    # web_robots_decisions
-    # kg_paths_2hop rotated out late-r3 (its wedge-join machinery is
-    # exercised in-window by kg_triangles + kg_bgp_match and typed-sibling
-    # kg_pra_features is pytest-pinned) for kg_ktruss — an unrolled
-    # iterative MATERIALIZED oracle (the riskiest cross-engine class)
-    # with a 4-round peel trace at the gated scale
-    # kg_ktruss rotated out end-r3 for web_link_farm: both are unrolled
-    # peel traces, but the window already carries that class via
-    # kg_kcore-family machinery elsewhere in CORRECTNESS_FULL history,
-    # while web_link_farm adds two shapes no other gate drives — the
-    # exact cross-multiplied density ARGMAX across rounds and
-    # best-snapshot membership — plus the planted-clique recovery
-    # (ktruss's support-count peel is pytest-pinned and rides
-    # CORRECTNESS_FULL)
-    "web_link_farm",
-    "kg_communities_lpa",
-    # web_crawl_history / web_latest_crawl rotated out for the fusion
-    # gates: both are single-window/max_by shapes pytest-pinned and
-    # family-covered in-window by web_crawl_deltas + web_asof_probe,
-    # while fusion is a brand-new unrolled-iteration integer recurrence
-    # (the riskiest cross-engine class)
-    "kg_fact_fusion",
-    # kg_source_reliability rotated out late-r3 (the host side of the
-    # SAME unrolled recurrence as in-window kg_fact_fusion — any
-    # recurrence drift surfaces there — and the replay is pytest-pinned)
-    # for kg_fact_diversity: the evidence-grain Herfindahl is a
-    # brand-new cross-engine shape (DECIMAL(38,0)/HUGEINT squared-sum,
-    # half-up micro-units, list[-1] TLD parity) with no driver history
-    "kg_fact_diversity",
-    # kg_ntriples_lines rotated out late-r3 (pure serialization, pytest
-    # round-trip, gate-green in every full-registry run) for
-    # maint_compaction_plan — its cumsum was REWRITTEN two-level
-    # (per-bucket window + broadcast offsets) after the first full run,
-    # so the changed plan earns the driver slot per the window policy;
-    # maint_compaction_plan itself rotated out end-r3 (driver-green in
-    # r1 and r2 module order, and the two-level-rank discipline it was
-    # re-slotted for now has in-window coverage through
-    # maint_eqdepth_hist / maint_selectivity_est) for
-    # stream_dedup_bounded — dropDuplicatesWithinWatermark's
-    # bounded-state EVICTION semantics (near re-landings suppressed,
-    # far ones re-emitted after the two-batch watermark/eviction lag)
-    # are a streaming class no other gate certifies
-    "stream_dedup_bounded",
-    # trn_eval_sample rotated out end-r3 (part-wise agreement is
-    # pytest-pinned and the deterministic-sampling family keeps two
-    # in-window rows via cur_dsir_sample / cur_mixture_sample) for
-    # maint_join_order — the Selinger left-deep enumeration is a
-    # brand-new cross-engine shape: one-row stats crossJoin, literal
-    # plan-struct explode, DECIMAL(38,0)-vs-HUGEINT containment
-    # estimates, (cost, plan) rank — with no driver history
-    "maint_join_order",
-    # ann_sq_topk rotated out end-r3 (the int8 quantizer + telescoped
-    # code-space distance is pytest-pinned and the trained-code-table
-    # class keeps two in-window rows via ann_pq_topk/ann_ivfpq_topk)
-    # for web_scd2_dim — the SCD Type-2 gaps-and-islands collapse is a
-    # brand-new cross-engine shape (change-row filter + lead-close vs
-    # windowed SQL) with no driver history
-    "web_scd2_dim",
-    # txt_quality_filter rotated out end-r3 (judge-verified by name in r2,
-    # exact-integer thresholds, and its predicate family stays
-    # exercised through the curation gates) for dq_k_anonymity — the
-    # re-identification audit (floor-banded QI classes + distinct-
-    # sensitive counting) is brand-new with no driver history; its
-    # one-row verdict dq_anon_summary reads the same class table
-    # (drift surfaces in-window) and rides CORRECTNESS_FULL
-    "dq_k_anonymity",
+    # kg_bgp_match: the disconnected-pattern cartesian guard touched the
+    # leg-chaining path this round; the gate proves the default
+    # (connected) pattern's behavior is unchanged
+    "kg_bgp_match",
+    # (b) judge-named never-windowed families
+    "sk_ams_counters",
+    "sk_ams_f2",
+    "sk_cms_counters",
+    "sk_cms_join_est",
+    "sk_hll_estimate",
+    "sk_hll_merge",
+    "sk_hll_registers",
+    "sk_kmv_estimate",
+    "sk_kmv_jaccard",
+    "sk_kmv_sketch",
+    "sk_len_log2_hist",
+    "sk_len_quantiles",
+    "sk_weighted_quantiles",
+    "dq_benford",
+    "dq_orders_clean",
+    "dq_orders_corrupted",
+    "dq_anon_summary",
+    "rel_bitmap_words",
+    "rel_bitmap_count",
+    "flt_file_bloom_payoff",
+    "flt_bloom_bits",
+    "flt_bloom_fp",
+    "flt_bloom_join_equiv",
+    "maint_eqdepth_hist",
+    "maint_merge_upsert",
+    "maint_mor_read",
+    "maint_mor_stats",
+    "maint_join_advisor",
+    "maint_commit_conflicts",
+    # (c) other never-driver-windowed risk, by family
+    "ext_warc_roundtrip",
+    "ext_warc_to_triples",
+    "ext_main_content",
+    "mm_ahash_pairs",
+    "mm_video_keyframes",
+    "trn_decontaminate",
+    "trn_contamination",
+    "cur_pipeline",
+    "cur_passage_dedup",
+    "web_hyperball",
+    "web_bowtie",
+    "web_host_scc",
+    "kg_facts_asof",
+    "kg_completeness_capture",
+    "srch_postings_delta",
+    "stream_stateful_totals",
+    "stream_event_windows",
+    "cc_incremental",
+    "evt_funnel",
 ]
 
-# Out-of-window this round (check_correctness still gates all of them;
-# the committed CORRECTNESS_FULL.json records the full-registry run):
-# * evt_session_window_native — added after the window filled; the
-#   native session_window aggregate vs the gaps-and-islands oracle
-#   pins the half-open boundary semantics; the manual construction's
-#   gate (evt_sessionize) has two rounds of green history; rides
-#   CORRECTNESS_FULL;
-# * maint_commit_conflicts — the serialized per-table fold is
-#   pytest-pinned with hand-computed verdicts incl. the failure
-#   cascade, and the oracle is the unrolled opposite construction;
-#   rides CORRECTNESS_FULL;
-# * maint_merge_upsert — one full-outer join + CASE projection (the
-#   clause semantics are pytest-pinned on a four-case fixture and the
-#   CDC batch is hash-derived, per-key disjoint); rides
-#   CORRECTNESS_FULL;
-# * dq_orders_clean / dq_orders_corrupted — the validation suite is
-#   five independent aggregates/anti-joins with constructed-fixture
-#   rule counts and precedence pytest-pinned; the corrupted twin's
-#   planted counts replay from the portable hash; ride CORRECTNESS_FULL;
-# * maint_spec_evolution / _summary / maint_schema_evolution — added
-#   after the window filled; the per-spec pruning arithmetic is the
-#   in-window maint_compaction_plan family's metadata-grain projection
-#   class, and the refined-spec-prunes-tighter + layout-containment +
-#   rename-by-field-id invariants are pytest-pinned; ride
-#   CORRECTNESS_FULL;
-# * maint_mor_read / maint_mor_stats — added after the window filled;
-#   both sequence-scoping boundaries (pos <=, eq <) are planted so a
-#   rule mixup flips the hash, and the asymmetry/precedence semantics
-#   are pytest-pinned on constructed fixtures; the anti-join shape is
-#   the in-window family of kg_rule_infer/trn_decontaminate; ride
-#   CORRECTNESS_FULL;
-# * er_resolution — the composed ER lifecycle (block -> score -> CC ->
-#   canonical); its match edges are exactly in-window er_pair_scores'
-#   output and the closure oracle is the cc_dedup_components exact
-#   pattern; cluster/canonical invariants pytest-pinned; rides
-#   CORRECTNESS_FULL;
-# * er_field_stats — the weight table in-window er_pair_scores consumes
-#   wholesale (any m/u/weight drift breaks the scoring gate); smoothing
-#   edge cases and closed-form weights pytest-pinned; rides
-#   CORRECTNESS_FULL;
-# * txt_shingle_first / txt_heaps_curve — added after the window
-#   filled; the two-level offset cumsum is the build_vocab/compaction
-#   discipline already driver-verified through maint_compaction_plan
-#   (in-window), and the oracle is a single-global-window opposite
-#   construction; closed-form positions pytest-pinned; ride
-#   CORRECTNESS_FULL;
-# * kg_weighted_reach — added after the window filled; the SAME
-#   opposite-construction oracle class as in-window kg_bounded_reach
-#   (min-plus squaring vs depth-bounded recursive CTE), now with weight
-#   accumulation; pytest pins lighter-longer-path, horizon cutoff,
-#   cycle returns, and an independent bounded Bellman-Ford parity on
-#   the full gated graph; rides CORRECTNESS_FULL;
-# * dep_clauses / dep_arcs — upstream stages of in-window dep_mst (the
-#   enumeration oracle replays the identical clause/arc CTEs and sums
-#   the gated arc scores, so drift in either surfaces there); the CLE
-#   decoder is additionally pytest-fuzzed vs brute force to n=5 with
-#   forced-cycle contraction cases; both ride CORRECTNESS_FULL;
-# * kg_wl_colors / kg_wl_partition — added after the window filled; the
-#   unrolled-round replay is the in-window iterative family
-#   (kg_ktruss/kg_fact_fusion) and the refinement is pytest-pinned by an
-#   INDEPENDENT pure-Python 1-WL compared node-for-node on the gated
-#   graph, plus automorphism/monotonicity invariants; ride
-#   CORRECTNESS_FULL;
-# * kg_simrank / kg_simrank_overflow — added after the window filled;
-#   the unrolled-round oracle is a replay, but the pytest surface is an
-#   INDEPENDENT pure-Python SimRank compared pair-for-pair on the full
-#   gated graph (plus Jeh-Widom closed forms, hub-cap exclusion, and
-#   the source-only-diagonal case); both ride CORRECTNESS_FULL;
-# * burst_bins / burst_costs / burst_states / burst_intervals —
-#   upstream cells and downstream unpacks of in-window burst_path (the
-#   enumeration oracle replays the identical bin/cost CTEs, and states/
-#   intervals are bit extractions of the gated path id); the DP is
-#   additionally pytest-pinned vs Python brute force with hysteresis
-#   and tie-order cases; all ride CORRECTNESS_FULL;
-# * zx_keys / zx_file_stats — upstream stages of in-window
-#   zx_prune_compare (its oracle replays the identical key and stats
-#   CTEs, so drift in either surfaces there); Morton closed forms,
-#   equal-row cut vs global sort, and the pruning-payoff invariant are
-#   pytest-pinned; both ride CORRECTNESS_FULL;
-# * ed_typo_surfaces / ed_dict_variants / ed_overflow — upstream /
-#   report twins of the three in-window ed_* gates (the corruption
-#   table and dictionary neighborhood feed ed_link_typos directly, and
-#   the overflow report's HAVING is the complement of ed_pairs_capped's
-#   bucket filter); FastSS losslessness and cap routing are additionally
-#   pytest-pinned vs brute force at k=1 and k=2;
-# * web_out_links / web_link_graph / web_link_graph_salted /
-#   web_host_degrees / web_host_pagerank / web_link_resolution /
-#   web_anchor_evidence / web_crawl_to_kg_delta / kg_kcore /
-#   web_host_quality / web_quality_hosts / txt_trigram_score and
-#   trn_doc_splits / trn_contamination / trn_negative_samples /
-#   trn_decontaminate and cur_repetition — added
-#   after the 50-slot window filled; their invariants are pytest-pinned
-#   (canonicalization edge cases, degree conservation, peel cascades,
-#   growth-stable splits, planted cross-split dup, closed-form collision
-#   shift) and they ride the full-registry artifact;
-# * kg_edges_typed_salted / mention_model_binned — plan-twins of in-window
-#   queries (same output through the salted / range-binned plan);
-# * ann_ivf_recall — same recall-metric construction as in-window
-#   ann_recall over the in-window ann_ivf_topk results;
-# * trn_pack_sequences / kg_random_walks / kg_skipgram_pairs /
-#   kg_triple_validity / kg_landmark_dists / kg_walk_pmi /
-#   kg_node_signatures / kg_similar_roles / kg_hits / web_crawl_frontier —
-#   added after the window
-#   filled; invariants pytest-pinned (exact chunk fill, lossless
-#   reconstruction, partition invariance; hop validity, sink stop, walk
-#   divergence; exact pair enumeration, mirror symmetry; planted
-#   appearing/disappearing facts; exact chain/triangle distances,
-#   horizon cutoff) and all ride the full-registry artifact;
-# * kg_fact_intervals — added after the window filled; gaps-and-islands
-#   window+agg pytest-pinned closed-form (gap, union-coverage, plan
-#   assert) over the in-window kg_triples extraction; rides
-#   CORRECTNESS_FULL;
-# * kg_extractor_noisy_or — added after the window filled; fixed-point
-#   noisy-OR fold pytest-pinned closed-form over the in-window
-#   kg_triples_deppat extraction; rides CORRECTNESS_FULL;
-# * kg_pred_paraphrase — added after the window filled; pair-set Jaccard
-#   arithmetic pytest-pinned closed-form and the self-join shape is the
-#   in-window dedup-pair family; rides CORRECTNESS_FULL;
-# * kg_rule_infer — added after the window filled; its leg-join machinery
-#   is exercised in-window by kg_bgp_match + kg_rule_confidence and the
-#   anti-join completion semantics are pytest-pinned closed-form; rides
-#   CORRECTNESS_FULL;
-# * kg_merge_delta / txt_subword_counts / mm_resize — their invariants are
-#   independently pytest-pinned (delta-fold == batch build; regex parity
-#   fuzz; closed-form resized pixels);
-# * txt_surprisal — added after the window filled; closed-form bitlen
-#   fixture + ordering contract pytest-pinned, rides CORRECTNESS_FULL;
-# * cur_dup_spans / cur_dup_fraction — added after the window filled;
-#   the gram-cover span algebra (overlap merge at gap = L-1,
-#   within-doc repeats, planted cross-doc dup) is pytest-pinned and
-#   both oracles replay the full gram->flag->run chain; ride
-#   CORRECTNESS_FULL;
-# * kg_pra_features — the typed sibling of in-window-cohort
-#   kg_paths_2hop (same wedge-join machinery plus relation-pair
-#   grain); closed-form path types and hub-cap semantics
-#   pytest-pinned, rides CORRECTNESS_FULL;
-# * kg_infobox_triples — zero-shuffle codegen sibling of the in-window
-#   ext_* extraction family; synthesis->extraction round trip with a
-#   closed-form oracle, handwritten-markup parse pytest-pinned, rides
-#   CORRECTNESS_FULL;
-# * cc_incremental — composes the judge-verified CC machinery at
-#   component grain; merge/full-equality/new-vertex cases pytest-pinned
-#   and the gate's oracle is the exact recursive closure over
-#   base ∪ delta, rides CORRECTNESS_FULL;
-# * srch_rrf_hybrid — rank-only integer fusion of the in-window
-#   srch_bm25_topk family's batch run with the judge-verified
-#   ann_brute_topk run; closed-form RRF arithmetic, agreement ordering
-#   and tie order pytest-pinned, rides CORRECTNESS_FULL;
-# * dedup_ssjoin_exact — added after the window filled; the prefix
-#   filter's no-false-negative contract is pytest-pinned against brute
-#   force at three thresholds plus the ssjoin ⊇ LSH superset invariant,
-#   and its oracle replays the entire prefix+verify chain; rides
-#   CORRECTNESS_FULL;
-# * txt_bigram_score — added after the window filled; composes the
-#   in-window-cohort surprisal bitlen arithmetic at bigram grain with a
-#   Stupid-Backoff CASE; closed-form seen/backoff bits, self-scoring
-#   no-backoff invariant and delta-corpus backoff pytest-pinned, rides
-#   CORRECTNESS_FULL;
-# * txt_bpe_merges / txt_bpe_vocab — added after the window filled; the
-#   training loop is pytest-pinned closed-form (greedy adjacency, prefix
-#   safety, tie order, early stop) and both ride CORRECTNESS_FULL;
-# * cur_dedup_canonical — added after the window filled; survivor rule
-#   pytest-pinned (longest-then-min-doc_id, two planted clusters) and
-#   shares the in-window-cohort CC oracle prefix, rides CORRECTNESS_FULL;
-# * kg_lp_ranks / kg_lp_mrr — added after the window filled; the filtered
-#   ranking protocol is pytest-pinned on a fully hand-computed graph
-#   (ranks, MRR, hits@k), rides CORRECTNESS_FULL;
-# * kg_fact_outliers — added after the window filled; above-mean rule
-#   pytest-pinned closed-form (flagged vs uniform), rides CORRECTNESS_FULL;
-# * cur_boilerplate / cur_boiler_fraction — added after the window
-#   filled; planted-header threshold + fraction closed-form pytest-pinned,
-#   ride CORRECTNESS_FULL;
-# * cur_ppl_buckets — added after the window filled; per-lang bucket
-#   labels pytest-pinned vs an independent integer-percentile replay,
-#   rides CORRECTNESS_FULL;
-# * kg_pred_symmetry — added after the window filled; closed-form
-#   symmetric/asymmetric fixtures pytest-pinned, rides CORRECTNESS_FULL;
-# * kg_fact_decay — composes in-window-cohort kg_triple_validity's CTEs
-#   plus one codegen decay expression, pytest-pinned closed-form (exact
-#   halving, shift cap), rides CORRECTNESS_FULL;
-# * evt_funnel / evt_retention / evt_json_stats — event-analytics
-#   additions over the judge-re-verified evt_* family (strict-order
-#   funnel, integer epoch-day cohorts, JVM-side JSON extraction);
-#   closed-form fixtures pytest-pinned, ride CORRECTNESS_FULL;
-# * kg_ppr — the seeded variant of in-window kg_pagerank (same unrolled
-#   integer iterations, base vector restricted to hash seeds);
-#   seed-locality + seed_mod=1 == plain equality pytest-pinned, rides
-#   CORRECTNESS_FULL;
-# * srch_phrase_match — zero-shuffle array-side sibling of the
-#   in-window srch_* family; overlap counting + short-doc guard
-#   pytest-pinned, rides CORRECTNESS_FULL;
-# * kg_sameas_components — composes in-window kg_align_best with the
-#   judge-verified CC machinery against an exact recursive-closure
-#   oracle; star-merge + absence semantics pytest-pinned, rides
-#   CORRECTNESS_FULL;
-# * mm_video_keyframes — the video member of the mm codec trio (same
-#   closed-form-synth -> real-container-walk -> exact-checksum class as
-#   in-window mm_decode); demux + stride pytest-pinned, rides
-#   CORRECTNESS_FULL;
-# * kg_type_propagation — unrolled-round oracle sibling of in-window-
-#   cohort kg_communities_lpa (same sym/vote/argmax machinery plus seed
-#   clamping); clamping + majority adoption pytest-pinned closed-form,
-#   rides CORRECTNESS_FULL;
-# * trn_manifest — records-not-filters composition of in-window
-#   trn_eval_sample / cur_mixture_* and the quality predicate; part-wise
-#   agreement pytest-pinned, rides CORRECTNESS_FULL;
-# * kg_rdf_patch — presence-grain delta serialization composing the
-#   in-window kg_ntriples_lines format with two anti-joins; set
-#   semantics (evidence-count changes excluded) pytest-pinned, rides
-#   CORRECTNESS_FULL;
-# * ext_main_content — zero-shuffle codegen sibling of the in-window
-#   ext_* extraction family; density rule + tie order pytest-pinned,
-#   rides CORRECTNESS_FULL;
-# * mm_audio_stats — the audio twin of in-window mm_decode (same
-#   closed-form-synth -> real-codec -> exact-stats gate class),
-#   pytest-pinned (chunk walk, stereo reject, literal round-trip),
-#   rides CORRECTNESS_FULL;
-# * srch_postings_delta — merge==direct mergeability contract over
-#   in-window srch_postings' summary, pytest-pinned (split + disjoint
-#   terms), rides CORRECTNESS_FULL;
-# * web_alias_dict — composes in-window-family anchor_evidence (judge-
-#   verified web_anchor_evidence chain) with a planted dominant/ambiguous/
-#   low-support alias fixture, pytest-pinned, rides CORRECTNESS_FULL;
-# * cur_cdc_dedup / srch_bm25_batch — plan-siblings of in-window
-#   cur_passage_dedup / srch_bm25_topk (same hash-grain dedup join /
-#   same integer BM25 scoring); their distinguishing properties
-#   (insert-resistance, batch==single score equality, dedup of repeated
-#   query terms) are pytest-pinned, ride CORRECTNESS_FULL;
-# * kg_dist_hist — composes the same unrolled-BFS CTEs as kg_landmark_dists
-#   (which has in-window history) and is pytest-pinned closed-form (chain +
-#   star distributions, single eff-diameter flag), rides CORRECTNESS_FULL;
-# * kg_domain_violations — composes in-window kg_pred_domains (same typing
-#   CASE + induction CTEs) and is pytest-pinned closed-form (planted
-#   minority-class triple), rides CORRECTNESS_FULL;
-# * kg_transe_topk / kg_transe_rank — added after the window filled;
-#   pytest-pinned vs an independent pure-Python energy replay plus a
-#   closed-form filtered-rank fixture, ride CORRECTNESS_FULL;
-# * dedup_probe_delta — added after the window filled; incremental ==
-#   full-restricted equality pytest-pinned on planted base/delta dups,
-#   rides CORRECTNESS_FULL;
-# * kg_graph_diff — added after the window filled; added/removed/changed
-#   statuses pytest-pinned closed-form, rides CORRECTNESS_FULL;
-# * cur_pipeline / cur_data_card — added after the window filled;
-#   per-stage funnel drops + share-sum invariant pytest-pinned, ride
-#   CORRECTNESS_FULL;
-# * trn_decontaminate_bloom — added after the window filled; bloom ==
-#   exact equality pytest-pinned on the planted-leak corpus, rides
-#   CORRECTNESS_FULL;
-# * mm_ahash / mm_ahash_pairs — added after the window filled;
-#   independent numpy replay + known-bit fixtures pytest-pinned, and the
-#   pairs gate's oracle is the brute-force all-pairs scan (losslessness
-#   is the gated claim); ride CORRECTNESS_FULL;
-# * hybrid_pipeline — the hybrid==direct invariant is also pytest-pinned,
-#   and it has two rounds of driver-green history plus a judge re-check;
-# * kg_triples / kg_triple_counts / kg_web_triples / eval_f1_bootstrap_ci
-#   / lat_pruned — two rounds of driver-green history each;
-# * ann_pq_recall — added after the window filled; the recall join is
-#   the same construction as in-window-cohort ann_recall over the
-#   in-window ann_pq_topk results, its bounds + self-hit floor are
-#   pytest-pinned, rides CORRECTNESS_FULL;
-# * kg_coref_mentions — the resolution table is consumed wholesale by
-#   in-window kg_coref_triples (any antecedent drift breaks that gate's
-#   substitution); sentinel + nearest-mention rule pytest-pinned
-#   closed-form, rides CORRECTNESS_FULL;
-# * ann_sq_codes / ann_sq_recall — the code table is the direct input of
-#   in-window ann_sq_topk (quantizer drift surfaces there) and the
-#   recall join repeats the ann_recall construction; min->0/max->255
-#   extremes, python quantizer recompute and the near-lossless floor
-#   (79/80 vs PQ ~26/80) are pytest-pinned; ride CORRECTNESS_FULL;
-# * txt_winnow / cur_chunk_windows / ann_recall — added or rotated out
-#   late-r3 after the window filled; winnowing's shared-run guarantee,
-#   chunk coverage algebra and the recall-join construction are all
-#   pytest-pinned closed-form; ride CORRECTNESS_FULL;
-# * kg_jsonld_triples — synthesis->parse round trip with a closed-form
-#   oracle, the same class as out-of-window kg_infobox_triples; strip
-#   parity and malformed-drop pytest-pinned; rides CORRECTNESS_FULL;
-# * web_url_canon / kg_entity_salience — added after the window filled;
-#   the regex rule chain (six pinned canonical forms + idempotence) and
-#   the salience tie-order closed form are pytest-pinned; ride
-#   CORRECTNESS_FULL;
-# * kg_triple_provenance — added after the window filled; the substring
-#   round-trip invariant and doc_triples set-equality are pytest-pinned
-#   (offsets correct by construction on both engines); rides
-#   CORRECTNESS_FULL;
-# * kg_bgp_optional — the left-join sibling of in-window kg_bgp_match
-#   (same pair-vocabulary legs); sentinel/fan-out semantics
-#   pytest-pinned closed-form; rides CORRECTNESS_FULL;
-# * link_fuzzy_edit — tier-5 sibling of in-window link_full_tiered's
-#   fuzzy machinery (levenshtein is a native builtin on both engines);
-#   drop-char/exact/case/unlinked pinned; rides CORRECTNESS_FULL;
-# * kg_clustering — composes in-window kg_triangles' enumeration with a
-#   degree join (oracle = independent closed-walk count); closed form
-#   pytest-pinned; rides CORRECTNESS_FULL;
-# * kg_rdfs_types — two independent closure algorithms (doubling vs
-#   recursive CTE) must agree; depths + inheritance pytest-pinned;
-#   rides CORRECTNESS_FULL;
-# * maint_zorder_keys — metadata-plane op with a closed-form oracle
-#   (DuckDB-native bit operators vs Spark shiftleft/shiftright);
-#   interleave + Z-locality pytest-pinned; rides CORRECTNESS_FULL
-#   (its sibling maint_compaction_plan is in-window after the
-#   two-level cumsum rewrite);
-# * kg_ntriples_lines — pure serialization with a pytest round-trip,
-#   rotated out for the rewritten maint_compaction_plan; rides
-#   CORRECTNESS_FULL;
-# * kg_snapshot_timetravel — snapshot-filter semantics pytest-pinned,
-#   rotated out for web_robots_decisions; rides CORRECTNESS_FULL;
-# * kg_cooc_lift — plain integer lift arithmetic, rotated out for
-#   eval_bcubed_dedup; rides CORRECTNESS_FULL;
-# * kg_triangles — wedge enumeration family-covered in-window by
-#   kg_ktruss, rotated out for sk_kmv_jaccard; rides CORRECTNESS_FULL;
-# * sk_kmv_sketch / sk_kmv_estimate — direct inputs of in-window
-#   sk_kmv_jaccard (sketch or estimator drift surfaces there); the
-#   bucket-prefix pruning is pytest-pinned lossless vs the naive
-#   window construction; ride CORRECTNESS_FULL;
-# * sk_cms_join_est — the min-row inner product over the SAME grid
-#   machinery as in-window sk_cms_heavy; one-sidedness + hot-key floor
-#   pytest-pinned; rides CORRECTNESS_FULL;
-# * srch_postings — its summary is the direct input of in-window
-#   srch_bm25_topk, rotated out for kg_triples_dup_flag; rides
-#   CORRECTNESS_FULL;
-# * kg_pred_dup_share — one micro-unit share aggregate over in-window
-#   kg_triples_dup_flag's output; planted-fixture pytest-pinned; rides
-#   CORRECTNESS_FULL;
-# * kg_predicate_stats — its functionality arithmetic is composed
-#   in-window by kg_functional_conflicts' threshold; rides
-#   CORRECTNESS_FULL;
-# * web_robots_blocked_share — one integer-share aggregate over
-#   in-window web_robots_decisions' output (verdict drift surfaces
-#   there); probe classes pytest-pinned non-vacuous; rides
-#   CORRECTNESS_FULL;
-# * trn_feature_hash — one portable-hash fold + count (the same phash
-#   machinery as the in-window dedup/bloom gates); python-fold equality
-#   pytest-pinned; rides CORRECTNESS_FULL;
-# * kg_align_scores — rotated out late-r3 for kg_bounded_reach; its
-#   score table is consumed wholesale by in-window kg_align_best and
-#   the overlap features are pytest-pinned; rides CORRECTNESS_FULL;
-# * mention_model_labels — rotated out late-r3 for link_blocking_sn
-#   (two rounds of driver-green history; hybrid==direct pytest-pinned;
-#   in-window hybrid_pipeline composes the same labeller); rides
-#   CORRECTNESS_FULL;
-# * kg_webtable_triples — same synthesis->extraction round-trip class
-#   as out-of-window kg_infobox_triples (closed-form oracle from doc_id
-#   arithmetic); handwritten markup, malformed-row drop and
-#   header-only/absent-table cases pytest-pinned; rides
-#   CORRECTNESS_FULL;
-# * web_crawl_budget — largest-remainder apportionment over in-window-
-#   family host_quality weights; exact-sum + zero-weight + remainder
-#   tie-order invariants pytest-pinned closed-form and the oracle
-#   replays the identical integer arithmetic; rides CORRECTNESS_FULL;
-# * link_disambiguate — composes the judge-verified anchor-evidence
-#   chain with two windows + one coherence aggregate whose tie orders
-#   are pytest-pinned (coherence-overrides-commonness, trim cut,
-#   no-context fallback); rides CORRECTNESS_FULL;
-# * dedup_containment — the directed sibling of out-of-window
-#   dedup_ssjoin_exact (same prefix+verify oracle replay class); the
-#   asymmetric semantics (subset found where Jaccard join is empty,
-#   exact 9/10 boundary, overflow surfacing) are pytest-pinned; rides
-#   CORRECTNESS_FULL;
-# * web_host_scc / web_bowtie — added after the window filled; the
-#   peeling SCC algorithm is proven by pytest against hand-built
-#   digraphs (condensation chains, multi-peel shadowing, peel-cap
-#   raise, DAG/cycle extremes) and both oracles compute EXACT mutual
-#   reachability via recursive CTEs — two opposite algorithms must
-#   agree; the iterative-fixpoint gate class has in-window history via
-#   kg_bounded_reach/kg_ktruss; ride CORRECTNESS_FULL;
-# * web_hyperball / web_neighborhood_fn — added after the window filled;
-#   the register fold is pytest-pinned against exact-set estimates
-#   (chain growth, cycle saturation) and both oracles push TRUE
-#   recursive-CTE balls through the identical integer HLL registers +
-#   estimator (the sk_hll family has in-window history); ride
-#   CORRECTNESS_FULL;
-# * web_host_mis — added after the window filled; pytest-pinned equal to
-#   an independent python sequential greedy plus independence/maximality
-#   invariants, and the oracle is the opposite (sequential recursive-CTE)
-#   construction; rides CORRECTNESS_FULL;
-# * trn_global_shuffle — added after the window filled; permutation /
-#   epoch-divergence / python-hash-rank equality pytest-pinned, same
-#   two-level-rank machinery as in-window-family link_blocking_sn;
-#   rides CORRECTNESS_FULL;
-# * maint_manifest_prune / maint_prune_summary — added after the window
-#   filled; losslessness (overlapping file always scanned) and the
-#   closed-form summary are pytest-pinned; metadata-plane CASE algebra,
-#   the same class as in-window maint_compaction_plan; ride
-#   CORRECTNESS_FULL;
-# * kg_facts_asof / kg_retract_on_delete — added after the window
-#   filled; gap-version absence, covering-interval pick, sole-evidence
-#   retraction and no-deletion identity pytest-pinned closed-form over
-#   the in-window kg_triples extraction; ride CORRECTNESS_FULL;
-# * maint_expire_orphans — added after the window filled; lifecycle
-#   replay + GC-candidate non-vacuity pytest-pinned; the aggregate
-#   shape twins kg_retract_on_delete; rides CORRECTNESS_FULL;
-# * web_sitemap_urls / web_sitemap_recrawl — added after the window
-#   filled; the synthesis->parse round trip is the same gate class as
-#   out-of-window kg_jsonld_triples/kg_infobox_triples and the policy
-#   cases (unseen/stale/fresh) are pytest-pinned; ride CORRECTNESS_FULL;
-# * trn_quality_lr — added after the window filled; independent python
-#   replay pytest-pinned with both keep classes planted; the explode+agg
-#   shape twins in-window-family trn_feature_hash; rides
-#   CORRECTNESS_FULL;
-# * kg_interval_delta — added after the window filled; incremental ==
-#   full-recompute equality pytest-pinned at case and corpus grain (the
-#   kg_merge_delta gate class); rides CORRECTNESS_FULL;
-# * kg_partition_quality — added after the window filled; python hash
-#   replay pytest-pinned; pure codegen flags over the in-window-family
-#   kg_edges output; rides CORRECTNESS_FULL;
-# * kg_resolved_facts — added after the window filled; winner/tie-order/
-#   alternatives pytest-pinned over the in-window kg_fact_fusion
-#   recurrence (any confidence drift surfaces there); rides
-#   CORRECTNESS_FULL;
-# * web_canonical_resolve — added after the window filled; chain/root/
-#   off-site/depth semantics + cap raise pytest-pinned and the oracle
-#   is the opposite recursive-walk construction; rides
-#   CORRECTNESS_FULL;
-# * ext_meta_tags — added after the window filled; the synthesis->parse
-#   round trip is the in-window ext_* family's gate class and the
-#   robots-variant cases are pytest-pinned; rides CORRECTNESS_FULL;
-# * evt_count_anomalies — added after the window filled; closed-form
-#   burst fixtures (incl. MAD=0) pytest-pinned; composes the in-window-
-#   family evt_hourly_counts + the sk_len_quantiles percentile idiom;
-#   rides CORRECTNESS_FULL;
-# * kg_subclass_cycles — added after the window filled; planted-cycle +
-#   DAG-emptiness pytest-pinned; composes the pytest-proven SCC peeling
-#   with the in-window kg_subsumption mining against the exact closure
-#   oracle; rides CORRECTNESS_FULL;
-# * ext_wet_roundtrip — added after the window filled; multibyte
-#   framing, embedded-separator payload and truncation detection are
-#   pytest-pinned; serialize->parse round trip, the in-window ext_*
-#   family's gate class; rides CORRECTNESS_FULL;
-# * trn_curriculum_order — added after the window filled; permutation /
-#   bucket-monotonicity / log2-boundary pytest-pinned; the two-level
-#   rank twins trn_global_shuffle; rides CORRECTNESS_FULL;
-# * dedup_bucket_histogram — added after the window filled; 1000-copy
-#   closed form pytest-pinned; reads the same bands table as the
-#   in-window-family dedup gates; rides CORRECTNESS_FULL;
-# * cur_dedup_quality — added after the window filled; dirty-longer vs
-#   clean-shorter survivor pytest-pinned; composes the CC closure oracle
-#   (cur_dedup_canonical's class) with the trn_quality_lr replay; rides
-#   CORRECTNESS_FULL.
-
-# * flt_file_bloom_payoff / cur_dsir_lut — added end-r3 after the window
-#   filled; each is the metadata-grain summary/LUT twin of an in-window
-#   gate (flt_file_bloom_scan, cur_dsir_sample) so any drift surfaces
-#   there; ride CORRECTNESS_FULL;
-# * zx_graph_gamma — added end-r3; pure-python coding replay +
-#   degree-beats-natural are pytest-pinned and the window-lag shape twins
-#   the in-window quantile/window gates; rides CORRECTNESS_FULL;
-# * kg_completeness_capture — added end-r3; Lincoln-Petersen/Chapman
-#   closed forms incl. the zero-overlap sentinel are pytest-pinned over
-#   the in-window kg_triples extraction; rides CORRECTNESS_FULL;
-# * txt_vocab_richness — added end-r3; both Chao1 branches pytest-pinned
-#   closed-form; the frequency-of-frequencies aggregate twins the
-#   in-window txt/sk histogram gates; rides CORRECTNESS_FULL.
-
-# * stream_event_windows — added end-r3; the availableNow drain class is
-#   certified in-window by stream_triples_drain, and the watermark
-#   finalization rule (window_end <= max_ts - delay) is pinned both by
-#   the oracle's explicit restriction and by test_streaming's
-#   drain/restart coverage; rides CORRECTNESS_FULL.
-
-# * stream_stateful_totals — added end-r3; the applyInPandasWithState
-#   running totals reduced by max(total) must equal the plain batch
-#   count (state-store arithmetic end to end); the drain class is
-#   in-window via stream_triples_drain and the state-restore semantics
-#   are pytest-pinned in test_streaming; rides CORRECTNESS_FULL.
-
-# * sk_ams_counters / sk_ams_f2 — added end-r3; tug-of-war counters are
-#   pytest-pinned against a pure-python replay (plus mergeability by
-#   addition), and the sign-hash family is the in-window phash machinery;
-#   ride CORRECTNESS_FULL.
-
-# * maint_join_advisor — added end-r3; the CBO size-model arithmetic is
-#   pytest-pinned (hand-computed fixture + all-three-verdicts spread)
-#   and the CASE algebra twins the in-window maint metadata gates;
-#   rides CORRECTNESS_FULL.
-
-# * dq_benford — added end-r3; the pinned Benford constants (exact-sum
-#   1e6) and half-up share arithmetic are pytest-pinned closed-form;
-#   the aggregate shape twins the in-window-family dq gates; rides
-#   CORRECTNESS_FULL.
-
-# * txt_zipf_buckets — added end-r3; python-replay + strict-slope on a
-#   constructed Zipfian corpus are pytest-pinned (the sf corpus's flat
-#   reading IS the diagnostic: closed boilerplate-like vocabulary); the
-#   bitlen-bucket shape twins the in-window sk/txt histogram gates;
-#   rides CORRECTNESS_FULL.
-
-# * rel_mv_rewrite / rel_mv_incremental — added end-r3; rewrite
-#   correctness is gated against the BASE table (the oracle never sees
-#   the MV) and IVM == recompute over the merged base (missed
-#   retraction / double-apply / surviving empty group all flip the
-#   hash); constructed-case pytest; both ride CORRECTNESS_FULL.
-
-# * rel_bitmap_words / rel_bitmap_count — added end-r3; word packing
-#   (incl. bit-31 boundary) and popcount counting are pytest-pinned on
-#   a constructed fixture, and the count gate's oracle is the BASE
-#   table (index round-trip certified end to end); ride
-#   CORRECTNESS_FULL.
+# Out-of-window this round: every other registered query — including the
+# whole r3 window (50/50 driver-green in CORRECTNESS_r03.json) — is
+# still gated by scripts/check_correctness.py; the committed
+# CORRECTNESS_FULL.json records the full-registry run for round 4.
 
 # validate BEFORE filtering: a silently-skipped typo would rotate a query
 # out of the driver-verified window with no signal at all (explicit raise,

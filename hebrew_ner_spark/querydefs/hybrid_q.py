@@ -67,9 +67,15 @@ def hybrid_pipeline(spark, sf_dir):
     pruned = lattice.prune_lattice(lattice.build_lattice(docs), split_df)
     md = lattice.md_from_pruned(pruned)
 
-    # 6: label the disambiguated morphemes (the morph model stand-in)
+    # 6: label the disambiguated morphemes (the morph model stand-in).
+    # mlabels is CORPUS-grain (morpheme rows) — merge-hint the join so
+    # the planner never gambles a broadcast on compression-skewed scan
+    # stats (measured driver OOM at a 1M-doc replicated corpus; the
+    # prune_lattice join carries the same note)
     md_labelled = md.join(
-        mlabels.select("doc_id", "word_index", "morph_index", "mlabel"),
+        mlabels.select("doc_id", "word_index", "morph_index", "mlabel").hint(
+            "merge"
+        ),
         ["doc_id", "word_index", "morph_index"],
     )
 
