@@ -218,6 +218,74 @@ def dedup_components(near_dup_pairs: DataFrame) -> DataFrame:
     )
 
 
+def decremental_components(
+    labels: DataFrame,
+    base_edges: DataFrame,
+    forgotten: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 25,
+    reliable: bool | None = None,
+) -> DataFrame:
+    """(vertex, component): FORGET a vertex set from persisted component
+    labels — the right-to-erasure / crawl-retraction repair. Forgotten
+    vertices and every incident edge leave the graph; deletions can
+    SPLIT components, which no label-merge trick can express, so the
+    exact repair recomputes — but only where it must:
+
+    1. affected components = those owning >= 1 forgotten vertex (a
+       semi-join against the deletion set — deletion-local, broadcast
+       when the forget batch is small);
+    2. every other component's labels pass through UNTOUCHED (anti-join
+       on component id) — correctness is free because components are
+       disjoint: removing vertices inside C cannot change connectivity
+       or the min-member label of any other component;
+    3. the induced subgraph of the affected components (their surviving
+       edges, i.e. base edges with both endpoints unforgotten whose
+       src maps into an affected component) re-runs
+       ``connected_components``; surviving vertices with no remaining
+       edge become singletons via the left-join coalesce.
+
+    Cost: O(|forget set| + |affected components|), corpus-independent
+    for localized deletions — the decremental twin of
+    ``incremental_components``. EXACTLY equals a full recompute over
+    the surviving graph (oracle-gated against the recursive closure).
+    ``base_edges`` is the undirected edge list the labels were built
+    from (orientation irrelevant — both endpoint columns are checked).
+    """
+    fv = forgotten.select(
+        F.col(forgotten.columns[0]).alias("_fv")
+    ).distinct()
+    aff = (
+        labels.join(fv, labels["vertex"] == fv["_fv"], "left_semi")
+        .select("component")
+        .distinct()
+    )
+    keep = labels.join(aff, "component", "left_anti")
+    e = base_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = e.join(fv.withColumnRenamed("_fv", "a"), "a", "left_anti")
+    e = e.join(fv.withColumnRenamed("_fv", "b"), "b", "left_anti")
+    ec = e.join(
+        labels.select(F.col("vertex").alias("a"), F.col("component").alias("_c")),
+        "a",
+    )
+    sub_e = ec.join(
+        aff.withColumnRenamed("component", "_c"), "_c", "left_semi"
+    ).select("a", "b")
+    sub_v = (
+        labels.join(aff, "component", "left_semi")
+        .join(fv.withColumnRenamed("_fv", "vertex"), "vertex", "left_anti")
+        .select("vertex")
+    )
+    fresh_cc = connected_components(
+        sub_e, src="a", dst="b", max_rounds=max_rounds, reliable=reliable
+    ).withColumnRenamed("component", "_nc")
+    fresh = sub_v.join(fresh_cc, "vertex", "left").select(
+        "vertex", F.coalesce("_nc", "vertex").alias("component")
+    )
+    return keep.unionByName(fresh)
+
+
 def incremental_components(
     labels: DataFrame,
     delta: DataFrame,

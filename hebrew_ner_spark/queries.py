@@ -98,7 +98,14 @@ _WINDOW = [
     "stream_stateful_totals",
     "stream_event_windows",
     "cc_incremental",
-    "evt_funnel",
+    # cc_decremental — ADDED round 4 (the right-to-erasure component
+    # repair: forget-vertex splits no additive label-merge can express,
+    # vs the exact recursive closure over the surviving graph); takes
+    # the 50th slot from evt_funnel (a plain conversion-funnel aggregate
+    # whose machinery — typed-event filters + per-user windows — is
+    # exercised in-window by stream_event_windows and out-of-window by
+    # the full artifact)
+    "cc_decremental",
 ]
 
 # Out-of-window this round: every other registered query — including the

@@ -1210,3 +1210,46 @@ def link_blocking_sn(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(F.split("text", " ")).alias("name"))
     return linking.sorted_neighborhood_pairs(toks)
+
+
+@query(
+    "cc_decremental",
+    oracle="""
+    WITH RECURSIVE dec_e AS (
+      SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+      WHERE doc_id % 5 <> 4 AND doc_id % 10 <> 2 AND (doc_id + 1) % 10 <> 2),
+    dec_v AS (
+      SELECT doc_id AS v FROM documents WHERE doc_id % 5 <> 4
+      UNION SELECT doc_id + 1 FROM documents WHERE doc_id % 5 <> 4),
+    dec_surv AS (SELECT v FROM dec_v WHERE v % 10 <> 2),
+    dec_sym AS (SELECT a, b FROM dec_e UNION SELECT b, a FROM dec_e),
+    dec_base AS (
+      SELECT v AS a, v AS b FROM dec_surv
+      UNION SELECT a, b FROM dec_sym),
+    dec_reach(a, b) AS (
+      SELECT a, b FROM dec_base
+      UNION
+      SELECT r.a, s.b FROM dec_reach r JOIN dec_sym s ON r.b = s.a)
+    SELECT a AS vertex, CAST(min(b) AS BIGINT) AS component
+    FROM dec_reach GROUP BY a
+    """,
+)
+def cc_decremental(spark, sf_dir):
+    """Decremental connected components — the right-to-erasure repair:
+    persisted labels over 5-chain graphs, then every vertex with
+    doc_id % 10 == 2 is FORGOTTEN (the middle of every even chain, so
+    those components SPLIT — the operation no additive label-merge can
+    express — while odd chains pass through untouched by anti-join).
+    Must equal the exact recursive closure over the surviving graph,
+    singletons included (operators/canonicalize.py
+    decremental_components; cost is O(affected components), not
+    O(corpus))."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    edges = docs.select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+    ).where(F.col("doc_id") % 5 != 4)
+    labels = canonicalize.connected_components(edges)
+    forgotten = docs.select("doc_id").where(F.col("doc_id") % 10 == 2)
+    return canonicalize.decremental_components(labels, edges, forgotten)
