@@ -199,12 +199,18 @@ def prune_lattice(
             )
         )
         keep = np.zeros(n, dtype=bool)
+        # memo key is the raw bytes of the group's (from, to) arrays —
+        # zero per-edge Python on the hit path (the old tuple(zip(...))
+        # key built ~|edges| Python objects per GROUP, which at 10^8
+        # token groups was the kernel's dominant cost; measured ~2x on
+        # the 1M-doc hybrid chain). Exact, not a hash: distinct shapes
+        # have distinct bytes.
         for s, e in zip(bounds[:-1], bounds[1:]):
-            edges = tuple(zip(fv[s:e].tolist(), tv[s:e].tolist()))
-            key = (edges, int(sp[s]))
+            key = (fv[s:e].tobytes(), tv[s:e].tobytes(), int(sp[s]))
             pattern = memo.get(key)
             if pattern is None:
-                valid = prune_edge_group(list(edges), int(sp[s]), fallback)
+                edges = list(zip(fv[s:e].tolist(), tv[s:e].tolist()))
+                valid = prune_edge_group(edges, int(sp[s]), fallback)
                 pattern = np.fromiter((pair in valid for pair in edges), dtype=bool)
                 memo[key] = pattern
             keep[s:e] = pattern
