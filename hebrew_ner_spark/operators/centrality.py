@@ -1,0 +1,199 @@
+"""Walk-based centrality over host/entity graphs: truncated Katz index
++ exact-integer betweenness centrality.
+
+Why this is engine work: the KG/crawl planes already rank vertices by
+stationary mass (entity_pagerank), spectral trust (spam_mass / HITS),
+and closeness (harmonic via HyperBall); what they cannot answer is
+(a) attenuated reachability — "how much of the graph can this entity
+influence through SHORT chains" (Katz 1953), the standard recommender
+/ influence prior — and (b) brokerage — "how much shortest-path
+traffic crosses this host" (Freeman 1977 betweenness), the standard
+cut-vertex / chokepoint signal for crawl scheduling and graph
+partitioning. Both are join/agg-shaped and both follow the repo's
+exact-integer contract (the entity_pagerank micro-unit discipline) so
+a DuckDB oracle reproduces them bit-for-bit:
+
+**Truncated Katz** — scaled score
+``sum_{k=1..K} alpha^k * walks_k(v)`` with alpha = 1/ALPHA_DEN,
+carried as the BIGINT ``acc_k = acc_{k-1} * ALPHA_DEN + walks_k`` (one
+Horner fold per round, so the emitted value is the exact integer
+``ALPHA_DEN^K * katz``). K fixed rounds = K equi-joins on the relay
+vertex + K sums — no driver probes, fixed plan depth. Exactness bound:
+``walks_K * ALPHA_DEN^K < 2^63`` (walks_K <= n * degmax^K; raise
+ALPHA_DEN' scaling down or lower K for dense graphs — the gate graph
+peaks at ~2e6).
+
+**Betweenness** — two phases:
+1. multi-source BFS: ALL sources advance one frontier per round —
+   state (s, v, dist, sigma) where sigma counts shortest s->v paths;
+   each round is one equi-join frontier x edges, one groupBy(s, v)
+   sum, one anti-join against visited. Rounds = graph diameter; the
+   round budget (BC_MAX_LEVELS) RAISES on exhaustion rather than
+   returning truncated distances (the canonicalize.py discipline).
+2. pair accumulation: the Brandes dependency recursion is replaced by
+   the direct combinatorial identity sigma_st(v) = sigma_sv *
+   sigma_vt when d(s,v) + d(v,t) = d(s,t) (else 0), so betweenness is
+   ONE three-way self-join of the BFS table + a sum — no backward
+   sweep, no per-level state. Contributions are exact-integer
+   micro-units: (sigma_sv * sigma_vt * BC_SCALE) DIV sigma_st with
+   truncating division (Spark ``DIV`` == DuckDB ``//`` on
+   non-negatives); the emitted value is within |pairs| ulps of
+   BC_SCALE * B(v) and bit-identical across engines.
+
+Scale shape: BFS state is O(sum over sources of reachable set) — the
+all-sources variant gates EXACT betweenness on the (fixed-size) host
+graph; at 10^12-doc scale you pass ``sources=`` a pivot sample
+(Brandes-Pich sampling: unbiased estimator, same plan, state divided
+by |V|/|sample|). The pair join keys on the mid vertex and on (s, t) —
+hash-partitioned equi-joins throughout; sigma tables persist via the
+slot discipline so BFS runs once.
+
+No reference counterpart (the reference emits spans, not graphs);
+cites Katz (Psychometrika 1953), Freeman (Sociometry 1977), Brandes
+(JMS 2001) for what is being computed, not how.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+KATZ_ITERS = 6
+KATZ_ALPHA_DEN = 8  # alpha = 1/8; power of two -> Horner fold exact
+BC_SCALE = 1_000_000
+BC_MAX_LEVELS = 8  # > gate-graph diameter (6); raises if exceeded
+
+
+def sym_edges(und: DataFrame) -> DataFrame:
+    """(src, dst) both directions of an undirected (a, b) edge list."""
+    return und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+
+
+def _vertices(sym: DataFrame) -> DataFrame:
+    return sym.select(F.col("src").alias("v")).distinct()
+
+
+def katz_scaled(und: DataFrame, iters: int = KATZ_ITERS) -> DataFrame:
+    """(vertex, katz_scaled) — the truncated Katz index in exact
+    integers, scaled by ALPHA_DEN^iters (Horner fold per round).
+    Rounds go through the shared lineage breaker (localCheckpoint
+    locally, reliable round tables under spark.graft.cc.reliable) —
+    acc_k references both acc_{k-1} and x_k, so a lazy chain doubles
+    the analyzed plan per round."""
+    from hebrew_ner_spark.operators.canonicalize import _lineage_breaker
+    from hebrew_ner_spark.operators.graphstats import _evict, _persist
+
+    _evict("katz")
+    brk = _lineage_breaker(und, None)
+    sym = _persist("katz", sym_edges(und))
+    verts = _vertices(sym)
+    x = verts.withColumn("w", F.lit(1).cast("long"))
+    acc = verts.withColumn("acc", F.lit(0).cast("long"))
+    for _ in range(iters):
+        x = (
+            sym.join(x.withColumnRenamed("v", "src"), "src")
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.sum("w").cast("long").alias("w"))
+        )
+        # vertices missing from x (degree-0) keep walk count 0
+        acc = (
+            acc.join(x, "v", "left")
+            .select(
+                "v",
+                (
+                    F.col("acc") * KATZ_ALPHA_DEN
+                    + F.coalesce(F.col("w"), F.lit(0))
+                ).alias("acc"),
+            )
+        )
+        x = brk(x)
+        acc = brk(acc)
+    return acc.select(F.col("v").alias("vertex"), F.col("acc").alias("katz_scaled"))
+
+
+def bfs_sigma(
+    und: DataFrame,
+    sources: DataFrame | None = None,
+    max_levels: int = BC_MAX_LEVELS,
+) -> DataFrame:
+    """(s, v, dist, sigma) — shortest-path distance and path count from
+    every source to every reachable vertex, by simultaneous-frontier
+    BFS. ``sources`` defaults to all vertices (exact betweenness); pass
+    a pivot sample for the Brandes-Pich estimator at scale. Rounds go
+    through the shared lineage breaker — frontier_k anti-joins
+    visited_{k-1}, which contains frontier_{k-1}, so a lazy chain's
+    analyzed plan doubles per level."""
+    from hebrew_ner_spark.operators.canonicalize import _lineage_breaker
+    from hebrew_ner_spark.operators.graphstats import _evict, _persist
+
+    _evict("bfs_sigma")
+    brk = _lineage_breaker(und, None)
+    sym = _persist("bfs_sigma", sym_edges(und))
+    src = _vertices(sym) if sources is None else sources.select("v").distinct()
+    frontier = src.select(
+        F.col("v").alias("s"),
+        F.col("v"),
+        F.lit(0).cast("long").alias("dist"),
+        F.lit(1).cast("long").alias("sigma"),
+    )
+    frontier = brk(frontier)
+    visited = frontier
+    for level in range(1, max_levels + 1):
+        cand = (
+            frontier.join(sym.withColumnRenamed("src", "v"), "v")
+            .groupBy("s", F.col("dst").alias("v"))
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+        )
+        frontier = brk(
+            cand.join(visited.select("s", "v"), ["s", "v"], "left_anti")
+            .select("s", "v", F.lit(level).cast("long").alias("dist"), "sigma")
+        )
+        visited = brk(visited.unionByName(frontier))
+    leftover = frontier.count()
+    if leftover:
+        raise RuntimeError(
+            f"bfs_sigma: frontier still has {leftover} rows after "
+            f"{max_levels} levels — graph diameter exceeds the budget; "
+            "raise max_levels"
+        )
+    return visited
+
+
+def betweenness_scaled(
+    und: DataFrame, sources: DataFrame | None = None
+) -> DataFrame:
+    """(vertex, bc_scaled) — betweenness centrality in exact-integer
+    micro-units over unordered source pairs (s < t), via the
+    sigma-product identity on the BFS table. Vertices carrying no
+    shortest-path traffic report 0."""
+    vis = bfs_sigma(und, sources)
+    a = vis.select(
+        F.col("s"), F.col("v").alias("m"),
+        F.col("dist").alias("d1"), F.col("sigma").alias("sig1"),
+    )
+    b = vis.select(
+        F.col("s").alias("m2"), F.col("v").alias("t"),
+        F.col("dist").alias("d2"), F.col("sigma").alias("sig2"),
+    )
+    c = vis.select(
+        F.col("s").alias("s3"), F.col("v").alias("t3"),
+        F.col("dist").alias("d3"), F.col("sigma").alias("sig3"),
+    )
+    contrib = (
+        a.join(b, a.m == b.m2)
+        .where((F.col("s") < F.col("t")) & (F.col("m") != F.col("s")) & (F.col("m") != F.col("t")))
+        .join(c, (F.col("s") == F.col("s3")) & (F.col("t") == F.col("t3")))
+        .where(F.col("d1") + F.col("d2") == F.col("d3"))
+        .groupBy(F.col("m").alias("vertex"))
+        .agg(
+            F.sum(
+                F.expr(f"(sig1 * sig2 * {BC_SCALE}) DIV sig3")
+            ).cast("long").alias("bc_scaled")
+        )
+    )
+    verts = _vertices(sym_edges(und)).withColumnRenamed("v", "vertex")
+    return verts.join(contrib, "vertex", "left").select(
+        "vertex", F.coalesce("bc_scaled", F.lit(0)).cast("long").alias("bc_scaled")
+    )

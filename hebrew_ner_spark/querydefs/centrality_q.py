@@ -1,0 +1,137 @@
+"""Gates: truncated Katz index + exact-integer betweenness centrality
+over the planted-farm host graph (weblinks.synth_farm_host_edges: two
+affine-map background neighbors per host + a clique on the farm
+hosts — diameter 6, so the BFS budget of 8 levels is slack, not
+tight). Both oracles unroll the iterations as materialized CTEs:
+Katz as K walk-count rounds folded Horner-style, betweenness as BFS
+levels with an anti-join visited set, then the sigma-product pair
+identity with the same truncating integer division. All BIGINT —
+the gates are hash-exact with zero float tolerance."""
+
+from __future__ import annotations
+
+from hebrew_ner_spark.operators import centrality, weblinks
+from hebrew_ner_spark.registry import query
+from hebrew_ner_spark.sources.catalog import load_table
+
+_FH = weblinks.FARM_HOSTS
+_FLO = weblinks.FARM_LO
+
+# the undirected (a, b) farm host graph, then symmetrized (src, dst)
+_GRAPH_CTE = f"""
+cth AS (SELECT DISTINCT doc_id % {_FH} AS h FROM documents),
+ctbg AS (
+  SELECT least(h, (h * 17 + 3) % {_FH}) AS a,
+         greatest(h, (h * 17 + 3) % {_FH}) AS b
+  FROM cth WHERE h <> (h * 17 + 3) % {_FH}
+  UNION
+  SELECT least(h, (h * 29 + 11) % {_FH}), greatest(h, (h * 29 + 11) % {_FH})
+  FROM cth WHERE h <> (h * 29 + 11) % {_FH}
+),
+ctfarm AS (SELECT x.h AS a, y.h AS b FROM cth x, cth y
+           WHERE x.h >= {_FLO} AND y.h >= {_FLO} AND x.h < y.h),
+ctund AS (SELECT a, b FROM ctbg UNION SELECT a, b FROM ctfarm),
+ctsym AS (SELECT a AS src, b AS dst FROM ctund
+          UNION ALL SELECT b, a FROM ctund)
+"""
+
+_K = centrality.KATZ_ITERS
+_AD = centrality.KATZ_ALPHA_DEN
+
+
+def _katz_ctes() -> str:
+    parts = [
+        "kw0 AS MATERIALIZED (SELECT h AS v, CAST(1 AS BIGINT) AS w FROM cth)"
+    ]
+    for i in range(1, _K + 1):
+        parts.append(
+            f"""kw{i} AS MATERIALIZED (
+  SELECT e.dst AS v, CAST(sum(p.w) AS BIGINT) AS w
+  FROM ctsym e JOIN kw{i - 1} p ON p.v = e.src GROUP BY e.dst
+)"""
+        )
+    return ",\n".join(parts)
+
+
+# Horner fold: acc = sum_{k=1..K} AD^(K-k) * walks_k, missing rounds -> 0
+_KATZ_SUM = " + ".join(
+    f"{_AD ** (_K - k)} * coalesce(kw{k}.w, 0)" for k in range(1, _K + 1)
+)
+_KATZ_JOINS = "\n".join(
+    f"LEFT JOIN kw{k} ON kw{k}.v = cth.h" for k in range(1, _K + 1)
+)
+
+
+@query(
+    "cent_katz",
+    oracle=f"""
+    WITH {_GRAPH_CTE},
+    {_katz_ctes()}
+    SELECT cth.h AS vertex, CAST({_KATZ_SUM} AS BIGINT) AS katz_scaled
+    FROM cth
+    {_KATZ_JOINS}
+    """,
+)
+def cent_katz(spark, sf_dir):
+    """Truncated Katz index (alpha = 1/8, 6 rounds) in exact scaled
+    integers vs the unrolled walk-count recurrence
+    (operators/centrality.py katz_scaled)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return centrality.katz_scaled(weblinks.synth_farm_host_edges(docs))
+
+
+_L = centrality.BC_MAX_LEVELS
+
+
+def _bfs_ctes() -> str:
+    parts = [
+        """lev0 AS MATERIALIZED (
+  SELECT h AS s, h AS v, CAST(0 AS BIGINT) AS dist, CAST(1 AS BIGINT) AS sigma
+  FROM cth
+),
+vis0 AS MATERIALIZED (SELECT * FROM lev0)"""
+    ]
+    for i in range(1, _L + 1):
+        parts.append(
+            f"""lev{i} AS MATERIALIZED (
+  SELECT f.s, e.dst AS v, CAST({i} AS BIGINT) AS dist,
+         CAST(sum(f.sigma) AS BIGINT) AS sigma
+  FROM lev{i - 1} f JOIN ctsym e ON f.v = e.src
+  WHERE NOT EXISTS (SELECT 1 FROM vis{i - 1} x
+                    WHERE x.s = f.s AND x.v = e.dst)
+  GROUP BY f.s, e.dst
+),
+vis{i} AS MATERIALIZED (
+  SELECT * FROM vis{i - 1} UNION ALL SELECT * FROM lev{i}
+)"""
+        )
+    return ",\n".join(parts)
+
+
+@query(
+    "cent_betweenness",
+    oracle=f"""
+    WITH {_GRAPH_CTE},
+    {_bfs_ctes()},
+    ctcon AS (
+      SELECT a.v AS vertex,
+             CAST(sum((a.sigma * b.sigma * {centrality.BC_SCALE}) // c.sigma)
+                  AS BIGINT) AS bc_scaled
+      FROM vis{_L} a
+      JOIN vis{_L} b ON b.s = a.v
+      JOIN vis{_L} c ON c.s = a.s AND c.v = b.v
+      WHERE a.s < b.v AND a.v <> a.s AND a.v <> b.v
+        AND a.dist + b.dist = c.dist
+      GROUP BY a.v
+    )
+    SELECT cth.h AS vertex, CAST(coalesce(ctcon.bc_scaled, 0) AS BIGINT) AS bc_scaled
+    FROM cth LEFT JOIN ctcon ON ctcon.vertex = cth.h
+    """,
+)
+def cent_betweenness(spark, sf_dir):
+    """Exact betweenness in integer micro-units: simultaneous-frontier
+    BFS + the sigma-product pair identity, vs the same recurrence
+    unrolled as 8 anti-joined BFS levels
+    (operators/centrality.py betweenness_scaled)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return centrality.betweenness_scaled(weblinks.synth_farm_host_edges(docs))

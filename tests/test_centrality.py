@@ -1,0 +1,117 @@
+"""Centrality: pure-Python parity (NetworkX-free) for truncated Katz
+and exact betweenness on the gated host graph, plus budget discipline."""
+
+from collections import deque
+from fractions import Fraction
+
+import pytest
+from pyspark.sql import functions as F
+
+from hebrew_ner_spark.operators import centrality, weblinks
+
+SF = "/root/testdata/sf0.001"
+
+
+def _adj(pairs):
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return adj
+
+
+def _py_katz(pairs, iters, den):
+    adj = _adj(pairs)
+    x = {v: 1 for v in adj}
+    acc = {v: 0 for v in adj}
+    for _ in range(iters):
+        x = {v: sum(x[u] for u in adj[v]) for v in adj}
+        acc = {v: acc[v] * den + x[v] for v in adj}
+    return acc
+
+
+def _py_betweenness_scaled(pairs, scale):
+    """Exact micro-unit betweenness replaying the operator's floored
+    per-triple contribution (matches the repo's truncating-division
+    contract, not float Brandes)."""
+    adj = _adj(pairs)
+    dist, sigma = {}, {}
+    for s in adj:
+        d = {s: 0}
+        sg = {s: 1}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if w not in d:
+                    d[w] = d[u] + 1
+                    sg[w] = 0
+                    q.append(w)
+                if d[w] == d[u] + 1:
+                    sg[w] += sg[u]
+        dist[s], sigma[s] = d, sg
+    out = {v: 0 for v in adj}
+    vs = sorted(adj)
+    for i, s in enumerate(vs):
+        for t in vs[i + 1 :]:
+            if t not in dist[s]:
+                continue
+            for m in adj:
+                if m in (s, t) or m not in dist[s] or t not in dist[m]:
+                    continue
+                if dist[s][m] + dist[m][t] == dist[s][t]:
+                    out[m] += (sigma[s][m] * sigma[m][t] * scale) // sigma[s][t]
+    return out
+
+
+@pytest.fixture(scope="module")
+def host_edges(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    und = weblinks.synth_farm_host_edges(docs)
+    return und, [(r.a, r.b) for r in und.collect()]
+
+
+def test_katz_parity(spark, host_edges):
+    und, pairs = host_edges
+    want = _py_katz(pairs, centrality.KATZ_ITERS, centrality.KATZ_ALPHA_DEN)
+    got = {r.vertex: r.katz_scaled for r in centrality.katz_scaled(und).collect()}
+    assert got == want
+    # the farm clique must dominate the attenuated-walk ranking
+    top8 = sorted(got, key=got.get, reverse=True)[:8]
+    assert all(v >= weblinks.FARM_LO for v in top8)
+
+
+def test_betweenness_parity(spark, host_edges):
+    und, pairs = host_edges
+    want = _py_betweenness_scaled(pairs, centrality.BC_SCALE)
+    got = {
+        r.vertex: r.bc_scaled
+        for r in centrality.betweenness_scaled(und).collect()
+    }
+    assert got == want
+    assert any(v > 0 for v in got.values())
+
+
+def test_bfs_budget_raises(spark):
+    # a 6-vertex path has diameter 5 > a budget of 3 levels
+    und = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], ["a", "b"]
+    )
+    with pytest.raises(RuntimeError, match="frontier still has"):
+        centrality.bfs_sigma(und, max_levels=3)
+
+
+def test_sampled_sources_subset(spark, host_edges):
+    """Pivot sampling (the scale path) must agree with the exact BFS
+    restricted to the same sources."""
+    und, pairs = host_edges
+    srcs = spark.createDataFrame([(0,), (7,), (59,)], ["v"])
+    vis = centrality.bfs_sigma(und, sources=srcs)
+    assert {r.s for r in vis.select("s").distinct().collect()} == {0, 7, 59}
+    full = centrality.bfs_sigma(und)
+    sub = {
+        (r.s, r.v): (r.dist, r.sigma)
+        for r in full.where(F.col("s").isin(0, 7, 59)).collect()
+    }
+    got = {(r.s, r.v): (r.dist, r.sigma) for r in vis.collect()}
+    assert got == sub
