@@ -797,3 +797,75 @@ def zipf_buckets(docs: DataFrame) -> DataFrame:
             " DIV (2 * count(*)) AS BIGINT)"
         ).alias("mean_freq_bits_1e6"),
     )
+
+
+RAKE_SCALE = 1_000_000
+
+
+def rake_keyphrases(docs: DataFrame) -> DataFrame:
+    """(doc_id, phrase, rake_scaled) — RAKE keyphrase extraction (Rose,
+    Engel, Cramer & Cowley 2010): candidate phrases are maximal runs of
+    non-stopword tokens (split at the frozen STOPWORDS), scored by the
+    degree/frequency ratio of their constituent words.
+
+    Exact-integer formulation (the repo contract): per document,
+    freq(w) = occurrences of w inside candidate phrases, deg(w) = sum
+    of the lengths of the phrase occurrences containing w (so deg
+    counts w's co-occurrence neighborhood including itself, the
+    canonical RAKE degree); phrase score = sum over its word TOKENS
+    (with multiplicity) of (deg(w) * RAKE_SCALE) DIV freq(w) —
+    truncating division, deterministic on both engines. Repeated
+    phrases in one document collapse to one row (their scores are
+    identical because word statistics are document-grain).
+
+    Shape at scale: segment ids come from one running sum over the
+    token stream (window partitioned by doc_id — no corpus-grain
+    shuffle); phrase assembly, word statistics and scoring are all
+    groupBy/join keyed by doc_id — per-document work that parallelizes
+    by document count, the embarrassing dimension at 10^12 docs."""
+    from pyspark.sql import Window
+
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+    toks = (
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+        )
+        .where(F.col("token") != "")
+        .withColumn(
+            "is_stop", F.expr(f"CAST(array_contains({stop_arr}, token) AS INT)")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    words = (
+        toks.withColumn("seg", F.sum("is_stop").over(w))
+        .where(F.col("is_stop") == 0)
+        .select("doc_id", "seg", "pos", "token")
+    )
+    phrases = words.groupBy("doc_id", "seg").agg(
+        F.expr(
+            "concat_ws(' ', transform(array_sort(collect_list("
+            "named_struct('pos', pos, 'token', token))), s -> s.token))"
+        ).alias("phrase"),
+        F.count("*").cast("long").alias("plen"),
+    )
+    occ = words.join(phrases.select("doc_id", "seg", "plen"), ["doc_id", "seg"])
+    stats = occ.groupBy("doc_id", "token").agg(
+        F.count("*").cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("deg"),
+    )
+    scored = (
+        words.join(stats, ["doc_id", "token"])
+        .groupBy("doc_id", "seg")
+        .agg(
+            F.sum(F.expr(f"(deg * {RAKE_SCALE}) DIV freq"))
+            .cast("long")
+            .alias("rake_scaled")
+        )
+    )
+    return (
+        phrases.join(scored, ["doc_id", "seg"])
+        .select("doc_id", "phrase", "rake_scaled")
+        .distinct()
+    )

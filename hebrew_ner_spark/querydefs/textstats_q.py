@@ -525,3 +525,54 @@ def txt_zipf_buckets(spark, sf_dir):
     """Zipf rank-frequency audit in bitlen buckets (zero floats) —
     operators/textstats.zipf_buckets."""
     return textstats.zipf_buckets(_docs(spark, sf_dir))
+
+
+_STOP_IN = ", ".join(f"'{w}'" for w in textstats.STOPWORDS)
+
+
+@query(
+    "txt_rake_keyphrases",
+    oracle=f"""
+    WITH rk_t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+      FROM documents
+    ),
+    rk_tok AS (
+      SELECT doc_id, pos, token,
+             CASE WHEN token IN ({_STOP_IN}) THEN 1 ELSE 0 END AS is_stop
+      FROM rk_t WHERE token <> ''
+    ),
+    rk_seg AS (
+      SELECT doc_id, pos, token, is_stop,
+             sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+      FROM rk_tok
+    ),
+    rk_w AS (SELECT doc_id, seg, pos, token FROM rk_seg WHERE is_stop = 0),
+    rk_ph AS (
+      SELECT doc_id, seg, string_agg(token, ' ' ORDER BY pos) AS phrase,
+             CAST(count(*) AS BIGINT) AS plen
+      FROM rk_w GROUP BY doc_id, seg
+    ),
+    rk_st AS (
+      SELECT w.doc_id, w.token, CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(p.plen) AS BIGINT) AS deg
+      FROM rk_w w JOIN rk_ph p ON p.doc_id = w.doc_id AND p.seg = w.seg
+      GROUP BY w.doc_id, w.token
+    ),
+    rk_sc AS (
+      SELECT w.doc_id, w.seg,
+             CAST(sum((s.deg * {textstats.RAKE_SCALE}) // s.freq) AS BIGINT)
+               AS rake_scaled
+      FROM rk_w w JOIN rk_st s ON s.doc_id = w.doc_id AND s.token = w.token
+      GROUP BY w.doc_id, w.seg
+    )
+    SELECT DISTINCT p.doc_id, p.phrase, c.rake_scaled
+    FROM rk_ph p JOIN rk_sc c ON c.doc_id = p.doc_id AND c.seg = p.seg
+    """,
+)
+def txt_rake_keyphrases(spark, sf_dir):
+    """RAKE candidate phrases + exact-integer degree/frequency scores
+    (operators/textstats.rake_keyphrases)."""
+    return textstats.rake_keyphrases(_docs(spark, sf_dir))

@@ -279,3 +279,34 @@ def test_zipf_buckets_slope_on_zipfian_and_flat_corpora(spark):
     kbs = sorted(buckets)
     means = [out[k].mean_freq_bits_1e6 for k in kbs]
     assert all(a > b for a, b in zip(means, means[1:]))
+
+
+def test_rake_keyphrases_hand_computed(spark):
+    from hebrew_ner_spark.operators.textstats import RAKE_SCALE, rake_keyphrases
+
+    # "deep learning" and "deep nets" co-occur; stopwords split segments
+    docs = spark.createDataFrame(
+        [(1, "deep learning is the future of deep nets")],
+        ["doc_id", "text"],
+    )
+    # segments: [deep learning] [future] [deep nets]
+    # freq: deep 2, learning 1, future 1, nets 1
+    # deg:  deep 2+2=4, learning 2, future 1, nets 2
+    s = lambda deg, freq: (deg * RAKE_SCALE) // freq
+    want = {
+        "deep learning": s(4, 2) + s(2, 1),
+        "future": s(1, 1),
+        "deep nets": s(4, 2) + s(2, 1),
+    }
+    got = {r.phrase: r.rake_scaled for r in rake_keyphrases(docs).collect()}
+    assert got == want
+
+
+def test_rake_repeated_phrase_collapses(spark):
+    from hebrew_ner_spark.operators.textstats import rake_keyphrases
+
+    docs = spark.createDataFrame(
+        [(1, "big data and big data")], ["doc_id", "text"]
+    )
+    rows = rake_keyphrases(docs).collect()
+    assert len(rows) == 1 and rows[0].phrase == "big data"
