@@ -197,3 +197,49 @@ def betweenness_scaled(
     return verts.join(contrib, "vertex", "left").select(
         "vertex", F.coalesce("bc_scaled", F.lit(0)).cast("long").alias("bc_scaled")
     )
+
+
+def closeness_scaled(und: DataFrame) -> DataFrame:
+    """(vertex, total_dist, closeness_scaled) — exact closeness
+    centrality from the multi-source BFS table: total_dist(v) = sum of
+    shortest-path distances from v (connected gate graph; unreachable
+    pairs simply don't appear, the standard in-component convention),
+    closeness = (n_reached - 1) * BC_SCALE DIV total_dist in truncating
+    integer micro-units. One aggregation over bfs_sigma — BFS cost is
+    shared with betweenness via the slot cache."""
+    vis = bfs_sigma(und)
+    return (
+        vis.where(F.col("dist") > 0)
+        .groupBy(F.col("s").alias("vertex"))
+        .agg(
+            F.sum("dist").cast("long").alias("total_dist"),
+            F.count("*").alias("_nr"),
+        )
+        .select(
+            "vertex",
+            "total_dist",
+            F.expr(f"(_nr * {BC_SCALE}) DIV total_dist")
+            .cast("long")
+            .alias("closeness_scaled"),
+        )
+    )
+
+
+def eccentricity(und: DataFrame) -> DataFrame:
+    """(vertex, ecc, is_central, is_peripheral) — exact eccentricities
+    from the BFS table plus the center/periphery flags (ecc == radius /
+    ecc == diameter). The two scalars fold back via broadcast-of-
+    aggregate — no driver collect."""
+    vis = bfs_sigma(und)
+    ecc = vis.groupBy(F.col("s").alias("vertex")).agg(
+        F.max("dist").cast("long").alias("ecc")
+    )
+    bounds = ecc.agg(
+        F.min("ecc").alias("radius"), F.max("ecc").alias("diameter")
+    )
+    return ecc.crossJoin(F.broadcast(bounds)).select(
+        "vertex",
+        "ecc",
+        (F.col("ecc") == F.col("radius")).cast("long").alias("is_central"),
+        (F.col("ecc") == F.col("diameter")).cast("long").alias("is_peripheral"),
+    )

@@ -135,3 +135,53 @@ def cent_betweenness(spark, sf_dir):
     (operators/centrality.py betweenness_scaled)."""
     docs = load_table(spark, sf_dir, "documents")
     return centrality.betweenness_scaled(weblinks.synth_farm_host_edges(docs))
+
+
+@query(
+    "cent_closeness",
+    oracle=f"""
+    WITH {_GRAPH_CTE},
+    {_bfs_ctes()},
+    ctcl AS (
+      SELECT s AS vertex, CAST(sum(dist) AS BIGINT) AS total_dist,
+             count(*) AS nr
+      FROM vis{_L} WHERE dist > 0 GROUP BY s
+    )
+    SELECT vertex, total_dist,
+           CAST((nr * {centrality.BC_SCALE}) // total_dist AS BIGINT)
+             AS closeness_scaled
+    FROM ctcl
+    """,
+)
+def cent_closeness(spark, sf_dir):
+    """Exact closeness centrality in integer micro-units from the
+    shared multi-source BFS (operators/centrality.py
+    closeness_scaled)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return centrality.closeness_scaled(weblinks.synth_farm_host_edges(docs))
+
+
+@query(
+    "cent_eccentricity",
+    oracle=f"""
+    WITH {_GRAPH_CTE},
+    {_bfs_ctes()},
+    ctec AS (
+      SELECT s AS vertex, CAST(max(dist) AS BIGINT) AS ecc
+      FROM vis{_L} GROUP BY s
+    ),
+    ctbd AS (SELECT min(ecc) AS radius, max(ecc) AS diameter FROM ctec)
+    SELECT vertex, ecc,
+           CAST(CASE WHEN ecc = radius THEN 1 ELSE 0 END AS BIGINT)
+             AS is_central,
+           CAST(CASE WHEN ecc = diameter THEN 1 ELSE 0 END AS BIGINT)
+             AS is_peripheral
+    FROM ctec CROSS JOIN ctbd
+    """,
+)
+def cent_eccentricity(spark, sf_dir):
+    """Eccentricity + center/periphery flags, the radius/diameter
+    scalars folded back by broadcast-of-aggregate
+    (operators/centrality.py eccentricity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return centrality.eccentricity(weblinks.synth_farm_host_edges(docs))
