@@ -869,3 +869,78 @@ def rake_keyphrases(docs: DataFrame) -> DataFrame:
         .select("doc_id", "phrase", "rake_scaled")
         .distinct()
     )
+
+
+def token_drift_psi(hist: DataFrame, v_a: int, v_b: int) -> DataFrame:
+    """(n_tokens_a, n_tokens_b, n_types, psi_bits_1e3) — Population
+    Stability Index between two crawl snapshots' token distributions,
+    the industry-standard drift alarm next to the exact TV distance
+    (token_drift_tv): PSI = sum over types (p_a - p_b) * log(p_a/p_b).
+
+    Pinned integer formulation (the repo's bitlen-log2 idiom, cf.
+    unigram_surprisal / the Fellegi-Sunter weights): add-one smoothing
+    (p'_x = (c_x + 1) / (N_x + T), T = type count — PSI is undefined on
+    zero bins), log2 at whole-bit resolution via
+    L = bitlen((c_a+1)(N_b+T)) - bitlen((c_b+1)(N_a+T)), and the
+    probability gap as the exact cross-multiplied integer
+    diff = (c_a+1)(N_b+T) - (c_b+1)(N_a+T). diff and L always share
+    sign (bitlen is monotone), so every term diff * L is >= 0 and the
+    single half-up division at the end is portable. Milli-bit scale
+    keeps 2 * sum * 1000 < 2^63 through ~10^8-token snapshots; beyond
+    that drop the scale (the oracle scales with it).
+
+    Scale shape: identical to token_drift_tv — two token-keyed counts,
+    one full-outer join, totals folded back by broadcast, one scalar
+    aggregate. Zero collects."""
+    def side(v: int, name: str) -> DataFrame:
+        toks = (
+            hist.where(F.col("v") == v)
+            .select(F.explode(F.split("text", " ")).alias("token"))
+            .where(F.col("token") != "")
+        )
+        return toks.groupBy("token").agg(
+            F.count("*").cast("long").alias(name)
+        )
+
+    j = side(v_a, "c_a").join(side(v_b, "c_b"), "token", "full_outer").select(
+        F.coalesce("c_a", F.lit(0)).cast("long").alias("c_a"),
+        F.coalesce("c_b", F.lit(0)).cast("long").alias("c_b"),
+    )
+    tot = j.agg(
+        F.sum("c_a").cast("long").alias("n_a"),
+        F.sum("c_b").cast("long").alias("n_b"),
+        F.count("*").cast("long").alias("n_t"),
+    )
+    terms = j.crossJoin(F.broadcast(tot)).select(
+        "n_a",
+        "n_b",
+        "n_t",
+        F.expr("(c_a + 1) * (n_b + n_t)").alias("xa"),
+        F.expr("(c_b + 1) * (n_a + n_t)").alias("xb"),
+    )
+    return (
+        terms.select(
+            "n_a",
+            "n_b",
+            "n_t",
+            F.expr(
+                "(xa - xb) * (CAST(length(bin(xa)) AS BIGINT)"
+                " - CAST(length(bin(xb)) AS BIGINT))"
+            ).alias("term"),
+        )
+        .agg(
+            F.max("n_a").alias("n_tokens_a"),
+            F.max("n_b").alias("n_tokens_b"),
+            F.max("n_t").alias("n_types"),
+            F.sum("term").cast("long").alias("_num"),
+            F.max(F.expr("(n_a + n_t) * (n_b + n_t)")).alias("_den"),
+        )
+        .select(
+            "n_tokens_a",
+            "n_tokens_b",
+            "n_types",
+            F.expr(
+                "CAST((2 * _num * 1000 + _den) DIV (2 * _den) AS BIGINT)"
+            ).alias("psi_bits_1e3"),
+        )
+    )

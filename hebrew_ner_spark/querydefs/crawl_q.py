@@ -613,3 +613,55 @@ def web_scd2_dim(spark, sf_dir):
         F.col("is_current").cast("long").alias("is_current"),
         "version_no",
     )
+
+
+@query(
+    "txt_drift_psi",
+    oracle=f"""
+    WITH {_HIST_CTE},
+    ps_a AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS token
+            FROM hist WHERE v = 0)
+      WHERE token <> '' GROUP BY 1
+    ),
+    ps_b AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS token
+            FROM hist WHERE v = 2)
+      WHERE token <> '' GROUP BY 1
+    ),
+    ps_j AS (
+      SELECT coalesce(a.c, 0) AS ca, coalesce(b.c, 0) AS cb
+      FROM ps_a a FULL OUTER JOIN ps_b b USING (token)
+    ),
+    ps_t AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+             CAST(count(*) AS BIGINT) AS nt
+      FROM ps_j
+    ),
+    ps_x AS (
+      SELECT na, nb, nt,
+             (ca + 1) * (nb + nt) AS xa, (cb + 1) * (na + nt) AS xb
+      FROM ps_j, ps_t
+    ),
+    ps_s AS (
+      SELECT CAST(sum((xa - xb) * (CAST(length(bin(xa)) AS BIGINT)
+                                   - CAST(length(bin(xb)) AS BIGINT)))
+                  AS BIGINT) AS num
+      FROM ps_x
+    )
+    SELECT na AS n_tokens_a, nb AS n_tokens_b, nt AS n_types,
+           CAST((2 * num * 1000 + (na + nt) * (nb + nt))
+                // (2 * (na + nt) * (nb + nt)) AS BIGINT) AS psi_bits_1e3
+    FROM ps_t, ps_s
+    """,
+)
+def txt_drift_psi(spark, sf_dir):
+    """Population Stability Index between crawl v0 and v2 in pinned
+    milli-bit units (add-one smoothing, bitlen log2, sign-consistent
+    non-negative terms) — the PSI twin of txt_drift_tv
+    (operators/textstats.py token_drift_psi)."""
+    from hebrew_ner_spark.operators.textstats import token_drift_psi
+
+    return token_drift_psi(_hist(spark, sf_dir), 0, 2)
