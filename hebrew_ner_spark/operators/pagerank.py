@@ -347,3 +347,92 @@ def trust_and_spam(
             """
         ).alias("spam_mass_1e6"),
     )
+
+
+SALSA_SCALE = 1_000_000
+
+
+def salsa_scores(edges: DataFrame) -> DataFrame:
+    """(entity_id, salsa_hub_1e6, salsa_auth_1e6) — SALSA (Lempel &
+    Moran, WWW9 2000) WITHOUT power iteration: the authority chain's
+    stationary distribution has the closed form
+
+        a(p) = (|C_p^A| / |V_A|) * (d_in(p) / sum_{q in C_p^A} d_in(q))
+
+    where V_A is the set of pages with in-links and C_p^A the authority
+    side of p's connected component in the bipartite support graph
+    (hub copies and authority copies are DISTINCT nodes — a page's two
+    roles can land in different components); symmetrically for hubs
+    with out-degrees. So the whole "eigenvector" is: one distinct-edge
+    projection, one connected-components pass over the bipartite
+    support graph (the canonicalize.py operator — hub copies at 2*id,
+    authority copies at 2*id+1), two degree aggregations, and one
+    broadcast-of-aggregate fold for |V_A|/|V_H|. No rounds, no
+    convergence budget — the closed form is exact, which is also why
+    SALSA is the degree-robust HITS (TKC-effect-free; the gate's
+    hits_scores sits 30 lines up for the iterative contrast).
+
+    Exact integers: scores are (n_c * deg * SCALE) DIV (n_side *
+    s_c) — non-negative truncating division, portable. Bound:
+    n_c * deg * SCALE < 2^63 holds to ~10^8-node components with
+    10^4 degrees; beyond that drop SCALE (the oracle scales with it).
+
+    Pages missing a side (no in-links / no out-links) score 0 on that
+    side, the SALSA convention."""
+    from hebrew_ner_spark.operators.canonicalize import connected_components
+
+    wmd = (
+        edges.select("subj_id", "obj_id").distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    )
+    nodes = (
+        wmd.select(F.col("subj_id").alias("entity_id"))
+        .unionByName(wmd.select(F.col("obj_id").alias("entity_id")))
+        .distinct()
+    )
+    bip = wmd.select(
+        (F.col("subj_id") * 2).alias("src"),
+        (F.col("obj_id") * 2 + 1).alias("dst"),
+    )
+    comp = connected_components(bip, "src", "dst")
+
+    def side(role_col: str, parity: int, deg_name: str) -> DataFrame:
+        deg = wmd.groupBy(F.col(role_col).alias("entity_id")).agg(
+            F.count("*").cast("long").alias("deg")
+        )
+        with_comp = deg.join(
+            comp.select(
+                F.expr(f"(vertex - {parity}) DIV 2").cast("long").alias("entity_id"),
+                "component",
+            ).where((F.col("vertex") % 2) == parity),
+            "entity_id",
+        )
+        csum = with_comp.groupBy("component").agg(
+            F.count("*").cast("long").alias("n_c"),
+            F.sum("deg").cast("long").alias("s_c"),
+        )
+        tot = with_comp.agg(F.count("*").cast("long").alias("n_side"))
+        return (
+            with_comp.join(csum, "component")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "entity_id",
+                F.expr(
+                    f"(n_c * deg * {SALSA_SCALE}) DIV (n_side * s_c)"
+                ).cast("long").alias(deg_name),
+            )
+        )
+
+    hub = side("subj_id", 0, "salsa_hub_1e6")
+    auth = side("obj_id", 1, "salsa_auth_1e6")
+    out = (
+        nodes.join(hub, "entity_id", "left")
+        .join(auth, "entity_id", "left")
+        .select(
+            "entity_id",
+            F.coalesce("salsa_hub_1e6", F.lit(0)).cast("long").alias("salsa_hub_1e6"),
+            F.coalesce("salsa_auth_1e6", F.lit(0)).cast("long").alias("salsa_auth_1e6"),
+        )
+    )
+    wmd.unpersist()
+    return out

@@ -1253,3 +1253,76 @@ def cc_decremental(spark, sf_dir):
     labels = canonicalize.connected_components(edges)
     forgotten = docs.select("doc_id").where(F.col("doc_id") % 10 == 2)
     return canonicalize.decremental_components(labels, edges, forgotten)
+
+
+from hebrew_ner_spark.operators.pagerank import SALSA_SCALE as _SALSA_SCALE  # noqa: E402
+
+
+@query(
+    "kg_salsa",
+    oracle=f"""
+    WITH RECURSIVE {_dim_values()},
+    {_edges_ctes()},
+    slw AS (SELECT DISTINCT subj_id, obj_id FROM e),
+    slb AS (SELECT 2 * subj_id AS a, 2 * obj_id + 1 AS b FROM slw),
+    slsym AS (SELECT a, b FROM slb UNION SELECT b, a FROM slb),
+    sln AS (SELECT DISTINCT a AS v FROM slsym),
+    slreach AS (
+      SELECT v, v AS u FROM sln
+      UNION
+      SELECT r.v, s.b AS u FROM slreach r JOIN slsym s ON r.u = s.a
+    ),
+    slcomp AS (SELECT v, min(u) AS component FROM slreach GROUP BY v),
+    slda AS (SELECT obj_id AS entity_id, CAST(count(*) AS BIGINT) AS deg
+             FROM slw GROUP BY obj_id),
+    slca AS (SELECT d.entity_id, d.deg, c.component
+             FROM slda d JOIN slcomp c ON c.v = 2 * d.entity_id + 1),
+    slsa AS (SELECT component, CAST(count(*) AS BIGINT) AS n_c,
+                    CAST(sum(deg) AS BIGINT) AS s_c
+             FROM slca GROUP BY component),
+    slta AS (SELECT CAST(count(*) AS BIGINT) AS n_side FROM slca),
+    slauth AS (
+      SELECT a.entity_id,
+             CAST((s.n_c * a.deg * {_SALSA_SCALE}) // (t.n_side * s.s_c)
+                  AS BIGINT) AS salsa_auth_1e6
+      FROM slca a JOIN slsa s USING (component) CROSS JOIN slta t
+    ),
+    sldh AS (SELECT subj_id AS entity_id, CAST(count(*) AS BIGINT) AS deg
+             FROM slw GROUP BY subj_id),
+    slch AS (SELECT d.entity_id, d.deg, c.component
+             FROM sldh d JOIN slcomp c ON c.v = 2 * d.entity_id),
+    slsh AS (SELECT component, CAST(count(*) AS BIGINT) AS n_c,
+                    CAST(sum(deg) AS BIGINT) AS s_c
+             FROM slch GROUP BY component),
+    slth AS (SELECT CAST(count(*) AS BIGINT) AS n_side FROM slch),
+    slhub AS (
+      SELECT h.entity_id,
+             CAST((s.n_c * h.deg * {_SALSA_SCALE}) // (t.n_side * s.s_c)
+                  AS BIGINT) AS salsa_hub_1e6
+      FROM slch h JOIN slsh s USING (component) CROSS JOIN slth t
+    ),
+    slnodes AS (
+      -- explicit DISTINCT: under WITH RECURSIVE, DuckDB v1.0 gives
+      -- plain UNION in non-recursive CTEs append (no-dedup) semantics
+      SELECT DISTINCT entity_id FROM (
+        SELECT subj_id AS entity_id FROM slw
+        UNION ALL SELECT obj_id FROM slw
+      )
+    )
+    SELECT n.entity_id,
+           CAST(coalesce(h.salsa_hub_1e6, 0) AS BIGINT) AS salsa_hub_1e6,
+           CAST(coalesce(a.salsa_auth_1e6, 0) AS BIGINT) AS salsa_auth_1e6
+    FROM slnodes n
+    LEFT JOIN slhub h USING (entity_id)
+    LEFT JOIN slauth a USING (entity_id)
+    """,
+)
+def kg_salsa(spark, sf_dir):
+    """SALSA hub/authority via the Lempel-Moran closed form — one CC
+    pass over the bipartite support graph + degree aggregations, zero
+    iteration rounds (the degree-robust contrast to kg_hits 30 lines
+    up); the oracle recomputes components by recursive closure
+    (operators/pagerank.py salsa_scores)."""
+    from hebrew_ner_spark.operators import pagerank
+
+    return pagerank.salsa_scores(linking.kg_edges(_docs(spark, sf_dir)))

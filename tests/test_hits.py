@@ -106,3 +106,50 @@ def test_crawl_frontier_unranked_host_gets_zero_priority(spark):
     # deterministic tie-break by url
     ranks = {r.url: r.host_rank for r in rows}
     assert ranks == {"https://c.org/1": 1, "https://c.org/2": 2}
+
+
+def test_salsa_closed_form_multi_component(spark):
+    """Two disjoint link communities with different sizes: the
+    Lempel-Moran component weighting must show up exactly."""
+    from hebrew_ner_spark.operators.pagerank import SALSA_SCALE, salsa_scores
+
+    # community 1: hubs 1,2 both cite authorities 10, 11 (authority
+    # co-citation component {10, 11}); community 2: hub 3 cites 20.
+    edges = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 1), (2, 10, 1), (2, 11, 1), (3, 20, 1)],
+        ["subj_id", "obj_id", "n_evidence"],
+    )
+    out = {r.entity_id: r for r in salsa_scores(edges).collect()}
+    # authority side: V_A = 3 (10, 11, 20); component {10, 11}:
+    # n_c = 2, s_c = 4, din(10) = din(11) = 2 -> a = (2*2)/(3*4)
+    assert out[10].salsa_auth_1e6 == (2 * 2 * SALSA_SCALE) // (3 * 4)
+    assert out[11].salsa_auth_1e6 == (2 * 2 * SALSA_SCALE) // (3 * 4)
+    # component {20}: n_c = 1, s_c = 1, din = 1 -> a = 1/3
+    assert out[20].salsa_auth_1e6 == (1 * 1 * SALSA_SCALE) // (3 * 1)
+    # hub side: V_H = 3; component {1, 2}: n_c = 2, s_c = 4, dout = 2
+    assert out[1].salsa_hub_1e6 == (2 * 2 * SALSA_SCALE) // (3 * 4)
+    assert out[3].salsa_hub_1e6 == (1 * 1 * SALSA_SCALE) // (3 * 1)
+    # pure hubs have no authority score and vice versa
+    assert out[1].salsa_auth_1e6 == 0 and out[10].salsa_hub_1e6 == 0
+    # each side's exact scores sum to ~SCALE (stationary distribution)
+    auth_sum = sum(r.salsa_auth_1e6 for r in out.values())
+    assert SALSA_SCALE - 3 <= auth_sum <= SALSA_SCALE
+
+
+def test_salsa_degree_robust_vs_hits(spark):
+    """The TKC scenario: SALSA scores depend only on degrees/components,
+    so duplicating evidence weight on one edge must NOT change SALSA
+    (while HITS would shift under the same perturbation)."""
+    from hebrew_ner_spark.operators.pagerank import salsa_scores
+
+    base = [(1, 10, 1), (2, 10, 1), (2, 11, 1)]
+    heavy = [(1, 10, 99), (2, 10, 1), (2, 11, 1)]
+    a = {r.entity_id: (r.salsa_hub_1e6, r.salsa_auth_1e6)
+         for r in salsa_scores(
+             spark.createDataFrame(base, ["subj_id", "obj_id", "n_evidence"])
+         ).collect()}
+    b = {r.entity_id: (r.salsa_hub_1e6, r.salsa_auth_1e6)
+         for r in salsa_scores(
+             spark.createDataFrame(heavy, ["subj_id", "obj_id", "n_evidence"])
+         ).collect()}
+    assert a == b
