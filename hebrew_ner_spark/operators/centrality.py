@@ -243,3 +243,22 @@ def eccentricity(und: DataFrame) -> DataFrame:
         (F.col("ecc") == F.col("radius")).cast("long").alias("is_central"),
         (F.col("ecc") == F.col("diameter")).cast("long").alias("is_peripheral"),
     )
+
+
+def harmonic_exact(und: DataFrame) -> DataFrame:
+    """(vertex, harmonic_scaled) — EXACT harmonic centrality
+    sum_{u != v} 1/d(v, u) in micro-units, each reciprocal floored
+    independently (BC_SCALE DIV dist — non-negative truncating
+    division, portable), summed over the BFS table. The exact twin of
+    the HyperBall-approximated web_harmonic gate: on graphs small
+    enough to BFS exactly, the two must agree to sketch error — at
+    10^12 nodes HyperBall is the only option, and this operator is the
+    ground-truth harness its error contract is audited against."""
+    vis = bfs_sigma(und)
+    return (
+        vis.where(F.col("dist") > 0)
+        .groupBy(F.col("s").alias("vertex"))
+        .agg(
+            F.sum(F.expr(f"{BC_SCALE} DIV dist")).cast("long").alias("harmonic_scaled")
+        )
+    )

@@ -185,3 +185,22 @@ def cent_eccentricity(spark, sf_dir):
     (operators/centrality.py eccentricity)."""
     docs = load_table(spark, sf_dir, "documents")
     return centrality.eccentricity(weblinks.synth_farm_host_edges(docs))
+
+
+@query(
+    "cent_harmonic_exact",
+    oracle=f"""
+    WITH {_GRAPH_CTE},
+    {_bfs_ctes()}
+    SELECT s AS vertex,
+           CAST(sum({centrality.BC_SCALE} // dist) AS BIGINT)
+             AS harmonic_scaled
+    FROM vis{_L} WHERE dist > 0 GROUP BY s
+    """,
+)
+def cent_harmonic_exact(spark, sf_dir):
+    """Exact harmonic centrality (per-distance floored reciprocals) —
+    the ground-truth harness for the HyperBall-approximated family
+    (operators/centrality.py harmonic_exact)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return centrality.harmonic_exact(weblinks.synth_farm_host_edges(docs))

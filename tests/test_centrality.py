@@ -115,3 +115,30 @@ def test_sampled_sources_subset(spark, host_edges):
     }
     got = {(r.s, r.v): (r.dist, r.sigma) for r in vis.collect()}
     assert got == sub
+
+
+def test_harmonic_exact_parity(spark, host_edges):
+    from collections import deque
+
+    und, pairs = host_edges
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    got = {
+        r.vertex: r.harmonic_scaled
+        for r in centrality.harmonic_exact(und).collect()
+    }
+    for s in adj:
+        d = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if w not in d:
+                    d[w] = d[u] + 1
+                    q.append(w)
+        want = sum(
+            centrality.BC_SCALE // dv for v, dv in d.items() if v != s
+        )
+        assert got[s] == want
