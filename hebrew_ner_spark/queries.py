@@ -39,6 +39,25 @@ _WINDOW = [
     # of this file.
     # ------------------------------------------------------------------
     # (a) added or changed this round
+    # -- the 15 round-4 EXTENSION operators (meta-blocking, walk/path
+    # centrality, symmetry breaking, degree structure, CPM scheduling,
+    # SALSA, RAKE, PSI): all brand-new this round, zero driver history,
+    # so they take window priority per policy rule (a)
+    "er_metablock_purged",
+    "er_metablocking",
+    "cent_katz",
+    "cent_betweenness",
+    "cent_closeness",
+    "cent_eccentricity",
+    "cent_harmonic_exact",
+    "graph_mis_luby",
+    "graph_coloring_jp",
+    "graph_assortativity",
+    "graph_rich_club",
+    "dag_cpm_schedule",
+    "kg_salsa",
+    "txt_rake_keyphrases",
+    "txt_drift_psi",
     # mention_model_neural: the former lone rows-only row now gates an
     # 8-row invariant summary (label histogram, BIOSE-legality count,
     # span count, positional md5 checksum) against a pinned VALUES
@@ -75,29 +94,22 @@ _WINDOW = [
     "flt_bloom_join_equiv",
     "maint_eqdepth_hist",
     "maint_merge_upsert",
-    "maint_mor_read",
     "maint_mor_stats",
     "maint_join_advisor",
     "maint_commit_conflicts",
-    # (c) other never-driver-windowed risk, by family
+    # (c) other never-driver-windowed risk, by family. Evicted late-r4
+    # to make room for the 15 extension gates (each evictee rides the
+    # committed FULL artifact, and several were judge re-run green in
+    # r3): maint_mor_read, web_hyperball, web_bowtie, web_host_scc,
+    # stream_stateful_totals (all five judge-sampled green r3),
+    # ext_main_content, mm_video_keyframes, trn_contamination,
+    # cur_pipeline, cur_passage_dedup, kg_facts_asof,
+    # kg_completeness_capture, srch_postings_delta,
+    # stream_event_windows, cc_incremental.
     "ext_warc_roundtrip",
     "ext_warc_to_triples",
-    "ext_main_content",
     "mm_ahash_pairs",
-    "mm_video_keyframes",
     "trn_decontaminate",
-    "trn_contamination",
-    "cur_pipeline",
-    "cur_passage_dedup",
-    "web_hyperball",
-    "web_bowtie",
-    "web_host_scc",
-    "kg_facts_asof",
-    "kg_completeness_capture",
-    "srch_postings_delta",
-    "stream_stateful_totals",
-    "stream_event_windows",
-    "cc_incremental",
     # cc_decremental — ADDED round 4 (the right-to-erasure component
     # repair: forget-vertex splits no additive label-merge can express,
     # vs the exact recursive closure over the surviving graph); takes
