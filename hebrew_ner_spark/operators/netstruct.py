@@ -126,3 +126,65 @@ def rich_club(und: DataFrame) -> DataFrame:
             .alias("phi_scaled"),
         )
     )
+
+
+def modularity_pieces(wund: DataFrame, labels: DataFrame) -> DataFrame:
+    """(community, n_v, w_in, s_tot, q_num, q_den) — weighted Newman
+    modularity of a given partition, in exact integer pieces:
+
+        Q = sum_c [ w_in_c / W  -  (s_c / 2W)^2 ]
+        Q * 4W^2 = sum_c [ 4 W w_in_c - s_c^2 ]   (all BIGINT)
+
+    ``wund`` is the undirected weighted edge list (a, b, n), ``labels``
+    the partition (entity, community). Per-community q_num can be
+    negative (a community sparser than its degree share), which is
+    exactly why the gate emits integer pieces instead of dividing —
+    negative truncating division is the one nonportable op (the
+    assortativity_moments precedent). Q itself = sum(q_num) / q_den,
+    computed exactly by the consumer.
+
+    Shape: one strength aggregate (vertex-grain), one both-ends-in-
+    community join over the edge list (entity-keyed equi-joins), one
+    community-grain aggregate, W folded back by broadcast-of-aggregate.
+    Community count is the output grain — tiny at any corpus scale."""
+    sym = wund.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "n"
+    ).unionAll(
+        wund.select(F.col("b").alias("src"), F.col("a").alias("dst"), "n")
+    )
+    strength = sym.groupBy(F.col("src").alias("entity")).agg(
+        F.sum("n").cast("long").alias("s")
+    )
+    la = labels.select(F.col("entity").alias("a"), F.col("community").alias("ca"))
+    lb = labels.select(F.col("entity").alias("b"), F.col("community").alias("cb"))
+    w_in = (
+        wund.join(la, "a")
+        .join(lb, "b")
+        .where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.sum("n").cast("long").alias("w_in"))
+    )
+    s_c = (
+        labels.join(strength, "entity")
+        .groupBy("community")
+        .agg(
+            F.count("*").cast("long").alias("n_v"),
+            F.sum("s").cast("long").alias("s_tot"),
+        )
+    )
+    tot = wund.agg(F.sum("n").cast("long").alias("w"))
+    return (
+        s_c.join(w_in, "community", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "community",
+            "n_v",
+            F.coalesce("w_in", F.lit(0)).cast("long").alias("w_in"),
+            "s_tot",
+            (
+                F.lit(4) * F.col("w") * F.coalesce("w_in", F.lit(0))
+                - F.col("s_tot") * F.col("s_tot")
+            ).cast("long").alias("q_num"),
+            (F.lit(4) * F.col("w") * F.col("w")).cast("long").alias("q_den"),
+        )
+    )

@@ -276,7 +276,9 @@ def kg_paths_2hop(spark, sf_dir):
 from hebrew_ner_spark.operators.graphstats import LPA_ITERS as _LPA_ITERS  # noqa: E402
 
 
-def _lpa_oracle(iters: int) -> str:
+def _lpa_ctes(iters: int) -> tuple[str, str]:
+    """(WITH-body, final-label-CTE-name) — shared by the LPA gate and
+    the modularity gate built on its partition."""
     rounds = []
     prev = "l0"
     for k in range(1, iters + 1):
@@ -293,13 +295,19 @@ def _lpa_oracle(iters: int) -> str:
     )"""
         )
         prev = f"l{k}"
-    return f"""
-    WITH {_EDGES_CTE},
+    body = f"""{_EDGES_CTE},
     {_SPARSE_EW},
     sym AS (SELECT a AS src, b AS dst, n FROM ews
             UNION ALL SELECT b AS src, a AS dst, n FROM ews),
     l0 AS (SELECT DISTINCT src AS entity, src AS community FROM sym),
-    {",".join(rounds)}
+    {",".join(rounds)}"""
+    return body, prev
+
+
+def _lpa_oracle(iters: int) -> str:
+    body, prev = _lpa_ctes(iters)
+    return f"""
+    WITH {body}
     SELECT entity, community FROM {prev}
     """
 
@@ -799,4 +807,49 @@ def kg_reach_recursive(spark, sf_dir):
     (operators/graphstats.py bounded_reach_recursive)."""
     return graphstats.bounded_reach_recursive(
         graphstats.synth_sparse_edges(_docs(spark, sf_dir))
+    )
+
+
+def _modularity_oracle() -> str:
+    body, prev = _lpa_ctes(_LPA_ITERS)
+    return f"""
+    WITH {body},
+    mqlab AS (SELECT entity, community FROM {prev}),
+    mqw AS (SELECT CAST(sum(n) AS BIGINT) AS w FROM ews),
+    mqst AS (SELECT src AS entity, CAST(sum(n) AS BIGINT) AS s
+             FROM sym GROUP BY src),
+    mqin AS (
+      SELECT la.community, CAST(sum(e.n) AS BIGINT) AS w_in
+      FROM ews e
+      JOIN mqlab la ON la.entity = e.a
+      JOIN mqlab lb ON lb.entity = e.b AND la.community = lb.community
+      GROUP BY la.community
+    ),
+    mqsc AS (
+      SELECT l.community, CAST(count(*) AS BIGINT) AS n_v,
+             CAST(sum(st.s) AS BIGINT) AS s_tot
+      FROM mqlab l JOIN mqst st USING (entity) GROUP BY l.community
+    )
+    SELECT s.community, s.n_v,
+           CAST(coalesce(i.w_in, 0) AS BIGINT) AS w_in, s.s_tot,
+           CAST(4 * w.w * coalesce(i.w_in, 0) - s.s_tot * s.s_tot
+                AS BIGINT) AS q_num,
+           CAST(4 * w.w * w.w AS BIGINT) AS q_den
+    FROM mqsc s LEFT JOIN mqin i USING (community) CROSS JOIN mqw w
+    """
+
+
+@query("graph_modularity", oracle=_modularity_oracle())
+def graph_modularity(spark, sf_dir):
+    """Weighted Newman modularity of the LPA partition, exact integer
+    pieces (Q * 4W^2 per community; negative-capable q_num emitted
+    undivided — the assortativity precedent); the oracle replays LPA's
+    rounds AND the modularity aggregation
+    (operators/netstruct.py modularity_pieces)."""
+    from hebrew_ner_spark.operators import netstruct
+
+    docs = _docs(spark, sf_dir)
+    return netstruct.modularity_pieces(
+        graphstats.above_mean_edges(docs),
+        graphstats.label_propagation(docs),
     )

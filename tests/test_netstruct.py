@@ -92,3 +92,42 @@ def test_closeness_eccentricity_parity(spark, host_edges):
         assert ecc[v].ecc == eccs[v]
         assert ecc[v].is_central == int(eccs[v] == radius)
         assert ecc[v].is_peripheral == int(eccs[v] == diameter)
+
+
+def test_modularity_pieces_hand_computed(spark):
+    """Two triangles joined by one bridge, communities = the triangles:
+    exact integer pieces and positive total Q."""
+    from fractions import Fraction
+
+    wund = spark.createDataFrame(
+        [(0, 1, 2), (1, 2, 2), (0, 2, 2), (3, 4, 2), (4, 5, 2), (3, 5, 2),
+         (2, 3, 1)],
+        ["a", "b", "n"],
+    )
+    labels = spark.createDataFrame(
+        [(v, 0) for v in (0, 1, 2)] + [(v, 1) for v in (3, 4, 5)],
+        ["entity", "community"],
+    )
+    rows = {r.community: r for r in
+            netstruct.modularity_pieces(wund, labels).collect()}
+    W = 13
+    # community 0: internal weight 6, strengths 4+4+5
+    assert (rows[0].n_v, rows[0].w_in, rows[0].s_tot) == (3, 6, 13)
+    assert rows[0].q_num == 4 * W * 6 - 13 * 13
+    assert rows[0].q_den == 4 * W * W
+    assert rows[1].q_num == rows[0].q_num  # symmetric
+    q = Fraction(sum(r.q_num for r in rows.values()), 4 * W * W)
+    # exact: Q = 2 * (6/13 - (13/26)^2) = 12/13 - 1/2
+    assert q == Fraction(12, 13) - Fraction(1, 2)
+
+
+def test_modularity_degenerate_partitions(spark):
+    """All-in-one community: Q = 0 exactly (w_in = W, s_tot = 2W)."""
+    wund = spark.createDataFrame(
+        [(0, 1, 3), (1, 2, 4), (0, 2, 5)], ["a", "b", "n"]
+    )
+    labels = spark.createDataFrame(
+        [(0, 9), (1, 9), (2, 9)], ["entity", "community"]
+    )
+    r = netstruct.modularity_pieces(wund, labels).collect()[0]
+    assert r.q_num == 0
