@@ -58,6 +58,8 @@ _WINDOW = [
     "kg_salsa",
     "txt_rake_keyphrases",
     "txt_drift_psi",
+    "web_trawling_core",
+    "graph_modularity",
     # mention_model_neural: the former lone rows-only row now gates an
     # 8-row invariant summary (label histogram, BIOSE-legality count,
     # span count, positional md5 checksum) against a pinned VALUES
@@ -73,12 +75,13 @@ _WINDOW = [
     "sk_ams_f2",
     "sk_cms_counters",
     "sk_cms_join_est",
+    # (sk_hll_registers / sk_kmv_sketch evicted late-r4 for the
+    # trawling-core + modularity gates: their siblings keep each
+    # sketch family in-window and both ride the FULL artifact)
     "sk_hll_estimate",
     "sk_hll_merge",
-    "sk_hll_registers",
     "sk_kmv_estimate",
     "sk_kmv_jaccard",
-    "sk_kmv_sketch",
     "sk_len_log2_hist",
     "sk_len_quantiles",
     "sk_weighted_quantiles",
