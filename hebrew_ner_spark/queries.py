@@ -61,6 +61,7 @@ _WINDOW = [
     "web_trawling_core",
     "graph_modularity",
     "kg_temporal_reach",
+    "kg_ppr_push",
     # mention_model_neural: the former lone rows-only row now gates an
     # 8-row invariant summary (label histogram, BIOSE-legality count,
     # span count, positional md5 checksum) against a pinned VALUES
@@ -73,12 +74,12 @@ _WINDOW = [
     "kg_bgp_match",
     # (b) judge-named never-windowed families
     "sk_ams_f2",
-    "sk_cms_counters",
     "sk_cms_join_est",
-    # (sk_hll_registers / sk_kmv_sketch / sk_ams_counters evicted
-    # late-r4 for the trawling-core + modularity + temporal-reach
-    # gates: their siblings keep each sketch family in-window and all
-    # three ride the FULL artifact)
+    # (sk_hll_registers / sk_kmv_sketch / sk_ams_counters /
+    # sk_cms_counters evicted
+    # late-r4 for the trawling-core / modularity / temporal-reach /
+    # push-PPR gates: their siblings keep each sketch family in-window
+    # and all four ride the FULL artifact)
     "sk_hll_estimate",
     "sk_hll_merge",
     "sk_kmv_estimate",
