@@ -1,0 +1,127 @@
+"""Distributed threshold-greedy maximum coverage (the
+Badanidiyuru-Vondrák descending-thresholds scheme, deterministic
+batch variant) — "pick K seeds covering the most documents", the
+submodular-selection shape behind crawl-seed choice, gazetteer
+pruning, and training-mixture anchor selection.
+
+Sequential greedy (Nemhauser's 1-1/e) is inherently serial: each pick
+changes every remaining marginal gain. The descending-thresholds
+relaxation parallelizes it: sweep thresholds tau = tau0, tau0/2,
+tau0/4, ... and at each tau admit IN ONE BATCH every candidate whose
+marginal gain AGAINST THE ROUND-START COVERAGE clears tau (ranked by
+(gain desc, id asc), capped to the remaining budget K - |picks|).
+Within a batch, gains are computed simultaneously — two overlapping
+candidates can both clear tau and be admitted together where
+sequential greedy would have re-scored the second. That is the
+documented epsilon-approximation trade (1 - 1/e - eps for the
+analyzed variant); what the engine guarantees, and what the gate
+verifies bit-for-bit, is the DETERMINISTIC SCHEDULE: same data, same
+picks, same order, on both engines.
+
+Everything is DataFrame-side — tau0 (the round-0 max gain) and the
+running pick count ride as one-row broadcast aggregates, never
+driver scalars; tau_t = tau0 DIV 2^t needs no state at all. A fixed
+round budget runs the tau sweep to 1 (rounds past exhaustion are
+no-ops: tau < 1 admits nothing).
+
+Shape at 10^12 docs: the mention table is (doc, set)-grain; each
+round is one anti-join against covered docs + one groupBy(set) count
++ one global rank on the (tiny) candidate table. Rounds =
+log2(largest set), ~40 for a 10^12-doc set system. Covered-doc state
+is a doc-id table — the same scale class as the dedup pass's
+survivor set.
+
+Cites Nemhauser-Wolsey-Fisher (1978) and Badanidiyuru-Vondrák (SODA
+2014) for what is computed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+MC_K = 6
+MC_ROUNDS = 16
+
+
+def entity_doc_sets(docs: DataFrame) -> DataFrame:
+    """(entity, doc_id) — the set system: an entity covers the docs
+    whose text mentions it (distinct pairs)."""
+    from hebrew_ner_spark.operators.kg import with_tokens
+    from hebrew_ner_spark.resources import ENTITY_TERMS
+
+    terms = "array(" + ", ".join(f"'{t}'" for t in ENTITY_TERMS) + ")"
+    return (
+        with_tokens(docs)
+        .select("doc_id", F.explode("toks").alias("entity"))
+        .where(F.expr(f"array_contains({terms}, entity)"))
+        .distinct()
+    )
+
+
+def threshold_greedy_cover(
+    sets: DataFrame, k: int = MC_K, rounds: int = MC_ROUNDS
+) -> DataFrame:
+    """(pick_rank, entity, gain, tau) — the K picks of the
+    descending-thresholds greedy over the (entity, doc_id) set system,
+    in selection order with the marginal gain and threshold at
+    admission."""
+    from hebrew_ner_spark.operators.canonicalize import _lineage_breaker
+    from hebrew_ner_spark.operators.graphstats import _evict, _persist
+
+    _evict("maxcover")
+    brk = _lineage_breaker(sets, None)
+    m = _persist("maxcover", sets.select("entity", "doc_id").distinct())
+
+    spark = sets.sparkSession
+    covered = brk(m.select("doc_id").where(F.lit(False)))
+    picks = brk(
+        spark.createDataFrame(
+            [], "pick_rank long, entity string, gain long, tau long"
+        )
+    )
+    tau0 = None
+    for t in range(rounds):
+        gains = (
+            m.join(covered, "doc_id", "left_anti")
+            .join(picks.select("entity"), "entity", "left_anti")
+            .groupBy("entity")
+            .agg(F.count("*").cast("long").alias("gain"))
+        )
+        if tau0 is None:
+            tau0 = brk(gains.agg(F.max("gain").cast("long").alias("tau0")))
+        n_picked = picks.agg(
+            F.coalesce(F.count("*"), F.lit(0)).cast("long").alias("np")
+        )
+        tau_t = F.expr(f"tau0 DIV {2 ** t}")
+        cand = (
+            gains.crossJoin(F.broadcast(tau0))
+            .crossJoin(F.broadcast(n_picked))
+            .where(
+                (tau_t >= 1)
+                & (F.col("gain") >= tau_t)
+                & (F.col("np") < k)
+            )
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.orderBy(F.desc("gain"), F.asc("entity"))
+                ),
+            )
+            .where(F.col("rk") + F.col("np") <= k)
+            .select(
+                (F.col("np") + F.col("rk")).cast("long").alias("pick_rank"),
+                "entity",
+                "gain",
+                tau_t.cast("long").alias("tau"),
+            )
+        )
+        cand = brk(cand)
+        picks = brk(picks.unionByName(cand))
+        covered = brk(
+            covered.unionByName(
+                m.join(cand.select("entity"), "entity").select("doc_id")
+            ).distinct()
+        )
+    return picks

@@ -62,6 +62,7 @@ _WINDOW = [
     "graph_modularity",
     "kg_temporal_reach",
     "kg_ppr_push",
+    "kg_seed_cover",
     # mention_model_neural: the former lone rows-only row now gates an
     # 8-row invariant summary (label histogram, BIOSE-legality count,
     # span count, positional md5 checksum) against a pinned VALUES
@@ -76,7 +77,7 @@ _WINDOW = [
     "sk_ams_f2",
     "sk_cms_join_est",
     # (sk_hll_registers / sk_kmv_sketch / sk_ams_counters /
-    # sk_cms_counters evicted
+    # sk_cms_counters / sk_len_log2_hist evicted
     # late-r4 for the trawling-core / modularity / temporal-reach /
     # push-PPR gates: their siblings keep each sketch family in-window
     # and all four ride the FULL artifact)
@@ -84,7 +85,6 @@ _WINDOW = [
     "sk_hll_merge",
     "sk_kmv_estimate",
     "sk_kmv_jaccard",
-    "sk_len_log2_hist",
     "sk_len_quantiles",
     "sk_weighted_quantiles",
     "dq_benford",
