@@ -287,3 +287,56 @@ def iqr_outliers(orders: DataFrame) -> DataFrame:
             ).cast("long").alias("n_high"),
         )
     )
+
+
+DP_SEED_A, DP_SEED_B = 271, 577
+
+
+def _geometric_half(h):
+    """Geometric(1/2) variate from a 60-bit hash in EXACT integer
+    bit arithmetic: the count of trailing ones of h. P(G = k) =
+    2^-(k+1) exactly (hash bits are uniform), computed portably as
+    bitlen(h XOR (h+1)) - 1 — no logs, no floats."""
+    return F.expr(
+        f"CAST(length(bin({h} ^ ({h} + 1))) AS BIGINT) - 1"
+    )
+
+
+def dp_count_release(df: DataFrame, key_col: str) -> DataFrame:
+    """(grp, true_count, noise, released) — epsilon = ln(2)
+    differentially-private count release per group via SEEDED discrete
+    Laplace noise: noise = G_a - G_b with G_* independent
+    Geometric(1/2) variates derived from the group key's portable
+    hash (difference of geometrics IS the discrete Laplace / two-sided
+    geometric with p = 1/2, the exact mechanism for sensitivity-1
+    counts at eps = ln 2; Ghosh-Roughgarden-Sundararajan 2009 show it
+    universally optimal for counts).
+
+    Determinism contract: production DP draws fresh randomness per
+    release; the ENGINE surface gated here is the mechanism plumbing —
+    exact integer noise generation from uniform bits, group-keyed
+    application, no floats — with the seed pinned so both engines
+    replay it. (true_count rides in the output as test surface; a real
+    release would project it away, and repeated releases must rotate
+    seeds — the per-release epsilon composes.)
+
+    Shape: one group count + two hash computations per GROUP row (not
+    per data row) — the noise join is group-grain, the count map-side
+    combinable."""
+    from hebrew_ner_spark.functions.hashing import phash_sql_expr
+
+    counts = df.groupBy(F.col(key_col).alias("grp")).agg(
+        F.count("*").cast("long").alias("true_count")
+    )
+    ha = phash_sql_expr("grp", DP_SEED_A)
+    hb = phash_sql_expr("grp", DP_SEED_B)
+    return counts.select(
+        "grp",
+        "true_count",
+        (_geometric_half(ha) - _geometric_half(hb)).cast("long").alias("noise"),
+    ).select(
+        "grp",
+        "true_count",
+        "noise",
+        (F.col("true_count") + F.col("noise")).cast("long").alias("released"),
+    )

@@ -63,6 +63,7 @@ _WINDOW = [
     "kg_temporal_reach",
     "kg_ppr_push",
     "kg_seed_cover",
+    "dq_dp_release",
     # mention_model_neural: the former lone rows-only row now gates an
     # 8-row invariant summary (label histogram, BIOSE-legality count,
     # span count, positional md5 checksum) against a pinned VALUES
@@ -77,7 +78,7 @@ _WINDOW = [
     "sk_ams_f2",
     "sk_cms_join_est",
     # (sk_hll_registers / sk_kmv_sketch / sk_ams_counters /
-    # sk_cms_counters / sk_len_log2_hist evicted
+    # sk_cms_counters / sk_len_log2_hist / flt_bloom_bits evicted
     # late-r4 for the trawling-core / modularity / temporal-reach /
     # push-PPR gates: their siblings keep each sketch family in-window
     # and all four ride the FULL artifact)
@@ -94,7 +95,6 @@ _WINDOW = [
     "rel_bitmap_words",
     "rel_bitmap_count",
     "flt_file_bloom_payoff",
-    "flt_bloom_bits",
     "flt_bloom_fp",
     "flt_bloom_join_equiv",
     "maint_eqdepth_hist",

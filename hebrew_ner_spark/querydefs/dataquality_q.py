@@ -229,3 +229,50 @@ def dq_iqr_outliers(spark, sf_dir):
     independent algorithms), fences cross-multiplied so no halves or
     floats exist anywhere (operators/dataquality.py iqr_outliers)."""
     return dataquality.iqr_outliers(load_table(spark, sf_dir, "orders"))
+
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from hebrew_ner_spark.functions.hashing import phash_duck as _phd  # noqa: E402
+from hebrew_ner_spark.operators.dataquality import (  # noqa: E402
+    DP_SEED_A as _DPA,
+    DP_SEED_B as _DPB,
+)
+
+
+def _geo_duck(h: str) -> str:
+    return f"(CAST(length(bin(xor({h}, {h} + 1))) AS BIGINT) - 1)"
+
+
+@query(
+    "dq_dp_release",
+    oracle=f"""
+    WITH dpc AS (
+      SELECT CAST(c_nationkey AS BIGINT) AS grp,
+             CAST(count(*) AS BIGINT) AS true_count
+      FROM customer GROUP BY 1
+    ),
+    dph AS (
+      SELECT grp, true_count,
+             {_phd("CAST(grp AS VARCHAR)", "_A_")} AS ha,
+             {_phd("CAST(grp AS VARCHAR)", "_B_")} AS hb
+      FROM dpc
+    )
+    SELECT grp, true_count,
+           CAST({_geo_duck('ha')} - {_geo_duck('hb')} AS BIGINT) AS noise,
+           CAST(true_count + {_geo_duck('ha')} - {_geo_duck('hb')}
+                AS BIGINT) AS released
+    FROM dph
+    """.replace("_A_", str(_DPA)).replace("_B_", str(_DPB)),
+)
+def dq_dp_release(spark, sf_dir):
+    """Seeded discrete-Laplace (eps = ln 2) count release per customer
+    nation: exact-integer geometric noise from trailing-ones bit
+    arithmetic — the DP mechanism plumbing, deterministic by pinned
+    seed (operators/dataquality.py dp_count_release)."""
+    from hebrew_ner_spark.operators.dataquality import dp_count_release
+
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "c_nationkey", F.col("c_nationkey").cast("long")
+    )
+    return dp_count_release(cust, "c_nationkey")

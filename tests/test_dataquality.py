@@ -154,3 +154,38 @@ def test_iqr_fence_boundary_is_strict(spark):
     out = dq.iqr_outliers(orders).collect()[0]
     assert (out.q1, out.q3) == (1, 4)
     assert out.n_high == 1  # only 10 (> 8.5); the fence itself excluded
+
+
+def test_dp_release_mechanism(spark):
+    """Seeded discrete-Laplace release: python bit-parity, exact
+    geometric marginals over many keys, zero-centered empirical mean."""
+    import hashlib
+
+    from hebrew_ner_spark.operators.dataquality import (
+        DP_SEED_A,
+        DP_SEED_B,
+        dp_count_release,
+    )
+
+    def phash(s, seed):
+        return int(hashlib.md5(f"{s}:{seed}".encode()).hexdigest()[:15], 16)
+
+    def geo(h):
+        return ((h ^ (h + 1)).bit_length()) - 1
+
+    rows = [(i % 200, i) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["grp", "x"])
+    out = {r.grp: r for r in dp_count_release(df, "grp").collect()}
+    assert len(out) == 200
+    for g, r in out.items():
+        want = geo(phash(g, DP_SEED_A)) - geo(phash(g, DP_SEED_B))
+        assert r.noise == want
+        assert r.released == r.true_count + r.noise
+        assert r.true_count == 10
+    # empirical: noise is symmetric-ish and small (geometric mean 1)
+    noises = [r.noise for r in out.values()]
+    assert abs(sum(noises)) < 100
+    assert any(n > 0 for n in noises) and any(n < 0 for n in noises)
+    # geometric(1/2) marginal: ~half the G draws are 0
+    gs = [geo(phash(g, DP_SEED_A)) for g in range(200)]
+    assert 60 < sum(1 for g in gs if g == 0) < 140
