@@ -64,6 +64,7 @@ _WINDOW = [
     "kg_ppr_push",
     "kg_seed_cover",
     "dq_dp_release",
+    "web_stable_matching",
     # mention_model_neural: the former lone rows-only row now gates an
     # 8-row invariant summary (label histogram, BIOSE-legality count,
     # span count, positional md5 checksum) against a pinned VALUES
@@ -89,7 +90,8 @@ _WINDOW = [
     "sk_len_quantiles",
     "sk_weighted_quantiles",
     "dq_benford",
-    "dq_orders_clean",
+    # (dq_orders_clean evicted late-r4 for the stable-matching gate:
+    # its corrupted twin carries the family's non-vacuous signal)
     "dq_orders_corrupted",
     "dq_anon_summary",
     "rel_bitmap_words",
