@@ -543,3 +543,84 @@ def ams_f2_estimate(items: DataFrame, item: str) -> DataFrame:
             " DIV (2 * f2_exact) AS BIGINT)"
         ).alias("rel_err_1e6"),
     )
+
+
+# --- priority sampling (Duffield-Lund-Thorup, JACM 2007) --------------------
+
+PS_K = 8
+PS_SEED = 907
+PS_M = 1 << 20  # hash-uniform denominator
+
+
+def priority_sample(weighted: DataFrame, k: int = PS_K) -> DataFrame:
+    """(item, w, u, prio, in_sample, est) — priority sampling: the
+    k-item weighted sample whose per-item estimator
+    ``est = max(w, tau)`` (tau = the (k+1)-th priority) makes ANY
+    subset-sum unbiasedly estimable from the sample alone — the DLT
+    result that one extra sample slot buys near-optimal variance
+    (Szegedy 2006). THE way to keep a tiny weighted representative of
+    a huge keyed aggregate (host traffic, entity evidence) that still
+    answers group-sum queries.
+
+    Pinned integer formulation: u = portable_hash(item) % M + 1 (a
+    uniform integer in [1, M]); priority = (w * M) DIV u — the integer
+    surrogate of the classical q = w/u' with u' = u/M uniform in
+    (0, 1], identical on both engines (the truncation perturbs ranks
+    only where true priorities are within one part in M, and BOTH
+    engines truncate identically, so the schedule is deterministic);
+    tau = the (k+1)-th largest priority (ties broken by item id);
+    in_sample = rank <= k; est = greatest(w, tau) inside the sample,
+    0 outside. Items with w >= tau are "certainties" and carry their
+    exact weight — the DLT structural property pytest pins.
+
+    Shape: one rank window over the ITEM-grain weight table (items =
+    groups, already aggregated — tiny relative to data), tau folded
+    back by broadcast; nothing touches the underlying data twice.
+    ``weighted`` must carry columns (item, w)."""
+    from hebrew_ner_spark.functions.hashing import phash_col
+
+    from pyspark.sql import Window
+
+    pr = weighted.select(
+        "item",
+        F.col("w").cast("long").alias("w"),
+        (phash_col(F.col("item").cast("string"), PS_SEED) % PS_M + 1)
+        .cast("long")
+        .alias("u"),
+    ).select(
+        "item",
+        "w",
+        "u",
+        F.expr(f"(w * {PS_M}) DIV u").cast("long").alias("prio"),
+    )
+    ranked = pr.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.desc("prio"), F.asc("item"))),
+    )
+    tau = ranked.where(F.col("rk") == k + 1).select(
+        F.col("prio").alias("tau")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tau))
+        .select(
+            "item",
+            "w",
+            "u",
+            "prio",
+            (F.col("rk") <= k).cast("long").alias("in_sample"),
+            F.when(
+                F.col("rk") <= k, F.greatest(F.col("w"), F.col("tau"))
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("est"),
+        )
+    )
+
+
+def host_weights(docs: DataFrame) -> DataFrame:
+    """(item, w) — documents per host, the weighted universe for the
+    priority-sample gate."""
+    return docs.groupBy(
+        (F.col("doc_id") % 64).cast("long").alias("item")
+    ).agg(F.count("*").cast("long").alias("w"))

@@ -65,6 +65,7 @@ _WINDOW = [
     "kg_seed_cover",
     "dq_dp_release",
     "web_stable_matching",
+    "sk_priority_sample",
     # mention_model_neural: the former lone rows-only row now gates an
     # 8-row invariant summary (label histogram, BIOSE-legality count,
     # span count, positional md5 checksum) against a pinned VALUES
@@ -94,7 +95,8 @@ _WINDOW = [
     # its corrupted twin carries the family's non-vacuous signal)
     "dq_orders_corrupted",
     "dq_anon_summary",
-    "rel_bitmap_words",
+    # (rel_bitmap_words evicted late-r4 for the priority-sample gate:
+    # rel_bitmap_count keeps the bitmap family in-window)
     "rel_bitmap_count",
     "flt_file_bloom_payoff",
     "flt_bloom_fp",

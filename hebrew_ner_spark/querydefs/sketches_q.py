@@ -404,3 +404,49 @@ def sk_ams_f2(spark, sf_dir):
     return sketches.ams_f2_estimate(
         sketches.doc_tokens(_docs(spark, sf_dir)), "token"
     )
+
+
+from hebrew_ner_spark.functions.hashing import phash_duck as _ps_phd  # noqa: E402
+from hebrew_ner_spark.operators.sketches import (  # noqa: E402
+    PS_K as _PS_K,
+    PS_M as _PS_M,
+    PS_SEED as _PS_SEED,
+)
+
+_PS_H = _ps_phd("CAST(item AS VARCHAR)", _PS_SEED)
+
+
+@query(
+    "sk_priority_sample",
+    oracle=f"""
+    WITH psw AS (
+      SELECT CAST(doc_id % 64 AS BIGINT) AS item,
+             CAST(count(*) AS BIGINT) AS w
+      FROM documents GROUP BY 1
+    ),
+    psp AS (
+      SELECT item, w, ({_PS_H}) % {_PS_M} + 1 AS u,
+             CAST((w * {_PS_M}) // (({_PS_H}) % {_PS_M} + 1) AS BIGINT) AS prio
+      FROM psw
+    ),
+    psr AS (
+      SELECT item, w, u, prio,
+             row_number() OVER (ORDER BY prio DESC, item ASC) AS rk
+      FROM psp
+    ),
+    pst AS (SELECT prio AS tau FROM psr WHERE rk = {_PS_K + 1})
+    SELECT r.item, r.w, CAST(r.u AS BIGINT) AS u, r.prio,
+           CAST(CASE WHEN r.rk <= {_PS_K} THEN 1 ELSE 0 END AS BIGINT)
+             AS in_sample,
+           CAST(CASE WHEN r.rk <= {_PS_K} THEN greatest(r.w, t.tau)
+                ELSE 0 END AS BIGINT) AS est
+    FROM psr r CROSS JOIN pst t
+    """,
+)
+def sk_priority_sample(spark, sf_dir):
+    """Priority sampling (DLT): k-item weighted host sample with the
+    max(w, tau) subset-sum estimator, deterministic by pinned hash
+    (operators/sketches.py priority_sample)."""
+    return sketches.priority_sample(
+        sketches.host_weights(_docs(spark, sf_dir))
+    )

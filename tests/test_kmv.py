@@ -89,3 +89,43 @@ def test_portable_hash_parity():
     assert phash_py("abc", 77) == int(
         __import__("hashlib").md5(b"abc:77").hexdigest()[:15], 16
     )
+
+
+def test_priority_sample_dlt_properties(spark):
+    """DLT structure: python parity, certainties carry exact weight,
+    estimator total tracks the true total within the k-sample error."""
+    import hashlib
+
+    from hebrew_ner_spark.operators.sketches import (
+        PS_K,
+        PS_M,
+        PS_SEED,
+        priority_sample,
+    )
+
+    rows = [(i, (i * 37) % 90 + 10) for i in range(100)]
+    # one mega-weight item: must be a certainty (w >= tau -> est == w)
+    rows.append((999, 100_000))
+    df = spark.createDataFrame(rows, ["item", "w"])
+    out = {r.item: r for r in priority_sample(df).collect()}
+
+    def phash(s, seed):
+        return int(hashlib.md5(f"{s}:{seed}".encode()).hexdigest()[:15], 16)
+
+    pr = {
+        i: (w * PS_M) // (phash(i, PS_SEED) % PS_M + 1) for i, w in rows
+    }
+    order = sorted(pr, key=lambda i: (-pr[i], i))
+    sample, tau = set(order[:PS_K]), pr[order[PS_K]]
+    assert {i for i, r in out.items() if r.in_sample} == sample
+    for i, r in out.items():
+        assert r.prio == pr[i]
+        assert r.est == (max(dict(rows)[i], tau) if i in sample else 0)
+    # the mega item is sampled and estimates itself exactly
+    assert out[999].in_sample == 1 and out[999].est == 100_000
+    # unbiasedness sanity: estimator total within 60% of truth on this
+    # single draw (variance bound ~ W^2/(k-1); the mega certainty
+    # carries most of the mass exactly)
+    truth = sum(w for _, w in rows)
+    est = sum(r.est for r in out.values())
+    assert abs(est - truth) < 0.6 * truth
