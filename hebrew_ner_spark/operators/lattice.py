@@ -144,6 +144,32 @@ def build_lattice(docs: DataFrame) -> DataFrame:
     ).select("doc_id", "word_index", "e.edge_order", "e.from_v", "e.to_v", "e.form")
 
 
+def _carry_groups(process):
+    """Wrap a batch kernel so (doc_id, word_index) groups split across
+    Arrow batch boundaries are processed whole: the trailing group of
+    each batch is carried into the next. Shared by ``prune_lattice`` and
+    ``prune_merge_labels``."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last_doc = pdf["doc_id"].iloc[-1]
+            last_wi = pdf["word_index"].iloc[-1]
+            tail = (pdf["doc_id"] == last_doc) & (pdf["word_index"] == last_wi)
+            carry = pdf.loc[tail]
+            head = pdf.loc[~tail]
+            if len(head):
+                yield process(head)
+        if carry is not None and len(carry):
+            yield process(carry)
+
+    return _run
+
+
 def prune_lattice(
     lattice: DataFrame, splitting: DataFrame, fallback: bool = True
 ) -> DataFrame:
@@ -216,27 +242,96 @@ def prune_lattice(
             keep[s:e] = pattern
         return pdf.loc[keep, cols]
 
-    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            if not len(pdf):
-                continue
-            last_doc = pdf["doc_id"].iloc[-1]
-            last_wi = pdf["word_index"].iloc[-1]
-            tail = (pdf["doc_id"] == last_doc) & (pdf["word_index"] == last_wi)
-            carry = pdf.loc[tail]
-            head = pdf.loc[~tail]
-            if len(head):
-                yield _process(head)
-        if carry is not None and len(carry):
-            yield _process(carry)
+    # No repartition: the hinted SMJ output already co-locates every
+    # (doc_id, word_index) group (its partitioning carries the join
+    # keys), so a second full shuffle of the edge table bought nothing —
+    # only the within-partition sort is needed for group contiguity.
+    part = joined.sortWithinPartitions("doc_id", "word_index", "edge_order")
+    return part.mapInPandas(_carry_groups(_process), EDGE_SCHEMA)
 
-    part = joined.repartition("doc_id").sortWithinPartitions(
-        "doc_id", "word_index", "edge_order"
-    )
-    return part.mapInPandas(_run, EDGE_SCHEMA)
+
+MERGED_SCHEMA = "doc_id long, word_index long, multi_label string"
+
+
+def prune_merge_labels(edge_rows: DataFrame, fallback: bool = True) -> DataFrame:
+    """Fused G1-G3 DFS prune + J2/A4 label merge for the hybrid lifecycle.
+
+    ``edge_rows`` is EDGE-grain (doc_id, word_index, edge_order, from_v,
+    to_v, mlabel, splitting) with each (doc_id, word_index) group
+    contiguous and in edge_order within its partition — document order
+    out of ``posexplode`` qualifies, so NO shuffle or sort is required
+    upstream. Output is TOKEN-grain (doc_id, word_index, multi_label):
+    each token's lattice is DFS-pruned (``prune_edge_group``, the
+    reference's semantics at yap_graph.py:86-105) and the mlabels of the
+    surviving labelled edges are '^'-joined in edge order — exactly the
+    md⋈mlabels inner join + ordered concat aggregate (ner.py:145-160),
+    minus their two shuffles. Tokens whose surviving edges carry no
+    mlabel emit nothing (the inner-join-drops-all case).
+
+    This kernel is why the 1M-doc hybrid chain went from 6 shuffled
+    stages to a single zero-exchange pass; the keep-pattern memo and the
+    single-edge fast path keep per-group Python near zero.
+    """
+    memo: dict = {}
+
+    def _process(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        doc = pdf["doc_id"].to_numpy()
+        wi = pdf["word_index"].to_numpy()
+        fv = pdf["from_v"].to_numpy()
+        tv = pdf["to_v"].to_numpy()
+        sp = pdf["splitting"].to_numpy()
+        lab = pdf["mlabel"].to_numpy(dtype=object)
+        bounds = np.flatnonzero(
+            np.concatenate(
+                ([True], (doc[1:] != doc[:-1]) | (wi[1:] != wi[:-1]), [True])
+            )
+        )
+        starts, ends = bounds[:-1], bounds[1:]
+        sizes = ends - starts
+        single = sizes == 1
+
+        # fast path (vectorized): a 1-edge lattice always keeps its edge
+        # (exact-length when splitting == 1, keep-all fallback otherwise)
+        s_idx = starts[single]
+        s_idx = s_idx[pd.notna(lab[s_idx])]
+        out = [
+            pd.DataFrame(
+                {
+                    "doc_id": doc[s_idx],
+                    "word_index": wi[s_idx],
+                    "multi_label": lab[s_idx],
+                }
+            )
+        ]
+
+        o_doc: list = []
+        o_wi: list = []
+        o_ml: list = []
+        for s, e in zip(starts[~single], ends[~single]):
+            key = (fv[s:e].tobytes(), tv[s:e].tobytes(), int(sp[s]))
+            pattern = memo.get(key)
+            if pattern is None:
+                edges = list(zip(fv[s:e].tolist(), tv[s:e].tolist()))
+                valid = prune_edge_group(edges, int(sp[s]), fallback)
+                pattern = np.fromiter((pair in valid for pair in edges), dtype=bool)
+                memo[key] = pattern
+            kept = lab[s:e][pattern]
+            kept = kept[pd.notna(kept)]
+            if len(kept):
+                o_doc.append(doc[s])
+                o_wi.append(wi[s])
+                o_ml.append("^".join(kept))
+        if o_ml:
+            out.append(
+                pd.DataFrame(
+                    {"doc_id": o_doc, "word_index": o_wi, "multi_label": o_ml}
+                )
+            )
+        return pd.concat(out, ignore_index=True) if len(out) > 1 else out[0]
+
+    return edge_rows.mapInPandas(_carry_groups(_process), MERGED_SCHEMA)
 
 
 def filter_lattice_by_edges(lattice: DataFrame, valid_edges: DataFrame) -> DataFrame:
