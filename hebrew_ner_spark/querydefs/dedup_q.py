@@ -444,6 +444,59 @@ def dedup_ssjoin_exact(spark, sf_dir):
     return _ssj.ssjoin_pairs(_docs(spark, sf_dir))
 
 
+@query(
+    "dedup_ssjoin_routing",
+    oracle=f"""
+    WITH ssr_tok AS (
+      SELECT doc_id, unnest({shingles_duck('toks', K)}) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+    ssr_df AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df
+               FROM ssr_tok GROUP BY shingle),
+    ssr_sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS s
+               FROM ssr_tok GROUP BY doc_id),
+    ssr_ord AS (
+      SELECT t.doc_id, t.shingle, z.s,
+             row_number() OVER (PARTITION BY t.doc_id
+                                ORDER BY d.df, t.shingle) AS rn
+      FROM ssr_tok t JOIN ssr_df d USING (shingle)
+      JOIN ssr_sz z USING (doc_id)),
+    ssr_pref AS (
+      SELECT doc_id, shingle FROM ssr_ord WHERE rn <= {_SSJ_PREF_LEN}),
+    ssr_occ AS (
+      SELECT shingle, CAST(count(*) AS BIGINT) AS n
+      FROM ssr_pref GROUP BY shingle HAVING count(*) > 1),
+    ssr_hist AS (
+      SELECT n, CAST(count(*) AS BIGINT) AS cnt FROM ssr_occ GROUP BY n),
+    ssr_nd AS (
+      SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM ssr_pref),
+    ssr_cum AS (
+      SELECT n, sum(cnt * (n * (n - 1) // 2)) OVER (ORDER BY n) AS cum_pairs
+      FROM ssr_hist),
+    ssr_eff AS (
+      SELECT CAST(least(coalesce(max(c.n), 1), {_ssj.SSJ_CAP}) AS BIGINT)
+               AS eff_cap
+      FROM ssr_cum c, ssr_nd
+      WHERE c.cum_pairs <= ssr_nd.nd * {_ssj.SSJ_PAIRS_PER_DOC}),
+    ssr_over AS (
+      SELECT o.shingle FROM ssr_occ o, ssr_eff e WHERE o.n > e.eff_cap),
+    ssr_routed AS (
+      SELECT DISTINCT p.doc_id FROM ssr_pref p JOIN ssr_over USING (shingle))
+    SELECT e.eff_cap,
+           (SELECT CAST(count(*) AS BIGINT) FROM ssr_over) AS n_over_shingles,
+           (SELECT CAST(count(*) AS BIGINT) FROM ssr_routed) AS n_routed_docs
+    FROM ssr_eff e
+    """,
+)
+def dedup_ssjoin_routing(spark, sf_dir):
+    """Occupancy-budget routing report for the exact set-similarity tier
+    (round 5): the effective per-bucket cap derived from the prefix
+    occupancy histogram under the pairs-per-doc budget, and how many
+    shingles/docs were routed to the MinHash tier under it. The oracle
+    replays the histogram -> running-sum -> cap derivation exactly
+    (operators/ssjoin.py _effective_cap)."""
+    return _ssj.ssjoin_routing_report(_docs(spark, sf_dir))
+
+
 _CNT_PREF_LEN = f"s - (({_ssj.CONT_NUM} * s + {_ssj.CONT_DEN} - 1) // {_ssj.CONT_DEN}) + 1"
 
 

@@ -93,15 +93,40 @@ class TestSsjoinExactness:
 
 
 class TestSsjoinCap:
-    def test_overcap_prefix_shingle_surfaces(self, spark):
+    def test_overcap_prefix_shingle_routes_to_lsh(self, spark):
         # 6 identical docs share every prefix shingle; cap=4 -> every
-        # prefix shingle overflows, pairs are suppressed NON-silently
+        # prefix shingle exceeds the effective cap. Round-5 default:
+        # the over-cap docs ROUTE through the LSH tier (identical docs
+        # share every band bucket) and all pairs come back exact-verified
         docs = spark.createDataFrame(
             [(i, "x y z w v u t s") for i in range(6)], ["doc_id", "text"]
         )
-        assert ssjoin.ssjoin_pairs(docs, cap=4).count() == 0
+        assert ssjoin.ssjoin_pairs(docs, cap=4).count() == 15  # C(6,2)
+        # the exactness suspension is loud either way
         over = ssjoin.ssjoin_overflow(docs, cap=4).collect()
         assert over and all(r.n_docs == 6 for r in over)
+        [rep] = ssjoin.ssjoin_routing_report(docs, cap=4).collect()
+        assert rep.eff_cap == 4 and rep.n_routed_docs == 6
+        assert rep.n_over_shingles == len(over)
+
+    def test_overcap_without_routing_suppresses(self, spark):
+        # route=False preserves the pre-budget behavior: over-cap pairs
+        # are suppressed, surfaced by the overflow report only
+        docs = spark.createDataFrame(
+            [(i, "x y z w v u t s") for i in range(6)], ["doc_id", "text"]
+        )
+        assert ssjoin.ssjoin_pairs(docs, cap=4, route=False).count() == 0
+
+    def test_budget_derives_effective_cap(self, spark):
+        # 8 identical docs, static cap generous, but a 1-pair/doc budget
+        # admits nothing at occupancy 8 (28 pairs/bucket > 8 pairs total)
+        # -> everything routes; output still complete via the LSH tier
+        docs = spark.createDataFrame(
+            [(i, "x y z w v u t s") for i in range(8)], ["doc_id", "text"]
+        )
+        [rep] = ssjoin.ssjoin_routing_report(docs, pairs_per_doc=1).collect()
+        assert rep.eff_cap == 1 and rep.n_routed_docs == 8
+        assert ssjoin.ssjoin_pairs(docs, pairs_per_doc=1).count() == 28
 
     def test_under_cap_unaffected(self, spark):
         docs = spark.createDataFrame(
