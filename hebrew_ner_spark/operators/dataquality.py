@@ -302,7 +302,9 @@ def _geometric_half(h):
     )
 
 
-def dp_count_release(df: DataFrame, key_col: str) -> DataFrame:
+def dp_count_release(
+    df: DataFrame, key_col: str, release_seeds: tuple[int, int]
+) -> DataFrame:
     """(grp, true_count, noise, released) — epsilon = ln(2)
     differentially-private count release per group via SEEDED discrete
     Laplace noise: noise = G_a - G_b with G_* independent
@@ -315,10 +317,14 @@ def dp_count_release(df: DataFrame, key_col: str) -> DataFrame:
     Determinism contract: production DP draws fresh randomness per
     release; the ENGINE surface gated here is the mechanism plumbing —
     exact integer noise generation from uniform bits, group-keyed
-    application, no floats — with the seed pinned so both engines
-    replay it. (true_count rides in the output as test surface; a real
-    release would project it away, and repeated releases must rotate
-    seeds — the per-release epsilon composes.)
+    application, no floats. ``release_seeds`` is therefore REQUIRED
+    (no default, ADVICE r4): noise derived from (key, seed) is exactly
+    invertible by anyone who knows the seed, so a pinned seed must be
+    an explicit opt-in test configuration (the gate passes the module
+    constants), never an ambient default a production caller could
+    inherit. A real release must draw a fresh nonce per release — the
+    per-release epsilon composes — and project true_count away
+    (true_count rides in the output here as test surface only).
 
     Shape: one group count + two hash computations per GROUP row (not
     per data row) — the noise join is group-grain, the count map-side
@@ -328,8 +334,9 @@ def dp_count_release(df: DataFrame, key_col: str) -> DataFrame:
     counts = df.groupBy(F.col(key_col).alias("grp")).agg(
         F.count("*").cast("long").alias("true_count")
     )
-    ha = phash_sql_expr("grp", DP_SEED_A)
-    hb = phash_sql_expr("grp", DP_SEED_B)
+    seed_a, seed_b = release_seeds
+    ha = phash_sql_expr("grp", int(seed_a))
+    hb = phash_sql_expr("grp", int(seed_b))
     return counts.select(
         "grp",
         "true_count",

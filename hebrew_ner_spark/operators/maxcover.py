@@ -124,4 +124,34 @@ def threshold_greedy_cover(
                 m.join(cand.select("entity"), "entity").select("doc_id")
             ).distinct()
         )
+    # exhaustion guard (ADVICE r4): the docstring promises the tau sweep
+    # runs to 1 — if tau0 >= 2^rounds the budget ends the sweep above 1
+    # and fewer than k picks return SILENTLY. Fewer-than-k picks is
+    # legitimate only when no admissible candidate remains (universe out
+    # of positive-gain sets — always true once the tau = 1 round has
+    # run); otherwise the budget genuinely truncated the schedule and
+    # the repo's raise-on-budget-exhaustion discipline applies. Three
+    # driver-sized post-loop probes on tiny checkpointed state, and the
+    # candidate probe only fires on the already-exceptional short-pick
+    # path.
+    n_picked = picks.count()
+    if n_picked < k:
+        t0_rows = tau0.collect() if tau0 is not None else []
+        t0 = t0_rows[0]["tau0"] if t0_rows and t0_rows[0]["tau0"] is not None else 0
+        tau_final = t0 // (2 ** (rounds - 1))
+        if tau_final > 1:
+            admissible = (
+                m.join(covered, "doc_id", "left_anti")
+                .join(picks.select("entity"), "entity", "left_anti")
+                .limit(1)
+                .count()
+            )
+            if admissible:
+                raise RuntimeError(
+                    f"threshold_greedy_cover: only {n_picked}/{k} picks, the "
+                    f"tau sweep stopped at tau0 DIV 2^{rounds - 1} = "
+                    f"{tau_final} > 1 (tau0 = {t0}) with positive-gain "
+                    "candidates remaining — raise rounds to >= log2(tau0) + 1 "
+                    "so the sweep runs to 1"
+                )
     return picks

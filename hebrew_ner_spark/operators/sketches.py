@@ -597,8 +597,18 @@ def priority_sample(weighted: DataFrame, k: int = PS_K) -> DataFrame:
         "rk",
         F.row_number().over(Window.orderBy(F.desc("prio"), F.asc("item"))),
     )
-    tau = ranked.where(F.col("rk") == k + 1).select(
-        F.col("prio").alias("tau")
+    # tau as a 1-row AGGREGATE, not a filtered row: when the universe
+    # has <= k items no (k+1)-th priority exists and a where(rk == k+1)
+    # table would be EMPTY — the broadcast crossJoin below would then
+    # annihilate every row (a silently wrong empty sample). DLT defines
+    # this regime as tau = 0 with every item a certainty (est = w),
+    # which coalesce gives exactly (ADVICE r4).
+    tau = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("rk") == k + 1, F.col("prio"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("tau")
     )
     return (
         ranked.crossJoin(F.broadcast(tau))

@@ -174,10 +174,28 @@ def jp_coloring(
         newly = used.select(
             F.col("v").alias("vertex"),
             F.expr(
-                f"filter(sequence(0, {max_color}), c -> NOT array_contains(used, c))[0]"
+                # get(), not [0]: under ANSI an exhausted palette makes
+                # the filtered array EMPTY and [0] throws a bare
+                # INVALID_ARRAY_INDEX mid-checkpoint; get() yields NULL
+                # so the palette guard below raises the diagnosable error
+                f"get(filter(sequence(0, {max_color}),"
+                f" c -> NOT array_contains(used, c)), 0)"
             ).cast("long").alias("color"),
         )
         newly = brk(newly)
+        # palette-exhaustion guard (ADVICE r4): filter(sequence(0, max_color))
+        # of a fully-used palette yields NULL — without this check the
+        # vertex would leave the uncolored set carrying a NULL color and
+        # the round-budget guard below would never fire (a silent wrong
+        # result on any graph with a degree above JP_MAX_COLOR). The
+        # probe is one count on the just-checkpointed round delta.
+        n_null = newly.where(F.col("color").isNull()).count()
+        if n_null:
+            raise RuntimeError(
+                f"jp_coloring: {n_null} vertices exhausted the color "
+                f"palette [0, {max_color}] — a neighborhood uses every "
+                "color; raise JP_MAX_COLOR (>= the graph's max degree)"
+            )
         colored = newly if colored is None else colored.unionByName(newly)
         colored = brk(colored)
         uncolored = brk(

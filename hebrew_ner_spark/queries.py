@@ -24,109 +24,83 @@ import hebrew_ner_spark.querydefs  # noqa: F401,E402  (registration side-effect)
 
 _WINDOW = [
     # ------------------------------------------------------------------
-    # ROUND-4 WHOLESALE ROTATION (VERDICT r3 "do this" #4): the r3
-    # window's 50 rows are all driver-green in CORRECTNESS_r03.json, so
+    # ROUND-5 WHOLESALE ROTATION (VERDICT r4 "do this" #6): the r4
+    # window's 50 rows are all driver-green in CORRECTNESS_r04.json, so
     # the whole window rotates to (a) queries added or semantically
-    # changed in round 4, then (b) the judge-named NEVER-driver-windowed
-    # families — the sk_* sketch plane, dq_benford + the dq_orders pair,
-    # rel_bitmap_*, the bloom plane incl. flt_file_bloom_payoff, the
-    # maint histogram/MERGE/MoR siblings — then (c) other high-risk
-    # never-windowed rows (custom WARC DataSource, multimodal hashes,
-    # decontamination, curation lifecycle, graph-structure plane).
+    # changed in round 5, then (b) the judge-named NEVER-driver-windowed
+    # long tail (kg_align_*, kg_sameas_components, burst_*,
+    # flt_bloom_bits, zx_*, evt_transitions, kg_wl_*), then (c) other
+    # high-risk never-windowed rows across every remaining family.
     # Everything rotated out has >= 1 round of driver-green history and
     # rides CORRECTNESS_FULL.json (full-registry run, committed each
-    # round); per-query r1-r3 rotation rationale lives in git history
+    # round); per-query r1-r4 rotation rationale lives in git history
     # of this file.
     # ------------------------------------------------------------------
-    # (a) added or changed this round
-    # -- the 15 round-4 EXTENSION operators (meta-blocking, walk/path
-    # centrality, symmetry breaking, degree structure, CPM scheduling,
-    # SALSA, RAKE, PSI): all brand-new this round, zero driver history,
-    # so they take window priority per policy rule (a)
-    "er_metablock_purged",
-    "er_metablocking",
-    "cent_katz",
-    "cent_betweenness",
-    "cent_closeness",
-    "cent_eccentricity",
-    "cent_harmonic_exact",
-    "graph_mis_luby",
+    # (a) added or semantically changed in round 5
+    # -- the fused hybrid lifecycle (zero-exchange plan) + its staged
+    # twin (same oracle; proves fused == staged in the driver artifact)
+    "hybrid_pipeline",
+    "hybrid_pipeline_staged",
+    # -- occupancy-budgeted exact similarity joins + the routing gate
+    # that replays the adaptive-cap derivation in DuckDB
+    "dedup_ssjoin_exact",
+    "dedup_containment",
+    "dedup_ssjoin_routing",
+    # -- combined-state deferred acceptance + reliable round tables
+    "web_stable_matching",
+    # -- ADVICE-fix surfaces: tau-as-aggregate, get()-based coloring,
+    # sweep-exhaustion guard, explicit release seeds
+    "sk_priority_sample",
     "graph_coloring_jp",
-    "graph_assortativity",
-    "graph_rich_club",
-    "dag_cpm_schedule",
-    "kg_salsa",
-    "txt_rake_keyphrases",
-    "txt_drift_psi",
-    "web_trawling_core",
-    "graph_modularity",
-    "kg_temporal_reach",
-    "kg_ppr_push",
     "kg_seed_cover",
     "dq_dp_release",
-    "web_stable_matching",
-    "sk_priority_sample",
-    # mention_model_neural: the former lone rows-only row now gates an
-    # 8-row invariant summary (label histogram, BIOSE-legality count,
-    # span count, positional md5 checksum) against a pinned VALUES
-    # oracle recomputed independently by tests/test_encoder.py — the
-    # riskiest changed gate this round
-    "mention_model_neural",
-    # kg_bgp_match: the disconnected-pattern cartesian guard touched the
-    # leg-chaining path this round; the gate proves the default
-    # (connected) pattern's behavior is unchanged
-    "kg_bgp_match",
-    # (b) judge-named never-windowed families
-    "sk_ams_f2",
-    "sk_cms_join_est",
-    # (sk_hll_registers / sk_kmv_sketch / sk_ams_counters /
-    # sk_cms_counters / sk_len_log2_hist / flt_bloom_bits evicted
-    # late-r4 for the trawling-core / modularity / temporal-reach /
-    # push-PPR gates: their siblings keep each sketch family in-window
-    # and all four ride the FULL artifact)
-    "sk_hll_estimate",
-    "sk_hll_merge",
-    "sk_kmv_estimate",
-    "sk_kmv_jaccard",
-    "sk_len_quantiles",
-    "sk_weighted_quantiles",
-    "dq_benford",
-    # (dq_orders_clean evicted late-r4 for the stable-matching gate:
-    # its corrupted twin carries the family's non-vacuous signal)
-    "dq_orders_corrupted",
-    "dq_anon_summary",
-    # (rel_bitmap_words evicted late-r4 for the priority-sample gate:
-    # rel_bitmap_count keeps the bitmap family in-window)
-    "rel_bitmap_count",
-    "flt_file_bloom_payoff",
-    "flt_bloom_fp",
-    "flt_bloom_join_equiv",
-    "maint_eqdepth_hist",
-    "maint_merge_upsert",
-    "maint_mor_stats",
-    "maint_join_advisor",
-    "maint_commit_conflicts",
-    # (c) other never-driver-windowed risk, by family. Evicted late-r4
-    # to make room for the 15 extension gates (each evictee rides the
-    # committed FULL artifact, and several were judge re-run green in
-    # r3): maint_mor_read, web_hyperball, web_bowtie, web_host_scc,
-    # stream_stateful_totals (all five judge-sampled green r3),
-    # ext_main_content, mm_video_keyframes, trn_contamination,
-    # cur_pipeline, cur_passage_dedup, kg_facts_asof,
-    # kg_completeness_capture, srch_postings_delta,
-    # stream_event_windows, cc_incremental.
-    "ext_warc_roundtrip",
-    "ext_warc_to_triples",
-    "mm_ahash_pairs",
-    "trn_decontaminate",
-    # cc_decremental — ADDED round 4 (the right-to-erasure component
-    # repair: forget-vertex splits no additive label-merge can express,
-    # vs the exact recursive closure over the surviving graph); takes
-    # the 50th slot from evt_funnel (a plain conversion-funnel aggregate
-    # whose machinery — typed-event filters + per-user windows — is
-    # exercised in-window by stream_event_windows and out-of-window by
-    # the full artifact)
-    "cc_decremental",
+    # (b) judge-named never-driver-windowed families
+    "kg_align_scores",
+    "kg_align_best",
+    "kg_sameas_components",
+    "burst_bins",
+    "burst_costs",
+    "burst_states",
+    "burst_intervals",
+    "flt_bloom_bits",
+    "zx_keys",
+    "zx_file_stats",
+    "zx_graph_gamma",
+    "evt_transitions",
+    "kg_wl_colors",
+    "kg_wl_partition",
+    # (c) other never-driver-windowed risk, one or two per family:
+    # model plane (beam k-best + batched tensor Viterbi), incremental
+    # CC, ER lifecycle, web-graph structure trio, walk/link-analysis
+    # plane, curation + training lifecycles, search plane, ANN planes
+    # (IVF / PQ / LSH / brute near-dup), extraction + multimodal,
+    # events, mirrors, BPE, streaming windows
+    "mention_model_nbest",
+    "mention_model_viterbi_tensor",
+    "cc_incremental",
+    "er_resolution",
+    "web_host_scc",
+    "web_bowtie",
+    "web_hyperball",
+    "kg_pagerank",
+    "kg_hits",
+    "kg_simrank",
+    "kg_ppr",
+    "cur_pipeline",
+    "cur_passage_dedup",
+    "trn_contamination",
+    "srch_bm25_batch",
+    "srch_rrf_hybrid",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "ann_lsh_topk",
+    "emb_near_dups",
+    "ext_main_content",
+    "mm_video_keyframes",
+    "evt_funnel",
+    "web_mirror_hosts",
+    "txt_bpe_merges",
+    "stream_event_windows",
 ]
 
 # Out-of-window this round: every other registered query — including the

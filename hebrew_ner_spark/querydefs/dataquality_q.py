@@ -275,4 +275,6 @@ def dq_dp_release(spark, sf_dir):
     cust = load_table(spark, sf_dir, "customer").withColumn(
         "c_nationkey", F.col("c_nationkey").cast("long")
     )
-    return dp_count_release(cust, "c_nationkey")
+    # the pinned seed pair is the explicit opt-in test configuration
+    # (release_seeds has no default — see the operator's docstring)
+    return dp_count_release(cust, "c_nationkey", (_DPA, _DPB))

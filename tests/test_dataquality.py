@@ -175,7 +175,10 @@ def test_dp_release_mechanism(spark):
 
     rows = [(i % 200, i) for i in range(2000)]
     df = spark.createDataFrame(rows, ["grp", "x"])
-    out = {r.grp: r for r in dp_count_release(df, "grp").collect()}
+    out = {
+        r.grp: r
+        for r in dp_count_release(df, "grp", (DP_SEED_A, DP_SEED_B)).collect()
+    }
     assert len(out) == 200
     for g, r in out.items():
         want = geo(phash(g, DP_SEED_A)) - geo(phash(g, DP_SEED_B))

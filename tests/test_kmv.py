@@ -129,3 +129,17 @@ def test_priority_sample_dlt_properties(spark):
     truth = sum(w for _, w in rows)
     est = sum(r.est for r in out.values())
     assert abs(est - truth) < 0.6 * truth
+
+
+def test_priority_sample_small_universe(spark):
+    """n <= k regression (ADVICE r4): no (k+1)-th priority exists, so
+    tau must be 0 and every item an in-sample certainty (est = w) —
+    not an empty result from a vanished tau row."""
+    from hebrew_ner_spark.operators.sketches import PS_K, priority_sample
+
+    rows = [(i, 10 * (i + 1)) for i in range(PS_K - 2)]
+    df = spark.createDataFrame(rows, ["item", "w"])
+    out = {r.item: r for r in priority_sample(df).collect()}
+    assert len(out) == len(rows)
+    for i, w in rows:
+        assert out[i].in_sample == 1 and out[i].est == w

@@ -68,3 +68,24 @@ def test_batch_admission_semantics(spark):
     )
     assert rows[0] == (1, "a", 8, 8) and rows[1] == (2, "b", 8, 8)
     assert rows[2][1] == "c" and rows[2][3] < 8
+
+
+def test_sweep_exhaustion_guard(spark):
+    """ADVICE r4: a round budget that stops the tau sweep above 1 while
+    positive-gain candidates remain must raise, not silently return a
+    short pick list; a genuinely exhausted universe stays silent."""
+    import pytest
+
+    # a(16 docs) picked in round 0; b(3 docs) never clears tau in 2
+    # rounds (16, 8) -> truncation with b still admissible -> raise
+    pairs = [("a", i) for i in range(16)] + [("b", 100 + i) for i in range(3)]
+    sets = spark.createDataFrame(pairs, ["entity", "doc_id"])
+    with pytest.raises(RuntimeError, match="sweep"):
+        maxcover.threshold_greedy_cover(sets, k=2, rounds=2)
+
+    # two sets, k = 3: both picked in round 0, nothing admissible
+    # remains -> 2 picks, no raise even though the sweep stops at 5
+    pairs = [("a", i) for i in range(10)] + [("b", 100 + i) for i in range(10)]
+    sets = spark.createDataFrame(pairs, ["entity", "doc_id"])
+    got = maxcover.threshold_greedy_cover(sets, k=3, rounds=2).collect()
+    assert sorted(r.entity for r in got) == ["a", "b"]

@@ -93,3 +93,13 @@ def test_round_budget_raises(spark):
         symbreak.luby_mis(und, max_rounds=2)
     with pytest.raises(RuntimeError, match="uncolored"):
         symbreak.jp_coloring(und, max_rounds=2)
+
+
+def test_jp_palette_exhaustion_raises(spark):
+    """ADVICE r4: a neighborhood that uses every color in
+    [0, max_color] must raise loudly, never emit a NULL color. A
+    triangle with max_color = 1 colors two vertices 0 and 1; the third
+    sees both and exhausts the two-color palette."""
+    und = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], ["a", "b"])
+    with pytest.raises(RuntimeError, match="palette"):
+        symbreak.jp_coloring(und, max_color=1)
