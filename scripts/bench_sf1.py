@@ -24,7 +24,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/root/repo/.benchdata/sf1")
 REPS = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
-REP_SKIP_SEC = 8.0
+# override for targeted re-measurement of slow rows: a first sample above
+# this bound is recorded as a single COLD sample (not comparable with a
+# warm median — exactly the artifact-noise class VERDICT r4 flagged on
+# the linkgraph headline)
+REP_SKIP_SEC = float(os.environ.get("SPARK_GRAFT_REP_SKIP_SEC", "8.0"))
 
 # the 15 slowest gates of BENCH_r03.json plus the hybrid chain
 SLOWEST = [
@@ -44,6 +48,12 @@ SLOWEST = [
     "dedup_ssjoin_exact",
     "kg_rdfs_types",
     "hybrid_pipeline",
+    # r5 (VERDICT r4 #8): the whole exact set-similarity family rides the
+    # committed artifact so the occupancy-budget fix is measurable
+    # round-over-round
+    "dedup_containment",
+    "dedup_ssjoin_routing",
+    "web_stable_matching",
 ]
 
 HEADLINES = [
@@ -129,6 +139,22 @@ def main() -> None:
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)),
         "sf_pair": [0.1, 1.0],
     }
+    # carry forward artifact sections a plain re-run does not regenerate
+    # (the r4 occupancy diagnostics and the 30-gate extended sweep), so
+    # round-over-round deltas stay comparable in one file
+    try:
+        with open("/root/repo/BENCH_SF1.json") as f:
+            prev = json.load(f)
+        for k in ("ssjoin_diag", "queries_extended"):
+            if k in prev and k not in out:
+                out[k] = prev[k]
+    except (OSError, json.JSONDecodeError):
+        pass
+    out["note"] = (
+        "r5 re-run after the fused hybrid plan and the occupancy-budgeted "
+        "exact similarity joins; ssjoin_diag/queries_extended carried from "
+        "the r4 artifact for comparison"
+    )
     with open("/root/repo/BENCH_SF1.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
