@@ -96,6 +96,12 @@ def _relax(state, edges, durs, brk, rounds, forward: bool):
                     F.greatest(
                         F.col("t"), F.coalesce("cand", F.col("t"))
                     ).cast("long").alias("t"),
+                    (
+                        F.greatest(
+                            F.col("t"), F.coalesce("cand", F.col("t"))
+                        ).cast("long")
+                        != F.col("t")
+                    ).alias("_chg"),
                 )
             )
         # backward: cand(v) = min over succs s: ls(s); then - dur(v)
@@ -116,11 +122,27 @@ def _relax(state, edges, durs, brk, rounds, forward: bool):
                     F.col("t"),
                     F.coalesce(F.col("cand") - F.col("dur"), F.col("t")),
                 ).cast("long").alias("t"),
+                (
+                    F.least(
+                        F.col("t"),
+                        F.coalesce(F.col("cand") - F.col("dur"), F.col("t")),
+                    ).cast("long")
+                    != F.col("t")
+                ).alias("_chg"),
             )
         )
 
     for _ in range(rounds):
-        state = brk(step(state))
+        # the _chg flag is computed inside the transition for free, so
+        # fixpoint detection is one filter count on the checkpointed
+        # round table (r5) — rounds past the fixpoint are provably
+        # no-ops (the relaxation is monotone and idempotent) that would
+        # otherwise still pay their joins and checkpoint.
+        nxt = brk(step(state))
+        done = nxt.where(F.col("_chg")).limit(1).count() == 0
+        state = nxt.select("v", "t")
+        if done:
+            break
     return state, step(state)
 
 

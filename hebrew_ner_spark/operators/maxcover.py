@@ -82,7 +82,21 @@ def threshold_greedy_cover(
         )
     )
     tau0 = None
+    tau0_val = None
     for t in range(rounds):
+        # early exits (r5): once the sweep threshold has passed 1 or the
+        # budget is spent, every later round is provably a no-op (the
+        # cand filter admits nothing) that would still pay its gains
+        # anti-joins and 3 checkpoints. tau0 is a checkpointed 1-row
+        # aggregate, so reading it after round 0 is a driver-sized
+        # scalar of the same class the post-loop exhaustion guard uses;
+        # the picks probe reads checkpointed state. The executed rounds
+        # — and therefore the deterministic schedule the gate hashes —
+        # are identical.
+        if tau0_val is not None and tau0_val // (2 ** t) < 1:
+            break
+        if t > 0 and picks.count() >= k:
+            break
         gains = (
             m.join(covered, "doc_id", "left_anti")
             .join(picks.select("entity"), "entity", "left_anti")
@@ -91,6 +105,10 @@ def threshold_greedy_cover(
         )
         if tau0 is None:
             tau0 = brk(gains.agg(F.max("gain").cast("long").alias("tau0")))
+            row = tau0.collect()
+            tau0_val = (
+                row[0]["tau0"] if row and row[0]["tau0"] is not None else 0
+            )
         n_picked = picks.agg(
             F.coalesce(F.count("*"), F.lit(0)).cast("long").alias("np")
         )

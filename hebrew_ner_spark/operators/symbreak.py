@@ -76,6 +76,13 @@ def luby_mis(und: DataFrame, max_rounds: int = MIS_MAX_ROUNDS) -> DataFrame:
     active = brk(verts.withColumn("p", _prio(F.col("v")).cast("long")))
     mis = None
     for _ in range(max_rounds):
+        # early exit (r5): an empty active set makes every later round
+        # a no-op that still pays 3 lineage-break checkpoints; the probe
+        # reads the just-checkpointed state. Result-identical — skipped
+        # rounds change nothing (same reason the oracle's extra unrolled
+        # rounds are identity).
+        if active.limit(1).count() == 0:
+            break
         act_e = (
             sym.join(active.select(F.col("v").alias("src")), "src")
             .join(
@@ -132,6 +139,11 @@ def jp_coloring(
     uncolored = brk(verts.withColumn("p", _prio(F.col("v")).cast("long")))
     colored = None
     for _ in range(max_rounds):
+        # early exit (r5): same no-op-round argument as luby_mis — an
+        # empty uncolored set means every later round is identity but
+        # would still pay its per-round checkpoints and the null probe.
+        if uncolored.limit(1).count() == 0:
+            break
         unc_e = (
             sym.join(uncolored.select(F.col("v").alias("src")), "src")
             .join(
