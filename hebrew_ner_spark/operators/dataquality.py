@@ -347,3 +347,108 @@ def dp_count_release(
         "noise",
         (F.col("true_count") + F.col("noise")).cast("long").alias("released"),
     )
+
+
+# --- two-sample Kolmogorov-Smirnov drift test -------------------------
+
+KS_ALPHA_C2_1E6 = 1_844_164  # c(0.05)^2 = 1.358^2 in micro-units
+
+
+def ks_two_sample(
+    samples: DataFrame, pair_col: str = "pair", src_col: str = "src",
+    val_col: str = "v",
+) -> DataFrame:
+    """(pair, n1, n2, d_num, d_den, ks_1e6, reject_05) — the exact
+    two-sample Kolmogorov-Smirnov statistic per comparison pair, over a
+    long-form input of (pair, src in {1, 2}, v BIGINT) observations.
+
+    Exactness contract: D = max_x |F1(x) - F2(x)| is computed as the
+    integer pair d_num = max |cum1 * n2 - cum2 * n1|, d_den = n1 * n2 —
+    one groupBy on (pair, v), one per-pair ordered window for the two
+    cumulative counts, one max aggregate. No floats until the DECISION,
+    where both engines evaluate the identical double expression
+    d_num^2 > c(alpha)^2 * (n1 + n2) * n1 * n2 (large-sample critical
+    value, alpha = 0.05); the gate corpus sits far from the boundary on
+    every pair, and d_num/d_den ride along so any flip is diagnosable.
+
+    Shape at 10^12 rows: state is distinct-value grain per pair (the
+    window sorts within pair only); n1/n2 are per-pair one-row
+    aggregates joined back broadcast-style. The same shape as the
+    equi-depth histogram builder (maintenance.py), with the drift
+    decision replacing the bucket emit. Cites Kolmogorov (1933) /
+    Smirnov (1939); the two-sided large-sample critical value is the
+    standard c(alpha) * sqrt((n1+n2)/(n1*n2)) form."""
+    from pyspark.sql import Window
+
+    counts = (
+        samples.groupBy(pair_col, val_col)
+        .agg(
+            F.sum(F.when(F.col(src_col) == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("c1"),
+            F.sum(F.when(F.col(src_col) == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("c2"),
+        )
+    )
+    w = Window.partitionBy(pair_col).orderBy(val_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.select(
+        pair_col,
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c2").over(w).alias("cum2"),
+    )
+    ns = samples.groupBy(pair_col).agg(
+        F.sum(F.when(F.col(src_col) == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col(src_col) == 2, 1).otherwise(0)).cast("long").alias("n2"),
+    )
+    d = (
+        cum.join(ns, pair_col)
+        .groupBy(pair_col, "n1", "n2")
+        .agg(
+            F.max(F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")))
+            .cast("long")
+            .alias("d_num")
+        )
+    )
+    return d.select(
+        F.col(pair_col).alias("pair"),
+        "n1",
+        "n2",
+        "d_num",
+        (F.col("n1") * F.col("n2")).cast("long").alias("d_den"),
+        F.expr("d_num * 1000000 DIV (n1 * n2)").cast("long").alias("ks_1e6"),
+        F.expr(
+            f"CAST(CAST(d_num AS DOUBLE) * CAST(d_num AS DOUBLE) * 1000000.0 > "
+            f"{KS_ALPHA_C2_1E6}.0 * CAST(n1 + n2 AS DOUBLE) * CAST(n1 AS DOUBLE) "
+            f"* CAST(n2 AS DOUBLE) AS BIGINT)"
+        ).alias("reject_05"),
+    )
+
+
+def orders_drift_samples(orders: DataFrame) -> DataFrame:
+    """(pair, src, v) — three KS comparison pairs over order totals in
+    integer cents: status_f_vs_o (two real subpopulations), parity_null
+    (odd/even orderkey split of ONE distribution — the calibration pair
+    that must accept), planted_drift (even keys vs odd keys scaled
+    +5% — must reject)."""
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    drift = F.expr("CAST(round(o_totalprice * 105) AS BIGINT)")
+    even = F.col("o_orderkey") % 2 == 0
+    f_vs_o = orders.where(F.col("o_orderstatus").isin("F", "O")).select(
+        F.lit("status_f_vs_o").alias("pair"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(2).alias("src"),
+        cents.alias("v"),
+    )
+    parity = orders.select(
+        F.lit("parity_null").alias("pair"),
+        F.when(even, 1).otherwise(2).alias("src"),
+        cents.alias("v"),
+    )
+    planted = orders.select(
+        F.lit("planted_drift").alias("pair"),
+        F.when(even, 1).otherwise(2).alias("src"),
+        F.when(even, cents).otherwise(drift).alias("v"),
+    )
+    return f_vs_o.unionByName(parity).unionByName(planted)

@@ -278,3 +278,74 @@ def dq_dp_release(spark, sf_dir):
     # the pinned seed pair is the explicit opt-in test configuration
     # (release_seeds has no default — see the operator's docstring)
     return dp_count_release(cust, "c_nationkey", (_DPA, _DPB))
+
+
+_KS_SAMPLES = """
+kss AS (
+  SELECT 'status_f_vs_o' AS pair,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 2 END AS src,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders WHERE o_orderstatus IN ('F', 'O')
+  UNION ALL
+  SELECT 'parity_null',
+         CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END,
+         CAST(round(o_totalprice * 100) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'planted_drift',
+         CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END,
+         CASE WHEN o_orderkey % 2 = 0
+              THEN CAST(round(o_totalprice * 100) AS BIGINT)
+              ELSE CAST(round(o_totalprice * 105) AS BIGINT) END
+  FROM orders
+)
+"""
+
+
+@query(
+    "dq_ks_drift",
+    oracle=f"""
+    WITH {_KS_SAMPLES},
+    ksc AS (
+      SELECT pair, v,
+             CAST(sum(CASE WHEN src = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN src = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM kss GROUP BY pair, v
+    ),
+    kscum AS (
+      SELECT pair,
+             sum(c1) OVER (PARTITION BY pair ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS cum1,
+             sum(c2) OVER (PARTITION BY pair ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS cum2
+      FROM ksc
+    ),
+    ksn AS (
+      SELECT pair,
+             CAST(sum(CASE WHEN src = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN src = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      FROM kss GROUP BY pair
+    ),
+    ksd AS (
+      SELECT c.pair, n.n1, n.n2,
+             CAST(max(abs(c.cum1 * n.n2 - c.cum2 * n.n1)) AS BIGINT) AS d_num
+      FROM kscum c JOIN ksn n ON n.pair = c.pair
+      GROUP BY c.pair, n.n1, n.n2
+    )
+    SELECT pair, n1, n2, d_num,
+           CAST(n1 * n2 AS BIGINT) AS d_den,
+           CAST(d_num * 1000000 // (n1 * n2) AS BIGINT) AS ks_1e6,
+           CAST(CAST(d_num AS DOUBLE) * CAST(d_num AS DOUBLE) * 1000000.0 >
+                {dataquality.KS_ALPHA_C2_1E6}.0 * CAST(n1 + n2 AS DOUBLE)
+                * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) AS BIGINT)
+             AS reject_05
+    FROM ksd
+    """,
+)
+def dq_ks_drift(spark, sf_dir):
+    """Exact two-sample KS over three order-total pairs: two real
+    subpopulations (accept), a parity null split (accept — the
+    calibration contract), and a planted +5% drift twin (reject)
+    (operators/dataquality.py ks_two_sample)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return dataquality.ks_two_sample(dataquality.orders_drift_samples(orders))

@@ -192,3 +192,42 @@ def test_dp_release_mechanism(spark):
     # geometric(1/2) marginal: ~half the G draws are 0
     gs = [geo(phash(g, DP_SEED_A)) for g in range(200)]
     assert 60 < sum(1 for g in gs if g == 0) < 140
+
+
+def test_ks_two_sample_parity_and_decisions(spark):
+    from hebrew_ner_spark.operators import dataquality
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    rows = {
+        r.pair: r
+        for r in dataquality.ks_two_sample(
+            dataquality.orders_drift_samples(orders)
+        ).collect()
+    }
+    # brute-force replay of the planted pair
+    import collections
+
+    vals = [(o.o_orderkey, o.o_totalprice) for o in orders.collect()]
+    s1 = sorted(round(p * 100) for k, p in vals if k % 2 == 0)
+    s2 = sorted(round(p * 105) for k, p in vals if k % 2 == 1)
+    n1, n2 = len(s1), len(s2)
+    cnt1, cnt2 = collections.Counter(s1), collections.Counter(s2)
+    cum1 = cum2 = 0
+    d = 0
+    for v in sorted(set(s1) | set(s2)):
+        cum1 += cnt1.get(v, 0)
+        cum2 += cnt2.get(v, 0)
+        d = max(d, abs(cum1 * n2 - cum2 * n1))
+    p = rows["planted_drift"]
+    assert (p.n1, p.n2, p.d_num, p.d_den) == (n1, n2, d, n1 * n2)
+    # decision parity with the closed-form large-sample rule (at this
+    # tiny sf the planted pair may legitimately accept; sf0.01 rejects
+    # — the gate corpus — so only parity is asserted here)
+    want_reject = int(
+        float(d) * d * 1e6
+        > dataquality.KS_ALPHA_C2_1E6 * float(n1 + n2) * n1 * n2
+    )
+    assert p.reject_05 == want_reject
+    assert rows["parity_null"].reject_05 == 0
+    # the null pair's D is far under the planted pair's
+    assert rows["parity_null"].ks_1e6 < p.ks_1e6
