@@ -662,3 +662,100 @@ def type_hour_association(events: DataFrame) -> DataFrame:
             F.abs(F.col("n") * 1_000_000 - F.col("exp_micro")).cast("long"),
         )
     )
+
+
+# --- CUSUM sustained-shift detection ----------------------------------
+
+CUSUM_REF_HOURS = 600   # in-control reference window (hours 0..599)
+CUSUM_GRID_HOURS = 720  # full monitored horizon
+CUSUM_K_DEN = 2         # allowance k = mu / 2 (tuned to ~half the shift)
+CUSUM_H_MUL = 4         # decision interval h = 4 * mu
+
+
+def cusum_alarms(events: DataFrame) -> DataFrame:
+    """(event_type, t, x, s_1e3, mu_1e3) — one-sided upper CUSUM alarm
+    hours over the per-type hourly count series, with a planted
+    sustained +3/hour shift on the 'click' type from hour 600 (the
+    planted-anomaly twin pattern of dq_orders_corrupted).
+
+    The Page (1954) recursion S_t = max(0, S_{t-1} + x_t - mu - k) is
+    sequential ON ITS FACE, but distributes exactly via the prefix-sum
+    identity S_t = P_t - min(0, min_{j<=t} P_j) with
+    P_t = sum_{i<=t} (x_i - mu - k) — two ordered windows per series,
+    NO iteration, no state loop (contrast Kleinberg burst.py, whose
+    Viterbi genuinely needs its rounds). All arithmetic rides in
+    milli-units: mu from the in-control reference window by integer
+    DIV, k = mu DIV 2, alarm iff S > 4 * mu. Zero-filled hour grid so
+    silent hours count against the mean.
+
+    Shape at scale: per-series windows partition by event_type — state
+    is series-grain, embarrassingly parallel across series; the grid
+    explode is bins * types rows. Detection contract on the gate
+    corpus: exactly one alarming type (the planted one), first alarm
+    within ~8 hours of the shift, zero false alarms elsewhere —
+    structurally non-vacuous. Cites Page (Biometrika 1954)."""
+    from pyspark.sql import Window
+
+    hour_ms = F.unix_millis(F.date_trunc("hour", F.col("ts")))
+    raw = (
+        events.select(
+            "event_type",
+            hour_ms.alias("hms"),
+        )
+        .crossJoin(
+            F.broadcast(events.agg(F.min(hour_ms).alias("h0")))
+        )
+        .select(
+            "event_type",
+            F.expr("(hms - h0) DIV 3600000").cast("long").alias("t"),
+        )
+        .groupBy("event_type", "t")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    types = events.select("event_type").distinct()
+    grid = types.crossJoin(
+        F.broadcast(
+            events.sparkSession.range(CUSUM_GRID_HOURS).select(
+                F.col("id").cast("long").alias("t")
+            )
+        )
+    )
+    x = (
+        grid.join(raw, ["event_type", "t"], "left")
+        .select(
+            "event_type",
+            "t",
+            (
+                F.coalesce("c", F.lit(0))
+                + F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("t") >= CUSUM_REF_HOURS),
+                    3,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("x"),
+        )
+    )
+    mu = (
+        x.where(F.col("t") < CUSUM_REF_HOURS)
+        .groupBy("event_type")
+        .agg(
+            F.expr(f"sum(x) * 1000 DIV {CUSUM_REF_HOURS}")
+            .cast("long")
+            .alias("mu_1e3")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    d = x.join(F.broadcast(mu), "event_type").withColumn(
+        "d",
+        F.col("x") * 1000 - F.col("mu_1e3") - F.expr(f"mu_1e3 DIV {CUSUM_K_DEN}"),
+    )
+    s = d.withColumn("pt", F.sum("d").over(w)).withColumn(
+        "s_1e3", F.col("pt") - F.least(F.lit(0), F.min("pt").over(w))
+    )
+    return s.where(F.col("s_1e3") > CUSUM_H_MUL * F.col("mu_1e3")).select(
+        "event_type", "t", "x", F.col("s_1e3").cast("long").alias("s_1e3"), "mu_1e3"
+    )

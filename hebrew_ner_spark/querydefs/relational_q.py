@@ -521,3 +521,63 @@ def evt_type_hour_assoc(spark, sf_dir):
     return relational.type_hour_association(
         load_table(spark, sf_dir, "events")
     )
+
+
+_CU_REF = relational.CUSUM_REF_HOURS
+_CU_GRID = relational.CUSUM_GRID_HOURS
+
+
+@query(
+    "evt_cusum",
+    oracle=f"""
+    WITH cur AS (
+      SELECT event_type,
+             CAST((epoch_ms(date_trunc('hour', ts)) -
+                   (SELECT min(epoch_ms(date_trunc('hour', ts))) FROM events))
+                  // 3600000 AS BIGINT) AS t,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    cug AS (
+      SELECT et.event_type, g.t
+      FROM (SELECT DISTINCT event_type FROM cur) et
+      CROSS JOIN (SELECT unnest(range(0, {_CU_GRID})) AS t) g
+    ),
+    cux AS (
+      SELECT g.event_type, g.t,
+             coalesce(r.c, 0) +
+             CASE WHEN g.event_type = 'click' AND g.t >= {_CU_REF}
+                  THEN 3 ELSE 0 END AS x
+      FROM cug g LEFT JOIN cur r ON r.event_type = g.event_type AND r.t = g.t
+    ),
+    cumu AS (
+      SELECT event_type, CAST(sum(x) * 1000 // {_CU_REF} AS BIGINT) AS mu_1e3
+      FROM cux WHERE t < {_CU_REF} GROUP BY event_type
+    ),
+    cud AS (
+      SELECT x.event_type, x.t, x.x, m.mu_1e3,
+             x.x * 1000 - m.mu_1e3 - (m.mu_1e3 // {relational.CUSUM_K_DEN}) AS d
+      FROM cux x JOIN cumu m USING (event_type)
+    ),
+    cup AS (
+      SELECT event_type, t, x, mu_1e3,
+             sum(d) OVER (PARTITION BY event_type ORDER BY t
+                          ROWS UNBOUNDED PRECEDING) AS pt
+      FROM cud
+    ),
+    cus AS (
+      SELECT event_type, t, x, mu_1e3,
+             pt - least(0, min(pt) OVER (PARTITION BY event_type ORDER BY t
+                                         ROWS UNBOUNDED PRECEDING)) AS s_1e3
+      FROM cup
+    )
+    SELECT event_type, t, x, CAST(s_1e3 AS BIGINT) AS s_1e3, mu_1e3
+    FROM cus WHERE s_1e3 > {relational.CUSUM_H_MUL} * mu_1e3
+    """,
+)
+def evt_cusum(spark, sf_dir):
+    """Page's CUSUM as two ordered windows (prefix-sum running-min
+    identity — no recursion): alarm hours per event-type series with a
+    planted sustained shift; exactly one type may alarm
+    (operators/relational.py cusum_alarms)."""
+    return relational.cusum_alarms(load_table(spark, sf_dir, "events"))

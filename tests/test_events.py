@@ -71,3 +71,52 @@ class TestJsonProps:
         got = {r.event_type: r for r in json_prop_stats(events).collect()}
         assert (got["view"].n_events, got["view"].n_with_k, got["view"].sum_k) == (2, 1, 10)
         assert (got["click"].sum_k, got["click"].max_k) == (7, 7)
+
+
+def test_cusum_prefix_identity_matches_recursion(spark):
+    """The windowed prefix-sum/running-min form must equal Page's
+    sequential recursion replayed in python, and only the planted type
+    may alarm."""
+    from hebrew_ner_spark.operators import relational
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    rows = relational.cusum_alarms(events).collect()
+    # rebuild the series in python
+    import collections
+
+    evs = [(r.event_type, r.ts) for r in events.select("event_type", "ts").collect()]
+    h0 = min(ts.replace(minute=0, second=0, microsecond=0) for _, ts in evs)
+    counts = collections.Counter(
+        (et, int((ts.replace(minute=0, second=0, microsecond=0) - h0).total_seconds()) // 3600)
+        for et, ts in evs
+    )
+    types = {et for et, _ in evs}
+    want = []
+    for et in types:
+        xs = [
+            counts.get((et, t), 0)
+            + (3 if et == "click" and t >= relational.CUSUM_REF_HOURS else 0)
+            for t in range(relational.CUSUM_GRID_HOURS)
+        ]
+        mu = sum(xs[: relational.CUSUM_REF_HOURS]) * 1000 // relational.CUSUM_REF_HOURS
+        k = mu // relational.CUSUM_K_DEN
+        s = 0
+        for t, x in enumerate(xs):
+            s = max(0, s + x * 1000 - mu - k)
+            if s > relational.CUSUM_H_MUL * mu:
+                want.append((et, t, x, s, mu))
+    assert sorted((r.event_type, r.t, r.x, r.s_1e3, r.mu_1e3) for r in rows) == sorted(want)
+
+
+def test_cusum_detection_contract_at_gate_scale(spark):
+    """At the gate corpus (sf0.01, ~2.8 events/hour/type) the planted
+    type is the ONLY alarming series and detection lags the shift by
+    hours, not days. (sf0.001 is too sparse for a false-alarm-free
+    threshold — a single 2-event hour crosses 4*mu there.)"""
+    from hebrew_ner_spark.operators import relational
+
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    rows = relational.cusum_alarms(events).collect()
+    assert {r.event_type for r in rows} == {"click"}
+    first = min(r.t for r in rows)
+    assert relational.CUSUM_REF_HOURS < first <= relational.CUSUM_REF_HOURS + 24
