@@ -944,3 +944,135 @@ def token_drift_psi(hist: DataFrame, v_a: int, v_b: int) -> DataFrame:
             ).alias("psi_bits_1e3"),
         )
     )
+
+
+# --- interpolated Kneser-Ney bigram LM --------------------------------
+
+KN_D_NUM = 3  # absolute discount D = 3/4 (exact rational)
+KN_D_DEN = 4
+
+
+def kneser_ney_bigrams(docs: DataFrame) -> DataFrame:
+    """(w1, w2, c12, p_1e6) — interpolated Kneser-Ney conditional
+    probability for every SEEN bigram, in exact integer pieces.
+
+    Kneser-Ney (1995; Chen-Goodman 1998 interpolated form) is the
+    reference smoothing for count-based LMs — the continuation-count
+    idea ("how many contexts does w2 follow?") is what distinguishes
+    it from the Stupid-Backoff scorer above (bigram_score), which
+    backs off by raw unigram frequency. With absolute discount
+    D = 3/4, multiplying through by 4 * c1 * N1b clears every
+    denominator:
+
+        P(w2|w1) = [max(4*c12 - 3, 0) * N1b + 3 * N1w1 * N1c2]
+                   / (4 * c1 * N1b)
+
+    where c1 = count of context w1, N1w1 = distinct continuations of
+    w1, N1c2 = distinct left-contexts of w2, N1b = distinct bigrams.
+    The emitted micro-unit probability is num * 10^6 DIV den — every
+    input an aggregation count, no float anywhere. (At 10^12-token
+    scale num would ride DECIMAL(38) — c12 * N1b exceeds int64 there;
+    the gate corpus stays far inside.)
+
+    Shape at scale: the bigram table is one map-side-combined
+    aggregate; c1 / N1w1 / N1c2 are groupBys OF THAT TABLE (not of
+    the corpus); N1b is a one-row broadcast. Joins are bigram-keyed;
+    closed vocabularies AQE-broadcast, open ones use the tiered
+    hot/tail discipline (alphabet_encode)."""
+    toks = with_tokens(docs)
+    pairs_expr = F.expr(
+        """
+        CASE WHEN size(toks) < 2 THEN array()
+             ELSE transform(sequence(0, size(toks) - 2),
+                            i -> named_struct('w1', toks[i], 'w2', toks[i + 1]))
+        END
+        """
+    )
+    big = (
+        toks.select(F.explode(pairs_expr).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count("*").cast("long").alias("c12"))
+    )
+    c1 = big.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count("*").cast("long").alias("n1w1"),
+    )
+    n1c2 = big.groupBy("w2").agg(F.count("*").cast("long").alias("n1c2"))
+    n1b = big.agg(F.count("*").cast("long").alias("n1b"))
+    return (
+        big.join(c1, "w1")
+        .join(n1c2, "w2")
+        .crossJoin(F.broadcast(n1b))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.expr(
+                f"""CAST((greatest({KN_D_DEN} * c12 - {KN_D_NUM}, 0) * n1b
+                          + {KN_D_NUM} * n1w1 * n1c2) * 1000000
+                         DIV ({KN_D_DEN} * c1 * n1b) AS BIGINT)"""
+            ).alias("p_1e6"),
+        )
+    )
+
+
+def kneser_ney_normalization(docs: DataFrame) -> DataFrame:
+    """(w1, c1, n1w1, lhs, den, ok) — the closed-form proof that the
+    interpolated KN distribution sums to EXACTLY one per context:
+
+        sum_{w2 in V} num(w1, w2)
+          = (4*c1 - 3*N1w1) * N1b                     [seen mass]
+            + 3 * N1w1 * (N1b - sum_{seen w2} N1c2)   [unseen backoff]
+            + 3 * N1w1 * sum_{seen w2} N1c2           [seen backoff]
+          = 4 * c1 * N1b = den.
+
+    The identity needs only seen-bigram tables (the unseen sum
+    telescopes through sum_V N1c2 = N1b), so verifying it is
+    aggregation-cheap at any scale; ok = 1 rows are the contract."""
+    toks = with_tokens(docs)
+    pairs_expr = F.expr(
+        """
+        CASE WHEN size(toks) < 2 THEN array()
+             ELSE transform(sequence(0, size(toks) - 2),
+                            i -> named_struct('w1', toks[i], 'w2', toks[i + 1]))
+        END
+        """
+    )
+    big = (
+        toks.select(F.explode(pairs_expr).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count("*").cast("long").alias("c12"))
+    )
+    c1 = big.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count("*").cast("long").alias("n1w1"),
+    )
+    n1c2 = big.groupBy("w2").agg(F.count("*").cast("long").alias("n1c2"))
+    n1b = big.agg(F.count("*").cast("long").alias("n1b"))
+    seen = (
+        big.join(n1c2, "w2")
+        .groupBy("w1")
+        .agg(
+            F.sum(F.expr(f"greatest({KN_D_DEN} * c12 - {KN_D_NUM}, 0)"))
+            .cast("long")
+            .alias("seen_disc"),
+            F.sum("n1c2").cast("long").alias("seen_n1c2"),
+        )
+    )
+    return (
+        c1.join(seen, "w1")
+        .crossJoin(F.broadcast(n1b))
+        .select(
+            "w1",
+            "c1",
+            "n1w1",
+            F.expr(
+                f"CAST(seen_disc * n1b + {KN_D_NUM} * n1w1 * n1b AS BIGINT)"
+            ).alias("lhs"),
+            F.expr(f"CAST({KN_D_DEN} * c1 * n1b AS BIGINT)").alias("den"),
+            F.expr(
+                f"CAST(CAST(seen_disc * n1b + {KN_D_NUM} * n1w1 * n1b = "
+                f"{KN_D_DEN} * c1 * n1b AS INT) AS BIGINT)"
+            ).alias("ok"),
+        )
+    )

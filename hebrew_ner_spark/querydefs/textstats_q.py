@@ -576,3 +576,67 @@ def txt_rake_keyphrases(spark, sf_dir):
     """RAKE candidate phrases + exact-integer degree/frequency scores
     (operators/textstats.rake_keyphrases)."""
     return textstats.rake_keyphrases(_docs(spark, sf_dir))
+
+
+_KN_BIG_CTE = """
+knt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+knb AS (
+  SELECT p.w1 AS w1, p.w2 AS w2, CAST(count(*) AS BIGINT) AS c12
+  FROM (SELECT unnest(list_transform(range(1, len(toks)),
+                      i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS p
+        FROM knt)
+  GROUP BY p.w1, p.w2
+),
+knc1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                CAST(count(*) AS BIGINT) AS n1w1
+         FROM knb GROUP BY w1),
+knn1c2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1c2 FROM knb GROUP BY w2),
+knn1b AS (SELECT CAST(count(*) AS BIGINT) AS n1b FROM knb)
+"""
+
+
+@query(
+    "txt_kn_bigrams",
+    oracle=f"""
+    WITH {_KN_BIG_CTE}
+    SELECT b.w1, b.w2, b.c12,
+           CAST((greatest(4 * b.c12 - 3, 0) * t.n1b
+                 + 3 * c.n1w1 * n.n1c2) * 1000000
+                // (4 * c.c1 * t.n1b) AS BIGINT) AS p_1e6
+    FROM knb b
+    JOIN knc1 c ON c.w1 = b.w1
+    JOIN knn1c2 n ON n.w2 = b.w2
+    CROSS JOIN knn1b t
+    """,
+)
+def txt_kn_bigrams(spark, sf_dir):
+    """Interpolated Kneser-Ney conditional probability per seen bigram
+    (D = 3/4 exact rational, continuation counts, micro-unit emit)
+    (operators/textstats.py kneser_ney_bigrams)."""
+    return textstats.kneser_ney_bigrams(_docs(spark, sf_dir))
+
+
+@query(
+    "txt_kn_normalization",
+    oracle=f"""
+    WITH {_KN_BIG_CTE},
+    knseen AS (
+      SELECT b.w1,
+             CAST(sum(greatest(4 * b.c12 - 3, 0)) AS BIGINT) AS seen_disc,
+             CAST(sum(n.n1c2) AS BIGINT) AS seen_n1c2
+      FROM knb b JOIN knn1c2 n ON n.w2 = b.w2 GROUP BY b.w1
+    )
+    SELECT c.w1, c.c1, c.n1w1,
+           CAST(s.seen_disc * t.n1b + 3 * c.n1w1 * t.n1b AS BIGINT) AS lhs,
+           CAST(4 * c.c1 * t.n1b AS BIGINT) AS den,
+           CAST(CAST(s.seen_disc * t.n1b + 3 * c.n1w1 * t.n1b =
+                     4 * c.c1 * t.n1b AS INT) AS BIGINT) AS ok
+    FROM knc1 c JOIN knseen s ON s.w1 = c.w1 CROSS JOIN knn1b t
+    """,
+)
+def txt_kn_normalization(spark, sf_dir):
+    """Closed-form per-context proof that the KN distribution sums to
+    one: the unseen backoff mass telescopes through sum_V N1c2 = N1b,
+    so the identity is checkable from seen-bigram tables alone
+    (operators/textstats.py kneser_ney_normalization)."""
+    return textstats.kneser_ney_normalization(_docs(spark, sf_dir))

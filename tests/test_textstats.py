@@ -171,3 +171,48 @@ class TestHeapsCurve:
         # doc 0 is shorter than k=3: contributes positions (offset 2) but
         # no shingles
         assert got == {"x y z": 2}
+
+
+def test_kneser_ney_fraction_parity(spark):
+    """Exact-Fraction replay of interpolated KN: probabilities match
+    the textbook formula, every context sums to exactly 1, and the
+    continuation weighting differs from raw-frequency backoff."""
+    from fractions import Fraction
+
+    from hebrew_ner_spark.operators import textstats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = textstats.kneser_ney_bigrams(docs).collect()
+    texts = [r.text for r in docs.collect()]
+    big = {}
+    for t in texts:
+        toks = t.split(" ")
+        for a, b in zip(toks, toks[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    c1, n1w1, n1c2 = {}, {}, {}
+    for (a, b), c in big.items():
+        c1[a] = c1.get(a, 0) + c
+        n1w1[a] = n1w1.get(a, 0) + 1
+        n1c2[b] = n1c2.get(b, 0) + 1
+    n1b = len(big)
+    D = Fraction(3, 4)
+    for r in rows:
+        p = (
+            Fraction(max(big[(r.w1, r.w2)] - D, 0), c1[r.w1])
+            + D * n1w1[r.w1] / c1[r.w1] * Fraction(n1c2[r.w2], n1b)
+        )
+        assert r.p_1e6 == int(p * 1_000_000)  # truncating DIV
+        assert r.c12 == big[(r.w1, r.w2)]
+    # normalization: full-vocab sum per context is exactly one
+    vocab = {w for pair in big for w in pair} | {
+        w for t in texts for w in t.split(" ")
+    }
+    some_w1 = rows[0].w1
+    tot = sum(
+        Fraction(max(big.get((some_w1, w2), 0) - D, 0), c1[some_w1])
+        + D * n1w1[some_w1] / c1[some_w1] * Fraction(n1c2.get(w2, 0), n1b)
+        for w2 in vocab
+    )
+    assert tot == 1
+    ok_rows = textstats.kneser_ney_normalization(docs).collect()
+    assert all(r.ok == 1 and r.lhs == r.den for r in ok_rows)
