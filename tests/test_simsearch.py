@@ -246,3 +246,37 @@ class TestTransETopK:
                 for r in ss.transe_ranks(edges2, emb).collect()}
         assert got2[(0, "join", 3)] == 3
         assert got2[(1, "merge", 2)] == 2  # negative tail 0 outranks id-wise
+
+
+def test_semdedup_drops_exactly_the_planted_twins(spark):
+    """Keep-lowest SemDeDup over planted exact copies: every twin
+    drops, every original survives, and the cell-local brute-force
+    replay agrees row for row."""
+    import math
+
+    from hebrew_ner_spark.operators import simsearch
+    from hebrew_ner_spark.querydefs.simsearch_q import _sem_planted
+
+    planted = _sem_planted(spark, "/root/testdata/sf0.001")
+    cents = simsearch.kmeans_centroids(planted)
+    rows = simsearch.semantic_dedup(planted, cents=cents).collect()
+    by_id = {r.vec_id: r for r in rows}
+    twins = [i for i in by_id if i >= 1000000]
+    assert twins and all(by_id[i].keep == 0 for i in twins)
+    assert all(by_id[i - 1000000].keep == 1 for i in twins)
+    # brute-force replay of the rule inside each cell
+    emb = {r.vec_id: r.embedding for r in planted.collect()}
+    cell = {r.vec_id: r.cell for r in rows}
+    def cos(u, v):
+        d = sum(float(a) * float(b) for a, b in zip(u, v))
+        nu = math.sqrt(sum(float(a) ** 2 for a in u))
+        nv = math.sqrt(sum(float(b) ** 2 for b in v))
+        return int(math.floor(d / (nu * nv) * 1e6 + 0.5))
+    for r in rows:
+        dropped = any(
+            a < r.vec_id
+            and cell[a] == r.cell
+            and cos(emb[a], emb[r.vec_id]) >= simsearch.SEMDEDUP_TAU_1E6
+            for a in cell
+        )
+        assert r.keep == (0 if dropped else 1), r
