@@ -262,3 +262,113 @@ def harmonic_exact(und: DataFrame) -> DataFrame:
             F.sum(F.expr(f"{BC_SCALE} DIV dist")).cast("long").alias("harmonic_scaled")
         )
     )
+
+
+BC_SAMPLE_MOD = 4  # pivot set = vertices with v % MOD == REM (~n/4 pivots)
+BC_SAMPLE_REM = 1
+
+
+def betweenness_sampled(
+    und: DataFrame,
+    mod: int = BC_SAMPLE_MOD,
+    rem: int = BC_SAMPLE_REM,
+    max_levels: int = BC_MAX_LEVELS,
+) -> DataFrame:
+    """(vertex, dep_scaled, est_scaled) — the Brandes-Pich pivot
+    estimator of betweenness: run the sigma BFS ONLY from a pinned
+    pivot set S (v % mod == rem), accumulate each pivot's dependency
+    backward through its BFS DAG, and scale by n / |S|.
+
+    This is the 10^12-vertex path for cent_betweenness: the exact
+    operator's sigma-product identity needs sigma from EVERY vertex
+    (it reads sigma(m, t) out of m's own BFS row), so its state is
+    n * reachable pairs — all-pairs grain. The estimator's state is
+    |S| * n (pivot-grain), and the backward sweep is Brandes' (2001)
+    actual recurrence
+
+        delta_s(v) = sum over DAG edges (v, w):
+                     sigma_sv * (SCALE + delta_s(w)) DIV sigma_sw
+
+    run level-synchronously from the deepest BFS level up — one join
+    per level against the (dist = d+1) slice, micro-unit integers with
+    truncating division (deterministic; the estimator's sampling error
+    dominates any sub-micro-unit rounding). est_scaled = dep * n DIV
+    |S| is the Brandes-Pich unbiased scale-up. Cites Brandes (J. Math.
+    Sociology 2001) and Brandes-Pich (2007).
+
+    Pivot choice is a pinned congruence class — at scale the pivot set
+    would be a seeded hash sample (sketches.priority_sample exists for
+    weighted pivots); the congruence keeps the gate oracle replayable
+    without a hash CTE."""
+    from hebrew_ner_spark.operators.canonicalize import _lineage_breaker
+    from hebrew_ner_spark.operators.graphstats import _evict, _persist
+
+    brk = _lineage_breaker(und, None)
+    sym0 = sym_edges(und)
+    verts = _vertices(sym0)
+    sample = verts.where(F.col("v") % mod == rem)
+    vis = bfs_sigma(und, sources=sample, max_levels=max_levels)
+    # bfs_sigma evicted/persisted its own slot; re-persist what the
+    # backward sweep reuses every level.
+    _evict("bc_sampled")
+    sym = _persist("bc_sampled", sym0)
+    vis = _persist("bc_sampled", vis)
+
+    # backward sweep: deltas at the deepest level are 0; level d pulls
+    # from d+1 through the DAG-successor join.
+    deltas: dict[int, DataFrame] = {}
+    deltas[max_levels] = brk(
+        vis.where(F.col("dist") == max_levels).select(
+            "s", "v", F.lit(0).cast("long").alias("delta")
+        )
+    )
+    for d in range(max_levels - 1, 0, -1):
+        nxt = (
+            vis.where(F.col("dist") == d + 1)
+            .join(deltas[d + 1], ["s", "v"], "left")
+            .select(
+                "s",
+                F.col("v").alias("w"),
+                F.col("sigma").alias("sig_w"),
+                F.coalesce("delta", F.lit(0)).alias("delta_w"),
+            )
+        )
+        cur = vis.where(F.col("dist") == d).select(
+            "s", "v", F.col("sigma").alias("sig_v")
+        )
+        contrib = (
+            cur.join(sym.withColumnRenamed("src", "v").withColumnRenamed("dst", "w"), "v")
+            .join(nxt, ["s", "w"])
+            .groupBy("s", "v")
+            .agg(
+                F.sum(
+                    F.expr(f"sig_v * ({BC_SCALE} + delta_w) DIV sig_w")
+                )
+                .cast("long")
+                .alias("delta")
+            )
+        )
+        deltas[d] = brk(
+            cur.select("s", "v")
+            .join(contrib, ["s", "v"], "left")
+            .select("s", "v", F.coalesce("delta", F.lit(0)).cast("long").alias("delta"))
+        )
+    dep = None
+    for d in range(1, max_levels + 1):
+        dep = deltas[d] if dep is None else dep.unionByName(deltas[d])
+    agg = dep.groupBy(F.col("v").alias("vertex")).agg(
+        F.sum("delta").cast("long").alias("dep_scaled")
+    )
+    n = verts.agg(F.count("*").cast("long").alias("n"))
+    ns = sample.agg(F.count("*").cast("long").alias("ns"))
+    return (
+        verts.withColumnRenamed("v", "vertex")
+        .join(agg, "vertex", "left")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "vertex",
+            F.coalesce("dep_scaled", F.lit(0)).cast("long").alias("dep_scaled"),
+            F.expr("coalesce(dep_scaled, 0) * n DIV ns").cast("long").alias("est_scaled"),
+        )
+    )

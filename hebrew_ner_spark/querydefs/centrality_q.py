@@ -204,3 +204,69 @@ def cent_harmonic_exact(spark, sf_dir):
     (operators/centrality.py harmonic_exact)."""
     docs = load_table(spark, sf_dir, "documents")
     return centrality.harmonic_exact(weblinks.synth_farm_host_edges(docs))
+
+
+# --- Brandes-Pich sampled betweenness --------------------------------
+
+_BSM = centrality.BC_SAMPLE_MOD
+_BSR = centrality.BC_SAMPLE_REM
+_BSC = centrality.BC_SCALE
+
+
+def _delta_ctes() -> str:
+    parts = [
+        f"""bsv AS MATERIALIZED (SELECT * FROM vis{_L} WHERE s % {_BSM} = {_BSR}),
+bsd{_L} AS (SELECT s, v, CAST(0 AS BIGINT) AS delta
+            FROM bsv WHERE dist = {_L})"""
+    ]
+    for d in range(_L - 1, 0, -1):
+        parts.append(
+            f"""bsd{d} AS MATERIALIZED (
+  SELECT cur.s, cur.v,
+         CAST(coalesce(sum((cur.sigma * ({_BSC} + coalesce(dn.delta, 0)))
+                           // nx.sigma), 0) AS BIGINT) AS delta
+  FROM (SELECT s, v, sigma FROM bsv WHERE dist = {d}) cur
+  LEFT JOIN ctsym e ON e.src = cur.v
+  LEFT JOIN (SELECT s, v, sigma FROM bsv WHERE dist = {d + 1}) nx
+    ON nx.s = cur.s AND nx.v = e.dst
+  LEFT JOIN bsd{d + 1} dn ON dn.s = nx.s AND dn.v = nx.v
+  GROUP BY cur.s, cur.v
+)"""
+        )
+    return ",\n".join(parts)
+
+
+_DEP_UNION = "\nUNION ALL\n".join(
+    f"SELECT s, v, delta FROM bsd{d}" for d in range(1, _L + 1)
+)
+
+
+@query(
+    "cent_betweenness_sampled",
+    oracle=f"""
+    WITH {_GRAPH_CTE},
+    {_bfs_ctes()},
+    {_delta_ctes()},
+    bsdep AS (
+      SELECT v AS vertex, CAST(sum(delta) AS BIGINT) AS dep_scaled
+      FROM ({_DEP_UNION}) GROUP BY v
+    ),
+    bsn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN h % {_BSM} = {_BSR} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS ns
+            FROM cth)
+    SELECT cth.h AS vertex,
+           CAST(coalesce(d.dep_scaled, 0) AS BIGINT) AS dep_scaled,
+           CAST(coalesce(d.dep_scaled, 0) * bsn.n // bsn.ns AS BIGINT)
+             AS est_scaled
+    FROM cth LEFT JOIN bsdep d ON d.vertex = cth.h CROSS JOIN bsn
+    """,
+)
+def cent_betweenness_sampled(spark, sf_dir):
+    """Brandes-Pich pivot-sampled betweenness: sigma BFS from the
+    pinned pivot class only, true Brandes backward dependency
+    accumulation per level, n/|S| scale-up — the pivot-grain scale
+    path for cent_betweenness
+    (operators/centrality.py betweenness_sampled)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return centrality.betweenness_sampled(weblinks.synth_farm_host_edges(docs))

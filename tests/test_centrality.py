@@ -142,3 +142,58 @@ def test_harmonic_exact_parity(spark, host_edges):
             centrality.BC_SCALE // dv for v, dv in d.items() if v != s
         )
         assert got[s] == want
+
+
+def test_betweenness_sampled_brandes_parity(spark):
+    """Python replay of pivot-restricted Brandes (BFS + backward
+    dependency in the same micro-unit truncating arithmetic) and
+    estimator sanity vs the exact operator."""
+    from collections import deque
+
+    from hebrew_ner_spark.operators import centrality, weblinks
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    und = weblinks.synth_farm_host_edges(docs)
+    pairs = [(r.a, r.b) for r in und.collect()]
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    verts = sorted(adj)
+    pivots = [v for v in verts if v % centrality.BC_SAMPLE_MOD == centrality.BC_SAMPLE_REM]
+    dep = {v: 0 for v in verts}
+    for s in pivots:
+        dist = {s: 0}
+        sigma = {s: 1}
+        order = []
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            order.append(v)
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] = sigma.get(w, 0) + sigma[v]
+        delta = {v: 0 for v in dist}
+        for d in range(max(dist.values()) - 1, 0, -1):
+            for v in [x for x in dist if dist[x] == d]:
+                delta[v] = sum(
+                    sigma[v] * (centrality.BC_SCALE + delta[w]) // sigma[w]
+                    for w in adj[v]
+                    if dist.get(w) == d + 1
+                )
+        for v in dist:
+            if dist[v] > 0:
+                dep[v] += delta[v]
+    rows = {r.vertex: r for r in centrality.betweenness_sampled(und).collect()}
+    n, ns = len(verts), len(pivots)
+    for v in verts:
+        assert rows[v].dep_scaled == dep[v], v
+        assert rows[v].est_scaled == dep[v] * n // ns
+    # estimator sanity: the exact top vertex ranks in the sampled top 5
+    exact = {r.vertex: r.bc_scaled for r in centrality.betweenness_scaled(und).collect()}
+    top_exact = max(exact, key=exact.get)
+    top5_est = sorted(rows, key=lambda v: -rows[v].est_scaled)[:5]
+    assert top_exact in top5_est
