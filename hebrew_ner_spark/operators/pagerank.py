@@ -436,3 +436,122 @@ def salsa_scores(edges: DataFrame) -> DataFrame:
     )
     wmd.unpersist()
     return out
+
+
+# --- warm-start PageRank maintenance over an edge delta ---------------
+
+PR_DELTA_MOD = 7   # planted delta: reverse every edge whose subj % 7 == 0
+PR_WARM_ITERS = 2  # incremental budget after the delta lands
+
+
+def _pr_iterate(edges: DataFrame, init: DataFrame | None, iters: int) -> DataFrame:
+    """(entity_id, pr) after ``iters`` damped power iterations over
+    ``edges`` (subj_id, obj_id, n_evidence), starting from ``init``
+    (entity_id, pr) or the uniform PR_SCALE vector. Same exact-integer
+    arithmetic as entity_pagerank; local persists only."""
+    from pyspark.storagelevel import StorageLevel
+
+    wm = edges.groupBy("subj_id", "obj_id").agg(
+        F.sum("n_evidence").cast("long").alias("ew")
+    )
+    ow = wm.groupBy("subj_id").agg(F.sum("ew").cast("long").alias("ow"))
+    wmat = wm.join(ow, "subj_id").persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    nodes = (
+        wm.select(F.col("subj_id").alias("entity_id"))
+        .unionByName(wm.select(F.col("obj_id").alias("entity_id")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    )
+    if init is None:
+        pr = nodes.withColumn("pr", F.lit(PR_SCALE).cast("long"))
+    else:
+        pr = nodes.join(init, "entity_id", "left").select(
+            "entity_id",
+            F.coalesce("pr", F.lit(PR_SCALE)).cast("long").alias("pr"),
+        )
+    tmp = []
+    for _ in range(iters):
+        contrib = (
+            wmat.join(pr.withColumnRenamed("entity_id", "subj_id"), "subj_id")
+            .select(
+                F.col("obj_id").alias("entity_id"),
+                F.expr("(pr * ew) DIV ow").alias("c"),
+            )
+            .groupBy("entity_id")
+            .agg(F.sum("c").cast("long").alias("s"))
+        )
+        pr = (
+            nodes.join(contrib, "entity_id", "left")
+            .select(
+                "entity_id",
+                F.expr(
+                    f"CAST({PR_BASE} + ({PR_DAMP_NUM} * coalesce(s, 0L)) DIV 100"
+                    " AS BIGINT)"
+                ).alias("pr"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+        )
+        pr.count()
+        tmp.append(pr)
+    for t in tmp[:-1]:
+        t.unpersist()
+    wmat.unpersist()
+    nodes.unpersist()
+    out = pr.select("entity_id", "pr")
+    if tmp:
+        tmp[-1].unpersist()
+    return out
+
+
+def pagerank_warm_delta(
+    edges: DataFrame,
+    base_iters: int = PAGERANK_ITERS,
+    extra_iters: int = PR_WARM_ITERS,
+) -> DataFrame:
+    """(entity_id, pr_warm_1e6, pr_cold_1e6, gap_1e6) — PageRank
+    MAINTENANCE after an edge delta, the streaming-KG shape: a planted
+    delta (every subj % 7 == 0 edge gains its reversal) lands on the
+    entity graph, and the updated ranks are re-derived two ways at the
+    SAME incremental budget (extra_iters):
+
+    * warm — initialized from the pre-delta converged ranks (the
+      incremental path: state carried forward, only the delta's effect
+      must propagate);
+    * cold — initialized uniform (the from-scratch path at equal work).
+
+    gap = |warm - cold| is the gate's signal: warm sits closer to the
+    post-delta fixpoint than an equally-budgeted cold restart (the
+    pytest quantifies it against a long-run reference), which is
+    precisely why production rank maintenance warm-starts. Both runs
+    use the identical exact-integer iteration as entity_pagerank, so
+    every column hashes cross-engine.
+
+    Shape at scale: the base ranks are an existing node-grain table
+    (reused, not recomputed, in a real pipeline — here re-derived so
+    the gate is self-contained); the delta merge is a unionByName; each
+    incremental iteration is the standard edge-grain contribution
+    shuffle. Nothing about the warm path costs more than the cold one
+    — it only starts closer. Cites Langville-Meyer (2006, updating
+    PageRank) for the warm-start framing."""
+    base = edges.select("subj_id", "obj_id", "n_evidence")
+    ranks0 = _pr_iterate(base, None, base_iters)
+    delta = base.where(F.col("subj_id") % PR_DELTA_MOD == 0).select(
+        F.col("obj_id").alias("subj_id"),
+        F.col("subj_id").alias("obj_id"),
+        "n_evidence",
+    )
+    merged = base.unionByName(delta)
+    warm = _pr_iterate(merged, ranks0, extra_iters).withColumnRenamed(
+        "pr", "pr_warm_1e6"
+    )
+    cold = _pr_iterate(merged, None, extra_iters).withColumnRenamed(
+        "pr", "pr_cold_1e6"
+    )
+    return warm.join(cold, "entity_id").select(
+        "entity_id",
+        "pr_warm_1e6",
+        "pr_cold_1e6",
+        F.abs(F.col("pr_warm_1e6") - F.col("pr_cold_1e6"))
+        .cast("long")
+        .alias("gap_1e6"),
+    )

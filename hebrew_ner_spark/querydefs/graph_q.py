@@ -1326,3 +1326,68 @@ def kg_salsa(spark, sf_dir):
     from hebrew_ner_spark.operators import pagerank
 
     return pagerank.salsa_scores(linking.kg_edges(_docs(spark, sf_dir)))
+
+
+# --- warm-start PageRank maintenance gate -----------------------------
+
+from hebrew_ner_spark.operators.pagerank import (  # noqa: E402
+    PR_BASE as _PRB,
+    PR_DAMP_NUM as _PRD,
+    PR_DELTA_MOD as _PRDM,
+    PR_SCALE as _PRS,
+    PR_WARM_ITERS as _PRW,
+)
+
+
+def _pr_delta_ctes() -> str:
+    parts = [
+        f"""prd AS (SELECT obj_id AS subj_id, subj_id AS obj_id, n_evidence
+       FROM e WHERE subj_id % {_PRDM} = 0),
+prm AS (SELECT subj_id, obj_id, n_evidence FROM e
+        UNION ALL SELECT subj_id, obj_id, n_evidence FROM prd),
+wm2 AS (SELECT subj_id, obj_id, CAST(sum(n_evidence) AS BIGINT) AS ew
+        FROM prm GROUP BY 1, 2),
+ow2 AS (SELECT subj_id, CAST(sum(ew) AS BIGINT) AS ow FROM wm2 GROUP BY 1),
+nodes2 AS (SELECT subj_id AS id FROM wm2 UNION SELECT obj_id FROM wm2),
+w0 AS (SELECT n.id, CAST(coalesce(p.pr, {_PRS}) AS BIGINT) AS pr
+       FROM nodes2 n LEFT JOIN p{_PR_ITERS} p ON p.id = n.id),
+q0 AS (SELECT id, CAST({_PRS} AS BIGINT) AS pr FROM nodes2)"""
+    ]
+    for pfx in ("w", "q"):
+        for k in range(1, _PRW + 1):
+            parts.append(
+                f"""{pfx}c{k} AS (
+  SELECT wm2.obj_id AS id, CAST(sum((p.pr * wm2.ew) // ow2.ow) AS BIGINT) AS s
+  FROM wm2 JOIN ow2 USING (subj_id) JOIN {pfx}{k - 1} p ON p.id = wm2.subj_id
+  GROUP BY wm2.obj_id
+),
+{pfx}{k} AS (
+  SELECT n.id, CAST({_PRB} + ({_PRD} * coalesce(c.s, 0)) // 100 AS BIGINT) AS pr
+  FROM nodes2 n LEFT JOIN {pfx}c{k} c ON c.id = n.id
+)"""
+            )
+    return ",\n".join(parts)
+
+
+@query(
+    "kg_pagerank_delta",
+    oracle=f"""
+    WITH {_dim_values()},
+    {_edges_ctes()},
+    {_pagerank_ctes(_PR_ITERS)},
+    {_pr_delta_ctes()}
+    SELECT n.id AS entity_id, w.pr AS pr_warm_1e6, q.pr AS pr_cold_1e6,
+           CAST(abs(w.pr - q.pr) AS BIGINT) AS gap_1e6
+    FROM nodes2 n
+    JOIN w{_PRW} w ON w.id = n.id
+    JOIN q{_PRW} q ON q.id = n.id
+    """,
+)
+def kg_pagerank_delta(spark, sf_dir):
+    """PageRank maintenance after a planted edge delta: warm-started
+    (pre-delta ranks carried forward) vs equal-budget cold restart,
+    both exact-integer; the gap column is the incremental-advantage
+    signal (operators/pagerank.py pagerank_warm_delta)."""
+    from hebrew_ner_spark.operators import pagerank
+
+    return pagerank.pagerank_warm_delta(linking.kg_edges(_docs(spark, sf_dir)))
