@@ -709,3 +709,90 @@ def semantic_dedup(
             F.when(F.col("_d").isNull(), 1).otherwise(0).cast("long").alias("keep"),
         )
     )
+
+
+# --- approximate DBSCAN over the LSH eps-neighbor graph ---------------
+
+DBSCAN_EPS_1E6 = 300_000  # cosine epsilon (micro-units)
+DBSCAN_MIN_PTS = 3        # core iff |N_eps(p)| >= min_pts (self included)
+
+
+def dbscan_approx(
+    emb: DataFrame,
+    eps_1e6: int = DBSCAN_EPS_1E6,
+    min_pts: int = DBSCAN_MIN_PTS,
+) -> DataFrame:
+    """(vec_id, role, cluster) — density-based clustering (DBSCAN,
+    Ester-Kriegel-Sander-Xu KDD'96) with the eps-neighborhood graph
+    approximated by the gated LSH near-dup machinery — the standard
+    scale concession (exact eps-range queries at 10^12 vectors are the
+    ANN problem itself; production distributed DBSCAN uses exactly a
+    bucketed candidate graph).
+
+    Composition of already-gated primitives, nothing new at the
+    physical layer: embedding_near_dups (bucketed grouped-map cosine
+    pairs at threshold eps) -> degree aggregate (core = self + deg >=
+    min_pts) -> connected_components over CORE-CORE edges (cluster id
+    = min core id, the CC contract) -> border assignment by one join
+    (min neighboring-core cluster, deterministic) -> everything else
+    noise (cluster = -1). Roles are the DBSCAN taxonomy: 'core',
+    'border', 'noise'.
+
+    Shape at scale: the pair graph is bucket-capped (loud overflow),
+    degree/role are vertex-grain aggregates, CC is the pointer-doubling
+    operator (O(log n) rounds), border assignment one equi-join. The
+    approximation is one-sided — missed cross-bucket eps-pairs can
+    only split or shrink clusters, never merge them."""
+    pairs = embedding_near_dups(emb, threshold=eps_1e6 / 1_000_000)
+    sym = pairs.select(F.col("vec_a").alias("v"), F.col("vec_b").alias("u")).unionAll(
+        pairs.select(F.col("vec_b").alias("v"), F.col("vec_a").alias("u"))
+    )
+    deg = sym.groupBy("v").agg(F.count("*").cast("long").alias("deg"))
+    allv = emb.select("vec_id").distinct()
+    roles = (
+        allv.join(deg.withColumnRenamed("v", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            (F.coalesce("deg", F.lit(0)) + 1 >= min_pts).alias("is_core"),
+        )
+    )
+    core = roles.where("is_core").select("vec_id")
+    cc_edges = (
+        sym.join(core.withColumnRenamed("vec_id", "v"), "v")
+        .join(core.withColumnRenamed("vec_id", "u"), "u")
+        .select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    from hebrew_ner_spark.operators.canonicalize import connected_components
+
+    comp = connected_components(cc_edges)
+    core_cluster = (
+        core.join(comp.withColumnRenamed("vertex", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("component", F.col("vec_id")).cast("long").alias("cluster"),
+        )
+    )
+    border = (
+        sym.join(core_cluster.withColumnRenamed("vec_id", "u"), "u")
+        .groupBy("v")
+        .agg(F.min("cluster").cast("long").alias("bcluster"))
+        .withColumnRenamed("v", "vec_id")
+    )
+    return (
+        roles.join(core_cluster, "vec_id", "left")
+        .join(border, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(F.col("is_core"), F.lit("core"))
+            .when(F.col("bcluster").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce(
+                F.col("cluster"),
+                F.col("bcluster"),
+                F.lit(-1),
+            )
+            .cast("long")
+            .alias("cluster"),
+        )
+    )

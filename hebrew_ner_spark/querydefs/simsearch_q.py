@@ -662,3 +662,71 @@ def emb_semdedup(spark, sf_dir):
     return simsearch.semantic_dedup(
         _sem_planted(spark, sf_dir), cents=_sem_cents(spark, sf_dir)
     )
+
+
+# --- approximate DBSCAN gate ------------------------------------------
+
+_DB_EPS = simsearch.DBSCAN_EPS_1E6
+_DB_MP = simsearch.DBSCAN_MIN_PTS
+
+
+@query(
+    "emb_dbscan",
+    oracle=f"""
+    WITH RECURSIVE {_E_CTE},
+    {_buckets_cte(_ND_BITS)},
+    dbside AS (SELECT e.vec_id, e.embedding, e.nrm, b.bucket
+               FROM e JOIN b USING (vec_id)),
+    dbokb AS (SELECT bucket FROM b GROUP BY bucket
+              HAVING count(*) <= {simsearch.NEAR_DUP_MAX_BUCKET}),
+    dbp AS (
+      SELECT a.vec_id AS va, c.vec_id AS vb
+      FROM dbside a
+      JOIN dbokb ON dbokb.bucket = a.bucket
+      JOIN dbside c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+      WHERE CAST(floor({_PAIR_COS} + 0.5) AS BIGINT) >= {_DB_EPS}
+    ),
+    dbsym AS (SELECT va AS v, vb AS u FROM dbp UNION ALL SELECT vb, va FROM dbp),
+    dbdeg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM dbsym GROUP BY v),
+    dbroles AS (
+      SELECT e.vec_id, coalesce(d.deg, 0) + 1 >= {_DB_MP} AS is_core
+      FROM e LEFT JOIN dbdeg d ON d.v = e.vec_id
+    ),
+    dbcore AS (SELECT vec_id FROM dbroles WHERE is_core),
+    dbce AS (
+      SELECT s.v, s.u FROM dbsym s
+      JOIN dbcore a ON a.vec_id = s.v
+      JOIN dbcore b ON b.vec_id = s.u
+    ),
+    dbbase AS (SELECT DISTINCT v AS a, v AS b FROM dbce
+               UNION SELECT v, u FROM dbce),
+    dbreach(a, b) AS (
+      SELECT a, b FROM dbbase
+      UNION
+      SELECT r.a, s.u FROM dbreach r JOIN dbce s ON r.b = s.v
+    ),
+    dbcomp AS (SELECT a AS vec_id, min(b) AS component FROM dbreach GROUP BY a),
+    dbcc AS (
+      SELECT c.vec_id,
+             CAST(coalesce(k.component, c.vec_id) AS BIGINT) AS cluster
+      FROM dbcore c LEFT JOIN dbcomp k ON k.vec_id = c.vec_id
+    ),
+    dbbord AS (
+      SELECT s.v AS vec_id, CAST(min(cc.cluster) AS BIGINT) AS bcluster
+      FROM dbsym s JOIN dbcc cc ON cc.vec_id = s.u GROUP BY s.v
+    )
+    SELECT r.vec_id,
+           CASE WHEN r.is_core THEN 'core'
+                WHEN bo.bcluster IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           CAST(coalesce(cc.cluster, bo.bcluster, -1) AS BIGINT) AS cluster
+    FROM dbroles r
+    LEFT JOIN dbcc cc ON cc.vec_id = r.vec_id
+    LEFT JOIN dbbord bo ON bo.vec_id = r.vec_id
+    """,
+)
+def emb_dbscan(spark, sf_dir):
+    """Approximate DBSCAN over the LSH eps-neighbor graph: core/
+    border/noise roles + min-core-id clusters, composed entirely from
+    gated primitives (operators/simsearch.py dbscan_approx)."""
+    return simsearch.dbscan_approx(_emb(spark, sf_dir))

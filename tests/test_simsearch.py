@@ -280,3 +280,48 @@ def test_semdedup_drops_exactly_the_planted_twins(spark):
             for a in cell
         )
         assert r.keep == (0 if dropped else 1), r
+
+
+def test_dbscan_python_replay_and_invariants(spark):
+    """Brute-force DBSCAN replay over the SAME approximate neighbor
+    graph + the DBSCAN invariants (core connectivity, border adjacency,
+    noise isolation from cores)."""
+    from hebrew_ner_spark.operators import simsearch
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pairs = [
+        (r.vec_a, r.vec_b)
+        for r in simsearch.embedding_near_dups(
+            emb, threshold=simsearch.DBSCAN_EPS_1E6 / 1_000_000
+        ).collect()
+    ]
+    nbrs = {}
+    for a, b in pairs:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    allv = [r.vec_id for r in emb.select("vec_id").collect()]
+    core = {v for v in allv if 1 + len(nbrs.get(v, ())) >= simsearch.DBSCAN_MIN_PTS}
+    # min-id components over core-core edges
+    cluster = {}
+    for c in core:
+        stack, seen = [c], {c}
+        while stack:
+            x = stack.pop()
+            for y in nbrs.get(x, ()):
+                if y in core and y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        cluster[c] = min(seen)
+    rows = {r.vec_id: r for r in simsearch.dbscan_approx(emb).collect()}
+    assert set(rows) == set(allv)
+    for v in allv:
+        r = rows[v]
+        if v in core:
+            assert r.role == "core" and r.cluster == cluster[v], v
+        elif any(u in core for u in nbrs.get(v, ())):
+            want = min(cluster[u] for u in nbrs[v] if u in core)
+            assert r.role == "border" and r.cluster == want, v
+        else:
+            assert r.role == "noise" and r.cluster == -1, v
+    assert any(r.role == "core" for r in rows.values())
+    assert any(r.role == "noise" for r in rows.values())
