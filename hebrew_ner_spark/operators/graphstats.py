@@ -1552,3 +1552,118 @@ def bounded_reach_recursive(edges: DataFrame) -> DataFrame:
         )
     finally:
         edges.sparkSession.catalog.dropTempView(view)
+
+
+# --- node2vec biased second-order walks -------------------------------
+
+N2V_SEED = 23
+N2V_W_RETURN = 4  # alpha = 1/p with p = 1/2, scaled x2 to clear fractions
+N2V_W_NEAR = 2    # alpha = 1 for dist(prev, x) = 1, scaled x2
+N2V_W_FAR = 1     # alpha = 1/q with q = 2, scaled x2
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    steps: int = WALK_STEPS,
+    n_walks: int = WALKS_PER_NODE,
+    seed: int = N2V_SEED,
+) -> DataFrame:
+    """(walk_src, walk_i, path, walk_len) — node2vec (Grover-Leskovec,
+    KDD 2016) SECOND-ORDER biased walks: where random_walks draws
+    uniformly, each hop here weights candidate x by the p/q bias
+    against the PREVIOUS node t — return (x = t) weight 4, t-adjacent
+    weight 2, exploratory weight 1 (p = 1/2, q = 2, cleared to
+    integers). The draw is the package's deterministic weighted pick:
+    one per-walk seeded hash r = H % total_weight, candidates laid out
+    in dst order, and the unique row with cum - w <= r < cum is taken
+    — an exact inverse-CDF sample, engine-replayable bit-for-bit.
+
+    First hop has no previous node: all candidates weigh N2V_W_NEAR
+    (a uniform draw through the same inverse-CDF machinery).
+
+    Shape at scale: identical to random_walks (frontier-sized join per
+    hop against the persisted edge list) plus ONE extra equi-join per
+    hop probing (prev, dst) adjacency — edge-keyed, the same class.
+    The cum/total window partitions by walk id: out-degree-sized
+    partitions, map-side combinable nowhere but bounded by max
+    out-degree (hub fan-out is the partition, and the pick keeps one
+    row). Cites Grover-Leskovec (KDD 2016)."""
+    from hebrew_ner_spark.functions.hashing import phash_col
+    from pyspark.sql import Window
+
+    ee = (
+        edges.select(F.col("subj_id").alias("src"), F.col("obj_id").alias("dst"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    walk_ids = F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1))).alias("walk_i")
+    walks = (
+        ee.select("src")
+        .distinct()
+        .select(F.col("src").alias("walk_src"), walk_ids)
+        .select(
+            "walk_src",
+            F.col("walk_i").cast("long").alias("walk_i"),
+            F.lit(None).cast("long").alias("prev"),
+            F.col("walk_src").alias("cur"),
+            F.col("walk_src").cast("string").alias("path"),
+        )
+    )
+    pe = ee.select(F.col("src").alias("p_src"), F.col("dst").alias("p_dst"))
+    for t in range(1, steps + 1):
+        cand = walks.join(ee, walks["cur"] == ee["src"], "left").drop("src")
+        cand = cand.join(
+            pe.withColumn("adj", F.lit(1)),
+            (cand["prev"] == pe["p_src"]) & (cand["dst"] == pe["p_dst"]),
+            "left",
+        ).drop("p_src", "p_dst")
+        w = (
+            F.when(F.col("dst").isNull(), F.lit(None))
+            .when(F.col("prev").isNull(), F.lit(N2V_W_NEAR))
+            .when(F.col("dst") == F.col("prev"), F.lit(N2V_W_RETURN))
+            .when(F.col("adj").isNotNull(), F.lit(N2V_W_NEAR))
+            .otherwise(F.lit(N2V_W_FAR))
+        )
+        h = phash_col(
+            F.concat_ws(
+                "|",
+                F.lit("N2V"),
+                F.col("walk_src").cast("string"),
+                F.col("walk_i").cast("string"),
+                F.lit(str(t)),
+            ),
+            seed,
+        )
+        part = Window.partitionBy("walk_src", "walk_i")
+        cum_w = part.orderBy(F.asc_nulls_last("dst")).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        scored = (
+            cand.withColumn("w", w)
+            .withColumn("cum", F.sum("w").over(cum_w))
+            .withColumn("tot", F.sum("w").over(part))
+            .withColumn("r", h % F.col("tot"))
+        )
+        walks = scored.where(
+            F.col("dst").isNull()
+            | ((F.col("cum") - F.col("w") <= F.col("r")) & (F.col("r") < F.col("cum")))
+        ).select(
+            "walk_src",
+            "walk_i",
+            F.when(F.col("dst").isNull(), F.col("prev"))
+            .otherwise(F.col("cur"))
+            .cast("long")
+            .alias("prev"),
+            F.coalesce("dst", "cur").cast("long").alias("cur"),
+            F.when(F.col("dst").isNull(), F.col("path"))
+            .otherwise(F.concat_ws("|", "path", F.col("dst").cast("string")))
+            .alias("path"),
+        )
+    out = walks.select(
+        "walk_src",
+        "walk_i",
+        "path",
+        F.expr("CAST(size(split(path, '\\\\|')) AS BIGINT)").alias("walk_len"),
+    )
+    ee.unpersist()
+    return out

@@ -1391,3 +1391,86 @@ def kg_pagerank_delta(spark, sf_dir):
     from hebrew_ner_spark.operators import pagerank
 
     return pagerank.pagerank_warm_delta(linking.kg_edges(_docs(spark, sf_dir)))
+
+
+# --- node2vec biased walks --------------------------------------------
+
+from hebrew_ner_spark.operators.graphstats import (  # noqa: E402
+    N2V_SEED as _N2V_SEED,
+    N2V_W_FAR as _N2V_WF,
+    N2V_W_NEAR as _N2V_WN,
+    N2V_W_RETURN as _N2V_WR,
+)
+
+
+def _n2v_ctes(steps: int, n_walks: int) -> str:
+    parts = [
+        f"""
+    ee AS (SELECT DISTINCT subj_id AS src, obj_id AS dst FROM e),
+    n0 AS (
+      SELECT src AS walk_src, CAST(r.walk_i AS BIGINT) AS walk_i,
+             CAST(NULL AS BIGINT) AS prev, src AS cur,
+             CAST(src AS VARCHAR) AS path
+      FROM (SELECT DISTINCT src FROM ee), range({n_walks}) r(walk_i)
+    )"""
+    ]
+    for t in range(1, steps + 1):
+        h = _phd(
+            "'N2V|' || CAST(walk_src AS VARCHAR) || '|' || "
+            f"CAST(walk_i AS VARCHAR) || '|{t}'",
+            _N2V_SEED,
+        )
+        parts.append(
+            f"""
+    nc{t} AS (
+      SELECT s.walk_src, s.walk_i, s.prev, s.cur, s.path, ee.dst,
+             CASE WHEN ee.dst IS NULL THEN NULL
+                  WHEN s.prev IS NULL THEN {_N2V_WN}
+                  WHEN ee.dst = s.prev THEN {_N2V_WR}
+                  WHEN pe.src IS NOT NULL THEN {_N2V_WN}
+                  ELSE {_N2V_WF} END AS w
+      FROM n{t - 1} s
+      LEFT JOIN ee ON s.cur = ee.src
+      LEFT JOIN ee pe ON pe.src = s.prev AND pe.dst = ee.dst
+    ),
+    nx{t} AS (
+      SELECT *,
+             sum(w) OVER (PARTITION BY walk_src, walk_i
+                          ORDER BY dst ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(w) OVER (PARTITION BY walk_src, walk_i) AS tot,
+             {h} AS h
+      FROM nc{t}
+    ),
+    n{t} AS (
+      SELECT walk_src, walk_i,
+             CAST(CASE WHEN dst IS NULL THEN prev ELSE cur END AS BIGINT)
+               AS prev,
+             CAST(coalesce(dst, cur) AS BIGINT) AS cur,
+             CASE WHEN dst IS NULL THEN path
+                  ELSE path || '|' || CAST(dst AS VARCHAR) END AS path
+      FROM nx{t}
+      WHERE dst IS NULL OR (cum - w <= h % tot AND h % tot < cum)
+    )"""
+        )
+    return ",".join(parts)
+
+
+@query(
+    "kg_node2vec_walks",
+    oracle=f"""
+    WITH {_dim_values()},
+    {_edges_ctes()},
+    {_n2v_ctes(_WALK_STEPS, _WALKS_PER_NODE)}
+    SELECT walk_src, walk_i, path,
+           CAST(len(string_split(path, '|')) AS BIGINT) AS walk_len
+    FROM n{_WALK_STEPS}
+    """,
+)
+def kg_node2vec_walks(spark, sf_dir):
+    """node2vec second-order biased walks (p = 1/2, q = 2 cleared to
+    integer weights 4/2/1): per-hop inverse-CDF weighted pick by one
+    seeded hash, the biased twin of kg_random_walks
+    (operators/graphstats.py node2vec_walks)."""
+    from hebrew_ner_spark.operators import graphstats
+
+    return graphstats.node2vec_walks(linking.kg_edges(_docs(spark, sf_dir)))

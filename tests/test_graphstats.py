@@ -919,3 +919,67 @@ def test_recursive_reach_equals_doubling(spark):
     b = {(r.src, r.dst, r.min_hops)
          for r in gs.bounded_reach_recursive(e).collect()}
     assert a == b and a
+
+
+def test_node2vec_python_replay_and_bias(spark):
+    """Exact python replay of the inverse-CDF biased pick per hop, and
+    the bias is real: the walk corpus differs from the uniform
+    random_walks corpus on the same graph."""
+    import hashlib
+
+    from hebrew_ner_spark.operators import graphstats, linking
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    edges = linking.kg_edges(docs)
+    ee = {
+        (r.subj_id, r.obj_id)
+        for r in edges.select("subj_id", "obj_id").distinct().collect()
+    }
+    adj = {}
+    for s, d in ee:
+        adj.setdefault(s, []).append(d)
+    for s in adj:
+        adj[s].sort()
+
+    def phash(s, seed):
+        return int(hashlib.md5(f"{s}:{seed}".encode()).hexdigest()[:15], 16)
+
+    want = {}
+    for src in sorted(adj):
+        for wi in range(graphstats.WALKS_PER_NODE):
+            prev, cur, path = None, src, [src]
+            for t in range(1, graphstats.WALK_STEPS + 1):
+                cands = adj.get(cur, [])
+                if not cands:
+                    continue
+                ws = []
+                for x in cands:
+                    if prev is None:
+                        ws.append(graphstats.N2V_W_NEAR)
+                    elif x == prev:
+                        ws.append(graphstats.N2V_W_RETURN)
+                    elif (prev, x) in ee:
+                        ws.append(graphstats.N2V_W_NEAR)
+                    else:
+                        ws.append(graphstats.N2V_W_FAR)
+                tot = sum(ws)
+                r = phash(f"N2V|{src}|{wi}|{t}", graphstats.N2V_SEED) % tot
+                cum = 0
+                for x, w in zip(cands, ws):
+                    cum += w
+                    if r < cum:
+                        nxt = x
+                        break
+                prev, cur = cur, nxt
+                path.append(nxt)
+            want[(src, wi)] = "|".join(str(p) for p in path)
+    got = {
+        (r.walk_src, r.walk_i): r.path
+        for r in graphstats.node2vec_walks(edges).collect()
+    }
+    assert got == want
+    uni = {
+        (r.walk_src, r.walk_i): r.path
+        for r in graphstats.random_walks(edges).collect()
+    }
+    assert got != uni  # the p/q bias actually changes the corpus
