@@ -151,3 +151,124 @@ def ppr_push(
         F.col("pi").alias("ppr_scaled"),
         F.col("r").alias("residual"),
     )
+
+
+# --- ACL sweep cut over the pushed PPR vector -------------------------
+
+SWEEP_SCALE = 1_000_000
+
+
+def ppr_sweep_cut(und: DataFrame, seed: int, rounds: int = PPR_ROUNDS) -> DataFrame:
+    """(rk, v, cut, vol, phi_1e6, is_best) — the Andersen-Chung-Lang
+    SWEEP CUT that turns the pushed PPR vector into a local cluster:
+    rank the positive-mass vertices by degree-normalized score
+    (pi * SCALE DIV deg, ties by vertex id), and for every prefix S_k
+    report the conductance phi(S_k) = cut(S_k) / min(vol(S_k),
+    2m - vol(S_k)); is_best marks the minimum-phi prefix (earliest on
+    ties) — the returned local cluster of ACL's theorem.
+
+    The sweep is NOT a per-prefix pass: an edge with endpoint ranks
+    r_u < r_v is cut exactly for prefixes r_u <= k < r_v, so
+    cut(k) = cumsum(min-rank histogram) - cumsum(max-rank histogram)
+    and vol(k) = cumsum(deg) — three rank-grain ordered windows (the
+    rich-club suffix-sum trick), after one rank join over the edge
+    list. Prefixes with min(vol, 2m - vol) = 0 (the sweep swallowing
+    the whole graph) are excluded — conductance is undefined there.
+
+    Everything integer: the rank key is a truncating micro-unit
+    division (deterministic, identical both engines; the true rational
+    ordering differs at most on ties the vertex-id break absorbs).
+    Cites Andersen-Chung-Lang (FOCS 2006) sections 2-3.
+
+    Shape at scale: the pushed vector is support-sized (locality is
+    the point of push-PPR); ranking, histograms and cumsums are all
+    support-grain, and the single edge join touches only edges with a
+    ranked endpoint. Nothing global but the 2m broadcast."""
+    from pyspark.sql import Window
+
+    from hebrew_ner_spark.operators.centrality import sym_edges
+
+    pushed = ppr_push(und, seed, rounds)
+    sym = sym_edges(und)
+    deg = sym.groupBy(F.col("src").alias("v")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    m2 = sym.agg(F.count("*").cast("long").alias("m2"))
+    ranked = (
+        pushed.where(F.col("ppr_scaled") > 0)
+        .join(deg, pushed["vertex"] == deg["v"])
+        .select(
+            "v",
+            "deg",
+            F.expr(f"ppr_scaled * {SWEEP_SCALE} DIV deg").alias("key"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("key"), F.asc("v"))),
+        )
+        .select("v", "deg", F.col("rk").cast("long").alias("rk"))
+    )
+    ra = ranked.select(F.col("v").alias("src"), F.col("rk").alias("rka"))
+    rb = ranked.select(F.col("v").alias("dst"), F.col("rk").alias("rkb"))
+    epair = (
+        und.select("a", "b")
+        .distinct()
+        .join(ra.withColumnRenamed("src", "a"), "a", "left")
+        .join(rb.withColumnRenamed("dst", "b"), "b", "left")
+        .select("rka", "rkb")
+    )
+    # per-rank histograms: +1 when an edge first touches the prefix,
+    # -1 when it becomes internal (both endpoints inside). Edges with
+    # ONE unranked endpoint enter at their ranked endpoint's rank and
+    # never internalize (least/greatest IGNORE nulls on both engines,
+    # so the both-ranked case is gated explicitly).
+    both = F.col("rka").isNotNull() & F.col("rkb").isNotNull()
+    enter = (
+        epair.where(F.col("rka").isNotNull() | F.col("rkb").isNotNull())
+        .select(
+            F.when(both, F.least("rka", "rkb"))
+            .otherwise(F.coalesce("rka", "rkb"))
+            .alias("rk")
+        )
+        .groupBy("rk")
+        .agg(F.count("*").cast("long").alias("n_enter"))
+    )
+    close = (
+        epair.where(both)
+        .select(F.greatest("rka", "rkb").alias("rk"))
+        .groupBy("rk")
+        .agg(F.count("*").cast("long").alias("n_close"))
+    )
+    w = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sweep = (
+        ranked.join(enter, "rk", "left")
+        .join(close, "rk", "left")
+        .select(
+            "rk",
+            "v",
+            "deg",
+            F.coalesce("n_enter", F.lit(0)).alias("n_enter"),
+            F.coalesce("n_close", F.lit(0)).alias("n_close"),
+        )
+        .withColumn("vol", F.sum("deg").over(w).cast("long"))
+        .withColumn(
+            "cut",
+            (F.sum("n_enter").over(w) - F.sum("n_close").over(w)).cast("long"),
+        )
+        .crossJoin(F.broadcast(m2))
+        .where(F.least(F.col("vol"), F.col("m2") - F.col("vol")) > 0)
+        .select(
+            "rk",
+            "v",
+            "cut",
+            "vol",
+            F.expr(
+                f"cut * {SWEEP_SCALE} DIV least(vol, m2 - vol)"
+            ).cast("long").alias("phi_1e6"),
+        )
+    )
+    best = Window.orderBy(F.asc("phi_1e6"), F.asc("rk"))
+    return sweep.withColumn(
+        "is_best",
+        (F.row_number().over(best) == 1).cast("long"),
+    )

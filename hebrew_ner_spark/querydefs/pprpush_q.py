@@ -75,3 +75,65 @@ def kg_ppr_push(spark, sf_dir):
     the global power-iteration PPR (operators/pprpush.py ppr_push)."""
     docs = load_table(spark, sf_dir, "documents")
     return pprpush.ppr_push(weblinks.synth_farm_host_edges(docs), seed=0)
+
+
+@query(
+    "kg_ppr_sweepcut",
+    oracle=f"""
+    WITH {_GRAPH_CTE},
+    {_push_ctes()},
+    swm2 AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM ctsym),
+    swrank AS (
+      SELECT v, deg,
+             CAST(row_number() OVER (ORDER BY (pi * {pprpush.SWEEP_SCALE} // deg)
+                                     DESC, v ASC) AS BIGINT) AS rk
+      FROM pp{_R} WHERE pi > 0
+    ),
+    swe AS (
+      SELECT ra.rk AS rka, rb.rk AS rkb
+      FROM ctund e
+      LEFT JOIN swrank ra ON ra.v = e.a
+      LEFT JOIN swrank rb ON rb.v = e.b
+    ),
+    swen AS (
+      SELECT CASE WHEN rka IS NOT NULL AND rkb IS NOT NULL
+                  THEN least(rka, rkb) ELSE coalesce(rka, rkb) END AS rk,
+             CAST(count(*) AS BIGINT) AS n_enter
+      FROM swe WHERE rka IS NOT NULL OR rkb IS NOT NULL GROUP BY 1
+    ),
+    swcl AS (
+      SELECT greatest(rka, rkb) AS rk, CAST(count(*) AS BIGINT) AS n_close
+      FROM swe WHERE rka IS NOT NULL AND rkb IS NOT NULL GROUP BY 1
+    ),
+    swcum AS (
+      SELECT r.rk, r.v,
+             CAST(sum(r.deg) OVER (ORDER BY r.rk ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS vol,
+             CAST(sum(coalesce(en.n_enter, 0)) OVER (ORDER BY r.rk
+                    ROWS UNBOUNDED PRECEDING)
+                  - sum(coalesce(cl.n_close, 0)) OVER (ORDER BY r.rk
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cut
+      FROM swrank r
+      LEFT JOIN swen en ON en.rk = r.rk
+      LEFT JOIN swcl cl ON cl.rk = r.rk
+    ),
+    swphi AS (
+      SELECT rk, v, cut, vol,
+             CAST(cut * {pprpush.SWEEP_SCALE} // least(vol, m.m2 - vol)
+                  AS BIGINT) AS phi_1e6
+      FROM swcum CROSS JOIN swm2 m
+      WHERE least(vol, m.m2 - vol) > 0
+    )
+    SELECT rk, v, cut, vol, phi_1e6,
+           CAST(CASE WHEN row_number() OVER (ORDER BY phi_1e6 ASC, rk ASC) = 1
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_best
+    FROM swphi
+    """,
+)
+def kg_ppr_sweepcut(spark, sf_dir):
+    """ACL sweep cut over the pushed PPR vector: per-prefix conductance
+    via rank-histogram cumsums (no per-prefix pass), minimum-phi prefix
+    flagged — the local cluster of Andersen-Chung-Lang
+    (operators/pprpush.py ppr_sweep_cut)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pprpush.ppr_sweep_cut(weblinks.synth_farm_host_edges(docs), seed=0)

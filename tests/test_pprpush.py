@@ -86,3 +86,45 @@ def test_budget_raise(spark):
     und = spark.createDataFrame([(i, i + 1) for i in range(6)], ["a", "b"])
     with pytest.raises(RuntimeError, match="residuals above"):
         pprpush.ppr_push(und, seed=0, rounds=1)
+
+
+def test_sweep_cut_brute_force_conductance(spark):
+    """Per-prefix cut/vol/phi replayed brute force from the pushed
+    vector + the ACL ordering; is_best marks the true minimum."""
+    from hebrew_ner_spark.operators import pprpush, weblinks
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    und = weblinks.synth_farm_host_edges(docs)
+    edges = {(r.a, r.b) for r in und.collect()}
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    m2 = sum(deg.values())
+    pushed = {
+        r.vertex: r.ppr_scaled for r in pprpush.ppr_push(und, seed=0).collect()
+    }
+    order = sorted(
+        (v for v, pi in pushed.items() if pi > 0),
+        key=lambda v: (-(pushed[v] * pprpush.SWEEP_SCALE // deg[v]), v),
+    )
+    rows = {r.rk: r for r in pprpush.ppr_sweep_cut(und, seed=0).collect()}
+    inside = set()
+    want_phis = {}
+    for k, v in enumerate(order, 1):
+        inside.add(v)
+        vol = sum(deg[x] for x in inside)
+        cut = sum(
+            1 for a, b in edges if (a in inside) != (b in inside)
+        )
+        den = min(vol, m2 - vol)
+        if den <= 0:
+            assert k not in rows
+            continue
+        r = rows[k]
+        assert (r.v, r.cut, r.vol) == (v, cut, vol), k
+        want_phis[k] = cut * pprpush.SWEEP_SCALE // den
+        assert r.phi_1e6 == want_phis[k]
+    best_k = min(want_phis, key=lambda k: (want_phis[k], k))
+    assert rows[best_k].is_best == 1
+    assert sum(r.is_best for r in rows.values()) == 1
