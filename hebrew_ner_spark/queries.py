@@ -76,6 +76,8 @@ _WINDOW = [
     "cent_betweenness_sampled",
     "kg_pagerank_delta",
     "emb_dbscan",
+    "kg_node2vec_walks",
+    "kg_ppr_sweepcut",
     # (b) judge-named never-driver-windowed families
     "kg_align_scores",
     "kg_align_best",
@@ -91,25 +93,22 @@ _WINDOW = [
     "evt_transitions",
     "kg_wl_colors",
     "kg_wl_partition",
-    # (c) other never-driver-windowed risk — trimmed to 8 slots when
-    # the 18 session-added gates entered at priority (a) above: one
+    # (c) other never-driver-windowed risk — trimmed to 6 slots when
+    # the 20 session-added gates entered at priority (a) above: one
     # representative per major remaining plane (model, incremental CC,
-    # ER lifecycle, web structure, link analysis, curation, ANN,
-    # streaming). The 18 rows rotated back out
-    # (mention_model_viterbi_tensor, web_host_scc, web_hyperball,
-    # kg_hits, kg_simrank, kg_ppr, cur_passage_dedup,
-    # trn_contamination, srch_bm25_batch, srch_rrf_hybrid, ann_pq_topk,
-    # ann_lsh_topk, emb_near_dups, ext_main_content,
-    # mm_video_keyframes, evt_funnel, web_mirror_hosts, txt_bpe_merges)
-    # all carry CORRECTNESS_FULL green history and stay in the full
-    # self-check.
+    # ER lifecycle, web structure, curation, streaming). The 20 rows
+    # rotated back out (mention_model_viterbi_tensor, web_host_scc,
+    # web_hyperball, kg_pagerank, kg_hits, kg_simrank, kg_ppr,
+    # cur_passage_dedup, trn_contamination, srch_bm25_batch,
+    # srch_rrf_hybrid, ann_ivf_topk, ann_pq_topk, ann_lsh_topk,
+    # emb_near_dups, ext_main_content, mm_video_keyframes, evt_funnel,
+    # web_mirror_hosts, txt_bpe_merges) all carry CORRECTNESS_FULL
+    # green history and stay in the full self-check.
     "mention_model_nbest",
     "cc_incremental",
     "er_resolution",
     "web_bowtie",
-    "kg_pagerank",
     "cur_pipeline",
-    "ann_ivf_topk",
     "stream_event_windows",
 ]
 
