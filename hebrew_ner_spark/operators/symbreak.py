@@ -63,9 +63,16 @@ def _prio(col):
     return (col * PRIO_MUL + PRIO_ADD) % PRIO_MOD
 
 
-def luby_mis(und: DataFrame, max_rounds: int = MIS_MAX_ROUNDS) -> DataFrame:
+def luby_mis(
+    und: DataFrame,
+    max_rounds: int = MIS_MAX_ROUNDS,
+    prio_mod: int = PRIO_MOD,
+) -> DataFrame:
     """(vertex, in_mis) — the greedy-by-priority maximal independent
-    set, one flag row per vertex."""
+    set, one flag row per vertex. ``prio_mod`` must exceed the vertex-id
+    domain for the affine priority to stay injective (the gate graph's
+    default 97 covers hosts 0..63; canopy blocking passes a larger
+    prime for doc-id vertices)."""
     from hebrew_ner_spark.operators.canonicalize import _lineage_breaker
     from hebrew_ner_spark.operators.graphstats import _evict, _persist
 
@@ -73,7 +80,12 @@ def luby_mis(und: DataFrame, max_rounds: int = MIS_MAX_ROUNDS) -> DataFrame:
     brk = _lineage_breaker(und, None)
     sym = _persist("luby_mis", sym_edges(und))
     verts = sym.select(F.col("src").alias("v")).distinct()
-    active = brk(verts.withColumn("p", _prio(F.col("v")).cast("long")))
+    active = brk(
+        verts.withColumn(
+            "p",
+            ((F.col("v") * PRIO_MUL + PRIO_ADD) % prio_mod).cast("long"),
+        )
+    )
     mis = None
     for _ in range(max_rounds):
         # early exit (r5): an empty active set makes every later round
