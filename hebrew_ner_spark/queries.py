@@ -78,6 +78,8 @@ _WINDOW = [
     "emb_dbscan",
     "kg_node2vec_walks",
     "kg_ppr_sweepcut",
+    "er_canopies",
+    "kg_rpq_reach",
     # (b) judge-named never-driver-windowed families
     "kg_align_scores",
     "kg_align_best",
@@ -93,21 +95,19 @@ _WINDOW = [
     "evt_transitions",
     "kg_wl_colors",
     "kg_wl_partition",
-    # (c) other never-driver-windowed risk — trimmed to 6 slots when
-    # the 20 session-added gates entered at priority (a) above: one
+    # (c) other never-driver-windowed risk — trimmed to 4 slots when
+    # the 22 session-added gates entered at priority (a) above: one
     # representative per major remaining plane (model, incremental CC,
-    # ER lifecycle, web structure, curation, streaming). The 20 rows
-    # rotated back out (mention_model_viterbi_tensor, web_host_scc,
-    # web_hyperball, kg_pagerank, kg_hits, kg_simrank, kg_ppr,
-    # cur_passage_dedup, trn_contamination, srch_bm25_batch,
+    # curation, streaming). The 22 rows rotated back out
+    # (mention_model_viterbi_tensor, web_host_scc, web_hyperball,
+    # web_bowtie, er_resolution, kg_pagerank, kg_hits, kg_simrank,
+    # kg_ppr, cur_passage_dedup, trn_contamination, srch_bm25_batch,
     # srch_rrf_hybrid, ann_ivf_topk, ann_pq_topk, ann_lsh_topk,
     # emb_near_dups, ext_main_content, mm_video_keyframes, evt_funnel,
-    # web_mirror_hosts, txt_bpe_merges) all carry CORRECTNESS_FULL
-    # green history and stay in the full self-check.
+    # web_mirror_hosts, txt_bpe_merges) all carry CORRECTNESS_FULL or
+    # judge-re-run green history and stay in the full self-check.
     "mention_model_nbest",
     "cc_incremental",
-    "er_resolution",
-    "web_bowtie",
     "cur_pipeline",
     "stream_event_windows",
 ]
