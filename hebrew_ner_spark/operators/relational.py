@@ -675,8 +675,10 @@ CUSUM_H_MUL = 4         # decision interval h = 4 * mu
 def cusum_alarms(events: DataFrame) -> DataFrame:
     """(event_type, t, x, s_1e3, mu_1e3) — one-sided upper CUSUM alarm
     hours over the per-type hourly count series, with a planted
-    sustained +3/hour shift on the 'click' type from hour 600 (the
-    planted-anomaly twin pattern of dq_orders_corrupted).
+    sustained 2x traffic surge on the 'click' type from hour 600 (the
+    planted-anomaly twin pattern of dq_orders_corrupted; multiplicative
+    so the shift-to-allowance ratio x'/mu = 2 is scale-free — the
+    detector fires at EVERY sf, not just the gate corpus).
 
     The Page (1954) recursion S_t = max(0, S_{t-1} + x_t - mu - k) is
     sequential ON ITS FACE, but distributes exactly via the prefix-sum
@@ -727,11 +729,11 @@ def cusum_alarms(events: DataFrame) -> DataFrame:
             "t",
             (
                 F.coalesce("c", F.lit(0))
-                + F.when(
+                * F.when(
                     (F.col("event_type") == "click")
                     & (F.col("t") >= CUSUM_REF_HOURS),
-                    3,
-                ).otherwise(0)
+                    2,
+                ).otherwise(1)
             )
             .cast("long")
             .alias("x"),

@@ -545,9 +545,9 @@ _CU_GRID = relational.CUSUM_GRID_HOURS
     ),
     cux AS (
       SELECT g.event_type, g.t,
-             coalesce(r.c, 0) +
+             coalesce(r.c, 0) *
              CASE WHEN g.event_type = 'click' AND g.t >= {_CU_REF}
-                  THEN 3 ELSE 0 END AS x
+                  THEN 2 ELSE 1 END AS x
       FROM cug g LEFT JOIN cur r ON r.event_type = g.event_type AND r.t = g.t
     ),
     cumu AS (

@@ -95,7 +95,7 @@ def test_cusum_prefix_identity_matches_recursion(spark):
     for et in types:
         xs = [
             counts.get((et, t), 0)
-            + (3 if et == "click" and t >= relational.CUSUM_REF_HOURS else 0)
+            * (2 if et == "click" and t >= relational.CUSUM_REF_HOURS else 1)
             for t in range(relational.CUSUM_GRID_HOURS)
         ]
         mu = sum(xs[: relational.CUSUM_REF_HOURS]) * 1000 // relational.CUSUM_REF_HOURS
