@@ -121,3 +121,19 @@ def canopy_assign(docs: DataFrame) -> DataFrame:
         "center",
         F.when(F.col("_c") == 1, 1).otherwise(0).cast("long").alias("is_center"),
     )
+
+
+def canopy_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) — distinct ordered pairs sharing at least one
+    canopy: the comparison set canopy blocking hands the expensive
+    scorers. One self-join on the center key (canopy-grain, the
+    block-key join every blocking scheme ends in)."""
+    asg = canopy_assign(docs)
+    a = asg.select("center", F.col("doc_id").alias("doc_a"))
+    b = asg.select("center", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "center")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )

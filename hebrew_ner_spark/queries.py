@@ -79,6 +79,7 @@ _WINDOW = [
     "kg_node2vec_walks",
     "kg_ppr_sweepcut",
     "er_canopies",
+    "er_canopy_quality",
     "kg_rpq_reach",
     # (b) judge-named never-driver-windowed families
     "kg_align_scores",
@@ -95,8 +96,8 @@ _WINDOW = [
     "evt_transitions",
     "kg_wl_colors",
     "kg_wl_partition",
-    # (c) other never-driver-windowed risk — trimmed to 4 slots when
-    # the 22 session-added gates entered at priority (a) above: one
+    # (c) other never-driver-windowed risk — trimmed to 3 slots when
+    # the 23 session-added gates entered at priority (a) above: one
     # representative per major remaining plane (model, incremental CC,
     # curation, streaming). The 22 rows rotated back out
     # (mention_model_viterbi_tensor, web_host_scc, web_hyperball,
@@ -107,7 +108,6 @@ _WINDOW = [
     # web_mirror_hosts, txt_bpe_merges) all carry CORRECTNESS_FULL or
     # judge-re-run green history and stay in the full self-check.
     "mention_model_nbest",
-    "cc_incremental",
     "cur_pipeline",
     "stream_event_windows",
 ]

@@ -103,3 +103,80 @@ def er_canopies(spark, sf_dir):
     cheap metric: tight-graph independence, loose membership, isolated
     docs as their own canopy (operators/canopy.py canopy_assign)."""
     return canopy.canopy_assign(load_table(spark, sf_dir, "documents"))
+
+
+# --- canopy blocking quality on the planted corpus --------------------
+
+from hebrew_ner_spark.operators import clustereval as _clustereval  # noqa: E402
+from hebrew_ner_spark.operators import dedup as _dedup  # noqa: E402
+from hebrew_ner_spark.querydefs.dedup_q import (  # noqa: E402
+    _PLANT_CTE,
+    _planted_docs,
+)
+from pyspark.sql import functions as F  # noqa: E402
+
+
+@query(
+    "er_canopy_quality",
+    oracle=f"""
+    WITH {_PLANT_CTE},
+    {_bands_cte('docs2')},
+    {_PAIRS_CTE},
+    {_mis_rounds()},
+    cpcent AS (
+      SELECT doc_id AS center FROM docs2
+      WHERE doc_id IN (SELECT v FROM cpmis{_R})
+         OR doc_id NOT IN (SELECT v FROM cpact0)
+    ),
+    cpsym AS (SELECT a, b FROM cpl UNION ALL SELECT b, a FROM cpl),
+    cpmem AS (
+      SELECT s.a AS doc_id, s.b AS center
+      FROM cpsym s JOIN cpcent c ON c.center = s.b
+      UNION
+      SELECT center, center FROM cpcent
+    ),
+    cq_cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM cpmem x JOIN cpmem y
+        ON x.center = y.center AND x.doc_id < y.doc_id
+    ),
+    cq_gold AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM docs2 a JOIN docs2 b
+        ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+    ),
+    cq_c AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM docs2) AS n_docs,
+             (SELECT CAST(count(*) AS BIGINT) FROM cq_cand) AS n_cand,
+             (SELECT CAST(count(*) AS BIGINT) FROM cq_gold) AS n_gold,
+             (SELECT CAST(count(*) AS BIGINT) FROM cq_gold g
+              WHERE EXISTS (SELECT 1 FROM cq_cand c
+                            WHERE c.doc_a = g.doc_a AND c.doc_b = g.doc_b))
+               AS n_hit
+    )
+    SELECT n_docs, n_cand, n_gold, n_hit,
+           CAST(CASE WHEN n_gold = 0 THEN 1000000
+                ELSE (2 * n_hit * 1000000 + n_gold) // (2 * n_gold)
+                END AS BIGINT) AS pair_completeness_1e6,
+           CAST(CASE WHEN n_docs < 2 THEN 1000000
+                ELSE (2 * (n_docs * (n_docs - 1) // 2 - n_cand) * 1000000
+                      + n_docs * (n_docs - 1) // 2)
+                     // (2 * (n_docs * (n_docs - 1) // 2))
+                END AS BIGINT) AS reduction_ratio_1e6
+    FROM cq_c
+    """,
+)
+def er_canopy_quality(spark, sf_dir):
+    """Pair completeness + reduction ratio of CANOPY blocking on the
+    planted corpus — PC must hold 1e6 (byte-identical copies share
+    every band, so a tight edge or a common center always co-canopies
+    them) while RR prices the avoided C(n,2) mass; the two-sided
+    companion of eval_blocking_quality for the canopy tier
+    (operators/canopy.py canopy_candidate_pairs +
+    clustereval.blocking_quality)."""
+    docs = _planted_docs(spark, sf_dir)
+    cand = canopy.canopy_candidate_pairs(docs)
+    gold = _dedup._bucket_pairs(
+        docs.select("doc_id", F.md5("text").alias("text_md5")), ["text_md5"]
+    )
+    return _clustereval.blocking_quality(cand, gold, docs)

@@ -57,3 +57,34 @@ def test_band_pair_weights_replay(spark):
                 want[(a, b2)] = want.get((a, b2), 0) + 1
     got = {(r.a, r.b): r.w for r in canopy.band_pair_weights(docs).collect()}
     assert got == want
+
+
+def test_canopy_blocking_quality(spark):
+    """PC = 1e6 on the planted exact-dup corpus (copies always
+    co-canopy) and RR prices real reduction; brute-force pair parity."""
+    from hebrew_ner_spark.operators import canopy, clustereval, dedup
+    from hebrew_ner_spark.querydefs.dedup_q import _planted_docs
+    from pyspark.sql import functions as F
+
+    docs = _planted_docs(spark, "/root/testdata/sf0.001")
+    cand = canopy.canopy_candidate_pairs(docs)
+    gold = dedup._bucket_pairs(
+        docs.select("doc_id", F.md5("text").alias("text_md5")), ["text_md5"]
+    )
+    row = clustereval.blocking_quality(cand, gold, docs).collect()[0]
+    assert row.n_gold > 0
+    assert row.pair_completeness_1e6 == 1_000_000
+    assert 0 < row.reduction_ratio_1e6 < 1_000_000
+    # candidate set = union over canopies of within-canopy pairs
+    asg = canopy.canopy_assign(docs).collect()
+    by_center = {}
+    for r in asg:
+        by_center.setdefault(r.center, set()).add(r.doc_id)
+    want = set()
+    for ds in by_center.values():
+        ds = sorted(ds)
+        for i, a in enumerate(ds):
+            for b in ds[i + 1:]:
+                want.add((a, b))
+    got = {(r.doc_a, r.doc_b) for r in cand.collect()}
+    assert got == want
